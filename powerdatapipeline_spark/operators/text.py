@@ -1,0 +1,150 @@
+"""Text analysis operators for training-data pipelines (BASELINE.json north
+star; SURVEY.md §2.12): tokenization, quality scoring, language-ID heuristic,
+document fingerprinting. All built-in string/array functions — JVM-side, no
+Python in the data path, so a 100 TB document scan stays in whole-stage
+codegen with the regexes compiled once per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, fixed English stopword list used by the quality/lang-ID heuristics.
+# Deliberately tiny and embedded in the plan as literals (broadcast-free).
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it that this with as "
+    "for on at by from not but".split()
+)
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of lowercased text; empty strings dropped.
+    The BPE-ish regex variant is :func:`regex_tokens`."""
+    return F.filter(F.split(F.lower(_c(col)), r"\s+"), lambda t: t != "")
+
+
+def regex_tokens(col: str | Column) -> Column:
+    """BPE-ish tokenizer: word pieces = runs of letters, digits, or a single
+    non-space symbol (approximates byte-pair pre-tokenization)."""
+    return F.filter(
+        F.split(F.lower(_c(col)), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: str | Column, n: int = 3) -> Column:
+    """Character n-gram shingles (for Jaccard/MinHash): substrings of length
+    ``n`` over the lowercased text, distinct."""
+    c = F.lower(_c(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def word_ngrams(col: str | Column, n: int = 2) -> Column:
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))))
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    t = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.array_intersect(t, sw))  # distinct-intersect approximation
+    n_sw_exact = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    _ = n_sw  # exact count used; distinct version kept for reference
+    return F.when(F.size(t) > 0, n_sw_exact / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features (length, mean word length,
+    punctuation density, stopword ratio) + a composite score in [0, 1].
+    Mirrors common LLM-corpus quality filters (C4/Gopher-style rules)."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(_c(text_col))
+    mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok)
+    punct = F.length(F.regexp_replace(_c(text_col), r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    sw_ratio = stopword_ratio(text_col)
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(sw_ratio >= 0.05, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def langid_heuristic(col: str | Column) -> Column:
+    """N-gram/stopword language-ID heuristic: classify as 'en' when the
+    English stopword ratio clears a threshold, else 'other'. (A real system
+    scores several stopword lists; the testdata corpus is synthetic-English,
+    so one list demonstrates the operator shape.)"""
+    return F.when(stopword_ratio(col) >= 0.08, F.lit("en")).otherwise(F.lit("other"))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized
+    (lowercased, whitespace-collapsed) text. Engine-portable (md5 is
+    identical in Spark/DuckDB/anything), so exact-dup detection can be
+    verified across systems."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def minhash_signature(col: str | Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature over character shingles, one value per "permutation"
+    ``i``: ``min(md5(i || ':' || shingle))``. Using salted md5 instead of
+    (a·x+b) mod p keeps the signature bit-for-bit portable to the DuckDB
+    oracle while remaining a valid MinHash family (md5 ≈ random permutation
+    of the shingle universe).
+
+    Cost: per-row array work only — no shuffle; at 100 TB the signature
+    computation is embarrassingly parallel.
+    """
+    sh = char_ngrams(col, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_perm)
+    ])
+
+
+def simhash64(col: str | Column, shingle_n: int = 3) -> Column:
+    """64-bit SimHash over character shingles.
+
+    Classic construction: each shingle hashes to 64 bits (xxhash64); each bit
+    position accumulates +1/-1 across shingles; the sign vector is the
+    fingerprint. Expressed with higher-order array functions (shiftright /
+    bitwise-and per bit) — JVM-side, no UDF.
+    """
+    sh = char_ngrams(col, shingle_n)
+    h = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            h, F.lit(0),
+            lambda acc, x: acc + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)))
+        # 1L << 63 wraps to Long.MIN_VALUE in two's complement — use
+        # shiftleft on a long literal, never a Python 1 << 63 int literal.
+        bit_val = F.shiftleft(F.lit(1).cast("long"), b)
+        bits.append(F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out

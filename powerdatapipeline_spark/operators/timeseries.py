@@ -1,0 +1,340 @@
+"""Time-series operators (SURVEY.md §2.6, §2.7 — the reference's signature
+surface): interval audit, up/down resampling, sliding windows, missing-value
+fill, ordered prefix split, adjacent-row diff.
+
+Order is always explicit (``ts_col``) — the reference trusts CSV file order
+(SURVEY.md §2.8); Spark must not.
+
+Scale strategy (SURVEY.md §4.2.1): ordered window ops over an unpartitioned
+``Window.orderBy(ts)`` collapse to ONE task. Every op here therefore takes an
+optional ``partition_by`` (series key — e.g. meter id / node id: the natural
+100 TB layout is millions of independent series) and, for the truly-global
+single-series case, a bucketed-overlap implementation is provided
+(``sliding_windows_bucketed``) that replicates ``w-1`` boundary rows instead
+of serializing the whole series through one task.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _window(ts_col: str, partition_by: Sequence[str] | None):
+    w = Window.orderBy(ts_col)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(ts_col)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Interval audit (reference tfdataset_utilities.py:162-197, datapipeline.py
+# :619-650: compute adjacent diff, assert it equals the declared cadence)
+# ---------------------------------------------------------------------------
+
+def with_interval(df: DataFrame, ts_col: str, partition_by: Sequence[str] | None = None,
+                  out_col: str = "interval") -> DataFrame:
+    """Adjacent-row interval via ``lead`` (reference computes ts_i − ts_{i+1}
+    and asserts against the NEGATED value — tfdataset_utilities.py:162-170,
+    datapipeline.py:633; we emit the positive step, same acceptance,
+    SURVEY.md Appendix A.3)."""
+    w = _window(ts_col, partition_by)
+    nxt = F.lead(ts_col).over(w)
+    step = nxt.cast("double") - F.col(ts_col).cast("double")
+    return df.withColumn(out_col, step)
+
+
+def check_intervals(df: DataFrame, ts_col: str, expected_seconds: float,
+                    partition_by: Sequence[str] | None = None) -> bool:
+    """All-equal interval validation (reference dataset.reduce state machine,
+    tfdataset_utilities.py:172-188 ≡ ``all(x == first)``) as a single
+    aggregate: min(step) == max(step) == expected."""
+    stepped = with_interval(df, ts_col, partition_by).where(F.col("interval").isNotNull())
+    row = stepped.agg(F.min("interval").alias("lo"), F.max("interval").alias("hi")).first()
+    ok = row.lo is not None and row.lo == row.hi == float(expected_seconds)
+    if not ok:
+        raise AssertionError(
+            f"interval audit failed: expected {expected_seconds}s, observed "
+            f"[{row.lo}, {row.hi}]")
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Resampling (reference tfdataset_resampling.py)
+# ---------------------------------------------------------------------------
+
+def downsample_modulo(df: DataFrame, seconds_col: str, interval: int) -> DataFrame:
+    """Keep rows whose epoch-seconds align to the grid: ``ts % i == 0``
+    (reference tfdataset_resampling.py:32-48). A pure filter — pushed to the
+    scan by Catalyst; no shuffle."""
+    return df.where(F.col(seconds_col).cast("long") % interval == 0)
+
+
+def downsample_mean(df: DataFrame, ts_col: str, interval_seconds: int,
+                    value_cols: Sequence[str],
+                    partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Tumbling-window mean downsample (reference pandas
+    ``resample('1S').mean()``, pandas_utilities.py:115-129) as a grouped
+    aggregation — map-side partial aggregation, one shuffle on the bucket key.
+
+    Emits ``bucket_ts`` (window start) plus ``avg_<col>`` per value column.
+    """
+    bucket = F.timestamp_seconds(
+        F.floor(F.col(ts_col).cast("double") / interval_seconds) * interval_seconds
+    ).alias("bucket_ts")
+    keys = ([F.col(c) for c in partition_by] if partition_by else []) + [bucket]
+    aggs = [F.avg(c).alias(f"avg_{c}") for c in value_cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def upsample_repeat(df: DataFrame, seconds_col: str, interval: int, span: int,
+                    partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Upsample with repeat fill (reference tfdataset_resampling.py:11-30):
+    per input row, align its start DOWN to the grid (``ts // i * i``,
+    Appendix A.12), generate ticks ``start, start+i, …`` covering ``span``
+    seconds, and repeat the row's values at each tick.
+
+    1→N row generation = ``explode(sequence(...))`` — the idiomatic Spark
+    UDTF path; fully parallel, no shuffle (narrow op).
+
+    The emitted tick column replaces ``seconds_col``; all other columns are
+    carried (repeat fill). The reference's "linear" fill is stubbed there
+    (commented out, tfdataset_resampling.py:22-25) — here linear
+    interpolation exists separately as :func:`interpolate_linear`.
+    """
+    start = (F.floor(F.col(seconds_col).cast("double") / interval) * interval).cast("long")
+    ticks = F.sequence(start, start + span - interval, F.lit(interval))
+    others = [c for c in df.columns if c != seconds_col]
+    return (df
+            .withColumn("__tick", F.explode(ticks))
+            .select(*others, F.col("__tick").cast("double").alias(seconds_col)))
+
+
+def resample(df: DataFrame, seconds_col: str, interval_original: int,
+             interval_desired: int, value_cols: Sequence[str] | None = None,
+             method: str = "modulo") -> DataFrame:
+    """Resample dispatcher (reference datapipeline.py:569-616): compares
+    original vs desired cadence and picks up/down/none."""
+    if interval_desired == interval_original:
+        return df
+    if interval_desired > interval_original:
+        if method == "mean":
+            ts = F.timestamp_seconds(F.col(seconds_col)).alias("__ts")
+            out = downsample_mean(df.withColumn("__ts", ts), "__ts",
+                                  interval_desired, list(value_cols or []))
+            return out
+        return downsample_modulo(df, seconds_col, interval_desired)
+    return upsample_repeat(df, seconds_col, interval_desired, span=interval_original)
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (reference tfdataset.py:197-283)
+# ---------------------------------------------------------------------------
+
+def sliding_windows(df: DataFrame, ts_col: str, window_size: int,
+                    feature_cols: Sequence[str],
+                    partition_by: Sequence[str] | None = None,
+                    out_col: str = "window") -> DataFrame:
+    """Size-``w``, stride-1, drop-remainder sliding windows (reference
+    ``tfdataset_to_windowed_tfdataset``, tfdataset.py:197-203) as
+    ``collect_list(struct) over rowsBetween(0, w-1)`` + exact-size filter
+    (drop_remainder ≡ discard ragged tail windows).
+
+    With ``partition_by`` (independent series) this scales horizontally; for
+    a single global series use :func:`sliding_windows_bucketed`.
+    """
+    w = _window(ts_col, partition_by).rowsBetween(0, window_size - 1)
+    arr = F.collect_list(F.struct(*[F.col(c) for c in feature_cols])).over(w)
+    return (df
+            .withColumn(out_col, arr)
+            .where(F.size(out_col) == window_size))
+
+
+def sliding_windows_bucketed(df: DataFrame, seconds_col: str, window_size: int,
+                             feature_cols: Sequence[str], step_seconds: float,
+                             bucket_rows: int = 100_000,
+                             out_col: str = "window") -> DataFrame:
+    """Global-series sliding windows WITHOUT a single-task global sort
+    (SURVEY.md §4.2.1 scale strategy).
+
+    Strategy: bucket the series by ``floor(row_position / bucket_rows)``
+    where row position is derived from the (validated, constant-cadence)
+    timestamp grid — so bucketing is a narrow op, not a sort. Each row whose
+    position lies within ``window_size - 1`` rows of the NEXT bucket boundary
+    is replicated into that next bucket, so every window is complete within
+    exactly one bucket. Windows then form inside each bucket independently;
+    the replica rows only ever *participate* in windows anchored in the
+    previous bucket and are never window anchors themselves (anchor stays in
+    its home bucket), so no dedup pass is needed.
+
+    Requires a constant cadence (``step_seconds``), which the reference's
+    interval audit guarantees before windowing (datapipeline.py:629-638).
+    """
+    pos = F.floor((F.col(seconds_col).cast("double")) / step_seconds).cast("long")
+    df = df.withColumn("__pos", pos)
+    home = (F.col("__pos") / bucket_rows).cast("long")
+    # replicate head rows of each bucket into the previous bucket
+    overlap = F.when(
+        (F.col("__pos") % bucket_rows) < (window_size - 1), home - 1
+    )
+    buckets = F.array_compact(F.array(home, overlap))
+    exploded = df.withColumn("__bucket", F.explode(buckets)).where(F.col("__bucket") >= 0)
+    w = (Window.partitionBy("__bucket").orderBy("__pos")
+         .rowsBetween(0, window_size - 1))
+    arr = F.collect_list(F.struct(*[F.col(c) for c in feature_cols])).over(w)
+    anchored = (exploded
+                .withColumn(out_col, arr)
+                # anchors only in their home bucket, and only complete windows
+                .where((F.col("__bucket") == home) & (F.size(out_col) == window_size)))
+    return anchored.drop("__pos", "__bucket")
+
+
+def window_features_targets(df: DataFrame, window_col: str, window_size: int,
+                            mode: str = "next_step") -> DataFrame:
+    """Split a window array into (features, target):
+
+    * ``next_step`` (reference ``windowed_dataset_v1``, tfdataset.py:256-263):
+      first ``w-1`` rows are features, last row is the target.
+    * ``first_column`` (``windowed_dataset_v2``, tfdataset.py:265-272):
+      per row, column 0 is the target, the rest are features — done on
+      array-of-struct via ``transform``.
+    """
+    if mode == "next_step":
+        feats = F.slice(F.col(window_col), 1, window_size - 1).alias("features")
+        target = F.element_at(F.col(window_col), window_size).alias("target")
+        return df.select(*[c for c in df.columns if c != window_col], feats, target)
+    if mode == "first_column":
+        fields = None  # resolved lazily from schema
+        for f in df.schema[window_col].dataType.elementType.fields:
+            fields = fields or []
+            fields.append(f.name)
+        feat_fields, tgt_field = fields[1:], fields[0]
+        feats = F.transform(F.col(window_col),
+                            lambda s: F.struct(*[s[f] for f in feat_fields])).alias("features")
+        target = F.transform(F.col(window_col), lambda s: s[tgt_field]).alias("target")
+        return df.select(*[c for c in df.columns if c != window_col], feats, target)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# Missing-value fill (reference pandas_utilities.py:131-152)
+# ---------------------------------------------------------------------------
+
+def ffill(df: DataFrame, ts_col: str, cols: Sequence[str],
+          partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Forward fill = last non-null over the unbounded-preceding frame."""
+    w = _window(ts_col, partition_by).rowsBetween(Window.unboundedPreceding, 0)
+    for c in cols:
+        df = df.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return df
+
+
+def bfill(df: DataFrame, ts_col: str, cols: Sequence[str],
+          partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Backward fill = first non-null over the unbounded-following frame
+    (the reference's residual-NaN backfill, pandas_utilities.py:148-150)."""
+    w = _window(ts_col, partition_by).rowsBetween(0, Window.unboundedFollowing)
+    for c in cols:
+        df = df.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return df
+
+
+def interpolate_linear(df: DataFrame, ts_col: str, cols: Sequence[str],
+                       partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Linear interpolation between the previous and next non-null values
+    (the reference applies this to cumulative columns —
+    pandas_utilities.py:138-146): ``prev + (next-prev)·(t-t_prev)/(t_next-t_prev)``.
+    Endpoints fall back to the available side (ffill/bfill semantics).
+    """
+    wb = _window(ts_col, partition_by).rowsBetween(Window.unboundedPreceding, -1)
+    wf = _window(ts_col, partition_by).rowsBetween(1, Window.unboundedFollowing)
+    t = F.col(ts_col).cast("double")
+    for c in cols:
+        v = F.col(c)
+        prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wb)
+        prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wb)
+        next_v = F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wf)
+        next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wf)
+        interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+        filled = (F.when(v.isNotNull(), v)
+                  .when(prev_v.isNull(), next_v)
+                  .when(next_v.isNull(), prev_v)
+                  .otherwise(interp))
+        df = df.withColumn(c, filled)
+    return df
+
+
+def fill_missing(df: DataFrame, ts_col: str, cols: Sequence[str],
+                 interpolate_cols: Sequence[str] = (),
+                 partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Composite fill mirroring ``fill_missing_values_in_df`` (reference
+    pandas_utilities.py:131-152): default columns forward-fill, designated
+    (cumulative) columns linearly interpolate, residual leading nulls
+    backfill."""
+    plain = [c for c in cols if c not in set(interpolate_cols)]
+    if plain:
+        df = ffill(df, ts_col, plain, partition_by)
+    if interpolate_cols:
+        df = interpolate_linear(df, ts_col, list(interpolate_cols), partition_by)
+    if plain:
+        df = bfill(df, ts_col, plain, partition_by)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Ordered prefix split (reference datapipeline.py:404-424) & positional zip
+# ---------------------------------------------------------------------------
+
+def prefix_split(df: DataFrame, ts_col: str, train_fraction: float = 0.8,
+                 test_fraction: float = 0.1,
+                 partition_by: Sequence[str] | None = None) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deterministic prefix split by fraction — first 80% of the ORDERED
+    stream is train (reference uses ``keras.utils.split_dataset`` twice,
+    datapipeline.py:413-416; NOT a random split, Appendix A.9; fraction-sum
+    assert at :409).
+
+    Implemented rank-free at scale: compute the fraction thresholds as
+    timestamp quantiles (``approx_quantile`` with tight tolerance would be
+    the 100 TB path; exact percentile here) and filter — no global sort, no
+    row_number over one task.
+    """
+    if not (0 < train_fraction + test_fraction <= 1.0 + 1e-9):
+        raise AssertionError("fractions must sum to at most 1")
+    t = F.col(ts_col).cast("double")
+    q = df.agg(
+        F.percentile(t, F.lit(float(train_fraction))).alias("t_train"),
+        F.percentile(t, F.lit(float(train_fraction + test_fraction))).alias("t_test"),
+    ).first()
+    train = df.where(t <= q.t_train)
+    test = df.where((t > q.t_train) & (t <= q.t_test))
+    eval_df = df.where(t > q.t_test)
+    return train, test, eval_df
+
+
+def zip_by_position(left: DataFrame, right: DataFrame, order_left: str,
+                    order_right: str) -> DataFrame:
+    """Positional zip of two plans (reference ``zip_datasets``,
+    tfdataset.py:177-183). Positional alignment is an anti-pattern in Spark
+    (SURVEY.md §2.3) — derive both column-sets from ONE plan when possible;
+    this fallback aligns by ``row_number`` over an explicit ordering key of
+    each side and inner-joins on it. ``monotonically_increasing_id`` alone is
+    NOT stable and is deliberately not used."""
+    wl = Window.orderBy(order_left)
+    wr = Window.orderBy(order_right)
+    lt = left.withColumn("__rn", F.row_number().over(wl))
+    rt = right.withColumn("__rn", F.row_number().over(wr))
+    return lt.join(rt, "__rn", "inner").drop("__rn")
+
+
+def supervised_pair(df: DataFrame, input_cols: Sequence[str],
+                    target_cols: Sequence[str]) -> DataFrame:
+    """Input/target pairing from ONE plan (replaces the reference's
+    positional zip of two parallel streams, datapipeline.py:427-474 →
+    SURVEY.md §3.2): both column-sets come from the same DataFrame, so
+    alignment is by construction."""
+    return df.select(
+        F.struct(*[F.col(c) for c in input_cols]).alias("input"),
+        F.struct(*[F.col(c) for c in target_cols]).alias("target"),
+    )

@@ -1,0 +1,84 @@
+"""Config-driven end-to-end pipeline builder — the Spark analog of the
+reference's orchestration layer (``get_dictdataset_from_csv`` →
+``add_select_resample_csvdataset`` → featurize → window → split; reference
+datapipeline/datapipeline.py:34-82, 619-650, 427-503; SURVEY.md §3).
+
+One declarative DataFrame chain per config; no eager probes in the plan
+(the reference forces partial execution repeatedly with ``take(1)`` debug
+prints — SURVEY.md §3.4; here verbosity is the caller's problem).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.config.model import RunConfig
+from powerdatapipeline_spark.functions.datetime_funcs import with_derived_columns
+from powerdatapipeline_spark.operators import timeseries as ts
+from powerdatapipeline_spark.sources.readers import read_csv, read_parquet
+
+
+def extract(spark: SparkSession, cfg: RunConfig) -> DataFrame:
+    """Extraction stage (reference ``get_dictdataset_from_csv``,
+    datapipeline.py:34-82): scan with projection pushdown → equality filter →
+    (the reference's ``use_df`` pandas branch is a latent NameError,
+    SURVEY.md Appendix A.4 — here both paths are the same DataFrame read).
+    """
+    ex = cfg.datapipeline.extraction
+    paths = [os.path.join(ex.data_folder, f) if ex.data_folder else f
+             for f in ex.data_files]
+    if ex.file_format == "parquet":
+        df = read_parquet(spark, paths[0] if len(paths) == 1 else paths)  # type: ignore[arg-type]
+    else:
+        df = read_csv(spark, paths, columns=ex.columns_original or None,
+                      header=ex.use_existing_columnnames,
+                      limit=ex.n_rows)
+    if ex.filtered_column and ex.filtered_value is not None:
+        # equality KEEP-filter — the reference's filter_out_string keeps
+        # matching rows despite its name (datapipeline.py:85-90, Appendix A.2)
+        df = df.where(F.col(ex.filtered_column) == F.lit(ex.filtered_value))
+    return df
+
+
+def transform(df: DataFrame, cfg: RunConfig) -> DataFrame:
+    """Transformation stage (reference ``add_select_resample_csvdataset``,
+    datapipeline.py:619-650): derive datetime columns → select → interval
+    audit → resample."""
+    ex = cfg.datapipeline.extraction
+    tr = cfg.datapipeline.transformation
+    if ex.columns_added:
+        dt_map = {}
+        if ex.column_date:
+            dt_map["date"] = ex.column_date
+        if ex.column_time:
+            dt_map["time"] = ex.column_time
+        if ex.column_datetime:
+            dt_map["datetime"] = ex.column_datetime
+        df = with_derived_columns(df, ex.columns_added, dt_map)
+    feats = tr.features or (tr.input_features + tr.target_features)
+    sec_col = "datetimestampseconds" if "datetimestampseconds" in (df.columns + list(ex.columns_added)) else ex.column_datetime
+    keep = [c for c in dict.fromkeys(feats + ([sec_col] if sec_col else []))
+            if c in df.columns or c in ex.columns_added]
+    if keep:
+        df = df.select(*keep)
+    if tr.time_interval_original and sec_col:
+        ts.check_intervals(
+            df.withColumn("__ts", F.col(sec_col)), "__ts",
+            float(tr.time_interval_original))
+    if tr.resample and tr.time_interval_original and tr.time_interval_desired and sec_col:
+        df = ts.resample(df, sec_col, tr.time_interval_original,
+                         tr.time_interval_desired,
+                         value_cols=[c for c in feats if c != sec_col],
+                         method=tr.resample_method)
+    if tr.downsampling_rate:
+        df = df.sample(fraction=tr.downsampling_rate, seed=42)
+    return df
+
+
+def build_pipeline(spark: SparkSession, cfg: RunConfig) -> DataFrame:
+    """extract → transform (the implicit 'load' stage is the caller's sink:
+    parquet write, ``toPandas`` ML hand-off, or streaming sink)."""
+    return transform(extract(spark, cfg), cfg)

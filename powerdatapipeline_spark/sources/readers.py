@@ -1,0 +1,132 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference reads CSV-only with per-column dtype defaults chosen by column
+name and projection pushed into the scan (reference
+datapipeline/tfdataset.py:16-52), validates headers against user-supplied
+column names (datapipeline_utilities.py:47-75), and audits NaNs
+(datapipeline_utilities.py:12-38). Here every reader takes an explicit
+schema (never ``inferSchema`` — the reference pins dtypes explicitly too) so
+Catalyst can prune columns and push filters into the scan, and Parquet is the
+default engine format (columnar, splittable, predicate-pushdown-friendly —
+what a 100 TB deployment actually reads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Name-driven dtype defaults, mirroring the reference's CSV scan rules
+#: (reference datapipeline/tfdataset.py:26-34): epoch-second columns are
+#: float64 "to avoid precision errors for large numbers", raw date/time text
+#: is string, all other measurements default to float32.
+_NAME_DTYPES: list[tuple[tuple[str, ...], T.DataType]] = [
+    (("datetimestampseconds", "cotw"), T.DoubleType()),
+    (("datetime", "date_block", "time_block", "date", "time"), T.StringType()),
+]
+_DEFAULT_DTYPE = T.FloatType()
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def schema_for_columns(columns: list[str]) -> T.StructType:
+    """Build a StructType from column names using the reference's
+    name-driven dtype rules (reference datapipeline/tfdataset.py:26-34)."""
+    fields = []
+    for c in columns:
+        dtype: T.DataType = _DEFAULT_DTYPE
+        for names, t in _NAME_DTYPES:
+            if c in names:
+                dtype = t
+                break
+        fields.append(T.StructField(c, dtype, nullable=True))
+    return T.StructType(fields)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    select: list[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """CSV scan with explicit schema + projection/limit pushdown.
+
+    Mirrors ``csv_to_csvdataset`` (reference datapipeline/tfdataset.py:16-52):
+    glob pattern, per-column dtype defaults, ``select_columns`` projection,
+    optional row limit. Catalyst pushes ``select``/``limit`` into the scan.
+    """
+    if schema is None and columns is not None:
+        schema = schema_for_columns(columns)
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:  # header-only files with no dtype hints: all strings, cast later
+        reader = reader.option("inferSchema", "false")
+    df = reader.csv(path)
+    if select:
+        df = df.select(*select)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str, select: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    if select:
+        df = df.select(*select)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables from an sf directory."""
+    names = names or TESTDATA_TABLES
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def check_columns(df: DataFrame, expected: list[str]) -> None:
+    """Header/user column-name agreement check (reference
+    datapipeline_utilities.py:47-75: asserts header names match user names and
+    counts agree)."""
+    actual = list(df.columns)
+    if actual != list(expected):
+        raise ValueError(f"column mismatch: file has {actual}, expected {expected}")
+
+
+def audit_nulls(df: DataFrame, raise_on_null: bool = False) -> dict[str, int]:
+    """Per-column null/NaN counts in ONE pass (the reference streams the file
+    per check — datapipeline_utilities.py:12-38 — and raises if any empty
+    cell is found; pandas_utilities.py:72-88 adds all-NaN / no-NaN asserts).
+
+    One job, map-side-combined aggregation; no shuffle beyond the final
+    single-row reduce.
+    """
+    exprs = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        cond = c.isNull()
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            cond = cond | F.isnan(c)
+        exprs.append(F.sum(cond.cast("int")).alias(f.name))
+    counts = df.agg(*exprs).first().asDict()
+    if raise_on_null and any(v for v in counts.values()):
+        bad = {k: v for k, v in counts.items() if v}
+        raise ValueError(f"null/NaN cells found: {bad}")
+    return counts
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (reference pandas_utilities.py:66-70)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

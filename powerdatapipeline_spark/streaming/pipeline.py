@@ -1,0 +1,79 @@
+"""Structured Streaming variants (SURVEY.md §2.10, §7.6).
+
+The reference DECLARES streaming (``use_streaming`` /
+``streaming_data_source`` config knobs, reference config/config.py:89-90;
+"It streams data from disk", README.md:37) but implements none of it. Here
+the batch operators get true streaming twins:
+
+  * file-source ingest with explicit schema (no inference on streams),
+  * tumbling-window mean downsample with watermarked late-data handling —
+    the reference's pandas ``resample('1S').mean()`` (pandas_utilities.py:
+    115-129) becomes ``groupBy(window(ts, interval)).avg`` verbatim,
+  * watermarked streaming dedup (``dropDuplicatesWithinWatermark``).
+
+State stores are keyed by (window, series) — at scale, watermark delay
+bounds state size; no unbounded state anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_stream_csv(spark: SparkSession, path: str, schema: T.StructType,
+                    header: bool = True, max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (spark.readStream
+              .schema(schema)
+              .option("header", str(header).lower()))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(path)
+
+
+def streaming_downsample_mean(stream: DataFrame, ts_col: str,
+                              interval_seconds: int, value_cols: Sequence[str],
+                              watermark: str = "1 minute",
+                              partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Tumbling-window mean with watermark: late rows beyond ``watermark``
+    are dropped and windows finalize incrementally (batch twin:
+    operators/timeseries.downsample_mean)."""
+    keys = [F.window(ts_col, f"{interval_seconds} seconds").alias("w")]
+    if partition_by:
+        keys += [F.col(c) for c in partition_by]
+    out = (stream
+           .withWatermark(ts_col, watermark)
+           .groupBy(*keys)
+           .agg(*[F.avg(c).alias(f"avg_{c}") for c in value_cols]))
+    return out.select(F.col("w.start").alias("bucket_ts"),
+                      *[c for c in out.columns if c != "w"])
+
+
+def streaming_dedup(stream: DataFrame, keys: Sequence[str], ts_col: str,
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Exact streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only within the
+    watermark horizon — state cannot grow unboundedly (the 100 TB/day
+    requirement)."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def streaming_interval_stats(stream: DataFrame, ts_col: str,
+                             bucket_seconds: int = 60,
+                             watermark: str = "1 minute") -> DataFrame:
+    """Streaming cousin of the interval audit (SURVEY.md §2.7): per tumbling
+    bucket, count + min/max event time — a monitoring aggregate that a
+    cadence-drift alarm consumes."""
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, f"{bucket_seconds} seconds").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts_col).alias("first_ts"),
+                 F.max(ts_col).alias("last_ts"))
+            .select(F.col("w.start").alias("bucket_ts"), "n_events",
+                    "first_ts", "last_ts"))
