@@ -39,6 +39,7 @@ class Extraction(BaseModel):
     column_time: Optional[str] = None
     filtered_column: Optional[str] = None   # equality predicate knobs
     filtered_value: Optional[str] = None    # (reference config.py:100-101)
+    column_dtypes: dict[str, str] = {}      # per-column dtype overrides (engine extension)
     use_streaming: bool = False             # reference declared-unimplemented (config.py:89-90)
     streaming_data_source: Optional[str] = None
 

@@ -103,6 +103,45 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 .select("id_a", "id_b", "est_jaccard"))
 
 
+def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 16,
+                       bands: int = 4, shingle_n: int = 3,
+                       threshold: float = 0.8) -> DataFrame:
+    """Near-dup with EXACT verification: MinHash-LSH generates candidate
+    pairs (sub-quadratic), then the true n-gram Jaccard is computed per
+    candidate from the pair's shingle sets (``array_intersect`` on two
+    arrays — no re-shuffle of the corpus).
+
+    This is the production near-dedup shape at 100 TB: candidates scale with
+    duplicate density, verification touches only candidates, and the whole
+    thing is engine-portable (salted-md5 MinHash → checkable in any SQL
+    engine).
+    """
+    rows = num_perm // bands
+    base = df.select(F.col(id_col),
+                     char_ngrams(text_col, shingle_n).alias("g"),
+                     minhash_signature(text_col, num_perm, shingle_n).alias("sig"))
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
+                                          for j in range(rows)])).alias("bh"))
+        for i in range(bands)
+    ]
+    banded = base.select(id_col, "g", F.explode(F.array(*band_cols)).alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.g").alias("g_a"), F.col("b.g").alias("g_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    n_inter = F.size(F.array_intersect("g_a", "g_b"))
+    jac = n_inter.cast("double") / (F.size("g_a") + F.size("g_b") - n_inter)
+    return (cand.withColumn("jaccard", F.round(jac, 6))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_n: int = 3) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints; candidates = documents sharing

@@ -33,9 +33,17 @@ def extract(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     if ex.file_format == "parquet":
         df = read_parquet(spark, paths[0] if len(paths) == 1 else paths)  # type: ignore[arg-type]
     else:
+        overrides = dict(ex.column_dtypes)
+        if ex.filtered_column and ex.filtered_value is not None:
+            # a string-valued equality filter implies the column is text —
+            # otherwise the name-driven float default nulls it out
+            try:
+                float(ex.filtered_value)
+            except ValueError:
+                overrides.setdefault(ex.filtered_column, "string")
         df = read_csv(spark, paths, columns=ex.columns_original or None,
                       header=ex.use_existing_columnnames,
-                      limit=ex.n_rows)
+                      limit=ex.n_rows, dtype_overrides=overrides)
     if ex.filtered_column and ex.filtered_value is not None:
         # equality KEEP-filter — the reference's filter_out_string keeps
         # matching rows despite its name (datapipeline.py:85-90, Appendix A.2)

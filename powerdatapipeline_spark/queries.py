@@ -343,6 +343,535 @@ def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n")))
 
 
+@register("q15_running_sum", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS DOUBLE) AS running_total
+FROM orders
+""")
+def q15_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function — running sum per customer (gap §2.12).
+    Decimal accumulation keeps the prefix sums bit-identical across engines
+    regardless of their internal frame evaluation strategy."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+    return orders.select("o_custkey", "o_orderkey", run.alias("running_total"))
+
+
+@register("q16_adjacent_intervals", """
+WITH stepped AS (
+  SELECT event_type,
+         epoch(ts) AS s,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch(ts) AS interval
+  FROM events)
+SELECT event_type,
+       CAST(count(interval) AS BIGINT) AS n_intervals,
+       round(min(interval), 6) AS min_interval,
+       round(max(interval), 6) AS max_interval,
+       round(CAST(SUM(CAST(interval AS DECIMAL(18,6))) AS DOUBLE) / count(interval), 6) AS avg_interval
+FROM stepped WHERE interval IS NOT NULL
+GROUP BY event_type
+""")
+def q16_adjacent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-row interval audit (reference get_interval_dataset,
+    tfdataset_utilities.py:162-170 — self-zip with skip(1); here a lead()
+    window per series, the idiomatic Spark form per SURVEY.md §2.3). The
+    reference asserts a constant cadence; events are irregular, so the audit
+    reports the min/max/avg step per event type instead."""
+    # same shape as operators/timeseries.with_interval, with an explicit
+    # event_id tie-break for cross-engine determinism
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    step = (F.lead("s").over(w) - F.col("s")).alias("interval")
+    stepped = (_t(spark, sf_dir, "events")
+               .withColumn("s", F.col("ts").cast("double"))
+               .select("event_type", step))
+    return (stepped.where(F.col("interval").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count("interval").cast("bigint").alias("n_intervals"),
+                 F.round(F.min("interval"), 6).alias("min_interval"),
+                 F.round(F.max("interval"), 6).alias("max_interval"),
+                 F.round(F.sum(F.col("interval").cast("decimal(18,6)")).cast("double")
+                         / F.count("interval"), 6).alias("avg_interval")))
+
+
+@register("q17_downsample_mean_hourly", f"""
+SELECT date_trunc('hour', ts) AS bucket_ts,
+       event_type,
+       {_DAVG.format(c='value')} AS avg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""")
+def q17_downsample_mean_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window mean downsample (reference pandas
+    resample('1S').mean(), pandas_utilities.py:115-129 → SURVEY.md §2.4's
+    'one true grouped aggregation'): groupBy on the hour bucket, map-side
+    partial agg, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+            .agg(davg("value", "avg_value"), F.count("*").alias("n")))
+
+
+@register("q18_downsample_modulo", """
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
+FROM events
+WHERE CAST(floor(epoch(ts)) AS BIGINT) % 2 = 0
+""")
+def q18_downsample_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modulo-grid downsample (reference downsample_to_interval,
+    tfdataset_resampling.py:32-48: keep rows with ts % i == 0). Pure filter —
+    Catalyst pushes it to the scan; zero shuffle. Explicit floor() because
+    DuckDB's double→int cast rounds while Spark's truncates."""
+    ev = _t(spark, sf_dir, "events")
+    es = F.floor(F.col("ts").cast("double")).cast("bigint")
+    return (ev.select("event_id", es.alias("epoch_s"), "value")
+            .where(es % 2 == 0))
+
+
+@register("q19_upsample_repeat", f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         {_DAVG.format(c='value')} AS avg_value
+  FROM events GROUP BY 1, 2)
+SELECT bucket_ts, event_type, avg_value,
+       CAST(floor(epoch(bucket_ts)) + tick AS BIGINT) AS tick_s
+FROM hourly, unnest(generate_series(0, 3600 - 900, 900)) u(tick)
+""")
+def q19_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsample with repeat fill (reference upsample_to_interval,
+    tfdataset_resampling.py:11-30): 1→N tick generation via
+    explode(sequence(...)) — the idiomatic UDTF path (SURVEY.md §2.11), a
+    narrow op that never shuffles. Hourly means re-spread to a 900 s grid,
+    values repeated (the reference's fill_method='repeat')."""
+    hourly = q17_downsample_mean_hourly(spark, sf_dir).drop("n")
+    start = F.floor(F.col("bucket_ts").cast("double")).cast("long")
+    ticks = F.sequence(F.lit(0), F.lit(3600 - 900), F.lit(900))
+    return (hourly
+            .withColumn("tick", F.explode(ticks))
+            .select("bucket_ts", "event_type", "avg_value",
+                    (start + F.col("tick")).cast("bigint").alias("tick_s")))
+
+
+@register("q20_forward_fill", """
+WITH gapped AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value < 10 THEN NULL ELSE value END AS v
+  FROM events)
+SELECT event_id,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM gapped
+""")
+def q20_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (reference fill_missing_values_in_df ffill,
+    pandas_utilities.py:131-152) = last non-null over the unbounded-preceding
+    frame per series. Values below 10 are masked to NULL to create gaps —
+    same masking on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    gapped = ev.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("v"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return gapped.select(
+        "event_id", F.last("v", ignorenulls=True).over(w).alias("v_filled"))
+
+
+_W_MIN, _W_HOUR, _W_DAY = (repr(2 * 3.141592653589793 / p) for p in (60.0, 3600.0, 86400.0))
+
+@register("q21_cyclical_features", f"""
+SELECT event_id,
+       round(sin(epoch(ts) * {_W_MIN}), 6)  AS sin_minute,
+       round(cos(epoch(ts) * {_W_MIN}), 6)  AS cos_minute,
+       round(sin(epoch(ts) * {_W_HOUR}), 6) AS sin_hour,
+       round(cos(epoch(ts) * {_W_HOUR}), 6) AS cos_hour,
+       round(sin(epoch(ts) * {_W_DAY}), 6)  AS sin_day,
+       round(cos(epoch(ts) * {_W_DAY}), 6)  AS cos_day
+FROM events
+""")
+def q21_cyclical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclical time encodings at minute/hour/day periods (reference
+    datapipeline.py:511-566, tfdataset.py:137-152). Exact π — the
+    reference's executed paths hard-code 3.14 (SURVEY.md Appendix A.1);
+    rounded to 6 dp because libm and the JVM may differ in the last ulp."""
+    ev = _t(spark, sf_dir, "events").withColumn("s", F.col("ts").cast("double"))
+    cyc = [F.round(c, 6).alias(n) for n, c in zip(
+        ["sin_minute", "cos_minute", "sin_hour", "cos_hour", "sin_day", "cos_day"],
+        _cyclical("s", ["minute", "hour", "day"]))]
+    return ev.select("event_id", *cyc)
+
+
+@register("q22_zscore_normalize", """
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m2
+  FROM events GROUP BY event_type)
+SELECT event_id,
+       round((value - m) / sqrt(m2 - m * m), 6) AS value_z
+FROM events JOIN stats USING (event_type)
+""")
+def q22_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase z-score normalization (reference normalizer fit/apply,
+    tfdataset_utilities.py:81-112): per-group stats via ONE aggregate —
+    population variance from exact decimal sums (numpy .var() parity,
+    Appendix A.10) — then a broadcast join back. At 100 TB the stats side is
+    a handful of rows: broadcast, never a shuffle of the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                   / F.count("value")).alias("m"),
+                  (F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+                   .cast("double") / F.count("value")).alias("m2")))
+    z = F.round((F.col("value") - F.col("m"))
+                / F.sqrt(F.col("m2") - F.col("m") * F.col("m")), 6)
+    return (ev.join(F.broadcast(stats), "event_type")
+            .select("event_id", z.alias("value_z")))
+
+
+@register("q23_minmax_rescale", """
+WITH stats AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type)
+SELECT event_id, round((value - lo) / (hi - lo), 6) AS value_rescaled
+FROM events JOIN stats USING (event_type)
+""")
+def q23_minmax_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max rescale (the reference FeatureSpace's float_rescaled mode,
+    datapipeline.py:283-361): min/max are exact doubles, division is
+    deterministic IEEE — only the output is rounded."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(F.min("value").alias("lo"),
+                                         F.max("value").alias("hi"))
+    scaled = F.round((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6)
+    return (ev.join(F.broadcast(stats), "event_type")
+            .select("event_id", scaled.alias("value_rescaled")))
+
+
+@register("q24_onehot_encode", """
+SELECT event_id,
+       CASE WHEN event_type = 'click'    THEN 1.0 ELSE 0.0 END AS event_type_onehot_0,
+       CASE WHEN event_type = 'error'    THEN 1.0 ELSE 0.0 END AS event_type_onehot_1,
+       CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS event_type_onehot_2,
+       CASE WHEN event_type = 'signup'   THEN 1.0 ELSE 0.0 END AS event_type_onehot_3,
+       CASE WHEN event_type = 'view'     THEN 1.0 ELSE 0.0 END AS event_type_onehot_4
+FROM events
+""")
+def q24_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String one-hot with a distinct-scan vocabulary (reference
+    StringLookup path, tfdataset_utilities.py:199-210; depth-5 parity with
+    the reference's hard-coded 5 categories, Appendix A.7) via the
+    FeatureSpace registry — vocab fitted on the data (sorted distinct),
+    transform is pure when/otherwise expressions."""
+    from powerdatapipeline_spark.features import FeatureSpace, FeatureSpec
+
+    ev = _t(spark, sf_dir, "events")
+    fs = FeatureSpace([FeatureSpec("event_type", "string", "one_hot")]).fit(ev)
+    return fs.transform(ev, keep=["event_id"])
+
+
+@register("q25_prefix_split", """
+WITH ranked AS (
+  SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events)
+SELECT CASE WHEN rn <= floor(0.8 * n) THEN 'train'
+            WHEN rn <= floor(0.9 * n) THEN 'test'
+            ELSE 'eval' END AS split,
+       COUNT(*) AS n_rows,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s
+FROM ranked GROUP BY 1
+""")
+def q25_prefix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ORDERED prefix split 0.8/0.1/0.1 (reference
+    get_train_test_eval_dataset, datapipeline.py:404-424 — a prefix-by-
+    fraction split, NOT randomSplit, Appendix A.9). Exact rank semantics
+    here for oracle parity; the library's scale path
+    (operators/timeseries.prefix_split) uses timestamp quantiles to avoid
+    the single-task global row_number this query tolerates at test scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    ranked = ev.select("ts", F.row_number().over(w).alias("rn"),
+                       F.count("*").over(Window.partitionBy()).alias("n"))
+    split = (F.when(F.col("rn") <= F.floor(0.8 * F.col("n")), "train")
+             .when(F.col("rn") <= F.floor(0.9 * F.col("n")), "test")
+             .otherwise("eval"))
+    es = F.floor(F.col("ts").cast("double"))
+    return (ranked.groupBy(split.alias("split"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min(es).cast("bigint").alias("first_s"),
+                 F.max(es).cast("bigint").alias("last_s")))
+
+
+# ===========================================================================
+# Text analysis / dedup / similarity (BASELINE.json north star, §2.12)
+# ===========================================================================
+
+#: DuckDB fragments kept textually in sync with operators/text.py —
+#: tokenization must match bit-for-bit for ratio parity.
+_SQL_TOKENS = "string_split(lower(text), ' ')"
+_SQL_STOP = "('" + "','".join(
+    "the a an and or of to in is are was were be been it that this with as "
+    "for on at by from not but".split()) + "')"
+_SQL_SHINGLES = ("list_distinct(list_transform("
+                 "generate_series(1, greatest(length(lower(text))-2, 0)), "
+                 "i -> substr(lower(text), i, 3)))")
+
+
+@register("q26_exact_dedup", """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""")
+def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text md5 fingerprint (operators/dedup.
+    exact_dedup): one shuffle keyed by a uniform 32-byte digest — never the
+    document payload."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("q27_text_stats", f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(list_filter({_SQL_TOKENS}, t -> t != ''))) AS BIGINT) AS total_tokens,
+       (CAST(SUM(len(list_filter({_SQL_TOKENS}, t -> t != ''))) AS DOUBLE) / COUNT(*)) AS avg_tokens
+FROM documents GROUP BY lang, source
+""")
+def q27_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics (operators/text.token_count): integer sums
+    are exact in any engine; the average is one double division."""
+    docs = _t(spark, sf_dir, "documents")
+    ntok = tx.token_count("text")
+    return (docs.groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum(ntok).cast("bigint").alias("total_tokens"),
+                 (F.sum(ntok).cast("double") / F.count("*")).alias("avg_tokens")))
+
+
+@register("q28_quality_scores", f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter({_SQL_TOKENS}, x -> x != '')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter({_SQL_TOKENS}, x -> x IN {_SQL_STOP})) AS n_stop,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.08
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM t
+""")
+def q28_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + language-ID heuristic
+    (operators/text.quality_score / langid_heuristic): pure string/array
+    built-ins, whole-stage codegen, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in tx.STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    sw_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(F.when(n_chars > 0, n_punct.cast("double") / n_chars)
+                .otherwise(0.0), 6).alias("punct_ratio"),
+        F.when(sw_ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"))
+
+
+_SQL_MINHASH = f"""
+  SELECT doc_id, {_SQL_SHINGLES} AS g,
+         list_transform(generate_series(0, 15),
+           i -> list_aggregate(list_transform({_SQL_SHINGLES},
+                  s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM documents
+"""
+
+_SQL_BANDED = """
+  SELECT doc_id, g, sig, band,
+         md5(list_aggregate(list_slice(sig, band*4+1, band*4+4), 'string_agg', '|')) AS bh
+  FROM mh, unnest(generate_series(0, 3)) u(band)
+"""
+
+
+@register("q29_minhash_lsh_pairs", f"""
+WITH mh AS ({_SQL_MINHASH}),
+banded AS ({_SQL_BANDED}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBLE) / 16, 6) AS est_jaccard
+FROM cand JOIN mh ma ON ma.doc_id = id_a JOIN mh mb ON mb.doc_id = id_b
+WHERE CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 >= 0.5
+""")
+def q29_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (operators/dedup.minhash_lsh_pairs): salted-md5
+    MinHash (16 perms, 4 bands × 4 rows) → band-bucket join → signature-
+    agreement Jaccard estimate. The salted-md5 family is bit-portable, so
+    even the LSH candidate set is oracle-checkable — no weaker rows-only
+    check needed."""
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                num_perm=16, bands=4, threshold=0.5)
+
+
+@register("q30_neardup_verified", f"""
+WITH mh AS ({_SQL_MINHASH}),
+banded AS ({_SQL_BANDED}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(ma.g, mb.g)) AS DOUBLE)
+             / (len(ma.g) + len(mb.g) - len(list_intersect(ma.g, mb.g))), 6) AS jaccard
+FROM cand JOIN mh ma ON ma.doc_id = id_a JOIN mh mb ON mb.doc_id = id_b
+WHERE CAST(len(list_intersect(ma.g, mb.g)) AS DOUBLE)
+      / (len(ma.g) + len(mb.g) - len(list_intersect(ma.g, mb.g))) >= 0.8
+""")
+def q30_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + EXACT 3-gram Jaccard verification
+    (operators/dedup.lsh_verified_pairs) — the production near-dedup shape:
+    sub-quadratic candidate generation, exact verification only on
+    candidates. (A naive shingle inverted-index join is quadratic on this
+    small-vocab corpus and is deliberately not used.)"""
+    return dd.lsh_verified_pairs(_t(spark, sf_dir, "documents"),
+                                 num_perm=16, bands=4, threshold=0.8)
+
+
+def _ddot(x, y):
+    """Decimal-exact dot product of two array<float> columns: products in
+    double (exact IEEE), each rounded to DECIMAL(28,12) identically in both
+    engines, summed exactly. The merge lambda re-casts because Spark's
+    decimal addition narrows scale (38,12)+(28,12) → (38,11); the cast back
+    is an exact rescale at these magnitudes."""
+    prod = F.zip_with(x, y, lambda p, q: (p.cast("double") * q.cast("double"))
+                      .cast("decimal(28,12)"))
+    return F.aggregate(prod, F.lit(0).cast("decimal(38,12)"),
+                       lambda acc, v: (acc + v).cast("decimal(38,12)")).cast("double")
+
+
+_SQL_DOT = ("CAST(list_sum(list_transform(generate_series(1, 64), i -> "
+            "CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+            " AS DECIMAL(28,12)))) AS DOUBLE)")
+_SQL_NORM = ("sqrt(CAST(list_sum(list_transform(generate_series(1, 64), i -> "
+             "CAST(CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE)"
+             " AS DECIMAL(28,12)))) AS DOUBLE))")
+
+
+@register("q31_cosine_topk", f"""
+WITH scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id,
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')} * {_SQL_NORM.format(t='b')}), 6) AS cosine
+  FROM embeddings a, embeddings b WHERE b.vec_id < 5)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 10
+""")
+def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (operators/similarity.brute_force_topk
+    semantics, decimal-exact dot products for engine parity): queries are
+    broadcast, the corpus never shuffles; per-query ranking windows on the
+    (tiny) scored side only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+
+    cos = F.round(_ddot(F.col("embedding"), F.col("qv"))
+                  / (F.sqrt(_ddot(F.col("embedding"), F.col("embedding")))
+                     * F.sqrt(_ddot(F.col("qv"), F.col("qv")))), 6)
+    scored = (emb.crossJoin(F.broadcast(qs))
+              .select("query_id", "vec_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10))
+
+
+@register("q32_embedding_norms", f"""
+SELECT label, COUNT(*) AS n,
+       round(CAST(SUM(CAST({_SQL_NORM.format(t='a')} AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_norm
+FROM embeddings a GROUP BY label
+""")
+def q32_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm aggregates per label (functions/vector.l2_norm shape,
+    decimal-exact for parity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_ddot(F.col("embedding"), F.col("embedding")))
+    return (emb.groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(norm.cast("decimal(18,6)")).cast("double")
+                         / F.count("*"), 6).alias("avg_norm")))
+
+
+# --- rows-only declared ops (no SQL-expressible oracle; the driver records
+# --- a weaker rows-only check, per __spark_entry__.py contract) ------------
+
+@register("q33_simhash_pairs", None)
+def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (operators/dedup.simhash_pairs): xxhash64-based
+    64-bit fingerprints, 16-bit-slice LSH, Hamming≤3 verification.
+    Rows-only: xxhash64 has no DuckDB equivalent."""
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+@register("q34_ann_lsh_topk", None)
+def q34_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH
+    (operators/similarity.hyperplane_lsh_topk) — the 100 TB scale path for
+    q31's exact semantics; recall < 1 by construction, so rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.hyperplane_lsh_topk(emb, qs, k=10)
+
+
+@register("q35_ann_ivf_topk", None)
+def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (operators/similarity.ivf_topk): coarse-centroid cells
+    + n_probe search — at scale the corpus is written partitioned by cell id
+    so queries prune partitions. Rows-only (approximate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_topk(emb, qs, k=10)
+
+
+@register("q36_multimodal_features", None)
+def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (operators/multimodal): documents.text encoded to
+    a binary payload column + typed metadata (built-ins), then the
+    deterministic fake decoder runs feature extraction through
+    mapInPandas (Arrow-batched). Rows-only: the pandas-UDF decode has no
+    SQL oracle."""
+    from powerdatapipeline_spark.operators import multimodal as mm
+
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.encode("text", "UTF-8").alias("blob")))
+    docs = mm.with_media_metadata(docs, media_type="text", fmt="utf-8")
+    feats = mm.extract_image_features(docs, fake=True)
+    return (docs.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"),
+                        F.col("meta.checksum").alias("checksum"))
+            .join(feats, "doc_id")
+            .select("doc_id", "n_bytes", "checksum", "mean_pixel"))
+
+
 @register("q14_conditional_agg", f"""
 SELECT CAST(floor(value / 20.0) AS BIGINT) AS value_bucket,
        COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

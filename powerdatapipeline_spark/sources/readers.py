@@ -32,16 +32,23 @@ TESTDATA_TABLES = (
 ).split()
 
 
-def schema_for_columns(columns: list[str]) -> T.StructType:
+def schema_for_columns(columns: list[str],
+                       overrides: dict[str, str] | None = None) -> T.StructType:
     """Build a StructType from column names using the reference's
-    name-driven dtype rules (reference datapipeline/tfdataset.py:26-34)."""
+    name-driven dtype rules (reference datapipeline/tfdataset.py:26-34),
+    with optional per-column dtype overrides (simpleString names) — the
+    escape hatch the reference lacks for e.g. string-valued filter columns."""
+    overrides = overrides or {}
     fields = []
     for c in columns:
-        dtype: T.DataType = _DEFAULT_DTYPE
-        for names, t in _NAME_DTYPES:
-            if c in names:
-                dtype = t
-                break
+        if c in overrides:
+            dtype: T.DataType = T._parse_datatype_string(overrides[c])
+        else:
+            dtype = _DEFAULT_DTYPE
+            for names, t in _NAME_DTYPES:
+                if c in names:
+                    dtype = t
+                    break
         fields.append(T.StructField(c, dtype, nullable=True))
     return T.StructType(fields)
 
@@ -54,6 +61,7 @@ def read_csv(
     header: bool = True,
     select: list[str] | None = None,
     limit: int | None = None,
+    dtype_overrides: dict[str, str] | None = None,
 ) -> DataFrame:
     """CSV scan with explicit schema + projection/limit pushdown.
 
@@ -62,7 +70,7 @@ def read_csv(
     optional row limit. Catalyst pushes ``select``/``limit`` into the scan.
     """
     if schema is None and columns is not None:
-        schema = schema_for_columns(columns)
+        schema = schema_for_columns(columns, dtype_overrides)
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)

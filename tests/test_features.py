@@ -1,0 +1,87 @@
+"""FeatureSpace fit/transform tests (reference datapipeline.py:273-401
+semantics: two-phase adapt-then-map, population variance, fixed one-hot
+depth, JSON persistence replacing .keras archives)."""
+
+import pytest
+from pyspark.sql import Row
+
+from powerdatapipeline_spark.features import FeatureSpace, FeatureSpec
+
+
+def _df(spark):
+    rows = [Row(x=float(i), cat=i % 3, name=["a", "b", "c"][i % 3]) for i in range(9)]
+    return spark.createDataFrame(rows)
+
+
+def test_normalized_population_variance(spark):
+    df = _df(spark)
+    fs = FeatureSpace([FeatureSpec("x", "float", "normalized")]).fit(df)
+    # numpy .var() parity = population variance (Appendix A.10)
+    assert fs.stats["x"]["mean"] == pytest.approx(4.0)
+    assert fs.stats["x"]["var"] == pytest.approx(sum((i - 4) ** 2 for i in range(9)) / 9)
+    vals = [r.x for r in fs.transform(df).collect()]
+    assert sum(vals) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_skip_normalization_identity(spark):
+    df = _df(spark)
+    fs = FeatureSpace([FeatureSpec("x", "float", "normalized",
+                                   skip_normalization=True)]).fit(df)
+    assert fs.stats["x"] == {"mean": 0.0, "var": 1.0}
+    assert [r.x for r in fs.transform(df).orderBy("x").collect()] == [float(i) for i in range(9)]
+
+
+def test_rescaled_minmax(spark):
+    fs = FeatureSpace([FeatureSpec("x", "float", "rescaled")]).fit(_df(spark))
+    out = [r.x for r in fs.transform(_df(spark)).orderBy("x").collect()]
+    assert out[0] == 0.0 and out[-1] == 1.0
+
+
+def test_int_onehot_depth(spark):
+    fs = FeatureSpace([FeatureSpec("cat", "int", "one_hot", one_hot_depth=5)]).fit(_df(spark))
+    out = fs.transform(_df(spark))
+    assert [c for c in out.columns] == [f"cat_onehot_{i}" for i in range(5)]
+    r = out.collect()[0]
+    assert sum(r) == 1.0  # exactly one hot
+
+
+def test_string_onehot_vocab_sorted(spark):
+    df = _df(spark)
+    fs = FeatureSpace([FeatureSpec("name", "string", "one_hot")]).fit(df)
+    assert fs.stats["name"]["vocab"] == ["a", "b", "c"]
+    row = fs.transform(df.where("name = 'b'")).first()
+    assert (row.name_onehot_0, row.name_onehot_1, row.name_onehot_2) == (0.0, 1.0, 0.0)
+
+
+def test_cyclical_output_names(spark):
+    fs = FeatureSpace([FeatureSpec("x", "datetimestamp_seconds",
+                                   "cyclical_minute_hour_day")]).fit(_df(spark))
+    assert fs.output_names() == [
+        "x_sin_minute", "x_cos_minute", "x_sin_hour", "x_cos_hour",
+        "x_sin_day", "x_cos_day"]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = _df(spark)
+    fs = FeatureSpace([FeatureSpec("x", "float", "normalized"),
+                       FeatureSpec("name", "string", "one_hot")]).fit(df)
+    p = str(tmp_path / "fs.json")
+    fs.save(p)
+    fs2 = FeatureSpace.load(p)
+    assert fs2.stats == fs.stats
+    a = fs.transform(df).collect()
+    b = fs2.transform(df).collect()
+    assert a == b
+
+
+def test_transform_before_fit_raises(spark):
+    fs = FeatureSpace([FeatureSpec("x", "float", "normalized")])
+    with pytest.raises(RuntimeError):
+        fs.transform_columns()
+
+
+def test_unsupported_spec_raises(spark):
+    fs = FeatureSpace([FeatureSpec("x", "float", "bogus_mode")])
+    fs.fitted = True
+    with pytest.raises(ValueError):
+        fs.transform_columns()

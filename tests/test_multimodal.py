@@ -1,0 +1,57 @@
+"""Multimodal binary-column plumbing: metadata via built-ins, decode via
+Arrow-batched mapInPandas with the deterministic fake decoder (real codecs
+are stubbed — NotImplementedError gate)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.operators import multimodal as mm
+
+
+def _blobs(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, blob=bytearray(b"payload-one")),
+        Row(doc_id=2, blob=bytearray(b"payload-two-longer")),
+    ])
+
+
+def test_metadata_built_ins_only(spark):
+    out = mm.with_media_metadata(_blobs(spark), media_type="image", fmt="png")
+    r = {x.doc_id: x.meta for x in out.collect()}
+    assert r[1].n_bytes == len(b"payload-one")
+    assert r[1].media_type == "image" and r[1].format == "png"
+    assert len(r[1].checksum) == 32  # md5 hex
+
+
+def test_decode_gate_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"x", fake=False)
+
+
+def test_fake_decode_deterministic():
+    a = mm.decode_image(b"same-bytes", fake=True)
+    b = mm.decode_image(b"same-bytes", fake=True)
+    assert a == b and len(a) == 64
+    assert all(0 <= p <= 255 for p in a)
+
+
+def test_extract_image_features_mapinpandas(spark):
+    out = mm.extract_image_features(_blobs(spark), fake=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].width == 8 and rows[1].height == 8
+    assert 0 <= rows[1].mean_pixel <= 255
+    # deterministic across runs (stable fake decoder)
+    again = {r.doc_id: r.mean_pixel for r in
+             mm.extract_image_features(_blobs(spark), fake=True).collect()}
+    assert again[1] == rows[1].mean_pixel
+
+
+def test_frame_sample_explodes_byte_ranges(spark):
+    df = spark.createDataFrame([Row(doc_id=1, blob=bytearray(b"x" * 3000))])
+    out = mm.frame_sample(df, every_n_bytes=1024)
+    rows = out.collect()
+    assert len(rows) == 3  # ceil(3000/1024)
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 1, 2]
+    assert len(bytes(rows[0].frame)) == 1024

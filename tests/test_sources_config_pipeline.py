@@ -1,0 +1,122 @@
+"""Sources, config validation, and the config-driven pipeline builder."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from powerdatapipeline_spark.config import RunConfig, load_config
+from powerdatapipeline_spark.plans import build_pipeline
+from powerdatapipeline_spark.sources import (
+    audit_nulls,
+    check_columns,
+    load_tables,
+    read_csv,
+)
+from powerdatapipeline_spark.sources.readers import schema_for_columns
+
+
+def test_schema_for_columns_name_driven_dtypes():
+    st = schema_for_columns(["datetimestampseconds", "date_block", "W"])
+    types = {f.name: f.dataType.simpleString() for f in st.fields}
+    # reference dtype rules (tfdataset.py:26-34): epoch=float64, text=string,
+    # measurements default float32
+    assert types == {"datetimestampseconds": "double",
+                     "date_block": "string", "W": "float"}
+
+
+def _write_csv(tmp_path, name="data.csv",
+               body="datetimestampseconds,W\n0,1.5\n300,2.5\n600,3.5\n"):
+    p = tmp_path / name
+    p.write_text(body)
+    return str(p)
+
+
+def test_read_csv_projection_and_limit(spark, tmp_path):
+    path = _write_csv(tmp_path)
+    df = read_csv(spark, path, columns=["datetimestampseconds", "W"],
+                  select=["W"], limit=2)
+    assert df.columns == ["W"]
+    assert df.count() == 2
+
+
+def test_check_columns_mismatch_raises(spark, tmp_path):
+    df = read_csv(spark, _write_csv(tmp_path), columns=["datetimestampseconds", "W"])
+    check_columns(df, ["datetimestampseconds", "W"])
+    with pytest.raises(ValueError):
+        check_columns(df, ["wrong", "names"])
+
+
+def test_audit_nulls_counts_and_raises(spark):
+    df = spark.createDataFrame(
+        [Row(a=1.0, b="x"), Row(a=None, b="y"), Row(a=float("nan"), b=None)])
+    counts = audit_nulls(df)
+    assert counts == {"a": 2, "b": 1}  # NaN counted for float cols (reference NaN audit)
+    with pytest.raises(ValueError):
+        audit_nulls(df, raise_on_null=True)
+
+
+def test_load_tables_star_schema(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["region", "nation"])
+    assert t["region"].count() == 5
+    assert t["nation"].count() == 25
+
+
+def test_config_validation_rules(tmp_path):
+    cfg = {
+        "name": "smoke",
+        "datapipeline": {
+            "extraction": {"data_files": ["x.csv"],
+                           "columns_original": ["datetimestampseconds", "W"],
+                           "filtered_column": ""},
+            "transformation": {"features": ["W"]},
+        },
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    rc = load_config(str(p))
+    assert isinstance(rc, RunConfig)
+    assert rc.datapipeline.extraction.filtered_column is None  # ''→None coercion
+
+    with pytest.raises(Exception):  # no data files (reference config.py:108)
+        RunConfig(name="bad", datapipeline={
+            "extraction": {"data_files": []},
+            "transformation": {"features": ["W"]}})
+    with pytest.raises(Exception):  # no features (reference config.py:76-80)
+        RunConfig(name="bad", datapipeline={
+            "extraction": {"data_files": ["x.csv"]},
+            "transformation": {}})
+
+
+def test_build_pipeline_end_to_end(spark, tmp_path):
+    # the reference's DER-style flow: scan → select → interval audit →
+    # modulo downsample (SURVEY.md §3.1)
+    body = "datetimestampseconds,W,DCW\n" + "\n".join(
+        f"{i},{float(i)},{float(i*2)}" for i in range(0, 600, 60)) + "\n"
+    path = _write_csv(tmp_path, body=body)
+    cfg = RunConfig(name="der", datapipeline={
+        "extraction": {"data_files": [path],
+                       "columns_original": ["datetimestampseconds", "W", "DCW"]},
+        "transformation": {"features": ["W", "datetimestampseconds"],
+                           "time_interval_original": 60,
+                           "time_interval_desired": 120,
+                           "resample": True},
+    })
+    out = build_pipeline(spark, cfg)
+    rows = out.orderBy("datetimestampseconds").collect()
+    assert [r.datetimestampseconds for r in rows] == [0.0, 120.0, 240.0, 360.0, 480.0]
+    assert "DCW" not in out.columns  # projection applied
+
+
+def test_build_pipeline_equality_filter(spark, tmp_path):
+    body = "datetimestampseconds,W,site\n0,1.0,a\n1,2.0,b\n2,3.0,a\n"
+    path = _write_csv(tmp_path, body=body)
+    cfg = RunConfig(name="f", datapipeline={
+        "extraction": {"data_files": [path],
+                       "columns_original": ["datetimestampseconds", "W", "site"],
+                       "filtered_column": "site", "filtered_value": "a"},
+        "transformation": {"features": ["W", "site", "datetimestampseconds"]},
+    })
+    out = build_pipeline(spark, cfg)
+    # KEEP semantics (reference filter_out_string keeps matches, Appendix A.2)
+    assert out.count() == 2

@@ -1,0 +1,78 @@
+"""Structured Streaming twins (SURVEY.md §2.10): exercised with the
+file-source → memory-sink loop so the same operators run incrementally."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from powerdatapipeline_spark.streaming import (
+    read_stream_csv,
+    streaming_dedup,
+    streaming_downsample_mean,
+    streaming_interval_stats,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("series", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _feed(tmp_path, rows):
+    p = tmp_path / "in"
+    p.mkdir(exist_ok=True)
+    body = "\n".join(f"{t},{s},{v}" for t, s, v in rows)
+    (p / f"batch_{time.time_ns()}.csv").write_text("ts,series,value\n" + body + "\n")
+    return str(p)
+
+
+def _run(stream_df, name):
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append" if name == "dedup" else "complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    return q
+
+
+def test_streaming_downsample_mean(spark, tmp_path):
+    path = _feed(tmp_path, [
+        ("2024-01-01 00:00:05", "a", 1.0),
+        ("2024-01-01 00:00:25", "a", 3.0),
+        ("2024-01-01 00:01:05", "a", 10.0),
+    ])
+    stream = read_stream_csv(spark, path, SCHEMA)
+    agg = streaming_downsample_mean(stream, "ts", 60, ["value"],
+                                    partition_by=["series"])
+    _run(agg, "downsample")
+    rows = {r.bucket_ts.minute: r.avg_value
+            for r in spark.sql("SELECT * FROM downsample").collect()}
+    assert rows == {0: 2.0, 1: 10.0}  # same result as the batch twin
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    path = _feed(tmp_path, [
+        ("2024-01-01 00:00:01", "k1", 1.0),
+        ("2024-01-01 00:00:02", "k1", 1.0),
+        ("2024-01-01 00:00:03", "k2", 2.0),
+    ])
+    stream = read_stream_csv(spark, path, SCHEMA)
+    out = streaming_dedup(stream, ["series"], "ts")
+    _run(out, "dedup")
+    assert spark.sql("SELECT count(*) FROM dedup").first()[0] == 2
+
+
+def test_streaming_interval_stats(spark, tmp_path):
+    path = _feed(tmp_path, [
+        ("2024-01-01 00:00:10", "a", 1.0),
+        ("2024-01-01 00:00:50", "a", 2.0),
+        ("2024-01-01 00:01:10", "a", 3.0),
+    ])
+    stream = read_stream_csv(spark, path, SCHEMA)
+    out = streaming_interval_stats(stream, "ts", bucket_seconds=60)
+    _run(out, "stats")
+    rows = {r.bucket_ts.minute: r.n_events
+            for r in spark.sql("SELECT * FROM stats").collect()}
+    assert rows == {0: 2, 1: 1}

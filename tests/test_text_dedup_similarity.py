@@ -1,0 +1,139 @@
+"""Text / dedup / similarity operator tests on tiny controlled corpora."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.operators import dedup as dd
+from powerdatapipeline_spark.operators import similarity as sim
+from powerdatapipeline_spark.operators import text as tx
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        Row(doc_id=3, text="the quick brown fox jumped over the lazy dog"),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([Row(text="The  quick   Fox")])
+    r = df.select(tx.tokens("text").alias("t"), tx.token_count("text").alias("n")).first()
+    assert r.t == ["the", "quick", "fox"]  # lowercased, empties dropped
+    assert r.n == 3
+
+
+def test_char_ngrams(spark):
+    r = spark.createDataFrame([Row(text="abcd")]).select(
+        tx.char_ngrams("text", 3).alias("g")).first()
+    assert r.g == ["abc", "bcd"]
+
+
+def test_word_ngrams(spark):
+    r = spark.createDataFrame([Row(text="a b c")]).select(
+        tx.word_ngrams("text", 2).alias("g")).first()
+    assert r.g == ["a b", "b c"]
+
+
+def test_stopword_ratio_and_langid(spark):
+    df = spark.createDataFrame([Row(text="the cat is on the mat"),
+                                Row(text="zzz qqq xxx")])
+    out = df.select("text", F.round(tx.stopword_ratio("text"), 3).alias("r"),
+                    tx.langid_heuristic("text").alias("lang")).collect()
+    by_text = {r.text: (r.r, r.lang) for r in out}
+    assert by_text["the cat is on the mat"] == (pytest.approx(4 / 6, abs=1e-3), "en")
+    assert by_text["zzz qqq xxx"] == (0.0, "other")
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([Row(text="Hello   World"), Row(text="hello world ")])
+    fps = {r[0] for r in df.select(tx.fingerprint("text")).collect()}
+    assert len(fps) == 1
+
+
+def test_exact_dedup_groups(spark):
+    out = dd.exact_dedup(_docs(spark))
+    rows = {r.doc_id: r.n_copies for r in out.collect()}
+    assert rows == {1: 2, 3: 1, 4: 1}  # min-id representative, copy counts
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    df = _docs(spark)
+    a = df.select(tx.minhash_signature("text", 8).alias("s")).collect()
+    b = df.select(tx.minhash_signature("text", 8).alias("s")).collect()
+    assert a == b
+    assert all(len(r.s) == 8 for r in a)
+
+
+def test_minhash_lsh_finds_dups_not_distinct(spark):
+    out = dd.minhash_lsh_pairs(_docs(spark), num_perm=16, bands=4, threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup: all slots agree
+    assert (1, 3) in pairs or (2, 3) in pairs        # near dup caught by LSH
+    assert not any(4 in p for p in pairs)            # distinct doc never pairs
+
+
+def test_lsh_verified_pairs_exact_jaccard(spark):
+    out = dd.lsh_verified_pairs(_docs(spark), threshold=0.5)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0  # jumped/jumps share most 3-grams
+
+
+def test_simhash_pairs_hamming(spark):
+    # NOTE: on very short docs a one-word change flips many SimHash bits
+    # (vote margins over ~40 shingles are tiny), so only the exact dup is
+    # guaranteed within small Hamming distance — MinHash-LSH is the near-dup
+    # detector for short text; SimHash targets long documents.
+    out = dd.simhash_pairs(_docs(spark), max_hamming=3)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert pairs[(1, 2)] == 0          # identical text → identical fingerprint
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs_threshold(spark):
+    out = dd.ngram_jaccard_pairs(_docs(spark), threshold=0.8)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def _emb(spark, n=50, dim=8):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    vs = rng.standard_normal((n, dim)).astype("float32")
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vs[i]]) for i in range(n)])
+
+
+def test_brute_force_topk_self_is_rank1(spark):
+    emb = _emb(spark)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.brute_force_topk(emb, qs, k=5)
+    top1 = {r.query_id: r.vec_id for r in out.where("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}  # each query's nearest neighbor is itself
+    assert out.groupBy("query_id").count().agg(F.min("count")).first()[0] == 5
+
+
+def test_hyperplane_lsh_subset_of_bruteforce_scores(spark):
+    emb = _emb(spark, dim=8)
+    qs = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.hyperplane_lsh_topk(emb, qs, k=5, n_planes=4, dim=8)
+    # approximate: self always lands in its own bucket → rank 1 cosine = 1
+    self_rows = out.where("rank = 1").collect()
+    assert all(r.cosine == pytest.approx(1.0, abs=1e-5) for r in self_rows)
+
+
+def test_ivf_topk_probes_cells(spark):
+    emb = _emb(spark, dim=8)
+    qs = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.ivf_topk(emb, qs, k=3, n_cells=4, n_probe=4, dim=8)
+    # probing ALL cells makes IVF exact: self is rank 1
+    top1 = {r.query_id: r.vec_id for r in out.where("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1}

@@ -1,0 +1,137 @@
+"""Value-level tests for the time-series operators (unlike the reference's
+mock-heavy structural tests — SURVEY.md §5): known tiny fixtures, exact
+expected outputs, plus the property-style identities SURVEY.md suggests
+(window count = n − w + 1, upsample tick arithmetic)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.operators import timeseries as ts
+
+
+def _series(spark, n=10, step=1, start=0):
+    rows = [Row(s=float(start + i * step), v=float(i)) for i in range(n)]
+    return spark.createDataFrame(rows)
+
+
+def test_with_interval_positive_step(spark):
+    df = ts.with_interval(_series(spark, 5, step=2), "s")
+    vals = [r.interval for r in df.orderBy("s").collect()]
+    # positive lead-diff (the reference emits the negated value and asserts
+    # against -interval — Appendix A.3; we emit the positive step)
+    assert vals == [2.0, 2.0, 2.0, 2.0, None]
+
+
+def test_check_intervals_passes_and_fails(spark):
+    assert ts.check_intervals(_series(spark, 20, step=3), "s", 3)
+    with pytest.raises(AssertionError):
+        ts.check_intervals(_series(spark, 20, step=3), "s", 5)
+
+
+def test_downsample_modulo(spark):
+    out = ts.downsample_modulo(_series(spark, 100), "s", 10)
+    assert out.count() == 10
+    assert all(r.s % 10 == 0 for r in out.collect())
+
+
+def test_downsample_mean_buckets(spark):
+    df = _series(spark, 60).withColumn("ts", F.timestamp_seconds("s"))
+    out = ts.downsample_mean(df, "ts", 30, ["v"])
+    rows = {r.bucket_ts.second + r.bucket_ts.minute * 60: r.avg_v
+            for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[0] == pytest.approx(sum(range(30)) / 30)
+    assert rows[30] == pytest.approx(sum(range(30, 60)) / 30)
+
+
+def test_upsample_repeat_grid_alignment(spark):
+    # row at s=1803 with interval 600, span 1800 → start = 1803//600*600 = 1800
+    df = spark.createDataFrame([Row(s=1803.0, v=7.0)])
+    out = ts.upsample_repeat(df, "s", 600, 1800).orderBy("s").collect()
+    assert [r.s for r in out] == [1800.0, 2400.0, 3000.0]
+    assert all(r.v == 7.0 for r in out)  # repeat fill carries values
+
+
+def test_resample_dispatcher_none(spark):
+    df = _series(spark, 5)
+    assert ts.resample(df, "s", 60, 60) is df
+
+
+def test_sliding_windows_count_and_content(spark):
+    out = ts.sliding_windows(_series(spark, 10), "s", 4, ["v"])
+    rows = out.orderBy("s").collect()
+    assert len(rows) == 10 - 4 + 1  # drop-remainder: n - w + 1 windows
+    assert [x.v for x in rows[0].window] == [0.0, 1.0, 2.0, 3.0]
+    assert [x.v for x in rows[-1].window] == [6.0, 7.0, 8.0, 9.0]
+
+
+def test_sliding_windows_bucketed_equals_global(spark):
+    n, w = 50, 5
+    df = _series(spark, n)
+    glob = ts.sliding_windows(df, "s", w, ["v"])
+    buck = ts.sliding_windows_bucketed(df, "s", w, ["v"], step_seconds=1,
+                                       bucket_rows=10)
+    g = sorted([tuple(x.v for x in r.window) for r in glob.collect()])
+    b = sorted([tuple(x.v for x in r.window) for r in buck.collect()])
+    assert g == b  # overlap replication reproduces the global result exactly
+
+
+def test_window_features_targets_next_step(spark):
+    out = ts.window_features_targets(
+        ts.sliding_windows(_series(spark, 6), "s", 3, ["v"]), "window", 3)
+    r = out.orderBy("s").first()
+    assert [x.v for x in r.features] == [0.0, 1.0]
+    assert r.target.v == 2.0
+
+
+def test_ffill_bfill_interpolate(spark):
+    rows = [Row(s=0.0, v=1.0), Row(s=1.0, v=None), Row(s=2.0, v=None),
+            Row(s=3.0, v=4.0), Row(s=4.0, v=None)]
+    df = spark.createDataFrame(rows, schema="s double, v double")
+    f = {r.s: r.v for r in ts.ffill(df, "s", ["v"]).collect()}
+    assert f == {0.0: 1.0, 1.0: 1.0, 2.0: 1.0, 3.0: 4.0, 4.0: 4.0}
+    b = {r.s: r.v for r in ts.bfill(df, "s", ["v"]).collect()}
+    assert b == {0.0: 1.0, 1.0: 4.0, 2.0: 4.0, 3.0: 4.0, 4.0: None}
+    i = {r.s: r.v for r in ts.interpolate_linear(df, "s", ["v"]).collect()}
+    assert i[1.0] == pytest.approx(2.0)
+    assert i[2.0] == pytest.approx(3.0)
+    assert i[4.0] == 4.0  # trailing edge falls back to ffill semantics
+
+
+def test_fill_missing_composite(spark):
+    rows = [Row(s=0.0, a=None, c=0.0), Row(s=1.0, a=5.0, c=None),
+            Row(s=2.0, a=None, c=10.0)]
+    df = spark.createDataFrame(rows, schema="s double, a double, c double")
+    out = {r.s: (r.a, r.c) for r in
+           ts.fill_missing(df, "s", ["a", "c"], interpolate_cols=["c"]).collect()}
+    assert out[0.0] == (5.0, 0.0)   # leading null backfilled
+    assert out[1.0] == (5.0, 5.0)   # cumulative col interpolated
+    assert out[2.0] == (5.0, 10.0)  # ffill carries
+
+
+def test_prefix_split_fractions_and_order(spark):
+    df = _series(spark, 100)
+    train, test, ev = ts.prefix_split(df, "s", 0.8, 0.1)
+    assert (train.count(), test.count(), ev.count()) == (80, 10, 10)
+    # deterministic PREFIX split: max(train) < min(test) < min(eval)
+    assert train.agg(F.max("s")).first()[0] < test.agg(F.min("s")).first()[0]
+    assert test.agg(F.max("s")).first()[0] < ev.agg(F.min("s")).first()[0]
+
+
+def test_prefix_split_fraction_validation(spark):
+    with pytest.raises(AssertionError):
+        ts.prefix_split(_series(spark, 10), "s", 0.9, 0.3)
+
+
+def test_zip_by_position(spark):
+    left = _series(spark, 5).select("s", F.col("v").alias("lv"))
+    right = _series(spark, 5, start=100).select(
+        F.col("s").alias("rs"), (F.col("v") * 10).alias("rv"))
+    out = ts.zip_by_position(left, right, "s", "rs").orderBy("s").collect()
+    assert [(r.lv, r.rv) for r in out] == [(float(i), float(i * 10)) for i in range(5)]
+
+
+def test_supervised_pair_single_plan(spark):
+    out = ts.supervised_pair(_series(spark, 3), ["s"], ["v"]).collect()
+    assert all(r.input.s is not None and r.target.v is not None for r in out)
