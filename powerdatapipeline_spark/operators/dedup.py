@@ -20,8 +20,23 @@ from powerdatapipeline_spark.operators.text import (
     char_ngrams,
     fingerprint,
     minhash_signature,
+    shingles,
     simhash64,
 )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-file source up to the session's default
+    parallelism before per-row-expensive work (signatures, fingerprints).
+
+    A 5k-doc corpus arrives as ONE parquet split, so every hash/shingle
+    expression would run in a single task; at 100 TB inputs are already wide
+    and this is a no-op. The round-robin shuffle moves only the raw rows —
+    cheap relative to the compute it parallelizes."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,7 +62,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Jaccard computed from distinct-shingle counts:
     ``|A∩B| / (|A| + |B| − |A∩B|)``.
     """
-    sh = (df.select(F.col(id_col), char_ngrams(text_col, n).alias("sh"))
+    sh = (_spread(df).select(F.col(id_col), char_ngrams(text_col, n).alias("sh"))
             .withColumn("sh_n", F.size("sh")))
     ex = sh.select(id_col, "sh_n", F.explode("sh").alias("g"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -68,7 +83,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, shingle_n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      shingle_unit: str = "char") -> DataFrame:
     """MinHash + LSH near-dup: shingle → salted-md5 minhash signature →
     split into ``bands`` bands of ``num_perm/bands`` rows → band hash →
     join documents sharing any band bucket → verify with estimated Jaccard
@@ -79,7 +95,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     re-shingling). Estimated Jaccard = fraction of matching signature slots.
     """
     rows = num_perm // bands
-    sig = df.select(F.col(id_col), minhash_signature(text_col, num_perm, shingle_n).alias("sig"))
+    sig = _spread(df).select(F.col(id_col), minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
@@ -106,7 +122,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 16,
                        bands: int = 4, shingle_n: int = 3,
-                       threshold: float = 0.8) -> DataFrame:
+                       threshold: float = 0.8,
+                       shingle_unit: str = "char") -> DataFrame:
     """Near-dup with EXACT verification: MinHash-LSH generates candidate
     pairs (sub-quadratic), then the true n-gram Jaccard is computed per
     candidate from the pair's shingle sets (``array_intersect`` on two
@@ -118,9 +135,9 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
     engine).
     """
     rows = num_perm // bands
-    base = df.select(F.col(id_col),
-                     char_ngrams(text_col, shingle_n).alias("g"),
-                     minhash_signature(text_col, num_perm, shingle_n).alias("sig"))
+    base = _spread(df).select(F.col(id_col),
+                     shingles(text_col, shingle_n, shingle_unit).alias("g"),
+                     minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
@@ -148,7 +165,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     at least one of 4 16-bit slices (any pair within Hamming distance 3 must
     agree on ≥1 slice — pigeonhole); verify by exact Hamming distance via
     ``bit_count(xor)``."""
-    fp = df.select(F.col(id_col), simhash64(text_col, shingle_n).alias("fp"))
+    fp = _spread(df).select(F.col(id_col), simhash64(text_col, shingle_n).alias("fp"))
     slices = F.array(*[
         F.struct(F.lit(i).alias("slot"),
                  F.shiftright("fp", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))

@@ -41,15 +41,20 @@ def token_count(col: str | Column) -> Column:
 
 def char_ngrams(col: str | Column, n: int = 3) -> Column:
     """Character n-gram shingles (for Jaccard/MinHash): substrings of length
-    ``n`` over the lowercased text, distinct."""
+    ``n`` over the lowercased text, distinct. Guarded for short strings —
+    Spark's ``sequence(1, 0)`` is DESCENDING (unlike DuckDB's empty result),
+    so the index list must be empty explicitly when len < n."""
     c = F.lower(_c(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    idx = F.when(F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - (n - 1))) \
+           .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
 
 
 def word_ngrams(col: str | Column, n: int = 2) -> Column:
+    """Distinct n-word shingles (same short-input guard as char_ngrams)."""
     t = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)) \
+           .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))))
 
@@ -107,8 +112,23 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(norm)
 
 
-def minhash_signature(col: str | Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature over character shingles, one value per "permutation"
+def shingles(col: str | Column, n: int = 3, unit: str = "word") -> Column:
+    """Distinct shingles for near-dup detection.
+
+    ``unit='word'`` (default) = n-word sequences — the standard choice for
+    text dedup (Gopher/RefinedWeb-style pipelines use word 5-grams): on a
+    natural or small-vocabulary corpus, character n-grams of any two long
+    documents overlap almost completely (every doc contains most of the
+    trigram universe), which drives MinHash-LSH candidate pairs to O(n²).
+    Word shingles keep random-pair Jaccard near zero so candidates scale
+    with true duplicate density. ``unit='char'`` remains for short strings.
+    """
+    return word_ngrams(col, n) if unit == "word" else char_ngrams(col, n)
+
+
+def minhash_signature(col: str | Column, num_perm: int = 16, shingle_n: int = 3,
+                      shingle_unit: str = "char") -> Column:
+    """MinHash signature over shingles, one value per "permutation"
     ``i``: ``min(md5(i || ':' || shingle))``. Using salted md5 instead of
     (a·x+b) mod p keeps the signature bit-for-bit portable to the DuckDB
     oracle while remaining a valid MinHash family (md5 ≈ random permutation
@@ -117,11 +137,15 @@ def minhash_signature(col: str | Column, num_perm: int = 16, shingle_n: int = 3)
     Cost: per-row array work only — no shuffle; at 100 TB the signature
     computation is embarrassingly parallel.
     """
-    sh = char_ngrams(col, shingle_n)
-    return F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_perm)
-    ])
+    sh = shingles(col, shingle_n, shingle_unit)
+    # ONE expression tree: the permutation index is a lambda variable, so the
+    # shingle array is computed once per row — not re-tokenized per salt
+    # (an F.array of num_perm independent subtrees re-evaluates the shingle
+    # pipeline num_perm times; at 5k docs that alone was ~100 s single-task).
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))))
 
 
 def simhash64(col: str | Column, shingle_n: int = 3) -> Column:
@@ -134,17 +158,25 @@ def simhash64(col: str | Column, shingle_n: int = 3) -> Column:
     """
     sh = char_ngrams(col, shingle_n)
     h = F.transform(sh, lambda s: F.xxhash64(s))
-    bits = []
-    for b in range(64):
-        vote = F.aggregate(
-            h, F.lit(0),
-            lambda acc, x: acc + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1,
-                                        F.lit(1)).otherwise(F.lit(-1)))
-        # 1L << 63 wraps to Long.MIN_VALUE in two's complement — use
-        # shiftleft on a long literal, never a Python 1 << 63 int literal.
-        bit_val = F.shiftleft(F.lit(1).cast("long"), b)
-        bits.append(F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out.bitwiseOR(bcol)
-    return out
+    bits_idx = F.sequence(F.lit(0), F.lit(63))
+    # ONE pass over the hash array: the accumulator is the 64-counter vote
+    # vector, the bit index is a lambda variable — so shingling/hashing is
+    # evaluated once per row, not once per bit (64 independent aggregate
+    # subtrees re-tokenized the document 64×). call_function("shiftright")
+    # because F.shiftright only accepts a Python int for the bit count.
+    votes = F.aggregate(
+        h, F.array_repeat(F.lit(0), 64),
+        lambda acc, x: F.zip_with(
+            acc, bits_idx,
+            lambda a, b: a + F.when(
+                F.call_function("shiftright", x, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))))
+    # sign vector → 64-bit fingerprint; shiftleft(1L, 63) wraps to
+    # Long.MIN_VALUE in two's complement (a Python 1 << 63 literal would
+    # overflow LongType), OR-folded in one aggregate.
+    bit_vals = F.zip_with(
+        votes, bits_idx,
+        lambda v, b: F.when(v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), b))
+                      .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bit_vals, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseOR(x))

@@ -284,6 +284,87 @@ def fill_missing(df: DataFrame, ts_col: str, cols: Sequence[str],
 
 
 # ---------------------------------------------------------------------------
+# As-of / range joins (SURVEY.md §2.12: sensor-enrichment joins the driver
+# harness requires; absent from the reference, which has no joins at all)
+# ---------------------------------------------------------------------------
+
+def asof_join(left: DataFrame, right: DataFrame, partition_by: Sequence[str],
+              ts_col: str, right_value_cols: Sequence[str],
+              prefix: str = "asof_") -> DataFrame:
+    """Backward as-of join: for every left row, the most recent right row
+    with the same key and ``right.ts <= left.ts``.
+
+    Scalable single-shuffle implementation: tag both sides, union, ONE
+    window per key ordered by (ts, tag) — right rows sort before left rows
+    at equal timestamps so "at-or-before" includes ties — then
+    ``last(value, ignorenulls=True)`` carries each right value forward onto
+    subsequent left rows. No per-row probe, no nested-loop join: cost is one
+    shuffle of |L|+|R| keyed by the series key, vs. the naive
+    inequality-join's |L|·|R| blowup. (This is the standard Spark as-of
+    pattern; Flink/QuestDB call it ASOF JOIN, pandas merge_asof.)
+    """
+    keys = list(partition_by)
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        *lcols, F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}")
+          for c in right_value_cols])
+    tagged_r = right.select(
+        *[F.col(c) if c in keys + [ts_col] else F.lit(None).cast(t).alias(c)
+          for c, t in [(c, dict(left.dtypes).get(c, "string")) for c in lcols]],
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols])
+    unioned = tagged_l.unionByName(tagged_r)
+    w = (Window.partitionBy(*keys).orderBy(ts_col, "__tag")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in right_value_cols:
+        unioned = unioned.withColumn(
+            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w))
+    return unioned.where(F.col("__tag") == 1).drop("__tag")
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame, left_ts: str,
+                        right_ts: str, lo_seconds: int, hi_seconds: int,
+                        bucket_seconds: int | None = None) -> DataFrame:
+    """Range join ``right_ts ∈ [left_ts + lo, left_ts + hi]`` WITHOUT a
+    nested-loop: bucket both sides by time, replicate each right row into
+    every bucket its window can touch (``explode(sequence(...))`` — bounded
+    by (hi-lo)/bucket + 2 replicas), equi-join on the bucket, then apply the
+    exact range predicate.
+
+    On a naive plan Spark turns a pure inequality join into
+    BroadcastNestedLoopJoin (quadratic); the bucket key makes it a hash join
+    whose fan-out is the true match density. Returns the joined frame; the
+    caller aggregates.
+    """
+    span = hi_seconds - lo_seconds
+    bucket_seconds = bucket_seconds or max(span, 1)
+    lb = F.floor(F.col(left_ts).cast("double") / bucket_seconds).cast("long")
+    l2 = left.withColumn("__bucket", lb)
+    r_start = F.floor((F.col(right_ts).cast("double") - hi_seconds) / bucket_seconds).cast("long")
+    r_end = F.floor((F.col(right_ts).cast("double") - lo_seconds) / bucket_seconds).cast("long")
+    r2 = right.withColumn("__bucket", F.explode(F.sequence(r_start, r_end)))
+    cond = ((l2["__bucket"] == r2["__bucket"])
+            & (r2[right_ts].cast("double") >= l2[left_ts].cast("double") + lo_seconds)
+            & (r2[right_ts].cast("double") <= l2[left_ts].cast("double") + hi_seconds))
+    return l2.join(r2, cond).drop("__bucket")
+
+
+def sessionize(df: DataFrame, ts_col: str, partition_by: Sequence[str],
+               gap_seconds: float, session_col: str = "session_id") -> DataFrame:
+    """Sessionization: a new session starts when the gap to the previous
+    event in the same series exceeds ``gap_seconds``. session_id = running
+    count of session starts (one window pass, one shuffle on the key).
+    The streaming twin is ``F.session_window`` (streaming/pipeline.py)."""
+    w = _window(ts_col, partition_by)
+    prev = F.lag(F.col(ts_col).cast("double")).over(w)
+    is_new = (prev.isNull()
+              | ((F.col(ts_col).cast("double") - prev) > gap_seconds)).cast("bigint")
+    wsum = _window(ts_col, partition_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(session_col, F.sum(is_new).over(wsum))
+
+
+# ---------------------------------------------------------------------------
 # Ordered prefix split (reference datapipeline.py:404-424) & positional zip
 # ---------------------------------------------------------------------------
 

@@ -693,12 +693,20 @@ def q28_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(sw_ratio >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"))
 
 
-_SQL_MINHASH = f"""
-  SELECT doc_id, {_SQL_SHINGLES} AS g,
+#: Word-3-gram shingles for MinHash — word shingles (not char) because on a
+#: small-vocabulary corpus the char-trigram sets of any two long documents
+#: overlap almost completely, driving LSH candidates to O(n²)
+#: (operators/text.shingles docstring). Structure mirrors Spark word_ngrams.
+_SQL_MINHASH = """
+  SELECT doc_id, g,
          list_transform(generate_series(0, 15),
-           i -> list_aggregate(list_transform({_SQL_SHINGLES},
-                  s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
-  FROM documents
+           i -> list_aggregate(list_transform(g, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 0)),
+             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS g
+    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS tok
+          FROM documents))
 """
 
 _SQL_BANDED = """
@@ -727,7 +735,8 @@ def q29_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     even the LSH candidate set is oracle-checkable — no weaker rows-only
     check needed."""
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                num_perm=16, bands=4, threshold=0.5)
+                                num_perm=16, bands=4, threshold=0.5,
+                                shingle_unit="word")
 
 
 @register("q30_neardup_verified", f"""
@@ -751,7 +760,8 @@ def q30_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. (A naive shingle inverted-index join is quadratic on this
     small-vocab corpus and is deliberately not used.)"""
     return dd.lsh_verified_pairs(_t(spark, sf_dir, "documents"),
-                                 num_perm=16, bands=4, threshold=0.8)
+                                 num_perm=16, bands=4, threshold=0.8,
+                                 shingle_unit="word")
 
 
 def _ddot(x, y):
@@ -818,6 +828,140 @@ def q32_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.sum(norm.cast("decimal(18,6)")).cast("double")
                          / F.count("*"), 6).alias("avg_norm")))
+
+
+@register("q37_asof_join", """
+WITH purchases AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT e.event_id,
+       round(p.pvalue, 6) AS asof_value,
+       round(epoch(e.ts) - epoch(p.ts), 6) AS asof_age_s
+FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (gap §2.12): each non-purchase event enriched
+    with the user's most recent purchase at-or-before it.
+
+    Spark has no ASOF JOIN operator — operators/timeseries.asof_join
+    implements it as tag-union + one keyed window (cost |L|+|R|, one
+    shuffle), NOT an inequality join (which Catalyst would execute as a
+    quadratic nested loop). DuckDB's native ASOF JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue")))
+    left = ev.where(F.col("event_type") != "purchase")
+    out = ts.asof_join(left, purchases.withColumn("pts", F.col("ts").cast("double")),
+                       partition_by=["user_id"], ts_col="ts",
+                       right_value_cols=["pvalue", "pts"])
+    return out.select(
+        "event_id",
+        F.round("asof_pvalue", 6).alias("asof_value"),
+        F.round(F.col("ts").cast("double") - F.col("asof_pts"), 6).alias("asof_age_s"))
+
+
+@register("q38_range_join", """
+SELECT e.event_id, COUNT(p.event_id) AS n_nearby_purchases
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON epoch(p.ts) >= epoch(e.ts) - 3600 AND epoch(p.ts) <= epoch(e.ts) + 3600
+GROUP BY e.event_id
+""")
+def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (gap §2.12): purchases within ±1 h of each click, counted.
+    Executed via operators/timeseries.range_join_bucketed — time-bucket
+    replication turns the inequality join into an equi-join (hash, shuffle
+    by bucket) with fan-out bounded by match density; a naive range
+    predicate would run as BroadcastNestedLoopJoin. DuckDB executes the
+    naive form with its IEJoin — same semantics, different physical plan."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("p_id"), F.col("ts").alias("pts")))
+    joined = ts.range_join_bucketed(clicks, purchases, "ts", "pts",
+                                    lo_seconds=-3600, hi_seconds=3600)
+    counts = joined.groupBy("event_id").agg(F.count("p_id").alias("n_nearby_purchases"))
+    return (clicks.join(counts, "event_id", "left")
+            .select("event_id",
+                    F.coalesce("n_nearby_purchases", F.lit(0)).alias("n_nearby_purchases")))
+
+
+@register("q39_sessionize", f"""
+WITH seq AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM seq)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_s,
+       {_DSUM.format(c='value')} AS sum_value
+FROM sessions GROUP BY user_id, session_id
+""")
+def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (operators/timeseries.sessionize): 30-min-gap sessions
+    per user — lag + running-sum windows, one shuffle on user_id. The
+    streaming twin is F.session_window with a watermark (§2.10)."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ts.sessionize(ev, "ts", ["user_id"], gap_seconds=1800)
+    es = F.col("ts").cast("double")
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.max(es) - F.min(es), 6).alias("duration_s"),
+                 dsum("value", "sum_value")))
+
+
+@register("q40_grouping_sets", f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+       {_DSUM.format(c='l_extendedprice')} AS sum_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+""")
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (gap §2.12, beyond rollup/cube): expressed in
+    Spark SQL over a temp view — one pass, Expand operator fans each row
+    into its grouping sets, partial aggregation still applies."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
+               {_DSUM.format(c='l_extendedprice')} AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+    """)
+
+
+@register("q41_moving_average", """
+SELECT event_id,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER w AS DOUBLE) / COUNT(value) OVER w, 6) AS moving_avg_4,
+       COUNT(value) OVER w AS n_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""")
+def q41_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based moving aggregate (SURVEY.md §2.6 sliding-window cousin):
+    trailing-4 mean per series — rowsBetween frame, decimal-exact sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 0))
+    ma = (F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+          / F.count("value").over(w))
+    return ev.select("event_id", F.round(ma, 6).alias("moving_avg_4"),
+                     F.count("value").over(w).alias("n_in_window"))
 
 
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
