@@ -964,6 +964,150 @@ def q41_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count("value").over(w).alias("n_in_window"))
 
 
+@register("q42_derive_datetime", """
+WITH split AS (
+  SELECT event_id,
+         strftime(ts, '%Y-%m-%d') AS date_block,
+         strftime(ts, '%H:%M:%S') AS time_block
+  FROM events)
+SELECT event_id,
+       date_block || ' ' || time_block AS datetimestamp,
+       CAST(epoch(strptime(date_block || ' ' || time_block, '%Y-%m-%d %H:%M:%S')) AS DOUBLE) AS datetimestampseconds,
+       CAST(floor(epoch(strptime(date_block || ' ' || time_block, '%Y-%m-%d %H:%M:%S')) / 86400) AS BIGINT) AS days,
+       CAST(floor((floor(epoch(strptime(date_block || ' ' || time_block, '%Y-%m-%d %H:%M:%S'))) % 86400) / 60) AS BIGINT) AS minutes
+FROM split
+""")
+def q42_derive_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature derived columns (SURVEY.md §2.5): split
+    date/time text blocks → ``datetimestamp`` concat
+    (tfdataset_utilities.py:114-134) → epoch-seconds float64
+    (:122-140) → days/minutes decomposition (datapipeline_utilities.py:
+    182-191). The reference bounces every row through ``tf.py_function``;
+    here the whole chain is codegen'd built-ins."""
+    from powerdatapipeline_spark.functions.datetime_funcs import (
+        concat_date_time, epoch_seconds)
+
+    ev = _t(spark, sf_dir, "events")
+    split = ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("date_block"),
+        F.date_format("ts", "HH:mm:ss").alias("time_block"))
+    stamp = concat_date_time("date_block", "time_block")
+    secs = epoch_seconds(stamp, "yyyy-MM-dd HH:mm:ss")
+    return split.select(
+        "event_id",
+        stamp.alias("datetimestamp"),
+        secs.alias("datetimestampseconds"),
+        F.floor(secs / 86400).cast("bigint").alias("days"),
+        F.floor((F.floor(secs) % 86400) / 60).cast("bigint").alias("minutes"))
+
+
+@register("q43_supervised_lags", """
+SELECT event_id,
+       value AS target,
+       lag(value, 1) OVER w AS feat_1,
+       lag(value, 2) OVER w AS feat_2,
+       lag(value, 3) OVER w AS feat_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(value, 3) OVER w IS NOT NULL
+""")
+def q43_supervised_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed next-step supervision (reference windowed_dataset_v1,
+    tfdataset.py:256-263: first w−1 rows = features, last = target) in
+    relational form: lagged feature columns per series, complete windows
+    only (drop_remainder ≡ the QUALIFY). The array-shaped variant is
+    operators/timeseries.window_features_targets."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.select(
+        "event_id", F.col("value").alias("target"),
+        F.lag("value", 1).over(w).alias("feat_1"),
+        F.lag("value", 2).over(w).alias("feat_2"),
+        F.lag("value", 3).over(w).alias("feat_3"))
+    return out.where(F.col("feat_3").isNotNull())
+
+
+@register("q44_data_quality", """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(value) AS n_null_value,
+       COUNT(*) - COUNT(props) AS n_null_props,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS first_s,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS last_s,
+       CASE WHEN min(event_type) = max(event_type) THEN 1 ELSE 0 END AS all_types_equal
+FROM events
+""")
+def q44_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in ONE pass (reference streams the file once per
+    check — null audit datapipeline_utilities.py:12-38, all-equal reduction
+    tfdataset_utilities.py:172-188 as min=max, row count :40-45; SURVEY.md
+    §2.4). One job, map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    es = F.col("ts").cast("double")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("value")).alias("n_null_value"),
+        (F.count("*") - F.count("props")).alias("n_null_props"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.floor(F.min(es)).cast("bigint").alias("first_s"),
+        F.floor(F.max(es)).cast("bigint").alias("last_s"),
+        F.when(F.min("event_type") == F.max("event_type"), 1).otherwise(0)
+         .alias("all_types_equal"))
+
+
+@register("q45_streaming_downsample", f"""
+SELECT date_trunc('hour', ts) AS bucket_ts,
+       event_type,
+       {_DAVG.format(c='value')} AS avg_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""")
+def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING twin of q17 (SURVEY.md §2.10, §7.6): the same
+    hourly tumbling mean executed incrementally — file stream source →
+    watermarked window agg → availableNow trigger → memory sink — and
+    verified against the SAME DuckDB oracle as the batch version, proving
+    batch/stream semantic parity. The reference only declared streaming
+    (use_streaming config, reference config/config.py:89-90); nothing
+    consumed it."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream
+              .schema("event_id long, ts long, user_id long, event_type string,"
+                      " value double, props string")
+              # the file stream source requires a DIRECTORY basePath; select
+              # just the events file from the sf dir via the glob filter
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream
+           .withWatermark("ts", "1 minute")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 / F.count("value")).alias("avg_value"),
+                F.count("*").alias("n")))
+    name = f"q45_sink_{uuid.uuid4().hex[:8]}"
+    q = (agg.select(F.col("w.start").alias("bucket_ts"), "event_type",
+                    "avg_value", "n")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register("q46_sample", None)
+def q46_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (the reference's declared-but-unconsumed
+    ``downsampling_rate`` knob, config/config.py:118-119 → df.sample).
+    Rows-only: sampling algorithms are engine-specific by nature."""
+    return _t(spark, sf_dir, "events").sample(fraction=0.1, seed=42)
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 
