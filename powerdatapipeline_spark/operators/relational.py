@@ -63,3 +63,32 @@ def grouped_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> D
     """Hash aggregation with map-side partial aggregation (free in Spark —
     the reference has no grouped agg machinery at all, SURVEY.md §2.4)."""
     return df.groupBy(*keys).agg(*aggs)
+
+
+def salted_join(skewed: DataFrame, other: DataFrame, on: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: hot keys on the skewed side concentrate into one
+    shuffle partition and serialize the stage; salting splits each key into
+    ``salt`` sub-keys (random salt on the skewed side, exploded replication
+    on the other side), spreading the hot key over ``salt`` tasks.
+
+    AQE's skew-join handling (on in session.py) covers sort-merge joins at
+    runtime; explicit salting remains the tool for skewed AGGREGATIONS and
+    for engines/paths AQE doesn't reach. Cost: the other side is replicated
+    ×salt — use only when the other side is much smaller than the skew.
+    """
+    s = skewed.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    o = other.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = s.join(o, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def offset_limit(df: DataFrame, order: Sequence[Column], offset: int,
+                 limit: int | None = None) -> DataFrame:
+    """Skip-then-take over an explicit order (the reference's
+    ``dataset.skip(45000)`` + ``take(n)``, examples/datapipeline_test.py:
+    44-45 — file order there, explicit order here). Spark ≥3.4 has native
+    ``df.offset``, which keeps the sort+limit inside one TakeOrdered-style
+    plan instead of a row_number filter."""
+    out = df.orderBy(*order).offset(offset)
+    return out.limit(limit) if limit is not None else out

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator (SURVEY.md §2.10: the reference has
+none; Structured Streaming's ``applyInPandasWithState`` is the sanctioned
+escape hatch when built-in windowed aggs can't express the semantics).
+
+``streaming_zscore``: per-series ONLINE z-score — each event is scored
+against the running mean/variance of everything seen before it on that
+series (Welford's algorithm), state carried between micro-batches by the
+state store. A windowed agg cannot express this: the statistic is
+cumulative and must update per-row in arrival order, and the score must be
+emitted per-event, not per-window.
+
+Scale properties: state per key is three floats (count/mean/M2) — millions
+of series fit trivially; a GroupStateTimeout evicts idle series so state is
+bounded; the shuffle is the normal keyed exchange.
+
+The batch twin (same math, one pass, for backfills and tests) is
+:func:`batch_zscore_online`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ZSCORE_OUTPUT = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("event_ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("zscore", T.DoubleType()),
+    T.StructField("n_seen", T.LongType()),
+])
+
+_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("m2", T.DoubleType()),
+])
+
+
+def _score_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Welford update per arriving row; score BEFORE updating (an event is
+    judged against history, not itself)."""
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            if v is None or pd.isna(v):
+                continue
+            var = m2 / n if n > 1 else 0.0
+            z = (v - mean) / var ** 0.5 if n > 1 and var > 0 else None
+            out_rows.append((key[0], ts, float(v), z, n))
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame(out_rows,
+                       columns=["series", "event_ts", "value", "zscore", "n_seen"])
+
+
+def streaming_zscore(stream: DataFrame, series_col: str, ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Streaming per-series online z-score via ``applyInPandasWithState``."""
+    src = stream.select(F.col(series_col).cast("string").alias("series"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(value_col).cast("double").alias("value"))
+    return (src.groupBy("series")
+            .applyInPandasWithState(_score_group, ZSCORE_OUTPUT, _STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def batch_zscore_online(df: DataFrame, series_col: str, ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Batch twin of :func:`streaming_zscore`: the same
+    score-against-history semantics as pure window expressions — expanding
+    frame ending one row BEFORE the current row (the event never sees
+    itself), population variance of the prefix."""
+    w = (Window.partitionBy(series_col).orderBy(ts_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    v = F.col(value_col).cast("double")
+    n = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    var = F.var_pop(v).over(w)
+    z = F.when((n > 1) & (var > 0), (v - mean) / F.sqrt(var))
+    return df.select(
+        F.col(series_col).cast("string").alias("series"),
+        F.col(ts_col).alias("event_ts"),
+        v.alias("value"),
+        z.alias("zscore"),
+        n.cast("long").alias("n_seen"))

@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 from powerdatapipeline_spark.session import get_spark
@@ -7,7 +9,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # warehouse dir is a STATIC conf — point it at a temp dir at session
+    # creation so bucketed-table tests never write into the repo
+    wh = tempfile.mkdtemp(prefix="spark-wh-")
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4,
+                  extra_conf={"spark.sql.warehouse.dir": wh,
+                              "spark.ui.showConsoleProgress": "false"})
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -1,0 +1,77 @@
+"""Scale-mechanics tests for relational operators: salted joins equal plain
+joins, offset/limit semantics, bucketed writes produce exchange-free
+co-located joins, and broadcast hints reach the physical plan."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.operators import relational as rel
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed left: 900 rows of key 1, few others
+    left = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(900)] + [Row(k=i, v=i) for i in range(2, 10)])
+    right = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(0, 10)])
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = rel.salted_join(left, right, "k").groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([Row(k=1, v=1), Row(k=99, v=2)])
+    right = spark.createDataFrame([Row(k=1, name="a")])
+    out = rel.salted_join(left, right, "k", how="left").collect()
+    by_k = {r.k: r.name for r in out}
+    assert by_k == {1: "a", 99: None}
+    assert len(out) == 2  # left rows never duplicated by salting
+
+
+def test_offset_limit(spark):
+    df = spark.range(100).withColumnRenamed("id", "x")
+    out = rel.offset_limit(df, [F.col("x")], offset=45, limit=3)
+    assert [r.x for r in out.collect()] == [45, 46, 47]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed-by-key tables co-locate join rows at WRITE time: the join
+    plan must contain SortMergeJoin with NO Exchange on either side — the
+    100 TB recipe for repeated large-fact joins (write once bucketed, join
+    many times shuffle-free)."""
+    big = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (big.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+            .saveAsTable("t_big_bucketed"))
+        (dim.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+            .saveAsTable("t_dim_bucketed"))
+        joined = spark.table("t_big_bucketed").join(
+            spark.table("t_dim_bucketed"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_big_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_dim_bucketed")
+
+
+def test_broadcast_hint_reaches_plan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    joined = rel.join_dim(li, part, on=[li.l_partkey == part.p_partkey])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = rel.top_k(orders, [F.col("o_totalprice").desc()], 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # local top-k + merge, no global sort
+    assert out.count() == 5

@@ -1,0 +1,117 @@
+"""Custom stateful streaming operator: streaming online z-score must equal
+its batch twin exactly (same Welford/prefix-stats math), state must persist
+ACROSS micro-batches, and the batch twin must equal a hand-computed oracle."""
+
+import math
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from powerdatapipeline_spark.streaming.stateful import (
+    batch_zscore_online,
+    streaming_zscore,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("series", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+ROWS = [
+    ("2024-01-01 00:00:01", "a", 10.0),
+    ("2024-01-01 00:00:02", "a", 12.0),
+    ("2024-01-01 00:00:03", "a", 11.0),
+    ("2024-01-01 00:00:04", "a", 50.0),   # outlier
+    ("2024-01-01 00:00:01", "b", 1.0),
+    ("2024-01-01 00:00:02", "b", 2.0),
+    ("2024-01-01 00:00:03", "b", 3.0),
+]
+
+
+def _hand_oracle():
+    out = {}
+    hist: dict[str, list[float]] = {}
+    for ts, s, v in sorted(ROWS):
+        h = hist.setdefault(s, [])
+        if len(h) > 1:
+            mean = sum(h) / len(h)
+            var = sum((x - mean) ** 2 for x in h) / len(h)
+            out[(s, v)] = (v - mean) / math.sqrt(var) if var > 0 else None
+        else:
+            out[(s, v)] = None
+        h.append(v)
+    return out
+
+
+def test_batch_twin_matches_hand_oracle(spark):
+    df = spark.createDataFrame(
+        [Row(ts=ts, series=s, value=v) for ts, s, v in ROWS],
+        schema="ts string, series string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.series, r.value): r.zscore
+           for r in batch_zscore_online(df, "series").collect()}
+    want = _hand_oracle()
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def _write_batch(path, rows, mtime=None):
+    body = "\n".join(f"{ts},{s},{v}" for ts, s, v in rows)
+    f = path / f"b{time.time_ns()}.csv"
+    f.write_text("ts,series,value\n" + body + "\n")
+    if mtime is not None:
+        # the file stream source orders batches by modification time; under
+        # suite load two quick writes can tie — pin distinct mtimes so
+        # micro-batch order is deterministic
+        import os
+        os.utime(f, (mtime, mtime))
+
+
+def test_streaming_equals_batch_twin_across_microbatches(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    # two files → with maxFilesPerTrigger=1 the state MUST carry across
+    # micro-batches for the late rows to see the early history
+    now = time.time()
+    _write_batch(src, ROWS[:3] + ROWS[4:5], mtime=now - 60)
+    _write_batch(src, ROWS[3:4] + ROWS[5:], mtime=now)
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", "1").csv(str(src)))
+    out = streaming_zscore(stream, "series")
+    q = (out.writeStream.format("memory").queryName("zs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.series, r.value): r.zscore for r in spark.sql("SELECT * FROM zs").collect()}
+    want = _hand_oracle()
+    assert set(got) == set(want)
+    for k, w in want.items():
+        if w is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(w, rel=1e-9)
+
+
+def test_streaming_zscore_n_seen_monotonic(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    _write_batch(src, ROWS)
+    stream = spark.readStream.schema(SCHEMA).csv(str(src))
+    out = streaming_zscore(stream, "series")
+    q = (out.writeStream.format("memory").queryName("zs2")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM zs2 ORDER BY series, event_ts").collect()
+    per_series = {}
+    for r in rows:
+        seq = per_series.setdefault(r.series, [])
+        seq.append(r.n_seen)
+    for s, seq in per_series.items():
+        assert seq == sorted(seq) and seq[0] == 0
