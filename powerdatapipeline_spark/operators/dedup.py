@@ -95,7 +95,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     re-shingling). Estimated Jaccard = fraction of matching signature slots.
     """
     rows = num_perm // bands
-    sig = _spread(df).select(F.col(id_col), minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
+    # persist: the banded frame self-joins, so without it every signature is
+    # computed twice (both join sides re-evaluate the md5 pipeline — measured
+    # 11 s → 4 s at sf0.1). Signatures are tiny (num_perm hashes per doc);
+    # at 100 TB persisting them is the standard LSH practice (spills to disk).
+    sig = (_spread(df)
+           .select(F.col(id_col),
+                   minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
+           .persist())
+    sig.count()  # materialize BEFORE the self-join: both sides race the
+    # cache inside one job otherwise and each recomputes the signatures
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
@@ -135,9 +144,14 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
     engine).
     """
     rows = num_perm // bands
-    base = _spread(df).select(F.col(id_col),
-                     shingles(text_col, shingle_n, shingle_unit).alias("g"),
-                     minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
+    # persisted for the same self-join reason as minhash_lsh_pairs; carries
+    # the shingle sets too so verification never re-shingles
+    base = (_spread(df)
+            .select(F.col(id_col),
+                    shingles(text_col, shingle_n, shingle_unit).alias("g"),
+                    minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
+            .persist())
+    base.count()  # materialize before the self-join (see minhash_lsh_pairs)
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)

@@ -122,8 +122,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     lambda st: st["cell"]),
         1, n_probe)
     _ = probe
-    q_c = F.broadcast(qs.withColumn("__cells", ranked_cells))
-    scored = (emb_c.join(q_c, F.array_contains(F.col("__cells"), F.col("__cell")))
+    # explode the probe list so the cell lookup is an EQUI-join (hash,
+    # partition-prunable when the corpus is written partitioned by cell) —
+    # an array_contains join condition would run as BroadcastNestedLoopJoin
+    q_c = F.broadcast(qs.withColumn("__cells", ranked_cells)
+                        .withColumn("__cell", F.explode("__cells"))
+                        .drop("__cells"))
+    scored = (emb_c.join(q_c, "__cell")
               .select(query_id_col, id_col,
                       F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
