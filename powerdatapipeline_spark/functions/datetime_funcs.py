@@ -36,10 +36,15 @@ def concat_date_time(date_col: str | Column, time_col: str | Column) -> Column:
 def epoch_seconds(col: str | Column, fmt: str | None = None) -> Column:
     """datetime (string or timestamp) → epoch seconds as DoubleType
     (reference tfdataset_utilities.py:122-128; float64 per
-    tfdataset.py:26-34 'to avoid precision errors for large numbers')."""
+    tfdataset.py:26-34 'to avoid precision errors for large numbers').
+
+    Cast-to-double, NOT ``unix_timestamp`` — the latter truncates to whole
+    seconds, while the reference's ``pd.to_datetime(s).timestamp()`` keeps
+    the sub-second fraction.
+    """
     c = F.col(col) if isinstance(col, str) else col
     ts = F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c)
-    return F.unix_timestamp(ts).cast("double")
+    return ts.cast("double")
 
 
 def _cyc(seconds: Column, period: float, kind: str) -> Column:

@@ -39,6 +39,17 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _finish(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Eagerly materialize the (small) pair result via localCheckpoint, then
+    release the persisted signature frame — without this every call leaks a
+    cached signature DataFrame for the session lifetime. The checkpoint also
+    makes repeated consumption of the result free (the driver compares each
+    query twice)."""
+    out = result.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text fingerprint.
     ``groupBy(fingerprint)`` — single uniform-key shuffle; at 100 TB prefer
@@ -123,9 +134,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                        lambda x, y: x == y), lambda z: z))
     est = agree.cast("double") / F.lit(num_perm)
-    return (cand.withColumn("est_jaccard", F.round(est, 6))
-                .where(F.col("est_jaccard") >= threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+    out = (cand.withColumn("est_jaccard", F.round(est, 6))
+               .where(F.col("est_jaccard") >= threshold)
+               .select("id_a", "id_b", "est_jaccard"))
+    return _finish(out, sig)
 
 
 def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
@@ -168,9 +180,10 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
             .dropDuplicates(["id_a", "id_b"]))
     n_inter = F.size(F.array_intersect("g_a", "g_b"))
     jac = n_inter.cast("double") / (F.size("g_a") + F.size("g_b") - n_inter)
-    return (cand.withColumn("jaccard", F.round(jac, 6))
-                .where(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
+    out = (cand.withColumn("jaccard", F.round(jac, 6))
+               .where(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+    return _finish(out, base)
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -106,14 +106,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     emb_c = embeddings.withColumn("__cell", best_cell(vec_col))
     qs = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    probe = F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(cell_scores("__qvec"),
-                            lambda s: F.struct((-s).alias("neg"), F.lit(0).alias("pad")))
-            ), lambda st: st["neg"]),
-        1, n_probe)
-    # map probe scores back to cell ids: recompute argsort indices driver-free
+    # argsort the cell scores expression-side: pair (−score, cell), sort,
+    # take the n_probe best cell ids
     sc = cell_scores("__qvec")
     ranked_cells = F.slice(
         F.transform(F.array_sort(F.zip_with(sc,
@@ -121,7 +115,6 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                             lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")))),
                     lambda st: st["cell"]),
         1, n_probe)
-    _ = probe
     # explode the probe list so the cell lookup is an EQUI-join (hash,
     # partition-prunable when the corpus is written partitioned by cell) —
     # an array_contains join condition would run as BroadcastNestedLoopJoin

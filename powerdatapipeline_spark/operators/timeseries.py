@@ -305,22 +305,28 @@ def asof_join(left: DataFrame, right: DataFrame, partition_by: Sequence[str],
     """
     keys = list(partition_by)
     lcols = [c for c in left.columns]
+    # the matched right ROW travels as ONE struct: carrying each value
+    # column independently with last(ignorenulls) would resurrect stale
+    # non-null values past a matched row whose field is NULL, fabricating a
+    # row that never existed (mixed fields from different right rows)
+    rstruct_t = "struct<" + ",".join(
+        f"{c}:{dict(right.dtypes)[c]}" for c in right_value_cols) + ">"
     tagged_l = left.select(
         *lcols, F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}")
-          for c in right_value_cols])
+        F.lit(None).cast(rstruct_t).alias("__r"))
     tagged_r = right.select(
         *[F.col(c) if c in keys + [ts_col] else F.lit(None).cast(t).alias(c)
           for c, t in [(c, dict(left.dtypes).get(c, "string")) for c in lcols]],
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols])
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__r"))
     unioned = tagged_l.unionByName(tagged_r)
     w = (Window.partitionBy(*keys).orderBy(ts_col, "__tag")
          .rowsBetween(Window.unboundedPreceding, 0))
+    carried = F.last("__r", ignorenulls=True).over(w)
+    out = unioned.withColumn("__r", carried).where(F.col("__tag") == 1)
     for c in right_value_cols:
-        unioned = unioned.withColumn(
-            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w))
-    return unioned.where(F.col("__tag") == 1).drop("__tag")
+        out = out.withColumn(f"{prefix}{c}", F.col("__r")[c])
+    return out.drop("__tag", "__r")
 
 
 def range_join_bucketed(left: DataFrame, right: DataFrame, left_ts: str,

@@ -23,14 +23,33 @@ from powerdatapipeline_spark.sources.readers import read_csv, read_parquet
 
 def extract(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     """Extraction stage (reference ``get_dictdataset_from_csv``,
-    datapipeline.py:34-82): scan with projection pushdown → equality filter →
-    (the reference's ``use_df`` pandas branch is a latent NameError,
-    SURVEY.md Appendix A.4 — here both paths are the same DataFrame read).
+    datapipeline.py:34-82): scan with projection pushdown → equality filter.
+
+    * ``use_streaming`` switches to a Structured Streaming file source (the
+      reference declares this knob but nothing consumes it — reference
+      config/config.py:89-90).
+    * ``use_df`` stages through pandas then ``createDataFrame`` (the
+      reference's branch dies with a NameError, SURVEY.md Appendix A.4;
+      bounded reads only — this path exists for parity/QA, not scale).
     """
     ex = cfg.datapipeline.extraction
     paths = [os.path.join(ex.data_folder, f) if ex.data_folder else f
              for f in ex.data_files]
-    if ex.file_format == "parquet":
+    if ex.use_streaming:
+        from powerdatapipeline_spark.sources.readers import schema_for_columns
+        from powerdatapipeline_spark.streaming.pipeline import read_stream_csv
+
+        src = ex.streaming_data_source or (paths[0] if paths else ex.data_folder)
+        schema = schema_for_columns(ex.columns_original, ex.column_dtypes)
+        df = read_stream_csv(spark, src, schema,
+                             header=ex.use_existing_columnnames)
+    elif ex.use_df:
+        import pandas as pd
+
+        pdf = pd.concat([pd.read_csv(p, nrows=ex.n_rows) for p in paths],
+                        ignore_index=True)
+        df = spark.createDataFrame(pdf)
+    elif ex.file_format == "parquet":
         df = read_parquet(spark, paths[0] if len(paths) == 1 else paths)  # type: ignore[arg-type]
     else:
         overrides = dict(ex.column_dtypes)
@@ -66,13 +85,16 @@ def transform(df: DataFrame, cfg: RunConfig) -> DataFrame:
         if ex.column_datetime:
             dt_map["datetime"] = ex.column_datetime
         df = with_derived_columns(df, ex.columns_added, dt_map)
-    feats = tr.features or (tr.input_features + tr.target_features)
+    feats = (tr.features or (tr.input_features + tr.target_features)
+             or list(ex.columns_selected))
     sec_col = "datetimestampseconds" if "datetimestampseconds" in (df.columns + list(ex.columns_added)) else ex.column_datetime
     keep = [c for c in dict.fromkeys(feats + ([sec_col] if sec_col else []))
             if c in df.columns or c in ex.columns_added]
     if keep:
         df = df.select(*keep)
-    if tr.time_interval_original and sec_col:
+    if tr.time_interval_original and sec_col and not df.isStreaming:
+        # the audit is an action — on a stream, cadence monitoring is the
+        # streaming_interval_stats job instead (streaming/pipeline.py)
         ts.check_intervals(
             df.withColumn("__ts", F.col(sec_col)), "__ts",
             float(tr.time_interval_original))
@@ -83,10 +105,51 @@ def transform(df: DataFrame, cfg: RunConfig) -> DataFrame:
                          method=tr.resample_method)
     if tr.downsampling_rate:
         df = df.sample(fraction=tr.downsampling_rate, seed=42)
+    df = featurize(df, cfg)
+    if tr.window_size and sec_col and sec_col in df.columns:
+        df = ts.sliding_windows(df, sec_col, tr.window_size,
+                                [c for c in df.columns if c != sec_col])
     return df
 
 
+def featurize(df: DataFrame, cfg: RunConfig) -> DataFrame:
+    """FeatureSpace stage (reference get_featurespace/apply_featurespace,
+    datapipeline.py:273-401): z-score numeric features (honoring
+    ``skip_normalization``), one-hot the ``onehot_features`` (int, depth 5 —
+    reference hard-codes 5, Appendix A.7); stats fitted on the first
+    ``n_rows_to_adapt_featurespace`` rows, exactly the reference's adapt
+    semantics. No-op when neither normalize nor one-hot is requested."""
+    tr = cfg.datapipeline.transformation
+    if not (tr.normalize or tr.onehot_features) or df.isStreaming:
+        # FeatureSpace.fit is an action; for streams, fit on a batch sample
+        # and apply the fitted expressions to the stream (caller's choice)
+        return df
+    from powerdatapipeline_spark.features import FeatureSpace, FeatureSpec
+
+    specs, keep = [], []
+    numeric = {"double", "float", "int", "bigint", "smallint"}
+    for c, t in df.dtypes:
+        if c in tr.onehot_features:
+            specs.append(FeatureSpec(c, "int", "one_hot"))
+        elif tr.normalize and t in numeric:
+            specs.append(FeatureSpec(c, "float", "normalized",
+                                     skip_normalization=c in tr.skip_normalization))
+        else:
+            keep.append(c)
+    fs = FeatureSpace(specs).fit(df, n_rows=tr.n_rows_to_adapt_featurespace)
+    return fs.transform(df, keep=keep)
+
+
+def split(df: DataFrame, cfg: RunConfig, ts_col: str):
+    """Ordered prefix split stage (reference datapipeline.py:404-424,
+    Appendix A.9)."""
+    tr = cfg.datapipeline.transformation
+    return ts.prefix_split(df, ts_col, tr.train_fraction, tr.test_fraction)
+
+
 def build_pipeline(spark: SparkSession, cfg: RunConfig) -> DataFrame:
-    """extract → transform (the implicit 'load' stage is the caller's sink:
-    parquet write, ``toPandas`` ML hand-off, or streaming sink)."""
+    """extract → transform → featurize → window (the implicit 'load' stage
+    is the caller's sink: parquet write, ``toPandas`` ML hand-off, or
+    streaming sink; ``split()`` is separate because it returns three
+    frames)."""
     return transform(extract(spark, cfg), cfg)

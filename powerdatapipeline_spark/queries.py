@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.functions.datetime_funcs import _cyclical
-from powerdatapipeline_spark.functions.vector import cosine_similarity
 from powerdatapipeline_spark.operators import dedup as dd
 from powerdatapipeline_spark.operators import relational as rel
 from powerdatapipeline_spark.operators import similarity as sim
@@ -614,16 +613,13 @@ def q25_prefix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 #: DuckDB fragments kept textually in sync with operators/text.py —
-#: tokenization must match bit-for-bit for ratio parity.
-_SQL_TOKENS = "string_split(lower(text), ' ')"
+#: tokenization must match bit-for-bit for ratio parity: Spark tokens()
+#: splits on \s+, so the oracle must regex-split too (a single-space split
+#: diverges on any tab/newline/double-space document).
+_SQL_TOKENS = "regexp_split_to_array(lower(text), '\s+')"
 _SQL_STOP = "('" + "','".join(
     "the a an and or of to in is are was were be been it that this with as "
     "for on at by from not but".split()) + "')"
-_SQL_SHINGLES = ("list_distinct(list_transform("
-                 "generate_series(1, greatest(length(lower(text))-2, 0)), "
-                 "i -> substr(lower(text), i, 3)))")
-
-
 @register("q26_exact_dedup", """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS doc_id,
@@ -705,7 +701,7 @@ _SQL_MINHASH = """
     SELECT doc_id,
            list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 0)),
              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS g
-    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS tok
+    FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS tok
           FROM documents))
 """
 
@@ -1114,9 +1110,12 @@ def q46_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q33_simhash_pairs", None)
 def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (operators/dedup.simhash_pairs): xxhash64-based
-    64-bit fingerprints, 16-bit-slice LSH, Hamming≤3 verification.
-    Rows-only: xxhash64 has no DuckDB equivalent."""
-    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+    64-bit fingerprints, 16-bit-slice LSH, Hamming verification. max_hamming
+    is pinned to 3 — the 4-slice pigeonhole only guarantees candidate recall
+    for distance ≤ 3; a larger threshold would silently miss qualifying
+    pairs that disagree on every slice. Rows-only: xxhash64 has no DuckDB
+    equivalent."""
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @register("q34_ann_lsh_topk", None)

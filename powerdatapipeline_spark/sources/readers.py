@@ -84,8 +84,12 @@ def read_csv(
     return df
 
 
-def read_parquet(spark: SparkSession, path: str, select: list[str] | None = None) -> DataFrame:
-    df = spark.read.parquet(path)
+def read_parquet(spark: SparkSession, path: str | list[str],
+                 select: list[str] | None = None) -> DataFrame:
+    # parquet(paths: String*) is varargs — a Python list must be splatted,
+    # or Py4J packs the whole list as one path and the read crashes
+    df = spark.read.parquet(*path) if isinstance(path, (list, tuple)) \
+        else spark.read.parquet(path)
     if select:
         df = df.select(*select)
     return df

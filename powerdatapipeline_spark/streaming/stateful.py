@@ -51,9 +51,13 @@ def _score_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     else:
         n, mean, m2 = 0, 0.0, 0.0
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, v in zip(pdf["ts"], pdf["value"]):
+    # concatenate ALL Arrow chunks before sorting: a group larger than
+    # arrow.maxRecordsPerBatch arrives as multiple pdfs, and sorting each
+    # chunk independently would update Welford state out of timestamp order
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts, v in zip(whole["ts"], whole["value"]):
             if v is None or pd.isna(v):
                 continue
             var = m2 / n if n > 1 else 0.0

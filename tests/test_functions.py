@@ -82,3 +82,9 @@ def test_vectorize_packs_named_columns(spark):
     df = spark.createDataFrame([Row(x=1, y=2.5)])
     r = df.select(vectorize(["x", "y"]).alias("vec")).first()
     assert r.vec == [1.0, 2.5]
+
+
+def test_epoch_seconds_keeps_subsecond_fraction(spark):
+    df = spark.createDataFrame([Row(s="2023-01-01 00:00:00.500")])
+    r = df.select(epoch_seconds("s").alias("e")).first()
+    assert r.e == 1672531200.5  # unix_timestamp would truncate to .0

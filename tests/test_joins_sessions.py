@@ -70,3 +70,17 @@ def test_sessionize_per_key_independent(spark):
     out = ts.sessionize(df, "ts", ["u"], gap_seconds=1800)
     got = {(r.u, r.ts): r.session_id for r in out.collect()}
     assert got == {("a", 0.0): 1, ("b", 0.0): 1, ("b", 5000.0): 2}
+
+
+def test_asof_join_null_field_not_resurrected(spark):
+    """A matched right row whose value field is NULL must yield NULL — not a
+    stale non-null value from an earlier right row (fields of one right row
+    must travel together)."""
+    left = spark.createDataFrame([Row(k="a", ts=25.0, event="e")])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=10.0, price=5.0), Row(k="a", ts=20.0, price=None)],
+        schema="k string, ts double, price double")
+    out = ts.asof_join(left, right, ["k"], "ts", ["price", "ts"],
+                       prefix="asof_").first()
+    assert out.asof_price is None   # matched row ts=20 has NULL price
+    assert out.asof_ts == 20.0      # and the match IS ts=20, not ts=10

@@ -120,3 +120,67 @@ def test_build_pipeline_equality_filter(spark, tmp_path):
     out = build_pipeline(spark, cfg)
     # KEEP semantics (reference filter_out_string keeps matches, Appendix A.2)
     assert out.count() == 2
+
+
+def test_read_parquet_multiple_files(spark, tmp_path, sf_dir):
+    from powerdatapipeline_spark.sources import read_parquet
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(5).write.parquet(a)
+    spark.range(5, 10).write.parquet(b)
+    assert read_parquet(spark, [a, b]).count() == 10
+
+
+def test_pipeline_featurize_window_and_split(spark, tmp_path):
+    import json
+    from powerdatapipeline_spark.plans.pipeline import build_pipeline, split
+    body = "datetimestampseconds,W,cat\n" + "\n".join(
+        f"{i*60},{float(i)},{i % 3}" for i in range(20)) + "\n"
+    p = tmp_path / "d.csv"
+    p.write_text(body)
+    cfg = RunConfig(name="full", datapipeline={
+        "extraction": {"data_files": [str(p)],
+                       "columns_original": ["datetimestampseconds", "W", "cat"]},
+        "transformation": {"features": ["W", "cat", "datetimestampseconds"],
+                           "time_interval_original": 60,
+                           "normalize": True,
+                           "skip_normalization": ["datetimestampseconds"],
+                           "onehot_features": ["cat"],
+                           "window_size": 4},
+    })
+    out = build_pipeline(spark, cfg)
+    # featurized: one-hot expansion + normalized W, windowed with w=4
+    assert any(c.startswith("cat_onehot_") for c in out.columns)
+    assert "window" in out.columns
+    assert out.count() == 20 - 4 + 1
+    # split operates on the pre-window frame
+    base = spark.createDataFrame([(float(i),) for i in range(10)], ["datetimestampseconds"])
+    tr, te, ev = split(base, cfg, "datetimestampseconds")
+    assert (tr.count(), te.count(), ev.count()) == (8, 1, 1)
+
+
+def test_pipeline_use_df_pandas_staging(spark, tmp_path):
+    body = "datetimestampseconds,W\n0,1.5\n300,2.5\n600,3.5\n"
+    p = tmp_path / "pdf.csv"
+    p.write_text(body)
+    cfg = RunConfig(name="df", datapipeline={
+        "extraction": {"data_files": [str(p)], "use_df": True, "n_rows": 2,
+                       "columns_original": ["datetimestampseconds", "W"]},
+        "transformation": {"features": ["W", "datetimestampseconds"]},
+    })
+    out = build_pipeline(spark, cfg)
+    assert out.count() == 2  # the reference's use_df branch NameErrors (A.4)
+
+
+def test_pipeline_use_streaming_returns_stream(spark, tmp_path):
+    src = tmp_path / "streamdir"
+    src.mkdir()
+    (src / "x.csv").write_text("datetimestampseconds,W\n0,1.0\n")
+    cfg = RunConfig(name="s", datapipeline={
+        "extraction": {"data_files": [], "use_streaming": True,
+                       "streaming_data_source": str(src),
+                       "columns_original": ["datetimestampseconds", "W"]},
+        "transformation": {"features": ["W", "datetimestampseconds"],
+                           "time_interval_original": 60},
+    })
+    out = build_pipeline(spark, cfg)
+    assert out.isStreaming  # the reference's use_streaming knob was dead
