@@ -1104,6 +1104,56 @@ def q46_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").sample(fraction=0.1, seed=42)
 
 
+@register("q47_kmeans_assign", f"""
+WITH scored AS (
+  SELECT a.vec_id, b.vec_id AS centroid_id, {_SQL_DOT} AS dot
+  FROM embeddings a JOIN embeddings b ON b.vec_id < 8),
+assigned AS (
+  SELECT vec_id, centroid_id, dot,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, centroid_id) AS rn
+  FROM scored)
+SELECT centroid_id, COUNT(*) AS n_assigned,
+       round(CAST(SUM(CAST(dot AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dot
+FROM assigned WHERE rn = 1 GROUP BY centroid_id
+""")
+def q47_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means E-step (assignment) — the building block of iterative
+    algorithms on the engine: deterministic seed centroids (vec_id < 8)
+    broadcast to the corpus, each vector assigned to its max-dot centroid
+    (decimal-exact dots, centroid-id tie-break), cluster sizes + mean
+    affinity out. The driver-side loop (M-step: collect tiny centroids,
+    re-broadcast) is how Lloyd iterations run at 100 TB — the corpus never
+    moves, only k·dim floats per iteration do."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = F.broadcast(emb.where(F.col("vec_id") < 8)
+                        .select(F.col("vec_id").alias("centroid_id"),
+                                F.col("embedding").alias("cvec")))
+    scored = (emb.crossJoin(cents)
+              .select("vec_id", "centroid_id",
+                      _ddot(F.col("embedding"), F.col("cvec")).alias("dot")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("centroid_id"))
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+    return (assigned.groupBy("centroid_id")
+            .agg(F.count("*").alias("n_assigned"),
+                 F.round(F.sum(F.col("dot").cast("decimal(18,6)")).cast("double")
+                         / F.count("*"), 6).alias("avg_dot")))
+
+
+@register("q48_approx_distinct", None)
+def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (gap §2.12): the sketch path for
+    cardinalities where exact count-distinct's shuffle is not worth it at
+    100 TB. Rows-only: HLL implementations differ per engine by design;
+    the value is sanity-bounded against the exact count instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts"))
+            .withColumn("rel_err",
+                        F.round(F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                                / F.col("exact_parts"), 4)))
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 
