@@ -1154,6 +1154,124 @@ def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / F.col("exact_parts"), 4)))
 
 
+@register("q49_analytic_functions", """
+SELECT o_orderkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist()    OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER w AS first_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key,
+       lead(o_orderkey) OVER w AS next_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def q49_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic window-function family (gap §2.12 — the reference
+    has zero SQL window functions, SURVEY.md §2.6) in one pass over one
+    window definition: a single shuffle on the partition key serves all
+    eight functions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(wr).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(wr).alias("second_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"))
+
+
+@register("q50_percentiles", """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
+       max(value) AS vmax
+FROM events GROUP BY event_type
+""")
+def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p25/p90): Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the (1−g)·a + g·b linear
+    interpolation at rank p·(n−1) — verified bit-identical, no rounding
+    needed. (The sketch alternative at 100 TB is approx_percentile; exact
+    percentile sorts per group.)"""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.percentile("value", 0.25).alias("p25"),
+                 F.percentile("value", 0.5).alias("p50"),
+                 F.percentile("value", 0.9).alias("p90"),
+                 F.max("value").alias("vmax")))
+
+
+@register("q51_string_functions", """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       lower(p_type)  AS type_l,
+       trim(p_name)   AS name_t,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       replace(p_type, ' ', '_') AS type_us,
+       substr(p_name, 1, 10) AS name10,
+       CAST(length(p_name) AS INT) AS name_len,
+       CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS lev_brand,
+       regexp_extract(p_type, '([A-Z]+)', 1) AS type_first_word,
+       CAST(position(' ' IN p_type) AS INT) AS first_space
+FROM part
+""")
+def q51_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function family (SURVEY.md §2.5 — the reference's only
+    string ops ride py_function): case, trim, pad, replace, substring,
+    length, edit distance, regex extract, position — all codegen'd."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.trim("p_name").alias("name_t"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("int").alias("lev_brand"),
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("type_first_word"),
+        F.instr("p_type", " ").cast("int").alias("first_space"))
+
+
+@register("q52_date_functions", """
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS INT) AS days_to_eoy,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+       CAST(extract(isodow FROM o_orderdate) AS INT) AS iso_dow,
+       CAST(extract(doy FROM o_orderdate) AS INT) AS doy
+FROM orders
+""")
+def q52_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval scalar-function family (gap §2.12). Day-of-week uses
+    the ISO convention on BOTH sides (Spark's ``dayofweek`` is Sunday=1 but
+    DuckDB's ``dow`` is Sunday=0 — ``weekday``/``isodow`` with Monday=1 is
+    the portable choice)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("int").alias("days_to_eoy"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.quarter(d).cast("int").alias("qtr"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.dayofyear(d).cast("int").alias("doy"))
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 
