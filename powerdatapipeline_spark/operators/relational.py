@@ -55,7 +55,8 @@ def top_k_per_group(df: DataFrame, partition_by: Sequence[str],
     shuffle on the group key; skewed groups are handled by AQE skew-join
     settings when the window feeds a join."""
     w = Window.partitionBy(*partition_by).orderBy(*order)
-    return (df.withColumn(rank_col, F.row_number().over(w))
+    # bigint: engine-portable rank dtype (DuckDB/Postgres emit int64 ranks)
+    return (df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
               .where(F.col(rank_col) <= k))
 
 

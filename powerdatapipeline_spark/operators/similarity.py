@@ -33,7 +33,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
               .select(query_id_col, id_col,
                       F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rank") <= k))
 
 
@@ -75,7 +75,7 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
               .select(query_id_col, id_col,
                       F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rank") <= k))
 
 
@@ -125,5 +125,5 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
               .select(query_id_col, id_col,
                       F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
                   .where(F.col("rank") <= k))

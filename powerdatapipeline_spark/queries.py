@@ -805,7 +805,7 @@ def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (emb.crossJoin(F.broadcast(qs))
               .select("query_id", "vec_id", cos.alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .where(F.col("rank") <= 10))
 
 
@@ -1178,9 +1178,9 @@ def q49_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = w.rowsBetween(Window.unboundedPreceding, 0)
     return orders.select(
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("o_orderkey").over(wr).alias("first_key"),

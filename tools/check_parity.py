@@ -74,6 +74,18 @@ def main():
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            # dtype parity: the driver compares schemas; int32-vs-int64 or
+            # datetime-unit drift would pass a stringified value compare but
+            # can fail a typed schema check
+            def norm(d):
+                # timestamp unit (ns vs us) is an Arrow-transport artifact,
+                # not a logical-schema difference — both sides are TIMESTAMP
+                return "datetime64" if str(d).startswith("datetime64") else str(d)
+            dt = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                  for c in sdf.columns if norm(sdf[c].dtype) != norm(odf[c].dtype)]
+            if dt:
+                problems.append(f"dtypes differ: {dt}")
         if not problems:
             s, o = canon(sdf), canon(odf)
             if s != o:
