@@ -75,3 +75,23 @@ def test_top_k_uses_take_ordered(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # local top-k + merge, no global sort
     assert out.count() == 5
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Writing partitioned by a coarse time key lets Catalyst prune whole
+    directories at planning time: the scan's PartitionFilters must carry the
+    predicate and the pruned plan must read fewer files — the layout that
+    makes a 100 TB time-range query touch only its days."""
+    out = str(tmp_path / "events_by_day")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("day"),
+        (F.col("id") * 1.5).alias("value"))
+    df.write.partitionBy("day").mode("overwrite").parquet(out)
+    pruned = spark.read.parquet(out).where(F.col("day") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must land in PartitionFilters (directory pruning at
+    # planning time), NOT in PushedFilters/post-scan Filter
+    assert "PartitionFilters" in plan
+    pf_section = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "day" in pf_section
+    assert pruned.count() == 100
