@@ -39,12 +39,16 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _finish(result: DataFrame, cached: DataFrame) -> DataFrame:
+def _finish(result: DataFrame, cached: DataFrame, materialize: bool) -> DataFrame:
     """Eagerly materialize the (small) pair result via localCheckpoint, then
     release the persisted signature frame — without this every call leaks a
     cached signature DataFrame for the session lifetime. The checkpoint also
     makes repeated consumption of the result free (the driver compares each
     query twice)."""
+    if not materialize:
+        # lazy variant: full logical plan preserved (plan audits, composing
+        # into larger pipelines); caller owns the persisted frame's lifetime
+        return result
     out = result.localCheckpoint(eager=True)
     cached.unpersist()
     return out
@@ -95,7 +99,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, shingle_n: int = 3,
                       threshold: float = 0.5,
-                      shingle_unit: str = "char") -> DataFrame:
+                      shingle_unit: str = "char",
+                      materialize: bool = True) -> DataFrame:
     """MinHash + LSH near-dup: shingle → salted-md5 minhash signature →
     split into ``bands`` bands of ``num_perm/bands`` rows → band hash →
     join documents sharing any band bucket → verify with estimated Jaccard
@@ -114,8 +119,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
            .select(F.col(id_col),
                    minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
            .persist())
-    sig.count()  # materialize BEFORE the self-join: both sides race the
-    # cache inside one job otherwise and each recomputes the signatures
+    if materialize:
+        sig.count()  # fill the cache BEFORE the self-join: both sides race
+        # it inside one job otherwise and each recomputes the signatures
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
@@ -137,14 +143,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     out = (cand.withColumn("est_jaccard", F.round(est, 6))
                .where(F.col("est_jaccard") >= threshold)
                .select("id_a", "id_b", "est_jaccard"))
-    return _finish(out, sig)
+    return _finish(out, sig, materialize)
 
 
 def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 16,
                        bands: int = 4, shingle_n: int = 3,
                        threshold: float = 0.8,
-                       shingle_unit: str = "char") -> DataFrame:
+                       shingle_unit: str = "char",
+                       materialize: bool = True) -> DataFrame:
     """Near-dup with EXACT verification: MinHash-LSH generates candidate
     pairs (sub-quadratic), then the true n-gram Jaccard is computed per
     candidate from the pair's shingle sets (``array_intersect`` on two
@@ -163,7 +170,8 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
                     shingles(text_col, shingle_n, shingle_unit).alias("g"),
                     minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
             .persist())
-    base.count()  # materialize before the self-join (see minhash_lsh_pairs)
+    if materialize:
+        base.count()  # fill the cache before the self-join (see above)
     band_cols = [
         F.struct(F.lit(i).alias("band"),
                  F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
@@ -183,7 +191,7 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
     out = (cand.withColumn("jaccard", F.round(jac, 6))
                .where(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
-    return _finish(out, base)
+    return _finish(out, base, materialize)
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

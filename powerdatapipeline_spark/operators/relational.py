@@ -77,7 +77,15 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
     runtime; explicit salting remains the tool for skewed AGGREGATIONS and
     for engines/paths AQE doesn't reach. Cost: the other side is replicated
     ×salt — use only when the other side is much smaller than the skew.
+
+    Only join types that never emit unmatched RIGHT rows are sound: the
+    right side is replicated ×salt, so right/full outer joins would emit up
+    to salt−1 spurious null-extended rows per right row.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: the "
+            "replicated right side corrupts right/full outer results")
     s = skewed.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     o = other.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = s.join(o, [on, "__salt"], how)

@@ -46,8 +46,15 @@ def extract(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     elif ex.use_df:
         import pandas as pd
 
-        pdf = pd.concat([pd.read_csv(p, nrows=ex.n_rows) for p in paths],
+        # honor the same header/column semantics as the Spark CSV branch,
+        # and apply n_rows as a TOTAL limit, not per file
+        kw = {}
+        if not ex.use_existing_columnnames:
+            kw = {"header": None, "names": ex.columns_original or None}
+        pdf = pd.concat([pd.read_csv(p, nrows=ex.n_rows, **kw) for p in paths],
                         ignore_index=True)
+        if ex.n_rows is not None:
+            pdf = pdf.head(ex.n_rows)
         df = spark.createDataFrame(pdf)
     elif ex.file_format == "parquet":
         df = read_parquet(spark, paths[0] if len(paths) == 1 else paths)  # type: ignore[arg-type]
@@ -103,10 +110,15 @@ def transform(df: DataFrame, cfg: RunConfig) -> DataFrame:
                          tr.time_interval_desired,
                          value_cols=[c for c in feats if c != sec_col],
                          method=tr.resample_method)
-    if tr.downsampling_rate:
+    if tr.downsampling_rate and not df.isStreaming:
+        # df.sample is unsupported on streams; streaming subsampling would
+        # be a modulo filter on the event id/timestamp instead
         df = df.sample(fraction=tr.downsampling_rate, seed=42)
     df = featurize(df, cfg)
-    if tr.window_size and sec_col and sec_col in df.columns:
+    if tr.window_size and sec_col and sec_col in df.columns and not df.isStreaming:
+        # row-based sliding windows are not supported on streams; the
+        # streaming counterparts are F.window tumbling/sliding aggs
+        # (streaming/pipeline.py) and applyInPandasWithState
         df = ts.sliding_windows(df, sec_col, tr.window_size,
                                 [c for c in df.columns if c != sec_col])
     return df

@@ -1092,7 +1092,12 @@ def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "avg_value", "n")
          .writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # a silent timeout would hand a partially-filled sink to the
+        # oracle compare — fail loudly instead
+        q.stop()
+        raise TimeoutError("q45 streaming job did not finish within 300 s")
     return spark.table(name)
 
 

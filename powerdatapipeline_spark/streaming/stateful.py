@@ -10,8 +10,12 @@ cumulative and must update per-row in arrival order, and the score must be
 emitted per-event, not per-window.
 
 Scale properties: state per key is three floats (count/mean/M2) — millions
-of series fit trivially; a GroupStateTimeout evicts idle series so state is
-bounded; the shuffle is the normal keyed exchange.
+of series fit trivially; the shuffle is the normal keyed exchange. State
+lifetime: by default the statistic is cumulative forever (NoTimeout); for
+high-cardinality EPHEMERAL keys (per-session ids) pass
+``idle_timeout_ms`` (e.g. 3_600_000 for one hour) so idle series are
+evicted and state stays bounded — eviction resets that series' statistics
+by design.
 
 The batch twin (same math, one pass, for backfills and tests) is
 :func:`batch_zscore_online`.
@@ -43,44 +47,71 @@ _STATE = T.StructType([
 ])
 
 
-def _score_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """Welford update per arriving row; score BEFORE updating (an event is
-    judged against history, not itself)."""
-    if state.exists:
-        n, mean, m2 = state.get
-    else:
-        n, mean, m2 = 0, 0.0, 0.0
-    out_rows = []
-    # concatenate ALL Arrow chunks before sorting: a group larger than
-    # arrow.maxRecordsPerBatch arrives as multiple pdfs, and sorting each
-    # chunk independently would update Welford state out of timestamp order
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if chunks:
-        whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
-        for ts, v in zip(whole["ts"], whole["value"]):
-            if v is None or pd.isna(v):
-                continue
-            var = m2 / n if n > 1 else 0.0
-            z = (v - mean) / var ** 0.5 if n > 1 and var > 0 else None
-            out_rows.append((key[0], ts, float(v), z, n))
-            n += 1
-            delta = v - mean
-            mean += delta / n
-            m2 += delta * (v - mean)
-    state.update((n, mean, m2))
-    yield pd.DataFrame(out_rows,
-                       columns=["series", "event_ts", "value", "zscore", "n_seen"])
+def _make_score_group(idle_timeout_ms: int | None):
+    """Factory returning the state function as a CLOSURE over the timeout —
+    cloudpickle serializes closures by value, while a module-level global
+    would reset to its default when workers re-import the module."""
+    def _score_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # idle-series eviction (processing-time timeout): drop the
+            # state, emit nothing — the next arrival starts fresh
+            state.remove()
+            yield pd.DataFrame([], columns=["series", "event_ts", "value",
+                                            "zscore", "n_seen"])
+            return
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        out_rows = []
+        # concatenate ALL Arrow chunks before sorting: a group larger than
+        # arrow.maxRecordsPerBatch arrives as multiple pdfs, and sorting
+        # each chunk independently would update Welford state out of
+        # timestamp order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts, v in zip(whole["ts"], whole["value"]):
+                if v is None or pd.isna(v):
+                    # NULL values are EMITTED (zscore NULL, state untouched)
+                    # — the batch twin keeps these rows, and dropping them
+                    # would break backfill-vs-live reconciliation
+                    out_rows.append((key[0], ts, None, None, n))
+                    continue
+                var = m2 / n if n > 1 else 0.0
+                z = (v - mean) / var ** 0.5 if n > 1 and var > 0 else None
+                out_rows.append((key[0], ts, float(v), z, n))
+                n += 1
+                delta = v - mean
+                mean += delta / n
+                m2 += delta * (v - mean)
+        state.update((n, mean, m2))
+        if idle_timeout_ms:
+            # per pyspark GroupState: int milliseconds only (SPARK-40437)
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(out_rows, columns=["series", "event_ts", "value",
+                                              "zscore", "n_seen"])
+    return _score_group
 
 
 def streaming_zscore(stream: DataFrame, series_col: str, ts_col: str = "ts",
-                     value_col: str = "value") -> DataFrame:
-    """Streaming per-series online z-score via ``applyInPandasWithState``."""
+                     value_col: str = "value",
+                     idle_timeout_ms: int | None = None) -> DataFrame:
+    """Streaming per-series online z-score via ``applyInPandasWithState``.
+
+    ``idle_timeout_ms`` (e.g. 3_600_000): processing-time eviction for idle
+    series — REQUIRED for bounded state with high-cardinality ephemeral
+    keys; None keeps cumulative statistics forever (fine for a fixed fleet
+    of meters/series)."""
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms
+                    else GroupStateTimeout.NoTimeout)
     src = stream.select(F.col(series_col).cast("string").alias("series"),
                         F.col(ts_col).alias("ts"),
                         F.col(value_col).cast("double").alias("value"))
     return (src.groupBy("series")
-            .applyInPandasWithState(_score_group, ZSCORE_OUTPUT, _STATE,
-                                    "append", GroupStateTimeout.NoTimeout))
+            .applyInPandasWithState(_make_score_group(idle_timeout_ms),
+                                    ZSCORE_OUTPUT, _STATE,
+                                    "append", timeout_conf))
 
 
 def batch_zscore_online(df: DataFrame, series_col: str, ts_col: str = "ts",

@@ -83,7 +83,7 @@ def test_streaming_equals_batch_twin_across_microbatches(spark, tmp_path):
     now = time.time()
     _write_batch(src, ROWS[:3] + ROWS[4:5], mtime=now - 60)
     _write_batch(src, ROWS[3:4] + ROWS[5:], mtime=now)
-    stream = (spark.readStream.schema(SCHEMA)
+    stream = (spark.readStream.schema(SCHEMA).option("header", "true")
               .option("maxFilesPerTrigger", "1").csv(str(src)))
     out = streaming_zscore(stream, "series")
     q = (out.writeStream.format("memory").queryName("zs")
@@ -103,7 +103,8 @@ def test_streaming_zscore_n_seen_monotonic(spark, tmp_path):
     src = tmp_path / "in2"
     src.mkdir()
     _write_batch(src, ROWS)
-    stream = spark.readStream.schema(SCHEMA).csv(str(src))
+    stream = (spark.readStream.schema(SCHEMA).option("header", "true")
+              .csv(str(src)))
     out = streaming_zscore(stream, "series")
     q = (out.writeStream.format("memory").queryName("zs2")
          .outputMode("append").trigger(availableNow=True).start())
@@ -115,3 +116,25 @@ def test_streaming_zscore_n_seen_monotonic(spark, tmp_path):
         seq.append(r.n_seen)
     for s, seq in per_series.items():
         assert seq == sorted(seq) and seq[0] == 0
+
+
+def test_streaming_emits_null_values_like_batch(spark, tmp_path):
+    """NULL values must be emitted (zscore NULL), not dropped — the batch
+    twin keeps them, and row counts must reconcile between paths."""
+    src = tmp_path / "in3"
+    src.mkdir()
+    (src / "b.csv").write_text(
+        "ts,series,value\n"
+        "2024-01-01 00:00:01,a,10.0\n"
+        "2024-01-01 00:00:02,a,\n"
+        "2024-01-01 00:00:03,a,12.0\n")
+    stream = (spark.readStream.schema(SCHEMA).option("header", "true")
+              .csv(str(src)))
+    q = (streaming_zscore(stream, "series").writeStream.format("memory")
+         .queryName("zs3").outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM zs3 ORDER BY event_ts").collect()
+    assert len(rows) == 3
+    assert rows[1].value is None and rows[1].zscore is None
+    assert rows[1].n_seen == 1  # null row scored against 1 prior non-null
+    assert rows[2].n_seen == 1  # null did not advance the statistic

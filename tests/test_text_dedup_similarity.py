@@ -137,3 +137,13 @@ def test_ivf_topk_probes_cells(spark):
     # probing ALL cells makes IVF exact: self is rank 1
     top1 = {r.query_id: r.vec_id for r in out.where("rank = 1").collect()}
     assert top1 == {0: 0, 1: 1}
+
+
+def test_lsh_lazy_plan_has_no_nested_loop(spark):
+    """The lazy (materialize=False) variants expose the full logical plan —
+    assert the band self-join is a hash join, never a nested loop (the plan
+    the eager checkpoint would otherwise hide from audits)."""
+    plan = dd.minhash_lsh_pairs(_docs(spark), materialize=False)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
