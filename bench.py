@@ -28,8 +28,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with the flagship once (not timed)
+    # warm the JVM once (not timed): the flagship covers scan/agg/window
+    # codegen; a tiny-SF MinHash run JITs the md5/higher-order-function
+    # paths that otherwise pay ~5 s of first-run compilation inside the
+    # timed loop. Different data (sf0.001), so no result caching leaks in.
     flagship(spark, sf_dir).count()
+    from powerdatapipeline_spark.operators import dedup as _dd
+    _dd.minhash_lsh_pairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        shingle_unit="word").count()
 
     timings: dict[str, float] = {}
     for name, (fn, _oracle) in REGISTRY.items():
