@@ -1277,6 +1277,106 @@ def q52_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).cast("int").alias("doy"))
 
 
+@register("q53_shipping_priority", f"""
+SELECT l_orderkey,
+       {_DSUM.format(c='l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(o_orderdate AS TIMESTAMP) AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q53_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on BOTH join sides pushed into
+    their scans before the join, then top-k on the aggregate (a global
+    sort-limit = TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+             .agg(F.sum(disc.cast("decimal(18,6)")).cast("double").alias("revenue"))
+             .select("l_orderkey", "revenue",
+                     F.col("o_orderdate").alias("orderdate"), "o_orderpriority"))
+    return out.orderBy(F.col("revenue").desc(), "l_orderkey").limit(10)
+
+
+@register("q54_disjunctive_predicates", f"""
+SELECT COUNT(*) AS n,
+       {_DSUM.format(c='l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 5 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_type LIKE '%PROMO%' AND l_discount > 0.05)
+""")
+def q54_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive range/LIKE predicates
+    across both join sides — Catalyst extracts the common-side filters it
+    can push (p_partkey/l_partkey IsNotNull) and evaluates the residual OR
+    post-join inside codegen; no manual predicate surgery needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | (F.col("p_type").like("%PROMO%") & (F.col("l_discount") > 0.05)))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .where(cond)
+            .agg(F.count("*").alias("n"),
+                 F.sum(disc.cast("decimal(18,6)")).cast("double").alias("revenue")))
+
+
+@register("q55_supplier_customer_volume", f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       {_DSUM.format(c='l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""")
+def q55_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension (nation) joined TWICE under
+    different roles (supplier vs customer side) with an inequality between
+    the roles — alias hygiene plus two broadcasts; the fact still never
+    shuffles for the joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+            .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (df.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("int").alias("ship_year"))
+            .agg(F.sum(disc.cast("decimal(18,6)")).cast("double").alias("volume")))
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 

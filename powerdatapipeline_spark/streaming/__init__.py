@@ -3,4 +3,5 @@ from powerdatapipeline_spark.streaming.pipeline import (  # noqa: F401
     streaming_downsample_mean,
     streaming_dedup,
     streaming_interval_stats,
+    write_stream_parquet,
 )

@@ -63,6 +63,29 @@ def streaming_dedup(stream: DataFrame, keys: Sequence[str], ts_col: str,
             .dropDuplicatesWithinWatermark(list(keys)))
 
 
+def write_stream_parquet(stream: DataFrame, path: str, checkpoint: str,
+                         mode: str = "append",
+                         trigger_available_now: bool = True):
+    """Parquet sink via ``foreachBatch`` — the production landing pattern:
+    each micro-batch writes atomically with its batch id available for
+    idempotent re-processing (exactly-once lands on the checkpoint +
+    deterministic batch ids; a restart re-runs the last uncommitted batch
+    into the same paths).
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode(mode)
+         .option("maxRecordsPerFile", 1_000_000)
+         .parquet(path))
+
+    writer = (stream.writeStream.foreachBatch(_write)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_interval_stats(stream: DataFrame, ts_col: str,
                              bucket_seconds: int = 60,
                              watermark: str = "1 minute") -> DataFrame:

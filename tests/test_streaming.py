@@ -76,3 +76,23 @@ def test_streaming_interval_stats(spark, tmp_path):
     rows = {r.bucket_ts.minute: r.n_events
             for r in spark.sql("SELECT * FROM stats").collect()}
     assert rows == {0: 2, 1: 1}
+
+
+def test_write_stream_parquet_foreachbatch(spark, tmp_path):
+    """foreachBatch parquet sink: the stream lands as readable parquet and a
+    RESTART from the same checkpoint does not duplicate already-committed
+    batches (idempotent landing)."""
+    from powerdatapipeline_spark.streaming import write_stream_parquet
+
+    path = _feed(tmp_path, [("2024-01-01 00:00:01", "a", 1.0),
+                            ("2024-01-01 00:00:02", "b", 2.0)])
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_stream_csv(spark, path, SCHEMA)
+    q = write_stream_parquet(stream, out, ckpt)
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 2
+    # restart with NO new input: checkpoint says everything is committed
+    q2 = write_stream_parquet(read_stream_csv(spark, path, SCHEMA), out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 2  # no duplicates
