@@ -1377,6 +1377,76 @@ def q55_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(disc.cast("decimal(18,6)")).cast("double").alias("volume")))
 
 
+@register("q56_correlated_subquery", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_quantity > 45)
+""")
+def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS (gap §2.12): Catalyst
+    DECORRELATES both — the scalar subquery becomes an aggregate joined back
+    on the correlation key, the EXISTS a left-semi join; no per-row
+    re-execution ever happens (the plan shows two joins, zero subqueries).
+    Expressed in SQL to exercise the subquery front-end."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v56")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders_v o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+          AND EXISTS (SELECT 1 FROM lineitem_v56 l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """)
+
+
+@register("q57_time_range_frame", """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(value) OVER w, 6) AS avg_last_hour
+FROM (SELECT event_id, user_id, value, epoch(ts) AS s FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""")
+def q57_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event TIME, not row counts (SURVEY.md §2.6 notes
+    the reference has only fixed ROW frames): each event aggregates its
+    series' trailing hour by timestamp value — the frame width adapts to
+    irregular cadence, which a rowsBetween frame cannot express."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "value",
+                  F.col("ts").cast("double").alias("s")))
+    w = (Window.partitionBy("user_id").orderBy("s")
+         .rangeBetween(-3600, Window.currentRow))
+    avg = (F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+           / F.count("value").over(w))
+    return ev.select("event_id",
+                     F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+                     F.round(avg, 6).alias("avg_last_hour"))
+
+
+@register("q58_unpivot", """
+SELECT c_custkey, metric, round(value, 6) AS value
+FROM (SELECT c_custkey, c_acctbal AS balance,
+             CAST(c_nationkey AS DOUBLE) AS nation
+      FROM customer)
+UNPIVOT (value FOR metric IN (balance, nation))
+""")
+def q58_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of q14's conditional-agg pivot):
+    ``df.unpivot`` generates an Expand — one pass, rows × n_metrics output,
+    no shuffle."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("balance"),
+        F.col("c_nationkey").cast("double").alias("nation"))
+    out = cust.unpivot("c_custkey", ["balance", "nation"], "metric", "value")
+    return out.withColumn("value", F.round("value", 6))
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 
