@@ -23,7 +23,16 @@ from pyspark.sql import functions as F
 
 TWO_PI = 2.0 * math.pi
 
-_PERIODS = {"minute": 60.0, "hour": 3600.0, "day": 86400.0}
+#: period lengths in seconds, matching the reference's numpy variant
+#: (datapipeline_utilities.py:80-106): second=1, minute=60, hour=3600,
+#: day=86400, year=365.2425·day (the Gregorian mean year).
+_PERIODS = {
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "year": 365.2425 * 86400.0,
+}
 
 
 def concat_date_time(date_col: str | Column, time_col: str | Column) -> Column:
@@ -48,7 +57,12 @@ def epoch_seconds(col: str | Column, fmt: str | None = None) -> Column:
 
 
 def _cyc(seconds: Column, period: float, kind: str) -> Column:
-    angle = seconds * F.lit(TWO_PI / period)
+    # (s mod p)·(2π/p), not s·(2π/p): mathematically identical (sin/cos are
+    # p-periodic) but numerically far better — epoch-sized arguments push
+    # sin/cos into large-argument reduction where libm implementations
+    # diverge at the 1e-6 level, while arguments in [0, 2π) agree to ulps
+    # across engines (required for DuckDB oracle parity).
+    angle = (seconds % F.lit(period)) * F.lit(TWO_PI / period)
     return F.sin(angle) if kind == "sin" else F.cos(angle)
 
 

@@ -194,6 +194,54 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
     return _finish(out, base, materialize)
 
 
+def neardup_report(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", num_perm: int = 16,
+                   bands: int = 4, shingle_n: int = 3,
+                   est_threshold: float = 0.5,
+                   shingle_unit: str = "char",
+                   materialize: bool = True) -> DataFrame:
+    """One-pass near-dup report: LSH candidate pairs with BOTH the MinHash
+    Jaccard estimate (signature agreement rate, cf. :func:`minhash_lsh_pairs`)
+    and the EXACT shingle Jaccard (cf. :func:`lsh_verified_pairs`), filtered
+    on the estimate. One signature/shingle computation and one band self-join
+    serve both metrics — at 100 TB this halves the dominant cost of running
+    the two operators separately.
+    """
+    rows = num_perm // bands
+    base = (_spread(df)
+            .select(F.col(id_col),
+                    shingles(text_col, shingle_n, shingle_unit).alias("g"),
+                    minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
+            .persist())
+    if materialize:
+        base.count()  # fill the cache before the self-join (see above)
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
+                                          for j in range(rows)])).alias("bh"))
+        for i in range(bands)
+    ]
+    banded = base.select(id_col, "g", "sig", F.explode(F.array(*band_cols)).alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
+                    F.col("a.g").alias("g_a"), F.col("b.g").alias("g_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                       lambda x, y: x == y), lambda z: z))
+    est = agree.cast("double") / F.lit(num_perm)
+    n_inter = F.size(F.array_intersect("g_a", "g_b"))
+    jac = n_inter.cast("double") / (F.size("g_a") + F.size("g_b") - n_inter)
+    out = (cand.withColumn("est_jaccard", F.round(est, 6))
+               .withColumn("jaccard", F.round(jac, 6))
+               .where(F.col("est_jaccard") >= est_threshold)
+               .select("id_a", "id_b", "est_jaccard", "jaccard"))
+    return _finish(out, base, materialize)
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_n: int = 3) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints; candidates = documents sharing

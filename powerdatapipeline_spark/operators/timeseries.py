@@ -112,11 +112,66 @@ def upsample_repeat(df: DataFrame, seconds_col: str, interval: int, span: int,
             .select(*others, F.col("__tick").cast("double").alias(seconds_col)))
 
 
+def upsample_linear(df: DataFrame, seconds_col: str, interval: int,
+                    value_cols: Sequence[str],
+                    partition_by: Sequence[str] | None = None) -> DataFrame:
+    """Upsample with LINEAR fill (the reference's stubbed intent,
+    tfdataset_resampling.py:22-25 — commented-out ``fill_method='linear'``):
+    per consecutive row pair within a series, emit grid ticks
+    ``t0, t0+i, …  < t1`` and interpolate each value column as
+    ``v0 + (v1−v0)·(t−t0)/(t1−t0)``; the final row of each series emits
+    itself (no successor to interpolate toward).
+
+    One ``lead()`` window (single shuffle on the partition key) followed by
+    ``explode(sequence(...))`` — a narrow 1→N op; pure double IEEE
+    arithmetic, engine-portable.
+    """
+    if not value_cols:
+        raise ValueError("upsample_linear requires at least one value column")
+    w = _window(seconds_col, partition_by)
+    t0 = F.col(seconds_col).cast("double")
+    t1 = F.lead(seconds_col).over(w).cast("double")
+    df = df.withColumn("__t1", t1)
+    for c in value_cols:
+        df = df.withColumn(f"__next_{c}", F.lead(c).over(w))
+    # ticks cover [t0, t1): the successor row emits its own t1 tick
+    ticks = F.when(
+        F.col("__t1").isNotNull(),
+        F.sequence(t0.cast("long"), (F.col("__t1") - 1).cast("long"),
+                   F.lit(interval)),
+    ).otherwise(F.array(t0.cast("long")))
+    df = df.withColumn("__tick", F.explode(ticks))
+    tick = F.col("__tick").cast("double")
+    frac = (tick - t0) / (F.col("__t1") - t0)
+    keep = [c for c in df.columns
+            if c not in {seconds_col, "__t1", "__tick"}
+            and not c.startswith("__next_")]
+    out_vals = []
+    for c in keep:
+        if c in value_cols:
+            v0, v1 = F.col(c), F.col(f"__next_{c}")
+            interp = F.when(F.col("__t1").isNull() | (tick == t0), v0) \
+                      .otherwise(v0 + (v1 - v0) * frac)
+            out_vals.append(interp.alias(c))
+        else:
+            out_vals.append(F.col(c))
+    return df.select(*out_vals, tick.alias(seconds_col))
+
+
 def resample(df: DataFrame, seconds_col: str, interval_original: int,
              interval_desired: int, value_cols: Sequence[str] | None = None,
-             method: str = "modulo") -> DataFrame:
+             method: str = "modulo",
+             partition_by: Sequence[str] | None = None) -> DataFrame:
     """Resample dispatcher (reference datapipeline.py:569-616): compares
-    original vs desired cadence and picks up/down/none."""
+    original vs desired cadence and picks up/down/none. Downsampling
+    supports ``modulo`` (grid filter) and ``mean`` (tumbling aggregate);
+    upsampling supports ``repeat`` fill and ``linear`` interpolation (the
+    reference stubs linear, tfdataset_resampling.py:22-25)."""
+    if method == "mean" and not value_cols:
+        # groupBy().agg() with zero expressions raises deep inside Spark;
+        # fail at the API boundary instead (pipeline.transform can reach
+        # here when the feature list reduces to only the seconds column)
+        raise ValueError("resample(method='mean') requires non-empty value_cols")
     if interval_desired == interval_original:
         return df
     if interval_desired > interval_original:
@@ -126,6 +181,9 @@ def resample(df: DataFrame, seconds_col: str, interval_original: int,
                                   interval_desired, list(value_cols or []))
             return out
         return downsample_modulo(df, seconds_col, interval_desired)
+    if method == "linear":
+        return upsample_linear(df, seconds_col, interval_desired,
+                               list(value_cols or []), partition_by)
     return upsample_repeat(df, seconds_col, interval_desired, span=interval_original)
 
 
@@ -390,9 +448,24 @@ def prefix_split(df: DataFrame, ts_col: str, train_fraction: float = 0.8,
     if not (0 < train_fraction + test_fraction <= 1.0 + 1e-9):
         raise AssertionError("fractions must sum to at most 1")
     t = F.col(ts_col).cast("double")
+    p_train = F.lit(float(train_fraction))
+    p_test = F.lit(float(train_fraction + test_fraction))
+    if partition_by:
+        # per-series thresholds: one grouped percentile agg (tiny result —
+        # one row per key) broadcast-joined back; each series gets its own
+        # 80/10/10 prefix, never a global ordering
+        q = (df.groupBy(*partition_by)
+               .agg(F.percentile(t, p_train).alias("__t_train"),
+                    F.percentile(t, p_test).alias("__t_test")))
+        j = df.join(F.broadcast(q), list(partition_by))
+        train = j.where(t <= F.col("__t_train")).drop("__t_train", "__t_test")
+        test = j.where((t > F.col("__t_train")) & (t <= F.col("__t_test"))) \
+                .drop("__t_train", "__t_test")
+        eval_df = j.where(t > F.col("__t_test")).drop("__t_train", "__t_test")
+        return train, test, eval_df
     q = df.agg(
-        F.percentile(t, F.lit(float(train_fraction))).alias("t_train"),
-        F.percentile(t, F.lit(float(train_fraction + test_fraction))).alias("t_test"),
+        F.percentile(t, p_train).alias("t_train"),
+        F.percentile(t, p_test).alias("t_test"),
     ).first()
     train = df.where(t <= q.t_train)
     test = df.where((t > q.t_train) & (t <= q.t_test))

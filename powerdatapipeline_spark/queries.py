@@ -167,92 +167,117 @@ def q03_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_items")))
 
 
-@register("q04_customers_with_orders", """
-SELECT c_mktsegment, COUNT(*) AS n_customers
+@register("q04_semi_anti_joins", """
+SELECT 'with_orders' AS op, c_mktsegment AS segment, COUNT(*) AS n_customers
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_mktsegment
-""")
-def q04_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS) — never duplicates the left side (gap §2.12)."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return (rel.semi_join(cust, orders, on="c_custkey")
-            .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
-
-
-@register("q05_customers_without_orders", """
-SELECT c_custkey, c_name FROM customer c
+UNION ALL
+SELECT 'without_orders' AS op, 'ALL' AS segment, COUNT(*) AS n_customers
+FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """)
-def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS)."""
+def q04_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS; never duplicates the left side) and left-anti
+    join (NOT EXISTS) in one tagged result (gap §2.12)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return rel.anti_join(cust, orders, on="c_custkey").select("c_custkey", "c_name")
+    semi = (rel.semi_join(cust, orders, on="c_custkey")
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n_customers"))
+            .select(F.lit("with_orders").alias("op"), "segment", "n_customers"))
+    anti = (rel.anti_join(cust, orders, on="c_custkey")
+            .agg(F.count("*").alias("n_customers"))
+            .select(F.lit("without_orders").alias("op"),
+                    F.lit("ALL").alias("segment"), "n_customers"))
+    return semi.unionByName(anti)
 
 
-@register("q06_top_orders_per_customer", """
-SELECT * FROM (
+@register("q06_topk_orders", """
+SELECT 'per_customer' AS scope, o_custkey, o_orderkey, o_totalprice, rn FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders) WHERE rn <= 3
+UNION ALL
+SELECT 'global' AS scope, o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
 """)
-def q06_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group top-k via ranking window (gap §2.12 — the reference has no
-    analytic window functions, SURVEY.md §2.6). One shuffle on o_custkey;
-    ties broken by orderkey for determinism."""
+def q06_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k both ways, tagged (gap §2.12 — the reference has no analytic
+    windows or sort at all, SURVEY.md §2.6/§2.8): per-customer top-3 via a
+    ranking window (one shuffle on o_custkey, ties broken by orderkey), and
+    global top-10 via orderBy+limit, which compiles to TakeOrderedAndProject
+    — per-partition local top-10 + driver merge, never a global sort. The
+    global ranks are re-derived on the 10-row result, not the full table."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    return rel.top_k_per_group(
+    per_group = (rel.top_k_per_group(
         orders, ["o_custkey"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3)
+        .select(F.lit("per_customer").alias("scope"),
+                "o_custkey", "o_orderkey", "o_totalprice", "rn"))
+    top10 = rel.top_k(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+    w10 = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    global_ = (top10.withColumn("rn", F.row_number().over(w10).cast("bigint"))
+               .select(F.lit("global").alias("scope"),
+                       "o_custkey", "o_orderkey", "o_totalprice", "rn"))
+    return per_group.unionByName(global_)
 
 
-@register("q07_global_top10_orders", """
-SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-""")
-def q07_global_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: compiles to TakeOrderedAndProject — per-partition local
-    top-10 + driver merge, never a global sort (SURVEY.md §2.8: the
-    reference has no sort at all)."""
-    return rel.top_k(_t(spark, sf_dir, "orders")
-                     .select("o_orderkey", "o_custkey", "o_totalprice"),
-                     [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
-
-
-@register("q08_rollup_lineitem", f"""
-SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-       COALESCE(l_linestatus, 'ALL') AS linestatus,
-       {_DSUM.format(c='l_quantity')} AS sum_qty,
-       COUNT(*) AS n_rows
+@register("q08_rollup_cube_gsets", f"""
+SELECT 'rollup' AS op,
+       COALESCE(l_returnflag, 'ALL') AS dim1,
+       COALESCE(l_linestatus, 'ALL') AS dim2,
+       COUNT(*) AS n,
+       {_DSUM.format(c='l_quantity')} AS sum_val
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-""")
-def q08_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical grouping sets (gap §2.12)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.rollup("l_returnflag", "l_linestatus")
-            .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
-            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-                    "sum_qty", "n_rows"))
-
-
-@register("q09_cube_orders", """
-SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
-       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+UNION ALL
+SELECT 'cube' AS op,
+       COALESCE(o_orderstatus, 'ALL') AS dim1,
+       COALESCE(o_orderpriority, 'ALL') AS dim2,
+       COUNT(*) AS n,
+       {_DSUM.format(c='o_totalprice')} AS sum_val
 FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets' AS op,
+       COALESCE(l_returnflag, 'ALL') AS dim1,
+       COALESCE(CAST(year(l_shipdate) AS VARCHAR), 'ALL') AS dim2,
+       COUNT(*) AS n,
+       {_DSUM.format(c='l_extendedprice')} AS sum_val
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
 """)
-def q09_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q08_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole multi-dimensional grouping family, tagged (gap §2.12):
+    hierarchical ROLLUP, full CUBE, and explicit GROUPING SETS (via the SQL
+    front-end — the Expand operator fans each row into its sets, map-side
+    partial aggregation still applies to every branch)."""
+    li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    return (orders.cube("o_orderstatus", "o_orderpriority")
-            .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "sum_price"))
-            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
-                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
-                    "n_orders", "sum_price"))
+    rollup = (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n"), dsum("l_quantity", "sum_val"))
+              .select(F.lit("rollup").alias("op"),
+                      F.coalesce("l_returnflag", F.lit("ALL")).alias("dim1"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("dim2"),
+                      "n", "sum_val"))
+    cube = (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"), dsum("o_totalprice", "sum_val"))
+            .select(F.lit("cube").alias("op"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("dim1"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("dim2"),
+                    "n", "sum_val"))
+    li.createOrReplaceTempView("lineitem_v8")
+    gsets = spark.sql(f"""
+        SELECT 'gsets' AS op,
+               COALESCE(l_returnflag, 'ALL') AS dim1,
+               COALESCE(CAST(year(l_shipdate) AS STRING), 'ALL') AS dim2,
+               COUNT(*) AS n,
+               {_DSUM.format(c='l_extendedprice')} AS sum_val
+        FROM lineitem_v8
+        GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+    """)
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 @register("q10_set_operations", """
@@ -299,29 +324,6 @@ def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_rows")))
 
 
-@register("q12_string_date_funcs", """
-SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-       CAST(month(o_orderdate) AS INT) AS order_month,
-       upper(substr(o_orderpriority, 1, 8)) AS prio_prefix,
-       CAST(length(o_orderstatus) AS INT) AS status_len,
-       COUNT(*) AS n
-FROM orders
-GROUP BY 1, 2, 3, 4
-""")
-def q12_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date scalar functions (SURVEY.md §2.5 — the reference's only
-    string ops are concat + datetime parse via py_function; Spark built-ins
-    replace the Python escape hatch)."""
-    orders = _t(spark, sf_dir, "orders")
-    return (orders.select(
-        F.year("o_orderdate").cast("int").alias("order_year"),
-        F.month("o_orderdate").cast("int").alias("order_month"),
-        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
-        F.length("o_orderstatus").cast("int").alias("status_len"))
-        .groupBy("order_year", "order_month", "prio_prefix", "status_len")
-        .agg(F.count("*").alias("n")))
-
-
 _JSON_K = "CAST(props->>'$.k' AS INT)"
 
 
@@ -340,6 +342,28 @@ def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type")
             .agg(F.sum(k.cast("decimal(18,6)")).cast("double").alias("sum_k"),
                  F.count("*").alias("n")))
+
+
+@register("q14_conditional_agg", f"""
+SELECT CAST(floor(value / 20.0) AS BIGINT) AS value_bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       {_DSUM.format(c="CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+""")
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/conditional aggregation (pivot-style without pivot's schema
+    inference — fixed columns, deterministic)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 20.0).cast("bigint").alias("value_bucket")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0))
+    return (ev.groupBy(bucket)
+            .agg(F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+                 F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+                 F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+                 F.sum(pv.cast("decimal(18,6)")).cast("double").alias("purchase_value")))
 
 
 @register("q15_running_sum", """
@@ -481,75 +505,55 @@ def q20_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.last("v", ignorenulls=True).over(w).alias("v_filled"))
 
 
-_W_MIN, _W_HOUR, _W_DAY = (repr(2 * 3.141592653589793 / p) for p in (60.0, 3600.0, 86400.0))
-
-@register("q21_cyclical_features", f"""
-SELECT event_id,
-       round(sin(epoch(ts) * {_W_MIN}), 6)  AS sin_minute,
-       round(cos(epoch(ts) * {_W_MIN}), 6)  AS cos_minute,
-       round(sin(epoch(ts) * {_W_HOUR}), 6) AS sin_hour,
-       round(cos(epoch(ts) * {_W_HOUR}), 6) AS cos_hour,
-       round(sin(epoch(ts) * {_W_DAY}), 6)  AS sin_day,
-       round(cos(epoch(ts) * {_W_DAY}), 6)  AS cos_day
-FROM events
-""")
-def q21_cyclical_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cyclical time encodings at minute/hour/day periods (reference
-    datapipeline.py:511-566, tfdataset.py:137-152). Exact π — the
-    reference's executed paths hard-code 3.14 (SURVEY.md Appendix A.1);
-    rounded to 6 dp because libm and the JVM may differ in the last ulp."""
-    ev = _t(spark, sf_dir, "events").withColumn("s", F.col("ts").cast("double"))
-    cyc = [F.round(c, 6).alias(n) for n, c in zip(
-        ["sin_minute", "cos_minute", "sin_hour", "cos_hour", "sin_day", "cos_day"],
-        _cyclical("s", ["minute", "hour", "day"]))]
-    return ev.select("event_id", *cyc)
+#: cyclical-encoding oracle fragment: ``sin/cos((s mod p)·(2π/p))`` with the
+#: period and the exact-π angular frequency embedded as identical double
+#: literals in both plans (cf. module docstring: epoch*2*pi()/period
+#: associates differently across engines, and epoch-sized sin arguments hit
+#: large-argument reduction where libms diverge at 1e-6 — the mod keeps
+#: arguments in [0, 2π) where engines agree to ulps; see
+#: functions/datetime_funcs._cyc, the Spark twin)
+#: the trailing ``+ 0.0`` normalizes IEEE negative zero: at phase multiples
+#: of π/2 the true sin/cos is ~±1e-16 and its SIGN differs across libms, so
+#: one engine rounds to -0.0 and the other to 0.0; adding +0.0 maps both to
+#: +0.0 (and is a no-op for every other value)
+def _sql_cyc(s: str, period: float, kind: str) -> str:
+    return (f"(round({kind}(fmod({s}, {period!r})"
+            f" * {2 * 3.141592653589793 / period!r}), 6) + 0.0)")
 
 
-@register("q22_zscore_normalize", """
+@register("q22_normalize", """
 WITH stats AS (
   SELECT event_type,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m,
-         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m2
+         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS m2,
+         min(value) AS lo, max(value) AS hi
   FROM events GROUP BY event_type)
 SELECT event_id,
-       round((value - m) / sqrt(m2 - m * m), 6) AS value_z
+       round((value - m) / sqrt(m2 - m * m), 6) AS value_z,
+       round((value - lo) / (hi - lo), 6) AS value_rescaled
 FROM events JOIN stats USING (event_type)
 """)
-def q22_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase z-score normalization (reference normalizer fit/apply,
-    tfdataset_utilities.py:81-112): per-group stats via ONE aggregate —
-    population variance from exact decimal sums (numpy .var() parity,
-    Appendix A.10) — then a broadcast join back. At 100 TB the stats side is
-    a handful of rows: broadcast, never a shuffle of the fact table."""
+def q22_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase normalization, both modes in one pass (reference normalizer
+    fit/apply, tfdataset_utilities.py:81-112, and the FeatureSpace's
+    float_rescaled mode, datapipeline.py:283-361): per-group fit stats —
+    mean/variance from exact decimal sums (numpy .var() population-variance
+    parity, Appendix A.10) plus min/max — via ONE aggregate, then a
+    broadcast join back applies z-score AND min-max rescale. At 100 TB the
+    stats side is a handful of rows: broadcast, never a shuffle of the fact
+    table; one fit job instead of two."""
     ev = _t(spark, sf_dir, "events")
     stats = (ev.groupBy("event_type")
              .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                    / F.count("value")).alias("m"),
                   (F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
-                   .cast("double") / F.count("value")).alias("m2")))
+                   .cast("double") / F.count("value")).alias("m2"),
+                  F.min("value").alias("lo"), F.max("value").alias("hi")))
     z = F.round((F.col("value") - F.col("m"))
                 / F.sqrt(F.col("m2") - F.col("m") * F.col("m")), 6)
-    return (ev.join(F.broadcast(stats), "event_type")
-            .select("event_id", z.alias("value_z")))
-
-
-@register("q23_minmax_rescale", """
-WITH stats AS (
-  SELECT event_type, min(value) AS lo, max(value) AS hi
-  FROM events GROUP BY event_type)
-SELECT event_id, round((value - lo) / (hi - lo), 6) AS value_rescaled
-FROM events JOIN stats USING (event_type)
-""")
-def q23_minmax_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-max rescale (the reference FeatureSpace's float_rescaled mode,
-    datapipeline.py:283-361): min/max are exact doubles, division is
-    deterministic IEEE — only the output is rounded."""
-    ev = _t(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(F.min("value").alias("lo"),
-                                         F.max("value").alias("hi"))
     scaled = F.round((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6)
     return (ev.join(F.broadcast(stats), "event_type")
-            .select("event_id", scaled.alias("value_rescaled")))
+            .select("event_id", z.alias("value_z"), scaled.alias("value_rescaled")))
 
 
 @register("q24_onehot_encode", """
@@ -575,37 +579,42 @@ def q24_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q25_prefix_split", """
-WITH ranked AS (
-  SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
-         count(*) OVER () AS n
-  FROM events)
-SELECT CASE WHEN rn <= floor(0.8 * n) THEN 'train'
-            WHEN rn <= floor(0.9 * n) THEN 'test'
+WITH s AS (SELECT epoch(ts) AS s FROM events),
+thr AS (SELECT quantile_cont(s, 0.8) AS t80, quantile_cont(s, 0.9) AS t90 FROM s)
+SELECT CASE WHEN s <= t80 THEN 'train'
+            WHEN s <= t90 THEN 'test'
             ELSE 'eval' END AS split,
        COUNT(*) AS n_rows,
-       CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
-       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s
-FROM ranked GROUP BY 1
+       CAST(floor(min(s)) AS BIGINT) AS first_s,
+       CAST(floor(max(s)) AS BIGINT) AS last_s
+FROM s, thr GROUP BY 1
 """)
 def q25_prefix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ORDERED prefix split 0.8/0.1/0.1 (reference
     get_train_test_eval_dataset, datapipeline.py:404-424 — a prefix-by-
-    fraction split, NOT randomSplit, Appendix A.9). Exact rank semantics
-    here for oracle parity; the library's scale path
-    (operators/timeseries.prefix_split) uses timestamp quantiles to avoid
-    the single-task global row_number this query tolerates at test scale."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    ranked = ev.select("ts", F.row_number().over(w).alias("rn"),
-                       F.count("*").over(Window.partitionBy()).alias("n"))
-    split = (F.when(F.col("rn") <= F.floor(0.8 * F.col("n")), "train")
-             .when(F.col("rn") <= F.floor(0.9 * F.col("n")), "test")
-             .otherwise("eval"))
-    es = F.floor(F.col("ts").cast("double"))
-    return (ranked.groupBy(split.alias("split"))
-            .agg(F.count("*").alias("n_rows"),
-                 F.min(es).cast("bigint").alias("first_s"),
-                 F.max(es).cast("bigint").alias("last_s")))
+    fraction split, NOT randomSplit, Appendix A.9), via the SCALE path
+    (operators/timeseries.prefix_split): the fraction boundaries are
+    timestamp quantiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    same (1−g)·a+g·b interpolation — verified bit-identical in q50), then
+    three filters. NO global row_number, NO single-task sort — the plan is
+    one grouped-percentile job plus narrow filters, which survives a 100×
+    scale-up where the rank-based form collapses to one task."""
+    ev = _t(spark, sf_dir, "events").select("ts")
+    train, test, eval_df = ts.prefix_split(ev, "ts", 0.8, 0.1)
+    s = F.col("ts").cast("double")
+
+    def summarize(tag: str, df: DataFrame) -> DataFrame:
+        return (df.agg(F.count("*").alias("n_rows"),
+                       F.floor(F.min(s)).cast("bigint").alias("first_s"),
+                       F.floor(F.max(s)).cast("bigint").alias("last_s"))
+                .select(F.lit(tag).alias("split"), "n_rows", "first_s", "last_s"))
+
+    out = (summarize("train", train)
+           .unionByName(summarize("test", test))
+           .unionByName(summarize("eval", eval_df)))
+    # DuckDB's GROUP BY never emits empty groups; Spark's global agg on an
+    # empty split would emit an n_rows=0 row — drop it for parity
+    return out.where(F.col("n_rows") > 0)
 
 
 # ===========================================================================
@@ -712,7 +721,7 @@ _SQL_BANDED = """
 """
 
 
-@register("q29_minhash_lsh_pairs", f"""
+@register("q29_lsh_neardup", f"""
 WITH mh AS ({_SQL_MINHASH}),
 banded AS ({_SQL_BANDED}),
 cand AS (
@@ -720,44 +729,27 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
 SELECT id_a, id_b,
-       round(CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBLE) / 16, 6) AS est_jaccard
-FROM cand JOIN mh ma ON ma.doc_id = id_a JOIN mh mb ON mb.doc_id = id_b
-WHERE CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 >= 0.5
-""")
-def q29_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (operators/dedup.minhash_lsh_pairs): salted-md5
-    MinHash (16 perms, 4 bands × 4 rows) → band-bucket join → signature-
-    agreement Jaccard estimate. The salted-md5 family is bit-portable, so
-    even the LSH candidate set is oracle-checkable — no weaker rows-only
-    check needed."""
-    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                num_perm=16, bands=4, threshold=0.5,
-                                shingle_unit="word")
-
-
-@register("q30_neardup_verified", f"""
-WITH mh AS ({_SQL_MINHASH}),
-banded AS ({_SQL_BANDED}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
+       round(CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBLE) / 16, 6) AS est_jaccard,
        round(CAST(len(list_intersect(ma.g, mb.g)) AS DOUBLE)
              / (len(ma.g) + len(mb.g) - len(list_intersect(ma.g, mb.g))), 6) AS jaccard
 FROM cand JOIN mh ma ON ma.doc_id = id_a JOIN mh mb ON mb.doc_id = id_b
-WHERE CAST(len(list_intersect(ma.g, mb.g)) AS DOUBLE)
-      / (len(ma.g) + len(mb.g) - len(list_intersect(ma.g, mb.g))) >= 0.8
+WHERE CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 >= 0.5
 """)
-def q30_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates + EXACT 3-gram Jaccard verification
-    (operators/dedup.lsh_verified_pairs) — the production near-dedup shape:
-    sub-quadratic candidate generation, exact verification only on
-    candidates. (A naive shingle inverted-index join is quadratic on this
-    small-vocab corpus and is deliberately not used.)"""
-    return dd.lsh_verified_pairs(_t(spark, sf_dir, "documents"),
-                                 num_perm=16, bands=4, threshold=0.8,
-                                 shingle_unit="word")
+def q29_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup with exact verification, one pass
+    (operators/dedup.neardup_report): salted-md5 MinHash (16 perms, 4 bands
+    × 4 rows) → band-bucket join → BOTH the signature-agreement Jaccard
+    estimate (operators/dedup.minhash_lsh_pairs semantics) and the EXACT
+    3-gram Jaccard from the carried shingle sets
+    (operators/dedup.lsh_verified_pairs semantics) per candidate pair. This
+    is the production near-dedup shape: sub-quadratic candidate generation,
+    exact verification only on candidates, one signature computation and
+    one self-join serving both metrics. The salted-md5 family is
+    bit-portable, so even the LSH candidate set is oracle-checkable — no
+    weaker rows-only check needed."""
+    return dd.neardup_report(_t(spark, sf_dir, "documents"),
+                             num_perm=16, bands=4, est_threshold=0.5,
+                             shingle_unit="word")
 
 
 def _ddot(x, y):
@@ -783,10 +775,11 @@ _SQL_NORM = ("sqrt(CAST(list_sum(list_transform(generate_series(1, 64), i -> "
 @register("q31_cosine_topk", f"""
 WITH scored AS (
   SELECT b.vec_id AS query_id, a.vec_id,
-         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')} * {_SQL_NORM.format(t='b')}), 6) AS cosine
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')} * {_SQL_NORM.format(t='b')}), 6) AS cosine,
+         round({_SQL_NORM.format(t='a')}, 6) AS vec_norm
   FROM embeddings a, embeddings b WHERE b.vec_id < 5)
 SELECT * FROM (
-  SELECT query_id, vec_id, cosine,
+  SELECT query_id, vec_id, cosine, vec_norm,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 10
 """)
@@ -794,36 +787,22 @@ def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (operators/similarity.brute_force_topk
     semantics, decimal-exact dot products for engine parity): queries are
     broadcast, the corpus never shuffles; per-query ranking windows on the
-    (tiny) scored side only."""
+    (tiny) scored side only. Each neighbor also carries its L2 norm
+    (functions/vector.l2_norm shape) so the vector-norm kernel is
+    oracle-verified in the same pass."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
 
+    norm = F.sqrt(_ddot(F.col("embedding"), F.col("embedding")))
     cos = F.round(_ddot(F.col("embedding"), F.col("qv"))
-                  / (F.sqrt(_ddot(F.col("embedding"), F.col("embedding")))
-                     * F.sqrt(_ddot(F.col("qv"), F.col("qv")))), 6)
+                  / (norm * F.sqrt(_ddot(F.col("qv"), F.col("qv")))), 6)
     scored = (emb.crossJoin(F.broadcast(qs))
-              .select("query_id", "vec_id", cos.alias("cosine")))
+              .select("query_id", "vec_id", cos.alias("cosine"),
+                      F.round(norm, 6).alias("vec_norm")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .where(F.col("rank") <= 10))
-
-
-@register("q32_embedding_norms", f"""
-SELECT label, COUNT(*) AS n,
-       round(CAST(SUM(CAST({_SQL_NORM.format(t='a')} AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_norm
-FROM embeddings a GROUP BY label
-""")
-def q32_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-norm aggregates per label (functions/vector.l2_norm shape,
-    decimal-exact for parity)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(_ddot(F.col("embedding"), F.col("embedding")))
-    return (emb.groupBy("label")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum(norm.cast("decimal(18,6)")).cast("double")
-                         / F.count("*"), 6).alias("avg_norm")))
 
 
 @register("q37_asof_join", """
@@ -916,29 +895,6 @@ def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("value", "sum_value")))
 
 
-@register("q40_grouping_sets", f"""
-SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-       COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
-       {_DSUM.format(c='l_extendedprice')} AS sum_price,
-       COUNT(*) AS n
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
-""")
-def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (gap §2.12, beyond rollup/cube): expressed in
-    Spark SQL over a temp view — one pass, Expand operator fans each row
-    into its grouping sets, partial aggregation still applies."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(f"""
-        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-               COALESCE(CAST(year(l_shipdate) AS INT), -1) AS ship_year,
-               {_DSUM.format(c='l_extendedprice')} AS sum_price,
-               COUNT(*) AS n
-        FROM lineitem_v
-        GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
-    """)
-
-
 @register("q41_moving_average", """
 SELECT event_id,
        round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
@@ -960,26 +916,44 @@ def q41_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count("value").over(w).alias("n_in_window"))
 
 
-@register("q42_derive_datetime", """
+@register("q42_derive_datetime", f"""
 WITH split AS (
   SELECT event_id,
          strftime(ts, '%Y-%m-%d') AS date_block,
          strftime(ts, '%H:%M:%S') AS time_block
-  FROM events)
-SELECT event_id,
-       date_block || ' ' || time_block AS datetimestamp,
-       CAST(epoch(strptime(date_block || ' ' || time_block, '%Y-%m-%d %H:%M:%S')) AS DOUBLE) AS datetimestampseconds,
-       CAST(floor(epoch(strptime(date_block || ' ' || time_block, '%Y-%m-%d %H:%M:%S')) / 86400) AS BIGINT) AS days,
-       CAST(floor((floor(epoch(strptime(date_block || ' ' || time_block, '%Y-%m-%d %H:%M:%S'))) % 86400) / 60) AS BIGINT) AS minutes
-FROM split
+  FROM events),
+derived AS (
+  SELECT event_id,
+         date_block || ' ' || time_block AS datetimestamp,
+         CAST(epoch(strptime(date_block || ' ' || time_block, '%Y-%m-%d %H:%M:%S')) AS DOUBLE) AS datetimestampseconds
+  FROM split)
+SELECT event_id, datetimestamp, datetimestampseconds,
+       CAST(floor(datetimestampseconds / 86400) AS BIGINT) AS days,
+       CAST(floor((floor(datetimestampseconds) % 86400) / 60) AS BIGINT) AS minutes,
+       {_sql_cyc('datetimestampseconds', 1.0, 'sin')}  AS sin_second,
+       {_sql_cyc('datetimestampseconds', 1.0, 'cos')}  AS cos_second,
+       {_sql_cyc('datetimestampseconds', 60.0, 'sin')}  AS sin_minute,
+       {_sql_cyc('datetimestampseconds', 60.0, 'cos')}  AS cos_minute,
+       {_sql_cyc('datetimestampseconds', 3600.0, 'sin')} AS sin_hour,
+       {_sql_cyc('datetimestampseconds', 3600.0, 'cos')} AS cos_hour,
+       {_sql_cyc('datetimestampseconds', 86400.0, 'sin')}  AS sin_day,
+       {_sql_cyc('datetimestampseconds', 86400.0, 'cos')}  AS cos_day,
+       {_sql_cyc('datetimestampseconds', 365.2425 * 86400.0, 'sin')} AS sin_year,
+       {_sql_cyc('datetimestampseconds', 365.2425 * 86400.0, 'cos')} AS cos_year
+FROM derived
 """)
 def q42_derive_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's signature derived columns (SURVEY.md §2.5): split
     date/time text blocks → ``datetimestamp`` concat
     (tfdataset_utilities.py:114-134) → epoch-seconds float64
     (:122-140) → days/minutes decomposition (datapipeline_utilities.py:
-    182-191). The reference bounces every row through ``tf.py_function``;
-    here the whole chain is codegen'd built-ins."""
+    182-191) → cyclical sin/cos encodings at ALL FIVE reference periods —
+    second/minute/hour/day/year (datapipeline_utilities.py:80-106,
+    datapipeline.py:511-566). Exact π — the reference's executed paths
+    hard-code 3.14 (SURVEY.md Appendix A.1); outputs rounded to 6 dp
+    because libm and the JVM may differ in the last ulp. The reference
+    bounces every row through ``tf.py_function``; here the whole chain is
+    codegen'd built-ins."""
     from powerdatapipeline_spark.functions.datetime_funcs import (
         concat_date_time, epoch_seconds)
 
@@ -990,12 +964,20 @@ def q42_derive_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "HH:mm:ss").alias("time_block"))
     stamp = concat_date_time("date_block", "time_block")
     secs = epoch_seconds(stamp, "yyyy-MM-dd HH:mm:ss")
-    return split.select(
-        "event_id",
-        stamp.alias("datetimestamp"),
-        secs.alias("datetimestampseconds"),
-        F.floor(secs / 86400).cast("bigint").alias("days"),
-        F.floor((F.floor(secs) % 86400) / 60).cast("bigint").alias("minutes"))
+    derived = split.select("event_id", stamp.alias("datetimestamp"),
+                           secs.alias("datetimestampseconds"))
+    s = F.col("datetimestampseconds")
+    periods = ["second", "minute", "hour", "day", "year"]
+    names = [f"{k}_{p}" for p in periods for k in ("sin", "cos")]
+    # + 0.0 normalizes -0.0 (see _sql_cyc: the sign of a ~1e-16 result at
+    # π/2 phase multiples is libm-dependent)
+    cyc = [(F.round(c, 6) + F.lit(0.0)).alias(n)
+           for n, c in zip(names, _cyclical(s, periods))]
+    return derived.select(
+        "event_id", "datetimestamp", "datetimestampseconds",
+        F.floor(s / 86400).cast("bigint").alias("days"),
+        F.floor((F.floor(s) % 86400) / 60).cast("bigint").alias("minutes"),
+        *cyc)
 
 
 @register("q43_supervised_lags", """
@@ -1101,14 +1083,6 @@ def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("q46_sample", None)
-def q46_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample (the reference's declared-but-unconsumed
-    ``downsampling_rate`` knob, config/config.py:118-119 → df.sample).
-    Rows-only: sampling algorithms are engine-specific by nature."""
-    return _t(spark, sf_dir, "events").sample(fraction=0.1, seed=42)
-
-
 @register("q47_kmeans_assign", f"""
 WITH scored AS (
   SELECT a.vec_id, b.vec_id AS centroid_id, {_SQL_DOT} AS dot
@@ -1142,21 +1116,6 @@ def q47_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_assigned"),
                  F.round(F.sum(F.col("dot").cast("decimal(18,6)")).cast("double")
                          / F.count("*"), 6).alias("avg_dot")))
-
-
-@register("q48_approx_distinct", None)
-def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (gap §2.12): the sketch path for
-    cardinalities where exact count-distinct's shuffle is not worth it at
-    100 TB. Rows-only: HLL implementations differ per engine by design;
-    the value is sanity-bounded against the exact count instead."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-                 F.countDistinct("l_partkey").alias("exact_parts"))
-            .withColumn("rel_err",
-                        F.round(F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                                / F.col("exact_parts"), 4)))
 
 
 @register("q49_analytic_functions", """
@@ -1256,14 +1215,18 @@ SELECT o_orderkey,
        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
        CAST(extract(isodow FROM o_orderdate) AS INT) AS iso_dow,
-       CAST(extract(doy FROM o_orderdate) AS INT) AS doy
+       CAST(extract(doy FROM o_orderdate) AS INT) AS doy,
+       upper(substr(o_orderpriority, 1, 8)) AS prio_prefix,
+       CAST(length(o_orderstatus) AS INT) AS status_len
 FROM orders
 """)
 def q52_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/interval scalar-function family (gap §2.12). Day-of-week uses
-    the ISO convention on BOTH sides (Spark's ``dayofweek`` is Sunday=1 but
-    DuckDB's ``dow`` is Sunday=0 — ``weekday``/``isodow`` with Monday=1 is
-    the portable choice)."""
+    """Date/interval + string scalar-function families on orders (gap
+    §2.12 / SURVEY.md §2.5 — the reference's only string ops are concat +
+    datetime parse via py_function; Spark built-ins replace the Python
+    escape hatch). Day-of-week uses the ISO convention on BOTH sides
+    (Spark's ``dayofweek`` is Sunday=1 but DuckDB's ``dow`` is Sunday=0 —
+    ``weekday``/``isodow`` with Monday=1 is the portable choice)."""
     orders = _t(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return orders.select(
@@ -1274,7 +1237,9 @@ def q52_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", d).alias("month_start"),
         F.quarter(d).cast("int").alias("qtr"),
         (F.weekday(d) + 1).cast("int").alias("iso_dow"),
-        F.dayofyear(d).cast("int").alias("doy"))
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
+        F.length("o_orderstatus").cast("int").alias("status_len"))
 
 
 @register("q53_shipping_priority", f"""
@@ -1377,10 +1342,11 @@ def q55_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(disc.cast("decimal(18,6)")).cast("double").alias("volume")))
 
 
-@register("q56_correlated_subquery", """
+@register("q56_correlated_subquery", f"""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
-WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+WHERE o_totalprice > 2 * (SELECT {_DAVG.format(c='o2.o_totalprice')}
+                          FROM orders o2
                           WHERE o2.o_custkey = o.o_custkey)
   AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
               AND l.l_quantity > 45)
@@ -1390,13 +1356,16 @@ def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECORRELATES both — the scalar subquery becomes an aggregate joined back
     on the correlation key, the EXISTS a left-semi join; no per-row
     re-execution ever happens (the plan shows two joins, zero subqueries).
-    Expressed in SQL to exercise the subquery front-end."""
+    Expressed in SQL to exercise the subquery front-end. The correlated
+    average uses the module's decimal-exact form on BOTH sides so
+    summation-order differences can never flip boundary rows."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v56")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders_v o
-        WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders_v o2
+        WHERE o_totalprice > 2 * (SELECT {_DAVG.format(c='o2.o_totalprice')}
+                                  FROM orders_v o2
                                   WHERE o2.o_custkey = o.o_custkey)
           AND EXISTS (SELECT 1 FROM lineitem_v56 l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
@@ -1439,16 +1408,89 @@ UNPIVOT (value FOR metric IN (balance, nation))
 def q58_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (the inverse of q14's conditional-agg pivot):
     ``df.unpivot`` generates an Expand — one pass, rows × n_metrics output,
-    no shuffle."""
+    no shuffle. Spark's unpivot KEEPS null-valued rows while DuckDB's
+    UNPIVOT excludes them by default — the explicit IS NOT NULL filter pins
+    the DuckDB semantics on any data (no null column exists in the test
+    tables, but the contract shouldn't depend on that)."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_acctbal").alias("balance"),
         F.col("c_nationkey").cast("double").alias("nation"))
     out = cust.unpivot("c_custkey", ["balance", "nation"], "metric", "value")
-    return out.withColumn("value", F.round("value", 6))
+    return (out.where(F.col("value").isNotNull())
+            .withColumn("value", F.round("value", 6)))
+
+
+@register("q59_resample_linear", f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+         {_DAVG.format(c='value')} AS avg_value
+  FROM events GROUP BY 1, 2),
+seq AS (
+  SELECT event_type, epoch(bucket_ts) AS t0, avg_value AS v0,
+         lead(epoch(bucket_ts)) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS t1,
+         lead(avg_value)        OVER (PARTITION BY event_type ORDER BY bucket_ts) AS v1
+  FROM hourly),
+ticks AS (
+  SELECT event_type, t0, v0, t1, v1, tick
+  FROM seq, unnest(CASE WHEN t1 IS NULL THEN [CAST(t0 AS BIGINT)]
+                        ELSE generate_series(CAST(t0 AS BIGINT),
+                                             CAST(t1 AS BIGINT) - 1, 900) END) u(tick))
+SELECT event_type, tick AS tick_s,
+       CASE WHEN t1 IS NULL OR tick = t0 THEN v0
+            ELSE v0 + (v1 - v0) * ((tick - t0) / (t1 - t0)) END AS value_interp
+FROM ticks
+""")
+def q59_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsample with LINEAR interpolation (the reference's stubbed
+    ``fill_method='linear'`` intent, tfdataset_resampling.py:22-25, now
+    wired through the resample dispatcher): hourly per-type means re-spread
+    to a 900 s grid, each tick linearly interpolated between its bracketing
+    hourly samples — gaps in the hourly series interpolate across the gap
+    instead of repeating stale values (contrast q19's repeat fill). One
+    lead() window per series + explode(sequence) — a single keyed shuffle,
+    then narrow 1→N generation; identical IEEE interpolation arithmetic on
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type")
+              .agg(davg("value", "avg_value")))
+    h = hourly.select("event_type", F.col("bucket_ts").cast("double").alias("s"),
+                      "avg_value")
+    out = ts.resample(h, "s", interval_original=3600, interval_desired=900,
+                      value_cols=["avg_value"], method="linear",
+                      partition_by=["event_type"])
+    # no rounding: v0/v1 are decimal-exact averages and the interpolation is
+    # the same IEEE expression tree on both engines — results are
+    # bit-identical, and rounding would only introduce half-way-tie
+    # divergence (frac ∈ {0, .25, .5, .75} makes exact ties common)
+    return out.select("event_type", F.col("s").cast("bigint").alias("tick_s"),
+                      F.col("avg_value").alias("value_interp"))
 
 
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
+
+@register("q46_sample", None)
+def q46_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (the reference's declared-but-unconsumed
+    ``downsampling_rate`` knob, config/config.py:118-119 → df.sample).
+    Rows-only: sampling algorithms are engine-specific by nature."""
+    return _t(spark, sf_dir, "events").sample(fraction=0.1, seed=42)
+
+
+@register("q48_approx_distinct", None)
+def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (gap §2.12): the sketch path for
+    cardinalities where exact count-distinct's shuffle is not worth it at
+    100 TB. Rows-only: HLL implementations differ per engine by design;
+    the value is sanity-bounded against the exact count instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts"))
+            .withColumn("rel_err",
+                        F.round(F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                                / F.col("exact_parts"), 4)))
+
 
 @register("q33_simhash_pairs", None)
 def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,23 +1544,3 @@ def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_bytes", "checksum", "mean_pixel"))
 
 
-@register("q14_conditional_agg", f"""
-SELECT CAST(floor(value / 20.0) AS BIGINT) AS value_bucket,
-       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
-       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
-       {_DSUM.format(c="CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
-FROM events WHERE value IS NOT NULL
-GROUP BY 1
-""")
-def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/conditional aggregation (pivot-style without pivot's schema
-    inference — fixed columns, deterministic)."""
-    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    bucket = F.floor(F.col("value") / 20.0).cast("bigint").alias("value_bucket")
-    pv = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0))
-    return (ev.groupBy(bucket)
-            .agg(F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
-                 F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
-                 F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
-                 F.sum(pv.cast("decimal(18,6)")).cast("double").alias("purchase_value")))
