@@ -134,10 +134,15 @@ def upsample_linear(df: DataFrame, seconds_col: str, interval: int,
     df = df.withColumn("__t1", t1)
     for c in value_cols:
         df = df.withColumn(f"__next_{c}", F.lead(c).over(w))
-    # ticks cover [t0, t1): the successor row emits its own t1 tick
+    # ticks cover [t0, t1): the successor row emits its own t1 tick.
+    # stop is clamped to >= start: duplicate or sub-interval-spaced
+    # timestamps (t1 - 1 < t0) would otherwise make F.sequence throw
+    # "Illegal sequence boundaries"; the clamp degrades such pairs to a
+    # single self-tick instead of a runtime crash
     ticks = F.when(
         F.col("__t1").isNotNull(),
-        F.sequence(t0.cast("long"), (F.col("__t1") - 1).cast("long"),
+        F.sequence(t0.cast("long"),
+                   F.greatest((F.col("__t1") - 1).cast("long"), t0.cast("long")),
                    F.lit(interval)),
     ).otherwise(F.array(t0.cast("long")))
     df = df.withColumn("__tick", F.explode(ticks))
@@ -167,18 +172,23 @@ def resample(df: DataFrame, seconds_col: str, interval_original: int,
     supports ``modulo`` (grid filter) and ``mean`` (tumbling aggregate);
     upsampling supports ``repeat`` fill and ``linear`` interpolation (the
     reference stubs linear, tfdataset_resampling.py:22-25)."""
-    if method == "mean" and not value_cols:
-        # groupBy().agg() with zero expressions raises deep inside Spark;
-        # fail at the API boundary instead (pipeline.transform can reach
-        # here when the feature list reduces to only the seconds column)
-        raise ValueError("resample(method='mean') requires non-empty value_cols")
     if interval_desired == interval_original:
         return df
     if interval_desired > interval_original:
+        if method == "linear":
+            raise ValueError(
+                "resample(method='linear') interpolates on the UPSAMPLE "
+                "direction only; use method='mean' or 'modulo' to downsample")
         if method == "mean":
+            if not value_cols:
+                # groupBy().agg() with zero expressions raises deep inside
+                # Spark; fail at the API boundary instead
+                raise ValueError(
+                    "resample(method='mean') requires non-empty value_cols")
             ts = F.timestamp_seconds(F.col(seconds_col)).alias("__ts")
             out = downsample_mean(df.withColumn("__ts", ts), "__ts",
-                                  interval_desired, list(value_cols or []))
+                                  interval_desired, list(value_cols or []),
+                                  partition_by)
             return out
         return downsample_modulo(df, seconds_col, interval_desired)
     if method == "linear":
@@ -458,10 +468,12 @@ def prefix_split(df: DataFrame, ts_col: str, train_fraction: float = 0.8,
                .agg(F.percentile(t, p_train).alias("__t_train"),
                     F.percentile(t, p_test).alias("__t_test")))
         j = df.join(F.broadcast(q), list(partition_by))
-        train = j.where(t <= F.col("__t_train")).drop("__t_train", "__t_test")
+        # the join moves partition keys to the front; restore input order so
+        # both branches return the same schema
+        train = j.where(t <= F.col("__t_train")).select(*df.columns)
         test = j.where((t > F.col("__t_train")) & (t <= F.col("__t_test"))) \
-                .drop("__t_train", "__t_test")
-        eval_df = j.where(t > F.col("__t_test")).drop("__t_train", "__t_test")
+                .select(*df.columns)
+        eval_df = j.where(t > F.col("__t_test")).select(*df.columns)
         return train, test, eval_df
     q = df.agg(
         F.percentile(t, p_train).alias("t_train"),

@@ -56,6 +56,40 @@ def test_upsample_repeat_grid_alignment(spark):
 def test_resample_dispatcher_none(spark):
     df = _series(spark, 5)
     assert ts.resample(df, "s", 60, 60) is df
+    # equal cadences are a no-op even for method='mean' with no value_cols —
+    # the guard must not fire before the early return
+    assert ts.resample(df, "s", 60, 60, method="mean") is df
+
+
+def test_resample_mean_empty_value_cols_raises(spark):
+    with pytest.raises(ValueError):
+        ts.resample(_series(spark, 5), "s", 60, 120, method="mean")
+
+
+def test_resample_linear_downsample_raises(spark):
+    with pytest.raises(ValueError):
+        ts.resample(_series(spark, 5), "s", 60, 120, value_cols=["v"],
+                    method="linear")
+
+
+def test_resample_mean_respects_partition_by(spark):
+    rows = [Row(k="a", s=float(i), v=1.0) for i in range(60)] + \
+           [Row(k="b", s=float(i), v=3.0) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = ts.resample(df, "s", 1, 60, value_cols=["v"], method="mean",
+                      partition_by=["k"])
+    got = {r.k: r.avg_v for r in out.collect()}
+    # series must NOT be averaged together (pre-fix both collapsed to 2.0)
+    assert got == {"a": 1.0, "b": 3.0}
+
+
+def test_upsample_linear_duplicate_timestamps_no_crash(spark):
+    # duplicate timestamps used to throw "Illegal sequence boundaries"
+    rows = [Row(s=0.0, v=0.0), Row(s=10.0, v=10.0), Row(s=10.0, v=20.0),
+            Row(s=20.0, v=30.0)]
+    df = spark.createDataFrame(rows)
+    out = ts.upsample_linear(df, "s", 5, ["v"]).collect()
+    assert len(out) > 0  # completes; duplicate pair degrades to a self-tick
 
 
 def test_sliding_windows_count_and_content(spark):
@@ -117,6 +151,14 @@ def test_prefix_split_fractions_and_order(spark):
     # deterministic PREFIX split: max(train) < min(test) < min(eval)
     assert train.agg(F.max("s")).first()[0] < test.agg(F.min("s")).first()[0]
     assert test.agg(F.max("s")).first()[0] < ev.agg(F.min("s")).first()[0]
+
+
+def test_prefix_split_partitioned_schema_order(spark):
+    rows = [Row(v=float(i), k="a", s=float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows)  # partition key deliberately mid-schema
+    train, test, ev = ts.prefix_split(df, "s", 0.8, 0.1, partition_by=["k"])
+    for part in (train, test, ev):
+        assert part.columns == df.columns  # join must not reorder the schema
 
 
 def test_prefix_split_fraction_validation(spark):
