@@ -38,15 +38,23 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-                        n_planes: int = 8, id_col: str = "vec_id",
+                        n_planes: int = 8, n_probe: int = 1,
+                        id_col: str = "vec_id",
                         vec_col: str = "embedding", query_id_col: str = "query_id",
                         seed: int = 42, dim: int = 64) -> DataFrame:
-    """Approximate top-k via random-hyperplane (sign) LSH.
+    """Approximate top-k via random-hyperplane (sign) LSH with multi-probe.
 
     Each vector hashes to an ``n_planes``-bit bucket (sign of dot with fixed
-    pseudo-random hyperplanes, deterministic from ``seed``); queries probe
-    only their own bucket. Recall < 1 by construction — this is the scale
-    path; exactness is :func:`brute_force_topk`.
+    pseudo-random hyperplanes, deterministic from ``seed``). With
+    ``n_probe=1`` a query scans only its own bucket; a true neighbor on the
+    far side of any single hyperplane is then invisible. Multi-probe
+    (``n_probe>1``) additionally flips the ``n_probe−1`` bits whose margin
+    ``|q·plane_i|`` is smallest — exactly the hyperplanes the query sits
+    closest to, i.e. the buckets most likely to hold lost neighbors (Lv et
+    al., VLDB'07 multi-probe LSH). Cost: the broadcast query side grows
+    ×n_probe; the corpus is hashed ONCE and never shuffles. Recall < 1 by
+    construction — exactness is :func:`brute_force_topk`; the recall@10
+    floor is pinned by tests/test_text_dedup_similarity.py.
 
     The hyperplanes are generated driver-side (numpy, deterministic) and
     embedded as literals — tiny, no broadcast join needed.
@@ -55,22 +63,46 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
+    if not (1 <= n_probe <= n_planes + 1):
+        raise ValueError(f"n_probe must be in [1, n_planes+1], got {n_probe}")
 
-    def bucket(col: str):
-        bits = []
+    def scores(col: str):
+        # per-plane signed margins, materialized once per row so the dot
+        # products are not recomputed per bit
+        return F.array(*[dot(col, F.array(*[F.lit(float(x)) for x in planes[i]]))
+                         for i in range(n_planes)])
+
+    def bucket_of(sc):
+        out = F.lit(0)
         for i in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-            s = dot(col, plane)
-            bits.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** i))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
+            out = out + F.when(sc[i] >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
         return out
 
-    emb_b = embeddings.withColumn("__bucket", bucket(vec_col))
-    q_b = F.broadcast(queries.select(query_id_col,
-                                     F.col(vec_col).alias("__qvec"))
-                      .withColumn("__bucket", bucket("__qvec")))
+    emb_b = (embeddings
+             .withColumn("__sc", scores(vec_col))
+             .withColumn("__bucket", bucket_of(F.col("__sc")))
+             .drop("__sc"))
+    qs = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+          .withColumn("__sc", scores("__qvec"))
+          .withColumn("__base", bucket_of(F.col("__sc"))))
+    if n_probe == 1:
+        q_b = qs.withColumn("__bucket", F.col("__base"))
+    else:
+        # bits ranked by |margin| ascending — flip the closest hyperplanes
+        flip_order = F.transform(
+            F.array_sort(F.zip_with(
+                F.col("__sc"), F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda s, i: F.struct(F.abs(s).alias("margin"), i.alias("bit")))),
+            lambda st: st["bit"])
+        probes = F.concat(
+            F.array(F.col("__base")),
+            F.transform(F.slice(flip_order, 1, n_probe - 1),
+                        lambda b: F.col("__base").bitwiseXOR(
+                            F.pow(F.lit(2.0), b).cast("int"))))
+        q_b = qs.withColumn("__bucket", F.explode(probes))
+    q_b = F.broadcast(q_b.select(query_id_col, "__qvec", "__bucket"))
+    # probe buckets are pairwise distinct (base / base⊕2^i), so the equi-join
+    # cannot duplicate a (query, corpus) pair — no dedup pass needed
     scored = (emb_b.join(q_b, "__bucket")
               .select(query_id_col, id_col,
                       F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
@@ -79,22 +111,87 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                   .where(F.col("rank") <= k))
 
 
-def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-             n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", query_id_col: str = "query_id",
-             seed: int = 7, dim: int = 64) -> DataFrame:
-    """IVF-style ANN: assign every corpus vector to its nearest coarse
-    centroid (deterministic pseudo-random centroids — a production system
-    would k-means these; the partition/probe plumbing is identical), then
-    each query scores only vectors in its ``n_probe`` nearest cells.
+def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                      vec_col: str = "embedding", seed: int = 7,
+                      dim: int = 64, iters: int = 3) -> list[list[float]]:
+    """Fit IVF coarse centroids with spherical k-means (Lloyd iterations).
 
-    At 100 TB: write the corpus partitioned by cell id (partition pruning →
-    each query touches n_probe/n_cells of the data).
+    Deterministic from ``seed``: unit-normalized random init, then per
+    iteration (1) E-step — assign each corpus vector to its max-dot centroid,
+    the same distributed expression q47_kmeans_assign uses; (2) M-step —
+    per-cell per-dimension mean via ``posexplode`` + one grouped aggregate
+    (single shuffle keyed by (cell, dim); the collected result is just
+    n_cells×dim floats, never the data), renormalized to unit length. Empty
+    cells keep their previous centroid. Centroids are unit vectors so
+    max-dot assignment ≡ max-cosine — consistent with the cosine search
+    that probes the cells.
+
+    Scale: each iteration is one full corpus pass (map-side partial agg +
+    tiny shuffle) — the standard distributed Lloyd layout; ``iters`` is
+    small and fixed. At 100 TB you would fit on a sample; the loop is
+    unchanged.
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        sc = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
+        best = F.array_position(sc, F.array_max(sc)) - 1
+        stats = (embeddings
+                 .withColumn("__cell", best)
+                 .select("__cell", F.posexplode(vec_col).alias("pos", "val"))
+                 .groupBy("__cell", "pos")
+                 .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                 .collect())
+        new = cents.copy()
+        counts = {}
+        for r in stats:
+            cell = int(r["__cell"])   # Row blocks __-prefixed attr access
+            new[cell][int(r.pos)] = r.s / r.n
+            counts[cell] = r.n
+        for c in range(n_cells):
+            if c not in counts:       # empty cell: keep the previous centroid
+                new[c] = cents[c]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return [[float(x) for x in c] for c in cents]
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id",
+             seed: int = 7, dim: int = 64,
+             centroids: list[list[float]] | None = None,
+             fit_iters: int = 0) -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its nearest coarse
+    centroid, then each query scores only vectors in its ``n_probe`` nearest
+    cells.
+
+    Centroids come from, in order of precedence: the ``centroids`` argument
+    (pre-fitted, e.g. :func:`fit_ivf_centroids` on a sample), a k-means fit
+    when ``fit_iters > 0`` (runs ``fit_iters`` Lloyd iterations on the
+    corpus), else deterministic unit random vectors (``fit_iters=0`` — cheap
+    but cell occupancy is unbalanced and recall uncontrolled; kept as the
+    zero-pass fallback).
+
+    At 100 TB: fit centroids once on a sample, write the corpus partitioned
+    by cell id (partition pruning → each query touches n_probe/n_cells of
+    the data).
+    """
+    import numpy as np
+
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+    elif fit_iters > 0:
+        cents = np.asarray(fit_ivf_centroids(
+            embeddings, n_cells, vec_col, seed, dim, fit_iters), dtype=float)
+    else:
+        cents = np.random.default_rng(seed).standard_normal((n_cells, dim))
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
 
     def cell_scores(col: str):

@@ -1505,24 +1505,29 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q34_ann_lsh_topk", None)
 def q34_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH
+    """Approximate NN via multi-probe random-hyperplane LSH
     (operators/similarity.hyperplane_lsh_topk) — the 100 TB scale path for
-    q31's exact semantics; recall < 1 by construction, so rows-only."""
+    q31's exact semantics. n_probe=4 additionally scans the 3
+    lowest-|margin| bit-flip buckets per query (recall floor pinned by
+    test_multiprobe_lsh_recall_floor); recall < 1 by construction, so
+    rows-only."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return sim.hyperplane_lsh_topk(emb, qs, k=10)
+    return sim.hyperplane_lsh_topk(emb, qs, k=10, n_probe=4)
 
 
 @register("q35_ann_ivf_topk", None)
 def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (operators/similarity.ivf_topk): coarse-centroid cells
-    + n_probe search — at scale the corpus is written partitioned by cell id
-    so queries prune partitions. Rows-only (approximate)."""
+    """IVF ANN (operators/similarity.ivf_topk): spherical-k-means-fitted
+    coarse centroids (fit_iters=2 Lloyd passes, deterministic from the
+    seed) + n_probe cell search — at scale the corpus is written
+    partitioned by cell id so queries prune partitions. Rows-only
+    (approximate); recall floor pinned by test_ivf_fitted_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return sim.ivf_topk(emb, qs, k=10)
+    return sim.ivf_topk(emb, qs, k=10, fit_iters=2)
 
 
 @register("q36_multimodal_features", None)

@@ -139,6 +139,78 @@ def test_ivf_topk_probes_cells(spark):
     assert top1 == {0: 0, 1: 1}
 
 
+def _clustered_corpus(spark, n=300, dim=16, n_clusters=6, seed=1):
+    """Clustered corpus where ANN recall is meaningful: true neighbors are
+    cluster-mates, so losing a bucket/cell visibly costs recall."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    pts = centers[rng.integers(0, n_clusters, n)] + \
+        rng.standard_normal((n, dim)) * 0.5
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in pts[i]]) for i in range(n)])
+
+
+def _recall_vs_brute(df, brute_sets):
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    return sum(len(got.get(q, set()) & s) / len(s)
+               for q, s in brute_sets.items()) / len(brute_sets)
+
+
+def _brute_sets(emb, qs, k=10):
+    out = {}
+    for r in sim.brute_force_topk(emb, qs, k=k).collect():
+        out.setdefault(r.query_id, set()).add(r.vec_id)
+    return out
+
+
+def test_multiprobe_lsh_recall_floor(spark):
+    """Multi-probe must beat single-probe AND clear a fixed recall@10 bar —
+    the quality gate the single-probe implementation lacked (round-1/2
+    finding: boundary neighbors silently lost)."""
+    emb = _clustered_corpus(spark).cache()
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = _brute_sets(emb, qs)
+    r1 = _recall_vs_brute(
+        sim.hyperplane_lsh_topk(emb, qs, k=10, n_planes=8, dim=16, n_probe=1), bf)
+    r4 = _recall_vs_brute(
+        sim.hyperplane_lsh_topk(emb, qs, k=10, n_planes=8, dim=16, n_probe=4), bf)
+    # deterministic fixture: measured r1≈0.84, r4≈0.91
+    assert r4 > r1, f"multi-probe {r4:.3f} must improve over single {r1:.3f}"
+    assert r4 >= 0.88, f"multi-probe recall@10 {r4:.3f} below floor"
+
+
+def test_lsh_n_probe_validation(spark):
+    emb = _clustered_corpus(spark, n=10)
+    qs = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError):
+        sim.hyperplane_lsh_topk(emb, qs, n_planes=4, dim=16, n_probe=6)
+
+
+def test_ivf_fitted_recall(spark):
+    """k-means-fitted centroids must be deterministic from the seed and beat
+    the random-centroid fallback's recall (round-1/2 finding: noise
+    centroids → unbalanced cells, uncontrolled recall)."""
+    emb = _clustered_corpus(spark).cache()
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    bf = _brute_sets(emb, qs)
+    rn = _recall_vs_brute(
+        sim.ivf_topk(emb, qs, k=10, n_cells=8, n_probe=2, dim=16, fit_iters=0), bf)
+    rf = _recall_vs_brute(
+        sim.ivf_topk(emb, qs, k=10, n_cells=8, n_probe=2, dim=16, fit_iters=3), bf)
+    assert rf >= rn, f"fitted {rf:.3f} must not lose to noise centroids {rn:.3f}"
+    assert rf >= 0.95, f"fitted IVF recall@10 {rf:.3f} below floor"
+    c1 = sim.fit_ivf_centroids(emb, n_cells=8, dim=16, iters=2)
+    c2 = sim.fit_ivf_centroids(emb, n_cells=8, dim=16, iters=2)
+    assert c1 == c2  # bit-deterministic from the seed
+    import math
+    assert all(abs(math.fsum(x * x for x in c) - 1.0) < 1e-9 for c in c1)
+
+
 def test_lsh_lazy_plan_has_no_nested_loop(spark):
     """The lazy (materialize=False) variants expose the full logical plan —
     assert the band self-join is a hash join, never a nested loop (the plan
