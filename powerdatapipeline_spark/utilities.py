@@ -35,26 +35,46 @@ def write_json_file(json_object: str | dict, json_file_name: str) -> None:
             json.dump(json_object, f, indent=2)
 
 
+# the reference's exact grammar (utilities/utilities.py:96-99):
+#   w-<window>_f-<inputs>_o-<targets>_n-<rows>_<model_type>_model.epoch<N>-loss<F>.keras
+# model_type may itself contain underscores ([a-zA-Z_]+, e.g. "stacked_lstm");
+# the trailing literal "_model." disambiguates where it ends. Anchored match,
+# like the reference's re.match.
 _CKPT_RE = re.compile(
-    r"window(?P<window_size>\d+)_features(?P<n_features>\d+)_"
-    r"targets(?P<n_targets>\d+)_rows(?P<n_rows>\d+)_(?P<model_type>[A-Za-z0-9]+)")
+    r"w-(?P<window_size>\d+)_f-(?P<n_input_features>\d+)_"
+    r"o-(?P<n_target_features>\d+)_n-(?P<n_rows>\d+)_"
+    r"(?P<model_type>[a-zA-Z_]+)_model\.epoch\d+-loss\d+\.\d+\.keras")
 
 
 def parse_checkpoint_name(name: str) -> dict:
-    """Extract (window_size, n_features, n_targets, n_rows, model_type) from
-    a checkpoint filename (reference utilities.py:96-110)."""
-    m = _CKPT_RE.search(name)
+    """Extract (window_size, n_input_features, n_target_features, n_rows,
+    model_type) from a checkpoint filename — the reference's
+    ``extract_checkpoint_info`` (utilities/utilities.py:96-110), same grammar
+    and key names. Numeric dimensions are returned as ints (the reference
+    keeps them as strings; equality semantics are identical for the
+    zero-padding-free names the reference itself emits)."""
+    m = _CKPT_RE.match(os.path.basename(name))
     if not m:
-        raise ValueError(f"unparseable checkpoint name: {name!r}")
+        raise ValueError(
+            f"Filename {name!r} does not match the expected format.")
     d = m.groupdict()
     return {k: (v if k == "model_type" else int(v)) for k, v in d.items()}
 
 
 def checkpoints_compatible(a: str, b: str) -> bool:
-    """Compare two checkpoint names on their parsed dimensions (reference
-    utilities.py:112-126)."""
-    pa, pb = parse_checkpoint_name(a), parse_checkpoint_name(b)
-    return all(pa[k] == pb[k] for k in ("window_size", "n_features", "n_targets"))
+    """Compare two checkpoint paths on ALL five parsed dimensions, raising
+    ``ValueError`` naming the first mismatching key — the reference's
+    ``compare_checkpoint_paths`` (utilities/utilities.py:112-126: basenames,
+    every key gates, mismatch raises with details). Returns True when
+    everything agrees."""
+    fa, fb = os.path.basename(a), os.path.basename(b)
+    pa, pb = parse_checkpoint_name(fa), parse_checkpoint_name(fb)
+    for key in pa:
+        if pa[key] != pb[key]:
+            raise ValueError(
+                f"Mismatch in {key!r}: {pa[key]!r} (from {fa!r}) != "
+                f"{pb[key]!r} (from {fb!r})")
+    return True
 
 
 def validation_errors_to_rows(errors: list[dict]) -> list[dict]:

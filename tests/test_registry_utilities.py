@@ -65,17 +65,34 @@ def test_write_json_file(tmp_path):
     assert json.load(open(p)) == {"a": 1}
 
 
-def test_checkpoint_name_roundtrip():
-    name = "ckpt_window10_features5_targets1_rows2000_LSTM.keras"
+def test_checkpoint_name_reference_grammar():
+    # a literal reference-style name, incl. underscore-bearing model type
+    name = "w-8_f-3_o-1_n-45000_stacked_lstm_model.epoch12-loss0.0342.keras"
     d = parse_checkpoint_name(name)
-    assert d == {"window_size": 10, "n_features": 5, "n_targets": 1,
-                 "n_rows": 2000, "model_type": "LSTM"}
-    other = "ckpt_window10_features5_targets1_rows9999_GRU.keras"
-    assert checkpoints_compatible(name, other)  # n_rows doesn't gate compat
-    assert not checkpoints_compatible(
-        name, "ckpt_window11_features5_targets1_rows2000_LSTM.keras")
+    assert d == {"window_size": 8, "n_input_features": 3,
+                 "n_target_features": 1, "n_rows": 45000,
+                 "model_type": "stacked_lstm"}
+    # full paths parse via basename, like the reference
+    assert parse_checkpoint_name("/ckpts/run1/" + name) == d
     with pytest.raises(ValueError):
         parse_checkpoint_name("nonsense")
+    with pytest.raises(ValueError):  # anchored: prefix junk does not parse
+        parse_checkpoint_name("ckpt_" + name)
+
+
+def test_checkpoints_compatible_all_five_dimensions_gate():
+    def nm(w=8, f=3, o=1, n=45000, t="lstm"):
+        return f"w-{w}_f-{f}_o-{o}_n-{n}_{t}_model.epoch1-loss0.5.keras"
+    assert checkpoints_compatible(nm(), "/elsewhere/" + nm())
+    # every one of the five dimensions raises on mismatch (the reference
+    # compares all keys and raises with details — utilities.py:119-125)
+    for variant, key in [
+        (nm(w=9), "window_size"), (nm(f=4), "n_input_features"),
+        (nm(o=2), "n_target_features"), (nm(n=1), "n_rows"),
+        (nm(t="gru"), "model_type"),
+    ]:
+        with pytest.raises(ValueError, match=key):
+            checkpoints_compatible(nm(), variant)
 
 
 def test_validation_errors_to_rows():
