@@ -53,12 +53,76 @@ def schema_for_columns(columns: list[str],
     return T.StructType(fields)
 
 
+def _first_csv_row(path: str) -> list[str]:
+    import csv
+    import glob as _glob
+
+    files = sorted(_glob.glob(path)) or [path]
+    with open(files[0], newline="") as fh:
+        row = next(csv.reader(fh), None)
+    if row is None:
+        raise ValueError(f"CSV file is empty: {files[0]}")
+    return row
+
+
+def _cell_casts(cell: str, dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.StringType):
+        return True
+    try:
+        float(cell)
+        return True
+    except ValueError:
+        return False
+
+
+def detect_csv_header(path: str, columns: list[str] | None = None,
+                      schema: T.StructType | None = None) -> bool:
+    """Header auto-detection — the reference's ``investigate_csv_file``
+    intent (datapipeline_utilities.py:12-26: "assuming the first row is
+    column names if it contains strings"; its literal ``all(isinstance(cell,
+    str))`` test is vacuously true under csv.reader, so the *usable* form of
+    the heuristic is implemented: the first row is a header iff it does NOT
+    cast as a data row).
+
+    Decision order:
+
+    1. ``columns`` given and the first row equals them → header.
+    2. Any first-row cell fails to cast to its column's (name-driven or
+       supplied) dtype → header.
+    3. Every cell casts, and at least one target dtype is non-string →
+       data row, no header.
+    4. All-string columns and an all-string first row are genuinely
+       ambiguous → header (the reference resolves the same way: strings in
+       row 0 mean column names).
+
+    Reads exactly ONE line of the first matching file driver-side — scale
+    does not apply; this is a pre-flight check for local/mounted CSV, which
+    is the only CSV the reference reads.
+    """
+    first = _first_csv_row(path)
+    if columns is not None and first == list(columns):
+        return True
+    if schema is None:
+        schema = schema_for_columns(columns if columns is not None else
+                                    [f"_c{i}" for i in range(len(first))])
+    dtypes = [f.dataType for f in schema.fields]
+    if len(first) != len(dtypes):
+        raise ValueError(
+            f"first row has {len(first)} cells but {len(dtypes)} columns "
+            "were declared")
+    if not all(_cell_casts(c, t) for c, t in zip(first, dtypes)):
+        return True  # can't be data → must be a header
+    if all(isinstance(t, T.StringType) for t in dtypes):
+        return True  # ambiguous all-string case: reference treats as header
+    return False
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
     schema: T.StructType | None = None,
-    header: bool = True,
+    header: bool | None = True,
     select: list[str] | None = None,
     limit: int | None = None,
     dtype_overrides: dict[str, str] | None = None,
@@ -68,9 +132,13 @@ def read_csv(
     Mirrors ``csv_to_csvdataset`` (reference datapipeline/tfdataset.py:16-52):
     glob pattern, per-column dtype defaults, ``select_columns`` projection,
     optional row limit. Catalyst pushes ``select``/``limit`` into the scan.
+    ``header=None`` auto-detects via :func:`detect_csv_header` (reference
+    datapipeline_utilities.py:12-26).
     """
     if schema is None and columns is not None:
         schema = schema_for_columns(columns, dtype_overrides)
+    if header is None:
+        header = detect_csv_header(path, columns, schema)
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)
@@ -130,6 +198,48 @@ def audit_nulls(df: DataFrame, raise_on_null: bool = False) -> dict[str, int]:
         bad = {k: v for k, v in counts.items() if v}
         raise ValueError(f"null/NaN cells found: {bad}")
     return counts
+
+
+def inject_errors(df: DataFrame, ts_col: str,
+                  spike_col: str | None = None, spike_value: float = 1e7,
+                  rename: tuple[str, str] | None = None,
+                  blank_col: str | None = None,
+                  drop_second_row: bool = False) -> DataFrame:
+    """Deterministic data-corruption fixture builder — the reference's
+    ``get_df_der(add_errors=True)`` (pandas_utilities.py:50-52: sets
+    ``df.loc[1, "vb"] = 1e7`` and renames ``va``→``Va``), generalized so the
+    data-quality failure paths are exercisable:
+
+    * ``spike_col``: the 2nd row (by ``ts_col`` order — the reference's
+      row index 1) gets ``spike_value``.
+    * ``blank_col``: the 2nd row's cell is nulled →
+      :func:`audit_nulls` ``raise_on_null`` trips.
+    * ``rename=(old, new)`` → :func:`check_columns` trips.
+    * ``drop_second_row`` → a cadence gap, ``check_intervals`` trips.
+
+    Corruptions apply in that order (blank/spike target different columns by
+    contract). The "2nd row" lookup collects exactly one tiny 2-row sort —
+    a test fixture path, never a production operator.
+    """
+    ts2_rows = df.select(ts_col).orderBy(ts_col).limit(2).collect()
+    if len(ts2_rows) < 2:
+        raise ValueError("inject_errors needs at least 2 rows")
+    t1 = ts2_rows[1][0]
+    if spike_col and spike_col == blank_col:
+        raise ValueError("spike_col and blank_col must differ")
+    if blank_col:
+        df = df.withColumn(blank_col, F.when(F.col(ts_col) == t1, F.lit(None))
+                           .otherwise(F.col(blank_col)))
+    if spike_col:
+        df = df.withColumn(spike_col,
+                           F.when(F.col(ts_col) == t1, F.lit(spike_value)
+                                  .cast(dict(df.dtypes)[spike_col]))
+                           .otherwise(F.col(spike_col)))
+    if rename:
+        df = df.withColumnRenamed(*rename)
+    if drop_second_row:
+        df = df.where(F.col(ts_col) != t1)
+    return df
 
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:

@@ -40,6 +40,35 @@ def test_read_csv_projection_and_limit(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_detect_csv_header_trio(spark, tmp_path):
+    from powerdatapipeline_spark.sources.readers import detect_csv_header
+    cols = ["datetimestampseconds", "W"]
+    # 1. header present: "W" does not cast to float32
+    with_header = _write_csv(tmp_path, "h.csv")
+    assert detect_csv_header(with_header, cols) is True
+    # 2. headerless: first row is numeric data
+    headerless = _write_csv(tmp_path, "nh.csv", body="0,1.5\n300,2.5\n")
+    assert detect_csv_header(headerless, cols) is False
+    # 3. ambiguous: all-string columns, all-string data row → header
+    #    (the reference's "strings in row 0 mean column names" resolution)
+    amb = _write_csv(tmp_path, "amb.csv", body="alpha,beta\ngamma,delta\n")
+    assert detect_csv_header(amb, ["date_block", "time_block"]) is True
+    # declared-name match short-circuits regardless of castability
+    assert detect_csv_header(with_header, ["datetimestampseconds", "W"]) is True
+    with pytest.raises(ValueError):  # cell-count / column-count disagreement
+        detect_csv_header(with_header, ["only_one"])
+
+
+def test_read_csv_header_auto(spark, tmp_path):
+    cols = ["datetimestampseconds", "W"]
+    with_header = _write_csv(tmp_path, "h2.csv")
+    headerless = _write_csv(tmp_path, "nh2.csv", body="0,1.5\n300,2.5\n300,3.5\n")
+    a = read_csv(spark, with_header, columns=cols, header=None)
+    b = read_csv(spark, headerless, columns=cols, header=None)
+    assert a.count() == 3 and b.count() == 3  # neither lost nor gained a row
+    assert {r.W for r in b.collect()} == {1.5, 2.5, 3.5}
+
+
 def test_check_columns_mismatch_raises(spark, tmp_path):
     df = read_csv(spark, _write_csv(tmp_path), columns=["datetimestampseconds", "W"])
     check_columns(df, ["datetimestampseconds", "W"])
@@ -54,6 +83,41 @@ def test_audit_nulls_counts_and_raises(spark):
     assert counts == {"a": 2, "b": 1}  # NaN counted for float cols (reference NaN audit)
     with pytest.raises(ValueError):
         audit_nulls(df, raise_on_null=True)
+
+
+def test_inject_errors_trips_every_quality_check(spark):
+    """The reference's get_df_der(add_errors=True) fixture (1e7 spike on
+    row 1, va→Va rename — pandas_utilities.py:50-52) plus blanked cells and
+    a cadence gap: every data-quality failure path must actually fire."""
+    from powerdatapipeline_spark.operators.timeseries import check_intervals
+    from powerdatapipeline_spark.sources.readers import inject_errors
+    clean = spark.createDataFrame(
+        [Row(datetimestampseconds=float(i * 60), va=1.0, vb=2.0)
+         for i in range(10)])
+    # clean data passes everything
+    check_columns(clean, ["datetimestampseconds", "va", "vb"])
+    audit_nulls(clean, raise_on_null=True)
+    assert check_intervals(clean, "datetimestampseconds", 60)
+
+    bad = inject_errors(clean, "datetimestampseconds", spike_col="vb",
+                        rename=("va", "Va"), blank_col="va")
+    with pytest.raises(ValueError, match="column mismatch"):
+        check_columns(bad, ["datetimestampseconds", "va", "vb"])
+    with pytest.raises(ValueError, match="null"):
+        audit_nulls(bad, raise_on_null=True)
+    # the 1e7 spike landed on exactly the reference's row index 1
+    spiked = {r.datetimestampseconds: r.vb for r in bad.collect()}
+    assert spiked[60.0] == 1e7 and spiked[0.0] == 2.0
+
+    gapped = inject_errors(clean, "datetimestampseconds", drop_second_row=True)
+    with pytest.raises(AssertionError, match="interval audit failed"):
+        check_intervals(gapped, "datetimestampseconds", 60)
+
+    with pytest.raises(ValueError):
+        inject_errors(clean, "datetimestampseconds", spike_col="va",
+                      blank_col="va")
+    with pytest.raises(ValueError):
+        inject_errors(clean.limit(1), "datetimestampseconds", spike_col="va")
 
 
 def test_load_tables_star_schema(spark, sf_dir):
