@@ -336,12 +336,28 @@ def interpolate_linear(df: DataFrame, ts_col: str, cols: Sequence[str],
 
 def fill_missing(df: DataFrame, ts_col: str, cols: Sequence[str],
                  interpolate_cols: Sequence[str] = (),
-                 partition_by: Sequence[str] | None = None) -> DataFrame:
+                 partition_by: Sequence[str] | None = None,
+                 bucket_seconds: float | None = None) -> DataFrame:
     """Composite fill mirroring ``fill_missing_values_in_df`` (reference
     pandas_utilities.py:131-152): default columns forward-fill, designated
     (cumulative) columns linearly interpolate, residual leading nulls
-    backfill."""
+    backfill.
+
+    For a single GLOBAL series (``partition_by=None``) pass
+    ``bucket_seconds`` to route through the bucketed-overlap variants —
+    the unpartitioned windows otherwise serialize the series through one
+    task (SURVEY.md §4.2.4)."""
     plain = [c for c in cols if c not in set(interpolate_cols)]
+    if bucket_seconds is not None and not partition_by:
+        if plain:
+            df = ffill_bucketed(df, ts_col, plain, bucket_seconds)
+        if interpolate_cols:
+            df = interpolate_linear_bucketed(df, ts_col,
+                                             list(interpolate_cols),
+                                             bucket_seconds)
+        if plain:
+            df = bfill_bucketed(df, ts_col, plain, bucket_seconds)
+        return df
     if plain:
         df = ffill(df, ts_col, plain, partition_by)
     if interpolate_cols:
@@ -349,6 +365,118 @@ def fill_missing(df: DataFrame, ts_col: str, cols: Sequence[str],
     if plain:
         df = bfill(df, ts_col, plain, partition_by)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-overlap fills for the single GLOBAL series (SURVEY.md §4.2.4):
+# an unpartitioned Window.orderBy(ts) is ONE task at 100 TB. Strategy (same
+# as sliding_windows_bucketed): bucket by time range; summarize each
+# bucket's boundary non-nulls in one grouped aggregate (one row per bucket);
+# prefix/suffix-scan the TINY summary frame (n_buckets rows — the only
+# unpartitioned window, deliberately over metadata, never the data);
+# broadcast the carry back and finish with per-bucket windows.
+# ---------------------------------------------------------------------------
+
+def _bucketed(df: DataFrame, ts_col: str, bucket_seconds: float):
+    return df.withColumn(
+        "__b", F.floor(F.col(ts_col).cast("double") / bucket_seconds).cast("long"))
+
+
+def ffill_bucketed(df: DataFrame, ts_col: str, cols: Sequence[str],
+                   bucket_seconds: float) -> DataFrame:
+    """Forward fill over one global series without a global window: carry
+    each bucket's LAST non-null into later buckets (test-pinned ≡
+    :func:`ffill`)."""
+    df2 = _bucketed(df, ts_col, bucket_seconds)
+    t_ok = lambda c: F.when(F.col(c).isNotNull(), F.col(ts_col))  # noqa: E731
+    summary = df2.groupBy("__b").agg(
+        *[F.max_by(F.col(c), t_ok(c)).alias(f"__last_{c}") for c in cols])
+    wprev = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = summary.select(
+        "__b", *[F.last(f"__last_{c}", ignorenulls=True).over(wprev)
+                 .alias(f"__carry_{c}") for c in cols])
+    out = df2.join(F.broadcast(carry), "__b", "left")
+    win = (Window.partitionBy("__b").orderBy(ts_col)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(
+            F.last(c, ignorenulls=True).over(win), F.col(f"__carry_{c}")))
+    return out.drop("__b", *[f"__carry_{c}" for c in cols])
+
+
+def bfill_bucketed(df: DataFrame, ts_col: str, cols: Sequence[str],
+                   bucket_seconds: float) -> DataFrame:
+    """Backward fill, bucketed: carry each bucket's FIRST non-null into
+    earlier buckets (test-pinned ≡ :func:`bfill`)."""
+    df2 = _bucketed(df, ts_col, bucket_seconds)
+    t_ok = lambda c: F.when(F.col(c).isNotNull(), F.col(ts_col))  # noqa: E731
+    summary = df2.groupBy("__b").agg(
+        *[F.min_by(F.col(c), t_ok(c)).alias(f"__first_{c}") for c in cols])
+    wnext = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    carry = summary.select(
+        "__b", *[F.first(f"__first_{c}", ignorenulls=True).over(wnext)
+                 .alias(f"__carry_{c}") for c in cols])
+    out = df2.join(F.broadcast(carry), "__b", "left")
+    win = (Window.partitionBy("__b").orderBy(ts_col)
+           .rowsBetween(0, Window.unboundedFollowing))
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(
+            F.first(c, ignorenulls=True).over(win), F.col(f"__carry_{c}")))
+    return out.drop("__b", *[f"__carry_{c}" for c in cols])
+
+
+def interpolate_linear_bucketed(df: DataFrame, ts_col: str, cols: Sequence[str],
+                                bucket_seconds: float) -> DataFrame:
+    """Linear interpolation, bucketed: each bucket carries its boundary
+    (value, ts) PAIRS both directions so a gap spanning buckets
+    interpolates against the true neighbors (test-pinned ≡
+    :func:`interpolate_linear`). The pair travels as one struct — carrying
+    value and timestamp separately could mix fields from different rows."""
+    df2 = _bucketed(df, ts_col, bucket_seconds)
+    t = F.col(ts_col).cast("double")
+    pair = lambda c: F.struct(t.alias("t"), F.col(c).alias("v"))  # noqa: E731
+    t_ok = lambda c: F.when(F.col(c).isNotNull(), F.col(ts_col))  # noqa: E731
+    summary = df2.groupBy("__b").agg(
+        *[F.max_by(pair(c), t_ok(c)).alias(f"__last_{c}") for c in cols],
+        *[F.min_by(pair(c), t_ok(c)).alias(f"__first_{c}") for c in cols])
+    wprev = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    wnext = Window.orderBy("__b").rowsBetween(1, Window.unboundedFollowing)
+    carry = summary.select(
+        "__b",
+        *[F.last(f"__last_{c}", ignorenulls=True).over(wprev)
+          .alias(f"__cprev_{c}") for c in cols],
+        *[F.first(f"__first_{c}", ignorenulls=True).over(wnext)
+          .alias(f"__cnext_{c}") for c in cols])
+    out = df2.join(F.broadcast(carry), "__b", "left")
+    wb = (Window.partitionBy("__b").orderBy(ts_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wf = (Window.partitionBy("__b").orderBy(ts_col)
+          .rowsBetween(1, Window.unboundedFollowing))
+    for c in cols:
+        v = F.col(c)
+        # in-bucket neighbor (value, ts) come from the SAME frame+condition,
+        # so both fall back to the carried struct together
+        prev_v = F.coalesce(
+            F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(wb),
+            F.col(f"__cprev_{c}")["v"])
+        prev_t = F.coalesce(
+            F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wb),
+            F.col(f"__cprev_{c}")["t"])
+        next_v = F.coalesce(
+            F.first(F.when(v.isNotNull(), v), ignorenulls=True).over(wf),
+            F.col(f"__cnext_{c}")["v"])
+        next_t = F.coalesce(
+            F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wf),
+            F.col(f"__cnext_{c}")["t"])
+        interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+        filled = (F.when(v.isNotNull(), v)
+                  .when(prev_v.isNull(), next_v)
+                  .when(next_v.isNull(), prev_v)
+                  .otherwise(interp))
+        out = out.withColumn(c, filled)
+    drop = (["__b"] + [f"__cprev_{c}" for c in cols]
+            + [f"__cnext_{c}" for c in cols])
+    return out.drop(*drop)
 
 
 # ---------------------------------------------------------------------------

@@ -144,6 +144,50 @@ def test_fill_missing_composite(spark):
     assert out[2.0] == (5.0, 10.0)  # ffill carries
 
 
+def _gappy_series(spark, n=40):
+    """Null runs engineered to span bucket boundaries at bucket_seconds=10:
+    leading nulls, a run crossing the 0→1 boundary, bucket 2 entirely null
+    (carry must hop an empty bucket), trailing nulls."""
+    def val(i):
+        if i < 3 or 8 <= i <= 13 or 20 <= i <= 29 or i >= 37:
+            return None
+        return float(i)
+    rows = [Row(s=float(i), v=val(i)) for i in range(n)]
+    return spark.createDataFrame(rows, schema="s double, v double")
+
+
+def _vals(df):
+    return [(r.s, r.v) for r in df.orderBy("s").collect()]
+
+
+def test_bucketed_fills_equal_global(spark):
+    """The 100× scale path: every bucketed fill must reproduce the
+    unpartitioned-window result exactly, including null runs that span
+    bucket boundaries and a fully-null bucket."""
+    df = _gappy_series(spark)
+    assert _vals(ts.ffill_bucketed(df, "s", ["v"], 10)) == \
+        _vals(ts.ffill(df, "s", ["v"]))
+    assert _vals(ts.bfill_bucketed(df, "s", ["v"], 10)) == \
+        _vals(ts.bfill(df, "s", ["v"]))
+    assert _vals(ts.interpolate_linear_bucketed(df, "s", ["v"], 10)) == \
+        _vals(ts.interpolate_linear(df, "s", ["v"]))
+
+
+def test_fill_missing_bucketed_route(spark):
+    df = _gappy_series(spark)
+    glob = ts.fill_missing(df, "s", ["v"], interpolate_cols=["v"])
+    buck = ts.fill_missing(df, "s", ["v"], interpolate_cols=["v"],
+                           bucket_seconds=10)
+    assert _vals(buck) == _vals(glob)
+    # multi-column: plain ffill+bfill col alongside an interpolated col
+    df2 = _gappy_series(spark).withColumn("w", F.col("v") * 2)
+    glob2 = ts.fill_missing(df2, "s", ["v", "w"], interpolate_cols=["v"])
+    buck2 = ts.fill_missing(df2, "s", ["v", "w"], interpolate_cols=["v"],
+                            bucket_seconds=10)
+    assert [(r.s, r.v, r.w) for r in buck2.orderBy("s").collect()] == \
+        [(r.s, r.v, r.w) for r in glob2.orderBy("s").collect()]
+
+
 def test_prefix_split_fractions_and_order(spark):
     df = _series(spark, 100)
     train, test, ev = ts.prefix_split(df, "s", 0.8, 0.1)
