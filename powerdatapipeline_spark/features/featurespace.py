@@ -58,8 +58,14 @@ class FeatureSpace:
     def fit(self, df: DataFrame, n_rows: int | None = None) -> "FeatureSpace":
         """Adapt statistics on the first ``n_rows`` (reference
         ``get_featurespace``: ``adapt(dataset.take(n))``,
-        datapipeline.py:364-374). One agg job for all numeric stats; one
-        small distinct job per vocab feature."""
+        datapipeline.py:364-374). EXACTLY ONE Spark job regardless of how
+        many features: numeric stats and every vocab
+        (``sort_array(collect_set)``) ride the same aggregation — k string
+        features no longer cost k distinct-scan jobs over the sample
+        (job count pinned by test_fit_is_single_job). Vocabs are tiny by
+        contract (one-hot output), so collecting them driver-side is the
+        point, not a leak; nulls are excluded (a null vocab entry could
+        never match its one-hot comparison anyway)."""
         sample = df.limit(n_rows) if n_rows else df
         exprs: list[Column] = []
         for s in self.specs:
@@ -69,6 +75,9 @@ class FeatureSpace:
             elif s.feature_type == "float" and s.output_mode == "rescaled":
                 exprs += [F.min(s.name).alias(f"{s.name}__min"),
                           F.max(s.name).alias(f"{s.name}__max")]
+            elif s.feature_type == "string" and s.output_mode == "one_hot":
+                exprs += [F.sort_array(F.collect_set(F.col(s.name)))
+                          .alias(f"{s.name}__vocab")]
         row = sample.agg(*exprs).first().asDict() if exprs else {}
         for s in self.specs:
             if s.feature_type == "float" and s.output_mode == "normalized":
@@ -81,9 +90,7 @@ class FeatureSpace:
                 self.stats[s.name] = {"min": row[f"{s.name}__min"],
                                       "max": row[f"{s.name}__max"]}
             elif s.feature_type == "string" and s.output_mode == "one_hot":
-                vocab = [r[0] for r in
-                         sample.select(s.name).distinct().orderBy(s.name).collect()]
-                self.stats[s.name] = {"vocab": vocab}
+                self.stats[s.name] = {"vocab": list(row[f"{s.name}__vocab"])}
         self.fitted = True
         return self
 
