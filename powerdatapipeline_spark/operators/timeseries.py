@@ -557,7 +557,9 @@ def sessionize(df: DataFrame, ts_col: str, partition_by: Sequence[str],
     """Sessionization: a new session starts when the gap to the previous
     event in the same series exceeds ``gap_seconds``. session_id = running
     count of session starts (one window pass, one shuffle on the key).
-    The streaming twin is ``F.session_window`` (streaming/pipeline.py)."""
+    The streaming twin is ``streaming/pipeline.streaming_sessionize``
+    (``F.session_window``; emits per-session aggregates, not per-event
+    labels — see its docstring for the exact-gap boundary difference)."""
     w = _window(ts_col, partition_by)
     prev = F.lag(F.col(ts_col).cast("double")).over(w)
     is_new = (prev.isNull()

@@ -3,5 +3,6 @@ from powerdatapipeline_spark.streaming.pipeline import (  # noqa: F401
     streaming_downsample_mean,
     streaming_dedup,
     streaming_interval_stats,
+    streaming_sessionize,
     write_stream_parquet,
 )

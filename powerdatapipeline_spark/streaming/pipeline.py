@@ -86,6 +86,34 @@ def write_stream_parquet(stream: DataFrame, path: str, checkpoint: str,
     return writer.start()
 
 
+def streaming_sessionize(stream: DataFrame, ts_col: str,
+                         partition_by: Sequence[str], gap_seconds: float,
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Streaming sessionization — the twin of the batch
+    ``operators/timeseries.sessionize``: ``F.session_window`` merges events
+    whose inter-arrival gap is under ``gap_seconds``; a session is emitted
+    as ONE aggregate row (key, start, end, n_events) once the watermark
+    passes its close. State per open session only — watermark-bounded, the
+    streaming-scale shape (per-event session *labels*, batch sessionize's
+    output, would require unbounded state).
+
+    Boundary semantics: a gap of EXACTLY ``gap_seconds`` closes the session
+    here (session windows are half-open ``[start, prev+gap)``) but not in
+    the batch operator (which splits strictly on ``gap > gap_seconds``) —
+    sub-second jitter in real event time makes exact-gap events measure-zero;
+    the parity test uses off-boundary gaps.
+    """
+    keys = ([F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("w")]
+            + [F.col(c) for c in partition_by])
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(*keys)
+            .agg(F.count("*").alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .select(*partition_by, "n_events", "session_start", "session_end"))
+
+
 def streaming_interval_stats(stream: DataFrame, ts_col: str,
                              bucket_seconds: int = 60,
                              watermark: str = "1 minute") -> DataFrame:

@@ -12,6 +12,7 @@ from powerdatapipeline_spark.streaming import (
     streaming_dedup,
     streaming_downsample_mean,
     streaming_interval_stats,
+    streaming_sessionize,
 )
 
 SCHEMA = T.StructType([
@@ -76,6 +77,39 @@ def test_streaming_interval_stats(spark, tmp_path):
     rows = {r.bucket_ts.minute: r.n_events
             for r in spark.sql("SELECT * FROM stats").collect()}
     assert rows == {0: 2, 1: 1}
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """session_window sessions must agree with the batch sessionize on the
+    same events: same session count per series, same (start, end, n_events)
+    per session (gaps chosen off the exact-gap boundary)."""
+    from powerdatapipeline_spark.operators.timeseries import sessionize
+
+    rows = [
+        ("2024-01-01 00:00:00", "a", 1.0),
+        ("2024-01-01 00:00:20", "a", 2.0),   # same session (gap 20 < 60)
+        ("2024-01-01 00:02:00", "a", 3.0),   # gap 100 > 60 → new session
+        ("2024-01-01 00:02:30", "a", 4.0),
+        ("2024-01-01 00:00:10", "b", 5.0),   # b: one single-event session
+    ]
+    path = _feed(tmp_path, rows)
+    stream = read_stream_csv(spark, path, SCHEMA)
+    out = streaming_sessionize(stream, "ts", ["series"], 60)
+    _run(out, "sessions")
+    got = {(r.series, r.session_start, r.session_end): r.n_events
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+
+    batch_df = spark.createDataFrame(
+        rows, "ts string, series string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    batch = sessionize(batch_df, "ts", ["series"], 60)
+    expect = {(r.series, r.session_start, r.session_end): r.n_events
+              for r in batch.groupBy("series", "session_id")
+              .agg(F.count("*").alias("n_events"),
+                   F.min("ts").alias("session_start"),
+                   F.max("ts").alias("session_end")).collect()}
+    assert got == expect
+    assert len({k[0] for k in got}) == 2 and len(got) == 3
 
 
 def test_write_stream_parquet_foreachbatch(spark, tmp_path):
