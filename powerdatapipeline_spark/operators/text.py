@@ -62,10 +62,8 @@ def word_ngrams(col: str | Column, n: int = 2) -> Column:
 def stopword_ratio(col: str | Column) -> Column:
     t = tokens(col)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_sw = F.size(F.array_intersect(t, sw))  # distinct-intersect approximation
-    n_sw_exact = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-    _ = n_sw  # exact count used; distinct version kept for reference
-    return F.when(F.size(t) > 0, n_sw_exact / F.size(t)).otherwise(F.lit(0.0))
+    n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0, n_sw / F.size(t)).otherwise(F.lit(0.0))
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

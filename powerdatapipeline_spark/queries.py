@@ -267,16 +267,17 @@ def q08_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("o_orderstatus", F.lit("ALL")).alias("dim1"),
                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("dim2"),
                     "n", "sum_val"))
-    li.createOrReplaceTempView("lineitem_v8")
+    # DataFrame template arg instead of a temp view — nothing leaks into the
+    # session catalog (library hygiene: no name-collision risk)
     gsets = spark.sql(f"""
         SELECT 'gsets' AS op,
                COALESCE(l_returnflag, 'ALL') AS dim1,
                COALESCE(CAST(year(l_shipdate) AS STRING), 'ALL') AS dim2,
                COUNT(*) AS n,
                {_DSUM.format(c='l_extendedprice')} AS sum_val
-        FROM lineitem_v8
+        FROM {{li}}
         GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
-    """)
+    """, li=li)
     return rollup.unionByName(cube).unionByName(gsets)
 
 
@@ -1359,17 +1360,16 @@ def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expressed in SQL to exercise the subquery front-end. The correlated
     average uses the module's decimal-exact form on BOTH sides so
     summation-order differences can never flip boundary rows."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v56")
+    # DataFrame template args — no temp views leak into the session catalog
     return spark.sql(f"""
         SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders_v o
+        FROM {{orders}} o
         WHERE o_totalprice > 2 * (SELECT {_DAVG.format(c='o2.o_totalprice')}
-                                  FROM orders_v o2
+                                  FROM {{orders}} o2
                                   WHERE o2.o_custkey = o.o_custkey)
-          AND EXISTS (SELECT 1 FROM lineitem_v56 l
+          AND EXISTS (SELECT 1 FROM {{lineitem}} l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
-    """)
+    """, orders=_t(spark, sf_dir, "orders"), lineitem=_t(spark, sf_dir, "lineitem"))
 
 
 @register("q57_time_range_frame", """
