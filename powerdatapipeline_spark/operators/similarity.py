@@ -68,8 +68,11 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     def scores(col: str):
         # per-plane signed margins, materialized once per row so the dot
-        # products are not recomputed per bit
-        return F.array(*[dot(col, F.array(*[F.lit(float(x)) for x in planes[i]]))
+        # products are not recomputed per bit. Each plane is ONE nested
+        # literal (not dim F.lit nodes) — with hundreds of scalar literals
+        # the Python expression-tree build and Catalyst analysis dominate
+        # the query on small inputs
+        return F.array(*[dot(col, F.lit([float(x) for x in planes[i]]))
                          for i in range(n_planes)])
 
     def bucket_of(sc):
@@ -136,21 +139,40 @@ def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_cells, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # each Lloyd iteration is a full pass over the fit set: cache it once
+    # instead of re-reading the source per iteration (released on return),
+    # spread across the cluster first — a small fit sample often arrives as
+    # one file-partition, which would serialize the interpreted dot-product
+    # E-step through a single core for every iteration
+    we_cached = False
+    if embeddings.storageLevel.useMemory is False:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        embeddings = embeddings.repartition(par).persist()
+        we_cached = True
     for _ in range(iters):
-        cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        # one nested literal, not n_cells×dim Literal nodes (see scores());
+        # scores materialize into __sc ONCE — argmax over the 2×-evaluated
+        # transform would double the interpreted higher-order-function work
+        cent_arr = F.lit([[float(x) for x in c] for c in cents])
         sc = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
-        best = F.array_position(sc, F.array_max(sc)) - 1
+        best = F.array_position(F.col("__sc"), F.array_max("__sc")) - 1
+        # decimal sum: addition stays associative, so the fitted centroids
+        # are bit-identical no matter how partitions combine (float sums
+        # would drift with task completion order once the fit set spans
+        # multiple partitions)
         stats = (embeddings
+                 .withColumn("__sc", sc)
                  .withColumn("__cell", best)
                  .select("__cell", F.posexplode(vec_col).alias("pos", "val"))
                  .groupBy("__cell", "pos")
-                 .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                 .agg(F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
+                      F.count("*").alias("n"))
                  .collect())
         new = cents.copy()
         counts = {}
         for r in stats:
             cell = int(r["__cell"])   # Row blocks __-prefixed attr access
-            new[cell][int(r.pos)] = r.s / r.n
+            new[cell][int(r.pos)] = float(r.s) / r.n
             counts[cell] = r.n
         for c in range(n_cells):
             if c not in counts:       # empty cell: keep the previous centroid
@@ -158,6 +180,8 @@ def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cents = new / norms
+    if we_cached:
+        embeddings.unpersist()
     return [[float(x) for x in c] for c in cents]
 
 
@@ -192,16 +216,19 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     else:
         cents = np.random.default_rng(seed).standard_normal((n_cells, dim))
         cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
 
     def cell_scores(col: str):
         return F.transform(cent_arr, lambda c: dot(F.col(col), c))
 
-    def best_cell(col: str):
-        sc = cell_scores(col)
-        return F.array_position(sc, F.array_max(sc)) - 1
-
-    emb_c = embeddings.withColumn("__cell", best_cell(vec_col))
+    # materialize scores once, then argmax the materialized column — the
+    # naive array_position(sc, array_max(sc)) evaluates the n_cells×dim
+    # interpreted dot-product transform twice per row
+    emb_c = (embeddings
+             .withColumn("__sc", cell_scores(vec_col))
+             .withColumn("__cell",
+                         F.array_position(F.col("__sc"), F.array_max("__sc")) - 1)
+             .drop("__sc"))
     qs = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     # argsort the cell scores expression-side: pair (−score, cell), sort,
     # take the n_probe best cell ids
