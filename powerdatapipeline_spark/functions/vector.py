@@ -22,6 +22,20 @@ def dot(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def ddot(a: str | Column, b: str | Column) -> Column:
+    """Decimal-exact dot product of two array<float> columns: products in
+    double (exact IEEE), each rounded to DECIMAL(28,12) identically in any
+    engine, summed exactly — so the result is bit-reproducible regardless
+    of summation order (DuckDB's list_sum uses compensated summation and
+    differs from a plain left fold at ~1e-16). The merge lambda re-casts
+    because Spark's decimal addition narrows scale (38,12)+(28,12) →
+    (38,11); the cast back is an exact rescale at these magnitudes."""
+    prod = F.zip_with(_c(a), _c(b), lambda p, q: (p.cast("double") * q.cast("double"))
+                      .cast("decimal(28,12)"))
+    return F.aggregate(prod, F.lit(0).cast("decimal(38,12)"),
+                       lambda acc, v: (acc + v).cast("decimal(38,12)")).cast("double")
+
+
 def l2_norm(a: str | Column) -> Column:
     return F.sqrt(F.aggregate(_c(a), F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))

@@ -242,6 +242,67 @@ def neardup_report(df: DataFrame, text_col: str = "text",
     return _finish(out, base, materialize)
 
 
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
+                            n_tables: int = 4, n_planes: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            seed: int = 99, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, sub-quadratic.
+
+    Candidate generation: ``n_tables`` independent random-hyperplane LSH
+    tables (``n_planes`` sign bits each, deterministic from ``seed``); a
+    pair is a candidate iff it collides in ≥1 table — the banding that
+    makes recall tunable (1−(1−p^k)^L), exactly minhash_lsh_pairs' shape
+    with hyperplanes instead of permutations. Verification: decimal-exact
+    cosine (functions/vector.ddot) only on candidates. Never all pairs:
+    cost scales with collision density, not n².
+
+    Engine-portable: the plane constants embed as literals in both
+    engines, bucket signs come from plain double dots (sign mismatch would
+    need |dot| < 1e-15 — measure-zero for unit-scale data), and the
+    verified cosine is decimal-exact — so even this approximate operator
+    is oracle-checkable end-to-end (the q29 salted-md5 philosophy).
+
+    Recall floor vs brute force is pinned by
+    tests/test_text_dedup_similarity.py::test_embedding_neardup_recall.
+    """
+    import numpy as np
+
+    from powerdatapipeline_spark.functions.vector import ddot, dot
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket(t: int):
+        out = F.lit(0)
+        for i in range(n_planes):
+            p = F.lit([float(x) for x in planes[t][i]])
+            out = out + F.when(dot(F.col(vec_col), p) >= 0,
+                               F.lit(2 ** i)).otherwise(F.lit(0))
+        return out
+
+    tables = F.array(*[F.struct(F.lit(t).alias("t"), bucket(t).alias("bk"))
+                       for t in range(n_tables)])
+    hashed = (_spread(df)
+              .select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("s"))
+              .select(id_col, vec_col, F.col("s.t").alias("t"),
+                      F.col("s.bk").alias("bk")))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col(f"a.{vec_col}").alias("va"),
+                    F.col(f"b.{vec_col}").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = F.round(ddot("va", "vb")
+                  / (F.sqrt(ddot("va", "va")) * F.sqrt(ddot("vb", "vb"))), 6)
+    return (cand.withColumn("cosine", cos)
+                .where(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, shingle_n: int = 3) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints; candidates = documents sharing

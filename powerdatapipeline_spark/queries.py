@@ -754,15 +754,10 @@ def q29_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ddot(x, y):
-    """Decimal-exact dot product of two array<float> columns: products in
-    double (exact IEEE), each rounded to DECIMAL(28,12) identically in both
-    engines, summed exactly. The merge lambda re-casts because Spark's
-    decimal addition narrows scale (38,12)+(28,12) → (38,11); the cast back
-    is an exact rescale at these magnitudes."""
-    prod = F.zip_with(x, y, lambda p, q: (p.cast("double") * q.cast("double"))
-                      .cast("decimal(28,12)"))
-    return F.aggregate(prod, F.lit(0).cast("decimal(38,12)"),
-                       lambda acc, v: (acc + v).cast("decimal(38,12)")).cast("double")
+    """Decimal-exact dot product — moved to functions/vector.ddot so
+    operators (embedding near-dup) share the same parity-safe kernel."""
+    from powerdatapipeline_spark.functions.vector import ddot
+    return ddot(x, y)
 
 
 _SQL_DOT = ("CAST(list_sum(list_transform(generate_series(1, 64), i -> "
@@ -1464,6 +1459,59 @@ def q59_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # divergence (frac ∈ {0, .25, .5, .75} makes exact ties common)
     return out.select("event_type", F.col("s").cast("bigint").alias("tick_s"),
                       F.col("avg_value").alias("value_interp"))
+
+
+def _emb_lsh_oracle(n_tables: int = 4, n_planes: int = 8, dim: int = 64,
+                    seed: int = 99, threshold: float = 0.3) -> str:
+    """DuckDB twin of dedup.embedding_neardup_pairs: the SAME hyperplane
+    constants (same seed/order as the operator's rng) embed as SQL
+    literals, bucket signs come from plain double dots (sign parity is
+    safe — a flip needs |dot| < 1e-15), and the verify cosine reuses the
+    decimal-exact _SQL_DOT kernel. The q29 salted-md5 philosophy: even the
+    approximate candidate set is oracle-checkable."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_tables, n_planes, dim))
+
+    def bucket(t: int) -> str:
+        terms = []
+        for i in range(n_planes):
+            plist = "[" + ",".join(repr(float(x)) for x in planes[t][i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(generate_series(1,{dim}), "
+                f"j -> CAST(embedding[j] AS DOUBLE) * ({plist})[j])) >= 0 "
+                f"THEN {2 ** i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    hashed = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t, ({bucket(t)}) AS bk FROM embeddings"
+        for t in range(n_tables))
+    return f"""
+WITH h AS ({hashed}),
+cand AS (
+  SELECT DISTINCT ha.vec_id AS id_a, hb.vec_id AS id_b
+  FROM h ha JOIN h hb ON ha.t = hb.t AND ha.bk = hb.bk AND ha.vec_id < hb.vec_id)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')} * {_SQL_NORM.format(t='b')}), 6) AS cosine
+  FROM cand JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b)
+WHERE cosine >= {threshold}
+"""
+
+
+@register("q60_embedding_neardup", _emb_lsh_oracle())
+def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs
+    (operators/dedup.embedding_neardup_pairs): 4 hyperplane-LSH tables × 8
+    sign bits generate candidates (collision in ≥1 table), decimal-exact
+    cosine verifies — never all pairs; candidate volume scales with
+    collision density, not n². The synthetic embeddings are near-dup-free
+    (max pairwise cosine ≈0.5), so the demo threshold is 0.3; the recall
+    contract at real near-dup thresholds is pinned by
+    test_embedding_neardup_recall on a planted-duplicate corpus."""
+    return dd.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                      threshold=0.3, n_tables=4, n_planes=8)
 
 
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records

@@ -211,6 +211,45 @@ def test_ivf_fitted_recall(spark):
     assert all(abs(math.fsum(x * x for x in c) - 1.0) < 1e-9 for c in c1)
 
 
+def test_embedding_neardup_recall(spark):
+    """Planted near-duplicate corpus: embedding_neardup_pairs must recover
+    ≥80% of the true cosine≥0.9 pairs (banded hyperplane LSH recall
+    1−(1−p^k)^L ≈ 0.96 at these params) with zero false positives (exact
+    verify) — and be deterministic."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    vid = 0
+    for b in base:                      # each base vector + 2 near-dups
+        for _ in range(3):
+            v = b + rng.standard_normal(16) * 0.05
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows).cache()
+
+    # ground truth: exact cosine ≥ 0.9 over all pairs (tiny corpus)
+    import itertools
+    vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+    truth = set()
+    for i, j in itertools.combinations(sorted(vecs), 2):
+        c = vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+        if c >= 0.9:
+            truth.add((i, j))
+    assert len(truth) >= 25  # the plant worked
+
+    got = {(r.id_a, r.id_b): r.cosine for r in
+           dd.embedding_neardup_pairs(df, threshold=0.9, n_tables=6,
+                                      n_planes=8, dim=16).collect()}
+    assert set(got) <= truth              # exact verify: no false positives
+    recall = len(set(got) & truth) / len(truth)
+    assert recall >= 0.8, f"recall {recall:.2f} below floor"
+    got2 = {(r.id_a, r.id_b): r.cosine for r in
+            dd.embedding_neardup_pairs(df, threshold=0.9, n_tables=6,
+                                       n_planes=8, dim=16).collect()}
+    assert got == got2                    # deterministic from the seed
+
+
 def test_lsh_lazy_plan_has_no_nested_loop(spark):
     """The lazy (materialize=False) variants expose the full logical plan —
     assert the band self-join is a hash join, never a nested loop (the plan
