@@ -39,6 +39,39 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-style pre-tokenization classes (GPT-2's pattern minus lookaheads,
+#: which RE2 engines reject): letter runs, digit runs, single symbols.
+BPE_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_pieces(col: str | Column) -> Column:
+    """BPE-ish word pieces: the pre-tokenization split every byte-pair
+    tokenizer starts from (letters / digits / individual symbols, cased
+    down). Piece COUNT approximates LLM token count far better than
+    whitespace words on punctuation-heavy text."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_PIECE_RE), F.lit(0))
+
+
+def bpe_piece_count(col: str | Column) -> Column:
+    return F.size(bpe_pieces(col))
+
+
+def rolling_fingerprint(col: str | Column, base: int = 131,
+                        mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) of the normalized text:
+    ``fp = Σ code(c_i)·base^(n-i) mod p``, folded left-to-right so every
+    engine computes the identical value (the mod keeps intermediates under
+    2^37 — safe for ANSI long arithmetic, no overflow). Unlike the md5
+    :func:`fingerprint` this hash is *incrementally updatable* (append a
+    char = one multiply-add), the property streaming/windowed fingerprint
+    maintenance needs."""
+    norm = F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    codes = F.transform(F.sequence(F.lit(1), F.length(norm)),
+                        lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"))
+    return F.aggregate(codes, F.lit(0).cast("long"),
+                       lambda acc, x: (acc * base + x) % mod)
+
+
 def char_ngrams(col: str | Column, n: int = 3) -> Column:
     """Character n-gram shingles (for Jaccard/MinHash): substrings of length
     ``n`` over the lowercased text, distinct. Guarded for short strings —

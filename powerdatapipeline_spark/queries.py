@@ -1500,6 +1500,35 @@ WHERE cosine >= {threshold}
 """
 
 
+@register("q61_token_fingerprints", f"""
+WITH n AS (
+  SELECT doc_id, lower(text) AS lo,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lo, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(lo, '{tx.BPE_PIECE_RE}')) AS INT) AS n_pieces,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(t)),
+                                  i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_fp
+FROM n
+""")
+def q61_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + document fingerprinting (operators/text): whitespace
+    token count, BPE-ish piece count (letter/digit/symbol pre-tokenization —
+    the LLM-token-count proxy), and a Rabin–Karp rolling fingerprint (the
+    incrementally-updatable hash, vs. the md5 fingerprint q26 dedups on).
+    All codegen'd built-ins; the mod-arithmetic fold is bit-identical across
+    engines, so the fingerprint itself is hash-verified."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpe_piece_count("text").alias("n_pieces"),
+        tx.rolling_fingerprint("text").alias("rolling_fp"))
+
+
 @register("q60_embedding_neardup", _emb_lsh_oracle())
 def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs

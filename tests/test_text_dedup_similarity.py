@@ -26,6 +26,26 @@ def test_tokens_and_counts(spark):
     assert r.n == 3
 
 
+def test_bpe_pieces_and_rolling_fingerprint(spark):
+    df = spark.createDataFrame([Row(text="Hello, world! 42")])
+    r = df.select(tx.bpe_pieces("text").alias("p"),
+                  tx.bpe_piece_count("text").alias("n"),
+                  tx.rolling_fingerprint("text").alias("fp")).first()
+    # letters / single symbols / digit runs, cased down
+    assert r.p == ["hello", ",", "world", "!", "42"]
+    assert r.n == 5
+    # hand-computed Rabin–Karp over "hello, world! 42"
+    fp = 0
+    for ch in "hello, world! 42":
+        fp = (fp * 131 + ord(ch)) % 1_000_000_007
+    assert r.fp == fp
+    # normalization: whitespace runs collapse before hashing
+    a, b = spark.createDataFrame(
+        [Row(text="a  b"), Row(text="a b")]).select(
+        tx.rolling_fingerprint("text").alias("fp")).collect()
+    assert a.fp == b.fp
+
+
 def test_char_ngrams(spark):
     r = spark.createDataFrame([Row(text="abcd")]).select(
         tx.char_ngrams("text", 3).alias("g")).first()
