@@ -94,6 +94,38 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, blob_col).mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("pixels", T.ArrayType(T.IntegerType())),
+])
+
+
+def resize_image(df: DataFrame, out_w: int = 4, out_h: int = 4,
+                 id_col: str = "doc_id", blob_col: str = "blob",
+                 fake: bool = True, src_w: int = 8, src_h: int = 8) -> DataFrame:
+    """Resize via ``mapInPandas`` (Arrow-batched): decode each payload
+    (same ``fake`` gate as :func:`decode_image`), then nearest-neighbor
+    sample the source grid down/up to ``out_w×out_h`` — the index math a
+    real PIL/opencv resize would replace, with identical Spark-side
+    plumbing (schema, batch shape, partition-preserving narrow op)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b: bytes) -> list[int]:
+                px = decode_image(bytes(b), fake=fake)
+                return [px[min(int(y * src_h / out_h), src_h - 1) * src_w
+                           + min(int(x * src_w / out_w), src_w - 1)]
+                        for y in range(out_h) for x in range(out_w)]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "width": out_w, "height": out_h,
+                "pixels": pdf[blob_col].map(one),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, blob_col: str = "blob", every_n_bytes: int = 1024,
                  max_frames: int = 8) -> DataFrame:
     """Frame sampling plumbing: split a (fake) video payload into byte-range

@@ -48,6 +48,22 @@ def test_extract_image_features_mapinpandas(spark):
     assert again[1] == rows[1].mean_pixel
 
 
+def test_resize_image_nearest_neighbor(spark):
+    out = mm.resize_image(_blobs(spark), out_w=4, out_h=4, fake=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].width == 4 and rows[1].height == 4
+    assert len(rows[1].pixels) == 16
+    # nearest-neighbor 8x8→4x4 picks source pixel (2y, 2x) — verify against
+    # the fake decoder directly
+    src = mm.decode_image(b"payload-one", fake=True)
+    expect = [src[(2 * y) * 8 + 2 * x] for y in range(4) for x in range(4)]
+    assert list(rows[1].pixels) == expect
+    # upsample path: 8x8→16x16 repeats pixels, stays deterministic
+    up = {r.doc_id: r.pixels for r in
+          mm.resize_image(_blobs(spark), out_w=16, out_h=16, fake=True).collect()}
+    assert len(up[1]) == 256 and up[1][0] == src[0] == up[1][1]
+
+
 def test_frame_sample_explodes_byte_ranges(spark):
     df = spark.createDataFrame([Row(doc_id=1, blob=bytearray(b"x" * 3000))])
     out = mm.frame_sample(df, every_n_bytes=1024)
