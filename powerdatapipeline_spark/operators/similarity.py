@@ -185,6 +185,63 @@ def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     return [[float(x) for x in c] for c in cents]
 
 
+def write_ivf_index(embeddings: DataFrame, path: str,
+                    centroids: list[list[float]],
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF layout the docstrings promise: the corpus written
+    as parquet PARTITIONED BY its coarse-centroid cell id. A query that
+    probes ``n_probe`` cells then reads only those directories — Catalyst
+    prunes the rest at planning time (PartitionFilters, proven by
+    tests/test_text_dedup_similarity.py::test_ivf_index_partition_pruning).
+    This is the one-time write that turns every subsequent ANN query into
+    an n_probe/n_cells fraction of a full scan."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=float)
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    sc = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
+    out = (embeddings
+           .withColumn("__sc", sc)
+           .withColumn("cell",
+                       F.array_position(F.col("__sc"), F.array_max("__sc")) - 1)
+           .drop("__sc"))
+    out.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivf_search_indexed(spark, path: str, queries: DataFrame,
+                       centroids: list[list[float]], k: int = 10,
+                       n_probe: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       query_id_col: str = "query_id") -> DataFrame:
+    """ANN search over a :func:`write_ivf_index` layout: rank cells per
+    query driver-side (centroids are tiny and already local), then scan
+    ONLY the probed cell partitions via an ``isin`` partition filter —
+    planning-time directory pruning, no full-corpus scan, no shuffle of the
+    corpus (queries broadcast)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=float)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    probe_pairs = []   # (query_id, cell) — driver-side: |Q| × n_cells dots
+    qvecs = {}
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=float)
+        qvecs[r[query_id_col]] = r[vec_col]
+        order = np.argsort(-(cents @ qv))[:n_probe]
+        probe_pairs += [(r[query_id_col], int(c)) for c in order]
+    cells = sorted({c for _, c in probe_pairs})
+    corpus = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    probes = spark.createDataFrame(
+        [(qid, c, qvecs[qid]) for qid, c in probe_pairs],
+        f"{query_id_col} long, cell long, __qvec array<float>")
+    scored = (corpus.join(F.broadcast(probes), "cell")
+              .select(query_id_col, id_col,
+                      F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+                  .where(F.col("rank") <= k))
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", query_id_col: str = "query_id",

@@ -270,6 +270,32 @@ def test_embedding_neardup_recall(spark):
     assert got == got2                    # deterministic from the seed
 
 
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The IVF 100 TB story, executed: corpus written partitioned by fitted
+    cell id; a search probing n_probe cells must (1) carry the cell
+    predicate in PartitionFilters (directory pruning at planning time),
+    (2) return exactly what the in-memory ivf_topk returns with the same
+    centroids."""
+    emb = _clustered_corpus(spark).cache()
+    cents = sim.fit_ivf_centroids(emb, n_cells=8, dim=16, iters=2)
+    path = str(tmp_path / "ivf_index")
+    sim.write_ivf_index(emb, path, cents)
+
+    qs = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.ivf_search_indexed(spark, path, qs, cents, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in pf  # probe predicate prunes directories, not rows
+
+    expect = {(r.query_id, r.rank): r.vec_id for r in
+              sim.ivf_topk(emb, qs, k=5, n_cells=8, n_probe=2, dim=16,
+                           centroids=cents).collect()}
+    got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    assert got == expect
+
+
 def test_lsh_lazy_plan_has_no_nested_loop(spark):
     """The lazy (materialize=False) variants expose the full logical plan —
     assert the band self-join is a hash join, never a nested loop (the plan
