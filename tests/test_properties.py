@@ -85,6 +85,35 @@ def test_interpolation_bounded_by_neighbors(spark, vals):
 
 
 @SLOW
+@given(vals=st.lists(st.one_of(st.none(), st.floats(-100, 100)),
+                     min_size=2, max_size=24),
+       bucket=st.sampled_from([2, 3, 5, 7]),
+       mode=st.sampled_from(["ffill", "bfill", "interp"]))
+def test_bucketed_fill_equals_global_property(spark, vals, bucket, mode):
+    """For ANY null pattern and ANY bucket size, the bucketed-overlap fills
+    must reproduce the unpartitioned-window result exactly — including
+    patterns hypothesis finds that hand fixtures miss (all-null prefixes,
+    alternating nulls, bucket-boundary runs)."""
+    df = spark.createDataFrame(
+        [Row(s=float(i), v=vals[i]) for i in range(len(vals))],
+        schema="s double, v double")
+    pairs = {
+        "ffill": (ts.ffill, ts.ffill_bucketed),
+        "bfill": (ts.bfill, ts.bfill_bucketed),
+        "interp": (ts.interpolate_linear, ts.interpolate_linear_bucketed),
+    }
+    glob_fn, buck_fn = pairs[mode]
+    glob = {r.s: r.v for r in glob_fn(df, "s", ["v"]).collect()}
+    buck = {r.s: r.v for r in buck_fn(df, "s", ["v"], bucket).collect()}
+    assert set(glob) == set(buck)
+    for s in glob:
+        if glob[s] is None:
+            assert buck[s] is None
+        else:
+            assert buck[s] == pytest.approx(glob[s], nan_ok=True)
+
+
+@SLOW
 @given(n=st.integers(5, 40),
        fracs=st.sampled_from([(0.8, 0.1), (0.5, 0.25), (0.9, 0.05)]))
 def test_prefix_split_partitions_exactly(spark, n, fracs):
