@@ -94,6 +94,45 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, blob_col).mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def decode_audio(payload: bytes, fake: bool = False):
+    """PCM decode gate — same contract as :func:`decode_image`: real codecs
+    (soundfile/libav) are not in this container, so the deterministic fake
+    (md5-expanded pseudo-samples in [0, 255]) stands in behind ``fake=True``."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires soundfile/libav (not in this "
+            "container); pass fake=True for the deterministic test decoder")
+    return _fake_decode(payload, width=16, height=16)  # 256 pseudo-samples
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
+                           blob_col: str = "blob", fake: bool = True) -> DataFrame:
+    """Audio feature extraction via ``mapInPandas`` — the audio twin of
+    :func:`extract_image_features`: per blob, sample count, RMS level, and
+    peak amplitude over the decoded PCM. Same Arrow batch shape, same
+    fake-decoder gate."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            samples = pdf[blob_col].map(lambda b: decode_audio(bytes(b), fake=fake))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "n_samples": samples.map(len),
+                "rms": samples.map(
+                    lambda s: (sum(x * x for x in s) / len(s)) ** 0.5),
+                "peak": samples.map(max),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("width", T.IntegerType()),

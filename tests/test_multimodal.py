@@ -48,6 +48,18 @@ def test_extract_image_features_mapinpandas(spark):
     assert again[1] == rows[1].mean_pixel
 
 
+def test_extract_audio_features(spark):
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"x", fake=False)
+    out = {r.doc_id: r for r in
+           mm.extract_audio_features(_blobs(spark), fake=True).collect()}
+    samples = mm.decode_audio(b"payload-one", fake=True)
+    assert out[1].n_samples == len(samples) == 256
+    assert out[1].peak == max(samples)
+    expect_rms = (sum(x * x for x in samples) / len(samples)) ** 0.5
+    assert out[1].rms == pytest.approx(expect_rms)
+
+
 def test_resize_image_nearest_neighbor(spark):
     out = mm.resize_image(_blobs(spark), out_w=4, out_h=4, fake=True)
     rows = {r.doc_id: r for r in out.collect()}

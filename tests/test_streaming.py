@@ -112,6 +112,35 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert len({k[0] for k in got}) == 2 and len(got) == 3
 
 
+def test_stateless_text_operators_stream_identically(spark, tmp_path):
+    """Pure-column-expression operators (text quality scoring) must run
+    UNCHANGED on a stream and produce exactly the batch result — the
+    batch/streaming unification the engine's no-UDF rule buys."""
+    from pyspark.sql import types as T
+
+    from powerdatapipeline_spark.operators.text import quality_score
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "docs.csv").write_text(
+        "doc_id,text\n"
+        "1,the quick brown fox jumps over the lazy dog\n"
+        "2,short\n"
+        "3,a much longer document with many common english words in it\n")
+    stream = (spark.readStream.schema(schema).option("header", "true")
+              .csv(str(p)))
+    q = (quality_score(stream).writeStream.format("memory")
+         .queryName("txt_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM txt_stream").collect()}
+    batch = spark.read.schema(schema).option("header", "true").csv(str(p))
+    expect = {tuple(r) for r in quality_score(batch).collect()}
+    assert got == expect and len(expect) == 3
+
+
 def test_write_stream_parquet_foreachbatch(spark, tmp_path):
     """foreachBatch parquet sink: the stream lands as readable parquet and a
     RESTART from the same checkpoint does not duplicate already-committed
