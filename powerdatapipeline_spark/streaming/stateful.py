@@ -23,7 +23,7 @@ The batch twin (same math, one pass, for backfills and tests) is
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import pandas as pd
 
