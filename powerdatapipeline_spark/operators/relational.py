@@ -92,6 +92,38 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
     return out.drop("__salt")
 
 
+def hash_split(df: DataFrame, key_col: str,
+               fractions: dict[str, float] | None = None,
+               salt: str = "", buckets: int = 10_000,
+               out_col: str = "split") -> DataFrame:
+    """Deterministic hash-based dataset split — the LLM-corpus train/val/
+    test rule: ``bucket = int(md5(salt ‖ key)[:8], 16) mod buckets``,
+    cumulative fraction thresholds assign the label.
+
+    Unlike ``df.sample``/``randomSplit`` this is a pure column expression:
+    stable across runs, engines, partitionings, and cluster sizes (no RNG
+    state), new documents never reassign old ones, and membership is
+    reproducible from the key alone. md5 keeps it bit-portable to any
+    oracle engine. No shuffle — a narrow map.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint") % buckets)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, label)
+
+
 def offset_limit(df: DataFrame, order: Sequence[Column], offset: int,
                  limit: int | None = None) -> DataFrame:
     """Skip-then-take over an explicit order (the reference's

@@ -1500,6 +1500,29 @@ WHERE cosine >= {threshold}
 """
 
 
+@register("q62_hash_split", """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bk
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""")
+def q62_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split
+    (operators/relational.hash_split): md5-bucket assignment — stable
+    across runs/engines/cluster sizes, no RNG state, new keys never
+    reassign old ones (contrast q46's engine-specific Bernoulli sample and
+    q25's time-ordered prefix split). Pure narrow map; every one of the
+    per-document labels is hash-verified against the oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return rel.hash_split(d, "doc_id").select("doc_id", "split")
+
+
 @register("q61_token_fingerprints", f"""
 WITH n AS (
   SELECT doc_id, lower(text) AS lo,

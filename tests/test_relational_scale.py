@@ -77,6 +77,24 @@ def test_top_k_uses_take_ordered(spark, sf_dir):
     assert out.count() == 5
 
 
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    out = rel.hash_split(df, "k")
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 5000 == pytest.approx(0.8, abs=0.03)
+    assert counts["val"] / 5000 == pytest.approx(0.1, abs=0.02)
+    # deterministic: identical assignment on re-run and after repartition
+    a = {r.k: r.split for r in out.collect()}
+    b = {r.k: r.split for r in rel.hash_split(df.repartition(7), "k").collect()}
+    assert a == b
+    # salt changes the assignment (independent re-splits)
+    c = {r.k: r.split for r in rel.hash_split(df, "k", salt="v2").collect()}
+    assert a != c
+    with pytest.raises(ValueError):
+        rel.hash_split(df, "k", fractions={"train": 0.5, "test": 0.1})
+
+
 def test_partitioned_write_prunes_partitions(spark, tmp_path):
     """Writing partitioned by a coarse time key lets Catalyst prune whole
     directories at planning time: the scan's PartitionFilters must carry the
