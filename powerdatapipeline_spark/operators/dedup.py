@@ -246,7 +246,8 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                             n_tables: int = 4, n_planes: int = 8,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            seed: int = 99, dim: int = 64) -> DataFrame:
+                            seed: int = 99, dim: int = 64,
+                            materialize: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, sub-quadratic.
 
     Candidate generation: ``n_tables`` independent random-hyperplane LSH
@@ -283,24 +284,37 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
 
     tables = F.array(*[F.struct(F.lit(t).alias("t"), bucket(t).alias("bk"))
                        for t in range(n_tables)])
+    # The 32 interpreted-HOF dot products are the dominant cost: compute them
+    # ONCE into a persisted frame (the q29 pattern) instead of re-evaluating
+    # on both sides of the self-join — and persist only the NARROW exploded
+    # (id, t, bk) rows, never the vector (a 100 TB corpus doesn't fit in
+    # cache; ~50-byte signature rows do). Verification re-reads vectors from
+    # the source scan (column-pruned parquet) and computes the L2 norm there
+    # once per DOCUMENT side — computing it per candidate pair would redo
+    # the decimal aggregate 2×|candidates| times.
     hashed = (_spread(df)
-              .select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("s"))
-              .select(id_col, vec_col, F.col("s.t").alias("t"),
-                      F.col("s.bk").alias("bk")))
+              .select(F.col(id_col), F.explode(tables).alias("s"))
+              .select(id_col, F.col("s.t").alias("t"), F.col("s.bk").alias("bk"))
+              .persist())
+    if materialize:
+        hashed.count()  # fill the cache before the self-join
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
                    & (F.col("a.bk") == F.col("b.bk"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col(f"a.{vec_col}").alias("va"),
-                    F.col(f"b.{vec_col}").alias("vb"))
+                    F.col(f"b.{id_col}").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    cos = F.round(ddot("va", "vb")
-                  / (F.sqrt(ddot("va", "va")) * F.sqrt(ddot("vb", "vb"))), 6)
-    return (cand.withColumn("cosine", cos)
-                .where(F.col("cosine") >= threshold)
-                .select("id_a", "id_b", "cosine"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   F.sqrt(ddot(vec_col, vec_col)).alias("nrm_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   F.sqrt(ddot(vec_col, vec_col)).alias("nrm_b"))
+    cos = F.round(ddot("va", "vb") / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    out = (cand.join(va, "id_a").join(vb, "id_b")
+               .withColumn("cosine", cos)
+               .where(F.col("cosine") >= threshold)
+               .select("id_a", "id_b", "cosine"))
+    return _finish(out, hashed, materialize)
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
