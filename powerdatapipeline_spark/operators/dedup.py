@@ -341,3 +341,114 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return (cand.withColumn("hamming", ham)
                 .where(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+def blocked_pairs(df: DataFrame, keys: list, id_col: str = "doc_id",
+                  max_block: int | None = None) -> DataFrame:
+    """Candidate pairs via blocking: for each blocking-key expression, pair
+    up ids that share the key value; union across keys, distinct.
+
+    Blocking is the classic record-linkage candidate generator (cf. the
+    LSH band join in :func:`minhash_lsh_pairs` — a band IS a blocking key):
+    comparisons drop from n² to Σ per-block m². Multiple keys raise recall
+    (a true match only needs ONE shared key); the union stays sub-quadratic
+    as long as blocks stay small.
+
+    ``max_block`` drops over-populated blocks entirely (the standard guard:
+    a degenerate key value — empty prefix, default date — would otherwise
+    contribute an m² blowup AND a skewed shuffle partition; its pairs are
+    the least informative, so dedup literature discards them). At 100 TB
+    this bound is what keeps the operator's cost ∝ corpus size.
+    """
+    outs = []
+    for k in keys:
+        keyed = df.select(F.col(id_col), k.alias("__bk")).where(F.col("__bk").isNotNull())
+        if max_block is not None:
+            ok = (keyed.groupBy("__bk").count()
+                  .where(F.col("count") <= max_block).select("__bk"))
+            keyed = keyed.join(ok, "__bk")
+        a, b = keyed.alias("a"), keyed.alias("b")
+        outs.append(
+            a.join(b, (F.col("a.__bk") == F.col("b.__bk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.distinct()
+
+
+def fuzzy_blocked_match(df: DataFrame, name_col: str, keys: list,
+                        id_col: str, max_dist: int = 4,
+                        max_block: int | None = None) -> DataFrame:
+    """Fuzzy matching = blocking + edit-distance verification: candidate
+    pairs from :func:`blocked_pairs`, verified with ``levenshtein() <=
+    max_dist``. Never computes distance on all pairs — only within blocks.
+
+    Returns (id_a, id_b, name_a, name_b, dist). The verify join re-reads
+    names from the column-pruned source by id (the same candidates-only
+    verification shape as embedding_neardup_pairs).
+    """
+    cand = blocked_pairs(df, keys, id_col=id_col, max_block=max_block)
+    na = df.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"))
+    nb = df.select(F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b"))
+    return (cand.join(na, "id_a").join(nb, "id_b")
+            .withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .where(F.col("dist") <= max_dist)
+            .select("id_a", "id_b", "name_a", "name_b", "dist"))
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over a pair graph: the dedup endgame. Near-dup
+    operators emit PAIRS (q26/q29/q33/q60); keeping one document per
+    duplicate GROUP requires merging pairs into components first — (a,b) and
+    (b,c) are one cluster even though (a,c) was never a candidate.
+
+    Algorithm: iterative min-label propagation. Every node starts labeled
+    with itself; each round takes the min of its own and its neighbors'
+    labels; the component's minimum id floods one hop per round, so
+    convergence takes diameter(G) rounds — near-dup clusters are shallow
+    (pairs share LSH buckets, so diameters are small); ``max_iter`` bounds
+    pathological chains. Each round is one join + one groupBy (shuffle keyed
+    by node id); lineage is truncated per round with an eager
+    ``localCheckpoint`` — without it the plan doubles every iteration. The
+    driver sees only the changed-row COUNT, never data. (For graphs with
+    large diameter the round count drops to O(log n) with the
+    large-star/small-star variant [Kiveris et al., SoCC'14]; near-dup graphs
+    don't need it.)
+
+    Returns (node, label): every node that appears in ``pairs``, labeled by
+    its component's minimum id. Callers map label→cluster id and treat
+    absent ids as singletons.
+    """
+    # No distinct on the directed union: ``pairs`` rows are already unique
+    # with id_a < id_b, so the two directions cannot collide — and duplicate
+    # edges would only repeat a min() argument anyway.
+    edges = (pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+             .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
+             .localCheckpoint(eager=True))
+    # Round 1 fused into one aggregation: against identity labels, the
+    # neighbor-min join degenerates to min(neighbor id), so the first round
+    # is a single shuffle instead of join + groupBy + join.
+    labels = (edges.groupBy("s")
+              .agg(F.min("t").alias("__mt"))
+              .select(F.col("s").alias("node"),
+                      F.least(F.col("s"), F.col("__mt")).alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter - 1):
+        nbr = (edges.join(labels, edges["t"] == labels["node"])
+               .groupBy("s").agg(F.min("label").alias("__m")))
+        stepped = (labels.join(nbr, labels["node"] == nbr["s"], "left")
+                   .select(F.col("node"),
+                           F.col("label").alias("__old"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("__m"), F.col("label")))
+                            .alias("label"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.where(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            break
+    return labels

@@ -1566,6 +1566,136 @@ def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.3, n_tables=4, n_planes=8)
 
 
+@register("q63_dedup_clusters", """
+WITH RECURSIVE n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+  FROM documents),
+k AS (
+  SELECT doc_id, md5(substr(txt, 1, 40)) AS k1,
+         md5(substr(reverse(txt), 1, 40)) AS k2
+  FROM n),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM k a JOIN k b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM k a JOIN k b ON a.k2 = b.k2 AND a.doc_id < b.doc_id),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+r AS (
+  SELECT src AS node, src AS reach FROM e
+  UNION
+  SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+lab AS (SELECT node, min(reach) AS label FROM r GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(lab.label, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(lab.label, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+""")
+def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: blocking pairs → connected components →
+    canonical pick (operators/dedup.blocked_pairs + dedup_clusters). Pair
+    evidence is two cheap blocking keys (md5 of the 40-char normalized
+    prefix and of the reversed-text prefix, i.e. the suffix) — a document
+    pair matching EITHER key is an edge, so components chain across keys
+    and the cluster id is a genuine graph computation, not a groupBy. The
+    Spark side iterates min-label propagation (diameter-bounded driver
+    loop, lineage truncated per round); the oracle replays it as a
+    recursive reachability CTE — an iterative distributed algorithm whose
+    every output row is still hash-checked. Canonical = the component's
+    minimum doc_id, the keep-one-per-cluster rule of a dedup pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    k1 = F.md5(F.substring(norm, 1, 40))
+    k2 = F.md5(F.substring(F.reverse(norm), 1, 40))
+    pairs = dd.blocked_pairs(docs, [k1, k2], id_col="doc_id")
+    labels = dd.dedup_clusters(pairs)
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    return (docs.select("doc_id")
+            .join(labels, F.col("doc_id") == F.col("node"), "left")
+            .select("doc_id", cluster.alias("cluster_id"),
+                    (F.col("doc_id") == cluster).cast("int").alias("is_canonical")))
+
+
+@register("q64_fuzzy_match", """
+WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+cand AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey)
+SELECT id_a, id_b, a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM cand JOIN p a ON a.p_partkey = id_a JOIN p b ON b.p_partkey = id_b
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""")
+def q64_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching (operators/dedup.fuzzy_blocked_match): blocking on
+    (p_brand, p_size) generates candidates, Levenshtein ≤ 4 verifies —
+    never all pairs; edit distance runs only within blocks (~8 rows each
+    here), the record-linkage shape that stays sub-quadratic at 100 TB.
+    Levenshtein is integer-exact in both engines, so the fuzzy match is
+    fully hash-checked."""
+    p = _t(spark, sf_dir, "part")
+    key = F.concat_ws("|", F.col("p_brand"), F.col("p_size").cast("string"))
+    return dd.fuzzy_blocked_match(p, "p_name", [key], id_col="p_partkey",
+                                  max_dist=4)
+
+
+@register("q66_stats_profile", """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+       round(sqrt((sxx - sx * sx / n) / n), 6) AS stddev_pop_qty,
+       round(sqrt((syy - sy * sy / n) / n), 6) AS stddev_pop_price,
+       round((sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
+FROM s
+""")
+def q66_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column statistical profile (covariance, stddev, correlation) per
+    group from exact decimal moment sums. Built-in ``corr``/``covar_pop``
+    accumulate running co-moments in floating point — merge order varies
+    with partitioning, so their last bits are not reproducible across
+    engines OR across cluster sizes. Here each moment (Σx, Σy, Σx², Σy²,
+    Σxy) is an exact DECIMAL sum (products formed in double — identical
+    IEEE rounding both sides — then decimal-cast), and the closed-form
+    combinations are one deterministic double expression, rounded to 6 dp.
+    Map-side partial aggregation still applies — decimal addition is
+    associative, which is the whole point."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = (li.groupBy("l_returnflag")
+         .agg(F.count("*").alias("n"),
+              F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+              F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+              F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+              F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+              F.sum((x * y).cast("decimal(28,6)")).cast("double").alias("sxy")))
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop"),
+        F.round(F.sqrt((sxx - sx * sx / n) / n), 6).alias("stddev_pop_qty"),
+        F.round(F.sqrt((syy - sy * sy / n) / n), 6).alias("stddev_pop_price"),
+        F.round((sxy - sx * sy / n)
+                / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)), 6)
+         .alias("corr_qty_price"))
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 

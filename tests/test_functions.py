@@ -88,3 +88,29 @@ def test_epoch_seconds_keeps_subsecond_fraction(spark):
     df = spark.createDataFrame([Row(s="2023-01-01 00:00:00.500")])
     r = df.select(epoch_seconds("s").alias("e")).first()
     assert r.e == 1672531200.5  # unix_timestamp would truncate to .0
+
+
+def test_stats_profile_matches_numpy(spark):
+    """q66's decimal-moment closed forms are real population statistics:
+    cross-check covar_pop / stddev_pop / corr against numpy on a fixture
+    (the DuckDB oracle only proves engine agreement, not that the formula
+    is correlation)."""
+    import numpy as np
+
+    from powerdatapipeline_spark.queries import REGISTRY
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(1, 50, 200).round(2)
+    y = (3.0 * x + rng.normal(0, 5, 200)).round(2)
+    df = spark.createDataFrame(
+        [("A", float(a), float(b)) for a, b in zip(x, y)],
+        "l_returnflag string, l_quantity double, l_extendedprice double")
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = REGISTRY["q66_stats_profile"][0](spark, d).collect()[0]
+    assert out.n_rows == 200
+    assert abs(out.covar_pop - np.cov(x, y, bias=True)[0][1]) < 1e-4
+    assert abs(out.stddev_pop_qty - x.std()) < 1e-4
+    assert abs(out.stddev_pop_price - y.std()) < 1e-4
+    assert abs(out.corr_qty_price - np.corrcoef(x, y)[0][1]) < 1e-6

@@ -304,3 +304,58 @@ def test_lsh_lazy_plan_has_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_dedup_clusters_chain_and_islands(spark):
+    """Min-label propagation finds the component minimum across CHAINED
+    pairs — (1,2),(2,3) is one cluster even though (1,3) was never a
+    candidate — and a long path (diameter 4) forces multiple propagation
+    rounds, so convergence (not round-1 luck) is what's tested."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "id_a long, id_b long")
+    got = {r.node: r.label for r in dd.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_dedup_clusters_merges_across_keys(spark):
+    """Two cliques sharing one member collapse to one component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 7), (7, 9)], "id_a long, id_b long")
+    got = {r.node: r.label for r in dd.dedup_clusters(pairs).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_blocked_pairs_union_and_max_block(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", "x"), (2, "aa", "y"), (3, "bb", "y"), (4, "bb", "z"),
+         (5, "cc", "z")],
+        "doc_id long, k1 string, k2 string")
+    got = {(r.id_a, r.id_b) for r in
+           dd.blocked_pairs(df, [F.col("k1"), F.col("k2")],
+                            id_col="doc_id").collect()}
+    # k1 blocks: {1,2}, {3,4}; k2 blocks: {2,3}, {4,5} — union, id_a < id_b
+    assert got == {(1, 2), (3, 4), (2, 3), (4, 5)}
+    # max_block=1 drops every block (all have 2 members) for k1; k2 likewise
+    assert dd.blocked_pairs(df, [F.col("k1")], id_col="doc_id",
+                            max_block=1).count() == 0
+    # null keys never pair
+    dfn = spark.createDataFrame([(1, None), (2, None), (3, "a"), (4, "a")],
+                                "doc_id long, k string")
+    got_n = {(r.id_a, r.id_b) for r in
+             dd.blocked_pairs(dfn, [F.col("k")], id_col="doc_id").collect()}
+    assert got_n == {(3, 4)}
+
+
+def test_fuzzy_blocked_match_distances(spark):
+    df = spark.createDataFrame(
+        [(1, "kitten", "b1"), (2, "sitting", "b1"), (3, "kitchen", "b1"),
+         (4, "kitten", "b2")],  # same name, different block: never compared
+        "pk long, name string, blk string")
+    out = dd.fuzzy_blocked_match(df, "name", [F.col("blk")], id_col="pk",
+                                 max_dist=3)
+    got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    # sitting→kitchen is distance 4 > max_dist, so (2,3) is verified away
+    assert got == {(1, 2): 3, (1, 3): 2}
+    assert all(r.name_a is not None for r in out.collect())
