@@ -1696,6 +1696,64 @@ def q66_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("corr_qty_price"))
 
 
+@register("q65_stream_stream_join", """
+SELECT a.user_id,
+       a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       round(epoch(b.ts) - epoch(a.ts), 6) AS lag_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+""")
+def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING stream-stream join
+    (streaming/pipeline.stream_stream_join): clicks and purchases arrive as
+    two independent file streams; each purchase joins the same user's
+    clicks from the preceding 10 minutes. Watermarks + the time-range
+    condition bound the buffered state on both sides — the attribution-join
+    shape that runs forever on an event firehose. Verified against the
+    equivalent BATCH join as the DuckDB oracle (same rows, same lag
+    values), proving batch/stream parity like q45."""
+    import uuid
+
+    from powerdatapipeline_spark.streaming.pipeline import stream_stream_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _events_stream():
+        s = (spark.readStream
+             .schema("event_id long, ts long, user_id long, event_type string,"
+                     " value double, props string")
+             .option("pathGlobFilter", "events.parquet")
+             .parquet(sf_dir))
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    clicks = (_events_stream().where(F.col("event_type") == "click")
+              .select(F.col("user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (_events_stream().where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    joined = stream_stream_join(clicks, purchases,
+                                left_key="user_id", right_key="p_user_id",
+                                left_ts="click_ts", right_ts="purchase_ts",
+                                max_lag_seconds=600)
+    out = joined.select(
+        "user_id", "click_id", "purchase_id",
+        F.round(F.col("purchase_ts").cast("double")
+                - F.col("click_ts").cast("double"), 6).alias("lag_s"))
+    name = f"q65_sink_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q65 streaming job did not finish within 300 s")
+    return spark.table(name)
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 

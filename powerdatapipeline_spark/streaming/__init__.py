@@ -4,5 +4,6 @@ from powerdatapipeline_spark.streaming.pipeline import (  # noqa: F401
     streaming_dedup,
     streaming_interval_stats,
     streaming_sessionize,
+    stream_stream_join,
     write_stream_parquet,
 )

@@ -128,3 +128,28 @@ def streaming_interval_stats(stream: DataFrame, ts_col: str,
                  F.max(ts_col).alias("last_ts"))
             .select(F.col("w.start").alias("bucket_ts"), "n_events",
                     "first_ts", "last_ts"))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       left_key: str, right_key: str,
+                       left_ts: str, right_ts: str,
+                       max_lag_seconds: int,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream INNER join with an event-time range bound: right-side
+    rows join left-side rows with the same key that happened at most
+    ``max_lag_seconds`` earlier (``left_ts <= right_ts <= left_ts + lag``).
+
+    Both sides carry watermarks and the join condition carries the time
+    range — together they let Spark evict buffered rows once no future
+    match is possible (state ≈ watermark + lag horizon per side, never
+    unbounded; without the range bound a stream-stream join must keep every
+    row forever). Column names must already be disjoint across the two
+    sides (rename before calling) so downstream selection is unambiguous.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = ((F.col(left_key) == F.col(right_key))
+            & (F.col(right_ts) >= F.col(left_ts))
+            & (F.col(right_ts) <= F.col(left_ts)
+               + F.expr(f"INTERVAL {max_lag_seconds} SECONDS")))
+    return l.join(r, cond)

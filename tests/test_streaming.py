@@ -159,3 +159,41 @@ def test_write_stream_parquet_foreachbatch(spark, tmp_path):
     q2 = write_stream_parquet(read_stream_csv(spark, path, SCHEMA), out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == 2  # no duplicates
+
+
+def test_stream_stream_join_respects_lag_bound(spark, tmp_path):
+    """Stream-stream inner join: same-key rows within the lag window pair
+    up (boundary INCLUSIVE), later or other-key rows do not — same rows a
+    batch join of the two fixtures would produce."""
+    from powerdatapipeline_spark.streaming import stream_stream_join
+
+    clicks_p = tmp_path / "clicks"; clicks_p.mkdir()
+    (clicks_p / "c.csv").write_text(
+        "ts,series,value\n"
+        "2024-01-01 00:00:00,u1,1\n"
+        "2024-01-01 00:00:00,u2,2\n")
+    pur_p = tmp_path / "purchases"; pur_p.mkdir()
+    (pur_p / "p.csv").write_text(
+        "ts,series,value\n"
+        "2024-01-01 00:00:05,u1,10\n"    # +5 s: in
+        "2024-01-01 00:10:00,u1,11\n"    # +600 s: boundary, inclusive
+        "2024-01-01 00:10:01,u1,12\n"    # +601 s: out
+        "2024-01-01 00:00:05,u9,13\n")   # other key: out
+    clicks = (read_stream_csv(spark, str(clicks_p), SCHEMA)
+              .select(F.col("series").alias("user"),
+                      F.col("value").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (read_stream_csv(spark, str(pur_p), SCHEMA)
+                 .select(F.col("series").alias("p_user"),
+                         F.col("value").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    joined = stream_stream_join(clicks, purchases, "user", "p_user",
+                                "click_ts", "purchase_ts",
+                                max_lag_seconds=600)
+    q = (joined.select("user", "click_id", "purchase_id")
+         .writeStream.format("memory").queryName("ssj")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {(r.user, r.click_id, r.purchase_id)
+           for r in spark.table("ssj").collect()}
+    assert got == {("u1", 1.0, 10.0), ("u1", 1.0, 11.0)}
