@@ -703,7 +703,7 @@ def q28_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: small-vocabulary corpus the char-trigram sets of any two long documents
 #: overlap almost completely, driving LSH candidates to O(n²)
 #: (operators/text.shingles docstring). Structure mirrors Spark word_ngrams.
-_SQL_MINHASH = """
+_SQL_MINHASH = r"""
   SELECT doc_id, g,
          list_transform(generate_series(0, 15),
            i -> list_aggregate(list_transform(g, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
