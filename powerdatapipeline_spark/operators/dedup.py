@@ -274,11 +274,18 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
+    # ONE nested literal + one transform for all n_tables×n_planes margins,
+    # materialized into __sc before the bit tests — per-plane F.lit nodes and
+    # per-bit dot() trees made driver-side plan construction (~2.7 s) cost
+    # more than the query itself (the similarity.py scores() lesson)
+    all_planes = F.lit([[float(x) for x in planes[t][i]]
+                        for t in range(n_tables) for i in range(n_planes)])
+    margins = F.transform(all_planes, lambda p: dot(F.col(vec_col), p))
+
     def bucket(t: int):
         out = F.lit(0)
         for i in range(n_planes):
-            p = F.lit([float(x) for x in planes[t][i]])
-            out = out + F.when(dot(F.col(vec_col), p) >= 0,
+            out = out + F.when(F.col("__sc")[t * n_planes + i] >= 0,
                                F.lit(2 ** i)).otherwise(F.lit(0))
         return out
 
@@ -293,6 +300,7 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     # once per DOCUMENT side — computing it per candidate pair would redo
     # the decimal aggregate 2×|candidates| times.
     hashed = (_spread(df)
+              .withColumn("__sc", margins)
               .select(F.col(id_col), F.explode(tables).alias("s"))
               .select(id_col, F.col("s.t").alias("t"), F.col("s.bk").alias("bk"))
               .persist())
@@ -309,8 +317,20 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                    F.sqrt(ddot(vec_col, vec_col)).alias("nrm_a"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                    F.sqrt(ddot(vec_col, vec_col)).alias("nrm_b"))
+    # Two-phase verify: the decimal-exact dot is ~10× the cost of a plain
+    # double dot, and candidates outnumber true near-dups by 30×+ (banding
+    # trades precision for recall by design). Phase 1 scores EVERY candidate
+    # with the cheap double cosine and discards anything below
+    # threshold − 1e-6; phase 2 decimal-rescores only the survivors. Safe:
+    # double vs decimal summation differ by ≤ ~64·ulp ≈ 1e-13 for unit-scale
+    # 64-dim data, six orders of magnitude inside the margin — no true pair
+    # can be pruned. Cuts q60 verification from |candidates| to ~|matches|
+    # decimal aggregates; at 100 TB the same ratio holds (phase-1 cost scales
+    # with collision density, phase-2 with dup density).
+    fast = dot("va", "vb") / (F.col("nrm_a") * F.col("nrm_b"))
     cos = F.round(ddot("va", "vb") / (F.col("nrm_a") * F.col("nrm_b")), 6)
     out = (cand.join(va, "id_a").join(vb, "id_b")
+               .where(fast >= threshold - 1e-6)
                .withColumn("cosine", cos)
                .where(F.col("cosine") >= threshold)
                .select("id_a", "id_b", "cosine"))
