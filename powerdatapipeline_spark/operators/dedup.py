@@ -101,7 +101,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       threshold: float = 0.5,
                       shingle_unit: str = "char",
                       materialize: bool = True) -> DataFrame:
-    """MinHash + LSH near-dup: shingle → salted-md5 minhash signature →
+    """MinHash + LSH near-dup: shingle → K–M double-hashed minhash signature →
     split into ``bands`` bands of ``num_perm/bands`` rows → band hash →
     join documents sharing any band bucket → verify with estimated Jaccard
     (signature agreement rate).
@@ -159,8 +159,8 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
 
     This is the production near-dedup shape at 100 TB: candidates scale with
     duplicate density, verification touches only candidates, and the whole
-    thing is engine-portable (salted-md5 MinHash → checkable in any SQL
-    engine).
+    thing is engine-portable (md5-seeded integer MinHash → checkable in any
+    SQL engine).
     """
     rows = num_perm // bands
     # persisted for the same self-join reason as minhash_lsh_pairs; carries
@@ -262,7 +262,7 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     engines, bucket signs come from plain double dots (sign mismatch would
     need |dot| < 1e-15 — measure-zero for unit-scale data), and the
     verified cosine is decimal-exact — so even this approximate operator
-    is oracle-checkable end-to-end (the q29 salted-md5 philosophy).
+    is oracle-checkable end-to-end (the q29 portable-MinHash philosophy).
 
     Recall floor vs brute force is pinned by
     tests/test_text_dedup_similarity.py::test_embedding_neardup_recall.

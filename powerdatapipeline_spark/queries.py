@@ -703,10 +703,18 @@ def q28_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: small-vocabulary corpus the char-trigram sets of any two long documents
 #: overlap almost completely, driving LSH candidates to O(n²)
 #: (operators/text.shingles docstring). Structure mirrors Spark word_ngrams.
+#: Kirsch–Mitzenmacher double-hashed MinHash (operators/text.minhash_signature):
+#: one md5 per shingle, split into two 32-bit halves, permutation i =
+#: (h1 + i*h2) mod 2^31-1 — pure integer arithmetic, bit-identical across
+#: engines. COALESCE to the prime (the `least` identity) so an empty shingle
+#: set matches Spark's aggregate-with-init semantics, never NULL.
 _SQL_MINHASH = r"""
   SELECT doc_id, g,
          list_transform(generate_series(0, 15),
-           i -> list_aggregate(list_transform(g, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
+           i -> coalesce(list_min(list_transform(g,
+                  s -> (CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+                        + i * CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT))
+                       % 2147483647)), 2147483647)) AS sig
   FROM (
     SELECT doc_id,
            list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 0)),
@@ -738,14 +746,14 @@ WHERE CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBL
 """)
 def q29_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup with exact verification, one pass
-    (operators/dedup.neardup_report): salted-md5 MinHash (16 perms, 4 bands
+    (operators/dedup.neardup_report): K–M double-hashed MinHash (16 perms, 4 bands
     × 4 rows) → band-bucket join → BOTH the signature-agreement Jaccard
     estimate (operators/dedup.minhash_lsh_pairs semantics) and the EXACT
     3-gram Jaccard from the carried shingle sets
     (operators/dedup.lsh_verified_pairs semantics) per candidate pair. This
     is the production near-dedup shape: sub-quadratic candidate generation,
     exact verification only on candidates, one signature computation and
-    one self-join serving both metrics. The salted-md5 family is
+    one self-join serving both metrics. The md5-seeded integer family is
     bit-portable, so even the LSH candidate set is oracle-checkable — no
     weaker rows-only check needed."""
     return dd.neardup_report(_t(spark, sf_dir, "documents"),
@@ -1470,7 +1478,7 @@ def _emb_lsh_oracle(n_tables: int = 4, n_planes: int = 8, dim: int = 64,
     constants (same seed/order as the operator's rng) embed as SQL
     literals, bucket signs come from plain double dots (sign parity is
     safe — a flip needs |dot| < 1e-15), and the verify cosine reuses the
-    decimal-exact _SQL_DOT kernel. The q29 salted-md5 philosophy: even the
+    decimal-exact _SQL_DOT kernel. The q29 portable-MinHash philosophy: even the
     approximate candidate set is oracle-checkable."""
     import numpy as np
 

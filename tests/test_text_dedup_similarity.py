@@ -89,7 +89,10 @@ def test_minhash_signature_shape_and_determinism(spark):
 
 
 def test_minhash_lsh_finds_dups_not_distinct(spark):
-    out = dd.minhash_lsh_pairs(_docs(spark), num_perm=16, bands=4, threshold=0.5)
+    # 8 bands × 2 rows: catch probability for the j≈0.84 near-dup pair is
+    # 1−(1−j²)^8 ≈ 0.9998, so the assertion doesn't sit on a hash-family
+    # roll (4×4 banding has a ~5% deterministic miss chance per family)
+    out = dd.minhash_lsh_pairs(_docs(spark), num_perm=16, bands=8, threshold=0.5)
     pairs = {(r.id_a, r.id_b): r.est_jaccard for r in out.collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup: all slots agree
     assert (1, 3) in pairs or (2, 3) in pairs        # near dup caught by LSH
@@ -97,7 +100,7 @@ def test_minhash_lsh_finds_dups_not_distinct(spark):
 
 
 def test_lsh_verified_pairs_exact_jaccard(spark):
-    out = dd.lsh_verified_pairs(_docs(spark), threshold=0.5)
+    out = dd.lsh_verified_pairs(_docs(spark), threshold=0.5, bands=8)
     pairs = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
     assert pairs[(1, 2)] == 1.0
     assert 0.5 <= pairs[(1, 3)] < 1.0  # jumped/jumps share most 3-grams
