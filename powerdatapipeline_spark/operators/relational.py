@@ -66,6 +66,20 @@ def grouped_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> D
     return df.groupBy(*keys).agg(*aggs)
 
 
+def pivot_table(df: DataFrame, index: Sequence[str], pivot_col: str,
+                values: Sequence, agg: Column) -> DataFrame:
+    """Long→wide pivot (inverse of q58's unpivot; SURVEY.md §2.12).
+
+    ``values`` is REQUIRED, not inferred: without an explicit value list
+    Spark first runs a distinct scan over ``pivot_col`` (an extra full pass
+    + collect to the driver) and the output schema becomes data-dependent —
+    both wrong at 100 TB, where the category set must be a declared
+    contract. With the list supplied the pivot compiles to one hash
+    aggregate with map-side combine; no extra job, no shuffle beyond the
+    group-by."""
+    return df.groupBy(*index).pivot(pivot_col, list(values)).agg(agg)
+
+
 def salted_join(skewed: DataFrame, other: DataFrame, on: str,
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: hot keys on the skewed side concentrate into one

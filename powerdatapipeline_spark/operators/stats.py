@@ -1,0 +1,112 @@
+"""Grouped statistical model fitting (SURVEY.md §2.12 gap ledger: the
+reference's downstream consumer is model training, but the reference itself
+ships no in-pipeline fitting — these operators close the "fit a cheap model
+per group inside the engine" gap the way a warehouse would: as aggregates).
+
+Two implementations of per-group ordinary least squares:
+
+* :func:`grouped_ols` — pure built-in aggregates over decimal moment sums.
+  This is the scale path: one shuffle keyed by the group columns, map-side
+  partial aggregation, and bit-reproducible output (decimal addition is
+  associative, so task/partition order cannot change the sums — the same
+  trick as fit_ivf_centroids' M-step). Engine-portable: the DuckDB oracle
+  computes the identical formula from the identical exact sums.
+* :func:`grouped_ols_pandas` — the same fit through
+  ``groupBy().applyInPandas`` (Arrow-batched, one pandas frame per group).
+  This exists to exercise the grouped-pandas escape hatch for fits that
+  genuinely need numpy/scipy (robust regression, splines); for plain OLS
+  the native aggregate wins — no Python in the data path, no per-group
+  memory ceiling (a 100 TB group streams through partial aggs, while
+  applyInPandas must hold each group in one executor's memory).
+
+tests/test_stats.py pins both to hand-computed coefficients and to each
+other (|Δ| ≤ 1e-9: float64 accumulation vs exact decimal).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal wide enough for Σxy over ~1e9 rows of ~1e10-scale products while
+#: keeping 10 fractional digits exact
+_DEC = "decimal(38,10)"
+
+
+def _moments(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
+    """Exact per-group moment sums (n, Σx, Σy, Σxy, Σx², Σy²) as decimals.
+
+    The products are formed in double (exact IEEE for these magnitudes),
+    rounded identically into decimal, then summed exactly — the parity
+    pattern documented at the top of queries.py.
+    """
+    xd, yd = F.col(x).cast("double"), F.col(y).cast("double")
+    return (df.groupBy(*keys)
+            .agg(F.count("*").alias("n"),
+                 F.sum(xd.cast(_DEC)).alias("sx"),
+                 F.sum(yd.cast(_DEC)).alias("sy"),
+                 F.sum((xd * yd).cast(_DEC)).alias("sxy"),
+                 F.sum((xd * xd).cast(_DEC)).alias("sxx"),
+                 F.sum((yd * yd).cast(_DEC)).alias("syy")))
+
+
+def grouped_ols(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
+    """Per-group OLS fit ``y ≈ slope·x + intercept`` plus Pearson r.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
+    r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — all from exact
+    decimal sums, with the final arithmetic in double using the same
+    expression tree any other engine would build from this formula, so the
+    rounded outputs hash-match the oracle. Degenerate groups (constant x)
+    yield NULL slope/intercept/r rather than ±inf.
+    """
+    m = _moments(df, keys, x, y)
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x != 0, cov_n / var_x)
+    intercept = F.when(var_x != 0, (sy - (cov_n / var_x) * sx) / n)
+    r = F.when((var_x > 0) & (var_y > 0), cov_n / F.sqrt(var_x * var_y))
+    return m.select(*keys,
+                    F.col("n"),
+                    F.round(slope, 6).alias("slope"),
+                    F.round(intercept, 6).alias("intercept"),
+                    F.round(r, 6).alias("r"))
+
+
+def grouped_ols_pandas(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
+    """:func:`grouped_ols` via ``groupBy().applyInPandas`` — one Arrow batch
+    per group into a pandas/numpy closed-form fit. Prefer the native
+    aggregate for plain OLS (see module docstring); this is the template for
+    per-group fits that need real numpy/scipy."""
+    import numpy as np
+    import pandas as pd
+
+    key_list = list(keys)
+    out_schema = (", ".join(f"{k} string" for k in key_list)
+                  + ", n bigint, slope double, intercept double, r double")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xa = pdf[x].to_numpy(dtype=float)
+        ya = pdf[y].to_numpy(dtype=float)
+        n = len(xa)
+        var_x = n * float((xa * xa).sum()) - float(xa.sum()) ** 2
+        var_y = n * float((ya * ya).sum()) - float(ya.sum()) ** 2
+        cov_n = n * float((xa * ya).sum()) - float(xa.sum()) * float(ya.sum())
+        slope = cov_n / var_x if var_x != 0 else np.nan
+        intercept = ((float(ya.sum()) - slope * float(xa.sum())) / n
+                     if var_x != 0 else np.nan)
+        r = (cov_n / np.sqrt(var_x * var_y)
+             if var_x > 0 and var_y > 0 else np.nan)
+        return pd.DataFrame([{**{k: str(pdf[k].iloc[0]) for k in key_list},
+                              "n": n, "slope": round(slope, 6),
+                              "intercept": round(intercept, 6),
+                              "r": round(r, 6)}])
+
+    return df.groupBy(*key_list).applyInPandas(fit, schema=out_schema)

@@ -1767,6 +1767,70 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register("q67_pivot", f"""
+SELECT o_orderpriority,
+       {_DSUM.format(c="CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS status_f,
+       {_DSUM.format(c="CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS status_o,
+       {_DSUM.format(c="CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS status_p
+FROM orders GROUP BY o_orderpriority
+""")
+def q67_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (operators/relational.pivot_table, the inverse of
+    q58's unpivot): total order value per priority × status. The status
+    value list is explicit, so the pivot is ONE hash aggregate (no distinct
+    pre-scan, schema fixed at plan time); the oracle is the equivalent
+    CASE-WHEN conditional aggregation — which is exactly what Spark compiles
+    a pivot into. Decimal-exact sums per the module parity rules."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+    out = rel.pivot_table(orders, ["o_orderpriority"], "o_orderstatus",
+                          ["F", "O", "P"], agg)
+    return out.select("o_orderpriority",
+                      F.col("F").alias("status_f"),
+                      F.col("O").alias("status_o"),
+                      F.col("P").alias("status_p"))
+
+
+@register("q68_regression_trend", """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST((epoch(ts) - 1700000000.0) / 86400.0 AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(((epoch(ts) - 1700000000.0) / 86400.0) * value AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(((epoch(ts) - 1700000000.0) / 86400.0) * ((epoch(ts) - 1700000000.0) / 86400.0) AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       round(CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+       round(CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) AS intercept,
+       round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r
+FROM m
+""")
+def q68_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS time-trend (operators/stats.grouped_ols): slope/
+    intercept/Pearson-r of value against time (days since a fixed epoch
+    literal — centering keeps the normal-equation cancellation benign) for
+    each event_type. One shuffle keyed by series; the moments are exact
+    decimal sums, so the fitted coefficients are bit-reproducible across
+    engines AND cluster sizes (q66's argument, applied to model fitting).
+    The applyInPandas twin (stats.grouped_ols_pandas) is pinned to this
+    native aggregate in tests/test_stats.py."""
+    from powerdatapipeline_spark.operators import stats as st
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("ts").cast("double") - 1700000000.0) / 86400.0).alias("t_days"),
+        "value")
+    out = st.grouped_ols(ev, ["event_type"], "t_days", "value")
+    # n arrives as bigint from count(*) on both sides
+    return out.select("event_type", F.col("n"), "slope", "intercept", "r")
+
+
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 
