@@ -197,3 +197,39 @@ def test_stream_stream_join_respects_lag_bound(spark, tmp_path):
     got = {(r.user, r.click_id, r.purchase_id)
            for r in spark.table("ssj").collect()}
     assert got == {("u1", 1.0, 10.0), ("u1", 1.0, 11.0)}
+
+
+def test_rate_source_streaming_downsample(spark):
+    """Non-file streaming source: the `rate` source generates (timestamp,
+    value) rows continuously — proving the downsample operator is
+    source-agnostic (file stream in the other tests, generator here; Kafka
+    at deployment is the same readStream contract). The query runs a few
+    real micro-batches (processingTime trigger) and is stopped once output
+    lands."""
+    from powerdatapipeline_spark.streaming.pipeline import state_sized
+
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", "200").load())
+    agg = streaming_downsample_mean(
+        stream.withColumn("value", F.col("value").cast("double")),
+        "timestamp", 1, ["value"])
+    with state_sized(spark, 4):
+        q = (agg.writeStream.format("memory").queryName("rate_ds")
+             .outputMode("complete")
+             .trigger(processingTime="500 milliseconds").start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table("rate_ds").count() >= 2:
+                    break
+                time.sleep(0.5)
+            rows = spark.table("rate_ds").collect()
+        finally:
+            q.stop()
+    assert len(rows) >= 2
+    # rate-source values are 0,1,2,... so each 1-s bucket's mean must sit
+    # inside the global value range; buckets must be distinct and aligned
+    buckets = [r.bucket_ts for r in rows]
+    assert len(set(buckets)) == len(buckets)
+    assert all(b.microsecond == 0 for b in buckets)
+    assert all(r.avg_value >= 0 for r in rows)
