@@ -626,7 +626,7 @@ def q25_prefix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tokenization must match bit-for-bit for ratio parity: Spark tokens()
 #: splits on \s+, so the oracle must regex-split too (a single-space split
 #: diverges on any tab/newline/double-space document).
-_SQL_TOKENS = "regexp_split_to_array(lower(text), '\s+')"
+_SQL_TOKENS = r"regexp_split_to_array(lower(text), '\s+')"
 _SQL_STOP = "('" + "','".join(
     "the a an and or of to in is are was were be been it that this with as "
     "for on at by from not but".split()) + "')"
