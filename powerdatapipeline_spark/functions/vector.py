@@ -48,6 +48,23 @@ def cosine_similarity(a: str | Column, b: str | Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+def sign_bucket(scores: Column, n_planes: int, offset: int = 0) -> Column:
+    """Pack the signs of ``n_planes`` hyperplane margins (elements
+    ``offset..offset+n_planes-1`` of a materialized score array) into one
+    integer LSH bucket id: bit ``i`` is set iff ``scores[offset+i] >= 0``.
+
+    Shared by the ANN bucketing (similarity.hyperplane_lsh_topk) and the
+    near-dup banding (dedup.embedding_neardup_pairs) so the sign convention
+    — and any fix to it — lives in exactly one place. Callers materialize
+    ``scores`` into a column first; testing signs on the raw transform would
+    re-evaluate every interpreted dot product per bit."""
+    out = F.lit(0)
+    for i in range(n_planes):
+        out = out + F.when(scores[offset + i] >= 0,
+                           F.lit(2 ** i)).otherwise(F.lit(0))
+    return out
+
+
 def vectorize(cols: list[str], dtype: str = "double") -> Column:
     """dict-record → dense vector (reference ``csvdataset_to_tfdataset``,
     tfdataset.py:89-135): pack named numeric columns into one array column.

@@ -269,7 +269,7 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     """
     import numpy as np
 
-    from powerdatapipeline_spark.functions.vector import ddot, dot
+    from powerdatapipeline_spark.functions.vector import ddot, dot, sign_bucket
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
@@ -282,15 +282,10 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
                         for t in range(n_tables) for i in range(n_planes)])
     margins = F.transform(all_planes, lambda p: dot(F.col(vec_col), p))
 
-    def bucket(t: int):
-        out = F.lit(0)
-        for i in range(n_planes):
-            out = out + F.when(F.col("__sc")[t * n_planes + i] >= 0,
-                               F.lit(2 ** i)).otherwise(F.lit(0))
-        return out
-
-    tables = F.array(*[F.struct(F.lit(t).alias("t"), bucket(t).alias("bk"))
-                       for t in range(n_tables)])
+    tables = F.array(*[F.struct(
+        F.lit(t).alias("t"),
+        sign_bucket(F.col("__sc"), n_planes, t * n_planes).alias("bk"))
+        for t in range(n_tables)])
     # The 32 interpreted-HOF dot products are the dominant cost: compute them
     # ONCE into a persisted frame (the q29 pattern) instead of re-evaluating
     # on both sides of the self-join — and persist only the NARROW exploded
@@ -372,7 +367,7 @@ def blocked_pairs(df: DataFrame, keys: list, id_col: str = "doc_id",
     LSH band join in :func:`minhash_lsh_pairs` — a band IS a blocking key):
     comparisons drop from n² to Σ per-block m². Multiple keys raise recall
     (a true match only needs ONE shared key); the union stays sub-quadratic
-    as long as blocks stay small.
+    as long as blocks stay small. ``keys`` must be non-empty.
 
     ``max_block`` drops over-populated blocks entirely (the standard guard:
     a degenerate key value — empty prefix, default date — would otherwise
@@ -380,6 +375,8 @@ def blocked_pairs(df: DataFrame, keys: list, id_col: str = "doc_id",
     the least informative, so dedup literature discards them). At 100 TB
     this bound is what keeps the operator's cost ∝ corpus size.
     """
+    if not keys:
+        raise ValueError("blocked_pairs requires at least one blocking key")
     outs = []
     for k in keys:
         keyed = df.select(F.col(id_col), k.alias("__bk")).where(F.col("__bk").isNotNull())
@@ -431,7 +428,10 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labels; the component's minimum id floods one hop per round, so
     convergence takes diameter(G) rounds — near-dup clusters are shallow
     (pairs share LSH buckets, so diameters are small); ``max_iter`` bounds
-    pathological chains. Each round is one join + one groupBy (shuffle keyed
+    pathological chains, and exhausting it with labels still changing
+    RAISES rather than returning silently-wrong partial components (a
+    26-node chain under a too-small budget would otherwise split one
+    component into ~max_iter labels). Each round is one join + one groupBy (shuffle keyed
     by node id); lineage is truncated per round with an eager
     ``localCheckpoint`` — without it the plan doubles every iteration. The
     driver sees only the changed-row COUNT, never data. (For graphs with
@@ -457,6 +457,7 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
               .select(F.col("s").alias("node"),
                       F.least(F.col("s"), F.col("__mt")).alias("label"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter - 1):
         nbr = (edges.join(labels, edges["t"] == labels["node"])
                .groupBy("s").agg(F.min("label").alias("__m")))
@@ -470,5 +471,11 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         changed = stepped.where(F.col("label") != F.col("__old")).count()
         labels = stepped.select("node", "label")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the budget); raise max_iter "
+            "— returning partial labels would split components silently")
     return labels

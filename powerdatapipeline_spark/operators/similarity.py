@@ -14,8 +14,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from powerdatapipeline_spark.functions.vector import cosine_similarity, dot
+from powerdatapipeline_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    sign_bucket,
+)
+
+
+def _with_cell(df: DataFrame, cents, vec_col: str,
+               cell_name: str = "__cell") -> DataFrame:
+    """Assign every row to its max-dot coarse centroid: ONE nested literal
+    for all centroids (not n_cells×dim Literal nodes — with hundreds of
+    scalar literals the Python expression-tree build and Catalyst analysis
+    dominate small queries), scores materialized into ``__sc`` once, then
+    argmax over the materialized column — ``array_position(sc,
+    array_max(sc))`` on the raw transform would evaluate the interpreted
+    dot-product transform twice per row. Shared by the k-means E-step, the
+    IVF index writer, and the in-memory IVF search so the assign-to-cell
+    expression has exactly one definition."""
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    sc = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
+    return (df.withColumn("__sc", sc)
+              .withColumn(cell_name,
+                          F.array_position(F.col("__sc"), F.array_max("__sc")) - 1)
+              .drop("__sc"))
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -75,19 +99,13 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         return F.array(*[dot(col, F.lit([float(x) for x in planes[i]]))
                          for i in range(n_planes)])
 
-    def bucket_of(sc):
-        out = F.lit(0)
-        for i in range(n_planes):
-            out = out + F.when(sc[i] >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        return out
-
     emb_b = (embeddings
              .withColumn("__sc", scores(vec_col))
-             .withColumn("__bucket", bucket_of(F.col("__sc")))
+             .withColumn("__bucket", sign_bucket(F.col("__sc"), n_planes))
              .drop("__sc"))
     qs = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
           .withColumn("__sc", scores("__qvec"))
-          .withColumn("__base", bucket_of(F.col("__sc"))))
+          .withColumn("__base", sign_bucket(F.col("__sc"), n_planes)))
     if n_probe == 1:
         q_b = qs.withColumn("__bucket", F.col("__base"))
     else:
@@ -147,22 +165,19 @@ def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     we_cached = False
     if embeddings.storageLevel.useMemory is False:
         par = embeddings.sparkSession.sparkContext.defaultParallelism
-        embeddings = embeddings.repartition(par).persist()
+        if embeddings.rdd.getNumPartitions() < par:
+            # widen narrow fit sets only — shrinking an already-wide corpus
+            # to defaultParallelism would lose E-step parallelism (the
+            # _spread guard in operators/dedup.py)
+            embeddings = embeddings.repartition(par)
+        embeddings = embeddings.persist()
         we_cached = True
     for _ in range(iters):
-        # one nested literal, not n_cells×dim Literal nodes (see scores());
-        # scores materialize into __sc ONCE — argmax over the 2×-evaluated
-        # transform would double the interpreted higher-order-function work
-        cent_arr = F.lit([[float(x) for x in c] for c in cents])
-        sc = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
-        best = F.array_position(F.col("__sc"), F.array_max("__sc")) - 1
         # decimal sum: addition stays associative, so the fitted centroids
         # are bit-identical no matter how partitions combine (float sums
         # would drift with task completion order once the fit set spans
         # multiple partitions)
-        stats = (embeddings
-                 .withColumn("__sc", sc)
-                 .withColumn("__cell", best)
+        stats = (_with_cell(embeddings, cents, vec_col)
                  .select("__cell", F.posexplode(vec_col).alias("pos", "val"))
                  .groupBy("__cell", "pos")
                  .agg(F.sum(F.col("val").cast("decimal(27,10)")).alias("s"),
@@ -195,17 +210,8 @@ def write_ivf_index(embeddings: DataFrame, path: str,
     tests/test_text_dedup_similarity.py::test_ivf_index_partition_pruning).
     This is the one-time write that turns every subsequent ANN query into
     an n_probe/n_cells fraction of a full scan."""
-    import numpy as np
-
-    cents = np.asarray(centroids, dtype=float)
-    cent_arr = F.lit([[float(x) for x in c] for c in cents])
-    sc = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
-    out = (embeddings
-           .withColumn("__sc", sc)
-           .withColumn("cell",
-                       F.array_position(F.col("__sc"), F.array_max("__sc")) - 1)
-           .drop("__sc"))
-    out.write.partitionBy("cell").mode("overwrite").parquet(path)
+    _with_cell(embeddings, centroids, vec_col, cell_name="cell") \
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
 
 
 def ivf_search_indexed(spark, path: str, queries: DataFrame,
@@ -231,9 +237,16 @@ def ivf_search_indexed(spark, path: str, queries: DataFrame,
         probe_pairs += [(r[query_id_col], int(c)) for c in order]
     cells = sorted({c for _, c in probe_pairs})
     corpus = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    # probe schema derived from the queries frame, not hardcoded: a string
+    # query id must survive, and array<double> query vectors must NOT be
+    # silently narrowed to float32 (that shifts cosines vs ivf_topk and can
+    # flip near-tie ranks)
+    probe_schema = T.StructType([
+        queries.schema[query_id_col],
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("__qvec", queries.schema[vec_col].dataType, True)])
     probes = spark.createDataFrame(
-        [(qid, c, qvecs[qid]) for qid, c in probe_pairs],
-        f"{query_id_col} long, cell long, __qvec array<float>")
+        [(qid, c, qvecs[qid]) for qid, c in probe_pairs], probe_schema)
     scored = (corpus.join(F.broadcast(probes), "cell")
               .select(query_id_col, id_col,
                       F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
@@ -273,23 +286,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     else:
         cents = np.random.default_rng(seed).standard_normal((n_cells, dim))
         cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    cent_arr = F.lit([[float(x) for x in c] for c in cents])
-
-    def cell_scores(col: str):
-        return F.transform(cent_arr, lambda c: dot(F.col(col), c))
-
-    # materialize scores once, then argmax the materialized column — the
-    # naive array_position(sc, array_max(sc)) evaluates the n_cells×dim
-    # interpreted dot-product transform twice per row
-    emb_c = (embeddings
-             .withColumn("__sc", cell_scores(vec_col))
-             .withColumn("__cell",
-                         F.array_position(F.col("__sc"), F.array_max("__sc")) - 1)
-             .drop("__sc"))
+    emb_c = _with_cell(embeddings, cents, vec_col)
     qs = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     # argsort the cell scores expression-side: pair (−score, cell), sort,
     # take the n_probe best cell ids
-    sc = cell_scores("__qvec")
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    sc = F.transform(cent_arr, lambda c: dot(F.col("__qvec"), c))
     ranked_cells = F.slice(
         F.transform(F.array_sort(F.zip_with(sc,
                                             F.sequence(F.lit(0), F.lit(n_cells - 1)),

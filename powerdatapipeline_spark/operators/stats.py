@@ -89,7 +89,10 @@ def grouped_ols_pandas(df: DataFrame, keys: Sequence[str], x: str, y: str) -> Da
     import pandas as pd
 
     key_list = list(keys)
-    out_schema = (", ".join(f"{k} string" for k in key_list)
+    # key columns keep their INPUT dtypes (grouped_ols does too) — stringifying
+    # a bigint key would make the two twins' outputs unjoinable on the key
+    out_schema = (", ".join(f"{k} {df.schema[k].dataType.simpleString()}"
+                            for k in key_list)
                   + ", n bigint, slope double, intercept double, r double")
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -104,7 +107,7 @@ def grouped_ols_pandas(df: DataFrame, keys: Sequence[str], x: str, y: str) -> Da
                      if var_x != 0 else np.nan)
         r = (cov_n / np.sqrt(var_x * var_y)
              if var_x > 0 and var_y > 0 else np.nan)
-        return pd.DataFrame([{**{k: str(pdf[k].iloc[0]) for k in key_list},
+        return pd.DataFrame([{**{k: pdf[k].iloc[0] for k in key_list},
                               "n": n, "slope": round(slope, 6),
                               "intercept": round(intercept, 6),
                               "r": round(r, 6)}])

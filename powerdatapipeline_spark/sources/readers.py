@@ -68,6 +68,8 @@ def _first_csv_row(path: str) -> list[str]:
 def _cell_casts(cell: str, dtype: T.DataType) -> bool:
     if isinstance(dtype, T.StringType):
         return True
+    if cell == "":
+        return True  # empty cell = NULL in a nullable column — valid data
     try:
         float(cell)
         return True
@@ -217,9 +219,11 @@ def inject_errors(df: DataFrame, ts_col: str,
     * ``rename=(old, new)`` → :func:`check_columns` trips.
     * ``drop_second_row`` → a cadence gap, ``check_intervals`` trips.
 
-    Corruptions apply in that order (blank/spike target different columns by
-    contract). The "2nd row" lookup collects exactly one tiny 2-row sort —
-    a test fixture path, never a production operator.
+    Corruptions apply blank → spike → drop → rename (rename last, so a
+    renamed ``ts_col`` cannot break the other corruptions' column
+    references; blank/spike target different columns by contract). The
+    "2nd row" lookup collects exactly one tiny 2-row sort — a test fixture
+    path, never a production operator.
     """
     ts2_rows = df.select(ts_col).orderBy(ts_col).limit(2).collect()
     if len(ts2_rows) < 2:
@@ -235,10 +239,12 @@ def inject_errors(df: DataFrame, ts_col: str,
                            F.when(F.col(ts_col) == t1, F.lit(spike_value)
                                   .cast(dict(df.dtypes)[spike_col]))
                            .otherwise(F.col(spike_col)))
-    if rename:
-        df = df.withColumnRenamed(*rename)
     if drop_second_row:
         df = df.where(F.col(ts_col) != t1)
+    if rename:
+        # rename LAST: every other corruption refers to ts_col by its
+        # original name, so rename=(ts_col, new) must not break them
+        df = df.withColumnRenamed(*rename)
     return df
 
 

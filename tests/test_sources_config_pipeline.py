@@ -248,3 +248,25 @@ def test_pipeline_use_streaming_returns_stream(spark, tmp_path):
     })
     out = build_pipeline(spark, cfg)
     assert out.isStreaming  # the reference's use_streaming knob was dead
+
+
+def test_detect_csv_header_empty_cell_is_data(spark, tmp_path):
+    """A headerless first row with a missing value ('1.5,,3'-style) is still
+    a DATA row — empty cells are NULLs in nullable columns, not evidence of
+    a header."""
+    from powerdatapipeline_spark.sources.readers import detect_csv_header
+    p = _write_csv(tmp_path, "gap.csv", body="0,\n300,2.5\n")
+    assert detect_csv_header(p, ["datetimestampseconds", "W"]) is False
+
+
+def test_inject_errors_rename_ts_with_drop(spark):
+    """rename applies LAST: renaming the timestamp column itself must not
+    break drop_second_row (which filters on the original ts name)."""
+    from powerdatapipeline_spark.sources.readers import inject_errors
+    clean = spark.createDataFrame(
+        [Row(datetimestampseconds=float(i * 60), va=1.0) for i in range(4)])
+    out = inject_errors(clean, "datetimestampseconds",
+                        rename=("datetimestampseconds", "TS"),
+                        drop_second_row=True)
+    assert out.columns == ["TS", "va"]
+    assert sorted(r.TS for r in out.collect()) == [0.0, 120.0, 180.0]

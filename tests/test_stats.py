@@ -5,6 +5,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.operators import stats as st
 
@@ -69,3 +70,18 @@ def test_grouped_ols_pandas_matches_native(spark, sf_dir):
         for f in ("slope", "intercept", "r"):
             a, b = getattr(native[k], f), getattr(pandas_[k], f)
             assert a == pytest.approx(b, abs=2e-6), (k, f, a, b)
+
+
+def test_grouped_ols_pandas_preserves_key_types(spark):
+    """Non-string group keys keep their input dtype, so the twin outputs
+    stay joinable on the key."""
+    df = spark.createDataFrame(
+        [Row(k=7, x=float(i), y=2.0 * i) for i in range(5)]
+        + [Row(k=9, x=float(i), y=-1.0 * i + 4.0) for i in range(5)])
+    out = st.grouped_ols_pandas(df, ["k"], "x", "y")
+    assert dict(out.dtypes)["k"] == "bigint"
+    joined = st.grouped_ols(df, ["k"], "x", "y").select("k", "slope") \
+        .join(out.select("k", F.col("slope").alias("slope_p")), "k")
+    rows = joined.collect()
+    assert len(rows) == 2
+    assert all(abs(r.slope - r.slope_p) < 1e-9 for r in rows)

@@ -362,3 +362,40 @@ def test_fuzzy_blocked_match_distances(spark):
     # sitting→kitchen is distance 4 > max_dist, so (2,3) is verified away
     assert got == {(1, 2): 3, (1, 3): 2}
     assert all(r.name_a is not None for r in out.collect())
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A 26-node chain has diameter 25: an exhausted iteration budget must
+    RAISE, not return a component silently split into ~max_iter labels."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(25)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.dedup_clusters(chain, max_iter=5)
+    # enough budget: one component labeled by its minimum
+    got = {r.label for r in dd.dedup_clusters(chain, max_iter=30).collect()}
+    assert got == {0}
+
+
+def test_blocked_pairs_empty_keys_raises(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    with pytest.raises(ValueError, match="blocking key"):
+        dd.blocked_pairs(df, [], id_col="doc_id")
+
+
+def test_ivf_search_indexed_derives_probe_schema(spark, tmp_path):
+    """String query ids and array<double> query vectors must survive the
+    probe frame round-trip — a hardcoded 'long, array<float>' schema would
+    crash on the former and silently narrow the latter."""
+    emb = _clustered_corpus(spark, n=60).cache()
+    cents = sim.fit_ivf_centroids(emb, n_cells=4, dim=16, iters=1)
+    path = str(tmp_path / "ivf_idx_str")
+    sim.write_ivf_index(emb, path, cents)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"), "embedding")
+    out = sim.ivf_search_indexed(spark, path, qs, cents, k=3, n_probe=2)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {"q0", "q1", "q2"}
+    assert dict(out.dtypes)["query_id"] == "string"
+    # self is rank 1 in its own probed cell with exact (un-narrowed) vectors
+    self_hits = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert self_hits == {"q0": 0, "q1": 1, "q2": 2}
