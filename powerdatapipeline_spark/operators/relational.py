@@ -106,6 +106,20 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
     return out.drop("__salt")
 
 
+def hash_bucket(key_col: str | Column, salt: str = "",
+                buckets: int = 10_000) -> Column:
+    """Deterministic engine-portable bucket id in ``[0, buckets)``:
+    ``int(md5(salt ‖ key)[:8], 16) mod buckets``. The md5 hex prefix is
+    bit-identical in any engine (DuckDB: ``('0x' || substr(md5(k),1,8))::
+    BIGINT % buckets``), uniformly distributed, and a pure narrow map —
+    the primitive under :func:`hash_split` and
+    :func:`stratified_hash_sample`."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16, 10).cast("bigint") % buckets)
+
+
 def hash_split(df: DataFrame, key_col: str,
                fractions: dict[str, float] | None = None,
                salt: str = "", buckets: int = 10_000,
@@ -124,9 +138,7 @@ def hash_split(df: DataFrame, key_col: str,
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = (F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
-        16, 10).cast("bigint") % buckets)
+    bucket = hash_bucket(key_col, salt, buckets)
     expr = None
     cum = 0.0
     names = list(fractions)
@@ -136,6 +148,36 @@ def hash_split(df: DataFrame, key_col: str,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     label = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(out_col, label)
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
+                           rates: dict[str, float],
+                           default_rate: float = 0.0, salt: str = "",
+                           buckets: int = 10_000) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus class-balancing rule
+    (downweight the dominant source/language, keep the rare one whole):
+    a row survives iff ``hash_bucket(key) < rate[stratum] · buckets``.
+
+    Same determinism contract as :func:`hash_split` (no RNG state; stable
+    across runs, engines, and partitionings; a key's fate never changes when
+    other rows arrive) — which ``df.sampleBy`` cannot offer. Strata absent
+    from ``rates`` fall back to ``default_rate``. Narrow map + filter: no
+    shuffle, fully pushdown-friendly, and exact-oracle-checkable because
+    membership is a pure function of the key.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    expr = None
+    for s, r in rates.items():
+        cond = F.col(strata_col) == s
+        thresh = F.lit(int(round(r * buckets)))
+        expr = F.when(cond, thresh) if expr is None else expr.when(cond, thresh)
+    default = F.lit(int(round(default_rate * buckets)))
+    threshold = default if expr is None else expr.otherwise(default)
+    return df.where(hash_bucket(key_col, salt, buckets) < threshold)
 
 
 def offset_limit(df: DataFrame, order: Sequence[Column], offset: int,

@@ -80,6 +80,44 @@ def grouped_ols(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame
                     F.round(r, 6).alias("r"))
 
 
+def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int,
+              keys: Sequence[str] = ()) -> DataFrame:
+    """Fixed-width histogram of a numeric column over ``[lo, hi]``,
+    optionally per group: bin ``i`` covers ``[lo + i·w, lo + (i+1)·w)`` with
+    ``w = (hi − lo)/nbins``; the top edge ``x = hi`` is clamped into the
+    last bin (the standard closed-top convention); values outside the range
+    are dropped.
+
+    One shuffle keyed by (keys…, bin) with map-side partial counts — the
+    profile-a-100 TB-column operator (NOT ``df.rdd.histogram``, which
+    collects per-partition arrays driver-side). Bin edges are emitted as
+    columns so the result is self-describing. The bin index is
+    ``floor((x−lo)/w)`` with an explicit ``floor`` (engine-portable: DuckDB's
+    double→int cast rounds, Spark's truncates; floor sidesteps both), and
+    ``w`` is embedded as one double literal so both engines evaluate the
+    identical expression tree.
+    """
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    w = (hi - lo) / nbins
+    x = F.col(col).cast("double")
+    # bin is BIGINT: Spark's floor() already yields long, and DuckDB's
+    # LEAST promotes to int64 — keeping both sides wide avoids a dtype
+    # mismatch in the parity harness
+    b = F.least(F.floor((x - F.lit(lo)) / F.lit(w)),
+                F.lit(nbins - 1).cast("bigint"))
+    return (df.where((x >= lo) & (x <= hi))
+              .withColumn("bin", b)
+              .groupBy(*keys, "bin")
+              .agg(F.count("*").alias("n"))
+              .select(*keys, "bin",
+                      (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+                      (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+                      "n"))
+
+
 def grouped_ols_pandas(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
     """:func:`grouped_ols` via ``groupBy().applyInPandas`` — one Arrow batch
     per group into a pandas/numpy closed-form fit. Prefer the native

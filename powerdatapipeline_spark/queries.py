@@ -1914,3 +1914,157 @@ def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_bytes", "checksum", "mean_pixel"))
 
 
+
+
+@register("q69_stratified_sample", """
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS bk
+  FROM orders)
+SELECT o_orderkey, o_orderpriority
+FROM b
+WHERE bk < CASE o_orderpriority
+             WHEN '1-URGENT' THEN 10000
+             WHEN '2-HIGH'   THEN 5000
+             WHEN '3-MEDIUM' THEN 2500
+             ELSE 1000 END
+""")
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/relational.
+    stratified_hash_sample — SURVEY.md §2.8's `downsampling_rate` config
+    knob, reference config.py:118-119, generalized per-stratum): the corpus
+    class-balancing rule — keep all of the rare class, thin the dominant
+    ones — as a pure md5-bucket filter. Unlike q46's engine-specific
+    Bernoulli sample, EVERY kept row is hash-verified against the oracle
+    (membership is a function of the key, not of RNG state)."""
+    o = _t(spark, sf_dir, "orders")
+    return rel.stratified_hash_sample(
+        o, "o_orderkey", "o_orderpriority",
+        {"1-URGENT": 1.0, "2-HIGH": 0.5, "3-MEDIUM": 0.25},
+        default_rate=0.1).select("o_orderkey", "o_orderpriority")
+
+
+@register("q70_histogram", """
+WITH t AS (
+  SELECT l_returnflag,
+         LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 5000.0)
+                    AS BIGINT), 23) AS bin
+  FROM lineitem
+  WHERE CAST(l_extendedprice AS DOUBLE) >= 0.0
+    AND CAST(l_extendedprice AS DOUBLE) <= 120000.0)
+SELECT l_returnflag, bin,
+       0.0 + bin * 5000.0 AS bin_lo,
+       0.0 + (bin + 1) * 5000.0 AS bin_hi,
+       COUNT(*) AS n
+FROM t GROUP BY l_returnflag, bin
+""")
+def q70_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group (operators/stats.histogram): the
+    profile-a-column primitive (reference pandas_utilities.py:99-105 spans
+    min/max; this bins the span). One shuffle keyed by (group, bin) with
+    map-side partial counts — never ``df.rdd.histogram``'s driver-side
+    per-partition arrays. Explicit floor() keeps the bin index
+    engine-portable (DuckDB's double→int cast rounds, Spark's truncates);
+    5000.0 is an exact double so the edges hash-match bit-for-bit."""
+    from powerdatapipeline_spark.operators import stats as st
+
+    li = _t(spark, sf_dir, "lineitem")
+    return st.histogram(li, "l_extendedprice", 0.0, 120000.0, 24,
+                        keys=["l_returnflag"])
+
+
+@register("q71_curation_pipeline", f"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(list_filter({_SQL_TOKENS}, x -> x != '')) AS n_tokens,
+         len(list_filter({_SQL_TOKENS}, x -> x IN {_SQL_STOP})) AS n_stop
+  FROM documents),
+f AS (
+  SELECT * FROM q
+  WHERE n_tokens >= 8
+    AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.05),
+k AS (
+  SELECT min(doc_id) AS doc_id
+  FROM f
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+s AS (
+  SELECT f.doc_id, f.n_tokens,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f JOIN k USING (doc_id))
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM s GROUP BY split
+""")
+def q71_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation (the BASELINE.json north-star
+    pipeline as ONE composed query): quality filter (token count +
+    stopword-ratio language evidence, operators/text) → exact near-dup
+    removal keeping the min doc id per normalized-text fingerprint
+    (operators/dedup.exact_dedup semantics) → deterministic hash split
+    (operators/relational.hash_split) → per-split corpus statistics.
+    Everything is a pure function of the data, so the WHOLE pipeline —
+    filter, dedup survivorship, split assignment, final sums — is
+    hash-verified against the oracle. Scale: one scan, the dedup groupBy
+    is the only wide stage over documents (keyed by a uniform digest), the
+    split is a narrow map, and the final agg is a 3-row reduce."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens("text")
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in tx.STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    quality = docs.select("doc_id", "text",
+                          n_tok.alias("n_tokens"), n_stop.alias("n_stop"))
+    filtered = quality.where(
+        (F.col("n_tokens") >= 8)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.05))
+    keep = (filtered
+            .withColumn("fp", tx.fingerprint("text"))
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    curated = filtered.join(keep, "doc_id")
+    split = rel.hash_split(curated, "doc_id")
+    return (split.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 (F.sum("n_tokens").cast("double") / F.count("*"))
+                 .alias("avg_tokens")))
+
+
+@register("q72_latest_event", """
+WITH r AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       value AS last_value, n_events
+FROM r WHERE rn = 1
+""")
+def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key via ONE aggregation — ``max(struct(ts,
+    event_id, value))`` takes the lexicographic max, so the whole
+    latest-row lookup is a single shuffle with map-side combine (each
+    partition keeps one candidate per key before any data moves). The
+    window-sort formulation the oracle uses (row_number over ts DESC) must
+    materialize and sort EVERY row of every key — at 100 TB the aggregate
+    form wins by the map-side reduction; tie-break is total because
+    event_id is unique. The reference's span/min-max audit
+    (pandas_utilities.py:99-105) is the same shape over time instead of
+    value."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"),
+                 F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("m.ts").alias("last_ts"),
+                    F.col("m.event_id").alias("last_event_id"),
+                    F.col("m.value").alias("last_value"),
+                    "n_events"))

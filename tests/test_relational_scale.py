@@ -113,3 +113,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pf_section = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "day" in pf_section
     assert pruned.count() == 100
+
+
+def test_stratified_hash_sample(spark):
+    """Per-stratum rates hold approximately; membership is deterministic
+    (same keys survive on re-run); rate 1.0 keeps the whole stratum and
+    rate 0.0 (the default) drops strata not listed."""
+    df = spark.createDataFrame(
+        [Row(k=i, s="a" if i % 2 == 0 else ("b" if i % 4 == 1 else "c"))
+         for i in range(2000)])
+    out = rel.stratified_hash_sample(df, "k", "s", {"a": 1.0, "b": 0.25})
+    counts = {r.s: r.c for r in out.groupBy("s").agg(
+        F.count("*").alias("c")).collect()}
+    assert counts["a"] == 1000                     # rate 1.0: all kept
+    assert "c" not in counts                       # default_rate 0: dropped
+    assert 75 <= counts["b"] <= 175                # ~0.25 of 500
+    again = {r.k for r in rel.stratified_hash_sample(
+        df, "k", "s", {"a": 1.0, "b": 0.25}).collect()}
+    assert again == {r.k for r in out.collect()}   # no RNG state
+    with pytest.raises(ValueError, match="rate"):
+        rel.stratified_hash_sample(df, "k", "s", {"a": 1.5})

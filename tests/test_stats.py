@@ -85,3 +85,22 @@ def test_grouped_ols_pandas_preserves_key_types(spark):
     rows = joined.collect()
     assert len(rows) == 2
     assert all(abs(r.slope - r.slope_p) < 1e-9 for r in rows)
+
+
+def test_histogram_bins_and_edges(spark):
+    """Bin boundaries: [lo+i·w, lo+(i+1)·w), top edge clamped into the last
+    bin, out-of-range rows dropped; counts per (group, bin) are exact."""
+    from powerdatapipeline_spark.operators.stats import histogram
+    rows = [Row(g="x", v=0.0), Row(g="x", v=4.99), Row(g="x", v=5.0),
+            Row(g="x", v=10.0),          # == hi → clamped into last bin
+            Row(g="y", v=7.5), Row(g="y", v=-0.1), Row(g="y", v=10.01)]
+    out = histogram(spark.createDataFrame(rows), "v", 0.0, 10.0, 2,
+                    keys=["g"]).collect()
+    got = {(r.g, r.bin): (r.bin_lo, r.bin_hi, r.n) for r in out}
+    assert got == {("x", 0): (0.0, 5.0, 2),
+                   ("x", 1): (5.0, 10.0, 2),
+                   ("y", 1): (5.0, 10.0, 1)}
+    with pytest.raises(ValueError, match="nbins"):
+        histogram(spark.createDataFrame(rows), "v", 0.0, 10.0, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram(spark.createDataFrame(rows), "v", 10.0, 0.0, 2)
