@@ -4,6 +4,7 @@ depth, JSON persistence replacing .keras archives)."""
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.features import FeatureSpace, FeatureSpec
 
@@ -128,3 +129,47 @@ def test_unsupported_spec_raises(spark):
     fs.fitted = True
     with pytest.raises(ValueError):
         fs.transform_columns()
+
+
+def test_ml_pipeline_interop(spark):
+    """The FeatureSpace composes into a standard pyspark.ml Pipeline:
+    estimator fit -> feature columns -> VectorAssembler -> LinearRegression,
+    and the fitted pipeline transforms new data. The engine's feature
+    expressions (z-score, one-hot) feed ml.linalg vectors unchanged."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.regression import LinearRegression
+
+    from powerdatapipeline_spark.features.ml_interop import (
+        FeatureSpaceEstimator,
+        FeatureSpaceModel,
+        assemble_vector,
+    )
+
+    df = spark.createDataFrame(
+        [Row(x=float(i), cat="a" if i % 2 == 0 else "b",
+             label=2.0 * i + (1.0 if i % 2 == 0 else 0.0))
+         for i in range(40)])
+    specs = [FeatureSpec("x", "float", "normalized"),
+             FeatureSpec("cat", "string", "one_hot")]
+    est = FeatureSpaceEstimator(specs, keep=["label"])
+    fsm = est.fit(df)
+    assert isinstance(fsm, FeatureSpaceModel)
+    names = fsm.output_names()
+    assert names == ["x", "cat_onehot_0", "cat_onehot_1"]
+
+    pipe = Pipeline(stages=[
+        FeatureSpaceEstimator(specs, keep=["label"]),
+        assemble_vector(names),
+        LinearRegression(featuresCol="features", labelCol="label",
+                         regParam=0.0)])
+    model = pipe.fit(df)
+    preds = model.transform(df.limit(5))
+    assert preds.count() == 5
+    rows = preds.select("label", "prediction").collect()
+    # the relationship is exactly linear in (x, one-hot cat): near-exact fit
+    assert all(abs(r.label - r.prediction) < 1e-3 for r in rows)
+    # estimator stays stateless: a second fit on shifted data refits stats
+    df2 = df.withColumn("x", F.col("x") + 100.0)
+    m2 = FeatureSpaceEstimator(specs).fit(df2)
+    assert abs(m2.feature_space.stats["x"]["mean"]
+               - (fsm.feature_space.stats["x"]["mean"] + 100.0)) < 1e-9
