@@ -17,10 +17,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from powerdatapipeline_spark.functions.vector import (
-    cosine_similarity,
     dot,
+    l2_norm,
     sign_bucket,
 )
+
+
+def _cosine_ranked(joined: DataFrame, k: int, id_col: str,
+                   query_id_col: str, vec_col: str) -> DataFrame:
+    """Score candidate (query, corpus) pairs and keep each query's top-k.
+
+    Expects ``__nrm`` (corpus L2 norm) and ``__qvec``/``__qnrm`` (query
+    vector + norm) already on the frame: norms are computed ONCE PER ROW
+    on each side before the pair join, never per pair — with Q queries the
+    naive ``cosine_similarity(vec, qvec)`` re-evaluates the corpus norm's
+    interpreted aggregate Q times per corpus row, tripling the dominant
+    per-pair cost (dot + 2 norms vs just the dot). The division tree
+    ``d / (na · nb)`` is unchanged, so scores stay bit-identical to the
+    one-expression form the oracles mirror."""
+    cos = F.when((F.col("__nrm") > 0) & (F.col("__qnrm") > 0),
+                 dot(vec_col, "__qvec") / (F.col("__nrm") * F.col("__qnrm")))
+    scored = joined.select(query_id_col, id_col,
+                           F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(),
+                                                 F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+                  .where(F.col("rank") <= k))
 
 
 def _with_cell(df: DataFrame, cents, vec_col: str,
@@ -52,13 +74,10 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     query id. Ties broken by corpus id for determinism.
     """
     q = F.broadcast(queries.select(F.col(query_id_col),
-                                   F.col(vec_col).alias("__qvec")))
-    scored = (embeddings.crossJoin(q)
-              .select(query_id_col, id_col,
-                      F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-                  .where(F.col("rank") <= k))
+                                   F.col(vec_col).alias("__qvec"))
+                    .withColumn("__qnrm", l2_norm("__qvec")))
+    joined = embeddings.withColumn("__nrm", l2_norm(vec_col)).crossJoin(q)
+    return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)
 
 
 def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -121,15 +140,12 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                         lambda b: F.col("__base").bitwiseXOR(
                             F.pow(F.lit(2.0), b).cast("int"))))
         q_b = qs.withColumn("__bucket", F.explode(probes))
-    q_b = F.broadcast(q_b.select(query_id_col, "__qvec", "__bucket"))
+    q_b = F.broadcast(q_b.select(query_id_col, "__qvec", "__bucket")
+                      .withColumn("__qnrm", l2_norm("__qvec")))
     # probe buckets are pairwise distinct (base / base⊕2^i), so the equi-join
     # cannot duplicate a (query, corpus) pair — no dedup pass needed
-    scored = (emb_b.join(q_b, "__bucket")
-              .select(query_id_col, id_col,
-                      F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-                  .where(F.col("rank") <= k))
+    joined = emb_b.withColumn("__nrm", l2_norm(vec_col)).join(q_b, "__bucket")
+    return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)
 
 
 def fit_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
@@ -247,12 +263,10 @@ def ivf_search_indexed(spark, path: str, queries: DataFrame,
         T.StructField("__qvec", queries.schema[vec_col].dataType, True)])
     probes = spark.createDataFrame(
         [(qid, c, qvecs[qid]) for qid, c in probe_pairs], probe_schema)
-    scored = (corpus.join(F.broadcast(probes), "cell")
-              .select(query_id_col, id_col,
-                      F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-                  .where(F.col("rank") <= k))
+    joined = (corpus.withColumn("__nrm", l2_norm(vec_col))
+              .join(F.broadcast(probes.withColumn("__qnrm", l2_norm("__qvec"))),
+                    "cell"))
+    return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -303,10 +317,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # an array_contains join condition would run as BroadcastNestedLoopJoin
     q_c = F.broadcast(qs.withColumn("__cells", ranked_cells)
                         .withColumn("__cell", F.explode("__cells"))
-                        .drop("__cells"))
-    scored = (emb_c.join(q_c, "__cell")
-              .select(query_id_col, id_col,
-                      F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine")))
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-                  .where(F.col("rank") <= k))
+                        .drop("__cells")
+                        .withColumn("__qnrm", l2_norm("__qvec")))
+    joined = emb_c.withColumn("__nrm", l2_norm(vec_col)).join(q_c, "__cell")
+    return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)
