@@ -367,25 +367,6 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(pv.cast("decimal(18,6)")).cast("double").alias("purchase_value")))
 
 
-@register("q15_running_sum", """
-SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-            AS DOUBLE) AS running_total
-FROM orders
-""")
-def q15_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window function — running sum per customer (gap §2.12).
-    Decimal accumulation keeps the prefix sums bit-identical across engines
-    regardless of their internal frame evaluation strategy."""
-    orders = _t(spark, sf_dir, "orders")
-    w = (Window.partitionBy("o_custkey")
-         .orderBy("o_orderdate", "o_orderkey")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    run = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
-    return orders.select("o_custkey", "o_orderkey", run.alias("running_total"))
-
-
 @register("q16_adjacent_intervals", """
 WITH stepped AS (
   SELECT event_type,
@@ -903,21 +884,42 @@ def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        round(CAST(SUM(CAST(value AS DECIMAL(18,6)))
                   OVER w AS DOUBLE) / COUNT(value) OVER w, 6) AS moving_avg_4,
-       COUNT(value) OVER w AS n_in_window
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       COUNT(value) OVER w AS n_in_window,
+       CAST(count(*) OVER wr AS BIGINT) AS n_last_hour,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wr AS DOUBLE)
+             / count(value) OVER wr, 6) AS avg_last_hour
+FROM (SELECT event_id, user_id, value, ts, epoch(ts) AS s FROM events)
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+       wr AS (PARTITION BY user_id ORDER BY s
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """)
 def q41_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-based moving aggregate (SURVEY.md §2.6 sliding-window cousin):
-    trailing-4 mean per series — rowsBetween frame, decimal-exact sum."""
-    ev = _t(spark, sf_dir, "events")
+    """Frame-based moving aggregates, ROW and RANGE flavors side by side
+    (SURVEY.md §2.6 — the reference has only fixed ROW frames):
+
+      * trailing-4 mean per series — rowsBetween frame, decimal-exact sum;
+      * trailing-HOUR mean per series — a RANGE frame over event TIME, the
+        frame width adapting to irregular cadence, which a row-count frame
+        cannot express.
+
+    Both windows share the user_id partition key, so the plan shuffles ONCE
+    and only re-sorts between the two frame evaluations."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "value", "ts",
+                  F.col("ts").cast("double").alias("s")))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-3, 0))
+    wr = (Window.partitionBy("user_id").orderBy("s")
+          .rangeBetween(-3600, Window.currentRow))
     ma = (F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
           / F.count("value").over(w))
+    avg_hr = (F.sum(F.col("value").cast("decimal(18,6)")).over(wr).cast("double")
+              / F.count("value").over(wr))
     return ev.select("event_id", F.round(ma, 6).alias("moving_avg_4"),
-                     F.count("value").over(w).alias("n_in_window"))
+                     F.count("value").over(w).alias("n_in_window"),
+                     F.count("*").over(wr).cast("bigint").alias("n_last_hour"),
+                     F.round(avg_hr, 6).alias("avg_last_hour"))
 
 
 @register("q42_derive_datetime", f"""
@@ -1134,19 +1136,51 @@ SELECT o_orderkey,
        round(cume_dist()    OVER w, 6) AS cume,
        first_value(o_orderkey) OVER w AS first_key,
        nth_value(o_orderkey, 2) OVER w AS second_key,
-       lead(o_orderkey) OVER w AS next_key
+       lead(o_orderkey) OVER w AS next_key,
+       o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS DOUBLE) AS running_total,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS INT) AS days_to_eoy,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+       CAST(extract(isodow FROM o_orderdate) AS INT) AS iso_dow,
+       CAST(extract(doy FROM o_orderdate) AS INT) AS doy,
+       upper(substr(o_orderpriority, 1, 8)) AS prio_prefix,
+       CAST(length(o_orderstatus) AS INT) AS status_len
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
 """)
 def q49_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full analytic window-function family (gap §2.12 — the reference
-    has zero SQL window functions, SURVEY.md §2.6) in one pass over one
-    window definition: a single shuffle on the partition key serves all
-    eight functions."""
+    has zero SQL window functions, SURVEY.md §2.6) plus the per-row scalar
+    families, all in ONE pass over orders:
+
+      * eight ranking/analytic functions over one window definition — a
+        single shuffle on o_orderstatus serves all eight;
+      * a decimal-exact running sum per customer (a second window keyed on
+        o_custkey — its own shuffle, exactly as the oracle's second WINDOW
+        clause implies; prefix sums stay bit-identical across engines
+        regardless of frame evaluation strategy);
+      * the date/interval + string scalar-function families (SURVEY.md
+        §2.5 — the reference rides py_function for these; here they're
+        codegen'd built-ins, zero extra cost: narrow expressions piggyback
+        on the window pass). Day-of-week uses the ISO convention on BOTH
+        sides (Spark's ``dayofweek`` is Sunday=1 but DuckDB's ``dow`` is
+        Sunday=0 — ``weekday``/``isodow`` with Monday=1 is the portable
+        choice)."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
     wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    wcust = (Window.partitionBy("o_custkey")
+             .orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    run = (F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+           .over(wcust).cast("double"))
+    d = F.col("o_orderdate")
     return orders.select(
         "o_orderkey",
         F.rank().over(w).cast("bigint").alias("rnk"),
@@ -1156,7 +1190,18 @@ def q49_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("o_orderkey").over(wr).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(wr).alias("second_key"),
-        F.lead("o_orderkey").over(w).alias("next_key"))
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        "o_custkey",
+        run.alias("running_total"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("int").alias("days_to_eoy"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.quarter(d).cast("int").alias("qtr"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
+        F.length("o_orderstatus").cast("int").alias("status_len"))
 
 
 @register("q50_percentiles", """
@@ -1212,41 +1257,6 @@ def q51_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", F.lit("Brand#00")).cast("int").alias("lev_brand"),
         F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("type_first_word"),
         F.instr("p_type", " ").cast("int").alias("first_space"))
-
-
-@register("q52_date_functions", """
-SELECT o_orderkey,
-       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
-       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS INT) AS days_to_eoy,
-       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
-       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-       CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
-       CAST(extract(isodow FROM o_orderdate) AS INT) AS iso_dow,
-       CAST(extract(doy FROM o_orderdate) AS INT) AS doy,
-       upper(substr(o_orderpriority, 1, 8)) AS prio_prefix,
-       CAST(length(o_orderstatus) AS INT) AS status_len
-FROM orders
-""")
-def q52_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/interval + string scalar-function families on orders (gap
-    §2.12 / SURVEY.md §2.5 — the reference's only string ops are concat +
-    datetime parse via py_function; Spark built-ins replace the Python
-    escape hatch). Day-of-week uses the ISO convention on BOTH sides
-    (Spark's ``dayofweek`` is Sunday=1 but DuckDB's ``dow`` is Sunday=0 —
-    ``weekday``/``isodow`` with Monday=1 is the portable choice)."""
-    orders = _t(spark, sf_dir, "orders")
-    d = F.col("o_orderdate")
-    return orders.select(
-        "o_orderkey",
-        (d + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
-        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("int").alias("days_to_eoy"),
-        F.last_day(d).cast("timestamp").alias("month_end"),
-        F.date_trunc("month", d).alias("month_start"),
-        F.quarter(d).cast("int").alias("qtr"),
-        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
-        F.dayofyear(d).cast("int").alias("doy"),
-        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_prefix"),
-        F.length("o_orderstatus").cast("int").alias("status_len"))
 
 
 @register("q53_shipping_priority", f"""
