@@ -104,6 +104,10 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """
     import numpy as np
 
+    if not (1 <= n_planes <= 62):
+        # bucket ids are packed into one signed 64-bit int (bit i = sign of
+        # plane i); 63+ planes would overflow the long
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     if not (1 <= n_probe <= n_planes + 1):
@@ -120,11 +124,13 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 
     emb_b = (embeddings
              .withColumn("__sc", scores(vec_col))
-             .withColumn("__bucket", sign_bucket(F.col("__sc"), n_planes))
+             .withColumn("__bucket",
+                         sign_bucket(F.col("__sc"), n_planes).cast("long"))
              .drop("__sc"))
     qs = (queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
           .withColumn("__sc", scores("__qvec"))
-          .withColumn("__base", sign_bucket(F.col("__sc"), n_planes)))
+          .withColumn("__base",
+                      sign_bucket(F.col("__sc"), n_planes).cast("long")))
     if n_probe == 1:
         q_b = qs.withColumn("__bucket", F.col("__base"))
     else:
@@ -134,11 +140,16 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 F.col("__sc"), F.sequence(F.lit(0), F.lit(n_planes - 1)),
                 lambda s, i: F.struct(F.abs(s).alias("margin"), i.alias("bit")))),
             lambda st: st["bit"])
+        # exact 1L<<bit via a literal long lookup (n_planes ≤ 62 entries),
+        # not pow(2.0, bit).cast(int): the double→int cast overflows at
+        # bit 31 and pow loses exactness past 2^53
+        bit_masks = F.array(*[F.lit(1 << i).cast("long")
+                              for i in range(n_planes)])
         probes = F.concat(
             F.array(F.col("__base")),
             F.transform(F.slice(flip_order, 1, n_probe - 1),
                         lambda b: F.col("__base").bitwiseXOR(
-                            F.pow(F.lit(2.0), b).cast("int"))))
+                            F.element_at(bit_masks, b.cast("int") + 1))))
         q_b = qs.withColumn("__bucket", F.explode(probes))
     q_b = F.broadcast(q_b.select(query_id_col, "__qvec", "__bucket")
                       .withColumn("__qnrm", l2_norm("__qvec")))

@@ -106,10 +106,27 @@ def transform(df: DataFrame, cfg: RunConfig) -> DataFrame:
             df.withColumn("__ts", F.col(sec_col)), "__ts",
             float(tr.time_interval_original))
     if tr.resample and tr.time_interval_original and tr.time_interval_desired and sec_col:
-        df = ts.resample(df, sec_col, tr.time_interval_original,
-                         tr.time_interval_desired,
-                         value_cols=[c for c in feats if c != sec_col],
-                         method=tr.resample_method)
+        vcols = [c for c in feats if c != sec_col]
+        if (df.isStreaming and tr.resample_method == "mean"
+                and tr.time_interval_desired > tr.time_interval_original):
+            # the one resample flavor that is a stateful aggregation: on a
+            # stream it needs a watermark + window, not a batch groupBy —
+            # route to the streaming twin (same bucket grid: F.window
+            # aligns to epoch 0 exactly like floor(epoch/i)*i). This is the
+            # reference's use_streaming knob finally consuming its declared
+            # semantics end-to-end (reference config/config.py:89-90).
+            from powerdatapipeline_spark.streaming.pipeline import (
+                streaming_downsample_mean)
+
+            df = streaming_downsample_mean(
+                df.withColumn("__ts", F.timestamp_seconds(F.col(sec_col))),
+                "__ts", tr.time_interval_desired, vcols)
+        else:
+            # modulo downsample and both upsamples are narrow (filter /
+            # explode) — stream-safe as-is
+            df = ts.resample(df, sec_col, tr.time_interval_original,
+                             tr.time_interval_desired, value_cols=vcols,
+                             method=tr.resample_method)
     if tr.downsampling_rate and not df.isStreaming:
         # df.sample is unsupported on streams; streaming subsampling would
         # be a modulo filter on the event id/timestamp instead

@@ -66,10 +66,28 @@ def _first_csv_row(path: str) -> list[str]:
 
 
 def _cell_casts(cell: str, dtype: T.DataType) -> bool:
+    """Would this CSV cell parse as a DATA value of ``dtype``? Per-dtype
+    rules (ADVICE r4: the old float()-only test misread date/bool data rows
+    as headers — '2024-01-01' and 'true' both fail float())."""
     if isinstance(dtype, T.StringType):
         return True
     if cell == "":
         return True  # empty cell = NULL in a nullable column — valid data
+    if isinstance(dtype, T.BooleanType):
+        return cell.strip().lower() in {"true", "false", "t", "f", "0", "1",
+                                        "yes", "no", "y", "n"}
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        from datetime import date, datetime, time
+
+        s = cell.strip()
+        for parse in (date.fromisoformat, datetime.fromisoformat,
+                      time.fromisoformat):
+            try:
+                parse(s)
+                return True
+            except ValueError:
+                pass
+        return False
     try:
         float(cell)
         return True

@@ -36,9 +36,11 @@ def state_sized(spark: SparkSession, n: int):
     stream-stream join at 32 partitions pays 64 state-store instances of
     fixed per-micro-batch cost; sizing to the firehose (small here, large at
     100 TB — where this knob goes UP, it is not a benchmark toggle) cut
-    q65 from ~20 s to ~4 s at sf0.1. The conf is restored on exit; batch
-    queries in the same session are unaffected because Spark captures the
-    value at streaming-query start.
+    q65 from ~20 s to ~4 s at sf0.1. The conf is restored on exit. NOTE:
+    the change is session-global while the block is open — a batch query
+    that *starts* inside the block plans with ``n`` shuffle partitions too.
+    The streaming query itself is safe after start (it captures the value),
+    but don't launch unrelated batch work concurrently with this scope.
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

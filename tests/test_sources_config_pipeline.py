@@ -250,6 +250,45 @@ def test_pipeline_use_streaming_returns_stream(spark, tmp_path):
     assert out.isStreaming  # the reference's use_streaming knob was dead
 
 
+def test_pipeline_streaming_batch_resample_parity(spark, tmp_path):
+    """use_streaming end-to-end through build_pipeline: the SAME RunConfig
+    (mean-downsample 60s→120s) built once as a stream and once as batch
+    must produce identical buckets/means — the streaming path routes to the
+    watermarked F.window tumbling mean whose epoch-aligned grid matches the
+    batch floor(epoch/i)*i grid."""
+    import uuid
+
+    src = tmp_path / "streamdir2"
+    src.mkdir()
+    body = "datetimestampseconds,W\n" + "\n".join(
+        f"{i},{float(i) / 60}" for i in range(0, 600, 60)) + "\n"
+    (src / "d.csv").write_text(body)
+    base = {
+        "columns_original": ["datetimestampseconds", "W"],
+    }
+    tr = {"features": ["W", "datetimestampseconds"],
+          "time_interval_original": 60, "time_interval_desired": 120,
+          "resample": True, "resample_method": "mean"}
+    s_cfg = RunConfig(name="sp", datapipeline={
+        "extraction": {**base, "data_files": [], "use_streaming": True,
+                       "streaming_data_source": str(src)},
+        "transformation": tr})
+    b_cfg = RunConfig(name="bp", datapipeline={
+        "extraction": {**base, "data_files": [str(src / "d.csv")]},
+        "transformation": tr})
+    stream = build_pipeline(spark, s_cfg)
+    assert stream.isStreaming
+    name = f"ppl_sink_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.bucket_ts, round(r.avg_W, 9))
+           for r in spark.table(name).collect()}
+    want = {(r.bucket_ts, round(r.avg_W, 9))
+            for r in build_pipeline(spark, b_cfg).collect()}
+    assert got == want and len(want) == 5
+
+
 def test_detect_csv_header_empty_cell_is_data(spark, tmp_path):
     """A headerless first row with a missing value ('1.5,,3'-style) is still
     a DATA row — empty cells are NULLs in nullable columns, not evidence of

@@ -211,6 +211,23 @@ def test_lsh_n_probe_validation(spark):
     qs = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError):
         sim.hyperplane_lsh_topk(emb, qs, n_planes=4, dim=16, n_probe=6)
+    with pytest.raises(ValueError):
+        sim.hyperplane_lsh_topk(emb, qs, n_planes=63, dim=16)
+
+
+def test_lsh_wide_bucket_no_overflow(spark):
+    """n_planes in the 32..62 range packs bucket bits past int32 — the old
+    pow(2.0, bit).cast('int') probe-flip overflowed at bit 31 (ADVICE r4).
+    With 1L<<bit the multi-probe path must still return ranked rows and
+    never produce a negative bucket collision."""
+    emb = _clustered_corpus(spark).cache()
+    qs = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.hyperplane_lsh_topk(emb, qs, k=5, n_planes=40, dim=16,
+                                  n_probe=8)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.query_id for r in rows} <= {0, 1, 2, 3}
 
 
 def test_ivf_fitted_recall(spark):
