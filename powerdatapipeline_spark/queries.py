@@ -1872,27 +1872,49 @@ def q68_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only declared ops (no SQL-expressible oracle; the driver records
 # --- a weaker rows-only check, per __spark_entry__.py contract) ------------
 
-@register("q46_sample", None)
+@register("q46_sample", """
+SELECT COUNT(*) AS n_total, TRUE AS sample_in_bounds FROM events
+""")
 def q46_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (the reference's declared-but-unconsumed
     ``downsampling_rate`` knob, config/config.py:118-119 → df.sample).
-    Rows-only: sampling algorithms are engine-specific by nature."""
-    return _t(spark, sf_dir, "events").sample(fraction=0.1, seed=42)
+    The sampled ROWS are engine-specific RNG, so the oracle checks the
+    verifiable CONTRACT instead: exact population count plus a boolean
+    that the sample size sits within ±4σ of n·p (binomial; a false value
+    hash-mismatches against the oracle's TRUE literal and fails the
+    gate). The sample itself still executes — the count aggregates it."""
+    ev = _t(spark, sf_dir, "events")
+    p = 0.1
+    tot = ev.agg(F.count("*").alias("n_total"))
+    smp = (ev.sample(fraction=p, seed=42)
+           .agg(F.count("*").cast("double").alias("__n_smp")))
+    return (tot.crossJoin(F.broadcast(smp))
+            .select("n_total",
+                    (F.abs(F.col("__n_smp") - F.col("n_total") * p)
+                     <= 4.0 * F.sqrt(F.col("n_total") * p * (1 - p)))
+                    .alias("sample_in_bounds")))
 
 
-@register("q48_approx_distinct", None)
+@register("q48_approx_distinct", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_in_bounds
+FROM lineitem GROUP BY l_returnflag
+""")
 def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (gap §2.12): the sketch path for
     cardinalities where exact count-distinct's shuffle is not worth it at
-    100 TB. Rows-only: HLL implementations differ per engine by design;
-    the value is sanity-bounded against the exact count instead."""
+    100 TB. The sketch VALUE is engine-specific by design, so the oracle
+    checks the accuracy contract: the exact count (hash-verified) plus a
+    boolean that the HLL estimate lands within 3× its configured rsd — a
+    broken sketch fails the driver gate instead of passing unchecked."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
                  F.countDistinct("l_partkey").alias("exact_parts"))
-            .withColumn("rel_err",
-                        F.round(F.abs(F.col("approx_parts") - F.col("exact_parts"))
-                                / F.col("exact_parts"), 4)))
+            .select("l_returnflag", "exact_parts",
+                    (F.abs(F.col("__approx") - F.col("exact_parts"))
+                     <= 0.06 * F.col("exact_parts")).alias("approx_in_bounds")))
 
 
 @register("q33_simhash_pairs", None)
@@ -1906,14 +1928,68 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@register("q34_ann_lsh_topk", None)
+def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42,
+                     n_probe: int = 4, k: int = 10, n_queries: int = 5) -> str:
+    """DuckDB twin of similarity.hyperplane_lsh_topk with multi-probe: the
+    SAME seeded hyperplanes embed as SQL literals (q60's technique), so
+    even the approximate candidate set is oracle-checked. Margins/signs
+    use plain double sums (parity-safe: a sign or |margin|-order flip
+    needs two values within ~1e-15); the final cosine reuses the
+    decimal-exact _SQL_DOT kernel and round(…,6) exactly like q31."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def margin(i: int) -> str:
+        plist = "[" + ",".join(repr(float(x)) for x in planes[i]) + "]"
+        return (f"list_sum(list_transform(generate_series(1,{dim}), "
+                f"j -> CAST(embedding[j] AS DOUBLE) * ({plist})[j]))")
+
+    margins = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {i} AS bit, ({margin(i)}) AS m FROM embeddings"
+        for i in range(n_planes))
+    return f"""
+WITH h AS ({margins}),
+bk AS (
+  SELECT vec_id,
+         SUM(CASE WHEN m >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+  FROM h GROUP BY vec_id),
+flips AS (
+  SELECT vec_id AS query_id, bit,
+         row_number() OVER (PARTITION BY vec_id ORDER BY abs(m), bit) AS rn
+  FROM h WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < {n_queries}
+  UNION ALL
+  SELECT f.query_id, xor(q.bucket, CAST(1 AS BIGINT) << f.bit)
+  FROM flips f JOIN bk q ON q.vec_id = f.query_id
+  WHERE f.rn <= {n_probe - 1}),
+cand AS (
+  SELECT p.query_id, c.vec_id
+  FROM probes p JOIN bk c ON c.bucket = p.bucket),
+scored AS (
+  SELECT cand.query_id, a.vec_id,
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')} * {_SQL_NORM.format(t='b')}), 6) AS cosine
+  FROM cand JOIN embeddings a ON a.vec_id = cand.vec_id
+            JOIN embeddings b ON b.vec_id = cand.query_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+@register("q34_ann_lsh_topk", _lsh_topk_oracle())
 def q34_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-probe random-hyperplane LSH
     (operators/similarity.hyperplane_lsh_topk) — the 100 TB scale path for
     q31's exact semantics. n_probe=4 additionally scans the 3
     lowest-|margin| bit-flip buckets per query (recall floor pinned by
-    test_multiprobe_lsh_recall_floor); recall < 1 by construction, so
-    rows-only."""
+    test_multiprobe_lsh_recall_floor). Oracle-exact since round 5: the
+    seeded hyperplanes embed in the DuckDB SQL (_lsh_topk_oracle), so the
+    candidate buckets, probe choice, AND the ranked cosines all
+    hash-verify — approximate ≠ unverifiable."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -2122,7 +2198,11 @@ def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _TAIL = [
-    # rows-only (weaker driver check by design)
+    # past the snapshot cap but oracle-paired where the semantics allow:
+    # q46/q48 verify their accuracy CONTRACT (exact values + in-bounds
+    # booleans), q34 is fully oracle-exact (seeded planes embedded in the
+    # SQL); q33/q35/q36 stay rows-only (xxhash64 / iterative k-means fit /
+    # pandas-UDF decode have no DuckDB twin) with pytest value pins
     "q46_sample", "q48_approx_distinct", "q33_simhash_pairs",
     "q34_ann_lsh_topk", "q35_ann_ivf_topk", "q36_multimodal_features",
     # oracle-paired but redundant with a head entry
