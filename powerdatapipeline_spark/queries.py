@@ -1126,7 +1126,13 @@ def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against the SAME DuckDB oracle as the batch version, proving
     batch/stream semantic parity. The reference only declared streaming
     (use_streaming config, reference config/config.py:89-90); nothing
-    consumed it."""
+    consumed it.
+
+    NOTE: ``complete`` mode + memory sink is the VERIFICATION shape only
+    (one availableNow pass, whole result needed for the oracle compare).
+    The production shape is ``append`` mode past the watermark into a
+    durable sink — complete mode re-emits all state every trigger and
+    cannot stream to parquet; see streaming/pipeline.write_stream_parquet."""
     import uuid
 
     stream = events_stream_source(spark, sf_dir)
@@ -1996,13 +2002,100 @@ def q34_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.hyperplane_lsh_topk(emb, qs, k=10, n_probe=4)
 
 
-@register("q35_ann_ivf_topk", None)
+def _ivf_topk_oracle(n_cells: int = 16, dim: int = 64, seed: int = 7,
+                     iters: int = 2, n_probe: int = 4, k: int = 10,
+                     n_queries: int = 5) -> str:
+    """DuckDB twin of similarity.ivf_topk(fit_iters=2): the ENTIRE
+    spherical k-means fit replays as SQL CTEs — seeded unit-normalized
+    init centroids embed as literals (exact: numpy float64 repr
+    round-trips), then each Lloyd iteration is (E) argmax-dot assignment
+    with the same first-index tie-break and (M) per-cell per-dim
+    DECIMAL(27,10)-exact means renormalized to unit length, empty cells
+    inheriting the previous centroid. Assignment/probe dots are plain
+    double (parity-safe: an argmax flip needs two cell dots within
+    ~1e-15); the final cosine uses the decimal-exact _SQL_DOT kernel +
+    round(…,6) like q31/q34. Even the fitted index is oracle-checked."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c0 = rng.standard_normal((n_cells, dim))
+    c0 = c0 / np.linalg.norm(c0, axis=1, keepdims=True)
+    c0_rows = ",\n".join(
+        "({}, [{}])".format(c, ",".join(repr(float(x)) for x in c0[c]))
+        for c in range(n_cells))
+
+    def lloyd(prev: str, cur: str) -> str:
+        """One E+M iteration: assignment vs ``prev`` → centroids ``cur``."""
+        return f"""
+a_{cur} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1,{dim}),
+               j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j])) DESC,
+             c.cell) AS rn
+    FROM embeddings e CROSS JOIN {prev} c) WHERE rn = 1),
+m_{cur} AS (
+  SELECT a.cell, t.j,
+         CAST(SUM(CAST(e.embedding[t.j] AS DECIMAL(27,10))) AS DOUBLE)
+           / COUNT(*) AS mean
+  FROM a_{cur} a JOIN embeddings e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1,{dim})) AS j) t
+  GROUP BY a.cell, t.j),
+mv_{cur} AS (
+  SELECT cell, list(mean ORDER BY j) AS mvec FROM m_{cur} GROUP BY cell),
+{cur} AS (
+  SELECT p.cell,
+         COALESCE(list_transform(mv.mvec,
+                    x -> x / sqrt(list_sum(list_transform(mv.mvec, y -> y*y)))),
+                  p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN mv_{cur} mv USING (cell))"""
+
+    chain = "".join("," + lloyd(f"c{i}", f"c{i+1}") for i in range(iters))
+    final = f"c{iters}"
+    return f"""
+WITH c0(cell, cvec) AS (VALUES {c0_rows}){chain},
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1,{dim}),
+               j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j])) DESC,
+             c.cell) AS rn
+    FROM embeddings e CROSS JOIN {final} c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1,{dim}),
+               j -> CAST(q.embedding[j] AS DOUBLE) * c.cvec[j])) DESC,
+             c.cell) AS rn
+    FROM embeddings q CROSS JOIN {final} c
+    WHERE q.vec_id < {n_queries}) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')} * {_SQL_NORM.format(t='b')}), 6) AS cosine
+  FROM probes p JOIN assign s ON s.cell = p.cell
+       JOIN embeddings a ON a.vec_id = s.vec_id
+       JOIN embeddings b ON b.vec_id = p.query_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= {k}
+"""
+
+
+@register("q35_ann_ivf_topk", _ivf_topk_oracle())
 def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators/similarity.ivf_topk): spherical-k-means-fitted
     coarse centroids (fit_iters=2 Lloyd passes, deterministic from the
     seed) + n_probe cell search — at scale the corpus is written
-    partitioned by cell id so queries prune partitions. Rows-only
-    (approximate); recall floor pinned by test_ivf_fitted_recall."""
+    partitioned by cell id so queries prune partitions. Oracle-exact since
+    round 5: the whole fit replays as SQL CTEs in the DuckDB twin
+    (_ivf_topk_oracle), so the fitted centroids, cell assignments, probe
+    choice, and ranked cosines all hash-verify. Recall floor additionally
+    pinned by test_ivf_fitted_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
@@ -2200,8 +2293,8 @@ def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAIL = [
     # past the snapshot cap but oracle-paired where the semantics allow:
     # q46/q48 verify their accuracy CONTRACT (exact values + in-bounds
-    # booleans), q34 is fully oracle-exact (seeded planes embedded in the
-    # SQL); q33/q35/q36 stay rows-only (xxhash64 / iterative k-means fit /
+    # booleans), q34/q35 are fully oracle-exact (seeded planes / the whole
+    # k-means fit embedded in the SQL); q33/q36 stay rows-only (xxhash64 /
     # pandas-UDF decode have no DuckDB twin) with pytest value pins
     "q46_sample", "q48_approx_distinct", "q33_simhash_pairs",
     "q34_ann_lsh_topk", "q35_ann_ivf_topk", "q36_multimodal_features",
