@@ -50,10 +50,39 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+#: expected columns per fixture table — the parquet twin of the reference's
+#: ingest-time CSV validation (check_csv_file, reference
+#: datapipeline/datapipeline_utilities.py:47-75). The driver regenerates
+#: the fixtures between rounds; a drifted table fails with a named error
+#: here instead of N identical downstream stack traces (round-4 lesson).
+TABLE_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    missing = [c for c in TABLE_COLUMNS.get(name, []) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{name} fixture drifted: missing columns {missing} "
+            f"(has {df.columns})")
+    return df
 
 
 #: columns every events fixture must expose after loading (loud failure on

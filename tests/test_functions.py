@@ -102,9 +102,17 @@ def test_stats_profile_matches_numpy(spark):
     rng = np.random.default_rng(3)
     x = rng.uniform(1, 50, 200).round(2)
     y = (3.0 * x + rng.normal(0, 5, 200)).round(2)
+    # full lineitem schema: the registry loader validates fixture columns
+    # (TABLE_COLUMNS), so a projected fixture would be rejected as drift
     df = spark.createDataFrame(
-        [("A", float(a), float(b)) for a, b in zip(x, y)],
-        "l_returnflag string, l_quantity double, l_extendedprice double")
+        [(i, 1, 1, 1, float(a), float(b), 0.0, 0.0, "A", "O",
+          "1995-01-01 00:00:00")
+         for i, (a, b) in enumerate(zip(x, y))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate string").withColumn(
+            "l_shipdate", F.col("l_shipdate").cast("timestamp"))
     import tempfile, os
     with tempfile.TemporaryDirectory() as d:
         df.write.parquet(os.path.join(d, "lineitem.parquet"))
