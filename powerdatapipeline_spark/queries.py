@@ -2131,13 +2131,39 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, qs, k=10, fit_iters=2)
 
 
-@register("q36_multimodal_features", None)
+def _multimodal_oracle() -> str:
+    """DuckDB twin of the fake decoder: _fake_decode expands
+    md5(payload ‖ uint32be(counter)) digests into 64 pseudo-pixels
+    (counters 0..3 × 16 digest bytes). DuckDB's md5 takes VARCHAR but
+    hashes its UTF-8 bytes — identical to hashing the encoded payload —
+    and chr(0) survives in varchar, so the counter suffix concatenates as
+    text. mean_pixel divides an integer sum by 64 (a power of two), so
+    the double is exact on both engines — no rounding needed."""
+    def pxsum(c: int) -> str:
+        suffix = " || ".join(f"chr({b})" for b in (0, 0, 0, c))
+        return (f"list_sum(list_transform(generate_series(1,16), i -> "
+                f"CAST(('0x' || substr(md5(text || {suffix}), 2*i-1, 2)) "
+                f"AS INT)))")
+
+    total = " + ".join(pxsum(c) for c in range(4))
+    return f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       ({total}) / 64.0 AS mean_pixel
+FROM documents
+"""
+
+
+@register("q36_multimodal_features", _multimodal_oracle())
 def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (operators/multimodal): documents.text encoded to
     a binary payload column + typed metadata (built-ins), then the
     deterministic fake decoder runs feature extraction through
-    mapInPandas (Arrow-batched). Rows-only: the pandas-UDF decode has no
-    SQL oracle."""
+    mapInPandas (Arrow-batched). Oracle-exact since round 5: the fake
+    decoder is md5-expansion, which DuckDB replays (_multimodal_oracle) —
+    so even the pandas-UDF path hash-verifies end to end, proving the
+    Arrow batch plumbing delivers exactly the bytes the schema promises."""
     from powerdatapipeline_spark.operators import multimodal as mm
 
     docs = (_t(spark, sf_dir, "documents")
@@ -2322,9 +2348,9 @@ def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAIL = [
     # past the snapshot cap but oracle-paired where the semantics allow:
     # q46/q48 verify their accuracy CONTRACT (exact values + in-bounds
-    # booleans), q34/q35 are fully oracle-exact (seeded planes / the whole
-    # k-means fit embedded in the SQL); q33/q36 stay rows-only (xxhash64 /
-    # pandas-UDF decode have no DuckDB twin) with pytest value pins
+    # booleans), q34/q35/q36 are fully oracle-exact (seeded planes / the
+    # whole k-means fit / the md5 fake-decode replayed in SQL); only q33
+    # stays rows-only (xxhash64 has no DuckDB twin) with pytest value pins
     "q46_sample", "q48_approx_distinct", "q33_simhash_pairs",
     "q34_ann_lsh_topk", "q35_ann_ivf_topk", "q36_multimodal_features",
     # oracle-paired but redundant with a head entry
