@@ -333,12 +333,16 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, shingle_n: int = 3) -> DataFrame:
+                  max_hamming: int = 3, shingle_n: int = 3,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints; candidates = documents sharing
     at least one of 4 16-bit slices (any pair within Hamming distance 3 must
     agree on ≥1 slice — pigeonhole); verify by exact Hamming distance via
-    ``bit_count(xor)``."""
-    fp = _spread(df).select(F.col(id_col), simhash64(text_col, shingle_n).alias("fp"))
+    ``bit_count(xor)``. ``hash_fn`` selects the shingle hash (see
+    text.simhash64): xxhash64 for the hot path, portable60 when the run
+    must be reproducible outside the JVM (q33's oracle)."""
+    fp = _spread(df).select(F.col(id_col),
+                            simhash64(text_col, shingle_n, hash_fn).alias("fp"))
     slices = F.array(*[
         F.struct(F.lit(i).alias("slot"),
                  F.shiftright("fp", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))

@@ -199,16 +199,31 @@ def minhash_signature(col: str | Column, num_perm: int = 16, shingle_n: int = 3,
                                  % F.lit(MINHASH_PRIME))))
 
 
-def simhash64(col: str | Column, shingle_n: int = 3) -> Column:
+def simhash64(col: str | Column, shingle_n: int = 3,
+              hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash over character shingles.
 
-    Classic construction: each shingle hashes to 64 bits (xxhash64); each bit
+    Classic construction: each shingle hashes to 64 bits; each bit
     position accumulates +1/-1 across shingles; the sign vector is the
     fingerprint. Expressed with higher-order array functions (shiftright /
     bitwise-and per bit) — JVM-side, no UDF.
+
+    ``hash_fn``: ``"xxhash64"`` (default — the fast JVM intrinsic, right
+    for the 100 TB hot path) or ``"portable60"`` (60 bits from the md5
+    hex prefix — slower, but reproducible in any engine with md5, which
+    is what lets q33's DuckDB oracle replay the whole pipeline; the top 4
+    fingerprint bits are then always 0, which only widens one LSH slice's
+    collision rate). The CONSTRUCTION (votes, slices, Hamming) is
+    identical for either hash.
     """
+    if hash_fn not in ("xxhash64", "portable60"):
+        raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
     sh = char_ngrams(col, shingle_n)
-    h = F.transform(sh, lambda s: F.xxhash64(s))
+    if hash_fn == "xxhash64":
+        h = F.transform(sh, lambda s: F.xxhash64(s))
+    else:
+        h = F.transform(sh, lambda s: F.conv(
+            F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
     bits_idx = F.sequence(F.lit(0), F.lit(63))
     # ONE pass over the hash array: the accumulator is the 64-counter vote
     # vector, the bit index is a lambda variable — so shingling/hashing is

@@ -1952,15 +1952,51 @@ def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= 0.06 * F.col("exact_parts")).alias("approx_in_bounds")))
 
 
-@register("q33_simhash_pairs", None)
+_SIMHASH_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(lower(text)) - 2, 0)),
+           i -> substr(lower(text), i, 3)))) AS s
+  FROM documents),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv
+  FROM sh),
+votes AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT d.doc_id, COALESCE(SUM(CASE WHEN v.v > 0
+           THEN (CAST(1 AS BIGINT) << v.b) ELSE 0 END), 0) AS fp
+  FROM documents d LEFT JOIN votes v USING (doc_id)
+  GROUP BY d.doc_id),
+sliced AS (
+  SELECT doc_id, fp, t.slot, (fp >> (t.slot * 16)) & 65535 AS key
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS slot) t),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM sliced a JOIN sliced b
+    ON a.slot = b.slot AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+@register("q33_simhash_pairs", _SIMHASH_ORACLE)
 def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (operators/dedup.simhash_pairs): xxhash64-based
-    64-bit fingerprints, 16-bit-slice LSH, Hamming verification. max_hamming
-    is pinned to 3 — the 4-slice pigeonhole only guarantees candidate recall
+    """SimHash near-dup (operators/dedup.simhash_pairs): 64-bit
+    fingerprints, 16-bit-slice LSH, Hamming verification. max_hamming is
+    pinned to 3 — the 4-slice pigeonhole only guarantees candidate recall
     for distance ≤ 3; a larger threshold would silently miss qualifying
-    pairs that disagree on every slice. Rows-only: xxhash64 has no DuckDB
-    equivalent."""
-    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    pairs that disagree on every slice. Oracle-exact since round 5 via the
+    engine-portable md5-prefix shingle hash (hash_fn="portable60" — same
+    construction, reproducible in DuckDB), so votes, fingerprints, slice
+    candidates, and Hamming filter all hash-verify; the xxhash64 hot-path
+    default stays pinned by tests/test_text_dedup_similarity.py."""
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3,
+                            hash_fn="portable60")
 
 
 def _lsh_topk_oracle(n_planes: int = 8, dim: int = 64, seed: int = 42,
@@ -2346,11 +2382,11 @@ def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _TAIL = [
-    # past the snapshot cap but oracle-paired where the semantics allow:
+    # past the snapshot cap but ALL oracle-paired as of round 5:
     # q46/q48 verify their accuracy CONTRACT (exact values + in-bounds
-    # booleans), q34/q35/q36 are fully oracle-exact (seeded planes / the
-    # whole k-means fit / the md5 fake-decode replayed in SQL); only q33
-    # stays rows-only (xxhash64 has no DuckDB twin) with pytest value pins
+    # booleans); q33/q34/q35/q36 are fully oracle-exact (portable shingle
+    # hash / seeded planes / the whole k-means fit / the md5 fake-decode
+    # replayed in SQL)
     "q46_sample", "q48_approx_distinct", "q33_simhash_pairs",
     "q34_ann_lsh_topk", "q35_ann_ivf_topk", "q36_multimodal_features",
     # oracle-paired but redundant with a head entry
