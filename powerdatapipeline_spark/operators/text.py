@@ -246,3 +246,43 @@ def simhash64(col: str | Column, shingle_n: int = 3,
                       .otherwise(F.lit(0).cast("long")))
     return F.aggregate(bit_vals, F.lit(0).cast("long"),
                        lambda acc, x: acc.bitwiseOR(x))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data curation: scrub contact/identifier strings
+# before a corpus ships to training). Patterns deliberately use only regex
+# constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) — char classes, bounded repetition, alternation, \b — so the
+# operator is oracle-verifiable engine-to-engine.
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) in APPLICATION ORDER — URLs first so an
+#: email-shaped userinfo inside a URL is consumed by the URL rule, not
+#: half-redacted by the email rule.
+PII_RULES = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Scrub URLs, emails, and IPv4 literals to typed placeholder tokens.
+    One chained ``regexp_replace`` per rule — codegen'd, no Python, scales
+    as a narrow map over a 100 TB corpus."""
+    out = _c(col)
+    for _name, pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: str | Column) -> list[Column]:
+    """Per-rule match counts (aliased ``n_<rule>``) — the audit side of
+    :func:`redact_pii`: counts are computed on the ORIGINAL text with the
+    same patterns, so redact+count is one pass, two expressions."""
+    cols = []
+    text = _c(col)
+    for name, pat, _repl in PII_RULES:
+        cols.append(F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+                    .alias(f"n_{name}"))
+    return cols

@@ -2335,6 +2335,30 @@ def q71_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_tokens")))
 
 
+@register("q73_redact_pii", r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_url,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         'https?://[^\s]+', '<URL>', 'g'),
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
+FROM documents
+""")
+def q73_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for corpus curation (operators/text.redact_pii): scrub
+    URLs, emails, and IPv4 literals to typed placeholders and count each
+    rule's matches on the original text — the audit+scrub pass a training
+    corpus takes before shipping. Chained codegen'd regexp_replace, narrow
+    map, no shuffle; patterns restricted to constructs with identical
+    Java-regex/RE2 semantics so the full cleaned TEXT hash-verifies against
+    the DuckDB oracle, not just the counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *tx.pii_counts("text"),
+                       tx.redact_pii("text").alias("clean_text"))
+
+
 @register("q72_latest_event", """
 WITH r AS (
   SELECT user_id, ts, event_id, value,
@@ -2389,6 +2413,9 @@ _TAIL = [
     # replayed in SQL)
     "q46_sample", "q48_approx_distinct", "q33_simhash_pairs",
     "q34_ann_lsh_topk", "q35_ann_ivf_topk", "q36_multimodal_features",
+    # round-5 addition — oracle-paired, parked past the cap so the head's
+    # recorded 50 stay stable round-over-round
+    "q73_redact_pii",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",

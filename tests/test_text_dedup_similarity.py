@@ -416,3 +416,45 @@ def test_ivf_search_indexed_derives_probe_schema(spark, tmp_path):
     # self is rank 1 in its own probed cell with exact (un-narrowed) vectors
     self_hits = {r.query_id: r.vec_id for r in rows if r.rank == 1}
     assert self_hits == {"q0": 0, "q1": 1, "q2": 2}
+
+
+def test_redact_pii_crafted_and_cross_engine(spark):
+    """The fixture corpus has no real PII, so the parity sweep alone never
+    exercises a replacement — this test feeds crafted strings through BOTH
+    engines' pipelines (Spark redact_pii/pii_counts vs the q73 oracle's
+    DuckDB SQL applied to the same rows) and checks the actual scrubbing."""
+    import duckdb
+
+    from powerdatapipeline_spark.queries import REGISTRY
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk or visit "
+            "https://example.com/a?b=c#d thanks"),
+        (2, "server at 10.0.0.1 and 192.168.254.3, not 1234.5.6.7890"),
+        (3, "mixed: http://u:p@host/path then bob@site.org after"),
+        (4, "clean document with no identifiers at all"),
+        (5, "trailing url http://x.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (df.select("doc_id", *tx.pii_counts("text"),
+                     tx.redact_pii("text").alias("clean_text"))
+           .orderBy("doc_id").collect())
+    # hand-checked expectations
+    assert [r.n_url for r in got] == [1, 0, 1, 0, 1]
+    assert [r.n_email for r in got] == [1, 0, 1, 0, 0]
+    # row 2: 1234.5.6.7890 must NOT match (\b + 1-3 digit octets)
+    assert [r.n_ipv4 for r in got] == [0, 2, 0, 0, 0]
+    assert "<EMAIL>" in got[0].clean_text and "<URL>" in got[0].clean_text
+    assert "alice" not in got[0].clean_text
+    assert got[1].clean_text.count("<IP>") == 2
+    assert "1234.5.6.7890" in got[1].clean_text
+    assert got[3].clean_text == rows[3][1]
+    # cross-engine: run the registered oracle SQL on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = REGISTRY["q73_redact_pii"][1]
+    want = {r[0]: r for r in con.execute(oracle).fetchall()}
+    for r in got:
+        o = want[r.doc_id]
+        assert (r.n_url, r.n_email, r.n_ipv4, r.clean_text) == o[1:], r.doc_id
