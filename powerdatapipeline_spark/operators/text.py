@@ -286,3 +286,41 @@ def pii_counts(col: str | Column) -> list[Column]:
         cols.append(F.size(F.regexp_extract_all(text, F.lit(pat), 0))
                     .alias(f"n_{name}"))
     return cols
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    duplicate lines and the share of all word-bigrams taken by the single
+    most frequent bigram — the two workhorse filters for boilerplate and
+    template spam in LLM corpus curation (Rae et al. 2021 §A1.3).
+
+    Line stats are a narrow map (array ops per row). Bigram stats are
+    explode → two grouped aggregations keyed by (id, bigram) then id —
+    map-side combine on both, shuffle volume bounded by distinct bigrams
+    per doc, never corpus-global state. Short docs (<2 tokens) keep
+    top_bigram_frac = 0 via the left join + coalesce."""
+    lines = F.split(_c(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    base = df.select(F.col(id_col), F.round(dup_frac, 6).alias("dup_line_frac"),
+                     n_lines.cast("int").alias("n_lines"), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(t, i),
+                                          F.element_at(t, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (base.select(id_col, F.explode(bigrams).alias("bg"))
+          .groupBy(id_col, "bg").count()
+          .groupBy(id_col)
+          .agg((F.max("count").cast("double") / F.sum("count"))
+               .alias("__frac")))
+    return (base.drop("__t").join(bg, id_col, "left")
+            .select(id_col, "n_lines", "dup_line_frac",
+                    F.round(F.coalesce(F.col("__frac"), F.lit(0.0)), 6)
+                    .alias("top_bigram_frac")))

@@ -2359,6 +2359,43 @@ def q73_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                        tx.redact_pii("text").alias("clean_text"))
 
 
+@register("q74_repetition_stats", r"""
+WITH lines AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         round(CASE WHEN len(string_split(text, chr(10))) > 0
+               THEN CAST(len(string_split(text, chr(10)))
+                         - len(list_distinct(string_split(text, chr(10))))
+                    AS DOUBLE) / len(string_split(text, chr(10)))
+               ELSE 0.0 END, 6) AS dup_line_frac
+  FROM documents),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toks),
+cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+top AS (
+  SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+  FROM cnt GROUP BY doc_id)
+SELECT l.doc_id, CAST(l.n_lines AS INT) AS n_lines, l.dup_line_frac,
+       COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM lines l LEFT JOIN top t USING (doc_id)
+""")
+def q74_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (operators/text.repetition_stats):
+    duplicate-line fraction + top-bigram share — the Gopher repetition
+    filters a curation pass applies alongside q28's quality score. Narrow
+    line stats + two map-side-combined aggregations; the round(…,6)
+    double parity follows the module rules."""
+    return tx.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 @register("q72_latest_event", """
 WITH r AS (
   SELECT user_id, ts, event_id, value,
@@ -2413,9 +2450,9 @@ _TAIL = [
     # replayed in SQL)
     "q46_sample", "q48_approx_distinct", "q33_simhash_pairs",
     "q34_ann_lsh_topk", "q35_ann_ivf_topk", "q36_multimodal_features",
-    # round-5 addition — oracle-paired, parked past the cap so the head's
+    # round-5 additions — oracle-paired, parked past the cap so the head's
     # recorded 50 stay stable round-over-round
-    "q73_redact_pii",
+    "q73_redact_pii", "q74_repetition_stats",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",

@@ -458,3 +458,34 @@ def test_redact_pii_crafted_and_cross_engine(spark):
     for r in got:
         o = want[r.doc_id]
         assert (r.n_url, r.n_email, r.n_ipv4, r.clean_text) == o[1:], r.doc_id
+
+
+def test_repetition_stats_crafted_and_cross_engine(spark):
+    """Fixture docs are single-line with little repetition, so the parity
+    sweep never exercises the interesting branches — crafted docs cover
+    duplicate lines, a dominant bigram, short docs, and the empty-bigram
+    guard, checked against the q74 oracle SQL on the same rows."""
+    import duckdb
+
+    from powerdatapipeline_spark.queries import REGISTRY
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nlimited offer"),   # 3 dup lines of 4
+        (2, "click here click here click here click here"),  # dominant bigram
+        (3, "word"),                                         # <2 tokens
+        (4, "a normal sentence with all distinct word pairs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.repetition_stats(df).collect()}
+    assert got[1].n_lines == 4 and got[1].dup_line_frac == 0.5
+    # doc 2: bigrams = [click here, here click] * — "click here" 4 of 7
+    assert got[2].top_bigram_frac == round(4 / 7, 6)
+    assert got[3].top_bigram_frac == 0.0 and got[3].n_lines == 1
+    assert got[4].top_bigram_frac == round(1 / 7, 6)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: r for r in
+            con.execute(REGISTRY["q74_repetition_stats"][1]).fetchall()}
+    for did, r in got.items():
+        assert (r.n_lines, r.dup_line_frac, r.top_bigram_frac) == want[did][1:], did
