@@ -2443,16 +2443,15 @@ def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _TAIL = [
-    # past the snapshot cap but ALL oracle-paired as of round 5:
-    # q46/q48 verify their accuracy CONTRACT (exact values + in-bounds
-    # booleans); q33/q34/q35/q36 are fully oracle-exact (portable shingle
-    # hash / seeded planes / the whole k-means fit / the md5 fake-decode
-    # replayed in SQL)
-    "q46_sample", "q48_approx_distinct", "q33_simhash_pairs",
-    "q34_ann_lsh_topk", "q35_ann_ivf_topk", "q36_multimodal_features",
-    # round-5 additions — oracle-paired, parked past the cap so the head's
-    # recorded 50 stay stable round-over-round
-    "q73_redact_pii", "q74_repetition_stats",
+    # Round-6 rotation: q33/q34/q35/q36/q46/q48/q73/q74 — never recorded by
+    # the driver in rounds 1-5 — are promoted into the head so
+    # CORRECTNESS_r06 finally records the ANN/multimodal/curation surface.
+    # In their place sit 8 head entries whose rows were green in every
+    # round they appeared (r1-r5) and whose operators stay pinned by the
+    # tail-parity pytest + tools/check_parity.py:
+    "q11_distinct_counts", "q13_json_extract", "q18_downsample_modulo",
+    "q24_onehot_encode", "q26_exact_dedup", "q27_text_stats",
+    "q51_string_functions", "q58_unpivot",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",
@@ -2464,11 +2463,13 @@ def _reorder_registry() -> None:
     if missing:
         raise RuntimeError(f"registry tail names drifted: {missing}")
     head = {n: REGISTRY[n] for n in REGISTRY if n not in _TAIL}
-    n_oracle_head = sum(1 for fn, o in head.values() if o is not None)
-    if n_oracle_head > 50:
+    # The driver snapshots the FIRST 50 entries of queries() period — not
+    # the first 50 oracle-paired ones — so the head must hold at most 50
+    # entries total or something silently falls past the recorded window.
+    if len(head) > 50:
         raise RuntimeError(
-            f"{n_oracle_head} oracle-paired head queries exceed the "
-            "driver's 50-entry snapshot; demote or merge before shipping")
+            f"{len(head)} head queries exceed the driver's 50-entry "
+            "snapshot; demote or merge before shipping")
     for n in _TAIL:
         head[n] = REGISTRY[n]
     REGISTRY.clear()
