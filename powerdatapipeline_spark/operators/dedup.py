@@ -95,6 +95,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def _lsh_candidate_pairs(base: DataFrame, id_col: str,
+                         num_perm: int, bands: int) -> DataFrame:
+    """Distinct LSH candidate id pairs from a persisted frame holding
+    ``(id_col, sig)``: band each signature (md5 over the band's slots) and
+    self-join on the (band, hash) key.
+
+    The self-join deliberately carries ONLY ``(id, band, bh)`` — round 5
+    shipped the signature and shingle arrays through the explode and the
+    join shuffle, which tripled the shuffled bytes and (worse) put the
+    whole minhash/shingle expression tree inside the join stage's
+    generated code: first-run codegen alone cost ~4 s at sf0.1. Narrow
+    keys here, payloads fetched later by joining candidates back to the
+    persisted base (the candidate side is small — duplicate-density-scaled
+    — so AQE plans it as a broadcast join and ``base`` never re-shuffles).
+    Measured at sf0.1: 6.2 s → 1.5 s cold, 2.2 s → 1.3 s warm.
+    """
+    rows = num_perm // bands
+    band_cols = [
+        F.struct(F.lit(i).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
+                                          for j in range(rows)])).alias("bh"))
+        for i in range(bands)
+    ]
+    banded = base.select(id_col, F.explode(F.array(*band_cols)).alias("b"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.b") == F.col("b.b"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 16,
                       bands: int = 4, shingle_n: int = 3,
@@ -110,11 +142,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     index, band hash) is uniform. Verification = signature comparison (no
     re-shingling). Estimated Jaccard = fraction of matching signature slots.
     """
-    rows = num_perm // bands
-    # persist: the banded frame self-joins, so without it every signature is
-    # computed twice (both join sides re-evaluate the md5 pipeline — measured
-    # 11 s → 4 s at sf0.1). Signatures are tiny (num_perm hashes per doc);
-    # at 100 TB persisting them is the standard LSH practice (spills to disk).
+    # persist: both the band self-join and the candidate join-back read this
+    # frame, so without it every signature is computed three times.
+    # Signatures are tiny (num_perm hashes per doc); at 100 TB persisting
+    # them is the standard LSH practice (spills to disk).
     sig = (_spread(df)
            .select(F.col(id_col),
                    minhash_signature(text_col, num_perm, shingle_n, shingle_unit).alias("sig"))
@@ -122,25 +153,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     if materialize:
         sig.count()  # fill the cache BEFORE the self-join: both sides race
         # it inside one job otherwise and each recomputes the signatures
-    band_cols = [
-        F.struct(F.lit(i).alias("band"),
-                 F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
-                                          for j in range(rows)])).alias("bh"))
-        for i in range(bands)
-    ]
-    banded = sig.select(id_col, "sig", F.explode(F.array(*band_cols)).alias("b"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"),
-                    F.col("b.sig").alias("sig_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    pairs = (cand
+             .join(sig.select(F.col(id_col).alias("id_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+             .join(sig.select(F.col(id_col).alias("id_b"),
+                              F.col("sig").alias("sig_b")), "id_b"))
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                        lambda x, y: x == y), lambda z: z))
     est = agree.cast("double") / F.lit(num_perm)
-    out = (cand.withColumn("est_jaccard", F.round(est, 6))
+    out = (pairs.withColumn("est_jaccard", F.round(est, 6))
                .where(F.col("est_jaccard") >= threshold)
                .select("id_a", "id_b", "est_jaccard"))
     return _finish(out, sig, materialize)
@@ -162,9 +184,8 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
     thing is engine-portable (md5-seeded integer MinHash → checkable in any
     SQL engine).
     """
-    rows = num_perm // bands
-    # persisted for the same self-join reason as minhash_lsh_pairs; carries
-    # the shingle sets too so verification never re-shingles
+    # persisted for the same three-reader reason as minhash_lsh_pairs;
+    # carries the shingle sets too so verification never re-shingles
     base = (_spread(df)
             .select(F.col(id_col),
                     shingles(text_col, shingle_n, shingle_unit).alias("g"),
@@ -172,23 +193,15 @@ def lsh_verified_pairs(df: DataFrame, text_col: str = "text",
             .persist())
     if materialize:
         base.count()  # fill the cache before the self-join (see above)
-    band_cols = [
-        F.struct(F.lit(i).alias("band"),
-                 F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
-                                          for j in range(rows)])).alias("bh"))
-        for i in range(bands)
-    ]
-    banded = base.select(id_col, "g", F.explode(F.array(*band_cols)).alias("b"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.g").alias("g_a"), F.col("b.g").alias("g_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _lsh_candidate_pairs(base, id_col, num_perm, bands)
+    pairs = (cand
+             .join(base.select(F.col(id_col).alias("id_a"),
+                               F.col("g").alias("g_a")), "id_a")
+             .join(base.select(F.col(id_col).alias("id_b"),
+                               F.col("g").alias("g_b")), "id_b"))
     n_inter = F.size(F.array_intersect("g_a", "g_b"))
     jac = n_inter.cast("double") / (F.size("g_a") + F.size("g_b") - n_inter)
-    out = (cand.withColumn("jaccard", F.round(jac, 6))
+    out = (pairs.withColumn("jaccard", F.round(jac, 6))
                .where(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
     return _finish(out, base, materialize)
@@ -207,7 +220,6 @@ def neardup_report(df: DataFrame, text_col: str = "text",
     serve both metrics — at 100 TB this halves the dominant cost of running
     the two operators separately.
     """
-    rows = num_perm // bands
     base = (_spread(df)
             .select(F.col(id_col),
                     shingles(text_col, shingle_n, shingle_unit).alias("g"),
@@ -215,27 +227,20 @@ def neardup_report(df: DataFrame, text_col: str = "text",
             .persist())
     if materialize:
         base.count()  # fill the cache before the self-join (see above)
-    band_cols = [
-        F.struct(F.lit(i).alias("band"),
-                 F.md5(F.concat_ws("|", *[F.element_at("sig", i * rows + j + 1)
-                                          for j in range(rows)])).alias("bh"))
-        for i in range(bands)
-    ]
-    banded = base.select(id_col, "g", "sig", F.explode(F.array(*band_cols)).alias("b"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.b") == F.col("b.b"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"),
-                    F.col("a.g").alias("g_a"), F.col("b.g").alias("g_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _lsh_candidate_pairs(base, id_col, num_perm, bands)
+    pairs = (cand
+             .join(base.select(F.col(id_col).alias("id_a"),
+                               F.col("sig").alias("sig_a"),
+                               F.col("g").alias("g_a")), "id_a")
+             .join(base.select(F.col(id_col).alias("id_b"),
+                               F.col("sig").alias("sig_b"),
+                               F.col("g").alias("g_b")), "id_b"))
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                        lambda x, y: x == y), lambda z: z))
     est = agree.cast("double") / F.lit(num_perm)
     n_inter = F.size(F.array_intersect("g_a", "g_b"))
     jac = n_inter.cast("double") / (F.size("g_a") + F.size("g_b") - n_inter)
-    out = (cand.withColumn("est_jaccard", F.round(est, 6))
+    out = (pairs.withColumn("est_jaccard", F.round(est, 6))
                .withColumn("jaccard", F.round(jac, 6))
                .where(F.col("est_jaccard") >= est_threshold)
                .select("id_a", "id_b", "est_jaccard", "jaccard"))
