@@ -1,0 +1,75 @@
+"""Unit coverage for the bench regression guard (tools/check_bench_regression).
+
+The guard itself runs against real bench output (``python bench.py |
+python tools/check_bench_regression.py``) — these tests pin the
+comparison semantics so the gate can't silently rot: ratio + absolute
+floor, baseline discovery skipping crashed rounds, disjoint query sets.
+"""
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+spec = importlib.util.spec_from_file_location(
+    "check_bench_regression",
+    os.path.join(REPO, "tools", "check_bench_regression.py"))
+guard = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(guard)
+
+
+def _bench(queries, total=None):
+    return {"metric": "total_query_wall_seconds",
+            "value": total if total is not None else sum(queries.values()),
+            "unit": "sec", "queries": queries, "sf": 0.1}
+
+
+def test_flags_ratio_and_floor_regression():
+    prev = _bench({"q29": 2.0, "q31": 2.0})
+    cur = _bench({"q29": 3.4, "q31": 2.1})
+    regs = guard.find_regressions(cur, prev)
+    assert regs == [("q29", 2.0, 3.4)]
+
+
+def test_absolute_floor_suppresses_tiny_query_noise():
+    # 0.1s -> 0.3s is 3x but only +0.2s — below the 0.5s floor, not flagged
+    prev = _bench({"q50": 0.1})
+    cur = _bench({"q50": 0.3})
+    assert guard.find_regressions(cur, prev) == []
+
+
+def test_ratio_guard_suppresses_large_base_small_ratio():
+    # +0.6s on a 4s query is under 1.5x — absolute floor alone must not trip
+    prev = _bench({"q35": 4.0})
+    cur = _bench({"q35": 4.6})
+    assert guard.find_regressions(cur, prev) == []
+
+
+def test_disjoint_queries_ignored():
+    prev = _bench({"q_old": 1.0})
+    cur = _bench({"q_new": 9.0})
+    assert guard.find_regressions(cur, prev) == []
+
+
+def test_latest_baseline_skips_invalid_rounds(tmp_path):
+    # r2 valid, r3 exists but has no per-query timings (crashed round) ->
+    # discovery must fall back to r2, never crash on r3
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(_bench({"q1": 1.0})))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"rc": 1}))
+    assert guard.latest_baseline(str(tmp_path)).endswith("BENCH_r02.json")
+
+
+def test_latest_baseline_prefers_newest_valid(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(_bench({"q1": 1.0})))
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(_bench({"q1": 2.0})))
+    assert guard.latest_baseline(str(tmp_path)).endswith("BENCH_r05.json")
+
+
+def test_repo_baseline_discoverable_and_unwraps_driver_envelope():
+    # the real repo baseline must resolve (BENCH_r05 as of round 6) and
+    # unwrap the driver's {n, rc, tail, parsed: {...}} envelope
+    path = guard.latest_baseline()
+    assert path is not None
+    with open(path) as f:
+        base = guard._unwrap(json.load(f))
+    assert base is not None and base["queries"]

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Round-over-round bench regression guard.
+
+Compares a bench run (``bench.py`` output JSON) against the most recent
+driver-recorded ``BENCH_r*.json`` and fails loudly on per-query
+regressions — so a q29-style slide (r3 2.1 s -> r5 3.4 s, caught only by
+the round-5 judge) is caught in-round by the builder instead.
+
+Usage:
+    python tools/check_bench_regression.py current.json        # compare file
+    python bench.py | python tools/check_bench_regression.py   # pipe
+    python tools/check_bench_regression.py --run               # run bench.py
+    ... [--baseline BENCH_r05.json] [--threshold 1.5] [--min-delta 0.5]
+
+A query regresses when BOTH hold (the absolute floor keeps 0.1 s-scale
+noise from tripping the ratio):
+    current > previous * threshold    (default 1.5x, VERDICT r5 #3)
+    current - previous > min_delta    (default 0.5 s)
+
+Exit status: 0 = no regressions, 1 = regressions found, 2 = usage/data
+error. Single local runs vary ~±30% (cold page cache — see SCALE.md), so
+treat a failure as "profile this query now", not necessarily "the commit
+is bad"; re-run to confirm before reverting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _unwrap(d: dict) -> dict | None:
+    """Bench payload from either raw bench.py output ({value, queries, ...})
+    or the driver's BENCH_r*.json envelope ({n, rc, tail, parsed: {...}});
+    None when the round has no usable per-query timings (e.g. rc!=0)."""
+    if isinstance(d.get("queries"), dict) and d["queries"]:
+        return d
+    inner = d.get("parsed")
+    if (d.get("rc", 0) == 0 and isinstance(inner, dict)
+            and isinstance(inner.get("queries"), dict) and inner["queries"]):
+        return inner
+    return None
+
+
+def latest_baseline(repo: str = REPO) -> str | None:
+    """Newest-round BENCH_r*.json with usable per-query timings (crashed
+    rounds like BENCH_r04 recorded rc=1 without a clean parse)."""
+    paths = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        reverse=True)
+    for p in paths:
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if _unwrap(d) is not None:
+            return p
+    return None
+
+
+def find_regressions(current: dict, baseline: dict,
+                     threshold: float = 1.5,
+                     min_delta: float = 0.5) -> list[tuple[str, float, float]]:
+    """(name, previous_sec, current_sec) for every common query that
+    regressed past both the ratio and the absolute floor."""
+    out = []
+    prev_q, cur_q = baseline.get("queries", {}), current.get("queries", {})
+    for name in sorted(set(prev_q) & set(cur_q)):
+        prev, cur = float(prev_q[name]), float(cur_q[name])
+        if cur > prev * threshold and cur - prev > min_delta:
+            out.append((name, prev, cur))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("current", nargs="?",
+                    help="bench JSON file (default: stdin, or --run)")
+    ap.add_argument("--run", action="store_true",
+                    help="run bench.py now and compare its output")
+    ap.add_argument("--baseline", help="baseline bench JSON "
+                    "(default: newest valid BENCH_r*.json)")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--min-delta", type=float, default=0.5)
+    args = ap.parse_args()
+
+    if args.run:
+        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            print(f"bench.py failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}")
+            return 2
+        current = json.loads(proc.stdout.strip().splitlines()[-1])
+    elif args.current:
+        with open(args.current) as f:
+            current = json.load(f)
+    else:
+        current = json.loads(sys.stdin.read())
+
+    base_path = args.baseline or latest_baseline()
+    if base_path is None:
+        print("no valid BENCH_r*.json baseline found; nothing to compare")
+        return 0
+    with open(base_path) as f:
+        baseline = _unwrap(json.load(f))
+    if baseline is None:
+        print(f"baseline {base_path} has no usable per-query timings")
+        return 2
+    current = _unwrap(current) or current
+
+    regs = find_regressions(current, baseline, args.threshold, args.min_delta)
+    common = set(baseline.get("queries", {})) & set(current.get("queries", {}))
+    print(f"baseline {os.path.basename(base_path)} "
+          f"(total {baseline.get('value')}s) vs current "
+          f"(total {current.get('value')}s), {len(common)} common queries")
+    for name, prev, cur in regs:
+        print(f"  REGRESSED {name}: {prev:.2f}s -> {cur:.2f}s "
+              f"({cur / prev:.1f}x)")
+    if not regs:
+        print("no per-query regressions "
+              f"(>{args.threshold}x and >{args.min_delta}s)")
+    return 1 if regs else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
