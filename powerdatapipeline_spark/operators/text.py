@@ -258,9 +258,12 @@ def simhash64(col: str | Column, shingle_n: int = 3,
 
 #: (name, pattern, replacement) in APPLICATION ORDER — URLs first so an
 #: email-shaped userinfo inside a URL is consumed by the URL rule, not
-#: half-redacted by the email rule.
+#: half-redacted by the email rule. The whitespace class is spelled out
+#: rather than written `\s` because Java's `\s` matches vertical tab
+#: (\x0B) while RE2's does not — the explicit class keeps Spark and the
+#: DuckDB oracle byte-identical even on documents containing \x0B.
 PII_RULES = (
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", r"https?://[^ \t\n\r\f\x0B]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 )

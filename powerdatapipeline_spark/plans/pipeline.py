@@ -121,8 +121,19 @@ def transform(df: DataFrame, cfg: RunConfig) -> DataFrame:
             df = streaming_downsample_mean(
                 df.withColumn("__ts", F.timestamp_seconds(F.col(sec_col))),
                 "__ts", tr.time_interval_desired, vcols)
+        elif df.isStreaming and tr.resample_method == "linear":
+            # upsample_linear interpolates toward the NEXT observation via
+            # lead() over a Window (timeseries.py) — Spark rejects
+            # non-time-window functions on streaming DataFrames, and the
+            # semantics are inherently future-peeking; fail at build time
+            # with a real message instead of at query start
+            raise ValueError(
+                "resample_method='linear' is not supported on a streaming "
+                "source (linear interpolation needs the next row via "
+                "lead()); use 'repeat' upsampling or run the linear "
+                "resample as a batch job")
         else:
-            # modulo downsample and both upsamples are narrow (filter /
+            # modulo downsample and repeat upsample are narrow (filter /
             # explode) — stream-safe as-is
             df = ts.resample(df, sec_col, tr.time_interval_original,
                              tr.time_interval_desired, value_cols=vcols,

@@ -74,6 +74,13 @@ TABLE_COLUMNS = {
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every registry query loads its tables here, so pin the session zone
+    # once for ALL of them: oracle parity assumes UTC (DuckDB timestamps
+    # are naive), get_spark() sets it at session creation, but the driver
+    # hands us a vanilla session — without this, timezone-sensitive
+    # results would depend on which query (events-touching or not) ran
+    # first in the session (ADVICE r5: no order-dependent globals).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -2337,11 +2344,11 @@ def q71_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q73_redact_pii", r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_url,
+       CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\r\f\x0B]+')) AS INT) AS n_url,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
        CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ipv4,
        regexp_replace(regexp_replace(regexp_replace(text,
-         'https?://[^\s]+', '<URL>', 'g'),
+         'https?://[^ \t\n\r\f\x0B]+', '<URL>', 'g'),
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
 FROM documents

@@ -289,6 +289,29 @@ def test_pipeline_streaming_batch_resample_parity(spark, tmp_path):
     assert got == want and len(want) == 5
 
 
+def test_pipeline_streaming_linear_resample_raises(spark, tmp_path):
+    """resample_method='linear' on a stream must fail at BUILD time with a
+    clear message — upsample_linear needs lead() over a Window, which Spark
+    rejects only at query start (ADVICE r5: the old comment claimed both
+    upsamples were stream-safe)."""
+    import pytest as _pytest
+
+    src = tmp_path / "streamdir3"
+    src.mkdir()
+    (src / "x.csv").write_text("datetimestampseconds,W\n0,1.0\n120,2.0\n")
+    cfg = RunConfig(name="sl", datapipeline={
+        "extraction": {"data_files": [], "use_streaming": True,
+                       "streaming_data_source": str(src),
+                       "columns_original": ["datetimestampseconds", "W"]},
+        "transformation": {"features": ["W", "datetimestampseconds"],
+                           "time_interval_original": 120,
+                           "time_interval_desired": 60,
+                           "resample": True, "resample_method": "linear"},
+    })
+    with _pytest.raises(ValueError, match="linear.*not supported on a stream"):
+        build_pipeline(spark, cfg)
+
+
 def test_detect_csv_header_empty_cell_is_data(spark, tmp_path):
     """A headerless first row with a missing value ('1.5,,3'-style) is still
     a DATA row — empty cells are NULLs in nullable columns, not evidence of

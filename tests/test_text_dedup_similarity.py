@@ -434,21 +434,27 @@ def test_redact_pii_crafted_and_cross_engine(spark):
         (3, "mixed: http://u:p@host/path then bob@site.org after"),
         (4, "clean document with no identifiers at all"),
         (5, "trailing url http://x.io"),
+        # \x0B (vertical tab): Java \s matches it, RE2 \s does not — the
+        # PII rules spell the whitespace class explicitly so both engines
+        # stop the URL match at the same byte (ADVICE r5)
+        (6, "vt-adjacent http://a.b/c\x0bxyz and 1.2.3.4\x0btail"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = (df.select("doc_id", *tx.pii_counts("text"),
                      tx.redact_pii("text").alias("clean_text"))
            .orderBy("doc_id").collect())
     # hand-checked expectations
-    assert [r.n_url for r in got] == [1, 0, 1, 0, 1]
-    assert [r.n_email for r in got] == [1, 0, 1, 0, 0]
+    assert [r.n_url for r in got] == [1, 0, 1, 0, 1, 1]
+    assert [r.n_email for r in got] == [1, 0, 1, 0, 0, 0]
     # row 2: 1234.5.6.7890 must NOT match (\b + 1-3 digit octets)
-    assert [r.n_ipv4 for r in got] == [0, 2, 0, 0, 0]
+    assert [r.n_ipv4 for r in got] == [0, 2, 0, 0, 0, 1]
     assert "<EMAIL>" in got[0].clean_text and "<URL>" in got[0].clean_text
     assert "alice" not in got[0].clean_text
     assert got[1].clean_text.count("<IP>") == 2
     assert "1234.5.6.7890" in got[1].clean_text
     assert got[3].clean_text == rows[3][1]
+    # row 6: the URL match must stop AT the vertical tab in both engines
+    assert got[5].clean_text == "vt-adjacent <URL>\x0bxyz and <IP>\x0btail"
     # cross-engine: run the registered oracle SQL on the same rows
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
