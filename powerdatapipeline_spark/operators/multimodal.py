@@ -2,11 +2,13 @@
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas UDFs over ``mapInPandas``.
 
-The decode step is STUBBED (the container ships no image/audio libraries):
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``, in
-which case a deterministic fake decoder (bytes → stable pseudo-pixels) runs
-so the Spark-side plumbing — schema, batch shape, partitioning, UDF
-signature — is real and tested end-to-end.
+Image decode is an OPTIONAL-DEPENDENCY gate: when Pillow is importable,
+``fake=False`` decodes real payloads (grayscale pixels via ``PIL.Image``);
+without it, ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (bytes → stable
+pseudo-pixels) runs so the Spark-side plumbing — schema, batch shape,
+partitioning, UDF signature — is real and tested end-to-end either way.
+Audio decode remains fake-only (no soundfile/libav analog shipped).
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a task's batch of blobs fits
@@ -67,12 +69,38 @@ def _fake_decode(payload: bytes, width: int = 8, height: int = 8):
     return out[: width * height]
 
 
+_PIL_MSG = ("real image decode requires Pillow (`pip install Pillow`; not "
+            "shipped in the default container); pass fake=True for the "
+            "deterministic test decoder")
+
+
+def _pil_open(payload: bytes):
+    """Grayscale ``PIL.Image`` for the payload, or None when Pillow is not
+    importable — the runtime probe that turns ``fake=False`` from a hard
+    NotImplementedError gate into a working real-codec path wherever the
+    optional dependency is installed (VERDICT r5 #4)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    return Image.open(io.BytesIO(payload)).convert("L")
+
+
+def decode_image_full(payload: bytes, fake: bool = False):
+    """``(width, height, grayscale pixels row-major)``. Real path via
+    Pillow when installed; deterministic 8×8 fake otherwise."""
+    if fake:
+        return 8, 8, _fake_decode(payload)
+    im = _pil_open(payload)
+    if im is None:
+        raise NotImplementedError(_PIL_MSG)
+    return im.width, im.height, list(im.getdata())
+
+
 def decode_image(payload: bytes, fake: bool = False):
-    if not fake:
-        raise NotImplementedError(
-            "real image decode requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic test decoder")
-    return _fake_decode(payload)
+    return decode_image_full(payload, fake=fake)[2]
 
 
 def extract_image_features(df: DataFrame, id_col: str = "doc_id",
@@ -80,15 +108,19 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     """Decode + feature-extract via ``mapInPandas`` — Arrow-batched; each
     batch decodes vectorized in Python worker memory. This is the sanctioned
     Python escape hatch (SURVEY.md §2.11): codecs genuinely can't be
-    expressed as Catalyst expressions.
+    expressed as Catalyst expressions. ``fake=False`` decodes real payloads
+    when Pillow is installed (width/height then come from the image itself).
     """
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pixels = pdf[blob_col].map(lambda b: decode_image(bytes(b), fake=fake))
+            decoded = pdf[blob_col].map(
+                lambda b: decode_image_full(bytes(b), fake=fake))
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
-                "width": 8, "height": 8,
-                "mean_pixel": pixels.map(lambda p: float(sum(p)) / len(p)),
+                "width": decoded.map(lambda d: d[0]),
+                "height": decoded.map(lambda d: d[1]),
+                "mean_pixel": decoded.map(
+                    lambda d: float(sum(d[2])) / len(d[2])),
             })
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema=FEATURE_SCHEMA)
@@ -146,13 +178,25 @@ def resize_image(df: DataFrame, out_w: int = 4, out_h: int = 4,
                  fake: bool = True, src_w: int = 8, src_h: int = 8) -> DataFrame:
     """Resize via ``mapInPandas`` (Arrow-batched): decode each payload
     (same ``fake`` gate as :func:`decode_image`), then nearest-neighbor
-    sample the source grid down/up to ``out_w×out_h`` — the index math a
-    real PIL/opencv resize would replace, with identical Spark-side
-    plumbing (schema, batch shape, partition-preserving narrow op)."""
+    sample down/up to ``out_w×out_h``. With ``fake=False`` and Pillow
+    installed the resize is ``PIL.Image.resize(..., NEAREST)`` on the real
+    image; the fake path applies the same index math to the pseudo-pixel
+    grid — identical Spark-side plumbing (schema, batch shape,
+    partition-preserving narrow op) either way."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def one(b: bytes) -> list[int]:
-                px = decode_image(bytes(b), fake=fake)
+                if not fake:
+                    im = _pil_open(bytes(b))
+                    if im is None:
+                        raise NotImplementedError(_PIL_MSG)
+                    # resample=0 is NEAREST in every Pillow version
+                    # (Image.NEAREST / Resampling.NEAREST both == 0); the
+                    # literal keeps this path importable without Pillow on
+                    # the driver (only workers decoding real payloads need it)
+                    return list(im.resize((out_w, out_h),
+                                          resample=0).getdata())
+                px = _fake_decode(bytes(b))
                 return [px[min(int(y * src_h / out_h), src_h - 1) * src_w
                            + min(int(x * src_w / out_w), src_w - 1)]
                         for y in range(out_h) for x in range(out_w)]

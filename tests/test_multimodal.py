@@ -1,12 +1,17 @@
 """Multimodal binary-column plumbing: metadata via built-ins, decode via
-Arrow-batched mapInPandas with the deterministic fake decoder (real codecs
-are stubbed — NotImplementedError gate)."""
+Arrow-batched mapInPandas. The deterministic fake decoder is the default;
+``fake=False`` decodes real payloads when Pillow is installed (tests below
+run in whichever mode the environment supports)."""
+
+import importlib.util
 
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.operators import multimodal as mm
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 
 def _blobs(spark):
@@ -24,9 +29,50 @@ def test_metadata_built_ins_only(spark):
     assert len(r[1].checksum) == 32  # md5 hex
 
 
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed: gate opens instead")
 def test_decode_gate_raises_without_fake():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"x", fake=False)
+
+
+def test_real_path_decode_with_decoder_shim(monkeypatch):
+    """Exercise decode_image_full's fake=False branch WITHOUT Pillow by
+    shimming _pil_open (driver-side only — a monkeypatch cannot reach
+    Spark's re-importing Python workers, so the mapInPandas wiring of the
+    real path is covered by the Pillow-gated test below instead)."""
+    class ShimImage:
+        width, height = 4, 2
+
+        def getdata(self):
+            return list(range(8))
+
+    monkeypatch.setattr(mm, "_pil_open", lambda payload: ShimImage())
+    w, h, px = mm.decode_image_full(b"abc", fake=False)
+    assert (w, h) == (4, 2) and px == list(range(8))
+    assert mm.decode_image(b"abc", fake=False) == list(range(8))
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+def test_real_decode_and_resize_with_pillow(spark):
+    """fake=False end-to-end when the optional codec dependency exists:
+    a real PNG round-trips through extract_image_features (true dims +
+    grayscale mean) and resize_image (PIL NEAREST)."""
+    import io
+
+    from PIL import Image
+
+    im = Image.new("L", (6, 3))
+    im.putdata(list(range(0, 180, 10)))  # 18 px: 0,10,...,170
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([Row(doc_id=7, blob=bytearray(png))])
+    feat = mm.extract_image_features(df, fake=False).collect()[0]
+    assert (feat.width, feat.height) == (6, 3)
+    assert feat.mean_pixel == pytest.approx(sum(range(0, 180, 10)) / 18)
+    rs = mm.resize_image(df, out_w=2, out_h=1, fake=False).collect()[0]
+    assert (rs.width, rs.height) == (2, 1) and len(rs.pixels) == 2
+    assert all(0 <= p <= 255 for p in rs.pixels)
 
 
 def test_fake_decode_deterministic():
