@@ -22,10 +22,20 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: Whitespace class with identical Java-regex (Spark) and RE2 (DuckDB)
+#: semantics. Java's ``\s`` is exactly ``[ \t\n\x0B\f\r]`` but RE2's
+#: excludes vertical tab, so every tokenizer/normalizer that pairs with a
+#: DuckDB oracle spells the class out — same fix as the PII rules
+#: (ADVICE r5). This class == Java ``\s`` exactly, so Spark-side behavior
+#: (and every recorded hash) is unchanged.
+WS_CLASS = r"[ \t\n\r\f\x0B]"
+
+
 def tokens(col: str | Column) -> Column:
     """Whitespace tokenization of lowercased text; empty strings dropped.
     The BPE-ish regex variant is :func:`regex_tokens`."""
-    return F.filter(F.split(F.lower(_c(col)), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(_c(col)), WS_CLASS + "+"),
+                    lambda t: t != "")
 
 
 def regex_tokens(col: str | Column) -> Column:
@@ -41,7 +51,7 @@ def token_count(col: str | Column) -> Column:
 
 #: BPE-style pre-tokenization classes (GPT-2's pattern minus lookaheads,
 #: which RE2 engines reject): letter runs, digit runs, single symbols.
-BPE_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_PIECE_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]"
 
 
 def bpe_pieces(col: str | Column) -> Column:
@@ -65,7 +75,7 @@ def rolling_fingerprint(col: str | Column, base: int = 131,
     :func:`fingerprint` this hash is *incrementally updatable* (append a
     char = one multiply-add), the property streaming/windowed fingerprint
     maintenance needs."""
-    norm = F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(_c(col)), WS_CLASS + "+", " "))
     codes = F.transform(F.sequence(F.lit(1), F.length(norm)),
                         lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"))
     return F.aggregate(codes, F.lit(0).cast("long"),
@@ -139,7 +149,7 @@ def fingerprint(col: str | Column) -> Column:
     (lowercased, whitespace-collapsed) text. Engine-portable (md5 is
     identical in Spark/DuckDB/anything), so exact-dup detection can be
     verified across systems."""
-    norm = F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(_c(col)), WS_CLASS + "+", " "))
     return F.md5(norm)
 
 

@@ -707,14 +707,16 @@ def q25_prefix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB fragments kept textually in sync with operators/text.py —
 #: tokenization must match bit-for-bit for ratio parity: Spark tokens()
-#: splits on \s+, so the oracle must regex-split too (a single-space split
-#: diverges on any tab/newline/double-space document).
-_SQL_TOKENS = r"regexp_split_to_array(lower(text), '\s+')"
+#: regex-splits on the explicit whitespace class (tx.WS_CLASS — spelled
+#: out because Java \s matches \x0B and RE2's does not), so the oracle
+#: splits on the same class (a single-space split would diverge on any
+#: tab/newline/double-space document).
+_SQL_TOKENS = r"regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+')"
 _SQL_STOP = "('" + "','".join(
     "the a an and or of to in is are was were be been it that this with as "
     "for on at by from not but".split()) + "')"
 @register("q26_exact_dedup", """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fp,
        min(doc_id) AS doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1
@@ -802,7 +804,7 @@ _SQL_MINHASH = r"""
     SELECT doc_id,
            list_distinct(list_transform(generate_series(1, greatest(len(tok) - 2, 0)),
              i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS g
-    FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS tok
+    FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'), x -> x != '') AS tok
           FROM documents))
 """
 
@@ -1625,10 +1627,10 @@ def q62_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q61_token_fingerprints", f"""
 WITH n AS (
   SELECT doc_id, lower(text) AS lo,
-         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS t
   FROM documents)
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(lo, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(lo, '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) AS INT) AS n_tokens,
        CAST(len(regexp_extract_all(lo, '{tx.BPE_PIECE_RE}')) AS INT) AS n_pieces,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(generate_series(1, length(t)),
@@ -1667,7 +1669,7 @@ def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q63_dedup_clusters", """
 WITH RECURSIVE n AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS txt
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS txt
   FROM documents),
 k AS (
   SELECT doc_id, md5(substr(txt, 1, 40)) AS k1,
@@ -1705,7 +1707,7 @@ def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every output row is still hash-checked. Canonical = the component's
     minimum doc_id, the keep-one-per-cluster rule of a dedup pipeline."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), tx.WS_CLASS + "+", " "))
     k1 = F.md5(F.substring(norm, 1, 40))
     k2 = F.md5(F.substring(F.reverse(norm), 1, 40))
     pairs = dd.blocked_pairs(docs, [k1, k2], id_col="doc_id")
@@ -2292,7 +2294,7 @@ f AS (
 k AS (
   SELECT min(doc_id) AS doc_id
   FROM f
-  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+  GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))),
 s AS (
   SELECT f.doc_id, f.n_tokens,
          CASE WHEN CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))
@@ -2378,7 +2380,7 @@ WITH lines AS (
   FROM documents),
 toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'),
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f\x0B]+'),
                      x -> x <> '') AS t
   FROM documents),
 bg AS (

@@ -26,6 +26,29 @@ def test_tokens_and_counts(spark):
     assert r.n == 3
 
 
+def test_tokenization_cross_engine_on_vertical_tab(spark):
+    """tx.WS_CLASS spells out the whitespace class because Java's \\s
+    matches \\x0B while RE2's does not — a \\x0B-containing document must
+    tokenize and fingerprint identically in Spark and DuckDB (same latent
+    divergence ADVICE r5 flagged for the PII rules)."""
+    import duckdb
+
+    s = "hello\x0bworld and\ttabs\nnewlines  doublespace"
+    g = (spark.createDataFrame([Row(text=s)])
+         .select(tx.tokens("text").alias("t"),
+                 tx.fingerprint("text").alias("fp"),
+                 tx.rolling_fingerprint("text").alias("rfp")).first())
+    w = duckdb.sql(r"""
+        SELECT list_filter(regexp_split_to_array(lower(?::VARCHAR),
+                 '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t,
+               md5(trim(regexp_replace(lower(?::VARCHAR),
+                 '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp
+    """, params=[s, s]).fetchone()
+    assert g.t == w[0] == ["hello", "world", "and", "tabs",
+                          "newlines", "doublespace"]
+    assert g.fp == w[1]
+
+
 def test_bpe_pieces_and_rolling_fingerprint(spark):
     df = spark.createDataFrame([Row(text="Hello, world! 42")])
     r = df.select(tx.bpe_pieces("text").alias("p"),
