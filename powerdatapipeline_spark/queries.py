@@ -2438,6 +2438,152 @@ def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events"))
 
 
+@register("q75_contamination", r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 7, 0)),
+           i -> md5(array_to_string(list_slice(t, i, i + 7), ' '))))) AS gh
+  FROM toks)
+SELECT s.doc_id, count(DISTINCT s.gh) AS n_colliding_ngrams,
+       count(DISTINCT b.doc_id) AS n_bench_docs
+FROM sh s
+JOIN (SELECT DISTINCT gh, doc_id FROM sh WHERE source = 'src0') b
+  ON s.gh = b.gh
+WHERE s.source <> 'src0'
+GROUP BY s.doc_id
+""")
+def q75_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (operators/text.contamination_report):
+    flag training documents sharing any word 8-gram with the eval set
+    (here: source='src0' plays the benchmark) — the GPT-3 appendix-C /
+    PaLM decontamination rule (Brown et al. 2020 use 13-grams). Join key
+    is md5(ngram) — a uniform digest, never the raw shingle — and the
+    bench side broadcasts, so the training corpus never shuffles: at
+    100 TB this is a map-side hash probe + partial count agg. The n-gram
+    pipeline (tokens → distinct 8-grams → md5) replays exactly in the
+    oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return tx.contamination_report(train, bench, n=8)
+
+
+@register("q76_chunking", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+n AS (
+  SELECT doc_id, t,
+         1 + floor((greatest(len(t) - 32, 0) + 23) / 24.0) AS n_chunks
+  FROM toks),
+c AS (
+  SELECT doc_id, t, unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 1))
+         AS chunk_id
+  FROM n)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INT)
+         AS n_tokens,
+       array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                       ' ') AS chunk_text
+FROM c
+""")
+def q76_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/text.chunk_documents): split every
+    document into 32-token training chunks with 8-token overlap (stride
+    24) — the packing step from curated corpus to context-window-sized
+    training examples. Narrow 1→N explode + per-chunk array slice, no
+    shuffle; ceil-division spelled floor((extra+stride-1)/stride) so both
+    engines compute identical chunk counts. Full chunk TEXT is
+    hash-verified, not just counts."""
+    return tx.chunk_documents(_t(spark, sf_dir, "documents"),
+                              chunk_tokens=32, overlap=8)
+
+
+@register("q77_tfidf", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+         round(tf.tf * round(ln(CAST(nd.n AS DOUBLE) / dfq.doc_freq), 6), 6)
+           AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM s)
+SELECT doc_id, term, tf, doc_freq, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""")
+def q77_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF (operators/text.tfidf_top_terms)
+    — corpus topic profiling / salience scoring. One (doc, term) count
+    agg, one vocabulary doc-freq agg (broadcast back — the vocab is tiny
+    relative to a 100 TB corpus), N via a single-row broadcast cross join
+    (no driver collect), then a per-doc top-k window pruned by
+    WindowGroupLimit. ln() rounded to 6 before ranking per the parity
+    rules; ties broken by term for a total order."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register("q78_offset_limit", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100 OFFSET 50
+""")
+def q78_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-then-take pagination (operators/relational.offset_limit — the
+    reference's dataset.skip/take, examples/datapipeline_test.py:44-45)
+    over an EXPLICIT total order (price desc, unique key tiebreak — file
+    order is not an order in a distributed engine). Spark keeps
+    sort+offset+limit in one TakeOrdered-style plan, no row_number
+    materialization. Converts this §2.8 operator from pytest-only to
+    oracle-verified."""
+    o = _t(spark, sf_dir, "orders")
+    return rel.offset_limit(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], offset=50, limit=100)
+
+
+@register("q79_positional_zip", """
+WITH l AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) AS __rn
+  FROM orders),
+r AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) AS __rn
+  FROM customer)
+SELECT l.o_orderkey, l.o_totalprice, r.c_custkey, r.c_acctbal
+FROM l JOIN r ON l.__rn = r.__rn
+""")
+def q79_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip of two plans (operators/timeseries.zip_by_position —
+    the reference's zip_datasets, tfdataset.py:177-183): align by
+    row_number over an EXPLICIT per-side ordering key and inner-join on
+    position (truncating to the shorter side, tf.data zip semantics).
+    Documented anti-pattern kept for reference parity — supervised_pair
+    derives both column-sets from one plan instead. Converts the §2.3
+    operator from pytest-only to oracle-verified."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return ts.zip_by_position(o, c, "o_orderkey", "c_custkey")
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the
@@ -2461,6 +2607,10 @@ _TAIL = [
     "q11_distinct_counts", "q13_json_extract", "q18_downsample_modulo",
     "q24_onehot_encode", "q26_exact_dedup", "q27_text_stats",
     "q51_string_functions", "q58_unpivot",
+    # round-6 additions (head is full at 50): oracle-paired from birth,
+    # strict-compared at sf0.001 AND sf0.01 by the tail-parity pytest
+    "q75_contamination", "q76_chunking", "q77_tfidf",
+    "q78_offset_limit", "q79_positional_zip",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",

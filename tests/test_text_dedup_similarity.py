@@ -518,3 +518,82 @@ def test_repetition_stats_crafted_and_cross_engine(spark):
             con.execute(REGISTRY["q74_repetition_stats"][1]).fetchall()}
     for did, r in got.items():
         assert (r.n_lines, r.dup_line_frac, r.top_bigram_frac) == want[did][1:], did
+
+
+def test_contamination_report_crafted(spark):
+    """Hand-checked n-gram collision: train doc 10 copies a benchmark
+    phrase verbatim (one shared 3-gram window of 4 tokens -> two distinct
+    3-grams), doc 11 shares nothing."""
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta")])
+    train = spark.createDataFrame([
+        Row(doc_id=10, text="xx alpha beta gamma delta yy"),
+        Row(doc_id=11, text="totally disjoint words here"),
+    ])
+    out = {r.doc_id: r for r in
+           tx.contamination_report(train, bench, n=3).collect()}
+    assert set(out) == {10}
+    # bench 3-grams: {alpha beta gamma, beta gamma delta}; doc 10 has both
+    assert out[10].n_colliding_ngrams == 2
+    assert out[10].n_bench_docs == 1
+
+
+def test_contamination_short_docs_no_ngrams(spark):
+    """Docs shorter than n produce no shingles and can never collide."""
+    bench = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    train = spark.createDataFrame([Row(doc_id=2, text="a b")])
+    assert tx.contamination_report(train, bench, n=3).count() == 0
+
+
+def test_chunk_documents_values(spark):
+    """10 tokens, chunk=4, overlap=2 (stride 2): chunks start at token
+    1,3,5,7 -> ceil((10-4)/2)+1 = 4 chunks; the last is full (tokens
+    7-10)."""
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    rows = sorted(tx.chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+                  key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t2 t3 t4 t5"
+    assert rows[3].chunk_text == "t6 t7 t8 t9"
+    assert all(r.n_tokens == 4 for r in rows)
+
+
+def test_chunk_documents_short_and_ragged(spark):
+    """A short doc yields ONE whole-doc chunk; a ragged doc's final chunk
+    is partial."""
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="one two"),
+        Row(doc_id=2, text="a b c d e"),  # chunk=4, stride 2 -> chunks 0,1
+    ])
+    rows = {(r.doc_id, r.chunk_id): r for r in
+            tx.chunk_documents(df, chunk_tokens=4, overlap=2).collect()}
+    assert rows[(1, 0)].chunk_text == "one two"
+    assert rows[(1, 0)].n_tokens == 2
+    assert rows[(2, 1)].chunk_text == "c d e"  # partial tail chunk
+    assert len([k for k in rows if k[0] == 2]) == 2
+    with pytest.raises(ValueError, match="overlap"):
+        tx.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_tfidf_top_terms_values(spark):
+    """3 docs, hand-computed scores: 'rare' appears only in doc 1 (idf
+    ln(3/1)), 'common' in all (idf ln(1)=0 -> score 0 regardless of tf)."""
+    import math
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="rare common common"),
+        Row(doc_id=2, text="common filler words"),
+        Row(doc_id=3, text="common other tokens"),
+    ])
+    out = {(r.doc_id, r.term): r for r in
+           tx.tfidf_top_terms(df, k=3).collect()}
+    r = out[(1, "rare")]
+    assert r.tf == 1 and r.doc_freq == 1
+    assert r.score == pytest.approx(round(1 * round(math.log(3.0), 6), 6))
+    assert out[(1, "common")].score == 0.0  # idf of an everywhere-term
+    # rank is a total order: score desc then term asc
+    doc1 = sorted((r for (d, _), r in out.items() if d == 1),
+                  key=lambda r: r.rank)
+    assert [r.term for r in doc1] == ["rare", "common"]
