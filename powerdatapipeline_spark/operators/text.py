@@ -447,3 +447,50 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(id_col, "term", "tf", "doc_freq", "score", "rank"))
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8, min_hits: int = 1) -> DataFrame:
+    """Remove benchmark-contaminated documents from a training corpus:
+    the action half of :func:`contamination_report` (detect → drop, the
+    GPT-3 App. C remediation). Keeps every training row whose colliding
+    n-gram count is below ``min_hits``.
+
+    Shape: the contaminated-id set (small — scales with contamination
+    density, not corpus size) anti-joins against the corpus; AQE turns
+    that into a broadcast anti-join, so the 100 TB side again never
+    shuffles."""
+    hits = (contamination_report(train, bench, text_col, id_col, n)
+            .where(F.col("n_colliding_ngrams") >= min_hits)
+            .select(id_col))
+    return train.join(hits, id_col, "left_anti")
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM cross-entropy per document — the perplexity-proxy
+    quality signal (CCNet buckets corpora by LM perplexity; a unigram
+    model is its SQL-expressible little sibling):
+    ``avg_neg_logprob = −Σ tf·ln(ct/T) / Σ tf`` with corpus term counts
+    ``ct`` and total token count ``T``. High values = rare-token soup
+    (noise, mojibake); low = stopword-heavy boilerplate.
+
+    Shape: one (doc, term) count agg, one corpus-vocabulary agg
+    (broadcast back), a single-row broadcast total, then a per-doc agg.
+    ln() rounded to 6 per parity rules; the weighted sum runs in
+    decimal so the fold is partition-order-independent."""
+    toks = (_spread(df)
+            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    ct = toks.groupBy("term").agg(F.count("*").alias("ct"))
+    total = toks.select(F.count("*").alias("__total"))
+    lnp = F.round(F.log(F.col("ct").cast("double") / F.col("__total")), 6)
+    return (tf.join(F.broadcast(ct), "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                 F.round(
+                     (-F.sum((F.col("tf") * lnp).cast("decimal(28,12)"))
+                      .cast("double")
+                      / F.sum("tf")), 6).alias("avg_neg_logprob")))

@@ -2584,6 +2584,68 @@ def q79_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.zip_by_position(o, c, "o_orderkey", "c_custkey")
 
 
+@register("q80_decontaminate", r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 7, 0)),
+           i -> md5(array_to_string(list_slice(t, i, i + 7), ' '))))) AS gh
+  FROM toks),
+hits AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN (SELECT DISTINCT gh FROM sh WHERE source = 'src0') b
+    ON s.gh = b.gh
+  WHERE s.source <> 'src0')
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.source <> 'src0'
+  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+""")
+def q80_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, the action half of q75
+    (operators/text.decontaminate): anti-join the contaminated ids out of
+    the training corpus — detect-then-drop, the GPT-3 App. C remediation.
+    The contaminated-id set scales with contamination density, so AQE
+    executes a broadcast ANTI join and the corpus side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    return (tx.decontaminate(train, bench, n=8)
+            .select("doc_id", "source", "n_chars"))
+
+
+@register("q81_unigram_logprob", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM toks)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(CAST(-sum(CAST(tf.tf * round(ln(CAST(ct.ct AS DOUBLE)
+                                             / tot.total), 6)
+                            AS DECIMAL(28,12))) AS DOUBLE)
+             / sum(tf.tf), 6) AS avg_neg_logprob
+FROM tf JOIN ct USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id
+""")
+def q81_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document
+    (operators/text.unigram_logprob) — the perplexity-proxy quality
+    signal CCNet-style pipelines bucket corpora by, with a unigram model
+    standing in for the KenLM. Corpus vocabulary broadcast back, total
+    token count via single-row broadcast, decimal-folded weighted sum for
+    partition-order independence; ln rounded to 6 per the parity rules."""
+    return tx.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the
@@ -2611,6 +2673,7 @@ _TAIL = [
     # strict-compared at sf0.001 AND sf0.01 by the tail-parity pytest
     "q75_contamination", "q76_chunking", "q77_tfidf",
     "q78_offset_limit", "q79_positional_zip",
+    "q80_decontaminate", "q81_unigram_logprob",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",

@@ -597,3 +597,39 @@ def test_tfidf_top_terms_values(spark):
     doc1 = sorted((r for (d, _), r in out.items() if d == 1),
                   key=lambda r: r.rank)
     assert [r.term for r in doc1] == ["rare", "common"]
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta")])
+    train = spark.createDataFrame([
+        Row(doc_id=10, text="xx alpha beta gamma delta yy"),
+        Row(doc_id=11, text="totally disjoint words here"),
+        Row(doc_id=12, text="more clean unrelated content"),
+    ])
+    kept = {r.doc_id for r in
+            tx.decontaminate(train, bench, n=3).collect()}
+    assert kept == {11, 12}
+    # min_hits above the collision count keeps everything
+    kept_all = {r.doc_id for r in
+                tx.decontaminate(train, bench, n=3, min_hits=5).collect()}
+    assert kept_all == {10, 11, 12}
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Corpus: 4 tokens total — 'a' x3 (p=3/4), 'z' x1 (p=1/4). Doc 1 =
+    'a a a' -> H = -ln(3/4); doc 2 = 'z' -> H = -ln(1/4) (rarer -> higher
+    surprise)."""
+    import math
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a a a"),
+        Row(doc_id=2, text="z"),
+    ])
+    out = {r.doc_id: r for r in tx.unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 1
+    assert out[1].avg_neg_logprob == pytest.approx(
+        round(-round(math.log(3 / 4), 6), 6))
+    assert out[2].avg_neg_logprob == pytest.approx(
+        round(-round(math.log(1 / 4), 6), 6))
+    assert out[2].avg_neg_logprob > out[1].avg_neg_logprob
