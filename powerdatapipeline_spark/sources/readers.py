@@ -276,3 +276,54 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """CSV sink (reference pandas_utilities.py:66-70)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType | str | None = None,
+    select: list[str] | None = None,
+    limit: int | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-Lines scan — the de-facto interchange format for LLM training
+    corpora (one JSON document per line; the reference is CSV-only, this
+    closes the gap for document pipelines).
+
+    * ``schema`` SHOULD be passed on big data: without it Spark runs a
+      full inference pre-scan — 2× the I/O at 100 TB. Accepts a DDL
+      string (``"doc_id long, text string"``) or a StructType.
+    * ``select``/``limit`` push into the scan like the CSV path.
+    * ``corrupt_col`` opts into PERMISSIVE auditing: malformed lines land
+      whole in that column instead of poisoning the read, so a quality
+      pass can count/quarantine them (the JSONL twin of inject_errors'
+      CSV error handling). Default (None) keeps Spark's PERMISSIVE
+      null-fill semantics.
+    """
+    reader = spark.read
+    if schema is not None:
+        if corrupt_col is not None:
+            if isinstance(schema, str):
+                schema = T._parse_datatype_string(schema)
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(corrupt_col, T.StringType())])
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        reader = reader.schema(schema)
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    df = reader.json(*paths)
+    if select:
+        df = df.select(*select)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    """JSON-Lines sink (one document per line, shardable/partitionable —
+    the standard corpus export shape)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)

@@ -332,3 +332,52 @@ def test_inject_errors_rename_ts_with_drop(spark):
                         drop_second_row=True)
     assert out.columns == ["TS", "va"]
     assert sorted(r.TS for r in out.collect()) == [0.0, 120.0, 180.0]
+
+
+def test_read_jsonl_roundtrip_schema_and_pushdown(spark, tmp_path):
+    from powerdatapipeline_spark.sources.readers import read_jsonl, write_jsonl
+
+    src = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr")],
+        "doc_id long, text string, lang string")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(src, out)
+    back = read_jsonl(spark, out, schema="doc_id long, text string, lang string",
+                      select=["doc_id", "text"])
+    rows = {r.doc_id: r.text for r in back.collect()}
+    assert rows == {1: "hello world", 2: "bonjour"}
+    assert back.columns == ["doc_id", "text"]
+    assert read_jsonl(spark, out,
+                      schema="doc_id long, text string, lang string",
+                      limit=1).count() == 1
+
+
+def test_read_jsonl_corrupt_audit(spark, tmp_path):
+    from powerdatapipeline_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "good"}\n'
+                 'this is not json\n'
+                 '{"doc_id": 2, "text": "also good"}\n')
+    df = read_jsonl(spark, str(p), schema="doc_id long, text string",
+                    corrupt_col="_bad").cache()
+    assert df.where("_bad IS NOT NULL").count() == 1
+    assert df.where("_bad IS NULL").count() == 2
+    good = {r.doc_id for r in df.where("_bad IS NULL").collect()}
+    assert good == {1, 2}
+    df.unpersist()
+
+
+def test_write_jsonl_partitioned(spark, tmp_path):
+    from powerdatapipeline_spark.sources.readers import read_jsonl, write_jsonl
+
+    src = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "fr"), (3, "c", "en")],
+        "doc_id long, text string, lang string")
+    out = str(tmp_path / "part_jsonl")
+    write_jsonl(src, out, partition_by=["lang"])
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == \
+        ["lang=en", "lang=fr"]
+    back = read_jsonl(spark, out, schema="doc_id long, text string")
+    assert back.count() == 3
