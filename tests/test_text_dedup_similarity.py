@@ -633,3 +633,28 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2].avg_neg_logprob == pytest.approx(
         round(-round(math.log(1 / 4), 6), 6))
     assert out[2].avg_neg_logprob > out[1].avg_neg_logprob
+
+
+@pytest.mark.parametrize("n_tok", [0, 1, 3, 4, 5, 6, 8, 9, 23])
+def test_chunk_documents_reconstruction_property(spark, n_tok):
+    """Lossless-coverage invariant at the boundary lengths where
+    off-by-ones hide (len < chunk, == chunk, == chunk+1, == chunk+stride,
+    ragged tail): chunk 0 plus every later chunk minus its overlap prefix
+    reconstructs the exact token sequence."""
+    chunk, overlap = 4, 2
+    stride = chunk - overlap
+    toks = [f"w{i}" for i in range(n_tok)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks) or " ")])
+    rows = sorted(tx.chunk_documents(df, chunk_tokens=chunk,
+                                     overlap=overlap).collect(),
+                  key=lambda r: r.chunk_id)
+    rebuilt = []
+    for r in rows:
+        ct = r.chunk_text.split(" ") if r.chunk_text else []
+        rebuilt.extend(ct if r.chunk_id == 0 else ct[overlap:])
+        assert r.n_tokens == len(ct)
+        assert r.n_tokens <= chunk
+    assert rebuilt == toks
+    # every chunk except possibly the last is full when the doc overflows
+    if n_tok > chunk:
+        assert all(r.n_tokens == chunk for r in rows[:-1])
