@@ -2584,6 +2584,30 @@ def q79_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.zip_by_position(o, c, "o_orderkey", "c_custkey")
 
 
+@register("q82_salted_join", """
+WITH u AS (
+  SELECT user_id, count(*) AS user_n_events FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.value, u.user_n_events
+FROM events e JOIN u ON e.user_id = u.user_id
+""")
+def q82_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/relational.salted_join): the
+    skewed fact side (events, hot user_ids) takes a random salt in
+    [0, 8), the small side replicates x8, and the join runs on
+    (key, salt) so one hot key spreads over 8 tasks instead of
+    serializing a stage. Salting redistributes WORK, not results — the
+    output is row-identical to a plain equi-join, which is exactly what
+    the oracle checks (the previously pytest-only 'salted == plain'
+    pin, now hash-verified by the harness). AQE skew handling covers
+    sort-merge joins; explicit salting remains the tool for skewed
+    aggregations and non-AQE paths."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("user_n_events"))
+    return (rel.salted_join(ev.select("event_id", "user_id", "value"),
+                            u, on="user_id", salt=8)
+            .select("event_id", "user_id", "value", "user_n_events"))
+
+
 @register("q80_decontaminate", r"""
 WITH toks AS (
   SELECT doc_id, source,
@@ -2673,7 +2697,7 @@ _TAIL = [
     # strict-compared at sf0.001 AND sf0.01 by the tail-parity pytest
     "q75_contamination", "q76_chunking", "q77_tfidf",
     "q78_offset_limit", "q79_positional_zip",
-    "q80_decontaminate", "q81_unigram_logprob",
+    "q80_decontaminate", "q81_unigram_logprob", "q82_salted_join",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",
