@@ -8,7 +8,9 @@ without it, ``decode_image`` raises ``NotImplementedError`` unless
 ``fake=True``, in which case a deterministic fake decoder (bytes → stable
 pseudo-pixels) runs so the Spark-side plumbing — schema, batch shape,
 partitioning, UDF signature — is real and tested end-to-end either way.
-Audio decode remains fake-only (no soundfile/libav analog shipped).
+Audio ``fake=False`` decodes REAL WAV PCM (8/16/32-bit) via the stdlib
+``wave`` reader + numpy — no external dependency, tested end-to-end in
+this container; compressed formats still gate on soundfile/libav.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a task's batch of blobs fits
@@ -134,15 +136,48 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _wav_decode(payload: bytes):
+    """Real PCM decode for WAV payloads using ONLY the stdlib ``wave``
+    reader + numpy (explicitly little-endian, so results don't depend on
+    host byte order). Returns interleaved int samples (8-bit unsigned is
+    re-centered to signed), or None when the payload is not a parseable
+    PCM WAV — compressed formats still need soundfile/libav."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 2:
+        return [int(x) for x in np.frombuffer(raw, dtype="<i2")]
+    if width == 1:
+        return [int(x) - 128 for x in np.frombuffer(raw, dtype="u1")]
+    if width == 4:
+        return [int(x) for x in np.frombuffer(raw, dtype="<i4")]
+    return None
+
+
 def decode_audio(payload: bytes, fake: bool = False):
-    """PCM decode gate — same contract as :func:`decode_image`: real codecs
-    (soundfile/libav) are not in this container, so the deterministic fake
-    (md5-expanded pseudo-samples in [0, 255]) stands in behind ``fake=True``."""
-    if not fake:
+    """PCM decode gate. ``fake=True`` runs the deterministic fake decoder
+    (md5-expanded pseudo-samples in [0, 255], the oracle-verified
+    default). ``fake=False`` decodes REAL WAV PCM via the stdlib ``wave``
+    reader (8/16/32-bit, any channel count, interleaved) — no external
+    dependency needed; compressed formats (mp3/ogg/flac) still raise
+    until soundfile/libav exists in the environment."""
+    if fake:
+        return _fake_decode(payload, width=16, height=16)  # 256 pseudo-samples
+    samples = _wav_decode(payload)
+    if samples is None:
         raise NotImplementedError(
-            "real audio decode requires soundfile/libav (not in this "
-            "container); pass fake=True for the deterministic test decoder")
-    return _fake_decode(payload, width=16, height=16)  # 256 pseudo-samples
+            "payload is not PCM WAV; compressed audio needs soundfile/"
+            "libav (not in this container) — pass fake=True for the "
+            "deterministic test decoder")
+    return samples
 
 
 def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
@@ -158,8 +193,12 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
                 "doc_id": pdf[id_col],
                 "n_samples": samples.map(len),
                 "rms": samples.map(
-                    lambda s: (sum(x * x for x in s) / len(s)) ** 0.5),
-                "peak": samples.map(max),
+                    lambda s: (sum(x * x for x in s) / len(s)) ** 0.5
+                    if s else 0.0),
+                # |peak|: real PCM is signed, the loudest sample may be
+                # negative (fake samples are non-negative — unchanged)
+                "peak": samples.map(
+                    lambda s: max(abs(x) for x in s) if s else 0),
             })
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
