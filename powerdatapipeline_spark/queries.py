@@ -2584,6 +2584,47 @@ def q79_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.zip_by_position(o, c, "o_orderkey", "c_custkey")
 
 
+@register("q83_bm25_search", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('spark', 'window', 'join') GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         round(round(ln(1.0 + (stats.n - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5)), 6)
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+               6) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, CAST(count(*) AS INT) AS n_query_terms_hit,
+       round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+FROM s GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")
+def q83_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (operators/text.bm25_topk): rank the corpus
+    for the query {spark, window, join} — the inverted-index retrieval
+    workload (Robertson & Zaragoza 2009; k1=1.2, b=0.75). The isin
+    filter prunes the token stream BEFORE the tf shuffle; N/avgdl and
+    per-term document frequencies broadcast; per-term scores round
+    transcendentals to 6 and decimal-fold so the per-doc sum is
+    partition-order-independent; (score desc, doc_id) gives a total
+    order for the top-10."""
+    return tx.bm25_topk(_t(spark, sf_dir, "documents"),
+                        ["spark", "window", "join"], k=10)
+
+
 @register("q82_salted_join", """
 WITH u AS (
   SELECT user_id, count(*) AS user_n_events FROM events GROUP BY user_id)
@@ -2698,6 +2739,7 @@ _TAIL = [
     "q75_contamination", "q76_chunking", "q77_tfidf",
     "q78_offset_limit", "q79_positional_zip",
     "q80_decontaminate", "q81_unigram_logprob", "q82_salted_join",
+    "q83_bm25_search",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",

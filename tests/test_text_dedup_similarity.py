@@ -658,3 +658,33 @@ def test_chunk_documents_reconstruction_property(spark, n_tok):
     # every chunk except possibly the last is full when the doc overflows
     if n_tok > chunk:
         assert all(r.n_tokens == chunk for r in rows[:-1])
+
+
+def test_bm25_topk_hand_computed(spark):
+    """3-doc corpus, query {cat}: doc 1 has tf=2 and is shortest, doc 2
+    tf=1, doc 3 no hit. Hand-compute BM25 (k1=1.2, b=0.75) and check
+    ordering + exact rounded scores."""
+    import math
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="cat cat"),
+        Row(doc_id=2, text="cat dog bird fish"),
+        Row(doc_id=3, text="dog dog dog"),
+    ])
+    out = tx.bm25_topk(df, ["cat"], k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]  # no doc 3 (no hit)
+    n, avgdl = 3, 3.0  # lengths 2, 4, 3
+    idf = round(math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5)), 6)
+
+    def s(tf, dl):
+        return round(idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].score == pytest.approx(round(s(2, 2), 6))
+    assert by_id[2].score == pytest.approx(round(s(1, 4), 6))
+    assert by_id[1].n_query_terms_hit == 1
+    # multi-term query accumulates per-term scores
+    multi = {r.doc_id: r for r in
+             tx.bm25_topk(df, ["cat", "dog"], k=10).collect()}
+    assert multi[2].n_query_terms_hit == 2
+    assert multi[3].n_query_terms_hit == 1
