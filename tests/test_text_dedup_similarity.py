@@ -688,3 +688,34 @@ def test_bm25_topk_hand_computed(spark):
              tx.bm25_topk(df, ["cat", "dog"], k=10).collect()}
     assert multi[2].n_query_terms_hit == 2
     assert multi[3].n_query_terms_hit == 1
+
+
+def test_contamination_plan_broadcasts_bench_side(spark, sf_dir):
+    """Scale-shape proof for the curation joins: the contamination check
+    must be a BroadcastHashJoin (bench side broadcast — the corpus never
+    shuffles for the probe) and decontaminate a broadcast ANTI join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    plan = (tx.contamination_report(train, bench, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    anti = (tx.decontaminate(train, bench, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in anti and "LeftAnti" in anti
+
+
+def test_bm25_prunes_tokens_before_shuffle(spark, sf_dir):
+    """The tf aggregation must see only query-term rows: the isin filter
+    sits below the aggregate, so the corpus-sized token stream never
+    shuffles for scoring."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (tx.bm25_topk(docs, ["spark", "join"], k=5)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # both the tf and doc-freq branches filter to the query terms below
+    # their aggregates
+    assert plan.count("IN (spark,join)") >= 2
+    # top-k rides a global sort + limit, never a full materialized sort
+    phys = (tx.bm25_topk(docs, ["spark", "join"], k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in phys
