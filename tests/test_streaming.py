@@ -233,3 +233,40 @@ def test_rate_source_streaming_downsample(spark):
     assert len(set(buckets)) == len(buckets)
     assert all(b.microsecond == 0 for b in buckets)
     assert all(r.avg_value >= 0 for r in rows)
+
+
+def test_streaming_curation_narrow_ops_match_batch(spark, sf_dir):
+    """The curation scalar ops (PII redaction, quality scoring, token
+    counts) are narrow maps — they must run UNCHANGED on a streaming
+    source and produce batch-identical rows. Pins the 'curation is
+    stream-safe' claim with the documents fixture streamed via the
+    parquet file source."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from powerdatapipeline_spark.operators import text as tx
+
+    schema = ("doc_id bigint, text string, lang string, source string,"
+              " n_chars bigint")
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir))
+    assert stream.isStreaming
+    curated = stream.select(
+        "doc_id", *tx.pii_counts("text"),
+        tx.redact_pii("text").alias("clean_text"),
+        tx.token_count("text").alias("n_tokens"))
+    name = f"curate_sink_{uuid.uuid4().hex[:8]}"
+    q = (curated.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r.doc_id: (r.n_url, r.clean_text, r.n_tokens)
+           for r in spark.table(name).collect()}
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", *tx.pii_counts("text"),
+        tx.redact_pii("text").alias("clean_text"),
+        tx.token_count("text").alias("n_tokens"))
+    want = {r.doc_id: (r.n_url, r.clean_text, r.n_tokens)
+            for r in batch.collect()}
+    assert got == want and len(got) == 500
