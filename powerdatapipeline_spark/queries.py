@@ -2584,6 +2584,34 @@ def q79_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.zip_by_position(o, c, "o_orderkey", "c_custkey")
 
 
+@register("q84_incremental_dedup", r"""
+WITH new_batch AS (
+  SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
+           AS fp,
+         min(doc_id) AS doc_id, count(*) AS n_copies_in_batch
+  FROM documents WHERE doc_id >= 250 GROUP BY 1),
+seen AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text),
+           '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id < 250)
+SELECT fp, doc_id, n_copies_in_batch
+FROM new_batch
+WHERE fp NOT IN (SELECT fp FROM seen)
+""")
+def q84_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest dedup (operators/dedup.incremental_dedup): documents
+    with doc_id >= 250 play the newly-arrived batch, the rest the
+    already-ingested corpus — keep one representative per batch
+    fingerprint that the corpus has never seen. Both sides reduce to
+    32-byte md5 digests before the anti-join, so the shuffle keys are
+    uniform and the corpus can be maintained as a fingerprint-only
+    table; the production incremental path that avoids re-deduplicating
+    the full corpus per arrival."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.incremental_dedup(docs.where(F.col("doc_id") >= 250),
+                                docs.where(F.col("doc_id") < 250))
+
+
 @register("q83_bm25_search", r"""
 WITH toks AS (
   SELECT doc_id,
@@ -2739,7 +2767,7 @@ _TAIL = [
     "q75_contamination", "q76_chunking", "q77_tfidf",
     "q78_offset_limit", "q79_positional_zip",
     "q80_decontaminate", "q81_unigram_logprob", "q82_salted_join",
-    "q83_bm25_search",
+    "q83_bm25_search", "q84_incremental_dedup",
     # oracle-paired but redundant with a head entry
     "q03_part_type_revenue", "q14_conditional_agg",
     "q53_shipping_priority", "q55_supplier_customer_volume",

@@ -719,3 +719,21 @@ def test_bm25_prunes_tokens_before_shuffle(spark, sf_dir):
     phys = (tx.bm25_topk(docs, ["spark", "join"], k=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in phys
+
+
+def test_incremental_dedup_crafted(spark):
+    """Batch: an internal dup pair, a corpus dup, and a fresh doc — only
+    the fresh doc and one representative of the internal pair survive."""
+    seen = spark.createDataFrame([
+        Row(doc_id=1, text="already ingested document"),
+        Row(doc_id=2, text="another known document"),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=10, text="Already  INGESTED document"),  # dup of corpus (normalized)
+        Row(doc_id=11, text="brand new content"),
+        Row(doc_id=12, text="repeated in batch"),
+        Row(doc_id=13, text="repeated  in batch"),          # dup within batch
+    ])
+    out = {r.doc_id: r.n_copies_in_batch for r in
+           dd.incremental_dedup(new, seen).collect()}
+    assert out == {11: 1, 12: 2}  # corpus dup dropped; min-id rep kept
