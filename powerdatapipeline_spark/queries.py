@@ -16,6 +16,9 @@ value-hash matches bit-for-bit):
     (both keep microsecond fractions exactly).
   * **Truncation**: always explicit ``floor()`` — DuckDB's double→int cast
     ROUNDS while Spark's truncates.
+  * **Regex whitespace**: never ``\\s`` — Java's matches vertical tab
+    (\\x0B), RE2's does not. Both sides spell the class out:
+    ``[ \\t\\n\\r\\f\\x0B]`` (``tx.WS_CLASS``, == Java ``\\s`` exactly).
   * Every computed column is aliased identically in both plans (the driver
     sorts columns by name before hashing).
 
