@@ -298,7 +298,10 @@ def read_jsonl(
       whole in that column instead of poisoning the read, so a quality
       pass can count/quarantine them (the JSONL twin of inject_errors'
       CSV error handling). Default (None) keeps Spark's PERMISSIVE
-      null-fill semantics.
+      null-fill semantics. NOTE: Spark refuses queries that reference
+      ONLY the corrupt column (referenced-columns-only pushdown would
+      skip the parse that fills it) — ``cache()`` the frame before
+      filtering on it, as test_read_jsonl_corrupt_audit does.
     """
     reader = spark.read
     if schema is not None:
