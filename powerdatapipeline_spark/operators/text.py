@@ -498,7 +498,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 
 def bm25_topk(df: DataFrame, query_terms: list[str],
               text_col: str = "text", id_col: str = "doc_id",
-              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              materialize: bool = True) -> DataFrame:
     """BM25 keyword search over the corpus (Robertson–Spärck Jones):
     ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))``
     with ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` — the inverted-index
@@ -506,23 +507,27 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     documents ``(id, n_query_terms_hit, score)``, total-ordered by
     (score desc, id) so results are deterministic.
 
-    Shape: token explode → per-doc lengths (map-side combined) + tf only
-    for the query terms (the isin filter prunes before the shuffle);
-    N/avgdl/df arrive via single-row and per-term broadcasts, never a
-    driver collect. Per-term scores round transcendentals to 6 and fold
-    in decimal so the per-doc sum is partition-order-independent. At
-    100 TB the only corpus-sized shuffles are the two aggs; scoring and
-    ranking touch just the docs containing a query term."""
+    Shape: ONE corpus pass builds the (doc, term) count index — the
+    inverted-index core — and is persisted; document lengths, tf,
+    document frequencies, and N/avgdl all derive from it (without the
+    persist each branch would re-scan and re-tokenize the corpus — the
+    plan audit showed 4 scans). N/avgdl/df arrive via single-row and
+    per-term broadcasts, never a driver collect. Per-term scores round
+    transcendentals to 6 and fold in decimal so the per-doc sum is
+    partition-order-independent. At 100 TB the persisted index is the
+    artifact a real deployment writes to disk once and queries many
+    times."""
     terms = [t.lower() for t in query_terms]
-    toks = (_spread(df)
-            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    index = (_spread(df)
+             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+             .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+             .persist())
+    dl = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.select(F.count("*").alias("__n"),
                       F.avg("dl").alias("__avgdl"))
-    tf = (toks.where(F.col("term").isin(terms))
-          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
-    dfreq = (toks.where(F.col("term").isin(terms))
-             .groupBy("term").agg(F.countDistinct(id_col).alias("df")))
+    tf = index.where(F.col("term").isin(terms))
+    dfreq = (tf.groupBy("term")
+             .agg(F.countDistinct(id_col).alias("df")))
     idf = F.round(F.log(F.lit(1.0)
                         + (F.col("__n") - F.col("df") + F.lit(0.5))
                         / (F.col("df") + F.lit(0.5))), 6)
@@ -535,9 +540,18 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
               .join(dl, id_col)
               .crossJoin(F.broadcast(stats))
               .select(F.col(id_col), per_term.alias("s")))
-    return (scored.groupBy(id_col)
-            .agg(F.count("*").cast("int").alias("n_query_terms_hit"),
-                 F.round(F.sum(F.col("s").cast("decimal(28,12)"))
-                         .cast("double"), 6).alias("score"))
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k))
+    out = (scored.groupBy(id_col)
+           .agg(F.count("*").cast("int").alias("n_query_terms_hit"),
+                F.round(F.sum(F.col("s").cast("decimal(28,12)"))
+                        .cast("double"), 6).alias("score"))
+           .orderBy(F.desc("score"), F.asc(id_col))
+           .limit(k))
+    if not materialize:
+        # lazy variant for plan audits / composition; caller owns the
+        # persisted index's lifetime (the dedup._finish convention)
+        return out
+    # materialize the (tiny) top-k, then release the index cache —
+    # without this every bm25_topk call leaks a persisted frame
+    out = out.localCheckpoint(eager=True)
+    index.unpersist()
+    return out

@@ -705,20 +705,19 @@ def test_contamination_plan_broadcasts_bench_side(spark, sf_dir):
     assert "BroadcastHashJoin" in anti and "LeftAnti" in anti
 
 
-def test_bm25_prunes_tokens_before_shuffle(spark, sf_dir):
-    """The tf aggregation must see only query-term rows: the isin filter
-    sits below the aggregate, so the corpus-sized token stream never
-    shuffles for scoring."""
+def test_bm25_single_index_pass_and_topk_plan(spark, sf_dir):
+    """The corpus is scanned ONCE into the persisted (doc, term) index —
+    scoring filters that index to the query terms (isin present in the
+    optimized plan) and the top-k rides TakeOrderedAndProject, never a
+    full materialized sort. materialize=False exposes the logical plan
+    (the materialized default returns a checkpointed result)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = (tx.bm25_topk(docs, ["spark", "join"], k=5)
-            ._jdf.queryExecution().optimizedPlan().toString())
-    # both the tf and doc-freq branches filter to the query terms below
-    # their aggregates
-    assert plan.count("IN (spark,join)") >= 2
-    # top-k rides a global sort + limit, never a full materialized sort
-    phys = (tx.bm25_topk(docs, ["spark", "join"], k=5)
-            ._jdf.queryExecution().executedPlan().toString())
+    out = tx.bm25_topk(docs, ["spark", "join"], k=5, materialize=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("IN (spark,join)") >= 1  # index filtered to terms
+    phys = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in phys
+    assert phys.count("InMemoryTableScan") >= 2  # index reused, not re-scanned
 
 
 def test_incremental_dedup_crafted(spark):
