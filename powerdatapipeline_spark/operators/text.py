@@ -418,35 +418,43 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
 
 
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                    id_col: str = "doc_id", k: int = 3,
+                    materialize: bool = True) -> DataFrame:
     """Top-``k`` terms per document by TF-IDF (``tf · ln(N/df)``) — the
     classic salience score used for corpus topic profiling and quality
     filtering. Returns ``(id, term, tf, doc_freq, score, rank)`` with a
     TOTAL order (score desc, term asc) so results are deterministic.
 
-    Shuffle budget: one (id, term) count agg (map-side combined), one
-    vocabulary-level doc-freq agg, a join back on term, and a per-doc
-    top-k window (WindowGroupLimit prunes to k per partition before the
-    shuffle). At 100 TB the vocabulary table is tiny relative to the
-    corpus — broadcast it — and N arrives via a single-row broadcast
-    cross join, not a driver collect. ln() is transcendental → rounded to
-    6 per the engine parity rules before ranking."""
-    toks = (_spread(df)
-            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dfreq = (toks.groupBy("term")
+    Shape: ONE corpus pass builds the persisted (doc, term) count index
+    (the bm25_topk pattern — without it the tf and doc-freq branches
+    each re-scan and re-tokenize); doc-freqs derive from the index and
+    broadcast back, N comes from a pruned id-only scan via a single-row
+    broadcast cross join (NOT from the index — zero-token documents
+    count toward N), and the per-doc top-k window is pruned by
+    WindowGroupLimit. ln() is transcendental → rounded to 6 per the
+    engine parity rules before ranking."""
+    index = (_spread(df)
+             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+             .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+             .persist())
+    dfreq = (index.groupBy("term")
              .agg(F.countDistinct(id_col).alias("doc_freq")))
     n_docs = df.select(F.countDistinct(id_col).alias("__n"))
-    scored = (tf.join(F.broadcast(dfreq), "term")
+    scored = (index.join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("score", F.round(
                   F.col("tf") * F.round(
                       F.log(F.col("__n").cast("double") / F.col("doc_freq")),
                       6), 6)))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(id_col, "term", "tf", "doc_freq", "score", "rank"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select(id_col, "term", "tf", "doc_freq", "score", "rank"))
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    index.unpersist()
+    return out
 
 
 def decontaminate(train: DataFrame, bench: DataFrame,
@@ -476,24 +484,30 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     ``ct`` and total token count ``T``. High values = rare-token soup
     (noise, mojibake); low = stopword-heavy boilerplate.
 
-    Shape: one (doc, term) count agg, one corpus-vocabulary agg
-    (broadcast back), a single-row broadcast total, then a per-doc agg.
-    ln() rounded to 6 per parity rules; the weighted sum runs in
-    decimal so the fold is partition-order-independent."""
-    toks = (_spread(df)
-            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    ct = toks.groupBy("term").agg(F.count("*").alias("ct"))
-    total = toks.select(F.count("*").alias("__total"))
+    Shape: ONE corpus pass builds the persisted (doc, term) count index
+    (the bm25_topk pattern); corpus term counts, the total token count,
+    and the per-doc entropy all derive from it — vocabulary and total
+    broadcast back, never a driver collect. ln() rounded to 6 per parity
+    rules; the weighted sum runs in decimal so the fold is
+    partition-order-independent."""
+    index = (_spread(df)
+             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+             .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+             .persist())
+    ct = index.groupBy("term").agg(F.sum("tf").alias("ct"))
+    total = index.select(F.sum("tf").alias("__total"))
     lnp = F.round(F.log(F.col("ct").cast("double") / F.col("__total")), 6)
-    return (tf.join(F.broadcast(ct), "term")
-            .crossJoin(F.broadcast(total))
-            .groupBy(id_col)
-            .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
-                 F.round(
-                     (-F.sum((F.col("tf") * lnp).cast("decimal(28,12)"))
-                      .cast("double")
-                      / F.sum("tf")), 6).alias("avg_neg_logprob")))
+    out = (index.join(F.broadcast(ct), "term")
+           .crossJoin(F.broadcast(total))
+           .groupBy(id_col)
+           .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                F.round(
+                    (-F.sum((F.col("tf") * lnp).cast("decimal(28,12)"))
+                     .cast("double")
+                     / F.sum("tf")), 6).alias("avg_neg_logprob"))
+           .localCheckpoint(eager=True))
+    index.unpersist()
+    return out
 
 
 def bm25_topk(df: DataFrame, query_terms: list[str],
