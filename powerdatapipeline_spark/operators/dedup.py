@@ -17,26 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.operators.text import (
+    _spread,
     char_ngrams,
     fingerprint,
     minhash_signature,
     shingles,
     simhash64,
 )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a small-file source up to the session's default
-    parallelism before per-row-expensive work (signatures, fingerprints).
-
-    A 5k-doc corpus arrives as ONE parquet split, so every hash/shingle
-    expression would run in a single task; at 100 TB inputs are already wide
-    and this is a no-op. The round-robin shuffle moves only the raw rows —
-    cheap relative to the compute it parallelizes."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def _finish(result: DataFrame, cached: DataFrame, materialize: bool) -> DataFrame:

@@ -343,13 +343,25 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition a small-file source up to the session's default
     parallelism before per-row-expensive work (shingling, hashing) — a
     single-split corpus otherwise runs the whole expression pipeline in
-    ONE task (same rationale as dedup._spread; measured 3.5 s → 0.9 s for
-    contamination at sf0.1). No-op when the input is already wide, as a
-    100 TB scan is."""
+    ONE task (measured 3.5 s → 0.9 s for contamination at sf0.1; the
+    dedup/similarity operators import this same helper). No-op when the
+    input is already wide, as a 100 TB scan is."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _term_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The persisted (doc, term) count index — ONE corpus scan serving
+    every corpus statistic (tf, document/corpus frequencies, lengths,
+    totals). Shared by TF-IDF, unigram log-prob, and BM25 so the index
+    shape can never silently diverge between them; the caller owns the
+    persist lifetime (unpersist after materializing its small result)."""
+    return (_spread(df)
+            .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+            .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+            .persist())
 
 
 def contamination_report(train: DataFrame, bench: DataFrame,
@@ -433,10 +445,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     count toward N), and the per-doc top-k window is pruned by
     WindowGroupLimit. ln() is transcendental → rounded to 6 per the
     engine parity rules before ranking."""
-    index = (_spread(df)
-             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-             .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-             .persist())
+    index = _term_index(df, text_col, id_col)
     dfreq = (index.groupBy("term")
              .agg(F.countDistinct(id_col).alias("doc_freq")))
     n_docs = df.select(F.countDistinct(id_col).alias("__n"))
@@ -490,10 +499,7 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     broadcast back, never a driver collect. ln() rounded to 6 per parity
     rules; the weighted sum runs in decimal so the fold is
     partition-order-independent."""
-    index = (_spread(df)
-             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-             .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-             .persist())
+    index = _term_index(df, text_col, id_col)
     ct = index.groupBy("term").agg(F.sum("tf").alias("ct"))
     total = index.select(F.sum("tf").alias("__total"))
     lnp = F.round(F.log(F.col("ct").cast("double") / F.col("__total")), 6)
@@ -532,10 +538,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     artifact a real deployment writes to disk once and queries many
     times."""
     terms = [t.lower() for t in query_terms]
-    index = (_spread(df)
-             .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-             .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-             .persist())
+    index = _term_index(df, text_col, id_col)
     dl = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.select(F.count("*").alias("__n"),
                       F.avg("dl").alias("__avgdl"))

@@ -303,6 +303,14 @@ def read_jsonl(
       skip the parse that fills it) — ``cache()`` the frame before
       filtering on it, as test_read_jsonl_corrupt_audit does.
     """
+    if corrupt_col is not None and schema is None:
+        # with inference Spark routes malformed lines to its default
+        # _corrupt_record column regardless of this option, so the
+        # caller's filter on corrupt_col would fail unresolved — make the
+        # misuse loud instead of silently mis-landing the audit rows
+        raise ValueError(
+            "corrupt_col requires an explicit schema (the corrupt column "
+            "must be part of the declared schema to be queryable)")
     reader = spark.read
     if schema is not None:
         if corrupt_col is not None:
@@ -314,7 +322,9 @@ def read_jsonl(
             reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
         reader = reader.schema(schema)
     paths = list(path) if isinstance(path, (list, tuple)) else [path]
-    df = reader.json(*paths)
+    # NOT json(*paths): DataFrameReader.json's second positional parameter
+    # is the schema, so splatting two paths would bind path[1] there
+    df = reader.json(paths)
     if select:
         df = df.select(*select)
     if limit is not None:

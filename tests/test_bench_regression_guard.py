@@ -73,3 +73,15 @@ def test_repo_baseline_discoverable_and_unwraps_driver_envelope():
     with open(path) as f:
         base = guard._unwrap(json.load(f))
     assert base is not None and base["queries"]
+
+
+def test_unwrap_rejects_crashed_and_accepts_both_shapes():
+    # raw bench.py shape passes through
+    raw = _bench({"q1": 1.0})
+    assert guard._unwrap(raw) == raw
+    # driver envelope unwraps to the parsed payload
+    env = {"n": 3, "rc": 0, "parsed": raw}
+    assert guard._unwrap(env) == raw
+    # crashed round (rc!=0) and queryless payloads are unusable
+    assert guard._unwrap({"rc": 1, "parsed": raw}) is None
+    assert guard._unwrap({"value": 1.0}) is None

@@ -381,3 +381,27 @@ def test_write_jsonl_partitioned(spark, tmp_path):
         ["lang=en", "lang=fr"]
     back = read_jsonl(spark, out, schema="doc_id long, text string")
     assert back.count() == 3
+
+
+def test_read_jsonl_multiple_paths(spark, tmp_path):
+    """A list of paths must read ALL files — DataFrameReader.json's second
+    positional parameter is the schema, so a splatted call would bind
+    path[1] there and raise a DDL ParseException."""
+    from powerdatapipeline_spark.sources.readers import read_jsonl
+
+    a, b = tmp_path / "a.jsonl", tmp_path / "b.jsonl"
+    a.write_text('{"doc_id": 1, "text": "from a"}\n')
+    b.write_text('{"doc_id": 2, "text": "from b"}\n')
+    df = read_jsonl(spark, [str(a), str(b)],
+                    schema="doc_id long, text string")
+    assert {r.doc_id: r.text for r in df.collect()} == \
+        {1: "from a", 2: "from b"}
+
+
+def test_read_jsonl_corrupt_col_requires_schema(spark, tmp_path):
+    from powerdatapipeline_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"doc_id": 1}\n')
+    with pytest.raises(ValueError, match="corrupt_col requires"):
+        read_jsonl(spark, str(p), corrupt_col="_bad")

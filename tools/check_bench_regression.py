@@ -115,7 +115,13 @@ def main() -> int:
     if baseline is None:
         print(f"baseline {base_path} has no usable per-query timings")
         return 2
-    current = _unwrap(current) or current
+    current = _unwrap(current)
+    if current is None:
+        # a crashed run or malformed payload must FAIL the gate, not
+        # degrade to an empty comparison that prints "no regressions"
+        print("current bench payload has no usable per-query timings "
+              "(crashed run or malformed JSON?)")
+        return 2
 
     regs = find_regressions(current, baseline, args.threshold, args.min_delta)
     common = set(baseline.get("queries", {})) & set(current.get("queries", {}))
