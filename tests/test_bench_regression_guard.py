@@ -85,3 +85,30 @@ def test_unwrap_rejects_crashed_and_accepts_both_shapes():
     # crashed round (rc!=0) and queryless payloads are unusable
     assert guard._unwrap({"rc": 1, "parsed": raw}) is None
     assert guard._unwrap({"value": 1.0}) is None
+
+
+def test_repeat_takes_per_query_minimums(monkeypatch, tmp_path):
+    """--run --repeat N compares per-query MINIMUMS across runs, so a
+    noisy-machine spike in one run can't flag a false regression."""
+    import subprocess
+    import sys
+
+    outs = [json.dumps(_bench({"q1": 2.9, "q2": 0.5})),   # noisy run
+            json.dumps(_bench({"q1": 1.0, "q2": 0.6}))]   # clean run
+    calls = iter(outs)
+
+    class P:
+        returncode = 0
+        stderr = ""
+
+        def __init__(self):
+            self.stdout = next(calls) + "\n"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: P())
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(_bench({"q1": 1.1, "q2": 0.5})))
+    monkeypatch.setattr(guard, "REPO", str(tmp_path))
+    monkeypatch.setattr(sys, "argv",
+                        ["check_bench_regression.py", "--run", "--repeat", "2",
+                         "--baseline", str(tmp_path / "BENCH_r01.json")])
+    # q1 min = 1.0 (not the 2.9 spike) -> no regression vs 1.1 baseline
+    assert guard.main() == 0

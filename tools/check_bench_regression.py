@@ -87,6 +87,11 @@ def main() -> int:
                     help="bench JSON file (default: stdin, or --run)")
     ap.add_argument("--run", action="store_true",
                     help="run bench.py now and compare its output")
+    ap.add_argument("--repeat", type=int, default=1, metavar="N",
+                    help="with --run: run bench.py N times and compare "
+                    "per-query MINIMUMS — single runs vary ~±30%% with "
+                    "machine load, and the min is the least noisy "
+                    "estimator of a query's true cost")
     ap.add_argument("--baseline", help="baseline bench JSON "
                     "(default: newest valid BENCH_r*.json)")
     ap.add_argument("--threshold", type=float, default=1.5)
@@ -94,12 +99,23 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.run:
-        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                              capture_output=True, text=True)
-        if proc.returncode != 0:
-            print(f"bench.py failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}")
-            return 2
-        current = json.loads(proc.stdout.strip().splitlines()[-1])
+        runs = []
+        for i in range(max(1, args.repeat)):
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True)
+            if proc.returncode != 0:
+                print(f"bench.py failed (rc={proc.returncode}):\n"
+                      f"{proc.stderr[-2000:]}")
+                return 2
+            runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+        current = runs[0]
+        if len(runs) > 1:
+            qmins = {q: min(float(r["queries"][q]) for r in runs
+                            if q in r["queries"])
+                     for q in runs[0]["queries"]}
+            current = {**runs[0], "queries": qmins,
+                       "value": round(sum(qmins.values()), 3)}
     elif args.current:
         with open(args.current) as f:
             current = json.load(f)
