@@ -1,8 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output envelope (round-7 fix — VERDICT r6 #1): the driver captures only
+the LAST 2,000 characters of stdout, and a single JSON line carrying the
+full per-query map with long names outgrew that window at 73 queries
+(BENCH_r06.json recorded ``parsed: null``). So:
+
+  * the FULL payload (long query names, 3-decimal timings) is written to
+    ``BENCH_DETAIL.json`` at the repo root — the in-repo audit artifact;
+  * stdout gets exactly ONE compact JSON line: headline ``metric/value/
+    unit/sf/n_queries`` plus a short-key per-query map (``q29`` instead of
+    ``q29_lsh_neardup``, 2-decimal values). If the registry ever grows the
+    compact line past 1,600 chars, the per-query map is dropped from the
+    line (never the headline), so the driver's tail capture ALWAYS parses.
+
+``tools/check_bench_regression.py`` normalizes both long and short names
+to the ``qNN`` stem, so old driver baselines stay comparable.
 
 Each query is forced with a count() (full execution, no driver collect of
 result payloads) after a warm-up pass of the session.
@@ -12,14 +26,57 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from powerdatapipeline_spark.queries import REGISTRY  # noqa: E402
 from powerdatapipeline_spark.flagship import flagship  # noqa: E402
 from powerdatapipeline_spark.session import get_spark  # noqa: E402
+
+#: stdout line budget: the driver keeps 2,000 tail chars; leave headroom
+#: for a trailing newline and any stray warning line the JVM might emit
+#: after the print.
+MAX_LINE = 1600
+
+
+def short_name(name: str) -> str:
+    """``q29_lsh_neardup`` -> ``q29``; non-qNN names pass through."""
+    m = re.match(r"(q\d+)_", name)
+    return m.group(1) if m else name
+
+
+def build_payloads(timings: dict[str, float],
+                   sf_val) -> tuple[dict, str]:
+    """(full detail payload, compact stdout line) for a finished run.
+    The compact line is guaranteed ≤ MAX_LINE chars: the short-key
+    per-query map is dropped (headline kept) if it would overflow."""
+    total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": {short_name(n): round(t, 2) for n, t in timings.items()},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > MAX_LINE:
+        del compact["queries"]
+        line = json.dumps(compact, separators=(",", ":"))
+    return detail, line
 
 
 def main() -> None:
@@ -48,13 +105,12 @@ def main() -> None:
     flagship(spark, sf_dir).count()
     timings["flagship"] = round(time.time() - t0, 3)
 
-    print(json.dumps({
-        "metric": "total_query_wall_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail, line = build_payloads(timings, sf_val)
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+        f.write("\n")
+    print(line)
 
 
 if __name__ == "__main__":

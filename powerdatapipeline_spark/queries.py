@@ -45,10 +45,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (spark builder, oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+#: name -> snapshot priority. The driver's correctness snapshot records the
+#: FIRST 50 ``queries()`` entries only, so the registry is ordered by
+#: (priority desc, registration order) and the head IS the top-50 by
+#: priority — rotation into/out of the recorded window is a one-argument
+#: edit on a query's ``@register(..., priority=...)`` (VERDICT r6 #8, the
+#: last hand-maintained list removed).
+PRIORITY: dict[str, int] = {}
 
-def register(name: str, oracle: str | None):
+#: default: competes for the driver's recorded window
+PRI_HEAD = 100
+#: demoted: multi-round driver-green AND pinned by the tail-parity pytest
+#: (sf0.001 + sf0.01 strict DuckDB compare), or operator-redundant with a
+#: head entry — documented per call site
+PRI_TAIL = 10
+
+
+def register(name: str, oracle: str | None, priority: int = PRI_HEAD):
     def deco(fn: QueryFn):
         REGISTRY[name] = (fn, oracle)
+        PRIORITY[name] = priority
         return fn
     return deco
 
@@ -201,7 +217,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
-""")
+""", priority=PRI_TAIL)
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped hash aggregation (gap §2.12; the reference's only grouped agg
     is the pandas resample mean, pandas_utilities.py:115-129). Map-side
@@ -229,7 +245,7 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
 GROUP BY n_name
-""")
+""", priority=PRI_TAIL)
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way equi-join (gap §2.12 — the reference has NO joins,
     SURVEY.md §2.3). Dimensions are broadcast (customer/nation/region are
@@ -259,7 +275,7 @@ SELECT p_type,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 25
 GROUP BY p_type
-""")
+""", priority=PRI_TAIL)
 def q03_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast fact-dim join (operators/relational.join_dim): the part dim
     rides to every executor; predicate on the dim prunes before broadcast."""
@@ -281,7 +297,7 @@ UNION ALL
 SELECT 'without_orders' AS op, 'ALL' AS segment, COUNT(*) AS n_customers
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-""")
+""", priority=PRI_TAIL)
 def q04_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS; never duplicates the left side) and left-anti
     join (NOT EXISTS) in one tagged result (gap §2.12)."""
@@ -309,7 +325,7 @@ SELECT 'global' AS scope, o_custkey, o_orderkey, o_totalprice,
        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
 FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
-""")
+""", priority=PRI_TAIL)
 def q06_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k both ways, tagged (gap §2.12 — the reference has no analytic
     windows or sort at all, SURVEY.md §2.6/§2.8): per-customer top-3 via a
@@ -352,7 +368,7 @@ SELECT 'gsets' AS op,
        COUNT(*) AS n,
        {_DSUM.format(c='l_extendedprice')} AS sum_val
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
-""")
+""", priority=PRI_TAIL)
 def q08_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole multi-dimensional grouping family, tagged (gap §2.12):
     hierarchical ROLLUP, full CUBE, and explicit GROUPING SETS (via the SQL
@@ -397,7 +413,7 @@ SELECT 'high_balance_non_buyers' AS op, COUNT(*) AS n FROM (
 UNION ALL
 SELECT 'all_keys_union' AS op, COUNT(*) AS n FROM (
   SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders)
-""")
+""", priority=PRI_TAIL)
 def q10_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except (gap §2.12 — the reference's concats are
     feature-wise, not row-wise, SURVEY.md §2.8)."""
@@ -421,7 +437,7 @@ SELECT l_returnflag,
        COUNT(DISTINCT l_suppkey) AS n_suppliers,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
-""")
+""", priority=PRI_TAIL)
 def q11_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
@@ -439,7 +455,7 @@ SELECT event_type,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type
-""")
+""", priority=PRI_TAIL)
 def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction on events.props (gap §2.12): get_json_object — JVM
     Jackson parse, pushed inside codegen; no Python."""
@@ -458,7 +474,7 @@ SELECT CAST(floor(value / 20.0) AS BIGINT) AS value_bucket,
        {_DSUM.format(c="CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
 FROM events WHERE value IS NOT NULL
 GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE/conditional aggregation (pivot-style without pivot's schema
     inference — fixed columns, deterministic)."""
@@ -485,7 +501,7 @@ SELECT event_type,
        round(CAST(SUM(CAST(interval AS DECIMAL(18,6))) AS DOUBLE) / count(interval), 6) AS avg_interval
 FROM stepped WHERE interval IS NOT NULL
 GROUP BY event_type
-""")
+""", priority=PRI_TAIL)
 def q16_adjacent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-row interval audit (reference get_interval_dataset,
     tfdataset_utilities.py:162-170 — self-zip with skip(1); here a lead()
@@ -515,7 +531,7 @@ SELECT date_trunc('hour', ts) AS bucket_ts,
        COUNT(*) AS n
 FROM events
 GROUP BY 1, 2
-""")
+""", priority=PRI_TAIL)
 def q17_downsample_mean_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window mean downsample (reference pandas
     resample('1S').mean(), pandas_utilities.py:115-129 → SURVEY.md §2.4's
@@ -530,7 +546,7 @@ def q17_downsample_mean_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value
 FROM events
 WHERE CAST(floor(epoch(ts)) AS BIGINT) % 2 = 0
-""")
+""", priority=PRI_TAIL)
 def q18_downsample_modulo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modulo-grid downsample (reference downsample_to_interval,
     tfdataset_resampling.py:32-48: keep rows with ts % i == 0). Pure filter —
@@ -550,7 +566,7 @@ WITH hourly AS (
 SELECT bucket_ts, event_type, avg_value,
        CAST(floor(epoch(bucket_ts)) + tick AS BIGINT) AS tick_s
 FROM hourly, unnest(generate_series(0, 3600 - 900, 900)) u(tick)
-""")
+""", priority=PRI_TAIL)
 def q19_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsample with repeat fill (reference upsample_to_interval,
     tfdataset_resampling.py:11-30): 1→N tick generation via
@@ -576,7 +592,7 @@ SELECT event_id,
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
 FROM gapped
-""")
+""", priority=PRI_TAIL)
 def q20_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward fill (reference fill_missing_values_in_df ffill,
     pandas_utilities.py:131-152) = last non-null over the unbounded-preceding
@@ -651,7 +667,7 @@ SELECT event_id,
        CASE WHEN event_type = 'signup'   THEN 1.0 ELSE 0.0 END AS event_type_onehot_3,
        CASE WHEN event_type = 'view'     THEN 1.0 ELSE 0.0 END AS event_type_onehot_4
 FROM events
-""")
+""", priority=PRI_TAIL)
 def q24_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String one-hot with a distinct-scan vocabulary (reference
     StringLookup path, tfdataset_utilities.py:199-210; depth-5 parity with
@@ -723,7 +739,7 @@ SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
        min(doc_id) AS doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q26_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text md5 fingerprint (operators/dedup.
     exact_dedup): one shuffle keyed by a uniform 32-byte digest — never the
@@ -738,7 +754,7 @@ SELECT lang, source,
        CAST(SUM(len(list_filter({_SQL_TOKENS}, t -> t != ''))) AS BIGINT) AS total_tokens,
        (CAST(SUM(len(list_filter({_SQL_TOKENS}, t -> t != ''))) AS DOUBLE) / COUNT(*)) AS avg_tokens
 FROM documents GROUP BY lang, source
-""")
+""", priority=PRI_TAIL)
 def q27_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics (operators/text.token_count): integer sums
     are exact in any engine; the average is one double division."""
@@ -1348,7 +1364,7 @@ SELECT p_partkey,
        regexp_extract(p_type, '([A-Z]+)', 1) AS type_first_word,
        CAST(position(' ' IN p_type) AS INT) AS first_space
 FROM part
-""")
+""", priority=PRI_TAIL)
 def q51_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar-function family (SURVEY.md §2.5 — the reference's only
     string ops ride py_function): case, trim, pad, replace, substring,
@@ -1380,7 +1396,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
-""")
+""", priority=PRI_TAIL)
 def q53_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective filters on BOTH join sides pushed into
     their scans before the join, then top-k on the aggregate (a global
@@ -1442,7 +1458,7 @@ JOIN nation sn ON sn.n_nationkey = s_nationkey
 JOIN nation cn ON cn.n_nationkey = c_nationkey
 WHERE sn.n_name <> cn.n_name
 GROUP BY 1, 2, 3
-""")
+""", priority=PRI_TAIL)
 def q55_supplier_customer_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the same dimension (nation) joined TWICE under
     different roles (supplier vs customer side) with an inequality between
@@ -1503,7 +1519,7 @@ FROM (SELECT c_custkey, c_acctbal AS balance,
              CAST(c_nationkey AS DOUBLE) AS nation
       FROM customer)
 UNPIVOT (value FOR metric IN (balance, nation))
-""")
+""", priority=PRI_TAIL)
 def q58_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (the inverse of q14's conditional-agg pivot):
     ``df.unpivot`` generates an Expand — one pass, rows × n_metrics output,
@@ -2745,54 +2761,45 @@ def q81_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the
-# dict order below IS the verification budget. Head: the 50 oracle-paired
-# queries whose operators have no other recorded check. Tail: (a) rows-only
-# entries (no SQL-expressible oracle — sampling RNG, HLL sketches, ANN
-# recall, multimodal UDFs; each is pytest-pinned instead), then (b) queries
-# whose operator coverage is ALSO verified by a head entry (q03→q02 equi/
-# broadcast join, q14→q67 conditional agg/pivot, q53→q06+q54 topk/filter,
-# q55→q02+q56 multi-join agg). Demoted entries keep their oracles and still
-# run in tools/check_parity.py and the registry smoke test.
+# dict order IS the verification budget. It is derived, not hand-listed
+# (VERDICT r6 #8): entries sort by (priority desc, registration order) and
+# the first 50 form the recorded head. Rotation = editing one query's
+# ``priority=`` argument.
+#
+# Round-7 rotation: q75-q84 (born round 6, strict-parity-verified locally
+# at sf0.001+sf0.01 but never driver-recorded) hold default PRI_HEAD and
+# enter the window; ten PRI_TAIL demotions make room — q01/q02/q04/q06/
+# q08/q10/q16/q17/q19/q20, each driver-green in EVERY round it appeared
+# (r1-r6) and pinned by the tail-parity pytest. Demoted entries keep their
+# oracles and still run in tools/check_parity.py and the smoke test.
 # ===========================================================================
 
-_TAIL = [
-    # Round-6 rotation: q33/q34/q35/q36/q46/q48/q73/q74 — never recorded by
-    # the driver in rounds 1-5 — are promoted into the head so
-    # CORRECTNESS_r06 finally records the ANN/multimodal/curation surface.
-    # In their place sit 8 head entries whose rows were green in every
-    # round they appeared (r1-r5) and whose operators stay pinned by the
-    # tail-parity pytest + tools/check_parity.py:
-    "q11_distinct_counts", "q13_json_extract", "q18_downsample_modulo",
-    "q24_onehot_encode", "q26_exact_dedup", "q27_text_stats",
-    "q51_string_functions", "q58_unpivot",
-    # round-6 additions (head is full at 50): oracle-paired from birth,
-    # strict-compared at sf0.001 AND sf0.01 by the tail-parity pytest
-    "q75_contamination", "q76_chunking", "q77_tfidf",
-    "q78_offset_limit", "q79_positional_zip",
-    "q80_decontaminate", "q81_unigram_logprob", "q82_salted_join",
-    "q83_bm25_search", "q84_incremental_dedup",
-    # oracle-paired but redundant with a head entry
-    "q03_part_type_revenue", "q14_conditional_agg",
-    "q53_shipping_priority", "q55_supplier_customer_volume",
-]
+#: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)
+SNAPSHOT_CAP = 50
 
 
 def _reorder_registry() -> None:
-    missing = [n for n in _TAIL if n not in REGISTRY]
-    if missing:
-        raise RuntimeError(f"registry tail names drifted: {missing}")
-    head = {n: REGISTRY[n] for n in REGISTRY if n not in _TAIL}
-    # The driver snapshots the FIRST 50 entries of queries() period — not
-    # the first 50 oracle-paired ones — so the head must hold at most 50
-    # entries total or something silently falls past the recorded window.
-    if len(head) > 50:
-        raise RuntimeError(
-            f"{len(head)} head queries exceed the driver's 50-entry "
-            "snapshot; demote or merge before shipping")
-    for n in _TAIL:
-        head[n] = REGISTRY[n]
+    seq = {n: i for i, n in enumerate(REGISTRY)}
+    order = sorted(REGISTRY, key=lambda n: (-PRIORITY[n], seq[n]))
+    if len(order) > SNAPSHOT_CAP:
+        # membership in the recorded window must be intentional: a tie
+        # straddling the cap would let registration order silently decide
+        # which query gets a driver record
+        lo, hi = order[SNAPSHOT_CAP - 1], order[SNAPSHOT_CAP]
+        if PRIORITY[lo] == PRIORITY[hi]:
+            raise RuntimeError(
+                f"priority tie across the {SNAPSHOT_CAP}-entry snapshot "
+                f"boundary ({lo} vs {hi}, both {PRIORITY[lo]}); set "
+                "explicit priorities so head membership is deliberate")
+    reordered = {n: REGISTRY[n] for n in order}
     REGISTRY.clear()
-    REGISTRY.update(head)
+    REGISTRY.update(reordered)
 
 
 _reorder_registry()
+
+#: names past the driver's recorded window, in registry order — each must
+#: be covered by the tail-parity pytest (tests/test_tail_query_parity.py)
+TAIL_NAMES = list(REGISTRY)[SNAPSHOT_CAP:]
+#: backwards-compatible alias (pre-r7 hand-maintained list, now derived)
+_TAIL = TAIL_NAMES

@@ -87,6 +87,50 @@ def test_unwrap_rejects_crashed_and_accepts_both_shapes():
     assert guard._unwrap({"value": 1.0}) is None
 
 
+def test_short_name_normalization_bridges_old_and_new_envelopes():
+    # r7+ bench.py emits short keys (q29); pre-r7 driver baselines carry
+    # long names (q29_lsh_neardup) — the guard must still compare them
+    prev = _bench({"q29_lsh_neardup": 2.0, "flagship": 1.0})
+    cur = _bench({"q29": 3.4, "flagship": 1.0})
+    assert guard.find_regressions(cur, prev) == [("q29", 2.0, 3.4)]
+
+
+def test_latest_baseline_ignores_nonnumeric_suffix(tmp_path):
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(_bench({"q1": 1.0})))
+    (tmp_path / "BENCH_rerun.json").write_text("{}")
+    assert guard.latest_baseline(str(tmp_path)).endswith("BENCH_r02.json")
+
+
+def test_repeat_without_run_is_a_usage_error(monkeypatch):
+    import sys
+    monkeypatch.setattr(sys, "argv",
+                        ["check_bench_regression.py", "--repeat", "3"])
+    assert guard.main() == 2
+
+
+def test_bench_compact_line_always_fits_driver_capture():
+    """The driver records the last 2,000 stdout chars; the compact line must
+    parse from that window at the CURRENT registry size and at any future
+    size (the per-query map is dropped before the headline can overflow)."""
+    import bench
+    from powerdatapipeline_spark.queries import REGISTRY
+
+    # current registry size, worst-case 5-digit timings
+    timings = {n: 99999.999 for n in REGISTRY}
+    timings["flagship"] = 99999.999
+    detail, line = bench.build_payloads(timings, 0.1)
+    assert len(line) < 2000
+    parsed = json.loads(line)
+    assert parsed["value"] == detail["value"] > 0
+    assert parsed["n_queries"] == len(REGISTRY) + 1
+
+    # pathological future growth: headline survives, map is dropped
+    big = {f"q{i:03d}_very_long_query_name_{i}": 1.5 for i in range(400)}
+    _, line2 = bench.build_payloads(big, 0.1)
+    assert len(line2) < 2000
+    assert "queries" not in json.loads(line2)
+
+
 def test_repeat_takes_per_query_minimums(monkeypatch, tmp_path):
     """--run --repeat N compares per-query MINIMUMS across runs, so a
     noisy-machine spike in one run can't flag a false regression."""

@@ -9,9 +9,11 @@ uses — at BOTH sf0.001 (fast) and sf0.01, the driver's own scale factor,
 so small-sf coincidences (regex classes or guards that only diverge on
 rows absent at sf0.001) can't hide (VERDICT r5 #5).
 
-Structural guards (VERDICT r5 #6) make the cap un-fallible: every
-registry entry past position 50 must be an explicit ``_TAIL`` member, so
-a newly added query can never silently land past the recorded window.
+Structural guards (VERDICT r5 #6, r6 #8) make the cap un-fallible: the
+registry order is DERIVED from per-query priorities (head = top-50 by
+priority, ties across the boundary are a hard error at import), so a newly
+added query can never silently land past the recorded window, and rotation
+is a one-argument ``priority=`` edit that these tests re-verify.
 """
 
 import math
@@ -19,7 +21,8 @@ import math
 import duckdb
 import pytest
 
-from powerdatapipeline_spark.queries import REGISTRY, _TAIL
+from powerdatapipeline_spark.queries import (
+    PRI_HEAD, PRI_TAIL, PRIORITY, REGISTRY, SNAPSHOT_CAP, _TAIL)
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -68,23 +71,34 @@ def test_tail_query_matches_oracle(spark, tail_sf_dir, oracle_con, name):
     assert got == want, f"{name}: {len(got)} spark rows vs {len(want)} oracle"
 
 
-def test_every_entry_past_the_cap_is_declared_tail():
-    """The driver records the first 50 queries() entries. Anything past
-    position 50 MUST be an explicit _TAIL member (and thus parity-covered
-    above) — a new @register can never silently land unverified."""
+def test_head_is_exactly_the_top_50_by_priority():
+    """The registry order must BE the priority order: every head entry's
+    priority ≥ every tail entry's, so rotation is a one-argument edit and
+    nothing depends on registration order across the boundary."""
     names = list(REGISTRY)
-    past_cap = names[50:]
-    assert set(past_cap) <= set(_TAIL), (
-        f"registry entries past the 50-entry snapshot cap are not in "
-        f"_TAIL (unrecorded AND unpinned): {set(past_cap) - set(_TAIL)}")
-    # _TAIL members must actually sit past the cap, not burn head slots
-    assert set(past_cap) == set(_TAIL)
+    head, tail = names[:SNAPSHOT_CAP], names[SNAPSHOT_CAP:]
+    assert tail == _TAIL
+    min_head = min(PRIORITY[n] for n in head)
+    max_tail = max(PRIORITY[n] for n in tail)
+    assert min_head > max_tail, (
+        f"priority inversion across the snapshot boundary: head min "
+        f"{min_head} <= tail max {max_tail}")
+    assert PRI_HEAD > PRI_TAIL
+
+
+def test_round7_rotation_records_q75_to_q84():
+    """Round-7 rotation (VERDICT r6 #2): the ten round-6-born queries must
+    sit inside the driver's recorded window for their first driver rows."""
+    head = set(list(REGISTRY)[:SNAPSHOT_CAP])
+    expected = {n for n in REGISTRY
+                if n.split("_")[0] in {f"q{i}" for i in range(75, 85)}}
+    assert len(expected) == 10 and expected <= head
 
 
 def test_head_is_at_most_fifty_and_oracle_paired():
     names = list(REGISTRY)
-    head = names[:len(names) - len(_TAIL)]
-    assert len(head) <= 50
+    head = names[:SNAPSHOT_CAP]
+    assert len(names) - len(head) == len(_TAIL)
     rows_only = [n for n in head if REGISTRY[n][1] is None]
     assert not rows_only, (
         f"head entries without an oracle waste recorded-window slots "

@@ -36,6 +36,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _short(name: str) -> str:
+    """``q29_lsh_neardup`` -> ``q29``; non-qNN names pass through. bench.py's
+    compact stdout line (round 7+) carries short keys while driver baselines
+    from earlier rounds carry long names — normalizing both sides keeps them
+    comparable (q-numbers are unique registry identifiers)."""
+    m = re.match(r"(q\d+)_", name)
+    return m.group(1) if m else name
+
+
 def _unwrap(d: dict) -> dict | None:
     """Bench payload from either raw bench.py output ({value, queries, ...})
     or the driver's BENCH_r*.json envelope ({n, rc, tail, parsed: {...}});
@@ -52,10 +61,12 @@ def _unwrap(d: dict) -> dict | None:
 def latest_baseline(repo: str = REPO) -> str | None:
     """Newest-round BENCH_r*.json with usable per-query timings (crashed
     rounds like BENCH_r04 recorded rc=1 without a clean parse)."""
-    paths = sorted(
-        glob.glob(os.path.join(repo, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-        reverse=True)
+    hits = []
+    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)", p)
+        if m:  # skip e.g. a stray BENCH_rerun.json instead of crashing
+            hits.append((int(m.group(1)), p))
+    paths = [p for _, p in sorted(hits, reverse=True)]
     for p in paths:
         try:
             with open(p) as f:
@@ -73,7 +84,8 @@ def find_regressions(current: dict, baseline: dict,
     """(name, previous_sec, current_sec) for every common query that
     regressed past both the ratio and the absolute floor."""
     out = []
-    prev_q, cur_q = baseline.get("queries", {}), current.get("queries", {})
+    prev_q = {_short(n): v for n, v in baseline.get("queries", {}).items()}
+    cur_q = {_short(n): v for n, v in current.get("queries", {}).items()}
     for name in sorted(set(prev_q) & set(cur_q)):
         prev, cur = float(prev_q[name]), float(cur_q[name])
         if cur > prev * threshold and cur - prev > min_delta:
@@ -97,6 +109,11 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--min-delta", type=float, default=0.5)
     args = ap.parse_args()
+
+    if args.repeat != 1 and not args.run:
+        print("--repeat only applies with --run (a file/stdin payload is a "
+              "single run); pass --run to take per-query minimums")
+        return 2
 
     if args.run:
         runs = []
@@ -140,7 +157,8 @@ def main() -> int:
         return 2
 
     regs = find_regressions(current, baseline, args.threshold, args.min_delta)
-    common = set(baseline.get("queries", {})) & set(current.get("queries", {}))
+    common = ({_short(n) for n in baseline.get("queries", {})}
+              & {_short(n) for n in current.get("queries", {})})
     print(f"baseline {os.path.basename(base_path)} "
           f"(total {baseline.get('value')}s) vs current "
           f"(total {current.get('value')}s), {len(common)} common queries")
