@@ -159,6 +159,14 @@ def _wav_decode(payload: bytes):
         return [int(x) - 128 for x in np.frombuffer(raw, dtype="u1")]
     if width == 4:
         return [int(x) for x in np.frombuffer(raw, dtype="<i4")]
+    if width == 3:
+        # 24-bit PCM: widen each little-endian 3-byte frame to 4 bytes,
+        # then arithmetic-shift to sign-extend (ADVICE r6: a valid 24-bit
+        # WAV must decode, not be misreported as "not a WAV")
+        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3)
+        wide = np.zeros((b.shape[0], 4), dtype="u1")
+        wide[:, 1:] = b
+        return [int(x) for x in (wide.view("<i4").ravel() >> 8)]
     return None
 
 

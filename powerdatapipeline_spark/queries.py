@@ -2614,8 +2614,8 @@ seen AS (
            '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id < 250)
 SELECT fp, doc_id, n_copies_in_batch
-FROM new_batch
-WHERE fp NOT IN (SELECT fp FROM seen)
+FROM new_batch b
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
 """)
 def q84_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingest dedup (operators/dedup.incremental_dedup): documents

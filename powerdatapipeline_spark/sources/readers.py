@@ -316,6 +316,12 @@ def read_jsonl(
         if corrupt_col is not None:
             if isinstance(schema, str):
                 schema = T._parse_datatype_string(schema)
+            if corrupt_col in schema.fieldNames():
+                # appending would produce duplicate fields and a confusing
+                # downstream analysis error (ADVICE r6) — fail at the call
+                raise ValueError(
+                    f"corrupt_col {corrupt_col!r} collides with a declared "
+                    "schema field; pick a name not present in the schema")
             schema = T.StructType(
                 list(schema.fields)
                 + [T.StructField(corrupt_col, T.StringType())])

@@ -187,5 +187,13 @@ def test_wav_decode_widths_and_gate():
         wav_bytes(4, struct.pack("<i", 70000) + struct.pack("<i", -70000)),
         fake=False)
     assert thirty2 == [70000, -70000]
+    # 24-bit PCM (ADVICE r6): little-endian 3-byte frames, sign-extended —
+    # a valid container/width must decode, not be misreported as non-WAV
+    def i24(v):
+        return struct.pack("<i", v)[:3]
+    twenty4 = mm.decode_audio(
+        wav_bytes(3, i24(1_000_000) + i24(-1_000_000) + i24(-1) + i24(0)),
+        fake=False)
+    assert twenty4 == [1_000_000, -1_000_000, -1, 0]
     with pytest.raises(NotImplementedError, match="not PCM WAV"):
         mm.decode_audio(b"ID3\x03mp3-ish garbage", fake=False)

@@ -405,3 +405,16 @@ def test_read_jsonl_corrupt_col_requires_schema(spark, tmp_path):
     p.write_text('{"doc_id": 1}\n')
     with pytest.raises(ValueError, match="corrupt_col requires"):
         read_jsonl(spark, str(p), corrupt_col="_bad")
+
+
+def test_read_jsonl_corrupt_col_collision_is_loud(spark, tmp_path):
+    """ADVICE r6: corrupt_col colliding with a declared field would build a
+    duplicate-field schema and a confusing downstream analysis error —
+    refuse at the call site instead."""
+    from powerdatapipeline_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n')
+    with pytest.raises(ValueError, match="collides with a declared"):
+        read_jsonl(spark, str(p), schema="doc_id long, text string",
+                   corrupt_col="text")
