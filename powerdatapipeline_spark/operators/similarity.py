@@ -241,19 +241,71 @@ def write_ivf_index(embeddings: DataFrame, path: str,
         .write.partitionBy("cell").mode("overwrite").parquet(path)
 
 
+def _probe_frame(queries: DataFrame, cents, n_probe: int,
+                 query_id_col: str, vec_col: str,
+                 cell_name: str = "__cell") -> DataFrame:
+    """Distributed per-query cell ranking: each query row gains its
+    ``n_probe`` best cells (max dot vs the broadcast centroid literal),
+    exploded to one (query, cell) row each so the downstream cell lookup is
+    an EQUI-join — an array_contains condition would plan as
+    BroadcastNestedLoopJoin. Ties break on cell index, matching the
+    driver-side ``np.argsort`` path bit-for-bit. Shared by
+    :func:`ivf_topk` and :func:`ivf_search_indexed`'s large-|Q| path."""
+    n_cells = len(cents)
+    qs = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    # argsort the cell scores expression-side: pair (−score, cell), sort,
+    # take the n_probe best cell ids
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    sc = F.transform(cent_arr, lambda c: dot(F.col("__qvec"), c))
+    ranked_cells = F.slice(
+        F.transform(F.array_sort(F.zip_with(sc,
+                                            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                                            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")))),
+                    lambda st: st["cell"]),
+        1, n_probe)
+    return (qs.withColumn("__cells", ranked_cells)
+              .withColumn(cell_name, F.explode("__cells"))
+              .drop("__cells")
+              .withColumn("__qnrm", l2_norm("__qvec")))
+
+
 def ivf_search_indexed(spark, path: str, queries: DataFrame,
                        centroids: list[list[float]], k: int = 10,
                        n_probe: int = 4, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       query_id_col: str = "query_id") -> DataFrame:
-    """ANN search over a :func:`write_ivf_index` layout: rank cells per
-    query driver-side (centroids are tiny and already local), then scan
-    ONLY the probed cell partitions via an ``isin`` partition filter —
-    planning-time directory pruning, no full-corpus scan, no shuffle of the
-    corpus (queries broadcast)."""
+                       query_id_col: str = "query_id",
+                       collect_threshold: int = 1024) -> DataFrame:
+    """ANN search over a :func:`write_ivf_index` layout. Two cell-ranking
+    paths, chosen by query-batch size (VERDICT r6 #6):
+
+    * **|Q| ≤ collect_threshold** (the top-k serving shape): queries are
+      collected and cells ranked driver-side — |Q| × n_cells dots over a
+      tiny centroid matrix — yielding an exact ``isin`` partition filter,
+      so Catalyst prunes unprobed cell directories at PLANNING time and
+      the corpus never shuffles (probes broadcast).
+    * **|Q| > collect_threshold** (bulk re-ranking): nothing is collected.
+      Cells are ranked DISTRIBUTEDLY with the same expression
+      :func:`ivf_topk` uses; the scan still prunes to cells probed by ≥1
+      query via one tiny distinct-cell aggregate (≤ n_cells rows — with a
+      huge batch that approaches all cells, which is the true workload).
+      The probe join is left to AQE (a million-query frame must not be
+      force-broadcast).
+
+    Both paths rank identically (argsort ties break on cell index), pinned
+    by tests/test_text_dedup_similarity.py."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=float)
+    n_queries = queries.count()
+    if n_queries > collect_threshold:
+        probes = _probe_frame(queries, cents, n_probe, query_id_col,
+                              vec_col, cell_name="cell")
+        cells = sorted(r["cell"]
+                       for r in probes.select("cell").distinct().collect())
+        corpus = spark.read.parquet(path).where(F.col("cell").isin(cells))
+        joined = corpus.withColumn("__nrm", l2_norm(vec_col)) \
+                       .join(probes, "cell")
+        return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)
     qrows = queries.select(query_id_col, vec_col).collect()
     probe_pairs = []   # (query_id, cell) — driver-side: |Q| × n_cells dots
     qvecs = {}
@@ -312,23 +364,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         cents = np.random.default_rng(seed).standard_normal((n_cells, dim))
         cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     emb_c = _with_cell(embeddings, cents, vec_col)
-    qs = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    # argsort the cell scores expression-side: pair (−score, cell), sort,
-    # take the n_probe best cell ids
-    cent_arr = F.lit([[float(x) for x in c] for c in cents])
-    sc = F.transform(cent_arr, lambda c: dot(F.col("__qvec"), c))
-    ranked_cells = F.slice(
-        F.transform(F.array_sort(F.zip_with(sc,
-                                            F.sequence(F.lit(0), F.lit(n_cells - 1)),
-                                            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")))),
-                    lambda st: st["cell"]),
-        1, n_probe)
-    # explode the probe list so the cell lookup is an EQUI-join (hash,
-    # partition-prunable when the corpus is written partitioned by cell) —
-    # an array_contains join condition would run as BroadcastNestedLoopJoin
-    q_c = F.broadcast(qs.withColumn("__cells", ranked_cells)
-                        .withColumn("__cell", F.explode("__cells"))
-                        .drop("__cells")
-                        .withColumn("__qnrm", l2_norm("__qvec")))
+    q_c = F.broadcast(_probe_frame(queries, cents, n_probe,
+                                   query_id_col, vec_col))
     joined = emb_c.withColumn("__nrm", l2_norm(vec_col)).join(q_c, "__cell")
     return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)

@@ -339,6 +339,31 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert got == expect
 
 
+def test_ivf_search_indexed_large_batch_distributed_path(spark, tmp_path):
+    """VERDICT r6 #6: past ``collect_threshold`` the indexed search must
+    NOT collect the query batch — cells are ranked distributively with the
+    shared _probe_frame expression. Both paths must return identical
+    (query, rank) → vec_id assignments (argsort tie-break parity), and the
+    distributed plan must keep the equi-join (no nested loop)."""
+    emb = _clustered_corpus(spark).cache()
+    cents = sim.fit_ivf_centroids(emb, n_cells=8, dim=16, iters=2)
+    path = str(tmp_path / "ivf_index")
+    sim.write_ivf_index(emb, path, cents)
+
+    qs = emb.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    served = sim.ivf_search_indexed(spark, path, qs, cents, k=5, n_probe=2)
+    bulk = sim.ivf_search_indexed(spark, path, qs, cents, k=5, n_probe=2,
+                                  collect_threshold=4)  # force the big path
+    got_served = {(r.query_id, r.rank): r.vec_id for r in served.collect()}
+    got_bulk = {(r.query_id, r.rank): r.vec_id for r in bulk.collect()}
+    assert got_bulk == got_served and len(got_bulk) == 12 * 5
+
+    plan = bulk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_lazy_plan_has_no_nested_loop(spark):
     """The lazy (materialize=False) variants expose the full logical plan —
     assert the band self-join is a hash join, never a nested loop (the plan
