@@ -5,7 +5,11 @@ names, and order-insensitive values (exact string equality after canonical
 formatting — stricter than any plausible driver hash, so passing here should
 pass there).
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` persists the per-query verdicts (pass/fail + row counts +
+wall seconds) so a full-sweep claim (e.g. COVERAGE.md's sf0.1 72/72) is an
+auditable in-repo artifact, not prose (VERDICT r6 #7).
 """
 
 from __future__ import annotations
@@ -41,8 +45,15 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -57,16 +68,19 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark error: {e}"}
             n_fail += 1
             continue
         if oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             n_rows_only += 1
             continue
         try:
             odf = con.sql(oracle).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            results[name] = {"status": "fail", "err": f"oracle error: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -93,11 +107,23 @@ def main():
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            results[name] = {"status": "fail", "err": "; ".join(problems),
+                             "rows": len(sdf)}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "pass", "rows": len(sdf),
+                             "sec": round(time.time() - t0, 2)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "summary": {"pass": n_pass, "fail": n_fail,
+                                   "rows_only": n_rows_only},
+                       "queries": results}, f, indent=2)
+            f.write("\n")
     sys.exit(1 if n_fail else 0)
 
 
