@@ -189,3 +189,94 @@ def offset_limit(df: DataFrame, order: Sequence[Column], offset: int,
     plan instead of a row_number filter."""
     out = df.orderBy(*order).offset(offset)
     return out.limit(limit) if limit is not None else out
+
+
+def _weight_expr(strata: Column, weights: dict[str, float]) -> Column:
+    expr = None
+    for s, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for stratum {s!r} must be >= 0, got {wt}")
+        cond = strata == s
+        lit = F.lit(float(wt))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    return F.lit(0.0) if expr is None else expr.otherwise(F.lit(0.0))
+
+
+def mixture_resample_plan(df: DataFrame, weights: dict[str, float],
+                          id_col: str = "doc_id",
+                          strata_col: str = "source", salt: str = "",
+                          buckets: int = 10_000) -> DataFrame:
+    """Domain-mixture resampling plan (the Pile / DoReMi corpus-mixing
+    step): given target mixture proportions per stratum (source, domain,
+    language), compute the largest total ``T`` reachable WITHOUT
+    upsampling any stratum (``T = min_s n_s / w_s`` over strata with
+    weight > 0), the per-stratum keep ``rate = w_s · T / n_s``, and the
+    deterministic hash-sampled selection count at that rate. Strata
+    absent from ``weights`` get weight/rate 0 (dropped from the mix).
+    Returns ``(stratum, n_docs, target_weight, rate, n_selected)``.
+
+    Determinism contract is :func:`stratified_hash_sample`'s: membership
+    is ``hash_bucket(id) < floor(rate · buckets)`` — a pure function of
+    the key (no RNG state, stable across runs/engines/partitionings), so
+    the realized mixture is exact-oracle-checkable. The explicit
+    ``floor`` (not round) keeps the threshold engine-portable.
+
+    Scale shape: one narrow pass computes per-stratum counts (map-side
+    combine on the low-cardinality stratum key); T and the rates live on
+    that tiny frame; the selection count is a second narrow pass with the
+    per-stratum thresholds BROADCAST back — the corpus never shuffles."""
+    base = df.select(F.col(strata_col).alias("stratum"),
+                     hash_bucket(id_col, salt, buckets).alias("__b"))
+    counts = (base.groupBy("stratum")
+              .agg(F.count("*").cast("bigint").alias("n_docs"))
+              .withColumn("__w", _weight_expr(F.col("stratum"), weights)))
+    tmax = (counts.where(F.col("__w") > 0)
+            .select(F.min(F.col("n_docs").cast("double") / F.col("__w"))
+                    .alias("__tmax")))
+    plan = (counts.crossJoin(F.broadcast(tmax))
+            .withColumn("__rate", F.when(
+                F.col("__w") > 0,
+                F.least(F.lit(1.0),
+                        F.col("__w") * F.col("__tmax")
+                        / F.col("n_docs"))).otherwise(F.lit(0.0)))
+            .withColumn("__thresh",
+                        F.floor(F.col("__rate") * buckets).cast("bigint")))
+    picked = (base.join(F.broadcast(plan.select("stratum", "__thresh")),
+                        "stratum")
+              .where(F.col("__b") < F.col("__thresh"))
+              .groupBy("stratum")
+              .agg(F.count("*").cast("bigint").alias("n_selected")))
+    return (plan.join(picked, "stratum", "left")
+            .select("stratum", "n_docs",
+                    F.round("__w", 6).alias("target_weight"),
+                    F.round("__rate", 6).alias("rate"),
+                    F.coalesce("n_selected", F.lit(0).cast("bigint"))
+                     .alias("n_selected")))
+
+
+def mixture_resample(df: DataFrame, weights: dict[str, float],
+                     id_col: str = "doc_id", strata_col: str = "source",
+                     salt: str = "", buckets: int = 10_000) -> DataFrame:
+    """Apply the :func:`mixture_resample_plan` rates: return the rows the
+    plan selects (same deterministic hash rule), preserving the input
+    schema — the action half of the mixing step."""
+    base = df.select(F.col(strata_col).alias("stratum"),
+                     hash_bucket(id_col, salt, buckets).alias("__b"))
+    counts = (base.groupBy("stratum")
+              .agg(F.count("*").cast("bigint").alias("n_docs"))
+              .withColumn("__w", _weight_expr(F.col("stratum"), weights)))
+    tmax = (counts.where(F.col("__w") > 0)
+            .select(F.min(F.col("n_docs").cast("double") / F.col("__w"))
+                    .alias("__tmax")))
+    thresh = (counts.crossJoin(F.broadcast(tmax))
+              .select(F.col("stratum").alias("__s"),
+                      F.floor(F.when(F.col("__w") > 0,
+                                     F.least(F.lit(1.0),
+                                             F.col("__w") * F.col("__tmax")
+                                             / F.col("n_docs")))
+                              .otherwise(F.lit(0.0)) * buckets)
+                       .cast("bigint").alias("__thresh")))
+    return (df.join(F.broadcast(thresh),
+                    F.col(strata_col) == F.col("__s"))
+            .where(hash_bucket(id_col, salt, buckets) < F.col("__thresh"))
+            .drop("__s", "__thresh"))

@@ -368,3 +368,36 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                    query_id_col, vec_col))
     joined = emb_c.withColumn("__nrm", l2_norm(vec_col)).join(q_c, "__cell")
     return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (Cormack, Clarke &
+    Büttcher 2009): ``rrf(d) = Σ_lists 1/(c + rank_d)`` — the standard
+    hybrid-search combiner for a sparse (BM25) and a dense (embedding
+    cosine) ranker, robust to incomparable score scales because only
+    RANKS enter the sum. Documents ranked by a single list still score
+    (the other term contributes 0). Returns the fused top ``k``:
+    ``(id, rank_a, rank_b, rrf_score, rank)`` total-ordered by
+    (rrf desc, id asc).
+
+    Scale shape: both inputs are already top-k' frames (tiny); the
+    full-outer join and re-rank window run on ≤ |a|+|b| rows — constant
+    cost regardless of corpus size. The heavy lifting lives in the
+    upstream rankers (inverted index / ANN), which is the point of
+    fusing ranks instead of re-scoring."""
+    a = ranked_a.select(F.col(id_col),
+                        F.col(rank_col).cast("int").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col),
+                        F.col(rank_col).cast("int").alias("rank_b"))
+    fused = (a.join(b, id_col, "full_outer")
+             .withColumn("rrf_score", F.round(
+                 F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_a")),
+                            F.lit(0.0))
+                 + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_b")),
+                              F.lit(0.0)), 6)))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select(id_col, "rank_a", "rank_b", "rrf_score", "rank"))

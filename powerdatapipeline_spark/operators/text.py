@@ -572,3 +572,152 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     out = out.localCheckpoint(eager=True)
     index.unpersist()
     return out
+
+
+def remove_repeated_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", span_words: int = 8,
+                          min_docs: int = 2) -> DataFrame:
+    """Substring-level (span) deduplication: segment each document into
+    consecutive non-overlapping ``span_words``-word spans, count each
+    span's cross-document frequency corpus-wide, and drop every span that
+    appears in ≥ ``min_docs`` distinct documents — the fixed-length
+    approximation of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes repeated ≥50-token matches; boilerplate headers/footers are
+    the classic target). Returns ``(id, n_spans, n_removed, clean_text)``
+    with ``clean_text`` reconstructed from the KEPT spans in original
+    order; zero-token documents survive with an empty clean_text.
+
+    Scale shape: spans never leave their partition until the doc-frequency
+    aggregate, whose key is ``md5(span)`` — a uniform 32-byte digest, so
+    the shuffle is narrow and skew-free regardless of span text length.
+    The repeated-span set is duplication-density-scaled (small), broadcast
+    back via the frequency join; reconstruction is one per-doc aggregate
+    (sort_array over collected (span_id, text) structs — each doc's spans,
+    not the corpus, sit in one group)."""
+    toks = tokens(text_col)
+    n_spans = F.floor((F.size(toks) + (span_words - 1)).cast("double")
+                      / span_words).cast("int")
+    # zero-token guard: Spark's sequence(0, -1) DESCENDS (unlike DuckDB's
+    # empty generate_series), so the index list must be empty explicitly
+    idx = F.when(n_spans > 0, F.sequence(F.lit(0), n_spans - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    spans = (_spread(df)
+             .select(F.col(id_col), toks.alias("__t"),
+                     F.explode(idx).alias("span_id"))
+             .select(id_col, "span_id",
+                     F.concat_ws(" ", F.slice(
+                         "__t", F.col("span_id") * span_words + 1,
+                         span_words)).alias("span_text"))
+             .withColumn("__fp", F.md5("span_text")))
+    freq = (spans.groupBy("__fp")
+            .agg(F.countDistinct(id_col).alias("__ndocs")))
+    flagged = spans.join(F.broadcast(freq), "__fp") \
+                   .withColumn("__drop", F.col("__ndocs") >= min_docs)
+    rebuilt = (flagged.groupBy(id_col)
+               .agg(F.count("*").cast("int").alias("n_spans"),
+                    F.sum(F.col("__drop").cast("int")).cast("int")
+                     .alias("n_removed"),
+                    F.concat_ws(" ", F.transform(
+                        F.sort_array(F.collect_list(F.when(
+                            ~F.col("__drop"),
+                            F.struct(F.col("span_id"),
+                                     F.col("span_text"))))),
+                        lambda s: s["span_text"])).alias("clean_text")))
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
+
+
+def quality_buckets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 10) -> DataFrame:
+    """CCNet-style quality bucketing: rank every document by its unigram-LM
+    cross-entropy (:func:`unigram_logprob`) and split the corpus into
+    ``n_buckets`` equal-frequency buckets (ntile over a TOTAL order —
+    score, then id, so ties are deterministic). Returns per bucket:
+    ``(bucket, n_docs, min_nlp, max_nlp, avg_nlp, avg_tokens)`` — the
+    head/middle/tail corpus split CCNet feeds to different training
+    mixes.
+
+    Scale note: the ntile window here is exact and unpartitioned — Spark
+    executes it in ONE task over the narrow per-doc score frame (id +
+    2 numbers; ~16 GB per 1e9 docs). That is the oracle-exact variant. At
+    100 TB-corpus document counts, compute bucket BOUNDARIES with
+    ``percentile_approx`` on the same score frame and map documents to
+    buckets with a broadcast range join instead (same output schema,
+    approximate edges) — the pytest pins the exact path and checks the
+    approx path agrees on bucket monotonicity."""
+    u = unigram_logprob(df, text_col, id_col)
+    w = Window.orderBy(F.col("avg_neg_logprob").asc(), F.col(id_col).asc())
+    bucketed = u.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return (bucketed.groupBy("bucket")
+            .agg(F.count("*").cast("int").alias("n_docs"),
+                 F.min("avg_neg_logprob").alias("min_nlp"),
+                 F.max("avg_neg_logprob").alias("max_nlp"),
+                 F.round(F.sum(F.col("avg_neg_logprob")
+                               .cast("decimal(28,12)")).cast("double")
+                         / F.count("*"), 6).alias("avg_nlp"),
+                 F.round(F.sum(F.col("n_tokens").cast("decimal(28,12)"))
+                         .cast("double") / F.count("*"), 6)
+                  .alias("avg_tokens")))
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", budget: int = 256,
+                   shard_col: str = "source") -> DataFrame:
+    """Sequence packing for training-batch construction: within each shard
+    (``shard_col``), documents are concatenated in ``id`` order into a
+    token stream that is cut every ``budget`` tokens; a document belongs
+    to the pack where its FIRST token lands (GPT-style pack-then-split —
+    the step that turns a curated corpus into fixed-cost training rows).
+    Returns ``(shard, pack_id, n_docs, n_tokens, first_doc, last_doc)``.
+
+    Scale shape: the running token count is a cumulative-sum window
+    PARTITIONED BY shard — real pipelines pack per input shard/file
+    exactly so the operation parallelizes; no unpartitioned global sort
+    exists here. One shuffle on the shard key, then one aggregate."""
+    cum = F.sum(token_count(text_col)).over(
+        Window.partitionBy(shard_col).orderBy(F.col(id_col))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    start = cum - token_count(text_col)
+    packed = df.select(
+        F.col(shard_col).alias("shard"), F.col(id_col),
+        token_count(text_col).alias("__nt"),
+        F.floor(start.cast("double") / budget).cast("int").alias("pack_id"))
+    return (packed.groupBy("shard", "pack_id")
+            .agg(F.count("*").cast("int").alias("n_docs"),
+                 F.sum("__nt").cast("bigint").alias("n_tokens"),
+                 F.min(id_col).alias("first_doc"),
+                 F.max(id_col).alias("last_doc")))
+
+
+def corpus_ngram_counts(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2,
+                        k: int = 20) -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by occurrence count (vocabulary /
+    collocation induction — the counting pass a BPE-merge or phrase-table
+    build starts from). Counts are NON-distinct (every occurrence), unlike
+    the dedup shingles. Returns ``(ngram, n_occurrences, n_docs, rank)``
+    total-ordered by (count desc, ngram asc).
+
+    Scale shape: per-doc (ngram → count) partial aggregation happens
+    map-side before the corpus-wide shuffle; the final top-k is a
+    TakeOrdered over the aggregated (distinct-ngram-sized) frame, never a
+    global sort of the raw stream."""
+    t = tokens(text_col)
+    idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)) \
+           .otherwise(F.array().cast("array<int>"))
+    grams = (_spread(df)
+             .select(F.col(id_col),
+                     F.explode(F.transform(
+                         idx, lambda i: F.concat_ws(
+                             " ", F.slice(t, i + 1, n)))).alias("ngram")))
+    counted = (grams.groupBy("ngram")
+               .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                    F.countDistinct(id_col).cast("int").alias("n_docs")))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (counted.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int")))

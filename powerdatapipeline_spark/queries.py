@@ -2758,6 +2758,271 @@ def q81_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+@register("q85_span_dedup", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+n AS (SELECT doc_id, t,
+             CAST(floor((len(t) + 7) / 8.0) AS BIGINT) AS n_spans
+      FROM toks),
+s AS (SELECT doc_id, t, unnest(generate_series(0, n_spans - 1)) AS span_id
+      FROM n),
+sp AS (SELECT doc_id, span_id,
+              array_to_string(list_slice(t, span_id * 8 + 1,
+                                         span_id * 8 + 8), ' ') AS span_text
+       FROM s),
+fr AS (SELECT md5(span_text) AS fp, count(DISTINCT doc_id) AS nd
+       FROM sp GROUP BY 1),
+fl AS (SELECT sp.doc_id, sp.span_id, sp.span_text, fr.nd >= 2 AS dropped
+       FROM sp JOIN fr ON fr.fp = md5(sp.span_text)),
+reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS INT)
+                 AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT dropped THEN span_text END,
+                                   ' ' ORDER BY span_id), '') AS clean_text
+        FROM fl GROUP BY doc_id)
+SELECT d.doc_id, coalesce(reb.n_spans, 0) AS n_spans,
+       coalesce(reb.n_removed, 0) AS n_removed,
+       coalesce(reb.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN reb USING (doc_id)
+""", priority=PRI_TAIL)
+def q85_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (fixed-width span) deduplication
+    (operators/text.remove_repeated_spans): segment each document into
+    non-overlapping 8-word spans, drop every span appearing in ≥2 distinct
+    documents corpus-wide, reconstruct the cleaned text in original span
+    order — the scalable approximation of suffix-array substring dedup
+    (Lee et al. 2021; boilerplate headers/footers are the target). The
+    doc-frequency shuffle keys on md5(span) digests; the repeated-span set
+    is broadcast back; reconstruction is one per-doc sort_array aggregate."""
+    return tx.remove_repeated_spans(_t(spark, sf_dir, "documents"),
+                                    span_words=8, min_docs=2)
+
+
+@register("q86_mixture_plan", r"""
+WITH w(stratum, tw) AS (
+  VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+         ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE))),
+base AS (
+  SELECT source AS stratum, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS b
+  FROM documents),
+counts AS (SELECT stratum, count(*) AS n_docs FROM base GROUP BY 1),
+cw AS (SELECT c.stratum, c.n_docs, coalesce(w.tw, CAST(0.0 AS DOUBLE)) AS tw
+       FROM counts c LEFT JOIN w USING (stratum)),
+t AS (SELECT min(CAST(n_docs AS DOUBLE) / tw) AS tmax FROM cw WHERE tw > 0),
+plan AS (
+  SELECT stratum, n_docs, tw,
+         CASE WHEN tw > 0
+              THEN least(CAST(1.0 AS DOUBLE), tw * t.tmax / n_docs)
+              ELSE CAST(0.0 AS DOUBLE) END AS rate
+  FROM cw CROSS JOIN t),
+pt AS (SELECT *, CAST(floor(rate * 10000) AS BIGINT) AS thresh FROM plan),
+sel AS (SELECT b.stratum, count(*) AS n_selected
+        FROM base b JOIN pt USING (stratum)
+        WHERE b.b < pt.thresh GROUP BY 1)
+SELECT pt.stratum, pt.n_docs, round(pt.tw, 6) AS target_weight,
+       round(pt.rate, 6) AS rate,
+       coalesce(sel.n_selected, 0) AS n_selected
+FROM pt LEFT JOIN sel USING (stratum)
+""", priority=PRI_TAIL)
+def q86_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling plan (operators/relational.
+    mixture_resample_plan) — the Pile/DoReMi corpus-mixing step: target
+    proportions over four sources, largest no-upsampling total
+    T = min_s n_s/w_s, per-source keep rate w_s·T/n_s, and the realized
+    deterministic hash-sample count at that rate (md5-bucket rule shared
+    with q62/q69 — no RNG state, exact-oracle-checkable). Strata outside
+    the target mix appear with weight/rate 0. Corpus never shuffles: two
+    narrow passes with the tiny plan broadcast back."""
+    return rel.mixture_resample_plan(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125})
+
+
+@register("q87_quality_buckets", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, count(*) AS ct FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM toks),
+u AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(CAST(-sum(CAST(tf.tf * round(ln(CAST(ct.ct AS DOUBLE)
+                                               / tot.total), 6)
+                              AS DECIMAL(28,12))) AS DOUBLE)
+               / sum(tf.tf), 6) AS avg_neg_logprob
+  FROM tf JOIN ct USING (term) CROSS JOIN tot
+  GROUP BY tf.doc_id),
+b AS (SELECT *, ntile(10) OVER (ORDER BY avg_neg_logprob ASC, doc_id ASC)
+               AS bucket
+      FROM u)
+SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS INT) AS n_docs,
+       min(avg_neg_logprob) AS min_nlp, max(avg_neg_logprob) AS max_nlp,
+       round(CAST(sum(CAST(avg_neg_logprob AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS avg_nlp,
+       round(CAST(sum(CAST(n_tokens AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS avg_tokens
+FROM b GROUP BY bucket
+""", priority=PRI_TAIL)
+def q87_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (operators/text.quality_buckets):
+    rank documents by unigram-LM cross-entropy (q81's per-doc signal,
+    derived from the same shared term-index pass) and ntile the corpus
+    into 10 equal-frequency buckets over a TOTAL order (score, then id);
+    per-bucket stats are decimal-folded. The exact ntile runs on the
+    narrow per-doc score frame; the 100 TB path swaps in
+    percentile_approx boundaries (see operator docstring)."""
+    b = tx.quality_buckets(_t(spark, sf_dir, "documents"), n_buckets=10)
+    return b.withColumn("bucket", F.col("bucket").cast("int")) \
+            .withColumn("n_docs", F.col("n_docs").cast("int"))
+
+
+@register("q88_sequence_packing", r"""
+WITH toks AS (
+  SELECT source AS shard, doc_id,
+         len(list_filter(regexp_split_to_array(lower(text),
+             '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS nt
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, nt,
+         sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nt AS start
+  FROM toks)
+SELECT shard,
+       CAST(floor(CAST(start AS DOUBLE) / 256) AS INT) AS pack_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+""", priority=PRI_TAIL)
+def q88_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches (operators/text.
+    pack_sequences): per shard (source), concatenate documents in id
+    order into a token stream cut every 256 tokens; a document belongs to
+    the pack holding its first token (GPT-style pack-then-split). The
+    cumulative-sum window is PARTITIONED BY shard — packing parallelizes
+    per input shard exactly as real pipelines do; no global sort."""
+    return tx.pack_sequences(_t(spark, sf_dir, "documents"), budget=256,
+                             shard_col="source")
+
+
+@register("q89_hybrid_rrf", f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('spark', 'window', 'join') GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         round(round(ln(1.0 + (stats.n - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5)), 6)
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+               6) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+bm AS (
+  SELECT doc_id,
+         round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+  FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+bmr AS (SELECT * FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+  FROM bm) WHERE rank_a <= 50),
+den AS (
+  SELECT a.vec_id AS doc_id,
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')}
+                             * {_SQL_NORM.format(t='b')}), 6) AS cosine
+  FROM embeddings a, embeddings b WHERE b.vec_id = 0),
+denr AS (SELECT * FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_b
+  FROM den) WHERE rank_b <= 50),
+f AS (
+  SELECT coalesce(bmr.doc_id, denr.doc_id) AS doc_id, rank_a, rank_b,
+         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_a),
+                        CAST(0.0 AS DOUBLE))
+               + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_b),
+                          CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+  FROM bmr FULL OUTER JOIN denr ON bmr.doc_id = denr.doc_id)
+SELECT * FROM (
+  SELECT doc_id, CAST(coalesce(rank_a, 0) AS INT) AS rank_a,
+         CAST(coalesce(rank_b, 0) AS INT) AS rank_b, rrf_score,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS rank
+  FROM f) WHERE rank <= 10
+""", priority=PRI_TAIL)
+def q89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via reciprocal-rank fusion (operators/similarity.
+    rrf_fuse; Cormack et al. 2009): fuse the BM25 keyword ranking (q83's
+    inverted-index shape, top 50) with the dense cosine ranking for one
+    query embedding (q31's brute-force shape, top 50) on the shared
+    doc_id/vec_id key — 1/(60+rank) per list, missing list contributes 0
+    (output rank_a/rank_b use 0 for 'not ranked by this list' so the
+    columns stay non-null ints). Both inputs are tiny top-k frames; the
+    fusion join and re-rank are constant-cost."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = tx.bm25_topk(docs, ["spark", "window", "join"], k=50)
+    wa = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sparse = bm.withColumn("rank", F.row_number().over(wa))
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dense = (sim.brute_force_topk(emb, q0, k=50)
+             .select(F.col("vec_id").alias("doc_id"), "rank"))
+    fused = sim.rrf_fuse(sparse, dense, id_col="doc_id", k=10, c=60)
+    return fused.select(
+        "doc_id",
+        F.coalesce("rank_a", F.lit(0)).cast("int").alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).cast("int").alias("rank_b"),
+        "rrf_score", "rank")
+
+
+@register("q90_corpus_bigrams", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS ngram
+  FROM g),
+c AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS INT) AS n_docs
+  FROM grams GROUP BY 1)
+SELECT * FROM (
+  SELECT ngram, n_occurrences, n_docs,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC)
+              AS INT) AS rank
+  FROM c) WHERE rank <= 20
+""", priority=PRI_TAIL)
+def q90_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (operators/text.
+    corpus_ngram_counts) — the non-distinct counting pass a BPE merge or
+    collocation table starts from. Map-side partial aggregation before
+    the corpus-wide shuffle on the gram key; final top-k is a
+    TakeOrdered over the aggregated frame, total-ordered
+    (count desc, gram asc)."""
+    return tx.corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the
