@@ -1,0 +1,184 @@
+"""Behavioral tests for the round-7 curation operators (span dedup,
+mixture resampling, quality buckets, sequence packing, RRF fusion, corpus
+n-grams) on tiny planted corpora — the oracle-parity sweep proves
+cross-engine value equality; these pin the SEMANTICS (what gets removed,
+selected, packed, fused) on cases constructed to exercise each rule."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.operators import relational as rel
+from powerdatapipeline_spark.operators import similarity as sim
+from powerdatapipeline_spark.operators import text as tx
+
+BOILER = "subscribe to our newsletter for updates every single day"  # 9 words
+
+
+def test_remove_repeated_spans_drops_shared_boilerplate(spark):
+    """A span repeated across documents is removed from ALL of them;
+    unique spans survive in original order; an empty document yields an
+    empty clean_text (not a crash or a dropped row)."""
+    # span_words=3 → BOILER's first 9 words form 3 identical spans in
+    # docs 1 and 2; each doc also has 3 words of unique content
+    rows = [
+        Row(doc_id=1, text=BOILER + " unique alpha one"),
+        Row(doc_id=2, text=BOILER + " unique beta two"),
+        Row(doc_id=3, text="entirely original content here nothing shared"),
+        Row(doc_id=4, text=""),
+    ]
+    out = {r.doc_id: r for r in
+           tx.remove_repeated_spans(spark.createDataFrame(rows),
+                                    span_words=3, min_docs=2).collect()}
+    assert out[1].n_spans == 4 and out[1].n_removed == 3
+    assert out[1].clean_text == "unique alpha one"
+    assert out[2].clean_text == "unique beta two"
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == "entirely original content here nothing shared"
+    assert out[4].n_spans == 0 and out[4].clean_text == ""
+
+
+def test_remove_repeated_spans_preserves_order_of_kept_spans(spark):
+    """Kept spans concatenate in span_id order even when the boilerplate
+    sits in the MIDDLE of a document."""
+    mid = "aaa bbb ccc " + "dup dup dup" + " xxx yyy zzz"
+    rows = [Row(doc_id=1, text=mid), Row(doc_id=2, text="dup dup dup")]
+    out = {r.doc_id: r.clean_text for r in
+           tx.remove_repeated_spans(spark.createDataFrame(rows),
+                                    span_words=3, min_docs=2).collect()}
+    assert out[1] == "aaa bbb ccc xxx yyy zzz"
+    assert out[2] == ""
+
+
+def _mix_corpus(spark):
+    rows = [Row(doc_id=i, source=f"s{i % 4}") for i in range(200)]
+    return spark.createDataFrame(rows)
+
+
+def test_mixture_plan_rates_and_no_upsampling(spark):
+    """50 docs per stratum; weights 0.5/0.25/0.125/0.125 → the binding
+    stratum is s0 (rate exactly 1.0), others keep w_s·T/n_s; a stratum
+    outside the mix gets weight/rate 0 and selects nothing."""
+    plan = {r.stratum: r for r in rel.mixture_resample_plan(
+        _mix_corpus(spark),
+        {"s0": 0.5, "s1": 0.25, "s2": 0.125}).collect()}
+    assert plan["s0"].rate == 1.0 and plan["s0"].n_selected == 50
+    assert plan["s1"].rate == 0.5
+    assert plan["s2"].rate == 0.25
+    assert plan["s3"].target_weight == 0.0 and plan["s3"].n_selected == 0
+    for r in plan.values():
+        assert r.rate <= 1.0  # never upsample
+
+
+def test_mixture_resample_rows_match_plan_counts(spark):
+    """The action half returns exactly the rows the plan counts, with the
+    input schema preserved."""
+    df = _mix_corpus(spark)
+    weights = {"s0": 0.5, "s1": 0.25, "s2": 0.125}
+    plan = {r.stratum: r.n_selected for r in
+            rel.mixture_resample_plan(df, weights).collect()}
+    picked = rel.mixture_resample(df, weights)
+    assert picked.columns == df.columns
+    got = {r.source: r.cnt for r in
+           picked.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for s, n in plan.items():
+        assert got.get(s, 0) == n
+
+
+def test_mixture_resample_is_deterministic_and_stable(spark):
+    """Hash-rule selection: same ids selected on re-run, and a stratum's
+    selected set at a LOWER rate is a subset of the higher-rate set
+    (threshold monotonicity — adding strata never reshuffles survivors)."""
+    df = _mix_corpus(spark)
+    a = {r.doc_id for r in rel.mixture_resample(df, {"s1": 1.0}).collect()}
+    b = {r.doc_id for r in rel.mixture_resample(df, {"s1": 1.0}).collect()}
+    assert a == b
+    # s1 binding alone → rate 1; adding s0 with big weight lowers s1's rate
+    small = {r.doc_id for r in rel.mixture_resample(
+        df, {"s0": 0.8, "s1": 0.2}).collect()
+        if r.source == "s1"}
+    assert small <= a
+
+
+def test_quality_buckets_partition_and_monotone(spark):
+    rows = [Row(doc_id=i,
+                text=("common " * 20 if i < 20
+                      else f"rare{i} unique{i} token{i}"))
+            for i in range(40)]
+    out = tx.quality_buckets(spark.createDataFrame(rows),
+                             n_buckets=4).collect()
+    assert len(out) == 4
+    assert sum(r.n_docs for r in out) == 40
+    by_b = sorted(out, key=lambda r: r.bucket)
+    # equal-frequency buckets over a total order: ranges must be
+    # non-overlapping and non-decreasing
+    for lo, hi in zip(by_b, by_b[1:]):
+        assert lo.max_nlp <= hi.min_nlp
+    # the all-common docs (low cross-entropy) land in bucket 1
+    assert by_b[0].max_nlp < by_b[-1].min_nlp
+
+
+def test_pack_sequences_first_token_rule(spark):
+    """Docs of 10 tokens each, budget 25, one shard: token stream cuts at
+    25/50/… — doc3 starts at token 20 (pack 0), doc4 at 30 (pack 1):
+    membership follows the FIRST token, packs may overflow the budget."""
+    rows = [Row(doc_id=i, source="s", text=" ".join(["w"] * 10))
+            for i in range(1, 7)]
+    out = {r.pack_id: r for r in
+           tx.pack_sequences(spark.createDataFrame(rows), budget=25,
+                             shard_col="source").collect()}
+    assert out[0].n_docs == 3 and out[0].first_doc == 1 and out[0].last_doc == 3
+    assert out[0].n_tokens == 30          # overflow allowed past 25
+    assert out[1].n_docs == 2 and out[1].first_doc == 4
+    assert out[2].n_docs == 1 and out[2].first_doc == 6
+    assert sum(r.n_docs for r in out.values()) == 6
+
+
+def test_pack_sequences_is_per_shard(spark):
+    """Packing never crosses shards: identical doc streams in two shards
+    produce identical per-shard pack layouts."""
+    rows = [Row(doc_id=i, source=s, text=" ".join(["w"] * 10))
+            for s in ("a", "b") for i in range(1, 4)]
+    out = tx.pack_sequences(spark.createDataFrame(rows), budget=100,
+                            shard_col="source").collect()
+    assert {(r.shard, r.pack_id, r.n_docs, r.n_tokens) for r in out} == \
+        {("a", 0, 3, 30), ("b", 0, 3, 30)}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Fusion on hand-built rankings: shared doc sums both reciprocal
+    terms; single-list docs still score; ties break on id."""
+    a = spark.createDataFrame([Row(doc_id=1, rank=1), Row(doc_id=2, rank=2)])
+    b = spark.createDataFrame([Row(doc_id=2, rank=1), Row(doc_id=9, rank=2)])
+    out = {r.doc_id: r for r in
+           sim.rrf_fuse(a, b, id_col="doc_id", k=10, c=60).collect()}
+    assert out[2].rrf_score == pytest.approx(
+        round(1 / 62 + 1 / 61, 6))          # ranked by both lists
+    assert out[1].rrf_score == pytest.approx(round(1 / 61, 6))
+    assert out[9].rrf_score == pytest.approx(round(1 / 62, 6))
+    assert out[2].rank == 1                  # fused winner
+    assert out[1].rank == 2 and out[9].rank == 3   # 1/61 > 1/62
+    assert out[9].rank_a is None and out[9].rank_b == 2
+
+
+def test_rrf_fuse_k_cut_and_determinism(spark):
+    a = spark.createDataFrame([Row(doc_id=i, rank=i) for i in range(1, 8)])
+    b = spark.createDataFrame([Row(doc_id=i, rank=9 - i) for i in range(1, 8)])
+    out = sim.rrf_fuse(a, b, id_col="doc_id", k=3).collect()
+    assert len(out) == 3
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_corpus_ngram_counts_exact_on_planted_corpus(spark):
+    rows = [Row(doc_id=1, text="a b a b c"),
+            Row(doc_id=2, text="a b x"),
+            Row(doc_id=3, text="z")]          # 1 token → no bigram
+    out = {r.ngram: r for r in
+           tx.corpus_ngram_counts(spark.createDataFrame(rows),
+                                  n=2, k=10).collect()}
+    assert out["a b"].n_occurrences == 3 and out["a b"].n_docs == 2
+    assert out["b a"].n_occurrences == 1
+    assert out["a b"].rank == 1
+    # total-order tie-break: "b a", "b c", "b x" all count 1 → alpha order
+    ranks = sorted((r.rank, g) for g, r in out.items())
+    assert [g for _, g in ranks][:4] == ["a b", "b a", "b c", "b x"]
