@@ -631,27 +631,8 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
 
 
-def quality_buckets(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", n_buckets: int = 10) -> DataFrame:
-    """CCNet-style quality bucketing: rank every document by its unigram-LM
-    cross-entropy (:func:`unigram_logprob`) and split the corpus into
-    ``n_buckets`` equal-frequency buckets (ntile over a TOTAL order —
-    score, then id, so ties are deterministic). Returns per bucket:
-    ``(bucket, n_docs, min_nlp, max_nlp, avg_nlp, avg_tokens)`` — the
-    head/middle/tail corpus split CCNet feeds to different training
-    mixes.
-
-    Scale note: the ntile window here is exact and unpartitioned — Spark
-    executes it in ONE task over the narrow per-doc score frame (id +
-    2 numbers; ~16 GB per 1e9 docs). That is the oracle-exact variant. At
-    100 TB-corpus document counts, compute bucket BOUNDARIES with
-    ``percentile_approx`` on the same score frame and map documents to
-    buckets with a broadcast range join instead (same output schema,
-    approximate edges) — the pytest pins the exact path and checks the
-    approx path agrees on bucket monotonicity."""
-    u = unigram_logprob(df, text_col, id_col)
-    w = Window.orderBy(F.col("avg_neg_logprob").asc(), F.col(id_col).asc())
-    bucketed = u.withColumn("bucket", F.ntile(n_buckets).over(w))
+def _bucket_stats(bucketed: DataFrame) -> DataFrame:
+    """Shared per-bucket aggregate for both quality-bucketing paths."""
     return (bucketed.groupBy("bucket")
             .agg(F.count("*").cast("int").alias("n_docs"),
                  F.min("avg_neg_logprob").alias("min_nlp"),
@@ -662,6 +643,46 @@ def quality_buckets(df: DataFrame, text_col: str = "text",
                  F.round(F.sum(F.col("n_tokens").cast("decimal(28,12)"))
                          .cast("double") / F.count("*"), 6)
                   .alias("avg_tokens")))
+
+
+def quality_buckets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 10,
+                    approx: bool = False) -> DataFrame:
+    """CCNet-style quality bucketing: rank every document by its unigram-LM
+    cross-entropy (:func:`unigram_logprob`) and split the corpus into
+    ``n_buckets`` equal-frequency buckets. Returns per bucket:
+    ``(bucket, n_docs, min_nlp, max_nlp, avg_nlp, avg_tokens)`` — the
+    head/middle/tail corpus split CCNet feeds to different training
+    mixes.
+
+    Two paths, same output schema:
+
+    * ``approx=False`` (oracle-exact): ntile over a TOTAL order (score,
+      then id — ties deterministic). The unpartitioned window runs in ONE
+      task over the narrow per-doc score frame (id + 2 numbers; ~16 GB per
+      1e9 docs) — fine to ~1e8 docs, the single-task point is documented.
+    * ``approx=True`` (the 100 TB path): bucket BOUNDARIES come from one
+      distributed ``percentile_approx`` aggregate over the score frame;
+      each document maps to ``1 + #(boundaries < score)`` via a single-row
+      broadcast of the (n_buckets−1)-float boundary array — fully
+      distributed, no unpartitioned window, no driver collect. Edges are
+      approximate (and heavy score ties can leave a bucket empty); the
+      pytest pins the exact path against the oracle and checks the approx
+      path for monotone non-overlapping ranges + preserved totals."""
+    u = unigram_logprob(df, text_col, id_col)
+    if approx:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = u.select(F.percentile_approx(
+            "avg_neg_logprob", qs, 10_000).alias("__bs"))
+        bucketed = (u.crossJoin(F.broadcast(bounds))
+                    .withColumn("bucket", (F.lit(1) + F.size(F.filter(
+                        "__bs", lambda b: b < F.col("avg_neg_logprob"))))
+                        .cast("int")))
+    else:
+        w = Window.orderBy(F.col("avg_neg_logprob").asc(),
+                           F.col(id_col).asc())
+        bucketed = u.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return _bucket_stats(bucketed)
 
 
 def pack_sequences(df: DataFrame, text_col: str = "text",

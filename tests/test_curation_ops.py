@@ -118,6 +118,36 @@ def test_quality_buckets_partition_and_monotone(spark):
     assert by_b[0].max_nlp < by_b[-1].min_nlp
 
 
+def test_quality_buckets_approx_path_is_distributed_and_sane(spark):
+    """The 100 TB path (percentile_approx boundaries + broadcast range
+    map): no unpartitioned window in the plan, totals preserved, ranges
+    monotone non-overlapping, and on a well-separated two-population
+    corpus the approx split agrees with the exact one."""
+    rows = [Row(doc_id=i,
+                text=("common " * 20 if i < 20
+                      else f"rare{i} unique{i} token{i}"))
+            for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = tx.quality_buckets(df, n_buckets=2, approx=True).collect()
+    assert sum(r.n_docs for r in out) == 40
+    by_b = sorted(out, key=lambda r: r.bucket)
+    for lo, hi in zip(by_b, by_b[1:]):
+        assert lo.max_nlp <= hi.min_nlp
+    # two clearly separated populations → approx == exact split
+    exact = {r.bucket: r.n_docs for r in
+             tx.quality_buckets(df, n_buckets=2).collect()}
+    assert {r.bucket: r.n_docs for r in out} == exact
+    # the approx plan must not contain the single-task unpartitioned
+    # ntile Window node (note: "percentile_approx" contains "ntile", so
+    # match the operator, not the substring)
+    plan = tx.quality_buckets(df, n_buckets=2, approx=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    exact_plan = tx.quality_buckets(df, n_buckets=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in exact_plan  # the node the approx path removes
+
+
 def test_pack_sequences_first_token_rule(spark):
     """Docs of 10 tokens each, budget 25, one shard: token stream cuts at
     25/50/… — doc3 starts at token 20 (pack 0), doc4 at 30 (pack 1):
