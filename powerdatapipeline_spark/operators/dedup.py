@@ -54,19 +54,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """All-pairs n-gram Jaccard via an inverted index (token → doc) join —
-    the SQL-expressible baseline for near-dup. Candidate generation joins on
-    shingle, so only pairs sharing ≥1 shingle are scored (still quadratic in
-    pathological corpora → use :func:`minhash_lsh_pairs` at scale; this
-    exists as the exact oracle-checkable semantics).
+                        threshold: float = 0.8,
+                        unit: str = "char") -> DataFrame:
+    """All-pairs n-gram Jaccard via an inverted index (shingle → doc)
+    join — the SQL-expressible baseline for near-dup. Candidate
+    generation joins on ``md5(shingle)`` (narrow uniform key, never the
+    raw shingle text), so only pairs sharing ≥1 shingle are scored.
 
     Jaccard computed from distinct-shingle counts:
     ``|A∩B| / (|A| + |B| − |A∩B|)``.
-    """
-    sh = (_spread(df).select(F.col(id_col), char_ngrams(text_col, n).alias("sh"))
+
+    Cost model (measured, not guessed): the inverted join materializes
+    ``Σ_g df(g)²`` rows. With ``unit='char'`` on a small-vocabulary
+    corpus nearly every doc pair shares common trigrams — df(g) ≈ N for
+    hundreds of grams, i.e. billions of rows by sf0.1 (OOM-confirmed on
+    the fixture). ``unit='word'`` shingles are selective (df(g) tracks
+    true duplication density) and stay linear-ish in practice. Either
+    way this operator is the EXACTNESS BASELINE — use
+    :func:`minhash_lsh_pairs` (banded, sub-quadratic by construction) at
+    scale."""
+    sh_col = (char_ngrams(text_col, n) if unit == "char"
+              else shingles(text_col, n, unit="word"))
+    sh = (_spread(df).select(F.col(id_col), sh_col.alias("sh"))
             .withColumn("sh_n", F.size("sh")))
-    ex = sh.select(id_col, "sh_n", F.explode("sh").alias("g"))
+    ex = sh.select(id_col, "sh_n",
+                   F.explode(F.transform("sh", F.md5)).alias("g"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

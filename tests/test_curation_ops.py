@@ -212,3 +212,84 @@ def test_corpus_ngram_counts_exact_on_planted_corpus(spark):
     # total-order tie-break: "b a", "b c", "b x" all count 1 → alpha order
     ranks = sorted((r.rank, g) for g, r in out.items())
     assert [g for _, g in ranks][:4] == ["a b", "b a", "b c", "b x"]
+
+
+def test_canonical_url_collapses_messy_variants(spark):
+    """Scheme/www/query/trailing-slash/case variants of the same page must
+    map to one canonical key; distinct paths must stay distinct."""
+    rows = [
+        Row(doc_id=1, url="https://www.Example.com/A/B?utm_source=x"),
+        Row(doc_id=2, url="HTTP://example.COM/a/b#frag"),
+        Row(doc_id=3, url="example.com/a/b/"),
+        Row(doc_id=4, url="https://example.com/a/c"),
+        Row(doc_id=5, url="https://sub.example.com/a/b"),
+    ]
+    out = {r.canonical_url: r for r in
+           tx.url_dedup(spark.createDataFrame(rows)).collect()}
+    assert out["example.com/a/b"].n_docs == 3
+    assert out["example.com/a/b"].first_doc == 1
+    assert out["example.com/a/b"].domain == "example.com"
+    assert out["example.com/a/c"].n_docs == 1
+    assert out["sub.example.com/a/b"].domain == "sub.example.com"
+
+
+def test_filter_blocked_domains(spark):
+    rows = [Row(doc_id=1, url="https://www.SPAM.example/a"),
+            Row(doc_id=2, url="https://good.example/b"),
+            Row(doc_id=3, url="spam.example/c?x=1")]
+    kept = {r.doc_id for r in tx.filter_blocked_domains(
+        spark.createDataFrame(rows), ["spam.example"]).collect()}
+    assert kept == {2}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Any shared substring of length >= w+k-1 (= 8 for k=5, w=4) must
+    contribute at least one common fingerprint; disjoint-alphabet docs
+    share none; fingerprint sets are deterministic."""
+    shared = "abcdefghij"  # length 10 >= 8
+    rows = [Row(doc_id=1, text="xxxx" + shared + "yyyyy"),
+            Row(doc_id=2, text="qqq" + shared + "rrrr"),
+            Row(doc_id=3, text="zzzzzzzzzzzzzzz")]
+    df = spark.createDataFrame(rows)
+    fps = tx.winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]            # the winnowing guarantee
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    again = {}
+    for r in tx.winnow_fingerprints(df, k=5, w=4).collect():
+        again.setdefault(r.doc_id, set()).add(r.fp)
+    assert again == by_doc                   # deterministic
+
+
+def test_winnowing_short_document_edges(spark):
+    """len < k → no fingerprints (no rows); k <= len < k+w-1 → exactly one
+    fingerprint (min of all hashes, the standard short-doc edge)."""
+    rows = [Row(doc_id=1, text="abc"),        # 3 < k=5 → nothing
+            Row(doc_id=2, text="abcdefg")]    # 3 hashes < w=4 → min-of-all
+    out = tx.winnow_fingerprints(spark.createDataFrame(rows),
+                                 k=5, w=4).collect()
+    docs = [r.doc_id for r in out]
+    assert docs.count(1) == 0
+    assert docs.count(2) == 1
+
+
+def test_ngram_jaccard_word_unit_exact_values(spark):
+    """Word-shingle Jaccard on planted docs: identical docs score 1.0;
+    one-word edits score the exact |A∩B|/|A∪B|; unrelated pairs are cut
+    by the threshold."""
+    from powerdatapipeline_spark.operators import dedup as dd
+    rows = [Row(doc_id=1, text="a b c d e f"),
+            Row(doc_id=2, text="a b c d e f"),
+            Row(doc_id=3, text="a b c d e g"),   # 3 of 4 shingles differ
+            Row(doc_id=4, text="p q r s t u")]
+    out = {(r.id_a, r.id_b): r.jaccard for r in dd.ngram_jaccard_pairs(
+        spark.createDataFrame(rows), n=3, threshold=0.3,
+        unit="word").collect()}
+    assert out[(1, 2)] == 1.0
+    # docs 1 and 3: shingles {abc,bcd,cde,def} vs {abc,bcd,cde,deg}
+    # → |∩|=3, |∪|=5 → 0.6
+    assert out[(1, 3)] == pytest.approx(0.6)
+    assert (1, 4) not in out and (2, 4) not in out
