@@ -3152,6 +3152,16 @@ SNAPSHOT_CAP = 50
 
 
 def _reorder_registry() -> None:
+    # qNN stems must be unique: bench.py's compact stdout map and the
+    # regression guard's name normalization key on them — a duplicate
+    # stem would silently merge two queries' timings
+    stems: dict[str, str] = {}
+    for n in REGISTRY:
+        stem = n.split("_")[0]
+        if stem in stems:
+            raise RuntimeError(
+                f"duplicate query number {stem}: {stems[stem]} vs {n}")
+        stems[stem] = n
     seq = {n: i for i, n in enumerate(REGISTRY)}
     order = sorted(REGISTRY, key=lambda n: (-PRIORITY[n], seq[n]))
     if len(order) > SNAPSHOT_CAP:
