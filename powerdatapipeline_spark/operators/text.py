@@ -610,10 +610,15 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
                          "__t", F.col("span_id") * span_words + 1,
                          span_words)).alias("span_text"))
              .withColumn("__fp", F.md5("span_text")))
-    freq = (spans.groupBy("__fp")
-            .agg(F.countDistinct(id_col).alias("__ndocs")))
-    flagged = spans.join(F.broadcast(freq), "__fp") \
-                   .withColumn("__drop", F.col("__ndocs") >= min_docs)
+    # broadcast ONLY the repeated-span set (duplication-density-scaled),
+    # not every distinct span's frequency — at corpus scale the full
+    # distinct-span frame is data-sized and must never be broadcast
+    repeated = (spans.groupBy("__fp")
+                .agg(F.countDistinct(id_col).alias("__ndocs"))
+                .where(F.col("__ndocs") >= min_docs)
+                .select("__fp", F.lit(True).alias("__drop")))
+    flagged = (spans.join(F.broadcast(repeated), "__fp", "left")
+               .withColumn("__drop", F.coalesce("__drop", F.lit(False))))
     rebuilt = (flagged.groupBy(id_col)
                .agg(F.count("*").cast("int").alias("n_spans"),
                     F.sum(F.col("__drop").cast("int")).cast("int")
