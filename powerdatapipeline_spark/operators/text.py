@@ -704,14 +704,17 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     PARTITIONED BY shard — real pipelines pack per input shard/file
     exactly so the operation parallelizes; no unpartitioned global sort
     exists here. One shuffle on the shard key, then one aggregate."""
-    cum = F.sum(token_count(text_col)).over(
-        Window.partitionBy(shard_col).orderBy(F.col(id_col))
+    # materialize the token count once per row — inlining token_count into
+    # the window arg, the start offset, and the output would tokenize each
+    # document three times
+    base = df.select(F.col(shard_col).alias("shard"), F.col(id_col),
+                     token_count(text_col).alias("__nt"))
+    cum = F.sum("__nt").over(
+        Window.partitionBy("shard").orderBy(F.col(id_col))
               .rowsBetween(Window.unboundedPreceding, 0))
-    start = cum - token_count(text_col)
-    packed = df.select(
-        F.col(shard_col).alias("shard"), F.col(id_col),
-        token_count(text_col).alias("__nt"),
-        F.floor(start.cast("double") / budget).cast("int").alias("pack_id"))
+    packed = base.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("__nt")).cast("double") / budget).cast("int"))
     return (packed.groupBy("shard", "pack_id")
             .agg(F.count("*").cast("int").alias("n_docs"),
                  F.sum("__nt").cast("bigint").alias("n_tokens"),
