@@ -293,3 +293,22 @@ def test_ngram_jaccard_word_unit_exact_values(spark):
     # → |∩|=3, |∪|=5 → 0.6
     assert out[(1, 3)] == pytest.approx(0.6)
     assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_winnow_neardup_pairs_finds_shared_rare_content(spark):
+    """Two docs sharing a long rare passage pair up; a passage present in
+    most of the corpus is pruned by the df cap (the MOSS common-
+    fingerprint rule) and creates no pairs."""
+    common = "every document in this corpus repeats this exact sentence"
+    rare = "the rare shared passage that only two documents contain here"
+    rows = [Row(doc_id=i, text=common + f" filler{i} pad{i} distinct{i}")
+            for i in range(40)]
+    rows += [Row(doc_id=100, text=rare + " tail one hundred"),
+             Row(doc_id=101, text=rare + " other ending text")]
+    out = {(r.id_a, r.id_b): r.n_shared for r in
+           tx.winnow_neardup_pairs(spark.createDataFrame(rows),
+                                   min_shared=3,
+                                   max_df_frac=0.1).collect()}
+    assert (100, 101) in out and out[(100, 101)] >= 3
+    # the 40 common-passage docs must NOT pair via the common content
+    assert all(a == 100 for a, _ in out), out
