@@ -3173,6 +3173,57 @@ def q94_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    min_shared=6)
 
 
+@register("q95_streaming_sessionize", r"""
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts)
+                   - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM d)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, sid
+""", priority=PRI_TAIL)
+def q95_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING sessionization over the events stream
+    (streaming/pipeline.streaming_sessionize — q39's streaming twin,
+    driver-recordable for the first time): ``F.session_window`` with a
+    30-min gap, watermarked, availableNow trigger, memory sink. The
+    oracle replays session_window's HALF-OPEN boundary exactly (a new
+    session starts when the inter-arrival gap is ≥ the gap, vs the batch
+    operator's strict >), as a lag + running-sum window in SQL — so this
+    is a strict value compare, not a rows-only check. State is one open
+    session per user, watermark-bounded — the streaming-scale shape.
+    complete mode + memory sink is the verification harness (q45's
+    NOTE); production writes append past the watermark."""
+    import uuid
+
+    from powerdatapipeline_spark.streaming.pipeline import (
+        state_sized,
+        streaming_sessionize,
+    )
+
+    stream = events_stream_source(spark, sf_dir)
+    sess = streaming_sessionize(stream, "ts", ["user_id"],
+                                gap_seconds=1800, watermark="1 minute")
+    name = f"q95_sink_{uuid.uuid4().hex[:8]}"
+    with state_sized(spark, 8):
+        q = (sess.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q95 streaming job did not finish within 300 s")
+    return spark.table(name)
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the
