@@ -202,29 +202,23 @@ def _weight_expr(strata: Column, weights: dict[str, float]) -> Column:
     return F.lit(0.0) if expr is None else expr.otherwise(F.lit(0.0))
 
 
-def mixture_resample_plan(df: DataFrame, weights: dict[str, float],
-                          id_col: str = "doc_id",
-                          strata_col: str = "source", salt: str = "",
-                          buckets: int = 10_000) -> DataFrame:
-    """Domain-mixture resampling plan (the Pile / DoReMi corpus-mixing
-    step): given target mixture proportions per stratum (source, domain,
-    language), compute the largest total ``T`` reachable WITHOUT
-    upsampling any stratum (``T = min_s n_s / w_s`` over strata with
-    weight > 0), the per-stratum keep ``rate = w_s · T / n_s``, and the
-    deterministic hash-sampled selection count at that rate. Strata
-    absent from ``weights`` get weight/rate 0 (dropped from the mix).
-    Returns ``(stratum, n_docs, target_weight, rate, n_selected)``.
+#: absorbs IEEE rounding in ``w · (n/w) / n`` (≤ a few ulp ≈ 1e-12 after
+#: the ×buckets scale) so the binding stratum's threshold lands on
+#: ``buckets`` exactly instead of ``buckets − 1`` — without it, e.g.
+#: w=0.1, n=3 gives rate 0.9999999999999999 and floor() silently drops
+#: the top hash bucket (~1/buckets of the stratum the plan reports at
+#: rate 1.0). Far below any meaningful rate distinction (1/buckets=1e-4).
+_RATE_EPS = 1e-9
 
-    Determinism contract is :func:`stratified_hash_sample`'s: membership
-    is ``hash_bucket(id) < floor(rate · buckets)`` — a pure function of
-    the key (no RNG state, stable across runs/engines/partitionings), so
-    the realized mixture is exact-oracle-checkable. The explicit
-    ``floor`` (not round) keeps the threshold engine-portable.
 
-    Scale shape: one narrow pass computes per-stratum counts (map-side
-    combine on the low-cardinality stratum key); T and the rates live on
-    that tiny frame; the selection count is a second narrow pass with the
-    per-stratum thresholds BROADCAST back — the corpus never shuffles."""
+def _mixture_plan_frame(df: DataFrame, weights: dict[str, float],
+                        id_col: str, strata_col: str, salt: str,
+                        buckets: int) -> tuple[DataFrame, DataFrame]:
+    """Shared counts → T → rate → threshold pipeline for the mixture
+    plan and its apply half — ONE definition so the plan-equals-apply
+    contract (pinned by pytest) cannot drift. Returns ``(base, plan)``:
+    ``base`` = (stratum, __b hash bucket) per row, ``plan`` = per-stratum
+    (stratum, n_docs, __w, __rate, __thresh)."""
     base = df.select(F.col(strata_col).alias("stratum"),
                      hash_bucket(id_col, salt, buckets).alias("__b"))
     counts = (base.groupBy("stratum")
@@ -240,7 +234,38 @@ def mixture_resample_plan(df: DataFrame, weights: dict[str, float],
                         F.col("__w") * F.col("__tmax")
                         / F.col("n_docs"))).otherwise(F.lit(0.0)))
             .withColumn("__thresh",
-                        F.floor(F.col("__rate") * buckets).cast("bigint")))
+                        F.floor(F.col("__rate") * buckets + _RATE_EPS)
+                        .cast("bigint")))
+    return base, plan
+
+
+def mixture_resample_plan(df: DataFrame, weights: dict[str, float],
+                          id_col: str = "doc_id",
+                          strata_col: str = "source", salt: str = "",
+                          buckets: int = 10_000) -> DataFrame:
+    """Domain-mixture resampling plan (the Pile / DoReMi corpus-mixing
+    step): given target mixture proportions per stratum (source, domain,
+    language), compute the largest total ``T`` reachable WITHOUT
+    upsampling any stratum (``T = min_s n_s / w_s`` over strata with
+    weight > 0), the per-stratum keep ``rate = w_s · T / n_s``, and the
+    deterministic hash-sampled selection count at that rate. Strata
+    absent from ``weights`` get weight/rate 0 (dropped from the mix).
+    Returns ``(stratum, n_docs, target_weight, rate, n_selected)``.
+
+    Determinism contract is :func:`stratified_hash_sample`'s: membership
+    is ``hash_bucket(id) < floor(rate · buckets + ε)`` — a pure function
+    of the key (no RNG state, stable across runs/engines/partitionings),
+    so the realized mixture is exact-oracle-checkable. The explicit
+    ``floor`` (not round) keeps the threshold engine-portable; the tiny
+    ε absorbs IEEE rounding so a mathematically-exact rate of 1.0 keeps
+    the whole stratum (see ``_RATE_EPS``).
+
+    Scale shape: one narrow pass computes per-stratum counts (map-side
+    combine on the low-cardinality stratum key); T and the rates live on
+    that tiny frame; the selection count is a second narrow pass with the
+    per-stratum thresholds BROADCAST back — the corpus never shuffles."""
+    base, plan = _mixture_plan_frame(df, weights, id_col, strata_col,
+                                     salt, buckets)
     picked = (base.join(F.broadcast(plan.select("stratum", "__thresh")),
                         "stratum")
               .where(F.col("__b") < F.col("__thresh"))
@@ -258,24 +283,14 @@ def mixture_resample(df: DataFrame, weights: dict[str, float],
                      id_col: str = "doc_id", strata_col: str = "source",
                      salt: str = "", buckets: int = 10_000) -> DataFrame:
     """Apply the :func:`mixture_resample_plan` rates: return the rows the
-    plan selects (same deterministic hash rule), preserving the input
-    schema — the action half of the mixing step."""
-    base = df.select(F.col(strata_col).alias("stratum"),
-                     hash_bucket(id_col, salt, buckets).alias("__b"))
-    counts = (base.groupBy("stratum")
-              .agg(F.count("*").cast("bigint").alias("n_docs"))
-              .withColumn("__w", _weight_expr(F.col("stratum"), weights)))
-    tmax = (counts.where(F.col("__w") > 0)
-            .select(F.min(F.col("n_docs").cast("double") / F.col("__w"))
-                    .alias("__tmax")))
-    thresh = (counts.crossJoin(F.broadcast(tmax))
-              .select(F.col("stratum").alias("__s"),
-                      F.floor(F.when(F.col("__w") > 0,
-                                     F.least(F.lit(1.0),
-                                             F.col("__w") * F.col("__tmax")
-                                             / F.col("n_docs")))
-                              .otherwise(F.lit(0.0)) * buckets)
-                       .cast("bigint").alias("__thresh")))
+    plan selects (same deterministic hash rule, same shared
+    ``_mixture_plan_frame`` pipeline — the plan-equals-apply contract is
+    structural, not copy-paste), preserving the input schema — the
+    action half of the mixing step."""
+    _base, plan = _mixture_plan_frame(df, weights, id_col, strata_col,
+                                      salt, buckets)
+    thresh = plan.select(F.col("stratum").alias("__s"),
+                         F.col("__thresh"))
     return (df.join(F.broadcast(thresh),
                     F.col(strata_col) == F.col("__s"))
             .where(hash_bucket(id_col, salt, buckets) < F.col("__thresh"))

@@ -74,32 +74,61 @@ def rolling_fingerprint(col: str | Column, base: int = 131,
     2^37 — safe for ANSI long arithmetic, no overflow). Unlike the md5
     :func:`fingerprint` this hash is *incrementally updatable* (append a
     char = one multiply-add), the property streaming/windowed fingerprint
-    maintenance needs."""
+    maintenance needs.
+
+    The char codes come from ``split(norm, '')`` — ONE evaluation of the
+    normalization chain as the HOF's argument. The previous
+    ``substr(norm, i, 1)``-inside-a-lambda form re-ran the regex
+    normalization once per character, O(L²) per document (the
+    higher-order-function re-evaluation trap; see word_ngrams)."""
     norm = F.trim(F.regexp_replace(F.lower(_c(col)), WS_CLASS + "+", " "))
-    codes = F.transform(F.sequence(F.lit(1), F.length(norm)),
-                        lambda i: F.ascii(norm.substr(i, F.lit(1))).cast("long"))
+    codes = F.transform(F.split(norm, ""),
+                        lambda ch: F.ascii(ch).cast("long"))
+    # ascii('') = 0 (the empty-text split artifact) — a 0 code is the
+    # fold's no-op only when the accumulator is 0, i.e. empty text keeps
+    # fp = 0 exactly as before
     return F.aggregate(codes, F.lit(0).cast("long"),
                        lambda acc, x: (acc * base + x) % mod)
 
 
+def _shifted_grams(arr: Column, count: Column, n: int, sep: str) -> Column:
+    """n-grams over ``arr`` in LINEAR time: the gram at position i is
+    built by zip_with-chaining ``arr`` with its k-shifted copies — every
+    reference to the source array is a HOF *argument* (evaluated once per
+    row), never a subexpression inside a lambda body. The previous
+    ``slice(arr, i+1, n)``-inside-``transform`` form re-evaluated the
+    whole array expression once per gram: measured 70× slower (19.8 s vs
+    0.3 s) at 8k tokens and growing quadratically — fatal on real
+    long-document corpora even though the short-doc fixture hid it.
+    ``count`` = number of full grams (may be ≤ 0 → empty)."""
+    g = arr
+    for k in range(1, n):
+        shifted = F.slice(arr, k + 1, F.greatest(F.size(arr) - k, F.lit(0)))
+        # zip_with pads the shorter (shifted) side with NULL; the partial
+        # tail grams that produces are cut by the count slice below
+        g = F.zip_with(g, shifted,
+                       lambda a, b: F.concat_ws(sep, a, b))
+    return F.when(count > 0, F.slice(g, 1, count)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def char_ngrams(col: str | Column, n: int = 3) -> Column:
-    """Character n-gram shingles (for Jaccard/MinHash): substrings of length
-    ``n`` over the lowercased text, distinct. Guarded for short strings —
-    Spark's ``sequence(1, 0)`` is DESCENDING (unlike DuckDB's empty result),
-    so the index list must be empty explicitly when len < n."""
+    """Character n-gram shingles (for Jaccard/MinHash): substrings of
+    length ``n`` over the lowercased text, distinct. Built from the
+    char-split array via :func:`_shifted_grams` (linear, not the
+    quadratic substring-per-lambda form); short strings yield an empty
+    array explicitly."""
     c = F.lower(_c(col))
-    idx = F.when(F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - (n - 1))) \
-           .otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+    return F.array_distinct(
+        _shifted_grams(F.split(c, ""), F.length(c) - (n - 1), n, ""))
 
 
 def word_ngrams(col: str | Column, n: int = 2) -> Column:
-    """Distinct n-word shingles (same short-input guard as char_ngrams)."""
+    """Distinct n-word shingles via :func:`_shifted_grams` (same
+    short-input guard as char_ngrams, same linear-cost construction)."""
     t = tokens(col)
-    idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)) \
-           .otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n))))
+        _shifted_grams(t, F.size(t) - (n - 1), n, " "))
 
 
 def stopword_ratio(col: str | Column) -> Column:
@@ -734,11 +763,15 @@ def corpus_ngram_counts(df: DataFrame, text_col: str = "text",
     Scale shape: per-doc (ngram → count) partial aggregation happens
     map-side before the corpus-wide shuffle; the final top-k is a
     TakeOrdered over the aggregated (distinct-ngram-sized) frame, never a
-    global sort of the raw stream."""
-    t = tokens(text_col)
+    global sort of the raw stream. The token array is MATERIALIZED in
+    its own projection before the gram transform — inlining ``tokens()``
+    into the lambda body re-runs the regex split once per gram, O(L²)
+    tokenization per document (the winnow_fingerprints trap)."""
+    t = F.col("__t")
     idx = F.when(F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)) \
            .otherwise(F.array().cast("array<int>"))
     grams = (_spread(df)
+             .select(F.col(id_col), tokens(text_col).alias("__t"))
              .select(F.col(id_col),
                      F.explode(F.transform(
                          idx, lambda i: F.concat_ws(

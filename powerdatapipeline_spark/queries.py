@@ -2820,7 +2820,8 @@ plan AS (
               THEN least(CAST(1.0 AS DOUBLE), tw * t.tmax / n_docs)
               ELSE CAST(0.0 AS DOUBLE) END AS rate
   FROM cw CROSS JOIN t),
-pt AS (SELECT *, CAST(floor(rate * 10000) AS BIGINT) AS thresh FROM plan),
+pt AS (SELECT *, CAST(floor(rate * 10000 + 1e-9) AS BIGINT) AS thresh
+       FROM plan),
 sel AS (SELECT b.stratum, count(*) AS n_selected
         FROM base b JOIN pt USING (stratum)
         WHERE b.b < pt.thresh GROUP BY 1)

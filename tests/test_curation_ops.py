@@ -70,6 +70,22 @@ def test_mixture_plan_rates_and_no_upsampling(spark):
         assert r.rate <= 1.0  # never upsample
 
 
+def test_mixture_plan_non_dyadic_binding_rate_keeps_whole_stratum(spark):
+    """FP regression (round-7 review): with a non-power-of-two weight the
+    binding stratum's rate computes as 0.999...9 in IEEE doubles; the
+    threshold must still be `buckets` (whole stratum kept), not
+    buckets−1 silently dropping ~1/buckets of it."""
+    # s0 binds: T = 21/0.07 = 300 < 320/0.93; the FP product
+    # 0.07 * (21/0.07) / 21 evaluates to 0.9999999999999998
+    rows = [Row(doc_id=i, source="s0" if i < 21 else "s1")
+            for i in range(341)]
+    plan = {r.stratum: r for r in rel.mixture_resample_plan(
+        spark.createDataFrame(rows),
+        {"s0": 0.07, "s1": 0.93}).collect()}
+    assert plan["s0"].n_selected == 21  # every doc of the binding stratum
+    assert plan["s0"].rate == 1.0
+
+
 def test_mixture_resample_rows_match_plan_counts(spark):
     """The action half returns exactly the rows the plan counts, with the
     input schema preserved."""
