@@ -291,13 +291,22 @@ def ivf_search_indexed(spark, path: str, queries: DataFrame,
       The probe join is left to AQE (a million-query frame must not be
       force-broadcast).
 
-    Both paths rank identically (argsort ties break on cell index), pinned
-    by tests/test_text_dedup_similarity.py."""
+    Tie handling: both paths break score ties on the cell index (the
+    driver path uses a STABLE argsort to match the expression-side
+    (−score, cell) struct sort). Scores themselves can differ in the
+    last ulp between BLAS and Spark's sequential fold, so an exactly
+    tied pair of non-identical dot products is the one measure-zero
+    boundary where the paths may probe different cells; the parity
+    pytest pins them equal on realistic data."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=float)
-    n_queries = queries.count()
-    if n_queries > collect_threshold:
+    # ONE job decides the path AND feeds the serving branch — a separate
+    # count() would fully materialize the frame per call and the serving
+    # path would then collect it a second time
+    qrows = queries.select(query_id_col, vec_col) \
+                   .take(collect_threshold + 1)
+    if len(qrows) > collect_threshold:
         probes = _probe_frame(queries, cents, n_probe, query_id_col,
                               vec_col, cell_name="cell")
         cells = sorted(r["cell"]
@@ -306,13 +315,14 @@ def ivf_search_indexed(spark, path: str, queries: DataFrame,
         joined = corpus.withColumn("__nrm", l2_norm(vec_col)) \
                        .join(probes, "cell")
         return _cosine_ranked(joined, k, id_col, query_id_col, vec_col)
-    qrows = queries.select(query_id_col, vec_col).collect()
     probe_pairs = []   # (query_id, cell) — driver-side: |Q| × n_cells dots
     qvecs = {}
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=float)
         qvecs[r[query_id_col]] = r[vec_col]
-        order = np.argsort(-(cents @ qv))[:n_probe]
+        # stable sort: equal scores keep ascending cell order, matching
+        # the distributed path's (neg, cell) struct sort tie-break
+        order = np.argsort(-(cents @ qv), kind="stable")[:n_probe]
         probe_pairs += [(r[query_id_col], int(c)) for c in order]
     cells = sorted({c for _, c in probe_pairs})
     corpus = spark.read.parquet(path).where(F.col("cell").isin(cells))

@@ -832,12 +832,20 @@ def url_dedup(df: DataFrame, url_col: str = "url",
 
 def filter_blocked_domains(df: DataFrame, blocked: list[str],
                            url_col: str = "url") -> DataFrame:
-    """Drop rows whose canonical URL's domain is on a blocklist — the
-    standard quality/safety gate. The blocklist is a literal isin
-    (codegen'd set probe) for the list sizes configs carry; swap to a
+    """Drop rows whose canonical URL belongs to a blocklisted registrable
+    domain — the standard quality/safety gate. A blocklist entry blocks
+    the exact host AND every subdomain (``spam.example`` blocks
+    ``cdn.spam.example``), and an explicit ``:port`` never bypasses the
+    match; an exact-host ``isin`` would let both through. Literal
+    codegen'd predicates for the list sizes configs carry; swap to a
     broadcast anti-join when the list is a table."""
-    return df.where(~url_domain(canonical_url(url_col)).isin(
-        [b.lower() for b in blocked]))
+    host = F.regexp_replace(url_domain(canonical_url(url_col)),
+                            r":[0-9]+$", "")
+    cond = F.lit(False)
+    for b in blocked:
+        b = b.lower()
+        cond = cond | (host == b) | host.endswith("." + b)
+    return df.where(~cond)
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",

@@ -250,12 +250,17 @@ def test_canonical_url_collapses_messy_variants(spark):
 
 
 def test_filter_blocked_domains(spark):
+    """Blocks the exact host, every subdomain, and explicit ports — the
+    bypasses an exact-host isin would allow (round-7 review)."""
     rows = [Row(doc_id=1, url="https://www.SPAM.example/a"),
             Row(doc_id=2, url="https://good.example/b"),
-            Row(doc_id=3, url="spam.example/c?x=1")]
+            Row(doc_id=3, url="spam.example/c?x=1"),
+            Row(doc_id=4, url="https://cdn.spam.example/asset"),
+            Row(doc_id=5, url="https://spam.example:8080/alt"),
+            Row(doc_id=6, url="https://notspam.example/ok")]
     kept = {r.doc_id for r in tx.filter_blocked_domains(
         spark.createDataFrame(rows), ["spam.example"]).collect()}
-    assert kept == {2}
+    assert kept == {2, 6}
 
 
 def test_winnowing_shared_substring_guarantee(spark):

@@ -125,9 +125,29 @@ def main() -> int:
                 print(f"bench.py failed (rc={proc.returncode}):\n"
                       f"{proc.stderr[-2000:]}")
                 return 2
-            runs.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+            # prefer the detail file bench.py just wrote (rc==0 means it
+            # is fresh): full names + 3-decimal timings, and it survives
+            # the compact stdout line's overflow fallback that drops the
+            # per-query map once the registry outgrows MAX_LINE
+            payload = None
+            try:
+                with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+                    d = json.load(f)
+                if isinstance(d.get("queries"), dict) and d["queries"]:
+                    payload = d
+            except (OSError, json.JSONDecodeError):
+                pass
+            if payload is None:
+                payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            runs.append(payload)
         current = runs[0]
         if len(runs) > 1:
+            if not all(isinstance(r.get("queries"), dict) and r["queries"]
+                       for r in runs):
+                print("bench runs carry no per-query map (compact line "
+                      "overflow and no BENCH_DETAIL.json) — cannot take "
+                      "per-query minimums")
+                return 2
             qmins = {q: min(float(r["queries"][q]) for r in runs
                             if q in r["queries"])
                      for q in runs[0]["queries"]}

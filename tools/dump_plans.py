@@ -9,6 +9,8 @@ from __future__ import annotations
 import re
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, ".")
 
 from powerdatapipeline_spark.queries import REGISTRY  # noqa: E402
@@ -68,6 +70,40 @@ def _disable_persist() -> None:
         cls.localCheckpoint = lambda self, *a, **k: self
 
 
+def _streaming_variants(spark, sf):
+    """Lazy PRE-SINK frames for the streaming registry queries: their
+    builders execute an availableNow job and return the memory-sink table,
+    so the executed plan is just a LocalTableScan — auditing that would
+    silently skip the whole streaming DAG. Streaming DataFrames plan
+    without being started, so the watermarked agg / session-window shapes
+    ARE inspectable here. q65's builder takes the same memory-sink shape
+    via stream_stream_join; its lazy twin is included too."""
+    from powerdatapipeline_spark.queries import events_stream_source
+    from powerdatapipeline_spark.streaming.pipeline import (
+        stream_stream_join,
+        streaming_downsample_mean,
+        streaming_sessionize,
+    )
+
+    stream = events_stream_source(spark, sf)
+    return {
+        "q45_streaming_downsample": streaming_downsample_mean(
+            stream, "ts", 3600, ["value"], partition_by=["event_type"]),
+        "q95_streaming_sessionize": streaming_sessionize(
+            stream, "ts", ["user_id"], gap_seconds=1800,
+            watermark="1 minute"),
+        "q65_stream_stream_join": stream_stream_join(
+            stream.where(F.col("event_type") == "click")
+                  .select("user_id", F.col("ts").alias("click_ts")),
+            events_stream_source(spark, sf)
+            .where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user_id"),
+                    F.col("ts").alias("purchase_ts")),
+            "user_id", "p_user_id", "click_ts", "purchase_ts",
+            max_lag_seconds=600),
+    }
+
+
 def plan_summary(df) -> tuple[list[str], list[str], list[str]]:
     txt = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -92,12 +128,14 @@ def main() -> None:
            "intended broadcasts present, and NO BroadcastNestedLoopJoin / "
            "CartesianProduct anywhere (the two quadratic red flags).", ""]
     n_flags = 0
+    streaming_lazy = _streaming_variants(spark, SF)
     items = list(REGISTRY.items()) + [("flagship_entry", (lambda s, d: flagship(s, d), None))]
     for name, (fn, _oracle) in items:
-        if name == "q45_streaming_downsample":
-            out += [f"## {name}", "", "(streaming query — plan materializes per micro-batch; "
-                    "see streaming/pipeline.py for the watermarked agg shape)", ""]
-            continue
+        if name in streaming_lazy:
+            # running the registry builder would execute the availableNow
+            # job and leave only a memory-sink LocalTableScan to audit
+            # (the q95 blind spot) — audit the PRE-SINK streaming frame
+            fn = lambda s, d, _df=streaming_lazy[name]: _df  # noqa: E731
         try:
             df = fn(spark, SF)
             ops, pushed, flags = plan_summary(df)
