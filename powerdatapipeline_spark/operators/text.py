@@ -904,20 +904,29 @@ def winnow_neardup_pairs(df: DataFrame, text_col: str = "text",
     ``(id_a, id_b, n_shared)``, id_a < id_b.
 
     Scale shape: fingerprints are 8-byte ints; the df-count aggregate is
-    map-side-combined; the rare-fp set filter happens BEFORE the
-    self-join, so the join input is the pruned stream."""
+    map-side-combined; pruning happens BEFORE the self-join via a
+    broadcast ANTI-join against the COMMON-fingerprint set — the small
+    side by construction (at most corpus_docs/cap_docs fingerprints can
+    exceed the df cap), where broadcasting the RARE set would ship a
+    distinct-fingerprint-sized (i.e. data-sized) frame. The (id, fp)
+    frame is persisted for its two consumers (df counts + the join) so
+    the winnowing expression runs one corpus pass, then released."""
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist()
     dfreq = fps.groupBy("fp").agg(F.countDistinct(id_col).alias("__df"))
-    rare = (dfreq.crossJoin(F.broadcast(n_docs))
-            .where(F.col("__df") <= F.greatest(
-                F.lit(2), F.floor(F.lit(float(max_df_frac)) * F.col("__n"))))
-            .select("fp"))
-    pruned = fps.join(F.broadcast(rare), "fp")
+    common = (dfreq.crossJoin(F.broadcast(n_docs))
+              .where(F.col("__df") > F.greatest(
+                  F.lit(2),
+                  F.floor(F.lit(float(max_df_frac)) * F.col("__n"))))
+              .select("fp"))
+    pruned = fps.join(F.broadcast(common), "fp", "left_anti")
     a, b = pruned.alias("a"), pruned.alias("b")
-    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-            .agg(F.count("*").cast("bigint").alias("n_shared"))
-            .where(F.col("n_shared") >= min_shared))
+    out = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+           .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+           .agg(F.count("*").cast("bigint").alias("n_shared"))
+           .where(F.col("n_shared") >= min_shared)
+           .localCheckpoint(eager=True))
+    fps.unpersist()
+    return out
