@@ -127,3 +127,56 @@ def test_prefix_split_partitions_exactly(spark, n, fracs):
         assert max(a) < min(b)
     if b and c:
         assert max(b) < min(c)
+
+
+# round-7: the gram builders were rewritten from slice-in-lambda (O(L²))
+# to the shifted-zip_with chain — pin them against a direct Python
+# reference over arbitrary text, including whitespace runs, unicode, and
+# short/empty edges, so the linear-time construction can never drift
+# from n-gram semantics.
+
+def _py_tokens(s):
+    return [t for t in s.lower().replace("\x0b", " ").split() if t]
+
+
+@SLOW
+@given(s=st.text(alphabet=st.sampled_from(list("ab d\t\n.é")), max_size=40),
+       n=st.integers(1, 4))
+def test_word_ngrams_match_python_reference(spark, s, n):
+    from powerdatapipeline_spark.operators import text as tx
+
+    got = spark.createDataFrame([Row(t=s)]) \
+        .select(tx.word_ngrams("t", n).alias("g")).first().g
+    toks = _py_tokens(s)
+    want = list(dict.fromkeys(
+        " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
+    assert sorted(got) == sorted(want)
+
+
+@SLOW
+@given(s=st.text(alphabet=st.sampled_from(list("abcd é.")), max_size=30),
+       n=st.integers(1, 5))
+def test_char_ngrams_match_python_reference(spark, s, n):
+    from powerdatapipeline_spark.operators import text as tx
+
+    got = spark.createDataFrame([Row(t=s)]) \
+        .select(tx.char_ngrams("t", n).alias("g")).first().g
+    c = s.lower()
+    want = list(dict.fromkeys(
+        c[i:i + n] for i in range(len(c) - n + 1)))
+    assert sorted(got) == sorted(want)
+
+
+@SLOW
+@given(s=st.text(alphabet=st.sampled_from(list("ab c\tx")), max_size=30))
+def test_rolling_fingerprint_matches_python_reference(spark, s):
+    from powerdatapipeline_spark.operators import text as tx
+
+    got = spark.createDataFrame([Row(t=s)]) \
+        .select(tx.rolling_fingerprint("t").alias("fp")).first().fp
+    import re
+    norm = re.sub(r"[ \t\n\r\f\x0B]+", " ", s.lower()).strip()
+    fp = 0
+    for ch in norm:
+        fp = (fp * 131 + ord(ch)) % 1_000_000_007
+    assert got == fp
