@@ -640,3 +640,70 @@ def supervised_pair(df: DataFrame, input_cols: Sequence[str],
         F.struct(*[F.col(c) for c in input_cols]).alias("input"),
         F.struct(*[F.col(c) for c in target_cols]).alias("target"),
     )
+
+
+def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
+                     partition_by: Sequence[str],
+                     period: str = "hour") -> DataFrame:
+    """Seasonal baseline profile per series key: exact mean / population
+    std of ``value_col`` for each (key, season-slot) — slot = hour-of-day
+    (``period='hour'``) or day-of-week (``'dow'``). This is the
+    load-profile primitive of grid analytics (the reference's domain —
+    its per-column normalization, reference datapipeline/
+    tfdataset_utilities.py:81-105, is the season-blind special case).
+
+    Parity-grade arithmetic (the stats._moments discipline): products
+    formed in double (exact IEEE at these magnitudes), rounded
+    identically into decimal(38,10), summed EXACTLY (partition-order
+    independent); population variance ``(n·Σx² − (Σx)²) / n²`` with the
+    final tree in double, sqrt rounded to 6 — bit-reproducible against
+    any ANSI-SQL oracle.
+
+    Scale: one map-side-combined aggregate keyed by (keys, slot) —
+    at most |keys|·24 (or ·7) groups; no window, no sort."""
+    if period == "hour":
+        slot = F.hour(F.col(ts_col))
+    elif period == "dow":
+        slot = F.dayofweek(F.col(ts_col))
+    else:
+        raise ValueError(f"unknown period {period!r} (use 'hour' or 'dow')")
+    xd = F.col(value_col).cast("double")
+    agg = (df.groupBy(*partition_by, slot.cast("int").alias("slot"))
+           .agg(F.count(value_col).cast("bigint").alias("n"),
+                F.sum(xd.cast("decimal(38,10)")).alias("__sx"),
+                F.sum((xd * xd).cast("decimal(38,10)")).alias("__sxx")))
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("__sx").cast("double"), F.col("__sxx").cast("double")
+    var = (n * sxx - sx * sx) / (n * n)
+    return agg.select(*partition_by, "slot", "n",
+                      F.round(sx / n, 6).alias("profile_mean"),
+                      F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+                       .alias("profile_std"))
+
+
+def deviation_from_profile(df: DataFrame, ts_col: str, value_col: str,
+                           partition_by: Sequence[str],
+                           period: str = "hour",
+                           min_std: float = 1e-9) -> DataFrame:
+    """Seasonal-anomaly score per row: z = (value − profile_mean) /
+    profile_std against the :func:`seasonal_profile` baseline of the
+    row's own (key, slot). The standard grid-telemetry anomaly shape —
+    "this feeder is 3σ above its usual 6 pm load".
+
+    The profile is |keys|·slots rows — broadcast back to the fact scan,
+    so the corpus never shuffles for the join (one aggregate pass + one
+    broadcast probe). Slots with ~zero variance (constant baseline)
+    yield NULL z instead of ±inf, via the ``min_std`` floor."""
+    if period == "hour":
+        slot = F.hour(F.col(ts_col))
+    elif period == "dow":
+        slot = F.dayofweek(F.col(ts_col))
+    else:
+        raise ValueError(f"unknown period {period!r} (use 'hour' or 'dow')")
+    prof = seasonal_profile(df, ts_col, value_col, partition_by, period)
+    keyed = df.withColumn("slot", slot.cast("int"))
+    joined = keyed.join(F.broadcast(prof), [*partition_by, "slot"])
+    z = F.when(F.col("profile_std") > min_std,
+               F.round((F.col(value_col) - F.col("profile_mean"))
+                       / F.col("profile_std"), 6))
+    return joined.withColumn("z_score", z)

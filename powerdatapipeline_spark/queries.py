@@ -3225,6 +3225,75 @@ def q95_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_SEASONAL_PROFILE_SQL = r"""
+  SELECT event_type, CAST(hour(ts) AS INT) AS slot,
+         CAST(count(value) AS BIGINT) AS n,
+         sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,10))) AS sx,
+         sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                  AS DECIMAL(38,10))) AS sxx
+  FROM events GROUP BY 1, 2"""
+
+
+@register("q96_seasonal_profile", f"""
+WITH a AS ({_SEASONAL_PROFILE_SQL})
+SELECT event_type, slot, n,
+       round(CAST(sx AS DOUBLE) / n, 6) AS profile_mean,
+       round(sqrt(greatest((n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (n * n), 0.0)), 6) AS profile_std
+FROM a
+""", priority=PRI_TAIL)
+def q96_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type
+    (operators/timeseries.seasonal_profile) — the load-profile primitive
+    of grid analytics, the reference's own domain (its per-column
+    normalization, reference datapipeline/tfdataset_utilities.py:81-105,
+    is the season-blind special case). Exact decimal-folded moments,
+    population std in the q66 closed form; one map-side-combined
+    aggregate with at most |event_type|·24 groups."""
+    return ts.seasonal_profile(_t(spark, sf_dir, "events"), "ts", "value",
+                               ["event_type"], period="hour")
+
+
+@register("q97_seasonal_anomalies", f"""
+WITH a AS ({_SEASONAL_PROFILE_SQL}),
+p AS (
+  SELECT event_type, slot,
+         round(CAST(sx AS DOUBLE) / n, 6) AS profile_mean,
+         round(sqrt(greatest((n * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             / (n * n), 0.0)), 6) AS profile_std
+  FROM a),
+j AS (
+  SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INT) AS slot,
+         e.value,
+         CASE WHEN p.profile_std > 1e-9
+              THEN round((e.value - p.profile_mean) / p.profile_std, 6)
+              END AS z_score
+  FROM events e JOIN p ON p.event_type = e.event_type
+                       AND p.slot = CAST(hour(e.ts) AS INT))
+SELECT event_id, event_type, slot, value, z_score
+FROM j WHERE z_score IS NOT NULL
+ORDER BY abs(z_score) DESC, event_id
+LIMIT 20
+""", priority=PRI_TAIL)
+def q97_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 seasonal anomalies (operators/timeseries.
+    deviation_from_profile): each event z-scored against its own
+    (event_type, hour-of-day) baseline — "this feeder is 3σ above its
+    usual 6 pm load", the grid-telemetry alarm shape. The tiny profile
+    frame broadcasts back to the event scan (no corpus shuffle);
+    constant-baseline slots yield NULL z (filtered) instead of ±inf;
+    the cut is total-ordered (|z| desc, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    dev = ts.deviation_from_profile(ev, "ts", "value", ["event_type"],
+                                    period="hour")
+    return (dev.where(F.col("z_score").isNotNull())
+            .select("event_id", "event_type", "slot", "value", "z_score")
+            .orderBy(F.abs(F.col("z_score")).desc(), F.col("event_id"))
+            .limit(20))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the

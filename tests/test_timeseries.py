@@ -221,3 +221,46 @@ def test_zip_by_position(spark):
 def test_supervised_pair_single_plan(spark):
     out = ts.supervised_pair(_series(spark, 3), ["s"], ["v"]).collect()
     assert all(r.input.s is not None and r.target.v is not None for r in out)
+
+
+def test_seasonal_profile_and_deviation(spark):
+    """Hour-of-day baselines: a planted spike at a series' usual quiet
+    hour must dominate the z-scores; constant-baseline slots yield NULL z
+    (not inf); the profile means are the exact per-slot means."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from powerdatapipeline_spark.operators import timeseries as ts
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for day in range(10):
+        for hour, val in [(6, 10.0), (18, 50.0)]:
+            rows.append(Row(event_id=day * 100 + hour,
+                            ts=base + dt.timedelta(days=day, hours=hour),
+                            series="a", value=val + (day % 3)))  # mild noise
+    # constant-baseline slot: always exactly 5.0 at hour 12
+    rows += [Row(event_id=1000 + d,
+                 ts=base + dt.timedelta(days=d, hours=12),
+                 series="a", value=5.0) for d in range(10)]
+    # the planted anomaly: enormous load at the quiet 6 am slot
+    rows.append(Row(event_id=9999,
+                    ts=base + dt.timedelta(days=10, hours=6),
+                    series="a", value=500.0))
+    df = spark.createDataFrame(rows)
+
+    prof = {r.slot: r for r in ts.seasonal_profile(
+        df, "ts", "value", ["series"]).collect()}
+    assert prof[12].profile_mean == 5.0 and prof[12].profile_std == 0.0
+    assert prof[18].n == 10
+    # slot-6 mean includes the spike; exact mean check
+    vals6 = [10.0 + (d % 3) for d in range(10)] + [500.0]
+    assert prof[6].profile_mean == pytest.approx(
+        round(sum(vals6) / len(vals6), 6))
+
+    dev = ts.deviation_from_profile(df, "ts", "value", ["series"])
+    by_id = {r.event_id: r for r in dev.collect()}
+    assert by_id[1000].z_score is None          # constant slot: NULL, not inf
+    top = max((r for r in by_id.values() if r.z_score is not None),
+              key=lambda r: abs(r.z_score))
+    assert top.event_id == 9999 and top.z_score > 2.0
