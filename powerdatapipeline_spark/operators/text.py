@@ -835,15 +835,21 @@ def filter_blocked_domains(df: DataFrame, blocked: list[str],
     """Drop rows whose canonical URL belongs to a blocklisted registrable
     domain — the standard quality/safety gate. A blocklist entry blocks
     the exact host AND every subdomain (``spam.example`` blocks
-    ``cdn.spam.example``), and an explicit ``:port`` never bypasses the
-    match; an exact-host ``isin`` would let both through. Literal
-    codegen'd predicates for the list sizes configs carry; swap to a
-    broadcast anti-join when the list is a table."""
-    host = F.regexp_replace(url_domain(canonical_url(url_col)),
-                            r":[0-9]+$", "")
+    ``cdn.spam.example``); the matched host is normalized first so none
+    of the classic encodings bypass the gate: ``user:pass@`` userinfo is
+    stripped, an explicit ``:port`` is stripped, and a trailing-dot FQDN
+    (``spam.example.`` resolves identically) is stripped. An exact-host
+    ``isin`` would let every one of those through. Literal codegen'd
+    predicates for the list sizes configs carry; swap to a broadcast
+    anti-join when the list is a table."""
+    raw = url_domain(canonical_url(url_col))
+    host = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(raw, r"^[^/@]*@", ""),
+                         r":[0-9]+$", ""),
+        r"\.$", "")
     cond = F.lit(False)
     for b in blocked:
-        b = b.lower()
+        b = b.lower().rstrip(".")
         cond = cond | (host == b) | host.endswith("." + b)
     return df.where(~cond)
 
@@ -921,12 +927,16 @@ def winnow_neardup_pairs(df: DataFrame, text_col: str = "text",
               .select("fp"))
     pruned = fps.join(F.broadcast(common), "fp", "left_anti")
     a, b = pruned.alias("a"), pruned.alias("b")
-    out = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-           .groupBy(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-           .agg(F.count("*").cast("bigint").alias("n_shared"))
-           .where(F.col("n_shared") >= min_shared)
-           .localCheckpoint(eager=True))
-    fps.unpersist()
+    try:
+        out = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+               .agg(F.count("*").cast("bigint").alias("n_shared"))
+               .where(F.col("n_shared") >= min_shared)
+               .localCheckpoint(eager=True))
+    finally:
+        # a failed checkpoint job must not leak the data-sized persisted
+        # (id, fp) frame for the session lifetime
+        fps.unpersist()
     return out

@@ -642,6 +642,20 @@ def supervised_pair(df: DataFrame, input_cols: Sequence[str],
     )
 
 
+def _season_slot(ts_col: str, period: str):
+    """ONE definition of the period→slot mapping so the profile and the
+    deviation sides can never desynchronize. NOTE for oracle authors:
+    Spark ``dayofweek`` is 1=Sunday..7=Saturday while DuckDB's
+    ``dayofweek`` is 0=Sunday..6 — a 'dow' oracle must spell
+    ``dayofweek(ts) + 1`` (the registered q96/q97 use 'hour', identical
+    in both engines)."""
+    if period == "hour":
+        return F.hour(F.col(ts_col))
+    if period == "dow":
+        return F.dayofweek(F.col(ts_col))
+    raise ValueError(f"unknown period {period!r} (use 'hour' or 'dow')")
+
+
 def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
                      partition_by: Sequence[str],
                      period: str = "hour") -> DataFrame:
@@ -661,12 +675,7 @@ def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
 
     Scale: one map-side-combined aggregate keyed by (keys, slot) —
     at most |keys|·24 (or ·7) groups; no window, no sort."""
-    if period == "hour":
-        slot = F.hour(F.col(ts_col))
-    elif period == "dow":
-        slot = F.dayofweek(F.col(ts_col))
-    else:
-        raise ValueError(f"unknown period {period!r} (use 'hour' or 'dow')")
+    slot = _season_slot(ts_col, period)
     xd = F.col(value_col).cast("double")
     agg = (df.groupBy(*partition_by, slot.cast("int").alias("slot"))
            .agg(F.count(value_col).cast("bigint").alias("n"),
@@ -690,19 +699,31 @@ def deviation_from_profile(df: DataFrame, ts_col: str, value_col: str,
     row's own (key, slot). The standard grid-telemetry anomaly shape —
     "this feeder is 3σ above its usual 6 pm load".
 
-    The profile is |keys|·slots rows — broadcast back to the fact scan,
-    so the corpus never shuffles for the join (one aggregate pass + one
-    broadcast probe). Slots with ~zero variance (constant baseline)
-    yield NULL z instead of ±inf, via the ``min_std`` floor."""
-    if period == "hour":
-        slot = F.hour(F.col(ts_col))
-    elif period == "dow":
-        slot = F.dayofweek(F.col(ts_col))
-    else:
-        raise ValueError(f"unknown period {period!r} (use 'hour' or 'dow')")
+    The profile is |keys|·slots rows, joined back to the fact scan with
+    NO forced broadcast: with AQE on, the runtime size of the aggregate
+    output decides — low-cardinality keys (q97's event_type) broadcast
+    automatically, while a millions-of-series profile (which a forced
+    ``F.broadcast`` would OOM on — the same rule similarity.py applies
+    to large query batches) falls back to a shuffle join sized by the
+    optimizer. Slots with ~zero variance (constant baseline) yield NULL
+    z instead of ±inf, via the ``min_std`` floor.
+
+    Semantics notes: rows whose ``ts_col`` is NULL get a NULL slot and
+    are DROPPED by the inner join (a NULL-timestamp reading has no
+    baseline to deviate from); the output adds the reserved columns
+    ``slot``/``n``/``profile_mean``/``profile_std``/``z_score`` — an
+    input frame already carrying any of them is refused loudly instead
+    of silently shadowed."""
+    reserved = {"slot", "n", "profile_mean", "profile_std", "z_score"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the profile "
+            "output columns; rename them before scoring")
+    slot = _season_slot(ts_col, period)
     prof = seasonal_profile(df, ts_col, value_col, partition_by, period)
     keyed = df.withColumn("slot", slot.cast("int"))
-    joined = keyed.join(F.broadcast(prof), [*partition_by, "slot"])
+    joined = keyed.join(prof, [*partition_by, "slot"])
     z = F.when(F.col("profile_std") > min_std,
                F.round((F.col(value_col) - F.col("profile_mean"))
                        / F.col("profile_std"), 6))

@@ -1190,8 +1190,14 @@ def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The production shape is ``append`` mode past the watermark into a
     durable sink — complete mode re-emits all state every trigger and
     cannot stream to parquet; see streaming/pipeline.write_stream_parquet."""
-    import uuid
+    return _run_stream_to_memory(spark, q45_stream_frame(spark, sf_dir),
+                                 "q45", "complete")
 
+
+def q45_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT pre-sink streaming frame q45 executes — shared with
+    tools/dump_plans so the plan audit inspects the DAG the query runs,
+    not a hand-written twin that can drift."""
     stream = events_stream_source(spark, sf_dir)
     agg = (stream
            .withWatermark("ts", "1 minute")
@@ -1199,20 +1205,28 @@ def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                  / F.count("value")).alias("avg_value"),
                 F.count("*").alias("n")))
+    return agg.select(F.col("w.start").alias("bucket_ts"), "event_type",
+                      "avg_value", "n")
+
+
+def _run_stream_to_memory(spark: SparkSession, frame: DataFrame,
+                          tag: str, mode: str) -> DataFrame:
+    """Shared verification harness for the streaming registry queries:
+    availableNow trigger into a memory sink under a state-sized shuffle
+    conf, loud timeout (a silent one would hand a partially-filled sink
+    to the oracle compare)."""
+    import uuid
+
     from powerdatapipeline_spark.streaming.pipeline import state_sized
 
-    name = f"q45_sink_{uuid.uuid4().hex[:8]}"
+    name = f"{tag}_sink_{uuid.uuid4().hex[:8]}"
     with state_sized(spark, 8):
-        q = (agg.select(F.col("w.start").alias("bucket_ts"), "event_type",
-                        "avg_value", "n")
-             .writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
+        q = (frame.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
         finished = q.awaitTermination(300)
     if not finished:
-        # a silent timeout would hand a partially-filled sink to the
-        # oracle compare — fail loudly instead
         q.stop()
-        raise TimeoutError("q45 streaming job did not finish within 300 s")
+        raise TimeoutError(f"{tag} streaming job did not finish within 300 s")
     return spark.table(name)
 
 
@@ -1835,10 +1849,14 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that runs forever on an event firehose. Verified against the
     equivalent BATCH join as the DuckDB oracle (same rows, same lag
     values), proving batch/stream parity like q45."""
-    import uuid
+    return _run_stream_to_memory(spark, q65_stream_frame(spark, sf_dir),
+                                 "q65", "append")
 
-    from powerdatapipeline_spark.streaming.pipeline import (state_sized,
-                                                            stream_stream_join)
+
+def q65_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT pre-sink streaming frame q65 executes (shared with
+    tools/dump_plans — see q45_stream_frame)."""
+    from powerdatapipeline_spark.streaming.pipeline import stream_stream_join
 
     clicks = (events_stream_source(spark, sf_dir)
               .where(F.col("event_type") == "click")
@@ -1854,18 +1872,10 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 left_key="user_id", right_key="p_user_id",
                                 left_ts="click_ts", right_ts="purchase_ts",
                                 max_lag_seconds=600)
-    out = joined.select(
+    return joined.select(
         "user_id", "click_id", "purchase_id",
         F.round(F.col("purchase_ts").cast("double")
                 - F.col("click_ts").cast("double"), 6).alias("lag_s"))
-    name = f"q65_sink_{uuid.uuid4().hex[:8]}"
-    with state_sized(spark, 8):
-        q = (out.writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("q65 streaming job did not finish within 300 s")
-    return spark.table(name)
 
 
 @register("q67_pivot", f"""
@@ -3204,25 +3214,18 @@ def q95_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session per user, watermark-bounded — the streaming-scale shape.
     complete mode + memory sink is the verification harness (q45's
     NOTE); production writes append past the watermark."""
-    import uuid
+    return _run_stream_to_memory(spark, q95_stream_frame(spark, sf_dir),
+                                 "q95", "complete")
 
-    from powerdatapipeline_spark.streaming.pipeline import (
-        state_sized,
-        streaming_sessionize,
-    )
+
+def q95_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT pre-sink streaming frame q95 executes (shared with
+    tools/dump_plans — see q45_stream_frame)."""
+    from powerdatapipeline_spark.streaming.pipeline import streaming_sessionize
 
     stream = events_stream_source(spark, sf_dir)
-    sess = streaming_sessionize(stream, "ts", ["user_id"],
+    return streaming_sessionize(stream, "ts", ["user_id"],
                                 gap_seconds=1800, watermark="1 minute")
-    name = f"q95_sink_{uuid.uuid4().hex[:8]}"
-    with state_sized(spark, 8):
-        q = (sess.writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
-        raise TimeoutError("q95 streaming job did not finish within 300 s")
-    return spark.table(name)
 
 
 _SEASONAL_PROFILE_SQL = r"""

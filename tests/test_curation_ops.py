@@ -257,7 +257,9 @@ def test_filter_blocked_domains(spark):
             Row(doc_id=3, url="spam.example/c?x=1"),
             Row(doc_id=4, url="https://cdn.spam.example/asset"),
             Row(doc_id=5, url="https://spam.example:8080/alt"),
-            Row(doc_id=6, url="https://notspam.example/ok")]
+            Row(doc_id=6, url="https://notspam.example/ok"),
+            Row(doc_id=7, url="https://user:pw@spam.example/login"),
+            Row(doc_id=8, url="https://spam.example./trailing-dot")]
     kept = {r.doc_id for r in tx.filter_blocked_domains(
         spark.createDataFrame(rows), ["spam.example"]).collect()}
     assert kept == {2, 6}

@@ -148,9 +148,15 @@ def main() -> int:
                       "overflow and no BENCH_DETAIL.json) — cannot take "
                       "per-query minimums")
                 return 2
-            qmins = {q: min(float(r["queries"][q]) for r in runs
-                            if q in r["queries"])
-                     for q in runs[0]["queries"]}
+            # normalize names BEFORE taking minimums: one run may come
+            # from BENCH_DETAIL.json (long names) and another from the
+            # compact stdout fallback (qNN keys) — without this, the
+            # "minimum over N runs" silently degrades to a single run's
+            # value for every query
+            norm_runs = [{_short(n): v for n, v in r["queries"].items()}
+                         for r in runs]
+            qmins = {q: min(float(r[q]) for r in norm_runs if q in r)
+                     for q in norm_runs[0]}
             current = {**runs[0], "queries": qmins,
                        "value": round(sum(qmins.values()), 3)}
     elif args.current:
