@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from powerdatapipeline_spark.functions.vector import (
+    ddot,
     dot,
     l2_norm,
     sign_bucket,
@@ -411,3 +412,28 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
     return (fused.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k)
             .select(id_col, "rank_a", "rank_b", "rrf_score", "rank"))
+
+
+def random_projection(embeddings: DataFrame, out_dim: int = 16,
+                      vec_col: str = "embedding", seed: int = 11,
+                      dim: int = 64,
+                      out_col: str = "proj") -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dimensions:
+    ``proj = R·v`` with a deterministic Gaussian matrix
+    ``R ~ N(0,1)/√out_dim`` — the standard cheap pre-step before ANN /
+    clustering when the native dimension is large (JL lemma: pairwise
+    distances are preserved within (1±ε) w.h.p.; the pytest pins a loose
+    empirical bound).
+
+    The matrix is generated driver-side (numpy, deterministic from
+    ``seed``) and embedded as ONE nested literal (the hyperplane-LSH
+    pattern); each output component is a decimal-exact :func:`ddot`, so
+    projections are bit-reproducible in any engine. Narrow map — no
+    shuffle, embarrassingly parallel at any scale."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    r_lit = F.lit([[float(x) for x in row] for row in R])
+    proj = F.transform(r_lit, lambda row: F.round(ddot(vec_col, row), 6))
+    return embeddings.withColumn(out_col, proj)

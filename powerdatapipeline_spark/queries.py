@@ -3297,6 +3297,47 @@ def q97_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def _rp_matrix_sql(out_dim: int = 16, dim: int = 64, seed: int = 11) -> str:
+    """The q98 projection matrix as a DuckDB nested-list literal — the
+    SAME deterministic numpy draw similarity.random_projection embeds as
+    a Spark literal (the q34 seeded-planes-in-SQL pattern); repr() gives
+    shortest-roundtrip floats, so both engines parse the identical
+    doubles."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    return ("[" + ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        for row in R) + "]")
+
+
+@register("q98_random_projection", f"""
+WITH r AS (SELECT {_rp_matrix_sql()} AS m),
+d AS (SELECT vec_id, embedding, unnest(generate_series(0, 15)) AS dim
+      FROM embeddings)
+SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
+       round(CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(CAST(d.embedding[i] AS DOUBLE) * r.m[d.dim + 1][i]
+                     AS DECIMAL(28,12)))) AS DOUBLE), 6) AS value
+FROM d CROSS JOIN r
+""", priority=PRI_TAIL)
+def q98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims
+    (operators/similarity.random_projection) — the standard cheap
+    dimensionality-reduction pre-step before ANN/clustering. The
+    Gaussian matrix is deterministic from the seed and embedded as ONE
+    nested literal on BOTH engines; every component is a decimal-exact
+    ddot, so the projected vectors are bit-reproducible. Output exploded
+    to (vec_id, dim, value) scalars for the hash compare. Narrow map, no
+    shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = sim.random_projection(emb, out_dim=16)
+    return (proj.select("vec_id", F.posexplode("proj")
+                        .alias("dim", "value"))
+            .withColumn("dim", F.col("dim").cast("int")))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the

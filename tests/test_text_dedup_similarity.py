@@ -761,3 +761,34 @@ def test_incremental_dedup_crafted(spark):
     out = {r.doc_id: r.n_copies_in_batch for r in
            dd.incremental_dedup(new, seen).collect()}
     assert out == {11: 1, 12: 2}  # corpus dup dropped; min-id rep kept
+
+
+def test_random_projection_preserves_pairwise_distances(spark):
+    """JL sanity on real embeddings: at k=16 the per-pair distance ratio
+    has std ≈ √(2/k) ≈ 0.35, so individual pairs tail past ±75% — the
+    lemma's testable face here is the AGGREGATE: mean ratio ≈ 1 and the
+    bulk of pairs inside a generous band (deterministic for this fixed
+    seed + fixture), plus bit-determinism across calls."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where(F.col("vec_id") < 30)
+    rows = {r.vec_id: (np.array(r.embedding, dtype=float),
+                       np.array(r.proj, dtype=float))
+            for r in sim.random_projection(emb, out_dim=16).collect()}
+    assert all(len(p) == 16 for _, p in rows.values())
+    ids = sorted(rows)
+    ratios = []
+    for a, b in zip(ids[:-1], ids[1:]):
+        d_orig = float(np.sum((rows[a][0] - rows[b][0]) ** 2))
+        d_proj = float(np.sum((rows[a][1] - rows[b][1]) ** 2))
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    assert ratios
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 <= mean_ratio <= 1.3, mean_ratio
+    in_band = sum(1 for r in ratios if 0.3 <= r <= 2.2) / len(ratios)
+    assert in_band >= 0.8, (in_band, sorted(ratios))
+    again = {r.vec_id: tuple(r.proj) for r in
+             sim.random_projection(emb, out_dim=16).collect()}
+    assert again == {k: tuple(p) for k, (_, p) in rows.items()}
