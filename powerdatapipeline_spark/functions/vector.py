@@ -29,7 +29,17 @@ def ddot(a: str | Column, b: str | Column) -> Column:
     of summation order (DuckDB's list_sum uses compensated summation and
     differs from a plain left fold at ~1e-16). The merge lambda re-casts
     because Spark's decimal addition narrows scale (38,12)+(28,12) →
-    (38,11); the cast back is an exact rescale at these magnitudes."""
+    (38,11); the cast back is an exact rescale at these magnitudes.
+
+    CAVEAT (diagnosed round 7, q98): Spark's double→decimal cast rounds
+    the double's SHORTEST decimal repr (``BigDecimal.valueOf``), not its
+    exact binary expansion — at scale 12 this diverges from an
+    exact-value rounding (DuckDB's) on ~1e-5 of random products. Safe
+    when downstream rounding is ≥ a few digits coarser than the decimal
+    scale AND values aren't decimal-tie-prone; for a bit-exact
+    cross-engine fold prefer plain-double sums with an IDENTICAL fold
+    order (Spark ``aggregate`` ≡ DuckDB ``list_reduce`` left fold — the
+    q98 construction)."""
     prod = F.zip_with(_c(a), _c(b), lambda p, q: (p.cast("double") * q.cast("double"))
                       .cast("decimal(28,12)"))
     return F.aggregate(prod, F.lit(0).cast("decimal(38,12)"),

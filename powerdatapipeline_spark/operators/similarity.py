@@ -427,13 +427,15 @@ def random_projection(embeddings: DataFrame, out_dim: int = 16,
 
     The matrix is generated driver-side (numpy, deterministic from
     ``seed``) and embedded as ONE nested literal (the hyperplane-LSH
-    pattern); each output component is a decimal-exact :func:`ddot`, so
-    projections are bit-reproducible in any engine. Narrow map — no
-    shuffle, embarrassingly parallel at any scale."""
+    pattern); each output component is a PLAIN-DOUBLE left-fold dot
+    (``dot``) rounded to 6 — bit-reproducible against any oracle that
+    folds in the same order (DuckDB ``list_reduce``; a decimal-product
+    formulation is NOT cross-engine-safe here — see the ddot caveat).
+    Narrow map — no shuffle, embarrassingly parallel at any scale."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
     r_lit = F.lit([[float(x) for x in row] for row in R])
-    proj = F.transform(r_lit, lambda row: F.round(ddot(vec_col, row), 6))
+    proj = F.transform(r_lit, lambda row: F.round(dot(vec_col, row), 6))
     return embeddings.withColumn(out_col, proj)

@@ -3300,15 +3300,24 @@ def q97_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rp_matrix_sql(out_dim: int = 16, dim: int = 64, seed: int = 11) -> str:
     """The q98 projection matrix as a DuckDB nested-list literal — the
     SAME deterministic numpy draw similarity.random_projection embeds as
-    a Spark literal (the q34 seeded-planes-in-SQL pattern); repr() gives
-    shortest-roundtrip floats, so both engines parse the identical
-    doubles."""
+    a Spark literal (the q34 seeded-planes-in-SQL pattern). Every element
+    is written in EXPONENT notation: DuckDB types a bare decimal literal
+    as DECIMAL and unifies each list to ONE (precision, scale), silently
+    truncating rows whose elements need different scales (~1e-12 per
+    element — enough to shift a projection component; diagnosed at
+    sf0.1). An exponent literal is typed DOUBLE, so the nested list is
+    DOUBLE[][] with bit-exact elements."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+
+    def dlit(v: float) -> str:
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
     return ("[" + ", ".join(
-        "[" + ", ".join(repr(float(v)) for v in row) + "]"
+        "[" + ", ".join(dlit(v) for v in row) + "]"
         for row in R) + "]")
 
 
@@ -3317,9 +3326,10 @@ WITH r AS (SELECT {_rp_matrix_sql()} AS m),
 d AS (SELECT vec_id, embedding, unnest(generate_series(0, 15)) AS dim
       FROM embeddings)
 SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
-       round(CAST(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST(CAST(d.embedding[i] AS DOUBLE) * r.m[d.dim + 1][i]
-                     AS DECIMAL(28,12)))) AS DOUBLE), 6) AS value
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, 64),
+               i -> CAST(d.embedding[i] AS DOUBLE) * r.m[d.dim + 1][i])),
+           (acc, x) -> acc + x), 6) AS value
 FROM d CROSS JOIN r
 """, priority=PRI_TAIL)
 def q98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
