@@ -191,6 +191,118 @@ def offset_limit(df: DataFrame, order: Sequence[Column], offset: int,
     return out.limit(limit) if limit is not None else out
 
 
+#: 16^15 = 2^60 — the md5-prefix uniform's denominator: 15 hex digits fit
+#: a signed BIGINT exactly on every engine, and (v + 1) / 2^60 maps the
+#: prefix into (0, 1] (never 0, so pow(u, 1/w) is always defined)
+_U_DENOM = float(1 << 60)
+
+
+def uniform_from_key(key_col: str | Column, salt: str = "") -> Column:
+    """Deterministic engine-portable uniform draw in ``(0, 1]`` from a
+    key: ``(int(md5(salt ‖ key)[:15], 16) + 1) / 2^60``. The md5 prefix
+    is the same bit-portable primitive as :func:`hash_bucket`, widened to
+    15 hex digits so the uniform has ~60 bits of resolution (a 4-digit
+    bucket would quantize sampling scores visibly at corpus scale). Pure
+    narrow map, no RNG state — reruns, engines, and cluster sizes all
+    agree on every row's draw."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    v = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+    return (v + 1).cast("double") / F.lit(_U_DENOM)
+
+
+def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,
+                         k: int, salt: str = "",
+                         score_col: str = "sample_score") -> DataFrame:
+    """Deterministic weighted sampling without replacement — Efraimidis–
+    Spirakis A-ES: score every row ``u^(1/w)`` with a hash-derived
+    uniform ``u`` and weight ``w``, keep the global top-``k`` scores.
+    P(row in sample) is exactly the weighted-without-replacement
+    probability, yet the draw is a pure column expression: stable across
+    runs/engines/partitionings (the same no-RNG-state argument as
+    hash_split), so an oracle engine reproduces the identical sample.
+
+    The corpus-curation use: sample documents ∝ quality weight for
+    human eval or a pilot mixture, reproducibly. Rows with NULL or
+    non-positive weight are excluded (zero-weight rows must never win a
+    slot). Scale shape: narrow map to score, then TakeOrdered top-k —
+    per-partition heaps + a k-row driver merge, never a global sort.
+    Ties (score desc, key asc) are total-ordered for determinism.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    score = F.pow(uniform_from_key(key_col, salt), F.lit(1.0) / w)
+    return (df.where(w.isNotNull() & (w > 0))
+            .withColumn(score_col, score)
+            .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+            .limit(k))
+
+
+def bloom_prune_join(fact: DataFrame, dim: DataFrame, on: str,
+                     m_words: int = 16, k_hashes: int = 3,
+                     broadcast_dim: bool = True) -> DataFrame:
+    """Inner join with an explicit Bloom-filter prune of the fact side —
+    the runtime-filter idiom (Spark's own AQE InjectRuntimeFilter /
+    Bloom join) made a first-class operator so the prune is guaranteed,
+    not optimizer-dependent.
+
+    Build: each dim key sets ``k_hashes`` bits (md5-derived, independent
+    via the salt) in an ``m_words × 64``-bit filter; the per-word OR runs
+    as a grouped ``bit_or`` aggregate — map-side combined, so the build
+    cost is one scan of the (small) dim side reduced to ≤ ``m_words``
+    rows. Those few longs collect to the driver (the fit_ivf_centroids
+    pattern: collecting a fixed-size summary, never data) and re-embed as
+    an array literal in the fact-side membership predicate.
+
+    Prune: a fact row survives only if ALL k bits are set — false
+    positives possible (bounded by the standard (1−e^{−kn/m})^k), false
+    negatives impossible, so the subsequent exact join returns exactly
+    the plain join's rows; the filter's only job is to drop never-match
+    fact rows BEFORE they reach the shuffle/probe. At 100 TB this is the
+    difference between shuffling the full fact table and shuffling only
+    the ~matching fraction when the join is selective and the dim side
+    is too big to broadcast (set ``broadcast_dim=False`` for that case).
+    """
+    if m_words < 1 or k_hashes < 1:
+        raise ValueError("m_words and k_hashes must be >= 1")
+    nbits = m_words * 64
+
+    def bit_of(col: Column, h: int) -> Column:
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bloom{h}:"), col.cast("string"))),
+            1, 15), 16, 10).cast("bigint") % nbits)
+
+    key = F.col(on)
+    word_bits = None
+    for h in range(k_hashes):
+        # shiftleft()'s python builtin takes a literal shift only; the SQL
+        # function form accepts expressions, hence the expr() hop
+        row = (dim.select(bit_of(key, h).alias("__b"))
+               .select((F.col("__b") / 64).cast("int").alias("word"),
+                       F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(__b % 64 AS INT))").alias("mask")))
+        word_bits = row if word_bits is None else word_bits.unionAll(row)
+    words = {r["word"]: r["bits"] for r in
+             (word_bits.groupBy("word")
+              .agg(F.bit_or("mask").alias("bits")).collect())}
+    bloom = F.array(*[F.lit(int(words.get(i, 0))).cast("bigint")
+                      for i in range(m_words)])
+
+    probed = fact.withColumn("__bloom", bloom)
+    pred = F.lit(True)
+    for h in range(k_hashes):
+        probed = probed.withColumn(f"__b{h}", bit_of(key, h))
+        pred = pred & F.expr(
+            f"(shiftright(element_at(__bloom, CAST(__b{h} / 64 AS INT) + 1),"
+            f" CAST(__b{h} % 64 AS INT)) & 1) = 1")
+    pruned = (probed.where(pred)
+              .drop("__bloom", *[f"__b{h}" for h in range(k_hashes)]))
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return pruned.join(right, on)
+
+
 def _weight_expr(strata: Column, weights: dict[str, float]) -> Column:
     expr = None
     for s, wt in weights.items():

@@ -118,6 +118,79 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float, nbins: int,
                       "n"))
 
 
+def robust_scale_fit(df: DataFrame, value_col: str,
+                     keys: Sequence[str] = ()) -> DataFrame:
+    """Per-group robust-scaler statistics: median and IQR (p75 − p25).
+
+    The outlier-resistant sibling of the mean/std z-score fit
+    (features/featurespace, reference tfdataset.py's normalize intent) —
+    heavy-tailed telemetry (spikes, sensor dropouts) wrecks a mean/std
+    fit, while median/IQR barely move. Exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the q50-verified
+    bit-identical pair), so the fit frame is engine-portable with no
+    rounding. One shuffle keyed by the group columns; the fit output is
+    group-cardinality-sized (tiny), made to be broadcast back by
+    :func:`robust_scale_apply`.
+    """
+    x = F.col(value_col).cast("double")
+    return (df.groupBy(*keys)
+            .agg(F.count(x).alias("n"),
+                 F.percentile(x, 0.5).alias("med"),
+                 (F.percentile(x, 0.75) - F.percentile(x, 0.25))
+                 .alias("iqr")))
+
+
+def robust_scale_apply(df: DataFrame, fit: DataFrame, value_col: str,
+                       keys: Sequence[str] = (),
+                       out_col: str = "robust_z") -> DataFrame:
+    """Apply a :func:`robust_scale_fit` frame: ``(x − median) / IQR``.
+
+    The fit side broadcasts (group-cardinality rows), so application is a
+    narrow map over the fact scan — no data shuffle at any scale.
+    Degenerate groups (IQR = 0: constant or near-constant slabs) yield
+    NULL instead of ±inf, matching grouped_ols' degenerate-group rule.
+    """
+    x = F.col(value_col).cast("double")
+    scaled = F.when(F.col("iqr") != 0, (x - F.col("med")) / F.col("iqr"))
+    joined = (df.join(F.broadcast(fit), list(keys)) if keys
+              else df.crossJoin(F.broadcast(fit)))
+    return joined.withColumn(out_col, F.round(scaled, 6))
+
+
+def mad_outliers(df: DataFrame, value_col: str, keys: Sequence[str] = (),
+                 threshold: float = 3.5,
+                 id_cols: Sequence[str] = ()) -> DataFrame:
+    """Robust outlier flags via the modified z-score (Iglewicz–Hoaglin):
+    ``0.6745 · (x − median) / MAD`` with ``MAD = median(|x − median|)``
+    per group, flagging ``|mz| > threshold`` (3.5 is the canonical cut).
+
+    The mean/std z-score (q97's seasonal twin) is itself dragged by the
+    outliers it hunts; the double-median version is the standard robust
+    fix. Two grouped exact-percentile passes keyed by ``keys`` — the
+    per-group median, then the median of absolute deviations — each
+    producing a group-cardinality frame that broadcasts back to the fact
+    scan, so the raw data shuffles at most once per pass and never
+    collects. MAD = 0 slabs (over half the group identical) yield NULL
+    scores, not ±inf.
+    """
+    x = F.col(value_col).cast("double")
+    med = (df.groupBy(*keys)
+           .agg(F.percentile(x, 0.5).alias("med")))
+    dev = (df.join(F.broadcast(med), list(keys)) if keys
+           else df.crossJoin(F.broadcast(med)))
+    mad = (dev.groupBy(*keys)
+           .agg(F.percentile(F.abs(x - F.col("med")), 0.5).alias("mad")))
+    scored = (dev.join(F.broadcast(mad), list(keys)) if keys
+              else dev.crossJoin(F.broadcast(mad)))
+    mz = F.when(F.col("mad") != 0,
+                F.lit(0.6745) * (x - F.col("med")) / F.col("mad"))
+    return (scored
+            .withColumn("modified_z", F.round(mz, 6))
+            .withColumn("is_outlier",
+                        F.when(mz.isNotNull(),
+                               F.abs(mz) > F.lit(threshold))))
+
+
 def grouped_ols_pandas(df: DataFrame, keys: Sequence[str], x: str, y: str) -> DataFrame:
     """:func:`grouped_ols` via ``groupBy().applyInPandas`` — one Arrow batch
     per group into a pandas/numpy closed-form fit. Prefer the native

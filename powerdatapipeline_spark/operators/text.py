@@ -940,3 +940,281 @@ def winnow_neardup_pairs(df: DataFrame, text_col: str = "text",
         # (id, fp) frame for the session lifetime
         fps.unpersist()
     return out
+
+
+#: The C4/Gopher-style curation funnel, in application order. Each entry is
+#: (rule_name, predicate builder over the text column). Order matters for
+#: the audit semantics: stage i's drop count is measured among stage
+#: i−1's survivors, the way a production pipeline reports its funnel.
+def _funnel_rules(text_col: str):
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(_c(text_col))
+    mwl = F.when(n_tok > 0, n_chars.cast("double") / n_tok)
+    punct = F.length(F.regexp_replace(_c(text_col), r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0,
+                         punct.cast("double") / n_chars).otherwise(0.0)
+    lines = F.filter(F.split(_c(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines)).otherwise(0.0)
+    return [
+        ("min_tokens", n_tok >= 5),
+        ("max_tokens", n_tok <= 100_000),
+        ("mean_word_len", (mwl >= 2) & (mwl <= 12)),
+        ("stopword_ratio", stopword_ratio(text_col) >= 0.05),
+        ("punct_ratio", punct_ratio <= 0.2),
+        ("dup_lines", dup_line_frac <= 0.3),
+    ]
+
+
+def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Curation filter-funnel audit: apply the ordered C4/Gopher-style
+    rule list and report, per stage, how many documents entered, were
+    dropped BY THAT RULE (among the prior stages' survivors), and
+    survived — the observability table every corpus-curation run ships
+    with, so a rule that silently deletes half the corpus is visible at
+    a glance rather than buried in a final row count.
+
+    Shape: every rule is a codegen'd boolean over one document scan; the
+    cumulative-AND columns reduce in a SINGLE map-side-combined aggregate
+    (one row), which then explodes into the per-stage audit rows — cost
+    is one corpus pass regardless of rule count, no shuffle of document
+    text, no per-rule job. Output is total-ordered by stage.
+    """
+    rules = _funnel_rules(text_col)
+    cums: list[Column] = []
+    acc = None
+    for _, pred in rules:
+        ok = F.coalesce(pred, F.lit(False))
+        acc = ok if acc is None else (acc & ok)
+        cums.append(acc)
+    agg = df.agg(
+        F.count("*").alias("n0"),
+        *[F.sum(c.cast("bigint")).alias(f"c{i}")
+          for i, c in enumerate(cums)])
+    stages = F.array(*[
+        F.struct(F.lit(i + 1).alias("stage"),
+                 F.lit(name).alias("rule"),
+                 (F.col("n0") if i == 0 else F.col(f"c{i-1}"))
+                 .alias("n_in"),
+                 F.col(f"c{i}").alias("n_kept"))
+        for i, (name, _) in enumerate(rules)])
+    return (agg.select(F.explode(stages).alias("s"))
+            .select(F.col("s.stage").cast("int").alias("stage"),
+                    "s.rule",
+                    F.col("s.n_in").cast("bigint").alias("n_in"),
+                    F.col("s.n_kept").cast("bigint").alias("n_kept"),
+                    (F.col("s.n_in") - F.col("s.n_kept")).cast("bigint")
+                    .alias("n_dropped"))
+            .orderBy("stage"))
+
+
+def apply_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The keep-side of :func:`filter_funnel`: documents passing ALL
+    rules, one codegen'd predicate over one scan."""
+    pred = None
+    for _, p in _funnel_rules(text_col):
+        ok = F.coalesce(p, F.lit(False))
+        pred = ok if pred is None else (pred & ok)
+    return df.where(pred)
+
+
+def cumulative_sum_bucketed(df: DataFrame, keys: list[str], order_col: str,
+                            value_col: str, out_col: str = "cum",
+                            n_buckets: int = 64) -> DataFrame:
+    """Per-key running total over a global order WITHOUT a single-partition
+    window — the distributed prefix-sum. A plain
+    ``sum() OVER (PARTITION BY key ORDER BY ...)`` funnels each key's
+    entire history through ONE task; for a key holding half a 100 TB
+    corpus that task is the job. Two-phase instead:
+
+    1. range-bucket rows by ``order_col`` (bounds from a 1-row min/max
+       agg — a fixed-size collect, not data), local running total inside
+       each (key, bucket) partition;
+    2. per-(key, bucket) totals — a tiny ``keys × n_buckets`` frame —
+       get their own running total, and the resulting per-bucket OFFSETS
+       broadcast back; final cum = local + offset of the preceding
+       buckets.
+
+    Requires ``order_col`` to be unique per key (it is the total order).
+    tests pin bucketed ≡ global-window on every row (the
+    ffill_bucketed/sliding_windows_bucketed twin pattern).
+    """
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("decimal(38,10)"))
+    span = max(float(hi) - float(lo), 1e-12)
+    bucket = F.least(
+        F.floor((F.col(order_col).cast("double") - float(lo))
+                / F.lit(span) * n_buckets),
+        F.lit(n_buckets - 1)).cast("int")
+    b = df.withColumn("__bkt", bucket)
+    local_w = (Window.partitionBy(*keys, "__bkt").orderBy(order_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    val = F.col(value_col).cast("decimal(38,10)")
+    b = b.withColumn("__local", F.sum(val).over(local_w))
+    totals = (b.groupBy(*keys, "__bkt").agg(F.sum(val).alias("__tot")))
+    off_w = (Window.partitionBy(*keys).orderBy("__bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(*keys, "__bkt",
+                            F.coalesce(F.sum("__tot").over(off_w),
+                                       F.lit(0).cast("decimal(38,10)"))
+                            .alias("__off"))
+    return (b.join(F.broadcast(offsets), [*keys, "__bkt"])
+            .withColumn(out_col, (F.col("__local") + F.col("__off"))
+                        .cast("decimal(38,10)"))
+            .drop("__bkt", "__local", "__off"))
+
+
+def enforce_token_quota(df: DataFrame, quota_tokens: int,
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-source token-budget cap — the mixture-building step after
+    :func:`mixture (relational.mixture_resample)` decides proportions:
+    admit documents in deterministic ``id_col`` order until the source's
+    token budget is exhausted; a document is admitted iff the budget is
+    not already spent BEFORE it (so the quota may be exceeded by at most
+    one document, the standard greedy-fill rule, and a quota smaller
+    than the first document still admits it — an all-or-nothing budget
+    would silently zero out small quotas).
+
+    Runs on the distributed prefix-sum (:func:`cumulative_sum_bucketed`)
+    keyed by source — a skewed giant source does NOT serialize through
+    one task the way a plain partition-window cumsum would. Returns the
+    admitted documents with their running token totals.
+    """
+    if quota_tokens < 0:
+        raise ValueError(f"quota_tokens must be >= 0, got {quota_tokens}")
+    with_n = df.withColumn("__ntok",
+                           token_count(text_col).cast("bigint"))
+    cum = cumulative_sum_bucketed(with_n, [source_col], id_col, "__ntok",
+                                  out_col="__cum")
+    return (cum.where((F.col("__cum") - F.col("__ntok"))
+                      < F.lit(quota_tokens))
+            .select(F.col(id_col), F.col(source_col),
+                    F.col("__ntok").alias("n_tokens"),
+                    F.col("__cum").cast("bigint").alias("cum_tokens")))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the classic
+    gibberish/mojibake/base64-blob detector: natural text sits in a
+    narrow entropy band, keyboard mash and encoded binary fall outside
+    it. ``H = −Σ (c/n)·ln(c/n)`` over character counts.
+
+    Shape: entirely higher-order functions on ONE row — sort the
+    character array, find run boundaries, turn boundary gaps into run
+    lengths, fold the entropy terms — so a 100 TB corpus computes
+    entropy with ZERO shuffle (contrast the explode→groupBy(doc, char)
+    formulation, which shuffles every character of the corpus). Per the
+    cross-engine parity rules each ``ln`` term is rounded to 6 decimals;
+    the weighted fold is a plain-double LEFT fold over the sorted runs —
+    a DEFINED evaluation order both engines replay exactly (the q98
+    lesson: HOF decimal accumulators trip Spark's lambda type-widening,
+    so fixed-order double is the portable fold), making the sum
+    bit-reproducible without decimal.
+    """
+    # each stage MATERIALIZES its array as a bound column before the next
+    # lambda references it: an expression tree inlined into a HOF lambda
+    # re-evaluates per element (the winnow_fingerprints O(L²) trap — here
+    # it would re-sort the char array once per character)
+    n = F.col("__n")
+    cs = F.col("__cs")
+    idx = F.col("__idx")
+    # Java's split keeps the empty match at end-of-input (limit −1), so
+    # the lookahead char split yields one trailing "" — drop it, or it
+    # counts as a phantom distinct character
+    staged = df.select(
+        F.col(id_col), F.length(_c(text_col)).alias("__n"),
+        F.array_sort(F.filter(F.split(_c(text_col), "(?!^)"),
+                              lambda x: x != "")).alias("__cs"))
+    # no short-circuit in SQL: guard the i−1 lookup at i=1 (element_at is
+    # 1-based and raises on 0) — the self-compare is false, the OR true.
+    # The n = 0 guard matters too: sequence(1, 0) DESCENDS to [1, 0] and
+    # the 0 would reach element_at
+    staged = staged.withColumn(
+        "__idx",
+        F.when(n > 0, F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) |
+            (F.element_at(cs, i) !=
+             F.element_at(cs, F.greatest(i - 1, F.lit(1))))))
+        .otherwise(F.array().cast("array<int>")))
+    k = F.size(idx)
+    staged = staged.withColumn(
+        "__lens",
+        F.transform(idx, lambda s, j: F.when(j < k - 1,
+                                             F.element_at(idx, j + 2))
+                    .otherwise(n + 1) - s))
+    term = lambda c: (c.cast("double") *
+                      F.round(F.log(c.cast("double") / n.cast("double")),
+                              6))
+    ssum = F.aggregate(F.col("__lens"), F.lit(0.0),
+                       lambda acc, c: acc + term(c))
+    h = F.when(n > 0, F.round(-ssum / n.cast("double"), 6)) \
+         .otherwise(0.0)
+    return staged.select(
+        F.col(id_col),
+        n.cast("int").alias("n_chars"),
+        F.when(n > 0, k).otherwise(0).cast("int")
+        .alias("n_distinct_chars"),
+        h.alias("char_entropy"))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_count: int = 5,
+                k: int = 20) -> DataFrame:
+    """Top-``k`` adjacent word pairs by pointwise mutual information —
+    collocation mining (``PMI = ln p(ab) − ln p(a) − ln p(b)`` with
+    bigram/unigram MLE probabilities), the standard phrase-induction
+    signal on a corpus; raw bigram counts (q90) surface stopword pairs,
+    PMI surfaces "new york".
+
+    Shape: the unigram and bigram counting passes are map-side-combined
+    grouped aggregates; ``min_count`` prunes the bigram frame FIRST so
+    only candidate pairs (a tiny frame) join the unigram counts — the
+    candidate side broadcasts into the vocabulary scan twice, so the
+    full vocabulary never shuffles for the join. Corpus totals ride
+    along as 1-row broadcasts. Each ``ln`` rounds to 6 per the parity
+    rules; the final ranking is total-ordered (pmi desc, ngram asc).
+    """
+    toks = (_spread(df)
+            .select(F.col(id_col), tokens(text_col).alias("__t")))
+    uni = (toks.select(F.explode("__t").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1"))
+           .persist())
+    t = F.col("__t")
+    seq = F.when(F.size(t) >= 2, F.sequence(F.lit(0), F.size(t) - 2)) \
+           .otherwise(F.array().cast("array<int>"))
+    bi = (toks.select(F.explode(F.transform(
+            seq, lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2")))).alias("g"))
+          .groupBy("g.w1", "g.w2").agg(F.count("*").alias("c2")))
+    n1 = uni.agg(F.sum("c1").cast("double").alias("__n1"))
+    n2 = bi.agg(F.sum("c2").cast("double").alias("__n2"))
+    cand = bi.where(F.col("c2") >= min_count)
+    lnp = lambda c, tot: F.round(F.log(c.cast("double") / F.col(tot)), 6)
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb"))
+    scored = (ua.join(F.broadcast(cand), "w1")
+              .join(F.broadcast(ub.join(
+                  F.broadcast(cand.select("w2").distinct()), "w2")), "w2")
+              .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+              .select(
+                  F.concat_ws(" ", "w1", "w2").alias("ngram"),
+                  F.col("c2").cast("bigint").alias("n_pair"),
+                  F.round(lnp(F.col("c2"), "__n2")
+                          - lnp(F.col("ca"), "__n1")
+                          - lnp(F.col("cb"), "__n1"), 6).alias("pmi")))
+    w = Window.orderBy(F.desc("pmi"), F.asc("ngram"))
+    out = (scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(k)
+           .withColumn("rank", F.row_number().over(w).cast("int"))
+           .localCheckpoint(eager=True))
+    uni.unpersist()
+    return out

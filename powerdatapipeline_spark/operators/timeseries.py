@@ -728,3 +728,46 @@ def deviation_from_profile(df: DataFrame, ts_col: str, value_col: str,
                F.round((F.col(value_col) - F.col("profile_mean"))
                        / F.col("profile_std"), 6))
     return joined.withColumn("z_score", z)
+
+
+def ewma_fir(df: DataFrame, order_cols: Sequence[str], value_col: str,
+             partition_by: Sequence[str], alpha: float = 0.3,
+             taps: int = 8, out_col: str = "ewma") -> DataFrame:
+    """Exponentially-weighted moving average as a FIR (finite-impulse)
+    filter: ``s_i = Σ_{k<taps} α(1−α)^k · x_{i−k} / Σ α(1−α)^k`` over the
+    lags actually present — the telemetry-smoothing primitive (load
+    smoothing, sensor denoising) in its scale-friendly form.
+
+    The textbook IIR recursion ``s_i = αx_i + (1−α)s_{i−1}`` is a serial
+    scan — it cannot parallelize and its closed-form rewrite overflows
+    ``(1−α)^{−i}`` beyond a few thousand rows. Truncating the impulse
+    response at ``taps`` terms (weight beyond tap 8 at α=0.3 is
+    0.7⁸ ≈ 5.7%, renormalized away) turns it into a bounded window of
+    ``lag()`` expressions: a single per-series window pass, whole-stage
+    codegen, no Python, no recursion. Normalizing by the weights PRESENT
+    makes the series head well-defined (the first row is just x₀).
+
+    The weights are embedded as exact double literals and the numerator/
+    denominator are LEFT-associated sums, so any engine replaying this
+    expression tree reproduces the result bit-for-bit (rounded to 6).
+    ``order_cols`` must be a total order per series (include a tiebreak
+    id when timestamps can collide) — a nondeterministic lag order would
+    change results between runs.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if taps < 1:
+        raise ValueError(f"taps must be >= 1, got {taps}")
+    w = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    x = F.col(value_col).cast("double")
+    num = None
+    den = None
+    for k in range(taps):
+        wk = F.lit(float(alpha * (1.0 - alpha) ** k))
+        xk = x if k == 0 else F.lag(x, k).over(w)
+        nterm = F.when(xk.isNotNull(), wk * xk).otherwise(F.lit(0.0))
+        dterm = F.when(xk.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return df.withColumn(out_col,
+                         F.round(F.when(den > 0, num / den), 6))

@@ -3348,6 +3348,357 @@ def q98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dim", F.col("dim").cast("int")))
 
 
+@register("q99_weighted_sample", """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846976.0,
+             1.0 / n_chars) AS sample_score
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, n_chars, round(sample_score, 6) AS sample_score
+FROM s ORDER BY sample_score DESC, doc_id ASC LIMIT 25
+""", priority=PRI_TAIL)
+def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/relational.weighted_hash_sample) — Efraimidis–Spirakis
+    A-ES with a hash-derived uniform: sample 25 documents ∝ length
+    weight, reproducibly (no RNG state; the q62 no-reassignment argument
+    extended to weighted draws). Every sampled id and its score are
+    hash-verified against the oracle replaying the identical
+    ``u^(1/w)`` scoring. Narrow map + TakeOrdered top-k — per-partition
+    heaps, never a global sort."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = rel.weighted_hash_sample(d, "doc_id", "n_chars", 25)
+    return s.select("doc_id", "n_chars",
+                    F.round("sample_score", 6).alias("sample_score"))
+
+
+@register("q100_robust_scale", """
+WITH f AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN f.iqr <> 0 THEN (e.value - f.med) / f.iqr END, 6)
+         AS robust_z
+FROM events e JOIN f USING (event_type)
+""", priority=PRI_TAIL)
+def q100_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust scaling (operators/stats.robust_scale_fit/apply):
+    median/IQR instead of mean/std (q22's fit), the outlier-resistant
+    normalization for heavy-tailed telemetry. Exact interpolated
+    percentiles (the q50-verified Spark≡DuckDB pair) make the fit frame
+    engine-portable unrounded; the group-cardinality fit broadcasts back,
+    so application is a narrow map over the event scan."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = _t(spark, sf_dir, "events")
+    fit = st.robust_scale_fit(ev, "value", ["event_type"])
+    return (st.robust_scale_apply(ev, fit, "value", ["event_type"])
+            .select("event_id", "event_type", "value", "robust_z"))
+
+
+@register("q101_mad_outliers", """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+d AS (SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+       FROM d GROUP BY 1)
+SELECT d.event_id, d.event_type, d.value,
+       round(CASE WHEN md.mad <> 0
+                  THEN 0.6745 * (d.value - d.med) / md.mad END, 6)
+         AS modified_z,
+       CASE WHEN md.mad <> 0
+            THEN abs(0.6745 * (d.value - d.med) / md.mad) > 3.5 END
+         AS is_outlier
+FROM d JOIN md USING (event_type)
+""", priority=PRI_TAIL)
+def q101_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via the modified z-score
+    (operators/stats.mad_outliers, Iglewicz–Hoaglin 0.6745·dev/MAD,
+    |mz| > 3.5): the double-median flag that, unlike q97's mean/std
+    z-score, is not itself dragged by the outliers it hunts. Two grouped
+    exact-percentile passes whose group-cardinality outputs broadcast
+    back; MAD = 0 slabs yield NULL flags, not ±inf. Every per-event flag
+    and score is hash-verified."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = _t(spark, sf_dir, "events")
+    return (st.mad_outliers(ev, "value", ["event_type"])
+            .select("event_id", "event_type", "value", "modified_z",
+                    "is_outlier"))
+
+
+@register("q102_bloom_prune_join", """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+""", priority=PRI_TAIL)
+def q102_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter-pruned selective join
+    (operators/relational.bloom_prune_join) — the runtime-filter idiom
+    as a first-class operator: the BUILDING-segment customer keys build
+    a 1024-bit Bloom filter via a map-side-combined bit_or aggregate
+    (collected as 16 longs, the fixed-size-summary pattern), which
+    prunes never-matching orders BEFORE the join. False negatives are
+    impossible, so the result is exactly the plain join the oracle
+    runs — the filter only decides how much of the fact table reaches
+    the shuffle, the 100 TB cost line. tests pin the prune selectivity
+    and bloom ≡ plain equivalence."""
+    o = _t(spark, sf_dir, "orders")
+    dim = (_t(spark, sf_dir, "customer")
+           .where(F.col("c_mktsegment") == "BUILDING")
+           .select(F.col("c_custkey").alias("o_custkey"), "c_name"))
+    return (rel.bloom_prune_join(o, dim, "o_custkey")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "c_name"))
+
+
+@register("q103_filter_funnel", f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter({_SQL_TOKENS}, x -> x != '')) AS n_tok,
+         length(text) AS n_chars,
+         len(list_filter({_SQL_TOKENS}, x -> x IN {_SQL_STOP})) AS n_stop,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+           AS lines
+  FROM documents),
+b AS (
+  SELECT
+    COALESCE(n_tok >= 5, FALSE) AS b1,
+    COALESCE(n_tok <= 100000, FALSE) AS b2,
+    COALESCE(CASE WHEN n_tok > 0 THEN
+        CAST(n_chars AS DOUBLE)/n_tok >= 2
+        AND CAST(n_chars AS DOUBLE)/n_tok <= 12 END, FALSE) AS b3,
+    COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok
+                  ELSE 0.0 END >= 0.05, FALSE) AS b4,
+    COALESCE(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars
+                  ELSE 0.0 END <= 0.2, FALSE) AS b5,
+    COALESCE(CASE WHEN len(lines) > 0 THEN
+        1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines)
+        ELSE 0.0 END <= 0.3, FALSE) AS b6
+  FROM t),
+c AS (
+  SELECT b1 AS c1, b1 AND b2 AS c2, b1 AND b2 AND b3 AS c3,
+         b1 AND b2 AND b3 AND b4 AS c4,
+         b1 AND b2 AND b3 AND b4 AND b5 AS c5,
+         b1 AND b2 AND b3 AND b4 AND b5 AND b6 AS c6
+  FROM b),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+         CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+         CAST(sum(CASE WHEN c6 THEN 1 ELSE 0 END) AS BIGINT) AS s6
+  FROM c)
+SELECT CAST(1 AS INT) AS stage, 'min_tokens' AS rule,
+       n0 AS n_in, s1 AS n_kept, n0 - s1 AS n_dropped FROM a
+UNION ALL SELECT 2, 'max_tokens', s1, s2, s1 - s2 FROM a
+UNION ALL SELECT 3, 'mean_word_len', s2, s3, s2 - s3 FROM a
+UNION ALL SELECT 4, 'stopword_ratio', s3, s4, s3 - s4 FROM a
+UNION ALL SELECT 5, 'punct_ratio', s4, s5, s4 - s5 FROM a
+UNION ALL SELECT 6, 'dup_lines', s5, s6, s5 - s6 FROM a
+""", priority=PRI_TAIL)
+def q103_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation filter-funnel audit (operators/text.filter_funnel): the
+    ordered C4/Gopher-style rule list with per-stage entered/dropped/
+    survived counts — the observability table that makes a rule silently
+    deleting half the corpus visible. All rules are codegen'd booleans
+    over ONE document scan reduced in a single map-side-combined
+    aggregate; the audit rows explode from that one row, so cost is one
+    corpus pass regardless of rule count."""
+    return tx.filter_funnel(_t(spark, sf_dir, "documents"))
+
+
+@register("q104_token_quota", f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter({_SQL_TOKENS}, x -> x != '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum - n_tokens < 5000
+""", priority=PRI_TAIL)
+def q104_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget enforcement
+    (operators/text.enforce_token_quota): admit documents in
+    deterministic id order until each source's 5 000-token budget is
+    spent (greedy fill — the budget may overshoot by at most one
+    document). Runs on the DISTRIBUTED prefix-sum
+    (text.cumulative_sum_bucketed: range-bucket local cumsums + a tiny
+    per-bucket offset frame broadcast back), so a skewed giant source
+    does not serialize through one task the way the oracle's plain
+    partition-window cumsum would; the two are value-identical, which is
+    exactly what this parity check proves."""
+    return tx.enforce_token_quota(_t(spark, sf_dir, "documents"), 5000)
+
+
+@register("q105_char_entropy", """
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 1) AS c
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents)),
+cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+pl AS (SELECT doc_id, list(CAST(n AS BIGINT) ORDER BY c) AS lens,
+              CAST(count(*) AS INT) AS k
+       FROM cnt GROUP BY 1)
+SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+       COALESCE(pl.k, 0) AS n_distinct_chars,
+       CASE WHEN length(d.text) > 0 THEN
+         round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(pl.lens,
+                 c -> CAST(c AS DOUBLE) *
+                      round(ln(CAST(c AS DOUBLE) / length(d.text)), 6))),
+             (acc, x) -> acc + x) / length(d.text), 6)
+       ELSE 0.0 END AS char_entropy
+FROM documents d LEFT JOIN pl USING (doc_id)
+""", priority=PRI_TAIL)
+def q105_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy
+    (operators/text.char_entropy) — the gibberish/mojibake/base64-blob
+    detector. Spark computes it with ZERO shuffle: higher-order
+    functions sort the char array, turn run boundaries into counts, and
+    left-fold the 6-rounded ln terms in defined (sorted-char) order; the
+    oracle replays the identical ordered fold from a grouped count, so
+    the doubles agree bit-for-bit. The explode→groupBy(doc, char)
+    formulation this avoids would shuffle every character of a 100 TB
+    corpus."""
+    return tx.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register("q106_pmi_bigrams", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+uc AS (SELECT w, count(*) AS c1
+       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+n1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1 FROM uc),
+bc AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  GROUP BY 1, 2),
+n2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS n2 FROM bc),
+s AS (
+  SELECT bc.w1 || ' ' || bc.w2 AS ngram, bc.c2,
+         round(round(ln(bc.c2 / n2.n2), 6)
+               - round(ln(ua.c1 / n1.n1), 6)
+               - round(ln(ub.c1 / n1.n1), 6), 6) AS pmi
+  FROM bc JOIN uc ua ON bc.w1 = ua.w JOIN uc ub ON bc.w2 = ub.w
+  CROSS JOIN n1 CROSS JOIN n2
+  WHERE bc.c2 >= 5)
+SELECT * FROM (
+  SELECT ngram, CAST(c2 AS BIGINT) AS n_pair, pmi,
+         CAST(row_number() OVER (ORDER BY pmi DESC, ngram ASC) AS INT)
+           AS rank
+  FROM s) WHERE rank <= 20
+""", priority=PRI_TAIL)
+def q106_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information
+    (operators/text.pmi_bigrams): ``ln p(ab) − ln p(a) − ln p(b)`` over
+    bigram/unigram MLE counts — the phrase-induction signal raw bigram
+    counts (q90) miss. min_count prunes the bigram frame FIRST so only
+    the tiny candidate set joins (broadcast) into the vocabulary scan;
+    corpus totals ride as 1-row broadcasts; each ln rounds to 6 per the
+    parity rules and the ranking is total-ordered."""
+    return tx.pmi_bigrams(_t(spark, sf_dir, "documents"),
+                          min_count=5, k=20)
+
+
+def _ewma_oracle(alpha: float = 0.3, taps: int = 8) -> str:
+    """The q107 FIR-EWMA as a DuckDB window expression — the SAME
+    weight literals (exponent-typed, the q98 DECIMAL-literal lesson) and
+    the SAME left-associated numerator/denominator term order as
+    operators/timeseries.ewma_fir, so both engines evaluate one
+    expression tree bit-for-bit."""
+    def dlit(v: float) -> str:
+        s = repr(float(v))
+        return s if ("e" in s or "E" in s) else s + "e0"
+
+    num, den = [], []
+    for k in range(taps):
+        w = dlit(alpha * (1.0 - alpha) ** k)
+        x = "value" if k == 0 else f"lag(value, {k}) OVER w"
+        num.append(f"CASE WHEN {x} IS NOT NULL THEN {w} * {x} "
+                   f"ELSE 0e0 END")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0e0 END")
+    return f"""
+SELECT event_id, user_id, value,
+       round(CASE WHEN {' + '.join(den)} > 0
+                  THEN ({' + '.join(num)}) / ({' + '.join(den)}) END, 6)
+         AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("q107_ewma", _ewma_oracle(), priority=PRI_TAIL)
+def q107_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user series
+    (operators/timeseries.ewma_fir) — telemetry smoothing in its
+    scale-friendly FIR form: the serial IIR recursion truncated at 8
+    taps (residual weight 0.7⁸ ≈ 5.7%, renormalized away) becomes a
+    bounded window of lag() terms — one codegen'd per-series window
+    pass, parallel over series, vs. an unparallelizable scan. Weights
+    are embedded as identical exponent-typed literals on both engines
+    and the sums are left-associated, so the smoothed values
+    hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    return (ts.ewma_fir(ev, ["ts", "event_id"], "value", ["user_id"])
+            .select("event_id", "user_id", "value", "ewma"))
+
+
+@register("q108_approx_percentile_contract", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+       TRUE AS within_contract
+FROM events GROUP BY 1
+""", priority=PRI_TAIL)
+def q108_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with an explicit accuracy contract (the q48
+    HLL pattern applied to quantile sketches): the scale path for
+    percentiles at 100 TB is the mergeable KLL/GK sketch, not q50's
+    exact per-group sort — but only with a verified error bound. Spark's
+    ``percentile_approx(value, 0.5, 1000)`` guarantees rank error
+    ≤ 1/1000; the query computes the approx value's TRUE rank interval
+    (strict-below and at-or-below fractions against the raw scan) and
+    asserts the 0.5 ± (ε + 1/n) containment per group — the 1/n term is
+    the discreteness slack (achievable ranks are integer multiples of
+    1/n, so the target fraction can sit up to one rank step outside any
+    element's interval). The oracle pins
+    ``within_contract = TRUE`` — a sketch violating its bound flips the
+    Spark-side boolean and fails the hash compare — plus the exact
+    median via the bit-identical percentile pair."""
+    ev = _t(spark, sf_dir, "events")
+    eps = 1.0 / 1000
+    st = (ev.groupBy("event_type")
+          .agg(F.percentile_approx("value", 0.5, 1000).alias("appx"),
+               F.percentile("value", 0.5).alias("p50_exact"),
+               F.count("*").alias("n")))
+    j = ev.join(F.broadcast(st), "event_type")
+    ranks = (j.groupBy("event_type")
+             .agg(F.first("n").alias("n"),
+                  F.first("p50_exact").alias("p50_exact"),
+                  (F.sum((F.col("value") < F.col("appx")).cast("bigint"))
+                   / F.first("n")).alias("frac_lo"),
+                  (F.sum((F.col("value") <= F.col("appx")).cast("bigint"))
+                   / F.first("n")).alias("frac_hi")))
+    slack = F.lit(eps) + 1.0 / F.col("n")
+    return ranks.select(
+        "event_type", F.col("n").cast("bigint").alias("n"),
+        F.round("p50_exact", 6).alias("p50_exact"),
+        ((F.col("frac_lo") - 0.5 <= slack)
+         & (0.5 - F.col("frac_hi") <= slack)).alias("within_contract"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the
