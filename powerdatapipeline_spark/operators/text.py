@@ -1191,11 +1191,16 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
     t = F.col("__t")
     seq = F.when(F.size(t) >= 2, F.sequence(F.lit(0), F.size(t) - 2)) \
            .otherwise(F.array().cast("array<int>"))
+    # persisted: three consumers (total, candidates, scoring) would each
+    # replay the corpus gram scan otherwise — measured 6 parquet scans in
+    # the un-persisted plan; both count frames are distinct-term-sized,
+    # far below the corpus
     bi = (toks.select(F.explode(F.transform(
             seq, lambda i: F.struct(
                 F.element_at(t, i + 1).alias("w1"),
                 F.element_at(t, i + 2).alias("w2")))).alias("g"))
-          .groupBy("g.w1", "g.w2").agg(F.count("*").alias("c2")))
+          .groupBy("g.w1", "g.w2").agg(F.count("*").alias("c2"))
+          .persist())
     n1 = uni.agg(F.sum("c1").cast("double").alias("__n1"))
     n2 = bi.agg(F.sum("c2").cast("double").alias("__n2"))
     cand = bi.where(F.col("c2") >= min_count)
@@ -1213,8 +1218,41 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
                           - lnp(F.col("ca"), "__n1")
                           - lnp(F.col("cb"), "__n1"), 6).alias("pmi")))
     w = Window.orderBy(F.desc("pmi"), F.asc("ngram"))
-    out = (scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(k)
-           .withColumn("rank", F.row_number().over(w).cast("int"))
-           .localCheckpoint(eager=True))
-    uni.unpersist()
+    try:
+        out = (scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(k)
+               .withColumn("rank", F.row_number().over(w).cast("int"))
+               .localCheckpoint(eager=True))
+    finally:
+        uni.unpersist()
+        bi.unpersist()
     return out
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             top_k: int = 1000) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ``ln(count)`` against ``ln(rank)`` over the top-``top_k`` terms —
+    slope ≈ −1 is the natural-language signature; a flat or cliff-shaped
+    spectrum flags template spam or synthetic text (the corpus-level
+    sibling of the per-document entropy check).
+
+    Shape: one corpus term-count pass (map-side combined), then
+    TakeOrdered truncates to ``top_k`` BEFORE any rank window — ranking
+    the full vocabulary would funnel it through one task at 100 TB, but
+    ranking a bounded top-k frame is constant work. The fit reuses
+    stats.grouped_ols' exact-decimal moment machinery (6-rounded ln
+    inputs), so slope/intercept/r are bit-reproducible.
+    """
+    from powerdatapipeline_spark.operators import stats as st
+
+    counts = (_spread(df)
+              .select(F.explode(tokens(text_col)).alias("term"))
+              .groupBy("term").agg(F.count("*").alias("c")))
+    top = counts.orderBy(F.desc("c"), F.asc("term")).limit(top_k)
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    pts = (top.withColumn("rank", F.row_number().over(w))
+           .select(F.round(F.log(F.col("rank").cast("double")), 6)
+                   .alias("ln_rank"),
+                   F.round(F.log(F.col("c").cast("double")), 6)
+                   .alias("ln_count")))
+    return st.grouped_ols(pts, [], "ln_rank", "ln_count")

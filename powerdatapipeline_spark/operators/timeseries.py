@@ -771,3 +771,108 @@ def ewma_fir(df: DataFrame, order_cols: Sequence[str], value_col: str,
         den = dterm if den is None else den + dterm
     return df.withColumn(out_col,
                          F.round(F.when(den > 0, num / den), 6))
+
+
+def event_funnel(df: DataFrame, ts_col: str, user_col: str, type_col: str,
+                 steps: Sequence[str]) -> DataFrame:
+    """Ordered event-funnel analysis: for steps (A, B, C, …) count the
+    users who performed A, then B STRICTLY AFTER their first qualifying
+    A, then C strictly after that B — the product-analytics conversion
+    funnel (view → click → purchase), which is also the grid-ops
+    alarm-escalation shape (warning → fault → outage).
+
+    Semantics: a user qualifies for step i+1 at the EARLIEST event of
+    that type after their step-i qualifying time (first-touch
+    attribution; the earliest-qualifying chain maximizes conversion
+    counts, so the funnel is order-greedy-optimal for 2 steps and the
+    standard reported variant beyond). Returns one row per step with
+    user counts and the step-over-step conversion rate.
+
+    Scale shape: step i+1 is one keyed equi-join of the type-filtered
+    event scan against the step-i survivor frame (user-cardinality — it
+    only shrinks down the funnel) followed by a grouped min. Each join
+    shuffles on the user key or broadcasts the survivor side under AQE;
+    the event scan is filtered to ONE type per stage at the parquet
+    reader. No windows, no per-user sort.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts = F.col(ts_col)
+    prev = None
+    survivors: list[DataFrame] = []
+    counts: list[tuple[str, DataFrame]] = []
+    for step in steps:
+        ev = df.where(F.col(type_col) == step)
+        if prev is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts).alias("__t"))
+        else:
+            cur = (ev.join(prev.select(user_col,
+                                       F.col("__t").alias("__pt")),
+                           user_col)
+                   .where(ts > F.col("__pt"))
+                   .groupBy(user_col).agg(F.min(ts).alias("__t")))
+        # each survivor frame feeds BOTH the next stage's join and its
+        # own count — persisted, or every later stage replays the whole
+        # prior join chain (measured: 6 parquet scans for 3 steps)
+        cur = cur.persist()
+        survivors.append(cur)
+        counts.append((step, cur.agg(
+            F.count("*").cast("bigint").alias("__n"))))
+        prev = cur
+    stage = None
+    for i, (step, cnt) in enumerate(counts):
+        row = cnt.select(F.lit(i + 1).cast("int").alias("step"),
+                         F.lit(step).alias(type_col),
+                         F.col("__n").alias("n_users"))
+        stage = row if stage is None else stage.unionAll(row)
+    w = Window.orderBy("step")
+    conv = F.when(F.lag("n_users").over(w) > 0,
+                  F.round(F.col("n_users").cast("double")
+                          / F.lag("n_users").over(w), 6))
+    try:
+        return (stage.withColumn("conversion", conv)
+                .orderBy("step")
+                .localCheckpoint(eager=True))
+    finally:
+        for s in survivors:
+            s.unpersist()
+
+
+def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
+                      bucket_seconds: int = 604_800) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the fixed-width
+    time bucket (default weekly) of their FIRST activity; each (cohort,
+    offset) cell counts the cohort's users active ``offset`` buckets
+    later, with retention = cell / cohort size — the
+    who-keeps-coming-back table every activity dataset gets asked for.
+
+    Bucketing is pure epoch arithmetic (``floor(epoch/width)``), not
+    calendar truncation — engine-portable (no week-start or timezone
+    convention to disagree on) and a narrow map. Shape: one distinct
+    over (user, bucket) — the only corpus-sized shuffle — then a grouped
+    min joined back on the user key; the final matrix is
+    cohorts×offsets-sized and the cohort-size divisor arrives by a
+    broadcast join of the offset-0 slice, not a second scan.
+    """
+    b = F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_seconds))) \
+         .cast("bigint")
+    # persisted: the (user, bucket) frame feeds the first-activity agg
+    # AND the cell join — unpersisted, each consumer rescans the corpus
+    activity = (df.select(F.col(user_col), b.alias("__b")).distinct()
+                .persist())
+    first = activity.groupBy(user_col).agg(F.min("__b").alias("cohort"))
+    cells = (activity.join(first, user_col)
+             .groupBy("cohort", (F.col("__b") - F.col("cohort"))
+                      .cast("int").alias("week_offset"))
+             .agg(F.countDistinct(user_col).cast("bigint")
+                  .alias("n_active")))
+    base = (cells.where(F.col("week_offset") == 0)
+            .select("cohort", F.col("n_active").alias("__base")))
+    try:
+        return (cells.join(F.broadcast(base), "cohort")
+                .select("cohort", "week_offset", "n_active",
+                        F.round(F.col("n_active").cast("double")
+                                / F.col("__base"), 6).alias("retention"))
+                .localCheckpoint(eager=True))
+    finally:
+        activity.unpersist()

@@ -3699,6 +3699,112 @@ def q108_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFra
          & (0.5 - F.col("frac_hi") <= slack)).alias("within_contract"))
 
 
+@register("q109_event_funnel", """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+c AS (
+  SELECT 1 AS step, 'view' AS event_type,
+         (SELECT count(*) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+SELECT CAST(step AS INT) AS step, event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CASE WHEN lag(n_users) OVER (ORDER BY step) > 0
+                  THEN CAST(n_users AS DOUBLE)
+                       / lag(n_users) OVER (ORDER BY step) END, 6)
+         AS conversion
+FROM c
+""", priority=PRI_TAIL)
+def q109_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase
+    (operators/timeseries.event_funnel): per step, the users who
+    performed it STRICTLY AFTER their previous qualifying step
+    (first-touch chain), with step-over-step conversion rates — the
+    product-analytics staple, and the alarm-escalation shape on grid
+    telemetry. Each stage is one keyed join of a type-filtered scan
+    (filter pushed to parquet) against the shrinking survivor frame +
+    a grouped min — no windows over raw events, no per-user sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ts.event_funnel(ev, "ts", "user_id", "event_type",
+                           ["view", "click", "purchase"])
+
+
+@register("q110_retention_cohorts", """
+WITH a AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS b
+           FROM events),
+f AS (SELECT user_id, min(b) AS cohort FROM a GROUP BY 1),
+c AS (SELECT f.cohort, CAST(a.b - f.cohort AS INT) AS week_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+b0 AS (SELECT cohort, n_active AS base FROM c WHERE week_offset = 0)
+SELECT c.cohort, c.week_offset, c.n_active,
+       round(CAST(c.n_active AS DOUBLE) / b0.base, 6) AS retention
+FROM c JOIN b0 USING (cohort)
+""", priority=PRI_TAIL)
+def q110_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix
+    (operators/timeseries.retention_cohorts): users cohorted by the
+    fixed-width epoch bucket of first activity; each (cohort, offset)
+    cell = cohort users active that many weeks later, divided by cohort
+    size. Epoch arithmetic instead of calendar truncation keeps the
+    bucketing engine-portable (no week-start/timezone convention); one
+    distinct over (user, bucket) is the only corpus-sized shuffle, and
+    the cohort-size divisor arrives via a broadcast join of the
+    offset-0 slice, not a second scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ts.retention_cohorts(ev, "ts", "user_id")
+
+
+@register("q111_zipf_fit", r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+cnt AS (SELECT w AS term, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 1000),
+p AS (SELECT
+        round(ln(CAST(row_number() OVER (ORDER BY c DESC, term ASC)
+                      AS DOUBLE)), 6) AS x,
+        round(ln(CAST(c AS DOUBLE)), 6) AS y
+      FROM top),
+m AS (SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+      FROM p)
+SELECT n,
+       round(CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+         AS slope,
+       round(CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                        * sx) / n END, 6) AS intercept,
+       round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS r
+FROM m
+""", priority=PRI_TAIL)
+def q111_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum
+    (operators/text.zipf_fit): OLS of ln(count) on ln(rank) over the
+    top-1000 terms — slope ≈ −1 is the natural-language signature;
+    template spam and synthetic text bend it. TakeOrdered truncates to
+    the bounded top-k BEFORE the rank window (ranking the full
+    vocabulary would serialize through one task at scale); the fit
+    reuses the exact-decimal moment machinery (q68), so the
+    coefficients hash-match the oracle's identical formula."""
+    return tx.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the

@@ -244,3 +244,65 @@ def test_ewma_fir_validates_params(spark):
         ts.ewma_fir(df, ["t"], "x", ["u"], alpha=0.0)
     with pytest.raises(ValueError):
         ts.ewma_fir(df, ["t"], "x", ["u"], taps=0)
+
+
+# ---------------------------------------------------------------- funnel/retention
+
+def test_event_funnel_strict_ordering(spark):
+    # u1 completes A→B→C in order; u2 has B BEFORE A (must not count
+    # for step 2); u3 stops after A
+    rows = [("u1", 10, "A"), ("u1", 20, "B"), ("u1", 30, "C"),
+            ("u2", 50, "B"), ("u2", 60, "A"),
+            ("u3", 5, "A")]
+    df = spark.createDataFrame(rows, "user string, t long, typ string")
+    out = {r["step"]: r for r in
+           ts.event_funnel(df, "t", "user", "typ", ["A", "B", "C"])
+           .collect()}
+    assert out[1]["n_users"] == 3
+    assert out[2]["n_users"] == 1      # only u1: u2's B precedes A
+    assert out[3]["n_users"] == 1
+    assert out[1]["conversion"] is None
+    assert out[2]["conversion"] == pytest.approx(1 / 3, abs=1e-6)
+    with pytest.raises(ValueError):
+        ts.event_funnel(df, "t", "user", "typ", [])
+
+
+def test_event_funnel_same_timestamp_not_after(spark):
+    # B at the SAME instant as A does not satisfy "strictly after"
+    rows = [("u", 10, "A"), ("u", 10, "B")]
+    df = spark.createDataFrame(rows, "user string, t long, typ string")
+    out = {r["step"]: r["n_users"] for r in
+           ts.event_funnel(df, "t", "user", "typ", ["A", "B"]).collect()}
+    assert out[1] == 1 and out[2] == 0
+
+
+def test_retention_cohorts_hand_computed(spark):
+    # bucket width 10: u1 first in bucket 0, active 0 and 2;
+    # u2 first in bucket 0, active 0 only; u3 first in bucket 1
+    rows = [("u1", 1.0), ("u1", 25.0), ("u2", 5.0), ("u3", 12.0)]
+    df = spark.createDataFrame(rows, "user string, t double")
+    out = {(r["cohort"], r["week_offset"]): r for r in
+           ts.retention_cohorts(df, "t", "user", bucket_seconds=10)
+           .collect()}
+    assert out[(0, 0)]["n_active"] == 2
+    assert out[(0, 2)]["n_active"] == 1
+    assert out[(0, 2)]["retention"] == 0.5
+    assert out[(1, 0)]["retention"] == 1.0
+
+
+# ---------------------------------------------------------------- zipf
+
+def test_zipf_fit_on_exact_power_law(spark):
+    # counts c(r) = round(1000 / r) approximate slope −1; build a corpus
+    # whose term frequencies ARE a power law and check the fitted slope
+    rows = []
+    did = 0
+    for r in range(1, 21):
+        for _ in range(1000 // r):
+            rows.append((did, f"w{r:02d}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.zipf_fit(df, top_k=20).collect()[0]
+    assert out["n"] == 20
+    assert out["slope"] == pytest.approx(-1.0, abs=0.05)
+    assert out["r"] < -0.99

@@ -37,6 +37,9 @@ CROSS_JOIN_INTENDED = {
     # q94's df-cap threshold needs the corpus doc count: a single-row
     # broadcast onto the (distinct-fp)-sized frequency frame
     "q94_winnow_neardup",
+    # round 7b: q106's unigram/bigram corpus totals are single-row
+    # broadcast cross joins onto the pruned candidate frame
+    "q106_pmi_bigrams",
 }
 
 
