@@ -109,3 +109,101 @@ def test_pii_redaction_agrees(fuzz_frames):
                  '{ip}', '<IP>', 'g')
         FROM documents""").fetchall()}
     assert got == want
+
+
+def test_char_entropy_agrees(fuzz_frames):
+    """q105's zero-shuffle entropy vs the oracle's grouped-count ordered
+    fold — the char-split surface (Spark lookahead split vs DuckDB
+    substr indexing) must agree on multibyte codepoints, control chars,
+    and empty/whitespace-only docs."""
+    sdf, con = fuzz_frames
+    got = {r.doc_id: (r.n_chars, r.n_distinct_chars, r.char_entropy)
+           for r in tx.char_entropy(sdf).collect()}
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.execute("""
+        WITH ch AS (
+          SELECT doc_id, substr(text, i, 1) AS c
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents)),
+        cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        pl AS (SELECT doc_id, list(CAST(n AS BIGINT) ORDER BY c) AS lens,
+                      CAST(count(*) AS INT) AS k
+               FROM cnt GROUP BY 1)
+        SELECT d.doc_id, CAST(length(d.text) AS INT),
+               COALESCE(pl.k, 0),
+               CASE WHEN length(d.text) > 0 THEN
+                 round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(pl.lens,
+                         c -> CAST(c AS DOUBLE) *
+                              round(ln(CAST(c AS DOUBLE)
+                                       / length(d.text)), 6))),
+                     (acc, x) -> acc + x) / length(d.text), 6)
+               ELSE 0.0 END
+        FROM documents d LEFT JOIN pl USING (doc_id)""").fetchall()}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == want[i], f"doc {i}: {got[i]} vs {want[i]}"
+
+
+def test_funnel_rule_booleans_agree(fuzz_frames):
+    """q103's per-rule keep/drop decisions on the adversarial corpus:
+    the funnel aggregates must match the oracle's boolean cascade (line
+    splitting, trim semantics, null-guard coalescing)."""
+    sdf, con = fuzz_frames
+    got = [(r["stage"], r["rule"], r["n_in"], r["n_kept"], r["n_dropped"])
+           for r in tx.filter_funnel(sdf).collect()]
+    want = con.execute(r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text),
+                   '[ \t\n\r\f\x0B]+'), x -> x != '')) AS n_tok,
+                 length(text) AS n_chars,
+                 len(list_filter(regexp_split_to_array(lower(text),
+                   '[ \t\n\r\f\x0B]+'), x -> x IN ('the','a','an','and',
+                   'or','of','to','in','is','are','was','were','be','been',
+                   'it','that','this','with','as','for','on','at','by',
+                   'from','not','but'))) AS n_stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   AS n_punct,
+                 list_filter(string_split(text, chr(10)),
+                             x -> trim(x) <> '') AS lines
+          FROM documents),
+        b AS (
+          SELECT
+            COALESCE(n_tok >= 5, FALSE) AS b1,
+            COALESCE(n_tok <= 100000, FALSE) AS b2,
+            COALESCE(CASE WHEN n_tok > 0 THEN
+                CAST(n_chars AS DOUBLE)/n_tok >= 2
+                AND CAST(n_chars AS DOUBLE)/n_tok <= 12 END, FALSE) AS b3,
+            COALESCE(CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE)/n_tok
+                          ELSE 0.0 END >= 0.05, FALSE) AS b4,
+            COALESCE(CASE WHEN n_chars > 0 THEN
+                          CAST(n_punct AS DOUBLE)/n_chars
+                          ELSE 0.0 END <= 0.2, FALSE) AS b5,
+            COALESCE(CASE WHEN len(lines) > 0 THEN
+                1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines)
+                ELSE 0.0 END <= 0.3, FALSE) AS b6
+          FROM t),
+        c AS (
+          SELECT b1 AS c1, b1 AND b2 AS c2, b1 AND b2 AND b3 AS c3,
+                 b1 AND b2 AND b3 AND b4 AS c4,
+                 b1 AND b2 AND b3 AND b4 AND b5 AS c5,
+                 b1 AND b2 AND b3 AND b4 AND b5 AND b6 AS c6
+          FROM b),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                 CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                 CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+                 CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+                 CAST(sum(CASE WHEN c6 THEN 1 ELSE 0 END) AS BIGINT) AS s6
+          FROM c)
+        SELECT CAST(1 AS INT), 'min_tokens', n0, s1, n0 - s1 FROM a
+        UNION ALL SELECT 2, 'max_tokens', s1, s2, s1 - s2 FROM a
+        UNION ALL SELECT 3, 'mean_word_len', s2, s3, s2 - s3 FROM a
+        UNION ALL SELECT 4, 'stopword_ratio', s3, s4, s3 - s4 FROM a
+        UNION ALL SELECT 5, 'punct_ratio', s4, s5, s4 - s5 FROM a
+        UNION ALL SELECT 6, 'dup_lines', s5, s6, s5 - s6 FROM a
+        ORDER BY 1""").fetchall()
+    assert got == [tuple(r) for r in want]
