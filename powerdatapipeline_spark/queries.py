@@ -3821,12 +3821,13 @@ def q111_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles and still run in tools/check_parity.py and the smoke test.
 #
 # ROUND-8 ROTATION PLAN (apply once CORRECTNESS_r07 records q75-q84
-# green): promote the round-7-born q85-q98 (14 queries, all tail-parity
-# pinned since birth) by switching their decorators to PRI_HEAD and
-# demoting 14 freshly-recorded multi-round-green head entries (candidates
-# by the established policy: q17? no — already tail; pick from q22, q25,
-# q28, q37, q38, q39, q41, q42, q43, q44, q49, q50, q54, q56 — every one
-# green r1-r7 once r7 lands). Each move is a one-argument edit; the
+# green): the round-7-born pool is now q85-q111 (27 queries, all
+# tail-parity pinned since birth). Promote as many as the head can
+# absorb by switching decorators to PRI_HEAD and demoting
+# freshly-recorded multi-round-green head entries (candidates by the
+# established policy: q22, q25, q28, q37, q38, q39, q41, q42, q43, q44,
+# q49, q50, q54, q56 — every one green r1-r7 once r7 lands; a second
+# tranche rotates in round 9). Each move is a one-argument edit; the
 # boundary-tie guard and tests/test_tail_query_parity.py enforce the
 # invariants.
 # ===========================================================================

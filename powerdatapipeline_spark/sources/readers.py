@@ -346,3 +346,92 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def read_orc(spark: SparkSession, path: str | list[str],
+             columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive-ecosystem
+    twin of the parquet path; same projection-pushdown behavior through
+    the native reader)."""
+    paths = list(path) if isinstance(path, (list, tuple)) else [path]
+    df = spark.read.orc(*paths)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink, partitionable like the parquet/jsonl sinks."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def dataset_manifest(spark: SparkSession, path: str,
+                     fmt: str = "parquet") -> DataFrame:
+    """Write-audit manifest of an on-disk dataset: one row per physical
+    file with its row count and an ORDER-INDEPENDENT content digest
+    (``bit_xor`` of a 64-bit row hash) — the artifact a 100 TB export
+    job ships alongside the data so a consumer (or a later recompaction,
+    see :func:`compact_dataset`) can verify integrity without re-reading
+    the producer's lineage.
+
+    XOR is commutative, so the digest is stable under any row order
+    within a file and parallel hashing; the per-file aggregation is map-side
+    combined and the manifest is files-count-sized. Row hash covers every
+    column via ``xxhash64`` over string-normalized values (NULL marked
+    distinctly from the string 'null').
+    """
+    df = (spark.read.format(fmt).load(path)
+          .withColumn("__file", F.input_file_name()))
+    cols = [c for c in df.columns if c != "__file"]
+    row_hash = F.xxhash64(*[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in cols])
+    return (df.groupBy("__file")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.bit_xor(row_hash).alias("content_digest"))
+            .withColumnRenamed("__file", "file"))
+
+
+def verify_manifest(spark: SparkSession, path: str, manifest: DataFrame,
+                    fmt: str = "parquet") -> DataFrame:
+    """Re-derive :func:`dataset_manifest` for ``path`` and diff it
+    against a stored manifest: returns the files whose row count or
+    content digest changed (empty = verified). Join is manifest-sized
+    (broadcast) — verification reads the DATA once and the manifest
+    frames stay tiny."""
+    current = dataset_manifest(spark, path, fmt)
+    m = manifest.select(F.col("file"),
+                        F.col("n_rows").alias("expected_rows"),
+                        F.col("content_digest").alias("expected_digest"))
+    return (current.join(F.broadcast(m), "file", "full_outer")
+            .where((F.col("n_rows").isNull())
+                   | (F.col("expected_rows").isNull())
+                   | (F.col("n_rows") != F.col("expected_rows"))
+                   | (F.col("content_digest") != F.col("expected_digest"))))
+
+
+def compact_dataset(spark: SparkSession, src: str, dst: str,
+                    target_rows_per_file: int,
+                    fmt: str = "parquet") -> int:
+    """Small-file compaction: rewrite ``src`` into ``dst`` with
+    ``ceil(n / target_rows_per_file)`` output files — the maintenance
+    pass every long-running ingest needs (streaming sinks and
+    per-partition writers fragment into thousands of tiny files, and at
+    100 TB the NameNode/listing and per-file open costs dominate reads).
+
+    Uses ``repartition`` (round-robin, balanced sizes) rather than
+    ``coalesce`` (which merges without a shuffle but inherits upstream
+    skew and caps parallelism during the write). Returns the file count
+    written. Content equality (not order) is the contract — verify with
+    :func:`dataset_manifest` totals.
+    """
+    if target_rows_per_file < 1:
+        raise ValueError(
+            f"target_rows_per_file must be >= 1, got {target_rows_per_file}")
+    df = spark.read.format(fmt).load(src)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst)
+    return n_files

@@ -418,3 +418,73 @@ def test_read_jsonl_corrupt_col_collision_is_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="collides with a declared"):
         read_jsonl(spark, str(p), schema="doc_id long, text string",
                    corrupt_col="text")
+
+
+# ---------------------------------------------------------------- round-7b sinks
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from powerdatapipeline_spark.sources import readers as rd
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    p = str(tmp_path / "nation_orc")
+    rd.write_orc(src, p)
+    back = rd.read_orc(spark, p, columns=["n_nationkey", "n_name"])
+    assert back.columns == ["n_nationkey", "n_name"]
+    got = sorted((r["n_nationkey"], r["n_name"]) for r in back.collect())
+    want = sorted((r["n_nationkey"], r["n_name"]) for r in
+                  src.select("n_nationkey", "n_name").collect())
+    assert got == want
+
+
+def test_dataset_manifest_verifies_and_detects_change(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from powerdatapipeline_spark.sources import readers as rd
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("g"))
+    p = str(tmp_path / "data")
+    df.repartition(4).write.parquet(p)
+    man = rd.dataset_manifest(spark, p)
+    rows = man.collect()
+    assert sum(r["n_rows"] for r in rows) == 100
+    assert len(rows) == 4
+    # unchanged data verifies clean
+    assert rd.verify_manifest(spark, p, man).count() == 0
+    # manifest is row-order independent: digest of a file depends only on
+    # its content set, so rewriting identical content into ONE file still
+    # matches on totals
+    p2 = str(tmp_path / "data2")
+    df.repartition(1).write.parquet(p2)
+    man2 = rd.dataset_manifest(spark, p2).collect()
+    import functools, operator
+    assert (functools.reduce(operator.xor, (r["content_digest"] for r in rows))
+            == functools.reduce(operator.xor,
+                                (r["content_digest"] for r in man2)))
+    # a tampered file set is detected — verify against the STORED
+    # manifest rows (a live manifest DataFrame is lazy and would re-read
+    # the tampered path, vacuously matching itself)
+    stored = spark.createDataFrame(rows, man.schema)
+    extra = spark.range(100, 101).select(
+        F.col("id"), (F.col("id") % 5).alias("g"))
+    extra.write.mode("append").parquet(p)
+    assert rd.verify_manifest(spark, p, stored).count() > 0
+
+
+def test_compact_dataset(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from powerdatapipeline_spark.sources import readers as rd
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    src = str(tmp_path / "frag")
+    df.repartition(16).write.parquet(src)
+    dst = str(tmp_path / "compacted")
+    n_files = rd.compact_dataset(spark, src, dst, target_rows_per_file=500)
+    assert n_files == 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    # content identical (order-independent digest totals match)
+    import functools, operator
+    d1 = [r["content_digest"] for r in rd.dataset_manifest(spark, src).collect()]
+    d2 = [r["content_digest"] for r in rd.dataset_manifest(spark, dst).collect()]
+    assert (functools.reduce(operator.xor, d1)
+            == functools.reduce(operator.xor, d2))
+    with _pytest.raises(ValueError):
+        rd.compact_dataset(spark, src, dst, target_rows_per_file=0)
