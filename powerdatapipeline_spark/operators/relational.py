@@ -275,15 +275,17 @@ def bloom_prune_join(fact: DataFrame, dim: DataFrame, on: str,
             1, 15), 16, 10).cast("bigint") % nbits)
 
     key = F.col(on)
-    word_bits = None
-    for h in range(k_hashes):
-        # shiftleft()'s python builtin takes a literal shift only; the SQL
-        # function form accepts expressions, hence the expr() hop
-        row = (dim.select(bit_of(key, h).alias("__b"))
-               .select((F.col("__b") / 64).cast("int").alias("word"),
-                       F.expr("shiftleft(CAST(1 AS BIGINT), "
-                              "CAST(__b % 64 AS INT))").alias("mask")))
-        word_bits = row if word_bits is None else word_bits.unionAll(row)
+    # ONE dim scan sets all k bits per key (a per-hash union would scan
+    # the dim side k times); shiftleft()'s python builtin takes a literal
+    # shift only, so the SQL function form runs via expr()
+    staged = dim.select(*[bit_of(key, h).alias(f"__b{h}")
+                          for h in range(k_hashes)])
+    word_bits = (staged.select(F.explode(F.array(*[
+        F.struct((F.col(f"__b{h}") / 64).cast("int").alias("word"),
+                 F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(__b{h} % 64 AS INT))").alias("mask"))
+        for h in range(k_hashes)])).alias("wb"))
+        .select("wb.word", "wb.mask"))
     words = {r["word"]: r["bits"] for r in
              (word_bits.groupBy("word")
               .agg(F.bit_or("mask").alias("bits")).collect())}

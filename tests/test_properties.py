@@ -180,3 +180,95 @@ def test_rolling_fingerprint_matches_python_reference(spark, s):
     for ch in norm:
         fp = (fp * 131 + ord(ch)) % 1_000_000_007
     assert got == fp
+
+
+# ------------------------------------------------- round-7b operator laws
+
+@SLOW
+@given(s=st.text(alphabet=st.sampled_from(list("abc d\t.é中")), max_size=40))
+def test_char_entropy_matches_python_reference(spark, s):
+    """H from the zero-shuffle HOF pipeline == the plain Python
+    counter-based entropy (same 6-rounded ln terms, same ordered fold)."""
+    import math
+    from collections import Counter
+    from powerdatapipeline_spark.operators import text as tx
+
+    out = tx.char_entropy(spark.createDataFrame(
+        [Row(doc_id=1, text=s)])).collect()[0]
+    n = len(s)
+    cnt = Counter(s)
+    if n == 0:
+        want = 0.0
+    else:
+        acc = 0.0
+        for ch in sorted(cnt):
+            c = cnt[ch]
+            acc += c * round(math.log(c / n), 6)
+        want = round(-acc / n, 6)
+    assert out["n_chars"] == n
+    assert out["n_distinct_chars"] == len(cnt)
+    assert out["char_entropy"] == pytest.approx(want, abs=1e-9)
+
+
+@SLOW
+@given(vals=st.lists(st.floats(-100, 100), min_size=1, max_size=25),
+       alpha=st.sampled_from([0.2, 0.5, 0.9]),
+       taps=st.sampled_from([1, 3, 8]))
+def test_ewma_fir_matches_python_reference(spark, vals, alpha, taps):
+    df = spark.createDataFrame(
+        [Row(u="u", t=i, x=float(v)) for i, v in enumerate(vals)])
+    got = {r["t"]: r["ewma"] for r in
+           ts.ewma_fir(df, ["t"], "x", ["u"], alpha=alpha, taps=taps)
+           .collect()}
+    for i in range(len(vals)):
+        num = den = 0.0
+        for k in range(min(taps, i + 1)):
+            w = alpha * (1 - alpha) ** k
+            num += w * vals[i - k]
+            den += w
+        assert got[i] == pytest.approx(round(num / den, 6), abs=1e-6)
+
+
+@SLOW
+@given(n=st.integers(1, 60), nb=st.sampled_from([1, 3, 16]),
+       nkeys=st.integers(1, 3))
+def test_bucketed_cumsum_matches_python_reference(spark, n, nb, nkeys):
+    import random
+    from powerdatapipeline_spark.operators import text as tx
+
+    rng = random.Random(n * 31 + nb)
+    rows = [(f"k{rng.randrange(nkeys)}", i, rng.randrange(1, 9))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = {(r["g"], r["o"]): int(r["cum"]) for r in
+           tx.cumulative_sum_bucketed(df, ["g"], "o", "v",
+                                      n_buckets=nb).collect()}
+    acc: dict = {}
+    want = {}
+    for g, o, v in sorted(rows, key=lambda r: r[1]):
+        acc[g] = acc.get(g, 0) + v
+        want[(g, o)] = acc[g]
+    assert got == want
+
+
+@SLOW
+@given(n=st.integers(1, 40), k=st.integers(1, 10))
+def test_weighted_sample_matches_python_reference(spark, n, k):
+    """The sampled id set == the top-k of the SAME md5-uniform scoring
+    computed in plain Python (full determinism, no RNG)."""
+    import hashlib
+    from powerdatapipeline_spark.operators import relational as rel
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(n)]
+    df = spark.createDataFrame(rows, "key long, w double")
+    got = [r["key"] for r in
+           rel.weighted_hash_sample(df, "key", "w", k).collect()]
+
+    def score(i, w):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:15]
+        u = (int(h, 16) + 1) / float(1 << 60)
+        return u ** (1.0 / w)
+
+    want = [i for i, w in sorted(rows, key=lambda r:
+                                 (-score(*r), r[0]))][:k]
+    assert got == want
