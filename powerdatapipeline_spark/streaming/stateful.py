@@ -133,3 +133,102 @@ def batch_zscore_online(df: DataFrame, series_col: str, ts_col: str = "ts",
         v.alias("value"),
         z.alias("zscore"),
         n.cast("long").alias("n_seen"))
+
+
+# --------------------------------------------------------------- EWMA (IIR)
+
+EWMA_OUTPUT = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("event_ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ewma", T.DoubleType()),
+])
+
+_EWMA_STATE = T.StructType([
+    T.StructField("has", T.BooleanType()),
+    T.StructField("s", T.DoubleType()),
+])
+
+
+def _make_ewma_group(alpha: float, idle_timeout_ms: int | None):
+    def _ewma_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["series", "event_ts", "value",
+                                            "ewma"])
+            return
+        has, s = state.get if state.exists else (False, 0.0)
+        out_rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts, v in zip(whole["ts"], whole["value"]):
+                if v is None or pd.isna(v):
+                    # NULLs are emitted unsmoothed and leave state alone —
+                    # same reconciliation rule as streaming_zscore
+                    out_rows.append((key[0], ts, None, None))
+                    continue
+                s = float(v) if not has else alpha * float(v) + (1 - alpha) * s
+                has = True
+                out_rows.append((key[0], ts, float(v), s))
+        state.update((has, s))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(out_rows, columns=["series", "event_ts", "value",
+                                              "ewma"])
+    return _ewma_group
+
+
+def streaming_ewma(stream: DataFrame, series_col: str, ts_col: str = "ts",
+                   value_col: str = "value", alpha: float = 0.3,
+                   idle_timeout_ms: int | None = None) -> DataFrame:
+    """Streaming per-series EWMA via ``applyInPandasWithState`` — the
+    EXACT IIR recursion ``s = αx + (1−α)s``, which is the right form
+    here: a stream is inherently sequential per key, so the recursion
+    batch processing must FIR-truncate for parallelism
+    (timeseries.ewma_fir) costs nothing extra in a stateful operator.
+    State per key is two scalars; ``idle_timeout_ms`` evicts idle series
+    exactly like streaming_zscore."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms
+                    else GroupStateTimeout.NoTimeout)
+    src = stream.select(F.col(series_col).cast("string").alias("series"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(value_col).cast("double").alias("value"))
+    return (src.groupBy("series")
+            .applyInPandasWithState(_make_ewma_group(alpha, idle_timeout_ms),
+                                    EWMA_OUTPUT, _EWMA_STATE,
+                                    "append", timeout_conf))
+
+
+def batch_ewma_iir(df: DataFrame, series_col: str, ts_col: str = "ts",
+                   value_col: str = "value",
+                   alpha: float = 0.3) -> DataFrame:
+    """Batch twin of :func:`streaming_ewma`: the same exact IIR recursion
+    via ``groupBy().applyInPandas`` — each series runs sequentially in
+    one task (the recursion does not parallelize WITHIN a series; the
+    parallelism is across series, and a backfill holds one series per
+    task). For scale-out smoothing of very long single series prefer the
+    FIR approximation (timeseries.ewma_fir)."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        out, s, has = [], 0.0, False
+        for v in pdf["value"]:
+            if v is None or pd.isna(v):
+                out.append(None)
+                continue
+            s = float(v) if not has else alpha * float(v) + (1 - alpha) * s
+            has = True
+            out.append(s)
+        pdf = pdf.assign(ewma=out)
+        return pdf[["series", "ts", "value", "ewma"]].rename(
+            columns={"ts": "event_ts"})
+
+    src = df.select(F.col(series_col).cast("string").alias("series"),
+                    F.col(ts_col).alias("ts"),
+                    F.col(value_col).cast("double").alias("value"))
+    return src.groupBy("series").applyInPandas(smooth, schema=EWMA_OUTPUT)

@@ -138,3 +138,59 @@ def test_streaming_emits_null_values_like_batch(spark, tmp_path):
     assert rows[1].value is None and rows[1].zscore is None
     assert rows[1].n_seen == 1  # null row scored against 1 prior non-null
     assert rows[2].n_seen == 1  # null did not advance the statistic
+
+
+# ---------------------------------------------------------------- EWMA twin
+
+def test_streaming_ewma_equals_batch_iir_twin(spark, tmp_path):
+    """Streaming IIR EWMA across micro-batch boundaries == the batch
+    applyInPandas twin on the union of all batches (state must carry s
+    between files)."""
+    from powerdatapipeline_spark.streaming.stateful import (
+        batch_ewma_iir, streaming_ewma)
+
+    src = tmp_path / "ein"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "ts,series,value\n"
+        "2024-01-01 00:00:01,a,10.0\n"
+        "2024-01-01 00:00:02,a,20.0\n"
+        "2024-01-01 00:00:01,b,5.0\n")
+    (src / "b.csv").write_text(
+        "ts,series,value\n"
+        "2024-01-01 00:00:03,a,\n"
+        "2024-01-01 00:00:04,a,30.0\n"
+        "2024-01-01 00:00:02,b,7.0\n")
+    stream = (spark.readStream.schema(SCHEMA).option("header", "true")
+              .option("maxFilesPerTrigger", 1).csv(str(src)))
+    q = (streaming_ewma(stream, "series", alpha=0.5)
+         .writeStream.format("memory").queryName("ew1")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.series, r.event_ts): (r.value, r.ewma) for r in
+           spark.sql("SELECT * FROM ew1").collect()}
+    batch = spark.read.schema(SCHEMA).option("header", "true").csv(str(src))
+    want = {(r.series, r.event_ts): (r.value, r.ewma) for r in
+            batch_ewma_iir(batch, "series", alpha=0.5).collect()}
+    assert set(got) == set(want) and len(got) == 6
+    for k in want:
+        gv, ge = got[k]
+        wv, we = want[k]
+        assert gv == wv
+        if we is None:
+            assert ge is None
+        else:
+            assert ge == pytest.approx(we, abs=1e-9)
+    # hand value: series a -> 10, .5*20+.5*10=15, NULL, .5*30+.5*15=22.5
+    import datetime as dt
+    a4 = [v for (s, t), v in want.items()
+          if s == "a" and t.second == 4][0]
+    assert a4[1] == pytest.approx(22.5)
+
+
+def test_streaming_ewma_validates_alpha(spark):
+    from powerdatapipeline_spark.streaming.stateful import (
+        batch_ewma_iir, streaming_ewma)
+    df = spark.createDataFrame([("a", 1.0)], "series string, value double")
+    with pytest.raises(ValueError):
+        batch_ewma_iir(df, "series", alpha=0.0)
