@@ -106,6 +106,19 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
     return out.drop("__salt")
 
 
+def _md5_prefix_bigint(key: Column, salt: str, n_hex: int) -> Column:
+    """``int(md5(salt ‖ key)[:n_hex], 16)`` as BIGINT — the one
+    engine-portable hash primitive under hash_bucket (8 hex digits),
+    uniform_from_key (15), and bloom_prune_join's bit positions (15).
+    The md5 hex prefix is bit-identical in any engine (DuckDB:
+    ``('0x' || substr(md5(k), 1, n))::BIGINT``), uniformly distributed,
+    and a pure narrow map; 15 hex digits is the widest prefix that fits
+    a signed 64-bit int."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, n_hex),
+        16, 10).cast("bigint")
+
+
 def hash_bucket(key_col: str | Column, salt: str = "",
                 buckets: int = 10_000) -> Column:
     """Deterministic engine-portable bucket id in ``[0, buckets)``:
@@ -115,9 +128,7 @@ def hash_bucket(key_col: str | Column, salt: str = "",
     the primitive under :func:`hash_split` and
     :func:`stratified_hash_sample`."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    return (F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
-        16, 10).cast("bigint") % buckets)
+    return _md5_prefix_bigint(key, salt, 8) % buckets
 
 
 def hash_split(df: DataFrame, key_col: str,
@@ -206,9 +217,7 @@ def uniform_from_key(key_col: str | Column, salt: str = "") -> Column:
     narrow map, no RNG state — reruns, engines, and cluster sizes all
     agree on every row's draw."""
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    v = F.conv(F.substring(
-        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
-        16, 10).cast("bigint")
+    v = _md5_prefix_bigint(key, salt, 15)
     return (v + 1).cast("double") / F.lit(_U_DENOM)
 
 
@@ -270,9 +279,7 @@ def bloom_prune_join(fact: DataFrame, dim: DataFrame, on: str,
     nbits = m_words * 64
 
     def bit_of(col: Column, h: int) -> Column:
-        return (F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"bloom{h}:"), col.cast("string"))),
-            1, 15), 16, 10).cast("bigint") % nbits)
+        return _md5_prefix_bigint(col, f"bloom{h}:", 15) % nbits
 
     key = F.col(on)
     # ONE dim scan sets all k bits per key (a per-hash union would scan

@@ -158,8 +158,7 @@ def robust_scale_apply(df: DataFrame, fit: DataFrame, value_col: str,
 
 
 def mad_outliers(df: DataFrame, value_col: str, keys: Sequence[str] = (),
-                 threshold: float = 3.5,
-                 id_cols: Sequence[str] = ()) -> DataFrame:
+                 threshold: float = 3.5) -> DataFrame:
     """Robust outlier flags via the modified z-score (Iglewicz–Hoaglin):
     ``0.6745 · (x − median) / MAD`` with ``MAD = median(|x − median|)``
     per group, flagging ``|mz| > threshold`` (3.5 is the canonical cut).
@@ -172,6 +171,12 @@ def mad_outliers(df: DataFrame, value_col: str, keys: Sequence[str] = (),
     scan, so the raw data shuffles at most once per pass and never
     collects. MAD = 0 slabs (over half the group identical) yield NULL
     scores, not ±inf.
+
+    The deviation subtree (raw scan ⋈ broadcast medians) is DELIBERATELY
+    recomputed for the scoring pass rather than persisted: at 100 TB a
+    columnar re-scan plus a broadcast join is routinely cheaper than
+    caching a corpus-sized frame (memory pressure/spill), and the only
+    materialized state stays the two tiny percentile frames.
     """
     x = F.col(value_col).cast("double")
     med = (df.groupBy(*keys)

@@ -138,16 +138,27 @@ def stopword_ratio(col: str | Column) -> Column:
     return F.when(F.size(t) > 0, n_sw / F.size(t)).otherwise(F.lit(0.0))
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality features (length, mean word length,
-    punctuation density, stopword ratio) + a composite score in [0, 1].
-    Mirrors common LLM-corpus quality filters (C4/Gopher-style rules)."""
+def _quality_exprs(text_col: str | Column):
+    """The shared C4/Gopher feature expressions — ONE definition consumed
+    by both :func:`quality_score` and the funnel rules
+    (:func:`_funnel_rules`), so the two documented-as-one rule families
+    cannot silently diverge: (n_tokens, n_chars, mean_word_len,
+    punct_ratio)."""
     t = tokens(text_col)
     n_tok = F.size(t)
     n_chars = F.length(_c(text_col))
     mean_word_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok)
     punct = F.length(F.regexp_replace(_c(text_col), r"[^.,;:!?]", ""))
-    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0,
+                         punct.cast("double") / n_chars).otherwise(0.0)
+    return n_tok, n_chars, mean_word_len, punct_ratio
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality features (length, mean word length,
+    punctuation density, stopword ratio) + a composite score in [0, 1].
+    Mirrors common LLM-corpus quality filters (C4/Gopher-style rules)."""
+    n_tok, n_chars, mean_word_len, punct_ratio = _quality_exprs(text_col)
     sw_ratio = stopword_ratio(text_col)
     score = (
         F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
@@ -947,13 +958,7 @@ def winnow_neardup_pairs(df: DataFrame, text_col: str = "text",
 #: the audit semantics: stage i's drop count is measured among stage
 #: i−1's survivors, the way a production pipeline reports its funnel.
 def _funnel_rules(text_col: str):
-    t = tokens(text_col)
-    n_tok = F.size(t)
-    n_chars = F.length(_c(text_col))
-    mwl = F.when(n_tok > 0, n_chars.cast("double") / n_tok)
-    punct = F.length(F.regexp_replace(_c(text_col), r"[^.,;:!?]", ""))
-    punct_ratio = F.when(n_chars > 0,
-                         punct.cast("double") / n_chars).otherwise(0.0)
+    n_tok, n_chars, mwl, punct_ratio = _quality_exprs(text_col)
     lines = F.filter(F.split(_c(text_col), "\n"),
                      lambda x: F.trim(x) != "")
     dup_line_frac = F.when(
@@ -1043,6 +1048,11 @@ def cumulative_sum_bucketed(df: DataFrame, keys: list[str], order_col: str,
     tests pin bucketed ≡ global-window on every row (the
     ffill_bucketed/sliding_windows_bucketed twin pattern).
     """
+    if n_buckets < 1:
+        # n_buckets=0 would silently clamp every row into bucket −1 and
+        # degenerate to the one-task-per-key window this function exists
+        # to avoid
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
     if lo is None:
         return df.withColumn(out_col, F.lit(None).cast("decimal(38,10)"))
@@ -1129,7 +1139,7 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     # Java's split keeps the empty match at end-of-input (limit −1), so
     # the lookahead char split yields one trailing "" — drop it, or it
     # counts as a phantom distinct character
-    staged = df.select(
+    staged = _spread(df).select(
         F.col(id_col), F.length(_c(text_col)).alias("__n"),
         F.array_sort(F.filter(F.split(_c(text_col), "(?!^)"),
                               lambda x: x != "")).alias("__cs"))

@@ -3356,7 +3356,7 @@ WITH s AS (
              1.0 / n_chars) AS sample_score
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, n_chars, round(sample_score, 6) AS sample_score
-FROM s ORDER BY sample_score DESC, doc_id ASC LIMIT 25
+FROM s ORDER BY s.sample_score DESC, doc_id ASC LIMIT 25
 """, priority=PRI_TAIL)
 def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
@@ -3366,7 +3366,10 @@ def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to weighted draws). Every sampled id and its score are
     hash-verified against the oracle replaying the identical
     ``u^(1/w)`` scoring. Narrow map + TakeOrdered top-k — per-partition
-    heaps, never a global sort."""
+    heaps, never a global sort. The oracle's ORDER BY is QUALIFIED
+    (``s.sample_score``) because DuckDB resolves a bare name to the
+    rounded output alias — which would break top-k ties differently
+    than Spark's raw-score ordering at the boundary."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     s = rel.weighted_hash_sample(d, "doc_id", "n_chars", 25)
     return s.select("doc_id", "n_chars",

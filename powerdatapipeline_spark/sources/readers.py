@@ -371,16 +371,20 @@ def dataset_manifest(spark: SparkSession, path: str,
                      fmt: str = "parquet") -> DataFrame:
     """Write-audit manifest of an on-disk dataset: one row per physical
     file with its row count and an ORDER-INDEPENDENT content digest
-    (``bit_xor`` of a 64-bit row hash) — the artifact a 100 TB export
+    (sum of a 64-bit row hash mod 2^64) — the artifact a 100 TB export
     job ships alongside the data so a consumer (or a later recompaction,
     see :func:`compact_dataset`) can verify integrity without re-reading
     the producer's lineage.
 
-    XOR is commutative, so the digest is stable under any row order
-    within a file and parallel hashing; the per-file aggregation is map-side
-    combined and the manifest is files-count-sized. Row hash covers every
-    column via ``xxhash64`` over string-normalized values (NULL marked
-    distinctly from the string 'null').
+    The combiner is an exact decimal SUM reduced mod 2^64 — commutative
+    (row order and parallel hashing don't matter) AND multiset-safe: a
+    bit_xor combiner would cancel any even-multiplicity change (two
+    copies of a row corrupted identically leaves x⊕x = 0 unchanged),
+    letting duplicate-row corruption pass the audit. The per-file
+    aggregation is map-side combined and the manifest is
+    files-count-sized. Row hash covers every column via ``xxhash64``
+    over string-normalized values (NULL marked distinctly from the
+    string 'null').
     """
     df = (spark.read.format(fmt).load(path)
           .withColumn("__file", F.input_file_name()))
@@ -390,7 +394,9 @@ def dataset_manifest(spark: SparkSession, path: str,
         for c in cols])
     return (df.groupBy("__file")
             .agg(F.count("*").cast("bigint").alias("n_rows"),
-                 F.bit_xor(row_hash).alias("content_digest"))
+                 F.pmod(F.sum(row_hash.cast("decimal(38,0)")),
+                        F.lit(str(2 ** 64)).cast("decimal(38,0)"))
+                 .cast("decimal(38,0)").alias("content_digest"))
             .withColumnRenamed("__file", "file"))
 
 

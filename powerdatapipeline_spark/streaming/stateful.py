@@ -161,7 +161,13 @@ def _make_ewma_group(alpha: float, idle_timeout_ms: int | None):
         out_rows = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            whole = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            # sort by (ts, value), NOT ts alone: the IIR recursion is
+            # order-sensitive (unlike the z-score statistics), an
+            # unstable single-key sort permutes tied timestamps between
+            # runs, and equal (ts, value) pairs are interchangeable — so
+            # this makes the smoothed output fully deterministic
+            whole = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "value"])
             for ts, v in zip(whole["ts"], whole["value"]):
                 if v is None or pd.isna(v):
                     # NULLs are emitted unsmoothed and leave state alone —
@@ -215,7 +221,9 @@ def batch_ewma_iir(df: DataFrame, series_col: str, ts_col: str = "ts",
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts")
+        # (ts, value) sort for run-to-run determinism on tied
+        # timestamps — must match the streaming twin's order exactly
+        pdf = pdf.sort_values(["ts", "value"])
         out, s, has = [], 0.0, False
         for v in pdf["value"]:
             if v is None or pd.isna(v):

@@ -449,15 +449,13 @@ def test_dataset_manifest_verifies_and_detects_change(spark, tmp_path):
     # unchanged data verifies clean
     assert rd.verify_manifest(spark, p, man).count() == 0
     # manifest is row-order independent: digest of a file depends only on
-    # its content set, so rewriting identical content into ONE file still
-    # matches on totals
+    # its content multiset, so rewriting identical content into ONE file
+    # still matches on the mod-2^64 sum of digests
     p2 = str(tmp_path / "data2")
     df.repartition(1).write.parquet(p2)
     man2 = rd.dataset_manifest(spark, p2).collect()
-    import functools, operator
-    assert (functools.reduce(operator.xor, (r["content_digest"] for r in rows))
-            == functools.reduce(operator.xor,
-                                (r["content_digest"] for r in man2)))
+    assert (sum(int(r["content_digest"]) for r in rows) % 2**64
+            == sum(int(r["content_digest"]) for r in man2) % 2**64)
     # a tampered file set is detected — verify against the STORED
     # manifest rows (a live manifest DataFrame is lazy and would re-read
     # the tampered path, vacuously matching itself)
@@ -481,10 +479,8 @@ def test_compact_dataset(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 1000
     # content identical (order-independent digest totals match)
-    import functools, operator
-    d1 = [r["content_digest"] for r in rd.dataset_manifest(spark, src).collect()]
-    d2 = [r["content_digest"] for r in rd.dataset_manifest(spark, dst).collect()]
-    assert (functools.reduce(operator.xor, d1)
-            == functools.reduce(operator.xor, d2))
+    d1 = [int(r["content_digest"]) for r in rd.dataset_manifest(spark, src).collect()]
+    d2 = [int(r["content_digest"]) for r in rd.dataset_manifest(spark, dst).collect()]
+    assert sum(d1) % 2**64 == sum(d2) % 2**64
     with _pytest.raises(ValueError):
         rd.compact_dataset(spark, src, dst, target_rows_per_file=0)

@@ -194,3 +194,5 @@ def test_streaming_ewma_validates_alpha(spark):
     df = spark.createDataFrame([("a", 1.0)], "series string, value double")
     with pytest.raises(ValueError):
         batch_ewma_iir(df, "series", alpha=0.0)
+    with pytest.raises(ValueError):
+        streaming_ewma(df, "series", alpha=0.0)
