@@ -439,3 +439,75 @@ def random_projection(embeddings: DataFrame, out_dim: int = 16,
     r_lit = F.lit([[float(x) for x in row] for row in R])
     proj = F.transform(r_lit, lambda row: F.round(dot(vec_col, row), 6))
     return embeddings.withColumn(out_col, proj)
+
+
+def int8_quantize_fit(embeddings: DataFrame, vec_col: str = "embedding",
+                      dim: int = 64) -> tuple[list, list]:
+    """Per-dimension (min, max) calibration for int8 scalar quantization
+    — the standard 4× embedding-compression step before similarity
+    search at scale (a 100 TB float32 embedding store becomes 25 TB of
+    codes; recall loss is small because ranking only needs relative
+    order). One posexplode + grouped min/max pass; the result is
+    ``dim`` pairs of floats (a fixed-size collect, the centroids
+    pattern)."""
+    mm = (embeddings.select(F.posexplode(vec_col).alias("d", "x"))
+          .groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+          .collect())
+    by_d = {r["d"]: (r["lo"], r["hi"]) for r in mm}
+    los = [float(by_d[d][0]) for d in range(dim)]
+    his = [float(by_d[d][1]) for d in range(dim)]
+    return los, his
+
+
+def _int8_codes(vec_col, lo, hi):
+    """Quantization codes 0..255: ``floor((x−lo)/scale + 0.5)`` clamped —
+    explicit floor per the engine-portability rules; zero-range dims
+    (constant across the corpus) code to 0."""
+    def code(x, i):
+        l = F.element_at(lo, i + 1)
+        h = F.element_at(hi, i + 1)
+        scale = (h - l) / 255.0
+        c = F.floor((x.cast("double") - l) / scale + 0.5)
+        return (F.when(h > l,
+                       F.least(F.greatest(c, F.lit(0)), F.lit(255)))
+                .otherwise(F.lit(0))).cast("int")
+    return F.transform(F.col(vec_col), code)
+
+
+def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id", dim: int = 64) -> DataFrame:
+    """Approximate top-k by dot product over int8-DEQUANTIZED vectors:
+    corpus and queries quantize against the same per-dim calibration
+    (embedded as two literal arrays — no per-row fit state), scores are
+    the plain-double left-fold dot of the dequantized codes, ranking is
+    total-ordered (score desc, id). The quantization error is bounded
+    per dim by scale/2, so ranking survives for well-spread embeddings;
+    tests pin recall@k against the exact brute force. Queries broadcast,
+    the corpus never shuffles — the q31 shape on compressed codes."""
+    los, his = int8_quantize_fit(embeddings, vec_col, dim)
+    lo = F.array(*[F.lit(v) for v in los])
+    hi = F.array(*[F.lit(v) for v in his])
+
+    def dequant(codes_col):
+        return F.transform(
+            codes_col,
+            lambda c, i: F.element_at(lo, i + 1)
+            + c.cast("double")
+            * (F.element_at(hi, i + 1) - F.element_at(lo, i + 1)) / 255.0)
+
+    corpus = (embeddings
+              .withColumn("__dq", dequant(_int8_codes(vec_col, lo, hi))))
+    qs = (queries
+          .withColumn("__qdq", dequant(_int8_codes(vec_col, lo, hi)))
+          .select(F.col(query_id_col), "__qdq"))
+    score = F.round(F.aggregate(
+        F.zip_with("__dq", "__qdq", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("qscore"), F.asc(id_col))
+    return (corpus.crossJoin(F.broadcast(qs))
+            .select(query_id_col, id_col, score.alias("qscore"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .drop("__dq", "__qdq"))

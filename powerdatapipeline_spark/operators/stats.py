@@ -229,3 +229,52 @@ def grouped_ols_pandas(df: DataFrame, keys: Sequence[str], x: str, y: str) -> Da
                               "r": round(r, 6)}])
 
     return df.groupBy(*key_list).applyInPandas(fit, schema=out_schema)
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 1024,
+              depth: int = 3) -> DataFrame:
+    """Count-min sketch build over a key stream: ``depth`` independent
+    md5-salted hash rows × ``width`` buckets, counts aggregated per
+    cell — the mergeable frequency sketch for heavy-hitter queries at
+    100 TB, where an exact per-key count is a vocabulary-sized shuffle
+    but the sketch is a fixed ``depth × width`` frame (a few KB) built
+    with ONE map-side-combined aggregation. Engine-portable: the bucket
+    hash is the shared md5-prefix primitive, so an oracle can replay
+    the exact sketch.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    from powerdatapipeline_spark.operators.relational import \
+        _md5_prefix_bigint
+    key = F.col(key_col)
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (_md5_prefix_bigint(key, f"cms{j}:", 15) % width)
+                 .alias("b"))
+        for j in range(depth)])).alias("c")
+    return (df.select(cells)
+            .groupBy("c.j", "c.b")
+            .agg(F.count("*").cast("bigint").alias("n")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                 width: int = 1024, depth: int = 3,
+                 out_col: str = "cms_estimate") -> DataFrame:
+    """Point-query a :func:`cms_build` sketch: estimate = min over the
+    ``depth`` rows of the addressed cell counts. Never underestimates;
+    overestimates by collision mass ≤ e·N/width with high probability.
+    The sketch frame broadcasts (``depth × width`` rows), so estimation
+    is a narrow pass over the key frame."""
+    from powerdatapipeline_spark.operators.relational import \
+        _md5_prefix_bigint
+    key = F.col(key_col)
+    probes = (keys.select(key_col, F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (_md5_prefix_bigint(key, f"cms{j}:", 15) % width)
+                 .alias("b"))
+        for j in range(depth)])).alias("p")))
+    return (probes.join(F.broadcast(sketch),
+                        (F.col("p.j") == F.col("j"))
+                        & (F.col("p.b") == F.col("b")))
+            .groupBy(key_col)
+            .agg(F.min("n").cast("bigint").alias(out_col)))

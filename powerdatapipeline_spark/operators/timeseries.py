@@ -876,3 +876,71 @@ def retention_cohorts(df: DataFrame, ts_col: str, user_col: str,
                 .localCheckpoint(eager=True))
     finally:
         activity.unpersist()
+
+
+def interpolation_join(left: DataFrame, right: DataFrame,
+                       partition_by: Sequence[str], ts_col: str,
+                       value_col: str,
+                       out_col: str = "interp_value") -> DataFrame:
+    """Sample-at-event join: for every left row, the right series' value
+    LINEARLY INTERPOLATED at the left timestamp — the telemetry
+    enrichment shape ("what was the sensor reading when this event
+    fired?") that an as-of join answers step-wise and this answers
+    continuously. An exact-timestamp right row wins outright; a left
+    timestamp outside the right series' span takes the nearest endpoint
+    (clamp, the standard sample-and-hold convention); a key with no
+    right rows yields NULL.
+
+    Scale shape: the asof_join union trick run in BOTH directions — tag
+    the sides, union, ONE window pass per key carrying the bracketing
+    right (ts, value) pairs backward and forward — so the cost is one
+    |L|+|R| shuffle keyed by the series, never an inequality join's
+    |L|·|R| probe. The interpolation factor is plain double arithmetic
+    on epoch seconds, oracle-reproducible.
+    """
+    keys = list(partition_by)
+    lcols = list(left.columns)
+    rtypes = dict(right.dtypes)
+    pair_t = f"struct<ts:double,v:{rtypes[value_col]}>"
+    tagged_l = left.select(
+        *lcols, F.lit(1).alias("__tag"),
+        F.lit(None).cast(pair_t).alias("__p"))
+    ltypes = dict(left.dtypes)
+    tagged_r = right.select(
+        *[F.col(c) if c in keys + [ts_col]
+          else F.lit(None).cast(ltypes.get(c, "string")).alias(c)
+          for c in lcols],
+        F.lit(0).alias("__tag"),
+        F.struct(F.col(ts_col).cast("double").alias("ts"),
+                 F.col(value_col).alias("v")).alias("__p"))
+    unioned = tagged_l.unionByName(tagged_r)
+    # right rows sort before left at equal ts, so an exact-ts right row
+    # lands in the backward carry (factor 0 → its own value); the value
+    # field breaks ties BETWEEN right rows sharing a timestamp, making
+    # the bracketing choice deterministic (backward picks max value,
+    # forward picks min — the oracle's arg_max/arg_min convention)
+    order = [F.col(ts_col), F.col("__tag"), F.col("__p")["v"]]
+    wb = (Window.partitionBy(*keys).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*keys).orderBy(*order)
+          .rowsBetween(0, Window.unboundedFollowing))
+    # the brackets MUST materialize as columns BEFORE the tag filter: a
+    # window expression referenced after .where(tag == 1) would evaluate
+    # over the filtered (left-only) frame and never see a right row
+    carried = (unioned
+               .withColumn("__b", F.last("__p", ignorenulls=True).over(wb))
+               .withColumn("__a", F.first("__p", ignorenulls=True).over(wf))
+               .where(F.col("__tag") == 1))
+    t = F.col(ts_col).cast("double")
+    before, after = F.col("__b"), F.col("__a")
+    tb, vb = before["ts"], before["v"].cast("double")
+    ta, va = after["ts"], after["v"].cast("double")
+    interp = (
+        F.when(before.isNull() & after.isNull(), F.lit(None))
+        .when(before.isNull(), va)            # before span start: clamp
+        .when(after.isNull(), vb)             # past span end: clamp
+        .when(ta == tb, vb)                   # exact hit / zero gap
+        .otherwise(vb + (va - vb) * (t - tb) / (ta - tb)))
+    return (carried
+            .withColumn(out_col, F.round(interp, 6))
+            .drop("__tag", "__p", "__b", "__a"))

@@ -3808,6 +3808,148 @@ def q111_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+@register("q112_interpolation_join", """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+bb AS (SELECT event_id, vb, tb FROM (
+         SELECT l.event_id, r.value AS vb, r.ts AS tb,
+                row_number() OVER (PARTITION BY l.event_id
+                                   ORDER BY r.ts DESC, r.value DESC) AS rn
+         FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+       WHERE rn = 1),
+aa AS (SELECT event_id, va, ta FROM (
+         SELECT l.event_id, r.value AS va, r.ts AS ta,
+                row_number() OVER (PARTITION BY l.event_id
+                                   ORDER BY r.ts ASC, r.value ASC) AS rn
+         FROM l JOIN r ON l.user_id = r.user_id AND r.ts > l.ts)
+       WHERE rn = 1)
+SELECT l.event_id, l.user_id,
+       round(CASE
+         WHEN bb.event_id IS NULL AND aa.event_id IS NULL THEN NULL
+         WHEN bb.event_id IS NULL THEN va
+         WHEN aa.event_id IS NULL THEN vb
+         WHEN epoch(ta) = epoch(tb) THEN vb
+         ELSE vb + (va - vb) * (epoch(l.ts) - epoch(tb))
+                   / (epoch(ta) - epoch(tb))
+       END, 6) AS interp_value
+FROM l LEFT JOIN bb USING (event_id) LEFT JOIN aa USING (event_id)
+""", priority=PRI_TAIL)
+def q112_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-at-event interpolation join
+    (operators/timeseries.interpolation_join): each click event samples
+    its user's 'view' value series LINEARLY INTERPOLATED at the click
+    time — the continuous version of q37's step-wise as-of join, i.e.
+    "what was the sensor reading when this event fired". Exact-ts right
+    rows win outright; timestamps outside the right span clamp to the
+    nearest endpoint; keyless rows yield NULL. One |L|+|R| union +
+    window pass per key (NO inequality join — the oracle's correlated
+    form is the |L|·|R| shape this operator exists to avoid)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", "ts", "value"))
+    out = ts.interpolation_join(clicks, views, ["user_id"], "ts", "value")
+    return out.select("event_id", "user_id", "interp_value")
+
+
+@register("q113_cms_heavy_hitters", r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 20),
+js AS (SELECT unnest([0, 1, 2]) AS j),
+cells AS (
+  SELECT js.j,
+         CAST(('0x' || substr(md5('cms' || js.j || ':' || toks.term), 1, 15))
+              AS BIGINT) % 1024 AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks CROSS JOIN js GROUP BY 1, 2),
+est AS (
+  SELECT top.term, min(cells.n) AS est
+  FROM top CROSS JOIN js
+  JOIN cells ON cells.j = js.j
+            AND cells.b = CAST(('0x' || substr(md5('cms' || js.j || ':'
+                                  || top.term), 1, 15)) AS BIGINT) % 1024
+  GROUP BY 1)
+SELECT top.term, CAST(top.c AS BIGINT) AS exact_count,
+       CAST(est.est AS BIGINT) AS cms_estimate,
+       est.est >= top.c AS no_underestimate
+FROM top JOIN est USING (term)
+""", priority=PRI_TAIL)
+def q113_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus' top-20 terms
+    (operators/stats.cms_build/cms_estimate): the mergeable
+    heavy-hitter sketch for 100 TB streams, where exact per-key counts
+    are a vocabulary-sized shuffle but the sketch is a fixed 3×1024
+    cell frame built in ONE map-side-combined pass. The md5-salted
+    bucket hashes are the shared engine-portable primitive, so the
+    oracle replays the ENTIRE sketch and the estimates hash-match —
+    stronger than a contract boolean, though the CMS one-sided
+    guarantee (never underestimates) is ALSO pinned as a column. The
+    collision-mass upper bound is asserted in pytest."""
+    from powerdatapipeline_spark.operators import stats as st
+    toks = (tx._spread(_t(spark, sf_dir, "documents"))
+            .select(F.explode(tx.tokens("text")).alias("term")))
+    sketch = st.cms_build(toks, "term")
+    exact = toks.groupBy("term").agg(F.count("*").alias("c"))
+    top = exact.orderBy(F.desc("c"), F.asc("term")).limit(20)
+    est = st.cms_estimate(sketch, top, "term")
+    return (top.join(est, "term")
+            .select("term", F.col("c").cast("bigint").alias("exact_count"),
+                    "cms_estimate",
+                    (F.col("cms_estimate") >= F.col("c"))
+                    .alias("no_underestimate")))
+
+
+@register("q114_int8_quantized_topk", """
+WITH ds AS (SELECT unnest(generate_series(1, 64)) AS i),
+mm AS (SELECT ds.i, min(CAST(embedding[ds.i] AS DOUBLE)) AS lo,
+              max(CAST(embedding[ds.i] AS DOUBLE)) AS hi
+       FROM embeddings CROSS JOIN ds GROUP BY 1),
+cal AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+        FROM mm),
+dq AS (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, 64), i ->
+           cal.lo[i] + (CASE WHEN cal.hi[i] > cal.lo[i]
+             THEN least(greatest(floor(
+               (CAST(e.embedding[i] AS DOUBLE) - cal.lo[i])
+               / ((cal.hi[i] - cal.lo[i]) / 255.0) + 0.5), 0), 255)
+             ELSE 0 END) * (cal.hi[i] - cal.lo[i]) / 255.0) AS v
+  FROM embeddings e CROSS JOIN cal),
+q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, dq.vec_id,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(generate_series(1, 64),
+                            i -> dq.v[i] * q.qv[i])),
+             (acc, x) -> acc + x), 6) AS qscore
+  FROM dq CROSS JOIN q)
+SELECT * FROM (
+  SELECT query_id, vec_id, qscore,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY qscore DESC, vec_id ASC) AS INT) AS rank
+  FROM s) WHERE rank <= 10
+""", priority=PRI_TAIL)
+def q114_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized similarity top-k
+    (operators/similarity.int8_topk): the 4× embedding-compression path
+    — per-dim min/max calibration (one posexplode pass, a dim-sized
+    collect), explicit-floor quantization to 0..255 codes, dot product
+    over the DEQUANTIZED vectors in a defined left fold. The oracle
+    replays calibration, quantization, and scoring exactly, so every
+    ranked score hash-matches; recall vs the exact brute force (q31) is
+    pinned in pytest. Queries broadcast; the corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.int8_topk(emb, qs, k=10)
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the

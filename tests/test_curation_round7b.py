@@ -306,3 +306,100 @@ def test_zipf_fit_on_exact_power_law(spark):
     assert out["n"] == 20
     assert out["slope"] == pytest.approx(-1.0, abs=0.05)
     assert out["r"] < -0.99
+
+
+# ---------------------------------------------------------------- interp join
+
+def test_interpolation_join_hand_computed(spark):
+    left = spark.createDataFrame(
+        [("u", 5.0, 1), ("u", 10.0, 2), ("u", 25.0, 3), ("u", 100.0, 4),
+         ("v", 7.0, 5)],
+        "k string, t double, lid long")
+    right = spark.createDataFrame(
+        [("u", 0.0, 0.0), ("u", 20.0, 40.0), ("u", 30.0, 10.0)],
+        "k string, t double, val double")
+    out = {r["lid"]: r["interp_value"] for r in
+           ts.interpolation_join(left, right, ["k"], "t", "val")
+           .collect()}
+    assert out[1] == pytest.approx(10.0)    # 5/20 of the way 0 -> 40
+    assert out[2] == pytest.approx(20.0)    # halfway
+    assert out[3] == pytest.approx(25.0)    # 25 in [20,30]: 40 -> 10
+    assert out[4] == pytest.approx(10.0)    # past span end: clamp
+    assert out[5] is None                   # key with no right rows
+
+
+def test_interpolation_join_exact_hit_wins(spark):
+    left = spark.createDataFrame([("u", 20.0, 1)], "k string, t double, lid long")
+    right = spark.createDataFrame(
+        [("u", 0.0, 5.0), ("u", 20.0, 7.0), ("u", 40.0, 9.0)],
+        "k string, t double, val double")
+    out = ts.interpolation_join(left, right, ["k"], "t", "val").collect()
+    assert out[0]["interp_value"] == pytest.approx(7.0)
+
+
+# ---------------------------------------------------------------- CMS
+
+def test_cms_never_underestimates_and_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tx.tokens("text")).alias("term"))
+    n_total = toks.count()
+    sketch = st.cms_build(toks, "term", width=1024, depth=3)
+    # sketch is exactly depth x (<= width) cells and mass-preserving
+    cells = sketch.collect()
+    assert {r["j"] for r in cells} == {0, 1, 2}
+    per_row = {}
+    for r in cells:
+        per_row[r["j"]] = per_row.get(r["j"], 0) + r["n"]
+    assert all(v == n_total for v in per_row.values())
+    exact = toks.groupBy("term").agg(F.count("*").alias("c"))
+    top = exact.orderBy(F.desc("c"), F.asc("term")).limit(20)
+    est = {r["term"]: r["cms_estimate"] for r in
+           st.cms_estimate(sketch, top, "term", width=1024, depth=3)
+           .collect()}
+    slack = 16 * n_total / 1024  # generous multiple of the e*N/w bound
+    for r in top.collect():
+        assert est[r["term"]] >= r["c"]
+        assert est[r["term"]] - r["c"] <= slack
+    with pytest.raises(ValueError):
+        st.cms_build(toks, "term", width=0)
+
+
+# ---------------------------------------------------------------- int8 ANN
+
+def test_int8_topk_recall_vs_brute_force(spark, sf_dir):
+    from powerdatapipeline_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = (emb.where(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    approx = sim.int8_topk(emb, qs, k=10)
+    exact = sim.brute_force_topk(emb, qs, k=10)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # NOTE: int8 ranks by dot product while brute force ranks by cosine;
+    # on this corpus (near-uniform norms) they align closely — require
+    # recall@10 >= 0.6 averaged
+    recalls = [len(a[q] & e[q]) / 10 for q in e]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_int8_quantization_error_bounded(spark, sf_dir):
+    from powerdatapipeline_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    los, his = sim.int8_quantize_fit(emb)
+    assert len(los) == len(his) == 64
+    assert all(h >= l for l, h in zip(los, his))
+    # per-dim reconstruction error <= scale/2 by construction: spot-check
+    # one vector end-to-end through the code/dequant round trip
+    row = emb.where(F.col("vec_id") == 7).select("embedding").first()
+    vec = [float(x) for x in row["embedding"]]
+    for d, x in enumerate(vec):
+        scale = (his[d] - los[d]) / 255.0
+        if scale == 0:
+            continue
+        code = min(max(int((x - los[d]) / scale + 0.5), 0), 255)
+        dq = los[d] + code * scale
+        assert abs(dq - x) <= scale / 2 + 1e-9
