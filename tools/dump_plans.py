@@ -40,6 +40,9 @@ CROSS_JOIN_INTENDED = {
     # round 7b: q106's unigram/bigram corpus totals are single-row
     # broadcast cross joins onto the pruned candidate frame
     "q106_pmi_bigrams",
+    # round 7b: q114 scores the corpus against the broadcast query batch
+    # — the q31 brute-force shape over dequantized int8 codes
+    "q114_int8_quantized_topk",
 }
 
 
