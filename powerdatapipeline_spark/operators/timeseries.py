@@ -944,3 +944,110 @@ def interpolation_join(left: DataFrame, right: DataFrame,
     return (carried
             .withColumn(out_col, F.round(interp, 6))
             .drop("__tag", "__p", "__b", "__a"))
+
+
+def energy_integral(df: DataFrame, ts_col: str, value_col: str,
+                    partition_by: Sequence[str],
+                    method: str = "trapezoid") -> DataFrame:
+    """Time integral of a rate series per key — the power-domain
+    primitive (kW readings → kWh energy): irregular sampling means a
+    plain AVG is wrong; the integral weights each reading by the time
+    it was in force. ``trapezoid`` integrates ((v_i + v_{i+1})/2)·Δt
+    (piecewise-linear signal), ``left`` integrates v_i·Δt
+    (sample-and-hold meters). Also emits the TIME-WEIGHTED average
+    (integral / span) — the TWAP every tariff/settlement calculation
+    uses instead of the row-weighted mean.
+
+    One ``lead()`` window pass per series + a map-side-combined grouped
+    sum over exact decimals (bit-reproducible, partition-order-free).
+    Single-reading series have zero span: NULL average, 0 integral.
+    """
+    if method not in ("trapezoid", "left"):
+        raise ValueError(f"method must be 'trapezoid' or 'left', got {method!r}")
+    w = Window.partitionBy(*partition_by).orderBy(ts_col)
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    dt = F.lead(t).over(w) - t
+    v_next = F.lead(v).over(w)
+    seg = (v + v_next) / 2.0 * dt if method == "trapezoid" else v * dt
+    # per-segment round(…,6) BEFORE the decimal cast (the q81 term
+    # recipe): segment magnitudes put decimal(38,10)'s 10th fractional
+    # digit at the 17-significant-digit shortest-repr edge, where
+    # engines' double→decimal casts disagree; 6 decimals is far inside
+    # the exactly-reproducible range
+    stepped = df.withColumn("__seg", F.round(seg, 6))
+    out = (stepped.groupBy(*partition_by)
+           .agg(F.sum(F.col("__seg").cast("decimal(38,10)"))
+                .alias("__int"),
+                (F.max(t) - F.min(t)).alias("__span"),
+                F.count("*").cast("bigint").alias("n_readings")))
+    integral = F.coalesce(F.col("__int").cast("double"), F.lit(0.0))
+    twap = F.when(F.col("__span") > 0, integral / F.col("__span"))
+    return out.select(*partition_by, "n_readings",
+                      F.round(integral, 6).alias("integral"),
+                      F.round(F.col("__span"), 6).alias("span_seconds"),
+                      F.round(twap, 6).alias("time_weighted_avg"))
+
+
+def peak_analysis(df: DataFrame, ts_col: str, value_col: str,
+                  partition_by: Sequence[str],
+                  bucket_seconds: int = 86_400) -> DataFrame:
+    """Per-(key, bucket) peak statistics — the demand-charge shape on
+    grid telemetry: peak load, mean load, peak-to-average ratio, and
+    the timestamp AT the peak (earliest on ties, total-ordered via
+    min-of-struct — no second scan, no window sort). One
+    map-side-combined aggregation keyed by (key, epoch bucket)."""
+    b = F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_seconds))) \
+         .cast("bigint")
+    v = F.col(value_col).cast("double")
+    t = F.col(ts_col).cast("double")
+    # min of (-value, ts) = (max value, earliest ts at that value)
+    peak_pick = F.min(F.struct((-v).alias("nv"), t.alias("ts")))
+    # decimal-exact mean (partition-order-free) per the parity rules —
+    # a plain double avg() folds in task order
+    mean = (F.sum(v.cast("decimal(38,10)")).cast("double")
+            / F.count("*"))
+    out = (df.withColumn("__b", b)
+           .groupBy(*partition_by, "__b")
+           .agg(F.max(v).alias("__peak"),
+                mean.alias("__mean"),
+                peak_pick.alias("__pp"),
+                F.count("*").cast("bigint").alias("n_readings")))
+    par = F.when(F.col("__mean") != 0, F.col("__peak") / F.col("__mean"))
+    return out.select(
+        *partition_by, F.col("__b").alias("bucket"), "n_readings",
+        F.round(F.col("__peak"), 6).alias("peak"),
+        F.round(F.col("__mean"), 6).alias("mean_load"),
+        F.round(par, 6).alias("peak_to_avg"),
+        F.col("__pp")["ts"].alias("peak_ts_seconds"))
+
+
+def load_duration_curve(df: DataFrame, value_col: str,
+                        partition_by: Sequence[str] = (),
+                        points: int = 20) -> DataFrame:
+    """Load-duration curve per key: the value exceeded for each duration
+    fraction d ∈ {0, 1/points, …, 1} — the sorted-load-vs-time chart
+    power engineers read capacity factors from. Exceedance duality:
+    the load exceeded for fraction d of the time is the (1−d) quantile,
+    so the whole curve is ONE exact-percentile aggregate over the
+    ``points+1`` interpolated quantiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the bit-identical pair) exploded to
+    (duration_frac, load) rows — never a global sort of the readings.
+    """
+    if points < 1:
+        raise ValueError(f"points must be >= 1, got {points}")
+    v = F.col(value_col).cast("double")
+    fracs = [i / points for i in range(points + 1)]
+    percs = F.percentile(v, [1.0 - d for d in fracs])
+    agg = (df.groupBy(*partition_by)
+           .agg(percs.alias("__q"),
+                F.count("*").cast("bigint").alias("n_readings")))
+    pairs = F.array(*[
+        F.struct(F.lit(round(d, 6)).alias("duration_frac"),
+                 F.round(F.element_at(F.col("__q"), i + 1), 6)
+                 .alias("load"))
+        for i, d in enumerate(fracs)])
+    return (agg.select(*partition_by, "n_readings",
+                       F.explode(pairs).alias("p"))
+            .select(*partition_by, "n_readings",
+                    "p.duration_frac", "p.load"))

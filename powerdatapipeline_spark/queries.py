@@ -3950,6 +3950,136 @@ def q114_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.int8_topk(emb, qs, k=10)
 
 
+@register("q115_hll_sketch_merge", """
+SELECT CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT))
+            AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS within_contract
+FROM events
+""", priority=PRI_TAIL)
+def q115_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch COLUMNS (Spark's Datasketches
+    ``hll_sketch_agg`` / ``hll_union_agg``): distinct users per day as
+    stored sketch blobs, union-merged into the all-time estimate — the
+    incremental-distinct pattern at 100 TB (per-partition sketches
+    persist as bytes; tomorrow's count is a union, not a rescan),
+    vs q48's one-shot approx_count_distinct. Contract: the merged
+    estimate within 3σ of exact (σ ≈ 1.04/√2¹² for the default
+    lgConfigK=12); the oracle pins the exact count and the contract
+    boolean — an estimator drifting out of bounds flips the Spark-side
+    boolean and fails the hash compare."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / 86400.0).cast("bigint")
+    daily = (ev.groupBy(day.alias("day"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    merged = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint")
+                   .alias("exact_distinct"))
+    rel = 3 * 1.04 / (2 ** 12) ** 0.5
+    return (merged.crossJoin(F.broadcast(exact))
+            .select("n_days", "exact_distinct",
+                    (F.abs(F.col("est") - F.col("exact_distinct"))
+                     <= F.lit(rel) * F.col("exact_distinct"))
+                    .alias("within_contract")))
+
+
+@register("q116_energy_integral", """
+WITH s AS (SELECT user_id, epoch(ts) AS t, value,
+                  lead(epoch(ts)) OVER w AS t1, lead(value) OVER w AS v1
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+seg AS (SELECT user_id, t, value,
+               round(CASE WHEN t1 IS NOT NULL
+                          THEN (value + v1) / 2.0 * (t1 - t) END, 6) AS sg
+        FROM s),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_readings,
+             CAST(sum(CAST(sg AS DECIMAL(38,10))) AS DOUBLE) AS intg,
+             max(t) - min(t) AS span
+      FROM seg GROUP BY 1)
+SELECT user_id, n_readings,
+       round(COALESCE(intg, 0.0), 6) AS integral,
+       round(span, 6) AS span_seconds,
+       round(CASE WHEN span > 0 THEN COALESCE(intg, 0.0) / span END, 6)
+         AS time_weighted_avg
+FROM a
+""", priority=PRI_TAIL)
+def q116_energy_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time integral + time-weighted average per user series
+    (operators/timeseries.energy_integral) — THE power-domain primitive:
+    kW readings on an irregular cadence integrate to kWh, and
+    settlement uses the TWAP (integral/span), not the row-weighted mean
+    a plain AVG gives. One lead() window pass per series, exact-decimal
+    segment sums (partition-order-free), single-reading series degrade
+    to 0 integral / NULL average instead of dividing by zero."""
+    ev = _t(spark, sf_dir, "events")
+    return ts.energy_integral(ev, "ts", "value", ["user_id"])
+
+
+@register("q117_peak_analysis", """
+WITH b AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bucket,
+                  epoch(ts) AS t, value
+           FROM events),
+a AS (SELECT event_type, bucket,
+             CAST(count(*) AS BIGINT) AS n_readings,
+             max(value) AS pk,
+             CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*) AS mn
+      FROM b GROUP BY 1, 2),
+p AS (SELECT b.event_type, b.bucket, min(b.t) AS peak_ts
+      FROM b JOIN a ON b.event_type = a.event_type
+                   AND b.bucket = a.bucket AND b.value = a.pk
+      GROUP BY 1, 2)
+SELECT a.event_type, a.bucket, a.n_readings,
+       round(a.pk, 6) AS peak,
+       round(a.mn, 6) AS mean_load,
+       round(CASE WHEN a.mn <> 0 THEN a.pk / a.mn END, 6) AS peak_to_avg,
+       p.peak_ts AS peak_ts_seconds
+FROM a JOIN p USING (event_type, bucket)
+""", priority=PRI_TAIL)
+def q117_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak-demand statistics per series
+    (operators/timeseries.peak_analysis): peak load, decimal-exact mean
+    load, peak-to-average ratio (the demand-charge driver), and the
+    timestamp AT the peak — picked inside the SAME aggregation via
+    min-of-(−value, ts) struct (earliest on ties), where the oracle
+    needs a max-join second pass. One map-side-combined aggregation
+    keyed by (series, epoch day)."""
+    ev = _t(spark, sf_dir, "events")
+    return ts.peak_analysis(ev, "ts", "value", ["event_type"])
+
+
+def _ldc_fracs(points: int = 10) -> list[float]:
+    return [round(i / points, 6) for i in range(points + 1)]
+
+
+@register("q118_load_duration_curve", f"""
+WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_readings,
+                  quantile_cont(value, [{', '.join(
+                      repr(1.0 - d) + ('e0' if 'e' not in repr(1.0 - d)
+                                       else '')
+                      for d in _ldc_fracs())}]) AS qs
+           FROM events GROUP BY 1),
+f(i, d) AS (VALUES {', '.join(
+    f"({i + 1}, {repr(d)}e0)" for i, d in enumerate(_ldc_fracs()))})
+SELECT a.event_type, a.n_readings,
+       f.d AS duration_frac, round(a.qs[f.i], 6) AS load
+FROM a CROSS JOIN f
+""", priority=PRI_TAIL)
+def q118_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve per series
+    (operators/timeseries.load_duration_curve) — the sorted-load-vs-time
+    chart capacity factors are read from. Exceedance duality turns the
+    whole curve into ONE exact-percentile aggregate (the value exceeded
+    for duration fraction d is the (1−d) quantile; Spark ``percentile``
+    ≡ DuckDB ``quantile_cont`` bit-identically) exploded to
+    (duration_frac, load) points — never a global sort of the
+    readings."""
+    ev = _t(spark, sf_dir, "events")
+    return ts.load_duration_curve(ev, "value", ["event_type"], points=10)
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the

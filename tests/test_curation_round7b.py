@@ -403,3 +403,69 @@ def test_int8_quantization_error_bounded(spark, sf_dir):
         code = min(max(int((x - los[d]) / scale + 0.5), 0), 255)
         dq = los[d] + code * scale
         assert abs(dq - x) <= scale / 2 + 1e-9
+
+
+# ---------------------------------------------------------------- power ops
+
+def test_energy_integral_hand_computed(spark):
+    # u: (0,10),(10,20),(30,0): trapezoid = 15*10 + 10*20 = 350; span 30
+    rows = [("u", 0.0, 10.0), ("u", 10.0, 20.0), ("u", 30.0, 0.0),
+            ("v", 5.0, 7.0)]
+    df = spark.createDataFrame(rows, "k string, t double, x double")
+    out = {r["k"]: r for r in
+           ts.energy_integral(df, "t", "x", ["k"]).collect()}
+    assert out["u"]["integral"] == pytest.approx(350.0)
+    assert out["u"]["time_weighted_avg"] == pytest.approx(350.0 / 30)
+    # single reading: zero span, 0 integral, NULL average
+    assert out["v"]["integral"] == 0.0
+    assert out["v"]["time_weighted_avg"] is None
+    # sample-and-hold: 10*10 + 20*20 = 500
+    left = {r["k"]: r for r in
+            ts.energy_integral(df, "t", "x", ["k"], method="left")
+            .collect()}
+    assert left["u"]["integral"] == pytest.approx(500.0)
+    with pytest.raises(ValueError):
+        ts.energy_integral(df, "t", "x", ["k"], method="simpson")
+
+
+def test_peak_analysis_hand_computed(spark):
+    # same-day readings; peak 30 occurs twice -> earliest ts reported
+    rows = [("a", 10.0, 10.0), ("a", 20.0, 30.0), ("a", 40.0, 30.0),
+            ("a", 50.0, 10.0)]
+    df = spark.createDataFrame(rows, "k string, t double, x double")
+    out = ts.peak_analysis(df, "t", "x", ["k"], bucket_seconds=86400) \
+            .collect()[0]
+    assert out["peak"] == 30.0
+    assert out["mean_load"] == pytest.approx(20.0)
+    assert out["peak_to_avg"] == pytest.approx(1.5)
+    assert out["peak_ts_seconds"] == 20.0  # earliest of the tied peaks
+
+
+def test_load_duration_curve_monotone(spark):
+    rows = [("k", float(v)) for v in range(101)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = sorted(((r["duration_frac"], r["load"]) for r in
+                  ts.load_duration_curve(df, "x", ["k"], points=10)
+                  .collect()))
+    # exceeded 0% of the time = max; 100% = min; non-increasing between
+    assert out[0] == (0.0, 100.0)
+    assert out[-1] == (1.0, 0.0)
+    loads = [l for _, l in out]
+    assert all(a >= b for a, b in zip(loads, loads[1:]))
+    assert out[5][1] == pytest.approx(50.0)  # median at half duration
+    with pytest.raises(ValueError):
+        ts.load_duration_curve(df, "x", ["k"], points=0)
+
+
+def test_hll_sketch_union_tracks_exact(spark, sf_dir):
+    # never read events.parquet raw: its physical ts type varies by round
+    # (TIMESTAMP_NTZ cannot cast to double) — load_events normalizes
+    from powerdatapipeline_spark.queries import load_events
+    ev = load_events(spark, sf_dir)
+    day = (F.floor(F.col("ts").cast("double") / 86400.0).cast("bigint")
+           .alias("day"))
+    daily = ev.groupBy(day).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).first()["e"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) <= 3 * 1.04 / (2 ** 12) ** 0.5 * exact + 1

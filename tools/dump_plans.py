@@ -43,6 +43,9 @@ CROSS_JOIN_INTENDED = {
     # round 7b: q114 scores the corpus against the broadcast query batch
     # — the q31 brute-force shape over dequantized int8 codes
     "q114_int8_quantized_topk",
+    # round 7b: q115 joins the 1-row merged-sketch estimate with the
+    # 1-row exact count — a 1×1 broadcast join for the contract boolean
+    "q115_hll_sketch_merge",
 }
 
 
