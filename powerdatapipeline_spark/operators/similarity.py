@@ -454,6 +454,12 @@ def int8_quantize_fit(embeddings: DataFrame, vec_col: str = "embedding",
           .groupBy("d").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
           .collect())
     by_d = {r["d"]: (r["lo"], r["hi"]) for r in mm}
+    if set(by_d) != set(range(dim)):
+        # a dim mismatch would otherwise surface as a bare KeyError here
+        # or, worse, as silently NULL-poisoned scores downstream
+        raise ValueError(
+            f"embedding dimensions observed {sorted(by_d)[:3]}..."
+            f"{sorted(by_d)[-1:]} do not match dim={dim}")
     los = [float(by_d[d][0]) for d in range(dim)]
     his = [float(by_d[d][1]) for d in range(dim)]
     return los, his
@@ -509,5 +515,4 @@ def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     return (corpus.crossJoin(F.broadcast(qs))
             .select(query_id_col, id_col, score.alias("qscore"))
             .withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= k)
-            .drop("__dq", "__qdq"))
+            .where(F.col("rank") <= k))

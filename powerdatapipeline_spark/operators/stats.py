@@ -273,8 +273,13 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
                  (_md5_prefix_bigint(key, f"cms{j}:", 15) % width)
                  .alias("b"))
         for j in range(depth)])).alias("p")))
+    # LEFT join + coalesce-to-0: a key absent from the build stream can
+    # address cells no sketch row covers — an inner join would silently
+    # drop the point query (or min over surviving cells only, inflating
+    # it); the CMS-correct estimate for an empty cell is 0
     return (probes.join(F.broadcast(sketch),
                         (F.col("p.j") == F.col("j"))
-                        & (F.col("p.b") == F.col("b")))
+                        & (F.col("p.b") == F.col("b")), "left")
             .groupBy(key_col)
-            .agg(F.min("n").cast("bigint").alias(out_col)))
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .cast("bigint").alias(out_col)))

@@ -964,9 +964,13 @@ def energy_integral(df: DataFrame, ts_col: str, value_col: str,
     """
     if method not in ("trapezoid", "left"):
         raise ValueError(f"method must be 'trapezoid' or 'left', got {method!r}")
-    w = Window.partitionBy(*partition_by).orderBy(ts_col)
     t = F.col(ts_col).cast("double")
     v = F.col(value_col).cast("double")
+    # (ts, value) order: duplicate timestamps within a series would make
+    # the lead() pairing — and the integral — run-order-dependent under
+    # a ts-only sort (the streaming-EWMA tie lesson); equal (ts, value)
+    # pairs segment identically, so this is fully deterministic
+    w = Window.partitionBy(*partition_by).orderBy(ts_col, v)
     dt = F.lead(t).over(w) - t
     v_next = F.lead(v).over(w)
     seg = (v + v_next) / 2.0 * dt if method == "trapezoid" else v * dt

@@ -3892,17 +3892,26 @@ def q113_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee (never underestimates) is ALSO pinned as a column. The
     collision-mass upper bound is asserted in pytest."""
     from powerdatapipeline_spark.operators import stats as st
+    # persisted: the tokenize+explode pipeline feeds BOTH the sketch
+    # build and the exact counts — unpersisted, the most expensive part
+    # of the query runs twice (the q29/q77 shared-intermediate pattern)
     toks = (tx._spread(_t(spark, sf_dir, "documents"))
-            .select(F.explode(tx.tokens("text")).alias("term")))
+            .select(F.explode(tx.tokens("text")).alias("term"))
+            .persist())
     sketch = st.cms_build(toks, "term")
     exact = toks.groupBy("term").agg(F.count("*").alias("c"))
     top = exact.orderBy(F.desc("c"), F.asc("term")).limit(20)
     est = st.cms_estimate(sketch, top, "term")
-    return (top.join(est, "term")
-            .select("term", F.col("c").cast("bigint").alias("exact_count"),
-                    "cms_estimate",
-                    (F.col("cms_estimate") >= F.col("c"))
-                    .alias("no_underestimate")))
+    try:
+        return (top.join(est, "term")
+                .select("term",
+                        F.col("c").cast("bigint").alias("exact_count"),
+                        "cms_estimate",
+                        (F.col("cms_estimate") >= F.col("c"))
+                        .alias("no_underestimate"))
+                .localCheckpoint(eager=True))
+    finally:
+        toks.unpersist()
 
 
 @register("q114_int8_quantized_topk", """
@@ -3988,7 +3997,8 @@ def q115_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q116_energy_integral", """
 WITH s AS (SELECT user_id, epoch(ts) AS t, value,
                   lead(epoch(ts)) OVER w AS t1, lead(value) OVER w AS v1
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
 seg AS (SELECT user_id, t, value,
                round(CASE WHEN t1 IS NOT NULL
                           THEN (value + v1) / 2.0 * (t1 - t) END, 6) AS sg
@@ -4096,7 +4106,7 @@ def q118_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles and still run in tools/check_parity.py and the smoke test.
 #
 # ROUND-8 ROTATION PLAN (apply once CORRECTNESS_r07 records q75-q84
-# green): the round-7-born pool is now q85-q114 (30 queries, all
+# green): the round-7-born pool is now q85-q118 (34 queries, all
 # tail-parity pinned since birth). Promote as many as the head can
 # absorb by switching decorators to PRI_HEAD and demoting
 # freshly-recorded multi-round-green head entries (candidates by the

@@ -469,3 +469,27 @@ def test_hll_sketch_union_tracks_exact(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).first()["e"]
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) <= 3 * 1.04 / (2 ** 12) ** 0.5 * exact + 1
+
+
+def test_cms_estimate_unseen_key_is_zero(spark):
+    """A key absent from the build stream must estimate as ~0 (its cells
+    may be empty — the left-join/coalesce path), never vanish from the
+    output or inflate to a surviving-cell min."""
+    build = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "k string")
+    sketch = st.cms_build(build, "k", width=64, depth=3)
+    probe = spark.createDataFrame([("a",), ("zz-unseen",)], "k string")
+    est = {r["k"]: r["cms_estimate"] for r in
+           st.cms_estimate(sketch, probe, "k", width=64, depth=3)
+           .collect()}
+    assert set(est) == {"a", "zz-unseen"}
+    assert est["a"] >= 5
+    # width 64 with 2 build keys: an unseen key colliding on ALL 3 cells
+    # is ~(2/64)^3 — deterministic here, and its min cell is empty
+    assert est["zz-unseen"] == 0
+
+
+def test_int8_fit_rejects_dim_mismatch(spark, sf_dir):
+    from powerdatapipeline_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        sim.int8_quantize_fit(emb, dim=32)
