@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: decimal wide enough for Σxy over ~1e9 rows of ~1e10-scale products while
@@ -283,3 +283,58 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
                  .cast("bigint").alias(out_col)))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              keys: Sequence[str] = (), lo: float = 0.0, hi: float = 1.0,
+              nbins: int = 10, eps: float = 1e-6) -> DataFrame:
+    """Population-stability index between a reference and a current
+    window of the same feature — the standard training-data /
+    model-input drift monitor: ``PSI = Σ (q_i − p_i)·ln(q_i/p_i)`` over
+    shared fixed bins (rule of thumb: < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted). Zero-count bins floor at ``eps`` (the conventional
+    guard that keeps ln finite without distorting occupied bins).
+
+    Shape: each side is one fixed-width binned count aggregate
+    (map-side combined, the histogram() discipline: explicit floor,
+    shared bin-width literal); the two bins-per-key frames join
+    full-outer on (key, bin) — bins-cardinality-sized, broadcastable —
+    so the raw scans never join each other. Each ln is 6-rounded and
+    the term sum folds in exact decimal (partition-order-free,
+    oracle-reproducible).
+    """
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+    klist = list(keys)
+    w = (hi - lo) / nbins
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        b = F.least(F.floor((x - F.lit(lo)) / F.lit(w)),
+                    F.lit(nbins - 1).cast("bigint"))
+        return (df.where((x >= lo) & (x <= hi))
+                .groupBy(*klist, b.alias("bin"))
+                .agg(F.count("*").alias(f"__c_{side}")))
+
+    r = binned(ref, "r")
+    c = binned(cur, "c")
+    on = [*klist, "bin"]
+    both = (r.join(c, on, "full_outer")
+            .select(*on,
+                    F.coalesce(F.col("__c_r"), F.lit(0)).alias("cr"),
+                    F.coalesce(F.col("__c_c"), F.lit(0)).alias("cc")))
+    wk = Window.partitionBy(*klist) if klist else \
+        Window.partitionBy(F.lit(1))
+    both = (both.withColumn("__nr", F.sum("cr").over(wk))
+            .withColumn("__nc", F.sum("cc").over(wk)))
+    p = F.greatest(F.col("cr").cast("double") / F.col("__nr"), F.lit(eps))
+    q = F.greatest(F.col("cc").cast("double") / F.col("__nc"), F.lit(eps))
+    term = ((q - p) * (F.round(F.log(q), 6) - F.round(F.log(p), 6)))
+    scored = both.withColumn("__term",
+                             F.round(term, 6).cast("decimal(28,12)"))
+    return (scored.groupBy(*klist)
+            .agg(F.first("__nr").cast("bigint").alias("n_ref"),
+                 F.first("__nc").cast("bigint").alias("n_cur"),
+                 F.round(F.sum("__term").cast("double"), 6).alias("psi")))

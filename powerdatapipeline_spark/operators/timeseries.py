@@ -1055,3 +1055,96 @@ def load_duration_curve(df: DataFrame, value_col: str,
                        F.explode(pairs).alias("p"))
             .select(*partition_by, "n_readings",
                     "p.duration_frac", "p.load"))
+
+
+def gap_report(df: DataFrame, ts_col: str, partition_by: Sequence[str],
+               expected_seconds: float, eps: float = 1e-6) -> DataFrame:
+    """Per-series cadence-gap REPORT — the observability twin of
+    :func:`check_intervals` (which asserts): for each series, how many
+    gaps exceed the declared cadence, how many ticks are missing in
+    total, the worst gap, and the completeness ratio
+    ``n_readings / (span/expected + 1)`` — the meter-health table a
+    fleet operator reads before trusting a feed.
+
+    One lead() window pass per series + a map-side-combined aggregate.
+    A gap of ``g`` seconds hides ``round(g/expected) − 1`` missing
+    ticks; ``eps`` absorbs float cadence jitter. Single-reading series
+    report completeness 1.0 (nothing to miss within a zero span).
+    """
+    if expected_seconds <= 0:
+        raise ValueError(
+            f"expected_seconds must be > 0, got {expected_seconds}")
+    w = Window.partitionBy(*partition_by).orderBy(ts_col)
+    t = F.col(ts_col).cast("double")
+    iv = F.lead(t).over(w) - t
+    is_gap = iv > expected_seconds + eps
+    missing = F.when(is_gap,
+                     F.round(iv / F.lit(float(expected_seconds)), 0) - 1) \
+               .otherwise(F.lit(0.0))
+    stepped = df.select(*partition_by, t.alias("__t"),
+                        iv.alias("__iv"), is_gap.alias("__g"),
+                        missing.alias("__m"))
+    agg = (stepped.groupBy(*partition_by)
+           .agg(F.count("*").cast("bigint").alias("n_readings"),
+                F.sum(F.col("__g").cast("bigint")).alias("n_gaps"),
+                F.sum("__m").cast("bigint").alias("missing_ticks"),
+                F.max("__iv").alias("__maxiv"),
+                (F.max("__t") - F.min("__t")).alias("__span")))
+    expect_n = F.round(F.col("__span")
+                       / F.lit(float(expected_seconds)), 0) + 1
+    completeness = F.when(F.col("__span") > 0,
+                          F.col("n_readings") / expect_n) \
+                    .otherwise(F.lit(1.0))
+    return agg.select(
+        *partition_by, "n_readings",
+        F.coalesce(F.col("n_gaps"), F.lit(0)).alias("n_gaps"),
+        F.coalesce(F.col("missing_ticks"), F.lit(0))
+        .alias("missing_ticks"),
+        F.round(F.col("__maxiv"), 6).alias("max_gap_seconds"),
+        F.round(completeness, 6).alias("completeness"))
+
+
+def cusum_changepoints(df: DataFrame, ts_col: str, value_col: str,
+                       partition_by: Sequence[str],
+                       threshold_sigmas: float = 5.0,
+                       order_cols: Sequence[str] = ()) -> DataFrame:
+    """CUSUM level-shift detection per series: the running sum of
+    standardized deviations ``S_i = Σ (x_j − μ)/σ`` drifts away from 0
+    when the series' level shifts — the classic telemetry changepoint
+    flag (a feeder re-baselining, a sensor recalibrated); rows where
+    ``|S_i| > threshold_sigmas·√i`` are flagged (the √i normalization
+    makes the threshold a z-score on the random-walk envelope, so the
+    false-positive rate is level-independent).
+
+    Two passes: a per-series decimal-exact (μ, σ) aggregate broadcast
+    back, then ONE ordered window cumsum per series of the 6-rounded
+    standardized terms (exact decimal — partition-order-free). For a
+    single giant series the cumsum has the documented bucketed
+    prefix-sum escape (text.cumulative_sum_bucketed). ``order_cols``
+    must break timestamp ties (pass the event id).
+    """
+    keys = list(partition_by)
+    v = F.col(value_col).cast("double")
+    stats = (df.groupBy(*keys)
+             .agg(F.count("*").alias("__n"),
+                  (F.sum(v.cast("decimal(38,10)")).cast("double")
+                   / F.count("*")).alias("__mu"),
+                  (F.sum((v * v).cast("decimal(38,10)")).cast("double")
+                   / F.count("*")).alias("__ex2")))
+    stats = stats.withColumn(
+        "__sigma", F.sqrt(F.col("__ex2") - F.col("__mu") * F.col("__mu")))
+    joined = df.join(F.broadcast(stats), keys)
+    term = F.round((v - F.col("__mu")) / F.col("__sigma"), 6)
+    w = (Window.partitionBy(*keys)
+         .orderBy(ts_col, *order_cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cusum = F.sum(term.cast("decimal(38,10)")).over(w).cast("double")
+    i = F.row_number().over(Window.partitionBy(*keys)
+                            .orderBy(ts_col, *order_cols))
+    out = (joined.where(F.col("__sigma") > 0)
+           .withColumn("cusum", F.round(cusum, 6))
+           .withColumn("__i", i)
+           .withColumn("is_shift",
+                       F.abs(F.col("cusum"))
+                       > F.lit(float(threshold_sigmas)) * F.sqrt(F.col("__i"))))
+    return out.drop("__n", "__mu", "__ex2", "__sigma", "__i")

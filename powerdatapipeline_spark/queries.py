@@ -4090,6 +4090,134 @@ def q118_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.load_duration_curve(ev, "value", ["event_type"], points=10)
 
 
+@register("q119_gap_report", """
+WITH s AS (SELECT event_type, epoch(ts) AS t,
+                  lead(epoch(ts)) OVER (PARTITION BY event_type
+                                        ORDER BY ts) - epoch(ts) AS iv
+           FROM events),
+a AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_readings,
+             CAST(sum(CASE WHEN iv > 60.000001e0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gaps,
+             CAST(sum(CASE WHEN iv > 60.000001e0
+                           THEN round(iv / 60.0e0, 0) - 1 ELSE 0 END)
+                  AS BIGINT) AS missing_ticks,
+             max(iv) AS maxiv, max(t) - min(t) AS span
+      FROM s GROUP BY 1)
+SELECT event_type, n_readings, n_gaps, missing_ticks,
+       round(maxiv, 6) AS max_gap_seconds,
+       round(CASE WHEN span > 0
+                  THEN n_readings / (round(span / 60.0e0, 0) + 1)
+                  ELSE 1.0 END, 6) AS completeness
+FROM a
+""", priority=PRI_TAIL)
+def q119_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series cadence-gap report (operators/timeseries.gap_report) —
+    the observability twin of q16's interval AUDIT (which asserts):
+    gaps beyond the declared 60 s cadence, total missing ticks, worst
+    gap, and the completeness ratio — the meter-health table read
+    before trusting a feed. One lead() pass per series + a
+    map-side-combined aggregate; every per-series statistic is
+    hash-verified."""
+    ev = _t(spark, sf_dir, "events")
+    return ts.gap_report(ev, "ts", ["event_type"], expected_seconds=60)
+
+
+@register("q120_cusum_changepoints", """
+WITH st AS (SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(*) AS mu,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,10)))
+                        AS DOUBLE) / count(*) AS ex2
+            FROM events GROUP BY 1),
+j AS (SELECT e.event_id, e.event_type, e.ts, e.value, st.mu,
+             sqrt(st.ex2 - st.mu * st.mu) AS sigma
+      FROM events e JOIN st USING (event_type)),
+c AS (SELECT event_id, event_type,
+             CAST(sum(CAST(round((value - mu) / sigma, 6)
+                           AS DECIMAL(38,10))) OVER w AS DOUBLE) AS cs,
+             row_number() OVER w2 AS i
+      FROM j WHERE sigma > 0
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING),
+             w2 AS (PARTITION BY event_type ORDER BY ts, event_id))
+SELECT event_id, event_type, round(cs, 6) AS cusum,
+       abs(round(cs, 6)) > 5.0e0 * sqrt(CAST(i AS DOUBLE)) AS is_shift
+FROM c
+""", priority=PRI_TAIL)
+def q120_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per series
+    (operators/timeseries.cusum_changepoints): the running sum of
+    standardized deviations drifts from 0 when a series re-baselines —
+    the telemetry changepoint flag, thresholded at 5σ on the
+    random-walk envelope (|S_i| > 5·√i). Decimal-exact per-series
+    moments broadcast back + ONE ordered window cumsum of 6-rounded
+    terms; every per-event cusum value and flag is hash-verified (the
+    synthetic fixture is stationary, so flags should be rare — the
+    detector's false-positive behavior is itself pinned)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ts.cusum_changepoints(ev, "ts", "value", ["event_type"],
+                                threshold_sigmas=5.0,
+                                order_cols=["event_id"])
+    return out.select("event_id", "event_type", "cusum", "is_shift")
+
+
+@register("q121_psi_drift", """
+WITH med AS (SELECT quantile_cont(epoch(ts), 0.5) AS m FROM events),
+r AS (SELECT event_type, value FROM events, med WHERE epoch(ts) <= med.m),
+c AS (SELECT event_type, value FROM events, med WHERE epoch(ts) > med.m),
+rb AS (SELECT event_type,
+              least(floor((value - 0.0e0) / 20.0e0), 9) AS bin,
+              count(*) AS cr
+       FROM r WHERE value >= 0.0e0 AND value <= 200.0e0 GROUP BY 1, 2),
+cb AS (SELECT event_type,
+              least(floor((value - 0.0e0) / 20.0e0), 9) AS bin,
+              count(*) AS cc
+       FROM c WHERE value >= 0.0e0 AND value <= 200.0e0 GROUP BY 1, 2),
+b AS (SELECT COALESCE(rb.event_type, cb.event_type) AS event_type,
+             COALESCE(rb.bin, cb.bin) AS bin,
+             COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+      FROM rb FULL OUTER JOIN cb
+        ON rb.event_type = cb.event_type AND rb.bin = cb.bin),
+t AS (SELECT event_type, cr, cc,
+             sum(cr) OVER (PARTITION BY event_type) AS nr,
+             sum(cc) OVER (PARTITION BY event_type) AS nc
+      FROM b),
+terms AS (SELECT event_type, nr, nc,
+                 CAST(round((greatest(CAST(cc AS DOUBLE) / nc, 1e-06)
+                             - greatest(CAST(cr AS DOUBLE) / nr, 1e-06))
+                     * (round(ln(greatest(CAST(cc AS DOUBLE) / nc,
+                                          1e-06)), 6)
+                        - round(ln(greatest(CAST(cr AS DOUBLE) / nr,
+                                            1e-06)), 6)), 6)
+                      AS DECIMAL(28,12)) AS term
+          FROM t)
+SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY 1
+""", priority=PRI_TAIL)
+def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report
+    (operators/stats.psi_drift): the standard training-data / feature
+    drift monitor — PSI between the first and second time halves of
+    each series' value distribution over shared fixed bins (< 0.1
+    stable, > 0.25 shifted; the stationary fixture should sit near 0,
+    which the hash compare pins exactly). Each side is one binned
+    map-side-combined count; the two bins-per-key frames full-outer
+    join at bins cardinality; 6-rounded ln terms fold in exact
+    decimal."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.percentile(F.col("ts").cast("double"), 0.5)
+                 .alias("__m"))
+    tagged = ev.crossJoin(F.broadcast(med))
+    ref = tagged.where(F.col("ts").cast("double") <= F.col("__m"))
+    cur = tagged.where(F.col("ts").cast("double") > F.col("__m"))
+    return st.psi_drift(ref, cur, "value", ["event_type"],
+                        lo=0.0, hi=200.0, nbins=10)
+
+
 # ===========================================================================
 # Registry ordering — the driver's correctness snapshot records at most 50
 # entries (CORRECTNESS_r{3,4}.json both hold exactly the first 50), so the

@@ -493,3 +493,60 @@ def test_int8_fit_rejects_dim_mismatch(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError):
         sim.int8_quantize_fit(emb, dim=32)
+
+
+# ---------------------------------------------------------------- data health
+
+def test_gap_report_hand_computed(spark):
+    # series a: ticks 0,60,120,300 -> one gap of 180 hiding 2 ticks
+    rows = [("a", 0.0), ("a", 60.0), ("a", 120.0), ("a", 300.0),
+            ("b", 0.0), ("b", 60.0)]
+    df = spark.createDataFrame(rows, "k string, t double")
+    out = {r["k"]: r for r in
+           ts.gap_report(df, "t", ["k"], expected_seconds=60).collect()}
+    assert out["a"]["n_gaps"] == 1
+    assert out["a"]["missing_ticks"] == 2
+    assert out["a"]["max_gap_seconds"] == 180.0
+    # 4 readings of an expected 6 over the 300s span
+    assert out["a"]["completeness"] == pytest.approx(4 / 6, abs=1e-6)
+    assert out["b"]["n_gaps"] == 0
+    assert out["b"]["completeness"] == 1.0
+    with pytest.raises(ValueError):
+        ts.gap_report(df, "t", ["k"], expected_seconds=0)
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    # 30 points at 0, then 30 points at 10: the post-shift cusum must
+    # cross the 5-sigma random-walk envelope; a stationary series must not
+    import itertools
+    rows = ([("s", float(i), 0.0 + (i % 2) * 0.1) for i in range(30)]
+            + [("s", float(30 + i), 10.0 + (i % 2) * 0.1)
+               for i in range(30)]
+            + [("f", float(i), (i % 7) - 3.0) for i in range(60)])
+    df = spark.createDataFrame(rows, "k string, t double, x double")
+    out = ts.cusum_changepoints(df, "t", "x", ["k"],
+                                threshold_sigmas=5.0).collect()
+    shifted = [r for r in out if r["k"] == "s" and r["is_shift"]]
+    flat = [r for r in out if r["k"] == "f" and r["is_shift"]]
+    assert len(shifted) > 0
+    assert len(flat) == 0
+
+
+def test_psi_drift_detects_shift(spark):
+    same = [("g", float(v % 100)) for v in range(500)]
+    ref = spark.createDataFrame(same, "g string, x double")
+    cur_same = spark.createDataFrame(same, "g string, x double")
+    cur_shift = spark.createDataFrame(
+        [("g", float(v % 100) / 2) for v in range(500)],
+        "g string, x double")
+    stable = st.psi_drift(ref, cur_same, "x", ["g"],
+                          lo=0.0, hi=100.0).collect()[0]
+    drifted = st.psi_drift(ref, cur_shift, "x", ["g"],
+                           lo=0.0, hi=100.0).collect()[0]
+    assert abs(stable["psi"]) < 1e-6          # identical distributions
+    assert drifted["psi"] > 0.25              # "shifted" per rule of thumb
+    assert stable["n_ref"] == stable["n_cur"] == 500
+    with pytest.raises(ValueError):
+        st.psi_drift(ref, cur_same, "x", nbins=0)
+    with pytest.raises(ValueError):
+        st.psi_drift(ref, cur_same, "x", lo=5.0, hi=5.0)
