@@ -1116,6 +1116,10 @@ def cusum_changepoints(df: DataFrame, ts_col: str, value_col: str,
     makes the threshold a z-score on the random-walk envelope, so the
     false-positive rate is level-independent).
 
+    Constant series (σ = 0) are EXCLUDED from the output — there is no
+    scale on which to standardize, and a level "shift" of a constant
+    series is better caught by the gap/interval reports.
+
     Two passes: a per-series decimal-exact (μ, σ) aggregate broadcast
     back, then ONE ordered window cumsum per series of the 6-rounded
     standardized terms (exact decimal — partition-order-free). For a

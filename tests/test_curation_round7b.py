@@ -530,6 +530,10 @@ def test_cusum_flags_planted_level_shift(spark):
     flat = [r for r in out if r["k"] == "f" and r["is_shift"]]
     assert len(shifted) > 0
     assert len(flat) == 0
+    # constant series: sigma = 0 -> excluded entirely (documented)
+    const = spark.createDataFrame([("c", float(i), 5.0) for i in range(9)],
+                                  "k string, t double, x double")
+    assert ts.cusum_changepoints(const, "t", "x", ["k"]).count() == 0
 
 
 def test_psi_drift_detects_shift(spark):

@@ -46,6 +46,9 @@ CROSS_JOIN_INTENDED = {
     # round 7b: q115 joins the 1-row merged-sketch estimate with the
     # 1-row exact count — a 1×1 broadcast join for the contract boolean
     "q115_hll_sketch_merge",
+    # round 7b: q121 splits ref/cur on the 1-row global-median frame —
+    # two single-row broadcast cross joins onto the event scan
+    "q121_psi_drift",
 }
 
 
