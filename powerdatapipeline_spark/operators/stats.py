@@ -338,3 +338,68 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
             .agg(F.first("__nr").cast("bigint").alias("n_ref"),
                  F.first("__nc").cast("bigint").alias("n_cur"),
                  F.round(F.sum("__term").cast("double"), 6).alias("psi")))
+
+
+def weighted_percentile(df: DataFrame, value_col: str, weight_col: str,
+                        keys: Sequence[str] = (),
+                        p: float = 0.5,
+                        out_col: str = "wpct") -> DataFrame:
+    """Weighted percentile per group: the smallest value whose
+    cumulative weight reaches ``p`` of the group's total — with
+    time-in-force weights this is the DURATION-weighted median
+    (settlement statistics weight a reading by how long it was in
+    force; the row-weighted median over-counts bursts of fast
+    samples).
+
+    One window cumsum per group over the value order with the weights
+    accumulated in EXACT DECIMAL (prefix sums at value boundaries are
+    then independent of tie order among equal values — engine- and
+    partition-order-free), then a grouped min over the crossing rows.
+    Zero/negative/NULL weights are excluded. A group whose total weight
+    is 0 yields no row.
+    """
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    klist = list(keys)
+    v = F.col(value_col).cast("double")
+    wt = F.col(weight_col).cast("double")
+    base = df.where(wt.isNotNull() & (wt > 0))
+    cw = (Window.partitionBy(*klist).orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    tw = Window.partitionBy(*klist)
+    staged = (base
+              .withColumn("__cum", F.sum(wt.cast("decimal(38,10)")).over(cw)
+                          .cast("double"))
+              .withColumn("__tot", F.sum(wt.cast("decimal(38,10)")).over(tw)
+                          .cast("double")))
+    crossed = staged.where(F.col("__cum") >= F.lit(float(p)) * F.col("__tot"))
+    return (crossed.groupBy(*klist)
+            .agg(F.min(v).alias(out_col)))
+
+
+def k_anonymity_audit(df: DataFrame, qi_cols: Sequence[str],
+                      k: int = 10) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the privacy QA
+    gate a dataset release runs next to PII redaction: every row must
+    share its quasi-identifier combination with ≥ ``k−1`` others, or it
+    is re-identifiable by joining on those columns. Returns a one-row
+    summary (group counts, unsafe groups, rows at risk, worst group
+    size) — the release/no-release signal, not the row-level leak list
+    (which itself would be sensitive).
+
+    One map-side-combined group count keyed by the quasi-identifiers,
+    reduced to a single audit row — group cardinality never collects.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    groups = df.groupBy(*qi_cols).agg(F.count("*").alias("__n"))
+    unsafe = F.col("__n") < k
+    return groups.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(unsafe.cast("bigint")).alias("n_unsafe_groups"),
+        F.sum(F.when(unsafe, F.col("__n")).otherwise(0)).cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("__n").cast("bigint").alias("min_group_size"),
+        (F.sum(unsafe.cast("bigint")) == 0).alias("k_anonymous"))

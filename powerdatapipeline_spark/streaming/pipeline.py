@@ -179,3 +179,20 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
             & (F.col(right_ts) <= F.col(left_ts)
                + F.expr(f"INTERVAL {max_lag_seconds} SECONDS")))
     return l.join(r, cond)
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         on: str | Sequence[str],
+                         how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment: join a live stream against a
+    BATCH dimension table (meter registry, tariff table, site metadata)
+    — the third Structured Streaming join shape next to the windowed
+    agg and the stream-stream join. No watermark and no state store:
+    each micro-batch joins the static side directly (re-read per batch
+    when the dim is a file source, so slowly-changing dims pick up
+    between batches), and a small dim broadcasts — the streaming twin
+    of relational.join_dim. Left join keeps stream rows whose key is
+    missing from the registry (flag them downstream, don't drop
+    telemetry)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)

@@ -554,3 +554,43 @@ def test_psi_drift_detects_shift(spark):
         st.psi_drift(ref, cur_same, "x", nbins=0)
     with pytest.raises(ValueError):
         st.psi_drift(ref, cur_same, "x", lo=5.0, hi=5.0)
+
+
+# ---------------------------------------------------------------- wpct / kanon
+
+def test_weighted_percentile_hand_computed(spark):
+    # values 1..4 with weights 1,1,1,7: half the mass (5) is reached at
+    # value 4; the UNweighted median would be 2.5
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+            ("g", 4.0, 7.0)]
+    df = spark.createDataFrame(rows, "g string, x double, w double")
+    out = st.weighted_percentile(df, "x", "w", ["g"], p=0.5).collect()
+    assert out[0]["wpct"] == 4.0
+    # equal weights degrade to the lower median element
+    eq = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in (1, 2, 3, 4)],
+        "g string, x double, w double")
+    assert st.weighted_percentile(eq, "x", "w", ["g"], p=0.5) \
+             .collect()[0]["wpct"] == 2.0
+    # zero/negative weights excluded; all-zero group yields no row
+    z = spark.createDataFrame([("g", 1.0, 0.0)], "g string, x double, w double")
+    assert st.weighted_percentile(z, "x", "w", ["g"]).count() == 0
+    with pytest.raises(ValueError):
+        st.weighted_percentile(df, "x", "w", ["g"], p=1.0)
+
+
+def test_k_anonymity_audit_hand_computed(spark):
+    rows = ([("a", "en")] * 12 + [("b", "en")] * 3 + [("b", "de")] * 1)
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = st.k_anonymity_audit(df, ["source", "lang"], k=10).collect()[0]
+    assert out["n_groups"] == 3
+    assert out["n_unsafe_groups"] == 2
+    assert out["n_rows_at_risk"] == 4
+    assert out["min_group_size"] == 1
+    assert out["k_anonymous"] is False
+    safe = st.k_anonymity_audit(df, ["source"], k=4).collect()[0]
+    assert safe["k_anonymous"] is True
+    with pytest.raises(ValueError):
+        st.k_anonymity_audit(df, [], k=10)
+    with pytest.raises(ValueError):
+        st.k_anonymity_audit(df, ["source"], k=1)

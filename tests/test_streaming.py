@@ -270,3 +270,36 @@ def test_streaming_curation_narrow_ops_match_batch(spark, sf_dir):
     want = {r.doc_id: (r.n_url, r.clean_text, r.n_tokens)
             for r in batch.collect()}
     assert got == want and len(got) == 500
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
+    """Stream-static dimension enrichment over micro-batches == the
+    batch broadcast join on the union of all batches; left join keeps
+    unregistered keys."""
+    from powerdatapipeline_spark.streaming.pipeline import (
+        stream_static_enrich)
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ss_in"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10.0\n2,20.0\n")
+    (src / "b.csv").write_text("k,v\n3,30.0\n9,90.0\n")
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "k long, name string")
+    stream = (spark.readStream.schema(schema).option("header", "true")
+              .option("maxFilesPerTrigger", 1).csv(str(src)))
+    q = (stream_static_enrich(stream, dim, "k")
+         .writeStream.format("memory").queryName("sse")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.k, r.v, r.name) for r in
+                 spark.sql("SELECT * FROM sse").collect())
+    batch = spark.read.schema(schema).option("header", "true").csv(str(src))
+    want = sorted((r.k, r.v, r.name) for r in
+                  batch.join(F.broadcast(dim), ["k"], "left").collect())
+    assert got == want and len(got) == 4
+    # the unregistered key survives with a NULL dim side
+    assert (9, 90.0, None) in got
