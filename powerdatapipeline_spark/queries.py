@@ -4295,7 +4295,7 @@ def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracles and still run in tools/check_parity.py and the smoke test.
 #
 # ROUND-8 ROTATION PLAN (apply once CORRECTNESS_r07 records q75-q84
-# green): the round-7-born pool is now q85-q121 (37 queries, all
+# green): the round-7-born pool is now q85-q123 (39 queries, all
 # tail-parity pinned since birth). Promote as many as the head can
 # absorb by switching decorators to PRI_HEAD and demoting
 # freshly-recorded multi-round-green head entries (candidates by the
