@@ -303,20 +303,14 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     the term sum folds in exact decimal (partition-order-free,
     oracle-reproducible).
     """
-    if nbins < 1:
-        raise ValueError(f"nbins must be >= 1, got {nbins}")
-    if not lo < hi:
-        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
     klist = list(keys)
-    w = (hi - lo) / nbins
 
+    # binning delegates to histogram() so the engine-portable floor /
+    # closed-top-clamp discipline (and its validation) lives in ONE place
     def binned(df: DataFrame, side: str) -> DataFrame:
-        x = F.col(value_col).cast("double")
-        b = F.least(F.floor((x - F.lit(lo)) / F.lit(w)),
-                    F.lit(nbins - 1).cast("bigint"))
-        return (df.where((x >= lo) & (x <= hi))
-                .groupBy(*klist, b.alias("bin"))
-                .agg(F.count("*").alias(f"__c_{side}")))
+        return (histogram(df, value_col, lo, hi, nbins, klist)
+                .select(*klist, "bin",
+                        F.col("n").alias(f"__c_{side}")))
 
     r = binned(ref, "r")
     c = binned(cur, "c")
@@ -329,8 +323,15 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
         Window.partitionBy(F.lit(1))
     both = (both.withColumn("__nr", F.sum("cr").over(wk))
             .withColumn("__nc", F.sum("cc").over(wk)))
-    p = F.greatest(F.col("cr").cast("double") / F.col("__nr"), F.lit(eps))
-    q = F.greatest(F.col("cc").cast("double") / F.col("__nc"), F.lit(eps))
+    # explicit zero-total guard: a side with NO in-range rows must floor
+    # to eps on every engine (unguarded 0/0 is NULL on Spark but NaN on
+    # IEEE-strict engines, which then errors in the decimal cast)
+    p = F.greatest(F.when(F.col("__nr") > 0,
+                          F.col("cr").cast("double") / F.col("__nr"))
+                   .otherwise(F.lit(0.0)), F.lit(eps))
+    q = F.greatest(F.when(F.col("__nc") > 0,
+                          F.col("cc").cast("double") / F.col("__nc"))
+                   .otherwise(F.lit(0.0)), F.lit(eps))
     term = ((q - p) * (F.round(F.log(q), 6) - F.round(F.log(p), 6)))
     scored = both.withColumn("__term",
                              F.round(term, 6).cast("decimal(28,12)"))

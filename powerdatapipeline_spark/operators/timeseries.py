@@ -1135,8 +1135,12 @@ def cusum_changepoints(df: DataFrame, ts_col: str, value_col: str,
                    / F.count("*")).alias("__mu"),
                   (F.sum((v * v).cast("decimal(38,10)")).cast("double")
                    / F.count("*")).alias("__ex2")))
+    # variance can land a hair NEGATIVE for constant series (the decimal
+    # rounding of x² vs the exact double μ²) — clamped, or sqrt yields
+    # NaN, which passes `> 0` under non-ANSI Spark and ERRORS in DuckDB
     stats = stats.withColumn(
-        "__sigma", F.sqrt(F.col("__ex2") - F.col("__mu") * F.col("__mu")))
+        "__sigma", F.sqrt(F.greatest(
+            F.col("__ex2") - F.col("__mu") * F.col("__mu"), F.lit(0.0))))
     joined = df.join(F.broadcast(stats), keys)
     term = F.round((v - F.col("__mu")) / F.col("__sigma"), 6)
     w = (Window.partitionBy(*keys)

@@ -4131,7 +4131,7 @@ WITH st AS (SELECT event_type, count(*) AS n,
                         AS DOUBLE) / count(*) AS ex2
             FROM events GROUP BY 1),
 j AS (SELECT e.event_id, e.event_type, e.ts, e.value, st.mu,
-             sqrt(st.ex2 - st.mu * st.mu) AS sigma
+             sqrt(greatest(st.ex2 - st.mu * st.mu, 0e0)) AS sigma
       FROM events e JOIN st USING (event_type)),
 c AS (SELECT event_id, event_type,
              CAST(sum(CAST(round((value - mu) / sigma, 6)
@@ -4184,12 +4184,18 @@ t AS (SELECT event_type, cr, cc,
              sum(cc) OVER (PARTITION BY event_type) AS nc
       FROM b),
 terms AS (SELECT event_type, nr, nc,
-                 CAST(round((greatest(CAST(cc AS DOUBLE) / nc, 1e-06)
-                             - greatest(CAST(cr AS DOUBLE) / nr, 1e-06))
-                     * (round(ln(greatest(CAST(cc AS DOUBLE) / nc,
-                                          1e-06)), 6)
-                        - round(ln(greatest(CAST(cr AS DOUBLE) / nr,
-                                            1e-06)), 6)), 6)
+                 CAST(round((greatest(CASE WHEN nc > 0
+                                 THEN CAST(cc AS DOUBLE) / nc
+                                 ELSE 0e0 END, 1e-06)
+                             - greatest(CASE WHEN nr > 0
+                                 THEN CAST(cr AS DOUBLE) / nr
+                                 ELSE 0e0 END, 1e-06))
+                     * (round(ln(greatest(CASE WHEN nc > 0
+                                 THEN CAST(cc AS DOUBLE) / nc
+                                 ELSE 0e0 END, 1e-06)), 6)
+                        - round(ln(greatest(CASE WHEN nr > 0
+                                 THEN CAST(cr AS DOUBLE) / nr
+                                 ELSE 0e0 END, 1e-06)), 6)), 6)
                       AS DECIMAL(28,12)) AS term
           FROM t)
 SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
@@ -4220,7 +4226,8 @@ def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q122_weighted_median", """
 WITH d AS (SELECT event_type, value,
-                  lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                  lead(epoch(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
                   - epoch(ts) AS dt
            FROM events),
 b AS (SELECT event_type, value, dt FROM d
@@ -4245,7 +4252,10 @@ def q122_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing at half the total weight."""
     from powerdatapipeline_spark.operators import stats as st
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break per the repo's cross-engine window rule: with
+    # ts-only order, WHICH of two same-instant rows carries the
+    # dt-to-next weight would be engine-dependent
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = F.col("ts").cast("double")
     dt = F.lead(t).over(w) - t
     base = (ev.withColumn("__dt", dt)

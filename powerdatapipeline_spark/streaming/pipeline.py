@@ -183,7 +183,8 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame,
                          on: str | Sequence[str],
-                         how: str = "left") -> DataFrame:
+                         how: str = "left",
+                         broadcast: bool = True) -> DataFrame:
     """Stream-static dimension enrichment: join a live stream against a
     BATCH dimension table (meter registry, tariff table, site metadata)
     — the third Structured Streaming join shape next to the windowed
@@ -191,8 +192,10 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame,
     each micro-batch joins the static side directly (re-read per batch
     when the dim is a file source, so slowly-changing dims pick up
     between batches), and a small dim broadcasts — the streaming twin
-    of relational.join_dim. Left join keeps stream rows whose key is
-    missing from the registry (flag them downstream, don't drop
-    telemetry)."""
+    of relational.join_dim — with the same ``broadcast`` opt-out for a
+    dimension too big to force onto every executor. Left join keeps
+    stream rows whose key is missing from the registry (flag them
+    downstream, don't drop telemetry)."""
     keys = [on] if isinstance(on, str) else list(on)
-    return stream.join(F.broadcast(dim), keys, how)
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, keys, how)

@@ -518,7 +518,6 @@ def test_gap_report_hand_computed(spark):
 def test_cusum_flags_planted_level_shift(spark):
     # 30 points at 0, then 30 points at 10: the post-shift cusum must
     # cross the 5-sigma random-walk envelope; a stationary series must not
-    import itertools
     rows = ([("s", float(i), 0.0 + (i % 2) * 0.1) for i in range(30)]
             + [("s", float(30 + i), 10.0 + (i % 2) * 0.1)
                for i in range(30)]
