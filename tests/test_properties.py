@@ -272,3 +272,48 @@ def test_weighted_sample_matches_python_reference(spark, n, k):
     want = [i for i, w in sorted(rows, key=lambda r:
                                  (-score(*r), r[0]))][:k]
     assert got == want
+
+
+@SLOW
+@given(n=st.integers(1, 30), p=st.sampled_from([0.25, 0.5, 0.9]))
+def test_weighted_percentile_matches_python_reference(spark, n, p):
+    """The crossing value == the plain-Python weighted-percentile scan
+    over the same (value, weight) pairs."""
+    import random
+    from powerdatapipeline_spark.operators import stats as st2
+
+    rng = random.Random(n * 13 + int(p * 100))
+    rows = [("g", float(rng.randrange(0, 50)),
+             float(rng.randrange(1, 9))) for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string, x double, w double")
+    got = st2.weighted_percentile(df, "x", "w", ["g"], p=p) \
+             .collect()[0]["wpct"]
+    total = sum(w for _, _, w in rows)
+    acc = 0.0
+    want = None
+    for _, x, w in sorted(rows, key=lambda r: r[1]):
+        acc += w
+        if acc >= p * total:
+            want = x
+            break
+    assert got == want
+
+
+@SLOW
+@given(n=st.integers(20, 200), shift=st.sampled_from([0.0, 25.0, 60.0]))
+def test_psi_zero_iff_identical_and_grows_with_shift(spark, n, shift):
+    """PSI(a, a) == 0 exactly; shifting the current window strictly
+    increases PSI (monotone drift response on a planted translation)."""
+    from powerdatapipeline_spark.operators import stats as st2
+
+    base = [("g", float(v % 100)) for v in range(n)]
+    ref = spark.createDataFrame(base, "g string, x double")
+    cur = spark.createDataFrame(
+        [("g", min(x + shift, 199.0)) for _, x in base],
+        "g string, x double")
+    psi = st2.psi_drift(ref, cur, "x", ["g"], lo=0.0, hi=200.0,
+                        nbins=8).collect()[0]["psi"]
+    if shift == 0.0:
+        assert psi == 0.0
+    else:
+        assert psi > 0.0
