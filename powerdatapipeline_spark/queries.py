@@ -635,7 +635,7 @@ SELECT event_id,
        round((value - m) / sqrt(m2 - m * m), 6) AS value_z,
        round((value - lo) / (hi - lo), 6) AS value_rescaled
 FROM events JOIN stats USING (event_type)
-""")
+""", priority=PRI_TAIL)
 def q22_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase normalization, both modes in one pass (reference normalizer
     fit/apply, tfdataset_utilities.py:81-112, and the FeatureSpace's
@@ -691,7 +691,7 @@ SELECT CASE WHEN s <= t80 THEN 'train'
        CAST(floor(min(s)) AS BIGINT) AS first_s,
        CAST(floor(max(s)) AS BIGINT) AS last_s
 FROM s, thr GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q25_prefix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ORDERED prefix split 0.8/0.1/0.1 (reference
     get_train_test_eval_dataset, datapipeline.py:404-424 — a prefix-by-
@@ -781,7 +781,7 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
        CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.08
             THEN 'en' ELSE 'other' END AS lang_pred
 FROM t
-""")
+""", priority=PRI_TAIL)
 def q28_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + language-ID heuristic
     (operators/text.quality_score / langid_heuristic): pure string/array
@@ -923,7 +923,7 @@ SELECT e.event_id,
 FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
 ASOF LEFT JOIN purchases p
   ON e.user_id = p.user_id AND e.ts >= p.ts
-""")
+""", priority=PRI_TAIL)
 def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (gap §2.12): each non-purchase event enriched
     with the user's most recent purchase at-or-before it.
@@ -951,7 +951,7 @@ FROM (SELECT * FROM events WHERE event_type = 'click') e
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON epoch(p.ts) >= epoch(e.ts) - 3600 AND epoch(p.ts) <= epoch(e.ts) + 3600
 GROUP BY e.event_id
-""")
+""", priority=PRI_TAIL)
 def q38_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (gap §2.12): purchases within ±1 h of each click, counted.
     Executed via operators/timeseries.range_join_bucketed — time-bucket
@@ -989,7 +989,7 @@ SELECT user_id, session_id,
        round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_s,
        {_DSUM.format(c='value')} AS sum_value
 FROM sessions GROUP BY user_id, session_id
-""")
+""", priority=PRI_TAIL)
 def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (operators/timeseries.sessionize): 30-min-gap sessions
     per user — lag + running-sum windows, one shuffle on user_id. The
@@ -1016,7 +1016,7 @@ WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
        wr AS (PARTITION BY user_id ORDER BY s
               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-""")
+""", priority=PRI_TAIL)
 def q41_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-based moving aggregates, ROW and RANGE flavors side by side
     (SURVEY.md §2.6 — the reference has only fixed ROW frames):
@@ -1073,7 +1073,7 @@ SELECT event_id, datetimestamp, datetimestampseconds,
        {_sql_cyc('datetimestampseconds', 365.2425 * 86400.0, 'sin')} AS sin_year,
        {_sql_cyc('datetimestampseconds', 365.2425 * 86400.0, 'cos')} AS cos_year
 FROM derived
-""")
+""", priority=PRI_TAIL)
 def q42_derive_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's signature derived columns (SURVEY.md §2.5): split
     date/time text blocks → ``datetimestamp`` concat
@@ -1121,7 +1121,7 @@ SELECT event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 QUALIFY lag(value, 3) OVER w IS NOT NULL
-""")
+""", priority=PRI_TAIL)
 def q43_supervised_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed next-step supervision (reference windowed_dataset_v1,
     tfdataset.py:256-263: first w−1 rows = features, last = target) in
@@ -1148,7 +1148,7 @@ SELECT COUNT(*) AS n_rows,
        CAST(floor(max(epoch(ts))) AS BIGINT) AS last_s,
        CASE WHEN min(event_type) = max(event_type) THEN 1 ELSE 0 END AS all_types_equal
 FROM events
-""")
+""", priority=PRI_TAIL)
 def q44_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit in ONE pass (reference streams the file once per
     check — null audit datapipeline_utilities.py:12-38, all-equal reduction
@@ -1291,7 +1291,7 @@ SELECT o_orderkey,
        CAST(length(o_orderstatus) AS INT) AS status_len
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
-""")
+""", priority=PRI_TAIL)
 def q49_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full analytic window-function family (gap §2.12 — the reference
     has zero SQL window functions, SURVEY.md §2.6) plus the per-row scalar
@@ -1350,7 +1350,7 @@ SELECT event_type,
        quantile_cont(value, 0.9)  AS p90,
        max(value) AS vmax
 FROM events GROUP BY event_type
-""")
+""", priority=PRI_TAIL)
 def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median/p25/p90): Spark ``percentile``
     and DuckDB ``quantile_cont`` share the (1−g)·a + g·b linear
@@ -1439,7 +1439,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
        AND l_quantity >= 10 AND l_quantity <= 40)
    OR (p_type LIKE '%PROMO%' AND l_discount > 0.05)
-""")
+""", priority=PRI_TAIL)
 def q54_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: a disjunction of conjunctive range/LIKE predicates
     across both join sides — Catalyst extracts the common-side filters it
@@ -1506,7 +1506,7 @@ WHERE o_totalprice > 2 * (SELECT {_DAVG.format(c='o2.o_totalprice')}
                           WHERE o2.o_custkey = o.o_custkey)
   AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
               AND l.l_quantity > 45)
-""")
+""", priority=PRI_TAIL)
 def q56_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery + correlated EXISTS (gap §2.12): Catalyst
     DECORRELATES both — the scalar subquery becomes an aggregate joined back
@@ -2797,7 +2797,7 @@ SELECT d.doc_id, coalesce(reb.n_spans, 0) AS n_spans,
        coalesce(reb.n_removed, 0) AS n_removed,
        coalesce(reb.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN reb USING (doc_id)
-""", priority=PRI_TAIL)
+""")
 def q85_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level (fixed-width span) deduplication
     (operators/text.remove_repeated_spans): segment each document into
@@ -2839,7 +2839,7 @@ SELECT pt.stratum, pt.n_docs, round(pt.tw, 6) AS target_weight,
        round(pt.rate, 6) AS rate,
        coalesce(sel.n_selected, 0) AS n_selected
 FROM pt LEFT JOIN sel USING (stratum)
-""", priority=PRI_TAIL)
+""")
 def q86_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling plan (operators/relational.
     mixture_resample_plan) — the Pile/DoReMi corpus-mixing step: target
@@ -2881,7 +2881,7 @@ SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS INT) AS n_docs,
        round(CAST(sum(CAST(n_tokens AS DECIMAL(28,12))) AS DOUBLE)
              / count(*), 6) AS avg_tokens
 FROM b GROUP BY bucket
-""", priority=PRI_TAIL)
+""")
 def q87_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing (operators/text.quality_buckets):
     rank documents by unigram-LM cross-entropy (q81's per-doc signal,
@@ -2913,7 +2913,7 @@ SELECT shard,
        CAST(sum(nt) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q88_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches (operators/text.
     pack_sequences): per shard (source), concatenate documents in id
@@ -2975,7 +2975,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
            AS rank
   FROM f) WHERE rank <= 10
-""", priority=PRI_TAIL)
+""")
 def q89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search via reciprocal-rank fusion (operators/similarity.
     rrf_fuse; Cormack et al. 2009): fuse the BM25 keyword ranking (q83's
@@ -3023,7 +3023,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC)
               AS INT) AS rank
   FROM c) WHERE rank <= 20
-""", priority=PRI_TAIL)
+""")
 def q90_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams (operators/text.
     corpus_ngram_counts) — the non-distinct counting pass a BPE merge or
@@ -3056,7 +3056,7 @@ SELECT id_a, id_b,
        round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
 FROM inter
 WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.5
-""", priority=PRI_TAIL)
+""")
 def q91_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via the inverted-index
     join (operators/dedup.ngram_jaccard_pairs, unit='word') — the
@@ -3089,7 +3089,7 @@ SELECT canonical_url,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS first_doc
 FROM c GROUP BY 1
-""", priority=PRI_TAIL)
+""")
 def q92_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (operators/text.
     canonical_url / url_dedup) — the first dedup pass of every
@@ -3128,7 +3128,7 @@ w AS (
               ELSE CAST([] AS BIGINT[]) END AS wins
   FROM g)
 SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w
-""", priority=PRI_TAIL)
+""")
 def q93_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (operators/text.
     winnow_fingerprints; Schleimer et al., SIGMOD 2003 — MOSS): hash
@@ -3169,7 +3169,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 6
-""", priority=PRI_TAIL)
+""")
 def q94_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup pairs from shared winnowing fingerprints
     (operators/text.winnow_neardup_pairs): documents sharing ≥6 RARE
@@ -3201,7 +3201,7 @@ s AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, sid
-""", priority=PRI_TAIL)
+""")
 def q95_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING sessionization over the events stream
     (streaming/pipeline.streaming_sessionize — q39's streaming twin,
@@ -3245,7 +3245,7 @@ SELECT event_type, slot, n,
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            / (n * n), 0.0)), 6) AS profile_std
 FROM a
-""", priority=PRI_TAIL)
+""")
 def q96_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal baseline per event type
     (operators/timeseries.seasonal_profile) — the load-profile primitive
@@ -3279,7 +3279,7 @@ SELECT event_id, event_type, slot, value, z_score
 FROM j WHERE z_score IS NOT NULL
 ORDER BY abs(z_score) DESC, event_id
 LIMIT 20
-""", priority=PRI_TAIL)
+""")
 def q97_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 seasonal anomalies (operators/timeseries.
     deviation_from_profile): each event z-scored against its own
@@ -3331,7 +3331,7 @@ SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
                i -> CAST(d.embedding[i] AS DOUBLE) * r.m[d.dim + 1][i])),
            (acc, x) -> acc + x), 6) AS value
 FROM d CROSS JOIN r
-""", priority=PRI_TAIL)
+""")
 def q98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection 64 → 16 dims
     (operators/similarity.random_projection) — the standard cheap
@@ -4304,16 +4304,24 @@ def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r1-r6) and pinned by the tail-parity pytest. Demoted entries keep their
 # oracles and still run in tools/check_parity.py and the smoke test.
 #
-# ROUND-8 ROTATION PLAN (apply once CORRECTNESS_r07 records q75-q84
-# green): the round-7-born pool is now q85-q123 (39 queries, all
-# tail-parity pinned since birth). Promote as many as the head can
-# absorb by switching decorators to PRI_HEAD and demoting
-# freshly-recorded multi-round-green head entries (candidates by the
-# established policy: q22, q25, q28, q37, q38, q39, q41, q42, q43, q44,
-# q49, q50, q54, q56 — every one green r1-r7 once r7 lands; a second
-# tranche rotates in round 9). Each move is a one-argument edit; the
-# boundary-tie guard and tests/test_tail_query_parity.py enforce the
-# invariants.
+# Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so
+# tranche 1 of the round-7-born pool — q85-q98 (14 queries, tail-parity
+# pinned since birth) — was promoted to default PRI_HEAD and the 14
+# freshly-recorded multi-round-green entries q22/q25/q28/q37/q38/q39/
+# q41/q42/q43/q44/q49/q50/q54/q56 (each green r1-r7) demoted to PRI_TAIL.
+# Demoted entries keep their oracles and still run in check_parity + the
+# tail-parity pytest at sf0.001+sf0.01 and the sf0.1 full sweep.
+#
+# ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
+# green): promote tranche 2 — q99-q123 (25 remaining round-7-born
+# queries) plus any round-8-born queries (q124+) — by switching their
+# decorators to PRI_HEAD, demoting an equal number of freshly-recorded
+# multi-round-green head entries (candidates by the established policy:
+# q29, q31, q33, q34, q35, q36, q45, q46, q47, q48, q59, q60, q61, q62,
+# q63, q64, q65, q66, q67, q68, q69, q70, q71, q72 — pick the longest
+# driver-green first; a third tranche if needed in round 10). Each move
+# is a one-argument edit; the boundary-tie guard and
+# tests/test_tail_query_parity.py enforce the invariants.
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)
