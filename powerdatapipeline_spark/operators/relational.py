@@ -238,6 +238,14 @@ def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,
     slot). Scale shape: narrow map to score, then TakeOrdered top-k —
     per-partition heaps + a k-row driver merge, never a global sort.
     Ties (score desc, key asc) are total-ordered for determinism.
+
+    Ranking uses the 6-ROUNDED score (key tie-break), not the raw pow():
+    Java Math.pow and a libm pow are each only ~1-ulp accurate and not
+    bit-identical, so a raw-score k-boundary pair could rank differently
+    across engines/platforms and flip the sample membership (ADVICE r7).
+    Rounding per the repo's transcendental-parity rule makes the order —
+    and therefore the sampled SET — platform-stable; ``score_col`` still
+    carries the full-precision score for downstream use.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -245,7 +253,8 @@ def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,
     score = F.pow(uniform_from_key(key_col, salt), F.lit(1.0) / w)
     return (df.where(w.isNotNull() & (w > 0))
             .withColumn(score_col, score)
-            .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+            .orderBy(F.round(F.col(score_col), 6).desc(),
+                     F.col(key_col).asc())
             .limit(k))
 
 

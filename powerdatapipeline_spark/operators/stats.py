@@ -241,6 +241,12 @@ def cms_build(df: DataFrame, key_col: str, width: int = 1024,
     with ONE map-side-combined aggregation. Engine-portable: the bucket
     hash is the shared md5-prefix primitive, so an oracle can replay
     the exact sketch.
+
+    The sketch's geometry travels WITH it: each row carries the build's
+    ``width``/``depth`` in the Spark column metadata of ``j``, so
+    :func:`cms_estimate` can verify (or derive) the geometry instead of
+    trusting the caller to repeat it — probing a 1024-wide sketch with
+    width=512 silently addresses the wrong buckets (ADVICE r7).
     """
     if width < 1 or depth < 1:
         raise ValueError("width and depth must be >= 1")
@@ -254,19 +260,46 @@ def cms_build(df: DataFrame, key_col: str, width: int = 1024,
         for j in range(depth)])).alias("c")
     return (df.select(cells)
             .groupBy("c.j", "c.b")
-            .agg(F.count("*").cast("bigint").alias("n")))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .withColumn("j", F.col("j").alias(
+                "j", metadata={"cms_width": width, "cms_depth": depth})))
 
 
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
-                 width: int = 1024, depth: int = 3,
+                 width: int | None = None, depth: int | None = None,
                  out_col: str = "cms_estimate") -> DataFrame:
     """Point-query a :func:`cms_build` sketch: estimate = min over the
     ``depth`` rows of the addressed cell counts. Never underestimates;
     overestimates by collision mass ≤ e·N/width with high probability.
     The sketch frame broadcasts (``depth × width`` rows), so estimation
-    is a narrow pass over the key frame."""
+    is a narrow pass over the key frame.
+
+    Geometry is read from the sketch's own column metadata (stamped by
+    :func:`cms_build`); passing ``width``/``depth`` that disagree with
+    the sketch raises instead of silently probing the wrong buckets
+    and returning 0 via the left-join coalesce (ADVICE r7). Explicit
+    values are only REQUIRED for a sketch that lost its metadata (e.g.
+    a parquet round-trip)."""
     from powerdatapipeline_spark.operators.relational import \
         _md5_prefix_bigint
+    meta = next((f.metadata for f in sketch.schema.fields
+                 if f.name == "j"), {}) or {}
+    built_w, built_d = meta.get("cms_width"), meta.get("cms_depth")
+    for name, passed, built in (("width", width, built_w),
+                                ("depth", depth, built_d)):
+        if passed is not None and built is not None and passed != built:
+            raise ValueError(
+                f"cms_estimate {name}={passed} does not match the "
+                f"sketch's build {name}={int(built)}; probing with a "
+                "mismatched geometry addresses the wrong buckets")
+    width = width if width is not None else built_w
+    depth = depth if depth is not None else built_d
+    if width is None or depth is None:
+        raise ValueError(
+            "sketch carries no geometry metadata (built by an older "
+            "cms_build or round-tripped through a metadata-stripping "
+            "sink); pass width= and depth= matching the build")
+    width, depth = int(width), int(depth)
     key = F.col(key_col)
     probes = (keys.select(key_col, F.explode(F.array(*[
         F.struct(F.lit(j).alias("j"),

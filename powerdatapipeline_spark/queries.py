@@ -2726,7 +2726,7 @@ hits AS (
 SELECT d.doc_id, d.source, d.n_chars
 FROM documents d
 WHERE d.source <> 'src0'
-  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+  AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
 """)
 def q80_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, the action half of q75
@@ -3356,7 +3356,7 @@ WITH s AS (
              1.0 / n_chars) AS sample_score
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, n_chars, round(sample_score, 6) AS sample_score
-FROM s ORDER BY s.sample_score DESC, doc_id ASC LIMIT 25
+FROM s ORDER BY round(s.sample_score, 6) DESC, doc_id ASC LIMIT 25
 """, priority=PRI_TAIL)
 def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
@@ -3366,10 +3366,10 @@ def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to weighted draws). Every sampled id and its score are
     hash-verified against the oracle replaying the identical
     ``u^(1/w)`` scoring. Narrow map + TakeOrdered top-k — per-partition
-    heaps, never a global sort. The oracle's ORDER BY is QUALIFIED
-    (``s.sample_score``) because DuckDB resolves a bare name to the
-    rounded output alias — which would break top-k ties differently
-    than Spark's raw-score ordering at the boundary."""
+    heaps, never a global sort. BOTH engines rank by the 6-rounded score
+    with a doc_id tie-break (ADVICE r7): pow() is only ~1-ulp accurate
+    per libm, so a raw-score ordering could flip the k-boundary pair
+    between engines; rounding makes the sampled set platform-stable."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     s = rel.weighted_hash_sample(d, "doc_id", "n_chars", 25)
     return s.select("doc_id", "n_chars",
@@ -3986,11 +3986,13 @@ def q115_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
     exact = ev.agg(F.countDistinct("user_id").cast("bigint")
                    .alias("exact_distinct"))
-    rel = 3 * 1.04 / (2 ** 12) ** 0.5
+    # named rel_err, NOT rel: the bare name would shadow the module-level
+    # `rel` alias for operators.relational (ADVICE r7)
+    rel_err = 3 * 1.04 / (2 ** 12) ** 0.5
     return (merged.crossJoin(F.broadcast(exact))
             .select("n_days", "exact_distinct",
                     (F.abs(F.col("est") - F.col("exact_distinct"))
-                     <= F.lit(rel) * F.col("exact_distinct"))
+                     <= F.lit(rel_err) * F.col("exact_distinct"))
                     .alias("within_contract")))
 
 

@@ -13,6 +13,8 @@ what a 100 TB deployment actually reads).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -383,15 +385,20 @@ def dataset_manifest(spark: SparkSession, path: str,
     letting duplicate-row corruption pass the audit. The per-file
     aggregation is map-side combined and the manifest is
     files-count-sized. Row hash covers every column via ``xxhash64``
-    over string-normalized values (NULL marked distinctly from the
-    string 'null').
+    over (is-null flag, NATIVE value) pairs: the flag — not an in-band
+    string sentinel — marks NULLs, so no genuine value can collide with
+    the NULL marker, and hashing native values (xxhash64 dispatches on
+    type) keeps type distinctions a string cast would erase, e.g. 1 vs
+    '1' (ADVICE r7). xxhash64 skips NULL inputs, but the pair encoding
+    stays unambiguous: the flag says whether a value contribution
+    follows, so the flat fold sequence decodes to exactly one row shape.
     """
     df = (spark.read.format(fmt).load(path)
           .withColumn("__file", F.input_file_name()))
     cols = [c for c in df.columns if c != "__file"]
     row_hash = F.xxhash64(*[
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-        for c in cols])
+        part for c in cols
+        for part in (F.col(c).isNull(), F.col(c))])
     return (df.groupBy("__file")
             .agg(F.count("*").cast("bigint").alias("n_rows"),
                  F.pmod(F.sum(row_hash.cast("decimal(38,0)")),
@@ -436,6 +443,14 @@ def compact_dataset(spark: SparkSession, src: str, dst: str,
     if target_rows_per_file < 1:
         raise ValueError(
             f"target_rows_per_file must be >= 1, got {target_rows_per_file}")
+    if os.path.abspath(src) == os.path.abspath(dst):
+        # Spark's overwrite-while-reading check would abort at WRITE time,
+        # after the counting read was already paid — fail upfront instead
+        # (ADVICE r7). dst must be a fresh location; swap after verifying.
+        raise ValueError(
+            f"compact_dataset dst must differ from src (both resolve to "
+            f"{os.path.abspath(src)!r}); write to a fresh location, "
+            "verify with dataset_manifest, then swap")
     df = spark.read.format(fmt).load(src)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))

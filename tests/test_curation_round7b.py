@@ -593,3 +593,48 @@ def test_k_anonymity_audit_hand_computed(spark):
         st.k_anonymity_audit(df, [], k=10)
     with pytest.raises(ValueError):
         st.k_anonymity_audit(df, ["source"], k=1)
+
+# ------------------------------------------------- ADVICE r7 hardening
+
+def test_cms_geometry_travels_with_sketch(spark):
+    # ADVICE r7: probing with a geometry that differs from the build must
+    # raise, not silently return wrong (often 0) estimates
+    df = spark.createDataFrame([(x % 5,) for x in range(100)], "k long")
+    sketch = st.cms_build(df, "k", width=64, depth=3)
+    probe = df.distinct()
+    with pytest.raises(ValueError, match="does not match"):
+        st.cms_estimate(sketch, probe, "k", width=128, depth=3)
+    with pytest.raises(ValueError, match="does not match"):
+        st.cms_estimate(sketch, probe, "k", width=64, depth=2)
+    # geometry can be DERIVED from the sketch — no params needed
+    est = {r["k"]: r["cms_estimate"] for r in
+           st.cms_estimate(sketch, probe, "k").collect()}
+    assert all(v >= 20 for v in est.values())
+    # a metadata-stripped sketch (e.g. rebuilt from plain rows) demands
+    # explicit geometry instead of guessing
+    bare = spark.createDataFrame(sketch.collect(), "j int, b long, n long")
+    with pytest.raises(ValueError, match="no geometry metadata"):
+        st.cms_estimate(bare, probe, "k")
+    est2 = {r["k"]: r["cms_estimate"] for r in
+            st.cms_estimate(bare, probe, "k", width=64, depth=3).collect()}
+    assert est2 == est
+
+
+def test_weighted_sample_ranks_by_rounded_score(spark):
+    # ADVICE r7: the k-boundary must be decided by the 6-rounded score
+    # (key tie-break), not the raw ~1-ulp-platform-dependent pow() value
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 9 + 1).alias("w"))
+    got = rel.weighted_hash_sample(df, "k", "w", 12).collect()
+    keys = [(round(r["sample_score"], 6), -r["k"]) for r in got]
+    assert keys == sorted(keys, reverse=True)
+    # and the selected SET equals the top-12 under the rounded ordering
+    # recomputed over the full frame
+    all_rows = (df.transform(lambda d: d)
+                .withColumn("u", rel.uniform_from_key("k", ""))
+                .withColumn("s", F.pow("u", 1.0 / F.col("w").cast("double")))
+                .select("k", F.round("s", 6).alias("rs")).collect())
+    expect = {k for rs, k in sorted(
+        ((r["rs"], r["k"]) for r in all_rows),
+        key=lambda t: (-t[0], t[1]))[:12]}
+    assert {r["k"] for r in got} == expect

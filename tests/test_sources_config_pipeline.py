@@ -484,3 +484,45 @@ def test_compact_dataset(spark, tmp_path):
     assert sum(d1) % 2**64 == sum(d2) % 2**64
     with _pytest.raises(ValueError):
         rd.compact_dataset(spark, src, dst, target_rows_per_file=0)
+
+def test_manifest_null_flag_not_in_band_sentinel(spark, tmp_path):
+    # ADVICE r7: the old coalesce-to-'\x00NULL' sentinel made a genuine
+    # string value '\x00NULL' hash identically to NULL; the is-null-flag
+    # encoding must distinguish them (and a corruption swapping one for
+    # the other must fail verify_manifest)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from powerdatapipeline_spark.sources import readers as rd
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    with_null = spark.createDataFrame([(1, None)], schema)
+    with_sentinel = spark.createDataFrame([(1, "\x00NULL")], schema)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    with_null.coalesce(1).write.parquet(p1)
+    with_sentinel.coalesce(1).write.parquet(p2)
+    d1 = rd.dataset_manifest(spark, p1).collect()[0]["content_digest"]
+    d2 = rd.dataset_manifest(spark, p2).collect()[0]["content_digest"]
+    assert int(d1) != int(d2)
+    # native-value hashing also keeps type distinctions: 1 vs '1'
+    ints = spark.createDataFrame([(1,)], "v long")
+    strs = spark.createDataFrame([("1",)], "v string")
+    p3, p4 = str(tmp_path / "c"), str(tmp_path / "d")
+    ints.coalesce(1).write.parquet(p3)
+    strs.coalesce(1).write.parquet(p4)
+    d3 = rd.dataset_manifest(spark, p3).collect()[0]["content_digest"]
+    d4 = rd.dataset_manifest(spark, p4).collect()[0]["content_digest"]
+    assert int(d3) != int(d4)
+
+
+def test_compact_dataset_same_path_raises_upfront(spark, tmp_path):
+    # ADVICE r7: dst == src would only fail at write time (after the
+    # counting read); the guard must raise before any Spark job runs
+    import pytest as _pytest
+    from powerdatapipeline_spark.sources import readers as rd
+    src = str(tmp_path / "frag2")
+    spark.range(10).write.parquet(src)
+    with _pytest.raises(ValueError, match="fresh location"):
+        rd.compact_dataset(spark, src, src, target_rows_per_file=5)
+    # trailing-slash spelling of the same path is caught too
+    with _pytest.raises(ValueError, match="fresh location"):
+        rd.compact_dataset(spark, src, src + "/", target_rows_per_file=5)
