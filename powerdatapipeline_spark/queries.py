@@ -2205,14 +2205,16 @@ def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, qs, k=10, fit_iters=2)
 
 
-def _multimodal_oracle() -> str:
+def _multimodal_oracle(rel_sql: str = "documents") -> str:
     """DuckDB twin of the fake decoder: _fake_decode expands
     md5(payload ‖ uint32be(counter)) digests into 64 pseudo-pixels
     (counters 0..3 × 16 digest bytes). DuckDB's md5 takes VARCHAR but
     hashes its UTF-8 bytes — identical to hashing the encoded payload —
     and chr(0) survives in varchar, so the counter suffix concatenates as
     text. mean_pixel divides an integer sum by 64 (a power of two), so
-    the double is exact on both engines — no rounding needed."""
+    the double is exact on both engines — no rounding needed.
+    ``rel_sql`` is the (doc_id, text) relation to decode — ``documents``
+    for q36, the fixture-subset CTE for q125's on-disk ingest twin."""
     def pxsum(c: int) -> str:
         suffix = " || ".join(f"chr({b})" for b in (0, 0, 0, c))
         return (f"list_sum(list_transform(generate_series(1,16), i -> "
@@ -2225,7 +2227,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS checksum,
        ({total}) / 64.0 AS mean_pixel
-FROM documents
+FROM {rel_sql}
 """
 
 
@@ -4289,6 +4291,95 @@ def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powerdatapipeline_spark.operators import stats as st
     docs = _t(spark, sf_dir, "documents")
     return st.k_anonymity_audit(docs, ["source", "lang"], k=10)
+
+
+_BINFIX_N = 200
+
+
+def materialize_binary_fixture(spark: SparkSession, sf_dir: str,
+                               n: int = _BINFIX_N) -> str:
+    """Deterministic corpus-of-files fixture for the ``binaryFile``
+    ingestion path (q125): the first ``n`` non-null documents by doc_id
+    written as individual UTF-8 ``doc_<id>.txt`` files under a
+    CONTENT-ADDRESSED /tmp directory.
+
+    This is fixture SCAFFOLDING, not the operator — the operator under
+    test is the distributed ``read_binary_files`` scan; a real corpus
+    already exists as files. The driver-side write is bounded at ``n``
+    collected rows (the fixed-size-collect discipline), and the
+    directory name embeds a fingerprint of (path, n, per-doc md5) so
+    repeat calls — bench runs the query many times — reuse the
+    completed fixture (``_SUCCESS`` marker) instead of rewriting it,
+    and any change to the underlying table re-materializes under a new
+    name. Writes go to a scratch dir then an atomic rename, so a
+    concurrent or killed run can never expose a half-written fixture.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    rows = (_t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text").orderBy("doc_id").limit(n).collect())
+    fp = hashlib.md5(
+        ("\n".join(f"{r['doc_id']}:"
+                   f"{hashlib.md5(r['text'].encode('utf-8')).hexdigest()}"
+                   for r in rows)
+         + f"|{os.path.abspath(sf_dir)}|{n}").encode()).hexdigest()
+    dest = os.path.join(tempfile.gettempdir(), f"pdp_binfix_{fp[:12]}")
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    scratch = tempfile.mkdtemp(prefix="pdp_binfix_build_")
+    for r in rows:
+        with open(os.path.join(scratch, f"doc_{r['doc_id']}.txt"),
+                  "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    with open(os.path.join(scratch, "_SUCCESS"), "w"):
+        pass
+    try:
+        os.rename(scratch, dest)
+    except OSError:
+        # another run completed the same content-addressed fixture first
+        shutil.rmtree(scratch, ignore_errors=True)
+    return dest
+
+
+@register("q125_binary_ingest",
+          f"""WITH sel AS (SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL ORDER BY doc_id LIMIT {_BINFIX_N})
+""" + _multimodal_oracle("sel"), priority=PRI_TAIL)
+def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-FILE multimodal ingestion end to end (VERDICT r7 missing
+    #1): a directory of real on-disk payload files is scanned with the
+    native ``binaryFile`` source (sources/readers.read_binary_files —
+    listing-time glob, pushdown-able length), doc ids parsed from file
+    paths, typed media metadata attached from the RAW BYTES READ OFF
+    DISK, and the q36 Arrow feature extraction run over the payload
+    column. The oracle recomputes byte length / md5 / fake-decoder
+    pixels from the source table, so a green hash proves the
+    write→list→read→decode roundtrip is byte-exact — the n_bytes column
+    comes from the file system's ``length``, the checksum from the
+    file's ``content``, and both must equal the oracle's
+    ``encode(text)`` derivations. The reference has no file-corpus
+    analog (CSV-only, SURVEY §2.1); this is the missing source for the
+    multimodal north star."""
+    from powerdatapipeline_spark.operators import multimodal as mm
+    from powerdatapipeline_spark.sources import readers as rd
+
+    fix_dir = materialize_binary_fixture(spark, sf_dir)
+    bf = rd.read_binary_files(spark, fix_dir, glob="*.txt")
+    docs = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.col("content").alias("blob"))
+    docs = mm.with_media_metadata(docs, media_type="text", fmt="utf-8")
+    feats = mm.extract_image_features(docs, fake=True)
+    return (docs.select("doc_id", "n_bytes",
+                        F.col("meta.checksum").alias("checksum"))
+            .join(feats, "doc_id")
+            .select("doc_id", "n_bytes", "checksum", "mean_pixel"))
 
 
 # ===========================================================================
