@@ -4293,6 +4293,52 @@ def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.k_anonymity_audit(docs, ["source", "lang"], k=10)
 
 
+@register("q124_stream_static_enrich", """
+SELECT e.event_id, e.user_id, e.event_type,
+       c.c_name AS customer_name,
+       c.c_nationkey AS nationkey,
+       c.c_name IS NOT NULL AS registered
+FROM events e
+LEFT JOIN (SELECT c_custkey, c_name, c_nationkey FROM customer
+           WHERE c_acctbal >= 500.0) c
+  ON c.c_custkey = e.user_id
+""", priority=PRI_TAIL)
+def q124_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING stream-static dimension enrichment
+    (streaming/pipeline.stream_static_enrich — the round-7 operator that
+    was pytest-only, now oracle-paired per VERDICT r7 #6): the live
+    events stream LEFT-joins a static customer registry (only accounts
+    with balance ≥ 500, so a real fraction of telemetry is UNREGISTERED
+    and must be kept + flagged, not dropped). No watermark and no state
+    store — each micro-batch broadcast-joins the dim directly, the
+    third streaming join shape next to q45's windowed agg and q65's
+    stream-stream range join. The oracle replays the identical batch
+    LEFT join, so every enriched row (and every kept-unmatched row)
+    hash-verifies. append mode: enrichment is stateless, rows emit as
+    they arrive."""
+    return _run_stream_to_memory(spark, q124_stream_frame(spark, sf_dir),
+                                 "q124", "append")
+
+
+def q124_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT pre-sink streaming frame q124 executes (shared with
+    tools/dump_plans — see q45_stream_frame)."""
+    from powerdatapipeline_spark.streaming.pipeline import \
+        stream_static_enrich
+
+    stream = events_stream_source(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+    dim = (_t(spark, sf_dir, "customer")
+           .where(F.col("c_acctbal") >= 500.0)
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_name").alias("customer_name"),
+                   F.col("c_nationkey").alias("nationkey")))
+    enriched = stream_static_enrich(stream, dim, "user_id", how="left")
+    return enriched.select(
+        "event_id", "user_id", "event_type", "customer_name", "nationkey",
+        F.col("customer_name").isNotNull().alias("registered"))
+
+
 _BINFIX_N = 200
 
 

@@ -115,19 +115,34 @@ def test_bench_compact_line_always_fits_driver_capture():
     import bench
     from powerdatapipeline_spark.queries import REGISTRY
 
-    # current registry size, worst-case 5-digit timings
+    # current registry size, worst-case 5-digit timings: the envelope
+    # invariant is ≤ MAX_LINE (1,600 — the r6 failure mode was exactly
+    # this line outgrowing the driver's 2,000-char tail capture)
     timings = {n: 99999.999 for n in REGISTRY}
     timings["flagship"] = 99999.999
     detail, line = bench.build_payloads(timings, 0.1)
-    assert len(line) < 2000
+    assert len(line) <= bench.MAX_LINE
     parsed = json.loads(line)
     assert parsed["value"] == detail["value"] > 0
     assert parsed["n_queries"] == len(REGISTRY) + 1
 
+    # at the CURRENT registry size with typical sub-100 s timings the
+    # per-query map must still FIT the compact line — when registry
+    # growth trips this, widen the envelope deliberately (shorter keys /
+    # coarser rounding / MAX_LINE bump) instead of silently shipping a
+    # map-less headline every round
+    typical = {n: 99.99 for n in REGISTRY}
+    typical["flagship"] = 99.99
+    _, tline = bench.build_payloads(typical, 0.1)
+    assert len(tline) <= bench.MAX_LINE
+    assert "queries" in json.loads(tline), (
+        f"registry ({len(REGISTRY)} entries) has outgrown the compact "
+        "per-query map — widen the bench envelope deliberately")
+
     # pathological future growth: headline survives, map is dropped
     big = {f"q{i:03d}_very_long_query_name_{i}": 1.5 for i in range(400)}
     _, line2 = bench.build_payloads(big, 0.1)
-    assert len(line2) < 2000
+    assert len(line2) <= bench.MAX_LINE
     assert "queries" not in json.loads(line2)
 
 

@@ -19,11 +19,26 @@ SF = "/root/testdata/sf0.001"
 
 RED_FLAGS = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
-#: queries where a broadcast cross join IS the intended plan: brute-force
-#: scoring is definitionally |corpus| × |queries| with the tiny side
-#: broadcast — the exactness baseline the ANN paths (q34/q35) avoid.
-CROSS_JOIN_INTENDED = {
+# A flagged cross join can be intended for two DIFFERENT reasons, and the
+# audit labels them distinctly (VERDICT r7 nit) so a reader never has to
+# re-derive which one applies:
+#
+# * BRUTE_FORCE_INTENDED — a genuinely quadratic |corpus| × |queries|
+#   scoring loop kept ON PURPOSE as the exactness baseline (small query
+#   side only; the ANN paths q34/q35 are the scale alternative).
+# * SCALAR_BROADCAST_INTENDED — a 1-row (or contract-constant-row)
+#   aggregate joined onto the stream: a broadcast of literally one row,
+#   constant cost at any SF. Not quadratic in any sense; it is how a
+#   global statistic reaches the plan WITHOUT a driver collect.
+
+BRUTE_FORCE_INTENDED = {
     "q31_cosine_topk", "q47_kmeans_assign",
+    # q114 scores the corpus against the broadcast query batch — the q31
+    # brute-force shape over dequantized int8 codes
+    "q114_int8_quantized_topk",
+}
+
+SCALAR_BROADCAST_INTENDED = {
     # two single-row aggregates combined for the sample-size contract —
     # a 1×1 broadcast join, constant cost at any SF
     "q46_sample",
@@ -40,9 +55,6 @@ CROSS_JOIN_INTENDED = {
     # round 7b: q106's unigram/bigram corpus totals are single-row
     # broadcast cross joins onto the pruned candidate frame
     "q106_pmi_bigrams",
-    # round 7b: q114 scores the corpus against the broadcast query batch
-    # — the q31 brute-force shape over dequantized int8 codes
-    "q114_int8_quantized_topk",
     # round 7b: q115 joins the 1-row merged-sketch estimate with the
     # 1-row exact count — a 1×1 broadcast join for the contract boolean
     "q115_hll_sketch_merge",
@@ -50,6 +62,8 @@ CROSS_JOIN_INTENDED = {
     # two single-row broadcast cross joins onto the event scan
     "q121_psi_drift",
 }
+
+CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
 
 
 def _disable_persist() -> None:
@@ -94,12 +108,14 @@ def _streaming_variants(spark, sf):
         q45_stream_frame,
         q65_stream_frame,
         q95_stream_frame,
+        q124_stream_frame,
     )
 
     return {
         "q45_streaming_downsample": q45_stream_frame(spark, sf),
         "q65_stream_stream_join": q65_stream_frame(spark, sf),
         "q95_streaming_sessionize": q95_stream_frame(spark, sf),
+        "q124_stream_static_enrich": q124_stream_frame(spark, sf),
     }
 
 
@@ -151,8 +167,13 @@ def main() -> None:
         out.append(f"- operators: {tree}")
         for p in pushed[:3]:
             out.append(f"- {p[:150]}")
-        if flags and name in CROSS_JOIN_INTENDED:
-            out.append(f"- broadcast cross join INTENDED (brute-force baseline): {flags}")
+        if flags and name in BRUTE_FORCE_INTENDED:
+            out.append("- broadcast cross join INTENDED (brute-force "
+                       f"exactness baseline, quadratic ON PURPOSE): {flags}")
+        elif flags and name in SCALAR_BROADCAST_INTENDED:
+            out.append("- broadcast cross join INTENDED (scalar literal "
+                       "broadcast: a 1-row/contract-constant aggregate "
+                       f"joined onto the stream, constant cost): {flags}")
         elif flags:
             n_flags += 1
             out.append(f"- **RED FLAG: {flags}**")
