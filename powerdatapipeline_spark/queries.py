@@ -4363,6 +4363,62 @@ def q126_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), min_tokens=8, min_docs=2)
 
 
+@register("q127_semdedup", f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < 16),
+nrm AS (
+  SELECT a.vec_id, {_SQL_NORM.format(t='a')} AS n FROM embeddings a),
+scored AS (
+  SELECT a.vec_id,
+         b.centroid_id,
+         round({_SQL_DOT} / (na.n * nc.n), 6) AS csim
+  FROM embeddings a JOIN cents b ON TRUE
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nc ON nc.vec_id = b.centroid_id),
+best AS (
+  SELECT vec_id, centroid_id AS cell_id, csim AS cent_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, centroid_id) AS rn
+  FROM scored),
+b1 AS (SELECT vec_id, cell_id, cent_sim FROM best WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM b1 x
+  JOIN b1 y ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings b ON b.vec_id = y.vec_id
+  JOIN nrm na ON na.vec_id = x.vec_id
+  JOIN nrm nb ON nb.vec_id = y.vec_id
+  WHERE round({_SQL_DOT} / (na.n * nb.n), 6) >= 0.3
+    AND (y.cent_sim < x.cent_sim
+         OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id)))
+SELECT b1.vec_id, b1.cell_id, b1.cent_sim,
+       d.vec_id IS NULL AS is_kept
+FROM b1 LEFT JOIN dropped d ON d.vec_id = b1.vec_id
+""", priority=PRI_TAIL)
+def q127_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — SEMANTIC deduplication (operators/dedup.semdedup; Abbas
+    et al. 2023): k-means-style cell assignment (deterministic seed
+    centroids vec_id < 16, the q47 convention) prunes the pair space,
+    within-cell cosine ≥ τ defines semantic duplicates, and each dup
+    pair keeps its LEAST-prototypical member (lowest centroid
+    similarity — the paper's keep-farthest rule), id tie-break. The
+    oracle replays assignment, pair scoring, and the keep rule exactly
+    (6-rounded cosines, decimal-exact dots, norms computed once per
+    vector on both engines), so every keep/drop decision
+    hash-verifies. τ = 0.3 is the FIXTURE's demo threshold (random
+    embeddings, max pairwise cosine ≈ 0.5 — the q60 note); production
+    embeddings use the paper's 0.9-class τ unchanged. Completes the
+    dedup ladder: exact (q26) → surface near-dup (q29/q33/q60/q91) →
+    substring (q85/q126) → SEMANTIC (this)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.where(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("cvec")))
+    return dd.semdedup(emb, cents, id_col="vec_id",
+                       vec_col="embedding", tau=0.3)
+
+
 @register("q124_stream_static_enrich", """
 SELECT e.event_id, e.user_id, e.event_type,
        c.c_name AS customer_name,

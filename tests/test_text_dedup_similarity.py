@@ -792,3 +792,53 @@ def test_random_projection_preserves_pairwise_distances(spark):
     again = {r.vec_id: tuple(r.proj) for r in
              sim.random_projection(emb, out_dim=16).collect()}
     assert again == {k: tuple(p) for k, (_, p) in rows.items()}
+
+
+# ------------------------------------------------ SemDeDup (round 8)
+
+def test_semdedup_drops_planted_semantic_dup_keeps_farthest(spark):
+    """Two near-identical vectors in the same cell: the one CLOSER to the
+    centroid drops, the farther (least prototypical) one survives —
+    Abbas et al.'s keep rule. An unrelated orthogonal vector is
+    untouched, and a near-dup of the centroid itself survives only as
+    the farthest member of its pair."""
+    import math
+    c0 = [1.0] + [0.0] * 7          # centroid A
+    c1 = [0.0, 1.0] + [0.0] * 6     # centroid B
+    # v10/v11: same direction, v11 slightly farther from c0
+    v10 = [0.9, 0.1] + [0.0] * 6
+    v11 = [0.88, 0.14] + [0.0] * 6
+    v20 = [0.0, 0.0, 1.0] + [0.0] * 5   # alone in whatever cell it lands
+    rows = [(0, c0), (1, c1), (10, v10), (11, v11), (20, v20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame([(0, c0), (1, c1)],
+                                  "centroid_id long, cvec array<double>")
+    out = {r["vec_id"]: r for r in
+           dd.semdedup(emb, cents, tau=0.95).collect()}
+    assert len(out) == 5                      # every row present with a flag
+    # v10 and v11 are semantic dups (cos ~0.998) in cell 0; v11 has the
+    # lower centroid similarity -> v11 kept, v10 dropped
+    assert out[10]["cell_id"] == 0 and out[11]["cell_id"] == 0
+    assert out[11]["cent_sim"] < out[10]["cent_sim"]
+    assert out[11]["is_kept"] and not out[10]["is_kept"]
+    # the orthogonal vector has no >=tau neighbor -> kept
+    assert out[20]["is_kept"]
+    # centroid vectors themselves: c0 is a dup pair with v10/v11? cos(c0,
+    # v10) = 0.9/|v10| ~ 0.993 >= 0.95 -> c0 is in the dup group too; the
+    # keep rule still keeps exactly the farthest member overall
+    kept_cell0 = [i for i in (0, 10, 11) if out[i]["is_kept"]]
+    assert kept_cell0 == [11]
+
+
+def test_semdedup_tau_one_keeps_everything_except_exact_dups(spark):
+    vecs = [(i, [float(i + 1), 1.0, 0.0]) for i in range(4)]
+    vecs.append((9, [2.0, 1.0, 0.0]))  # exact same direction as vec_id=1
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                                  "centroid_id long, cvec array<double>")
+    out = {r["vec_id"]: r["is_kept"] for r in
+           dd.semdedup(emb, cents, tau=1.0).collect()}
+    # cos(v1, v9) = 1.0 exactly (same direction); same cent_sim, so the
+    # id tie-break keeps the SMALLER id
+    assert out[1] and not out[9]
+    assert all(out[i] for i in (0, 2, 3))
