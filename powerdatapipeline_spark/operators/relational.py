@@ -425,3 +425,75 @@ def mixture_resample(df: DataFrame, weights: dict[str, float],
                     F.col(strata_col) == F.col("__s"))
             .where(hash_bucket(id_col, salt, buckets) < F.col("__thresh"))
             .drop("__s", "__thresh"))
+
+
+def scd2_merge(dim: DataFrame, updates: DataFrame, key: str,
+               attrs: Sequence[str], eff_col: str,
+               valid_from: str = "valid_from", valid_to: str = "valid_to",
+               current_col: str = "is_current") -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge: apply effective-dated
+    attribute updates to a versioned dimension, producing the new
+    version history — the standard maintenance operation for any
+    registry/tariff/metadata table a 100 TB fact stream joins against
+    (the reference has no dimension concept at all; this closes the
+    dimension-maintenance half of the join story).
+
+    Contract: ``dim`` rows carry ``key, *attrs, valid_from, valid_to
+    (NULL = open), is_current``; ``updates`` rows carry ``key, *attrs,
+    eff_col``. Semantics:
+
+    * CLOSED history rows pass through untouched — at scale the closed
+      majority is never rewritten, only the open-row minority merges.
+    * Per key, the open row and its updates order by (effective time,
+      source) — an update stamped exactly at the open row's
+      ``valid_from`` supersedes it (source tie-break: update wins).
+      Multiple updates per key chain into consecutive versions.
+    * NO-OP updates are run-length compressed: a version whose every
+      attribute is null-safe-equal to the chronologically previous
+      version is dropped (the core SCD2 subtlety — without it every
+      reprocessed batch would spawn phantom versions).
+    * ``valid_to`` rebuilds as the next surviving version's
+      ``valid_from``; the last version per key stays open and current.
+    * New keys (updates with no dim row) start their own history.
+
+    Scale shape: one shuffle on ``key`` for the two windows (ordering
+    within a key only — a key's version count is tiny); history rows
+    bypass the shuffle entirely via the early split. Deterministic:
+    callers must pre-aggregate updates to one row per (key, eff) —
+    enforced here with a loud error, because an undefined duplicate
+    order would make version chains engine-dependent.
+    """
+    attr_list = list(attrs)
+    hist = dim.where(~F.col(current_col)).select(
+        key, *attr_list, valid_from, valid_to, current_col)
+    cur = (dim.where(F.col(current_col))
+           .select(key, *attr_list, valid_from)
+           .withColumn("__src", F.lit(0)))
+    ups = (updates
+           .select(key, *attr_list, F.col(eff_col).alias(valid_from))
+           .withColumn("__src", F.lit(1)))
+    n_dup = (ups.groupBy(key, valid_from).count()
+             .where(F.col("count") > 1).limit(1).count())
+    if n_dup:
+        raise ValueError(
+            "updates contain multiple rows for the same (key, effective "
+            "time); pre-aggregate to one row per (key, eff) so version "
+            "chains are deterministic")
+    allv = cur.unionByName(ups)
+    w = Window.partitionBy(key).orderBy(valid_from, "__src")
+    same_as_prev = F.lit(True)
+    for a in attr_list:
+        same_as_prev = same_as_prev & F.col(a).eqNullSafe(
+            F.lag(F.col(a)).over(w))
+    is_first = F.row_number().over(w) == 1
+    surviving = (allv
+                 .withColumn("__keep", is_first | ~same_as_prev)
+                 .where(F.col("__keep")))
+    # lead over the FILTERED frame on purpose: valid_to must chain to the
+    # next SURVIVING version, skipping compressed no-ops
+    w2 = Window.partitionBy(key).orderBy(valid_from, "__src")
+    rebuilt = (surviving
+               .withColumn(valid_to, F.lead(F.col(valid_from)).over(w2))
+               .withColumn(current_col, F.col(valid_to).isNull())
+               .select(key, *attr_list, valid_from, valid_to, current_col))
+    return hist.unionByName(rebuilt)

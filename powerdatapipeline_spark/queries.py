@@ -4465,6 +4465,113 @@ def q124_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("customer_name").isNotNull().alias("registered"))
 
 
+@register("q128_split_leakage", r"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN bk < 8000 THEN 'train'
+              WHEN bk < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS bk
+        FROM documents)),
+toks AS (
+  SELECT doc_id, split,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM sp),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 7, 0)),
+           i -> md5(array_to_string(list_slice(t, i, i + 7), ' '))))) AS gh
+  FROM toks)
+SELECT s.doc_id, count(DISTINCT s.gh) AS n_colliding_ngrams,
+       count(DISTINCT b.doc_id) AS n_bench_docs
+FROM sh s
+JOIN (SELECT DISTINCT gh, doc_id FROM sh WHERE split = 'test') b
+  ON s.gh = b.gh
+WHERE s.split = 'train'
+GROUP BY s.doc_id
+""", priority=PRI_TAIL)
+def q128_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test SPLIT-LEAKAGE audit — q75's decontamination rule turned
+    on the pipeline's own split (operators/relational.hash_split +
+    operators/text.contamination_report composed): after the
+    deterministic md5 split (q62's exact rule), report every TRAIN
+    document sharing a word 8-gram with the TEST split — near-dup
+    clusters straddling a random split silently leak eval content into
+    training, the classic self-inflicted contamination a dedup-then-
+    split pipeline exists to prevent. The (smaller) test side broadcasts
+    as the bench set, so the train side never shuffles — identical
+    scale shape to q75. Both the split assignment and the n-gram
+    pipeline replay exactly in the oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = rel.hash_split(docs, "doc_id")
+    train = sp.where(F.col("split") == "train")
+    test = sp.where(F.col("split") == "test")
+    return tx.contamination_report(train, test, n=8)
+
+
+@register("q129_scd2_merge", """
+WITH cur AS (
+  SELECT c_custkey AS user_id, CAST(c_acctbal AS DOUBLE) AS bal,
+         0.0 AS valid_from, 0 AS src
+  FROM customer),
+ups AS (
+  SELECT user_id, CAST(max(value) AS DOUBLE) AS bal,
+         epoch(ts) AS valid_from, 1 AS src
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+allv AS (SELECT * FROM cur UNION ALL SELECT * FROM ups),
+flagged AS (
+  SELECT user_id, bal, valid_from, src,
+         row_number() OVER w AS rn,
+         lag(bal) OVER w AS prev_bal
+  FROM allv
+  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, src)),
+surviving AS (
+  SELECT user_id, bal, valid_from, src
+  FROM flagged
+  WHERE rn = 1 OR bal IS DISTINCT FROM prev_bal),
+rebuilt AS (
+  SELECT user_id, bal, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from, src) AS valid_to
+  FROM surviving)
+SELECT user_id, bal, valid_from, valid_to, valid_to IS NULL AS is_current
+FROM rebuilt
+""", priority=PRI_TAIL)
+def q129_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 merge (operators/relational.
+    scd2_merge — the dimension-MAINTENANCE half of the star-join story;
+    the reference has no dimension concept): the customer registry is
+    the open dimension (balance effective from epoch 0) and purchase
+    events are effective-dated balance updates, pre-aggregated to one
+    row per (user, ts) so version chains are deterministic. The merge
+    run-length-compresses no-op updates, chains valid_from/valid_to per
+    key (update at an identical timestamp supersedes via the source
+    tie-break), and leaves exactly one open current version per key —
+    every version row, boundary, and currency flag hash-verifies
+    against the oracle replaying the same two windows. One shuffle on
+    the key; at scale the CLOSED history (the data majority) bypasses
+    the merge entirely via the early is_current split."""
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit(0.0).alias("valid_from"),
+        F.lit(None).cast("double").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    ev = load_events(spark, sf_dir)
+    ups = (ev.where(F.col("event_type") == "purchase")
+           .groupBy("user_id", "ts")
+           .agg(F.max("value").cast("double").alias("bal"))
+           .select("user_id", "bal",
+                   F.col("ts").cast("double").alias("eff")))
+    return rel.scd2_merge(dim, ups, key="user_id", attrs=["bal"],
+                          eff_col="eff")
+
+
 _BINFIX_N = 200
 
 

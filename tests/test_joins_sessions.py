@@ -84,3 +84,81 @@ def test_asof_join_null_field_not_resurrected(spark):
                        prefix="asof_").first()
     assert out.asof_price is None   # matched row ts=20 has NULL price
     assert out.asof_ts == 20.0      # and the match IS ts=20, not ts=10
+
+
+# ------------------------------------------------- SCD2 merge (round 8)
+
+def _scd2_fixtures(spark):
+    from pyspark.sql import types as T
+    dim_schema = ("k long, city string, tier long, valid_from double, "
+                  "valid_to double, is_current boolean")
+    dim = spark.createDataFrame([
+        (1, "berlin", 1, 0.0, 100.0, False),    # closed history row
+        (1, "munich", 1, 100.0, None, True),    # open current
+        (2, "paris", 2, 0.0, None, True),       # open, no updates coming
+    ], dim_schema)
+    ups = spark.createDataFrame([
+        (1, "munich", 2, 200.0),   # tier change at t=200
+        (1, "munich", 2, 300.0),   # NO-OP (same attrs) -> compressed away
+        (1, "hamburg", 2, 400.0),  # city change at t=400
+        (3, "rome", 1, 50.0),      # brand-new key
+    ], "k long, city string, tier long, eff double")
+    return dim, ups
+
+
+def test_scd2_merge_chains_compresses_and_passes_history(spark):
+    from powerdatapipeline_spark.operators import relational as rel
+    dim, ups = _scd2_fixtures(spark)
+    out = rel.scd2_merge(dim, ups, key="k", attrs=["city", "tier"],
+                         eff_col="eff")
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+    # closed history untouched
+    assert rows[(1, 0.0)]["valid_to"] == 100.0
+    assert not rows[(1, 0.0)]["is_current"]
+    # open row closed at the first surviving update
+    assert rows[(1, 100.0)]["valid_to"] == 200.0
+    assert not rows[(1, 100.0)]["is_current"]
+    # t=200 version survives; the t=300 no-op is compressed, so its
+    # valid_to chains straight to t=400
+    assert rows[(1, 200.0)]["tier"] == 2
+    assert rows[(1, 200.0)]["valid_to"] == 400.0
+    assert (1, 300.0) not in rows
+    # final version open + current
+    assert rows[(1, 400.0)]["city"] == "hamburg"
+    assert rows[(1, 400.0)]["valid_to"] is None
+    assert rows[(1, 400.0)]["is_current"]
+    # untouched key stays open
+    assert rows[(2, 0.0)]["valid_to"] is None and rows[(2, 0.0)]["is_current"]
+    # new key starts its own open history
+    assert rows[(3, 50.0)]["city"] == "rome" and rows[(3, 50.0)]["is_current"]
+    # exactly one current row per key
+    cur = [k for (k, _), r in rows.items() if r["is_current"]]
+    assert sorted(cur) == [1, 2, 3]
+
+
+def test_scd2_update_at_open_rows_timestamp_supersedes(spark):
+    from powerdatapipeline_spark.operators import relational as rel
+    dim = spark.createDataFrame(
+        [(1, "a", 100.0, None, True)],
+        "k long, v string, valid_from double, valid_to double, is_current boolean")
+    ups = spark.createDataFrame([(1, "b", 100.0)], "k long, v string, eff double")
+    out = {r["valid_from"]: r for r in rel.scd2_merge(
+        dim, ups, key="k", attrs=["v"], eff_col="eff").collect()}
+    # the update at the SAME instant wins the tie-break: the old open row
+    # becomes a zero-length version closed at its own start, the update
+    # is the open current one
+    assert out[100.0]["v"] in ("a", "b")
+    currents = [r for r in out.values() if r["is_current"]]
+    assert len(currents) == 1 and currents[0]["v"] == "b"
+
+
+def test_scd2_duplicate_update_keys_raise(spark):
+    import pytest as _pytest
+    from powerdatapipeline_spark.operators import relational as rel
+    dim = spark.createDataFrame(
+        [(1, "a", 0.0, None, True)],
+        "k long, v string, valid_from double, valid_to double, is_current boolean")
+    ups = spark.createDataFrame([(1, "b", 5.0), (1, "c", 5.0)],
+                                "k long, v string, eff double")
+    with _pytest.raises(ValueError, match="pre-aggregate"):
+        rel.scd2_merge(dim, ups, key="k", attrs=["v"], eff_col="eff")
