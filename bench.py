@@ -70,7 +70,11 @@ def build_payloads(timings: dict[str, float],
         "sf": sf_val,
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
-        "queries": {short_name(n): round(t, 2) for n, t in timings.items()},
+        # 1 decimal: the compact map is a triage signal (BENCH_DETAIL.json
+        # keeps 3 decimals); the saved char/entry buys ~10 more queries
+        # inside MAX_LINE before the map must drop (envelope widened
+        # deliberately in round 8 when the registry hit 117)
+        "queries": {short_name(n): round(t, 1) for n, t in timings.items()},
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > MAX_LINE:

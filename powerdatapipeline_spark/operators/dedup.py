@@ -574,6 +574,11 @@ def semdedup(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
             .select(id_col, "__v", "__norm",
                     F.col("__cid").alias("cell_id"),
                     F.col("__csim").alias("cent_sim")))
+    # best feeds both self-join sides AND the output frame, so the E-step
+    # replays 3× in the executed plan — measured CHEAPER than forcing a
+    # localCheckpoint here (5.5 s vs 7.1 s at sf0.1: the corpus × k
+    # cosine pass is small next to the pair stage, and materializing
+    # breaks whole-stage pipelining into the self-join)
     a = best.select(F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
                     F.col("__norm").alias("__na"),
                     F.col("cell_id"), F.col("cent_sim").alias("__sa"))

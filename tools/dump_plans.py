@@ -36,6 +36,9 @@ BRUTE_FORCE_INTENDED = {
     # q114 scores the corpus against the broadcast query batch — the q31
     # brute-force shape over dequantized int8 codes
     "q114_int8_quantized_topk",
+    # round 8: q127's E-step is |corpus| × k broadcast centroids (the q47
+    # shape); k is the SemDeDup scale knob, small by design
+    "q127_semdedup",
 }
 
 SCALAR_BROADCAST_INTENDED = {
