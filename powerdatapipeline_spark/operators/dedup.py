@@ -552,6 +552,14 @@ def semdedup(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     from powerdatapipeline_spark.functions.vector import ddot
     from pyspark.sql import Window
 
+    from pyspark.sql import types as T
+    # centroids binds POSITIONALLY: (id, vector). A swapped frame would
+    # silently assign every row to a nonsense cell — fail loudly instead.
+    cfields = centroids.schema.fields
+    if len(cfields) < 2 or not isinstance(cfields[1].dataType, T.ArrayType):
+        raise ValueError(
+            "centroids must be a (centroid_id, vector array) frame — got "
+            f"schema {centroids.schema.simpleString()}")
     # norms are MATERIALIZED once per side before any join — recomputing
     # the 64-term decimal HOF per candidate pair multiplied the pair
     # stage's work 3× (the measured 44 s → ~6 s difference at sf0.1)

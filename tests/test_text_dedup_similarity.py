@@ -842,3 +842,12 @@ def test_semdedup_tau_one_keeps_everything_except_exact_dups(spark):
     # id tie-break keeps the SMALLER id
     assert out[1] and not out[9]
     assert all(out[i] for i in (0, 2, 3))
+
+
+def test_semdedup_rejects_swapped_centroid_frame(spark):
+    emb = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    swapped = spark.createDataFrame([([1.0, 0.0], 0)],
+                                    "cvec array<double>, centroid_id long")
+    with pytest.raises(ValueError, match="centroid_id, vector"):
+        dd.semdedup(emb, swapped)
