@@ -492,3 +492,64 @@ def test_exact_substring_dedup_matches_brute_force(spark, docs, min_tokens):
                 approx_covered.update(range(j, j + min_tokens))
         assert approx_covered <= exact[i]
         assert len(approx_covered) <= got[i]["n_removed_tokens"]
+
+
+# --------------------- SCD2 merge vs python replay (round 8) ---------------
+
+def _py_scd2(cur_rows, upd_rows):
+    """Pure-python replay of relational.scd2_merge for one attribute:
+    cur_rows = {key: (val, valid_from)}, upd_rows = [(key, val, eff)]
+    with unique (key, eff). Returns {(key, valid_from): (val, valid_to,
+    is_current)}."""
+    from collections import defaultdict
+    per_key = defaultdict(list)
+    for k, (v, vf) in cur_rows.items():
+        per_key[k].append((vf, 0, v))
+    for k, v, eff in upd_rows:
+        per_key[k].append((eff, 1, v))
+    out = {}
+    for k, versions in per_key.items():
+        versions.sort()
+        surviving = []
+        for vf, src, v in versions:
+            if not surviving or surviving[-1][1] != v:
+                surviving.append((vf, v))
+        for i, (vf, v) in enumerate(surviving):
+            vt = surviving[i + 1][0] if i + 1 < len(surviving) else None
+            out[(k, vf)] = (v, vt, vt is None)
+    return out
+
+
+@SLOW
+@given(updates=st.lists(
+    st.tuples(st.integers(0, 3),                      # key
+              st.sampled_from(["a", "b", "c"]),       # value (few → no-ops)
+              st.integers(1, 20)),                    # eff time
+    max_size=15))
+def test_scd2_merge_matches_python_replay(spark, updates):
+    """scd2_merge over arbitrary effective-dated update sequences equals
+    a direct python replay: same surviving versions, same
+    valid_from/valid_to chains, same single-current-per-key invariant,
+    no-op runs compressed identically."""
+    from powerdatapipeline_spark.operators import relational as rel
+    # unique (key, eff) per the operator's contract
+    seen, uniq = set(), []
+    for k, v, eff in updates:
+        if (k, eff) not in seen:
+            seen.add((k, eff))
+            uniq.append((k, v, float(eff)))
+    cur = {0: ("a", 0.0), 1: ("b", 0.0)}   # keys 2,3 are born by updates
+    dim = spark.createDataFrame(
+        [(k, v, vf, None, True) for k, (v, vf) in cur.items()],
+        "k long, v string, valid_from double, valid_to double, "
+        "is_current boolean")
+    ups = spark.createDataFrame(uniq, "k long, v string, eff double") \
+        if uniq else spark.createDataFrame(
+            [], "k long, v string, eff double")
+    got = {(r["k"], r["valid_from"]):
+           (r["v"], r["valid_to"], r["is_current"])
+           for r in rel.scd2_merge(dim, ups, key="k", attrs=["v"],
+                                   eff_col="eff").collect()}
+    assert got == _py_scd2(cur, uniq)
+    currents = [k for (k, _), (_, _, cur_) in got.items() if cur_]
+    assert sorted(currents) == sorted(set(list(cur) + [k for k, _, _ in uniq]))
