@@ -1355,3 +1355,71 @@ def zipf_fit(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    F.round(F.log(F.col("c").cast("double")), 6)
                    .alias("ln_count")))
     return st.grouped_ols(pts, [], "ln_rank", "ln_count")
+
+
+#: the Gopher doc-level stopword list (Rae et al. 2021, App. A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_len: float = 3.0,
+                         max_mean_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_alpha_frac: float = 0.8,
+                         min_stopwords: int = 2) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    App. A1.1) — the canonical doc-level heuristic filter battery next to
+    the repo's continuous quality score (q28) and CCNet buckets (q87):
+    word-count bounds, mean-word-length window, symbol-to-word ratio
+    (``#`` and ``…``), alphabetic-word fraction, and a minimum stopword
+    count. Returns every document with its per-rule measurements AND
+    booleans plus the conjunction ``passes`` — keep the measurements,
+    not just the verdict, so threshold tuning is a filter change, not a
+    recompute.
+
+    All rules are single-pass column expressions over one materialized
+    token array (zero shuffle, zero Python); ratios are 6-rounded for
+    engine portability. Defaults are the paper's thresholds; callers
+    tune per corpus."""
+    toks_col = tokens(text_col)
+    base = df.select(F.col(id_col), F.col(text_col).alias("__raw"),
+                     toks_col.alias("__t"))
+    n = F.size("__t")
+    sum_len = F.aggregate(F.transform(F.col("__t"), F.length),
+                          F.lit(0).cast("bigint"),
+                          lambda acc, x: acc + x)
+    # n == 0 guard on every ratio: double/0 is engine-divergent
+    # (JVM Infinity vs DuckDB inf/NULL) — NULL metrics, failed rules
+    mean_len = F.when(n > 0, F.round(sum_len.cast("double") / n, 6))
+    n_symbols = (F.length("__raw")
+                 - F.length(F.replace(F.col("__raw"), F.lit("#"), F.lit("")))
+                 + F.length("__raw")
+                 - F.length(F.replace(F.col("__raw"), F.lit("…"),
+                                      F.lit(""))))
+    sym_ratio = F.when(n > 0, F.round(n_symbols.cast("double") / n, 6))
+    n_alpha = F.size(F.filter(F.col("__t"), lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(n > 0, F.round(n_alpha.cast("double") / n, 6))
+    n_stop = F.size(F.filter(F.col("__t"),
+                             lambda x: x.isin(*GOPHER_STOPWORDS)))
+    out = (base
+           .withColumn("n_words", n.cast("bigint"))
+           .withColumn("mean_word_len", mean_len)
+           .withColumn("symbol_ratio", sym_ratio)
+           .withColumn("alpha_frac", alpha_frac)
+           .withColumn("n_stopwords", n_stop.cast("bigint")))
+    rules = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_len": (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len),
+        "ok_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "ok_stopwords": F.col("n_stopwords") >= min_stopwords,
+    }
+    passes = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        passes = passes & F.col(name)
+    return out.withColumn("passes", passes).drop("__raw", "__t")

@@ -4572,6 +4572,56 @@ def q129_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                           eff_col="eff")
 
 
+@register("q130_gopher_quality", r"""
+WITH b AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(CASE WHEN len(t) > 0 THEN
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+             / len(t) END, 6) AS mean_word_len,
+         round(CASE WHEN len(t) > 0 THEN
+           CAST(length(text) - length(replace(text, '#', ''))
+                + length(text) - length(replace(text, '…', '')) AS DOUBLE)
+             / len(t) END, 6) AS symbol_ratio,
+         round(CASE WHEN len(t) > 0 THEN
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                AS DOUBLE) / len(t) END, 6) AS alpha_frac,
+         CAST(len(list_filter(t, x -> list_contains(
+           ['the','be','to','of','and','that','have','with'], x)))
+           AS BIGINT) AS n_stopwords
+  FROM b)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       n_stopwords,
+       n_words BETWEEN 50 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+       symbol_ratio <= 0.1 AS ok_symbols,
+       alpha_frac >= 0.8 AS ok_alpha,
+       n_stopwords >= 2 AS ok_stopwords,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         AND n_stopwords >= 2 AS passes
+FROM m
+""", priority=PRI_TAIL)
+def q130_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (operators/text.gopher_quality_flags;
+    Rae et al. 2021 App. A1.1) — the canonical hard-threshold doc filter
+    beside the continuous score (q28) and CCNet buckets (q87): word
+    count 50–100k, mean word length 3–10, #/… symbol ratio ≤ 0.1,
+    alphabetic-word fraction ≥ 0.8, ≥ 2 stopwords. Every measurement,
+    every per-rule boolean, and the conjunction hash-verify; single
+    pass, zero shuffle, one materialized token array. On the synthetic
+    fixture the symbol/alpha rules are vacuously green (no symbols,
+    all-alpha vocab) — the word-count, mean-length, and stopword rules
+    do the discriminating."""
+    return tx.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
 _BINFIX_N = 200
 
 

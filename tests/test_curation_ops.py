@@ -335,3 +335,30 @@ def test_winnow_neardup_pairs_finds_shared_rare_content(spark):
     assert (100, 101) in out and out[(100, 101)] >= 3
     # the 40 common-passage docs must NOT pair via the common content
     assert all(a == 100 for a, _ in out), out
+
+
+# ---------------------------------------------- Gopher rules (round 8)
+
+def test_gopher_rules_each_rule_discriminates(spark):
+    from pyspark.sql import functions as F
+    from powerdatapipeline_spark.operators import text as tx
+    good = " ".join(["the", "and", "with"] + ["word"] * 60)   # passes all
+    short = "the and word"                                     # < 50 words
+    longwords = " ".join(["the", "and"] + ["x" * 30] * 60)     # mean len > 10
+    symbols = " ".join(["the", "and"] + ["word"] * 60) + " " + "#" * 40
+    nostop = " ".join(["word"] * 60)                           # 0 stopwords
+    empty = ""
+    docs = spark.createDataFrame(
+        list(enumerate([good, short, longwords, symbols, nostop, empty])),
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.gopher_quality_flags(docs).collect()}
+    assert out[0]["passes"]
+    assert not out[1]["ok_word_count"]
+    assert not out[2]["ok_mean_len"]
+    assert not out[3]["ok_symbols"]
+    assert out[3]["symbol_ratio"] > 0.1
+    assert not out[4]["ok_stopwords"]
+    # empty doc: NULL metrics, failed conjunction (never silently passes)
+    assert out[5]["n_words"] == 0
+    assert out[5]["mean_word_len"] is None
+    assert not out[5]["passes"]
