@@ -1423,3 +1423,78 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         out = out.withColumn(name, cond)
         passes = passes & F.col(name)
     return out.withColumn("passes", passes).drop("__raw", "__t")
+
+
+def dsir_importance(df: DataFrame, is_target: Column,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_buckets: int = 1024, smoothing: float = 0.5,
+                    top_k: int = 100) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how target-like its hashed
+    n-gram distribution is, then keep the top-k. The importance weight is
+    the log-likelihood ratio of two λ-smoothed bag-of-hashed-unigrams
+    models — ``log w(d) = Σ_b tf_b(d)·[ln p_target(b) − ln p_raw(b)]``
+    over ``n_buckets`` hash buckets, with ``p(b) = (ct_b + λ) /
+    (T + λ·B)``. ``is_target`` marks the in-domain exemplar docs (e.g.
+    ``F.col("lang") == "en"``); the raw model is the whole corpus.
+
+    Scale shape: one corpus pass builds the shared (doc, term) index
+    (the q81 pattern); terms hash to a FIXED-size bucket table
+    (``n_buckets`` rows regardless of corpus size) via the portable
+    md5-prefix primitive, so both model fits are a bounded groupBy and
+    the fitted log-ratio table broadcasts back. Per-doc scoring is one
+    hash-partitioned aggregate; top-k selection is TakeOrderedAndProject
+    (distributed heap per partition + driver merge of k rows), never a
+    global sort. No driver collect anywhere; the only data-independent
+    structures are the B-row ratio table and the k-row selection.
+
+    Parity discipline: each ln() is rounded to 6 before the subtraction;
+    the tf-weighted fold runs in decimal(28,12) so partition order can't
+    move the sum; the final score is 6-rounded. Selection orders by the
+    rounded score with ``id_col`` as tie-break, so membership is
+    deterministic across engines."""
+    from powerdatapipeline_spark.operators.relational import (
+        _md5_prefix_bigint)
+    lam = float(smoothing)
+    lam_b = lam * n_buckets
+    flags = df.select(F.col(id_col), is_target.alias("__is_t"))
+    index = _term_index(df, text_col, id_col)
+    bucketed = (index
+                .withColumn("bucket",
+                            _md5_prefix_bigint(F.col("term"), "dsir", 8)
+                            % n_buckets)
+                .join(flags, id_col))
+    per_bucket = (bucketed.groupBy("bucket")
+                  .agg(F.sum(F.when(F.col("__is_t"), F.col("tf"))
+                             .otherwise(F.lit(0))).alias("ct_t"),
+                       F.sum("tf").alias("ct_r")))
+    totals = per_bucket.select(F.sum("ct_t").alias("__tt"),
+                               F.sum("ct_r").alias("__tr"))
+    lr = (per_bucket.crossJoin(F.broadcast(totals))
+          .select("bucket",
+                  (F.round(F.log((F.col("ct_t").cast("double") + lam)
+                                 / (F.col("__tt") + lam_b)), 6)
+                   - F.round(F.log((F.col("ct_r").cast("double") + lam)
+                                   / (F.col("__tr") + lam_b)), 6))
+                  .alias("lr")))
+    scored = (bucketed.join(F.broadcast(lr), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                   F.round(F.sum((F.col("tf") * F.col("lr"))
+                                 .cast("decimal(28,12)"))
+                           .cast("double"), 6).alias("log_importance")))
+    selected = (scored
+                .orderBy(F.desc("log_importance"), F.asc(id_col))
+                .limit(top_k)
+                .select(F.col(id_col), F.lit(True).alias("__sel")))
+    out = (df.select(id_col)
+           .join(scored, id_col, "left")
+           .join(F.broadcast(selected), id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                   F.coalesce("log_importance", F.lit(0.0))
+                   .alias("log_importance"),
+                   F.coalesce("__sel", F.lit(False)).alias("selected"))
+           .localCheckpoint(eager=True))
+    index.unpersist()
+    return out

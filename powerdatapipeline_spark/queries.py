@@ -4622,6 +4622,59 @@ def q130_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.gopher_quality_flags(_t(spark, sf_dir, "documents"))
 
 
+@register("q131_dsir_resample", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+b AS (SELECT t.doc_id,
+             CAST(('0x' || substr(md5('dsir' || t.term), 1, 8)) AS BIGINT)
+               % 1024 AS bucket,
+             t.tf, d.lang = 'en' AS is_t
+      FROM tf t JOIN documents d USING (doc_id)),
+cb AS (SELECT bucket,
+              sum(CASE WHEN is_t THEN tf ELSE 0 END) AS ct_t,
+              sum(tf) AS ct_r
+       FROM b GROUP BY 1),
+tot AS (SELECT sum(ct_t) AS tt, sum(ct_r) AS tr FROM cb),
+lr AS (SELECT bucket,
+              round(ln((CAST(ct_t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / (tt + CAST(512 AS DOUBLE))), 6)
+              - round(ln((CAST(ct_r AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (tr + CAST(512 AS DOUBLE))), 6) AS lr
+       FROM cb CROSS JOIN tot),
+doc AS (SELECT b.doc_id, CAST(sum(b.tf) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(b.tf * lr.lr AS DECIMAL(28,12)))
+                          AS DOUBLE), 6) AS log_importance
+        FROM b JOIN lr USING (bucket) GROUP BY 1),
+rk AS (SELECT doc_id,
+              row_number() OVER (ORDER BY log_importance DESC, doc_id)
+                AS rn
+       FROM doc)
+SELECT d.doc_id, coalesce(doc.n_tokens, 0) AS n_tokens,
+       coalesce(doc.log_importance, CAST(0 AS DOUBLE)) AS log_importance,
+       coalesce(rk.rn <= 100, FALSE) AS selected
+FROM documents d
+LEFT JOIN doc USING (doc_id) LEFT JOIN rk USING (doc_id)
+""", priority=PRI_TAIL)
+def q131_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/text.dsir_importance; Xie
+    et al. 2023, arXiv:2302.03169) — score every document by the
+    log-likelihood ratio of λ-smoothed hashed-unigram models fit on the
+    target slice (``lang = 'en'``) vs the whole corpus, then keep the
+    top-100. Both model fits reduce to a FIXED 1024-row bucket table
+    (md5-prefix hashing, broadcast back); per-doc scoring is one
+    hash-partitioned decimal-folded aggregate; selection is
+    TakeOrderedAndProject with a doc_id tie-break — no global sort, no
+    driver collect. The reference has no data-selection analog; this is
+    the north-star curation family (same shelf as q86 mixture planning
+    and q87 quality buckets)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.dsir_importance(docs, F.col("lang") == "en")
+
+
 _BINFIX_N = 200
 
 

@@ -362,3 +362,56 @@ def test_gopher_rules_each_rule_discriminates(spark):
     assert out[5]["n_words"] == 0
     assert out[5]["mean_word_len"] is None
     assert not out[5]["passes"]
+
+
+def test_dsir_importance_matches_pure_python_replay(spark):
+    """dsir_importance (q131) vs an independent pure-python replay of the
+    DSIR formula — same md5 bucket hashing, λ-smoothing, per-term ln
+    rounding, and tie-broken top-k — on a planted corpus where the target
+    slice has a distinctive vocabulary. Target-like docs must outscore
+    noise docs and fill the selection."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = [
+        # target slice: "domain" vocabulary
+        (0, "grid load power grid load", True),
+        (1, "power grid voltage load power", True),
+        # raw-only: same domain (should score high, target-like)
+        (2, "load power grid grid", False),
+        # raw-only: off-domain noise (should score low)
+        (3, "banana umbrella trombone xylophone", False),
+        (4, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = {r["doc_id"]: r for r in
+           tx.dsir_importance(df, F.col("t"), n_buckets=64,
+                              top_k=3).collect()}
+
+    def bucket(term):
+        h = hashlib.md5(("dsir" + term).encode()).hexdigest()[:8]
+        return int(h, 16) % 64
+
+    tf = {d: Counter(t.split()) for d, t, _ in rows}
+    ct_t, ct_r = Counter(), Counter()
+    for d, _, is_t in rows:
+        for term, n in tf[d].items():
+            ct_r[bucket(term)] += n
+            if is_t:
+                ct_t[bucket(term)] += n
+    tt, tr = sum(ct_t.values()), sum(ct_r.values())
+    lam, lam_b = 0.5, 0.5 * 64
+    lr = {b: round(math.log((ct_t[b] + lam) / (tt + lam_b)), 6)
+          - round(math.log((ct_r[b] + lam) / (tr + lam_b)), 6)
+          for b in ct_r}
+    for d, _, _ in rows:
+        want = round(sum(n * lr[bucket(term)]
+                         for term, n in tf[d].items()), 6)
+        assert abs(out[d]["log_importance"] - want) < 1e-9, d
+        assert out[d]["n_tokens"] == sum(tf[d].values())
+    # domain docs outscore the noise doc; top-3 excludes noise and empty
+    assert out[3]["log_importance"] < min(
+        out[i]["log_importance"] for i in (0, 1, 2))
+    assert {d for d in out if out[d]["selected"]} == {0, 1, 2}
+    assert out[4]["n_tokens"] == 0 and not out[4]["selected"]
