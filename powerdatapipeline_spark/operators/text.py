@@ -1425,6 +1425,51 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     return out.withColumn("passes", passes).drop("__raw", "__t")
 
 
+def keyword_route(df: DataFrame, topics: dict[str, dict[str, int]],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  default_topic: str = "none") -> DataFrame:
+    """Weighted-keyword domain router — the cheap, auditable stand-in for
+    a topic classifier that mixture builders (q86) and per-source quotas
+    (q104) key on when no model-based domain label exists. Each topic is
+    a {term: integer weight} bag; a document's topic score is
+    ``Σ tf·weight`` and it routes to the argmax topic (ties broken by
+    topic name, so routing is deterministic). Docs hitting no keyword
+    route to ``default_topic`` with score 0.
+
+    Scale shape: the keyword table is literal-small and broadcast; scoring
+    is one hash-partitioned (doc, topic) aggregate over the shared term
+    index; argmax is a per-doc window (partitioned by doc — no global
+    sort). Integer weights × integer tf keep every score exact, so
+    cross-engine parity needs no rounding discipline at all."""
+    rows = [(topic, term, int(w))
+            for topic, tw in sorted(topics.items())
+            for term, w in sorted(tw.items())]
+    kw = df.sparkSession.createDataFrame(
+        rows, "topic string, term string, w int")
+    index = _term_index(df, text_col, id_col)
+    scored = (index.join(F.broadcast(kw), "term")
+              .groupBy(id_col, "topic")
+              .agg(F.sum(F.col("tf") * F.col("w")).cast("bigint")
+                   .alias("score"),
+                   F.countDistinct("term").cast("bigint")
+                   .alias("n_terms_hit")))
+    w_best = Window.partitionBy(id_col).orderBy(F.desc("score"),
+                                                F.asc("topic"))
+    best = (scored.withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+    out = (df.select(id_col)
+           .join(best, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("topic", F.lit(default_topic)).alias("topic"),
+                   F.coalesce("score", F.lit(0)).cast("bigint")
+                   .alias("score"),
+                   F.coalesce("n_terms_hit", F.lit(0)).cast("bigint")
+                   .alias("n_terms_hit"))
+           .localCheckpoint(eager=True))
+    index.unpersist()
+    return out
+
+
 def dsir_importance(df: DataFrame, is_target: Column,
                     text_col: str = "text", id_col: str = "doc_id",
                     n_buckets: int = 1024, smoothing: float = 0.5,

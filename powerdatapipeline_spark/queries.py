@@ -4675,6 +4675,53 @@ def q131_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dsir_importance(docs, F.col("lang") == "en")
 
 
+#: q132's routing table — literal integer weights over the fixture
+#: vocabulary, shared verbatim by the Spark query and the DuckDB oracle
+_Q132_TOPICS = {
+    "scan_io": {"scan": 2, "table": 1, "column": 1, "row": 1},
+    "join_shuffle": {"join": 2, "hash": 1, "merge": 1, "key": 1},
+    "aggregation": {"agg": 2, "group": 2, "window": 1, "sort": 1},
+    "streaming": {"stream": 2, "batch": 1, "line": 1},
+}
+
+_Q132_KW_VALUES = ", ".join(
+    f"('{topic}', '{term}', {w})"
+    for topic, tw in sorted(_Q132_TOPICS.items())
+    for term, w in sorted(tw.items()))
+
+
+@register("q132_keyword_route", f"""
+WITH kw(topic, term, w) AS (VALUES {_Q132_KW_VALUES}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id, kw.topic,
+              CAST(sum(tf.tf * kw.w) AS BIGINT) AS score,
+              CAST(count(DISTINCT tf.term) AS BIGINT) AS n_terms_hit
+       FROM tf JOIN kw USING (term) GROUP BY 1, 2),
+best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, topic) AS rn
+         FROM sc)
+SELECT d.doc_id, coalesce(b.topic, 'none') AS topic,
+       coalesce(b.score, 0) AS score,
+       coalesce(b.n_terms_hit, 0) AS n_terms_hit
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  USING (doc_id)
+""", priority=PRI_TAIL)
+def q132_keyword_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-keyword domain router (operators/text.keyword_route) —
+    the auditable topic classifier that mixture plans (q86) and token
+    quotas (q104) key on when no model-based domain label exists. The
+    keyword table broadcasts; scoring is one hash-partitioned (doc,
+    topic) aggregate over the shared term index; argmax is a per-doc
+    window with a topic-name tie-break. Integer weights × integer tf
+    keep every score exact — no rounding discipline needed."""
+    return tx.keyword_route(_t(spark, sf_dir, "documents"), _Q132_TOPICS)
+
+
 _BINFIX_N = 200
 
 

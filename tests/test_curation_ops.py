@@ -415,3 +415,35 @@ def test_dsir_importance_matches_pure_python_replay(spark):
         out[i]["log_importance"] for i in (0, 1, 2))
     assert {d for d in out if out[d]["selected"]} == {0, 1, 2}
     assert out[4]["n_tokens"] == 0 and not out[4]["selected"]
+
+
+def test_keyword_route_argmax_tiebreak_and_default(spark):
+    """keyword_route (q132): hand-computed integer scores, deterministic
+    topic-name tie-break on equal scores, and the default route for docs
+    hitting no keyword (including the empty doc)."""
+    topics = {"alpha": {"cat": 2, "dog": 1},
+              "beta": {"dog": 2, "fish": 1}}
+    rows = [
+        (0, "cat cat dog"),        # alpha: 2*2+1=5, beta: 2 → alpha
+        (1, "dog dog fish"),       # alpha: 2, beta: 2*2+1=5 → beta
+        (2, "dog"),                # alpha: 1, beta: 2 → beta
+        (3, "cat fish"),           # alpha: 2, beta: 1 → alpha
+        (4, "cat cat dog dog"),    # alpha: 4+2=6, beta: 4 → alpha
+        (5, "dog cat"),            # alpha: 2+1=3, beta: 2 → alpha
+        (6, "fish fish cat"),      # alpha: 2, beta: 2 → tie → 'alpha'
+        (7, "zebra quux"),         # no hits → default
+        (8, ""),                   # empty → default
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.keyword_route(df, topics).collect()}
+    assert (out[0]["topic"], out[0]["score"]) == ("alpha", 5)
+    assert (out[1]["topic"], out[1]["score"]) == ("beta", 5)
+    assert (out[2]["topic"], out[2]["score"]) == ("beta", 2)
+    assert (out[3]["topic"], out[3]["score"]) == ("alpha", 2)
+    assert (out[4]["topic"], out[4]["score"]) == ("alpha", 6)
+    assert (out[5]["topic"], out[5]["score"]) == ("alpha", 3)
+    assert (out[6]["topic"], out[6]["score"]) == ("alpha", 2)  # tie
+    assert out[6]["n_terms_hit"] == 1  # the winning topic hit 'cat' only
+    assert (out[7]["topic"], out[7]["score"]) == ("none", 0)
+    assert (out[8]["topic"], out[8]["score"]) == ("none", 0)
+    assert len(out) == 9
