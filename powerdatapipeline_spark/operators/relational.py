@@ -497,3 +497,42 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key: str,
                .withColumn(current_col, F.col(valid_to).isNull())
                .select(key, *attr_list, valid_from, valid_to, current_col))
     return hist.unionByName(rebuilt)
+
+
+def partial_rollup(df: DataFrame, keys: Sequence[str],
+                   value_col: str = "value") -> DataFrame:
+    """One shard's mergeable partial aggregate over ``keys``: count, an
+    exact decimal sum (partition-order-independent), min and max. The
+    building block of incremental aggregate maintenance — compute this
+    per ingest batch/partition and fold shards together with
+    :func:`merge_rollups` instead of rescanning history. Every measure
+    here is decomposable (commutative monoid), which is precisely why
+    the merged result is bit-identical to a full recompute; non-
+    decomposable measures (exact distinct, exact median) need their
+    sketch counterparts (HLL q115, CMS q113)."""
+    return (df.groupBy(*keys)
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(F.col(value_col).cast("decimal(28,12)"))
+                 .alias("sum_dec"),
+                 F.min(value_col).alias("min_value"),
+                 F.max(value_col).alias("max_value")))
+
+
+def merge_rollups(parts: Sequence[DataFrame],
+                  keys: Sequence[str]) -> DataFrame:
+    """Fold any number of :func:`partial_rollup` shards into the rollup
+    of their union — count and decimal sums add, min/max re-minimize.
+    At 100 TB this is the nightly-maintenance shape: the historical
+    rollup (tiny, one row per key) unions with the fresh delta's partial
+    and re-aggregates on the SAME keys, so the shuffle moves one row per
+    (shard, key), never raw events."""
+    if not parts:
+        raise ValueError("merge_rollups needs at least one shard")
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (allp.groupBy(*keys)
+            .agg(F.sum("n_rows").cast("bigint").alias("n_rows"),
+                 F.sum("sum_dec").alias("sum_dec"),
+                 F.min("min_value").alias("min_value"),
+                 F.max("max_value").alias("max_value")))

@@ -1425,6 +1425,44 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     return out.withColumn("passes", passes).drop("__raw", "__t")
 
 
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a document's
+    distinct word n-grams that occur in NO other document. The inverse
+    of the contamination/boilerplate signal: novelty ≈ 1 marks original
+    content, novelty ≈ 0 marks template/duplicated text that span dedup
+    (q85) or near-dup removal (q94) should be catching. Same 8-gram
+    granularity as the decontamination family so the signals compose.
+
+    Scale shape: distinct grams explode once per doc (linear-time
+    shifted-gram construction); document frequency is a groupBy on the
+    md5 gram fingerprint (never the raw gram string — fixed-width
+    shuffle keys); the per-doc rollup joins the frequency table back on
+    the same fingerprint, an equi-join co-partitioned with the groupBy
+    so AQE coalesces rather than reshuffles. No driver collect, no
+    broadcast of anything corpus-sized."""
+    grams = (_spread(df)
+             .select(F.col(id_col),
+                     F.explode(word_ngrams(text_col, n)).alias("gram"))
+             .select(F.col(id_col), F.md5("gram").alias("fp")))
+    dfreq = grams.groupBy("fp").agg(
+        F.countDistinct(id_col).alias("nd"))
+    per_doc = (grams.join(dfreq, "fp")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("bigint").alias("n_grams"),
+                    F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+                    .cast("bigint").alias("n_novel")))
+    return (df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                    F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                           F.round(F.col("n_novel").cast("double")
+                                   / F.col("n_grams"), 6))
+                    .alias("novelty_frac")))
+
+
 def keyword_route(df: DataFrame, topics: dict[str, dict[str, int]],
                   text_col: str = "text", id_col: str = "doc_id",
                   default_topic: str = "none") -> DataFrame:

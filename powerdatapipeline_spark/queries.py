@@ -4722,6 +4722,72 @@ def q132_keyword_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.keyword_route(_t(spark, sf_dir, "documents"), _Q132_TOPICS)
 
 
+@register("q133_ngram_novelty", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8),
+dfq AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+pd AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_novel
+       FROM g JOIN dfq USING (gram) GROUP BY 1)
+SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
+       coalesce(pd.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(pd.n_grams, 0) > 0
+            THEN round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6)
+       END AS novelty_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+""", priority=PRI_TAIL)
+def q133_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (operators/text.ngram_novelty) — the
+    fraction of a document's distinct word 8-grams occurring in no other
+    document; the inverse of the contamination signal at the same gram
+    granularity (q75/q80), flagging template/boilerplate text span dedup
+    should catch. Document frequency shuffles on md5 fingerprints (fixed
+    width), the rollup joins back co-partitioned on the same key, and
+    short docs (< 8 words) surface as 0 grams with a NULL fraction."""
+    return tx.ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@register("q134_incremental_rollup", r"""
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""", priority=PRI_TAIL)
+def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/relational.
+    partial_rollup + merge_rollups): the event stream is split into three
+    ingest shards (event_id % 3 — standing in for daily delta loads),
+    each shard reduces to a mergeable partial (count / exact decimal sum
+    / min / max per day × event_type), and the shards fold back together.
+    The oracle is the DIRECT full aggregation — passing proves
+    merge-of-partials is bit-identical to recompute, the invariant that
+    lets a 100 TB nightly rollup touch only the new delta (one row per
+    shard × key moves in the merge shuffle, never raw history). Non-
+    decomposable measures use the sketch twins instead (HLL q115,
+    CMS q113)."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", "ts"))
+    keys = ["day", "event_type"]
+    shards = [rel.partial_rollup(ev.filter(F.col("event_id") % 3 == i),
+                                 keys) for i in range(3)]
+    merged = rel.merge_rollups(shards, keys)
+    return merged.select(
+        "day", "event_type", "n_rows",
+        F.round(F.col("sum_dec").cast("double"), 6).alias("sum_value"),
+        "min_value", "max_value")
+
+
 _BINFIX_N = 200
 
 

@@ -447,3 +447,26 @@ def test_keyword_route_argmax_tiebreak_and_default(spark):
     assert (out[7]["topic"], out[7]["score"]) == ("none", 0)
     assert (out[8]["topic"], out[8]["score"]) == ("none", 0)
     assert len(out) == 9
+
+
+def test_ngram_novelty_planted_overlap(spark):
+    """ngram_novelty (q133): a doc sharing its opening 8-gram run with
+    another doc loses exactly those grams from its novel count; a fully
+    original doc is 100% novel; short docs get 0 grams and NULL frac."""
+    shared = "one two three four five six seven eight"          # 8 words
+    rows = [
+        (0, shared + " alpha"),   # grams: [w1..w8], [w2..alpha] → 1 shared
+        (1, shared + " beta"),    # symmetric
+        (2, "totally fresh words nine ten eleven twelve thirteen"),
+        (3, "too short"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.ngram_novelty(df, n=8).collect()}
+    assert out[0]["n_grams"] == 2 and out[0]["n_novel"] == 1
+    assert out[0]["novelty_frac"] == 0.5
+    assert out[1]["n_grams"] == 2 and out[1]["n_novel"] == 1
+    assert out[2]["n_grams"] == 1 and out[2]["n_novel"] == 1
+    assert out[2]["novelty_frac"] == 1.0
+    assert out[3]["n_grams"] == 0 and out[3]["novelty_frac"] is None
+    assert out[4]["n_grams"] == 0 and out[4]["novelty_frac"] is None

@@ -133,3 +133,27 @@ def test_stratified_hash_sample(spark):
     assert again == {r.k for r in out.collect()}   # no RNG state
     with pytest.raises(ValueError, match="rate"):
         rel.stratified_hash_sample(df, "k", "s", {"a": 1.5})
+
+
+def test_partial_rollup_merge_equals_full_recompute(spark):
+    """merge_rollups(partial_rollup(shard_i)) is bit-identical to
+    partial_rollup(full) for any sharding — the decomposable-measure
+    invariant incremental maintenance (q134) rests on. Includes an empty
+    shard (no rows contributed) and a singleton shard."""
+    from powerdatapipeline_spark.operators import relational as rel
+    rows = [(i % 4, f"t{i % 3}", float(i) * 0.5 - 3.0) for i in range(97)]
+    df = spark.createDataFrame(rows, "k long, typ string, value double")
+    keys = ["k", "typ"]
+    shards = [df.filter(F.col("k") % 3 == i) for i in range(3)] + [
+        df.limit(0)]  # empty shard must be a no-op
+    merged = rel.merge_rollups(
+        [rel.partial_rollup(s, keys) for s in shards], keys)
+    full = rel.partial_rollup(df, keys)
+    m = {(r["k"], r["typ"]): r for r in merged.collect()}
+    f = {(r["k"], r["typ"]): r for r in full.collect()}
+    assert set(m) == set(f)
+    for key in f:
+        for c in ("n_rows", "sum_dec", "min_value", "max_value"):
+            assert m[key][c] == f[key][c], (key, c)
+    with pytest.raises(ValueError):
+        rel.merge_rollups([], keys)
