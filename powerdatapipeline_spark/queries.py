@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.functions.datetime_funcs import _cyclical
 from powerdatapipeline_spark.operators import dedup as dd
+from powerdatapipeline_spark.operators import graph as gr
 from powerdatapipeline_spark.operators import relational as rel
 from powerdatapipeline_spark.operators import similarity as sim
 from powerdatapipeline_spark.operators import text as tx
@@ -4786,6 +4787,64 @@ def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type", "n_rows",
         F.round(F.col("sum_dec").cast("double"), 6).alias("sum_value"),
         "min_value", "max_value")
+
+
+@register("q135_pagerank", r"""
+WITH raw AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM raw
+      UNION SELECT dst AS src, src AS dst FROM raw),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+n AS (SELECT count(*) AS nn FROM nodes),
+r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / n.nn, 6) AS rank
+       FROM nodes CROSS JOIN n),
+r1 AS (SELECT e.dst AS node,
+              round(round(CAST(0.15 AS DOUBLE) / n.nn, 12)
+                    + CAST(0.85 AS DOUBLE)
+                      * CAST(sum(CAST(r0.rank / deg.outdeg
+                                      AS DECIMAL(28,12))) AS DOUBLE), 6)
+                AS rank
+       FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+       CROSS JOIN n GROUP BY e.dst, n.nn),
+r2 AS (SELECT e.dst AS node,
+              round(round(CAST(0.15 AS DOUBLE) / n.nn, 12)
+                    + CAST(0.85 AS DOUBLE)
+                      * CAST(sum(CAST(r1.rank / deg.outdeg
+                                      AS DECIMAL(28,12))) AS DOUBLE), 6)
+                AS rank
+       FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+       CROSS JOIN n GROUP BY e.dst, n.nn),
+r3 AS (SELECT e.dst AS node,
+              round(round(CAST(0.15 AS DOUBLE) / n.nn, 12)
+                    + CAST(0.85 AS DOUBLE)
+                      * CAST(sum(CAST(r2.rank / deg.outdeg
+                                      AS DECIMAL(28,12))) AS DOUBLE), 6)
+                AS rank
+       FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+       CROSS JOIN n GROUP BY e.dst, n.nn)
+SELECT node, rank FROM r3
+""", priority=PRI_TAIL)
+def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 statically-unrolled iterations (operators/graph.
+    pagerank) over the symmetrized customer↔supplier interaction graph
+    (distinct o_custkey–l_suppkey pairs through orders⋈lineitem) — the
+    bounded-iteration distributed-algorithm shape: each round is one
+    hash-partitioned join of the |V|-row rank vector with the edge list
+    plus a groupBy on the destination, lineage cut per round by an eager
+    localCheckpoint. Parity holds per ITERATION (6-rounded vectors,
+    decimal-folded contributions), so the whole trajectory is
+    bit-identical to the DuckDB unroll; the oracle replays the same
+    three rounds as chained CTEs. The reference has no graph surface —
+    this extends the dedup-cluster/graph family (q63)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    raw = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                   F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+           .distinct())
+    return gr.pagerank(gr.symmetrize(raw), iterations=3, damping=0.85)
 
 
 _BINFIX_N = 200
