@@ -516,3 +516,59 @@ def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .select(query_id_col, id_col, score.alias("qscore"))
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def centroid_cosine_matrix(embeddings: DataFrame, group_col: str = "label",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding centroids + the pairwise centroid-cosine
+    matrix — the corpus-geometry report next to the vocabulary-overlap
+    matrix (text.source_vocab_overlap): near-collinear group centroids
+    flag semantically redundant slices before mixing (the corpus-level
+    cousin of SemDeDup's per-cluster rule), near-orthogonal ones flag
+    genuinely novel domains.
+
+    Scale shape: vectors posexplode to (group, dim) — the groupBy is on
+    #groups×dim keys, so the heavy input reduces map-side and the
+    centroid table is tiny regardless of corpus size. Norms reduce from
+    the centroid table; the pair dot is an equi-join of the centroid
+    long-form with itself keyed on dim (inequality on group only as a
+    post-filter), bounded by #groups²·dim. No driver collect, nothing
+    corpus-sized broadcast.
+
+    Parity: dimension means and the dot/norm folds run in
+    decimal(28,12); sqrt and every published value round to 6."""
+    e = (embeddings
+         .select(F.col(group_col).alias("g"),
+                 F.posexplode(vec_col).alias("dim", "v"))
+         .withColumn("v", F.col("v").cast("double")))
+    cent = (e.groupBy("g", "dim")
+            .agg(F.round(F.sum(F.col("v").cast("decimal(28,12)"))
+                         .cast("double") / F.count("*"), 6).alias("c"))
+            .persist())
+    nrm = cent.groupBy("g").agg(
+        F.round(F.sqrt(F.sum((F.col("c") * F.col("c"))
+                             .cast("decimal(28,12)")).cast("double")), 6)
+        .alias("s"))
+    counts = (embeddings.groupBy(F.col(group_col).alias("g"))
+              .agg(F.count("*").cast("bigint").alias("n")))
+    a = cent.select(F.col("g").alias("g_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("g").alias("g_b"), "dim", F.col("c").alias("cb"))
+    dots = (a.join(b, "dim")
+            .filter(F.col("g_a") < F.col("g_b"))
+            .groupBy("g_a", "g_b")
+            .agg(F.sum((F.col("ca") * F.col("cb")).cast("decimal(28,12)"))
+                 .cast("double").alias("d")))
+    na = nrm.select(F.col("g").alias("g_a"), F.col("s").alias("s_a"))
+    nb = nrm.select(F.col("g").alias("g_b"), F.col("s").alias("s_b"))
+    ca_ = counts.select(F.col("g").alias("g_a"), F.col("n").alias("n_a"))
+    cb_ = counts.select(F.col("g").alias("g_b"), F.col("n").alias("n_b"))
+    out = (dots.join(F.broadcast(na), "g_a").join(F.broadcast(nb), "g_b")
+           .join(F.broadcast(ca_), "g_a").join(F.broadcast(cb_), "g_b")
+           .select("g_a", "g_b", "n_a", "n_b",
+                   F.when((F.col("s_a") > 0) & (F.col("s_b") > 0),
+                          F.round(F.col("d")
+                                  / (F.col("s_a") * F.col("s_b")), 6))
+                   .alias("cosine"))
+           .localCheckpoint(eager=True))
+    cent.unpersist()
+    return out

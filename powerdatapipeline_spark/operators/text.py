@@ -1425,6 +1425,56 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     return out.withColumn("passes", passes).drop("__raw", "__t")
 
 
+def source_vocab_overlap(df: DataFrame, group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices (sources,
+    snapshots, languages) — the corpus-level overlap matrix curation
+    teams read before mixing sources (near-identical vocabularies →
+    candidate for dedup across sources; disjoint → safe to mix). One
+    row per unordered group pair with both vocab sizes, the shared-term
+    count, and ``jaccard = |A∩B| / |A∪B|``; zero-overlap pairs are kept
+    (jaccard 0), not silently dropped.
+
+    Scale shape: the (group, term) vocabulary is one distinct over the
+    exploded token stream; the intersection is an inverted-index
+    self-join keyed on the term, so per-term cost is bounded by
+    #groups², never by corpus size; group sizes are a #groups-row
+    aggregate joined back broadcast. The pair universe comes from an
+    equi-join of the group list with itself on a constant key (a
+    BroadcastHashJoin, deliberately not a crossJoin, so the plan audit
+    stays BNLJ-free)."""
+    vocab = (_spread(df)
+             .select(F.col(group_col).alias("g"),
+                     F.explode(tokens(text_col)).alias("term"))
+             .distinct()
+             .persist())
+    sizes = vocab.groupBy("g").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (vocab.select(F.col("g").alias("g_a"), "term")
+             .join(vocab.select(F.col("g").alias("g_b"), "term"), "term")
+             .filter(F.col("g_a") < F.col("g_b"))
+             .groupBy("g_a", "g_b")
+             .agg(F.count("*").cast("bigint").alias("n_common")))
+    one = F.lit(1).alias("__k")
+    pairs = (sizes.select(F.col("g").alias("g_a"),
+                          F.col("n").alias("n_a"), one)
+             .join(F.broadcast(sizes.select(F.col("g").alias("g_b"),
+                                            F.col("n").alias("n_b"), one)),
+                   "__k")
+             .filter(F.col("g_a") < F.col("g_b"))
+             .drop("__k"))
+    out = (pairs.join(inter, ["g_a", "g_b"], "left")
+           .select("g_a", "g_b", "n_a", "n_b",
+                   F.coalesce("n_common", F.lit(0)).cast("bigint")
+                   .alias("n_common"),
+                   F.round(F.coalesce("n_common", F.lit(0)).cast("double")
+                           / (F.col("n_a") + F.col("n_b")
+                              - F.coalesce("n_common", F.lit(0))), 6)
+                   .alias("jaccard"))
+           .localCheckpoint(eager=True))
+    vocab.unpersist()
+    return out
+
+
 def ngram_novelty(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 8) -> DataFrame:
     """Per-document n-gram novelty — the fraction of a document's

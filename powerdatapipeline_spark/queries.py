@@ -4847,6 +4847,71 @@ def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(gr.symmetrize(raw), iterations=3, damping=0.85)
 
 
+@register("q136_source_overlap", r"""
+WITH vocab AS (
+  SELECT DISTINCT source AS g,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY 1),
+inter AS (SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT)
+            AS n_common
+          FROM vocab a JOIN vocab b ON a.term = b.term AND a.g < b.g
+          GROUP BY 1, 2)
+SELECT sa.g AS g_a, sb.g AS g_b, sa.n AS n_a, sb.n AS n_b,
+       coalesce(i.n_common, 0) AS n_common,
+       round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+LEFT JOIN inter i ON i.g_a = sa.g AND i.g_b = sb.g
+""", priority=PRI_TAIL)
+def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix (operators/text.
+    source_vocab_overlap) — the corpus-overlap report curation teams
+    read before mixing sources. The intersection is an inverted-index
+    self-join keyed on the term (per-term cost bounded by #sources²,
+    never corpus size); the pair universe is an equi-join of the
+    #sources-row size table with itself on a constant key so zero-
+    overlap pairs survive with jaccard 0 and the plan stays BNLJ-free."""
+    return tx.source_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+@register("q137_centroid_cosine", r"""
+WITH e AS (
+  SELECT label AS g, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+cent AS (SELECT g, dim,
+                round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 6) AS c
+         FROM e GROUP BY 1, 2),
+nrm AS (SELECT g, round(sqrt(CAST(sum(CAST(c * c AS DECIMAL(28,12)))
+                                  AS DOUBLE)), 6) AS s
+        FROM cent GROUP BY 1),
+counts AS (SELECT label AS g, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+dots AS (SELECT a.g AS g_a, b.g AS g_b,
+                CAST(sum(CAST(a.c * b.c AS DECIMAL(28,12))) AS DOUBLE)
+                  AS d
+         FROM cent a JOIN cent b ON a.dim = b.dim AND a.g < b.g
+         GROUP BY 1, 2)
+SELECT dots.g_a, dots.g_b, ca.n AS n_a, cb.n AS n_b,
+       CASE WHEN na.s > 0 AND nb.s > 0
+            THEN round(dots.d / (na.s * nb.s), 6) END AS cosine
+FROM dots JOIN nrm na ON na.g = dots.g_a JOIN nrm nb ON nb.g = dots.g_b
+JOIN counts ca ON ca.g = dots.g_a JOIN counts cb ON cb.g = dots.g_b
+""", priority=PRI_TAIL)
+def q137_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids + pairwise centroid-cosine matrix
+    (operators/similarity.centroid_cosine_matrix) — the embedding-space
+    overlap report beside the vocabulary matrix (q136): near-collinear
+    centroids flag semantically redundant corpus slices, the corpus-level
+    cousin of SemDeDup (q127). Vectors posexplode to (label, dim) so the
+    centroid reduce is map-side partial over #labels×64 keys; norms and
+    the pair dot derive from the tiny centroid table (equi-join on dim);
+    decimal folds + 6-rounding give bit parity."""
+    return sim.centroid_cosine_matrix(_t(spark, sf_dir, "embeddings"))
+
+
 _BINFIX_N = 200
 
 

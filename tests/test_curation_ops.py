@@ -470,3 +470,47 @@ def test_ngram_novelty_planted_overlap(spark):
     assert out[2]["novelty_frac"] == 1.0
     assert out[3]["n_grams"] == 0 and out[3]["novelty_frac"] is None
     assert out[4]["n_grams"] == 0 and out[4]["novelty_frac"] is None
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    """source_vocab_overlap (q136): exact Jaccard on planted vocabularies,
+    including a zero-overlap pair (kept, jaccard 0) and within-source
+    duplicate terms (vocabulary is a set, not a bag)."""
+    rows = [
+        (0, "a", "cat dog cat"),        # vocab(a) = {cat, dog}
+        (1, "a", "dog fish"),           # vocab(a) = {cat, dog, fish}
+        (2, "b", "dog fish bird"),      # vocab(b) = {dog, fish, bird}
+        (3, "c", "zebra"),              # vocab(c) = {zebra} — disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["g_a"], r["g_b"]): r for r in
+           tx.source_vocab_overlap(df).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (3, 3, 2)
+    assert ab["jaccard"] == 0.5  # |{dog,fish}| / |{cat,dog,fish,bird}|
+    ac = out[("a", "c")]
+    assert ac["n_common"] == 0 and ac["jaccard"] == 0.0
+
+
+def test_centroid_cosine_matrix_collinear_and_orthogonal(spark):
+    """centroid_cosine_matrix (q137): groups whose centroids are
+    parallel score 1, orthogonal score 0, opposite score −1; counts ride
+    along; a zero-centroid group yields NULL cosine (guarded division)."""
+    rows = [
+        (0, [1.0, 0.0], 1), (1, [3.0, 0.0], 1),     # centroid (2, 0)
+        (2, [0.0, 5.0], 2),                          # centroid (0, 5)
+        (3, [2.0, 0.0], 3),                          # centroid (2, 0)
+        (4, [-4.0, 0.0], 4),                         # centroid (−4, 0)
+        (5, [1.0, 1.0], 5), (6, [-1.0, -1.0], 5),    # centroid (0, 0)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["g_a"], r["g_b"]): r for r in
+           sim.centroid_cosine_matrix(df).collect()}
+    assert len(out) == 10  # C(5,2), zero-overlap pairs kept
+    assert out[(1, 3)]["cosine"] == 1.0
+    assert out[(1, 2)]["cosine"] == 0.0
+    assert out[(1, 4)]["cosine"] == -1.0
+    assert out[(1, 5)]["cosine"] is None  # zero-norm guard
+    assert (out[(1, 2)]["n_a"], out[(1, 2)]["n_b"]) == (2, 1)
