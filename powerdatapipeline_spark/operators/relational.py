@@ -536,3 +536,182 @@ def merge_rollups(parts: Sequence[DataFrame],
                  F.sum("sum_dec").alias("sum_dec"),
                  F.min("min_value").alias("min_value"),
                  F.max("max_value").alias("max_value")))
+
+
+def shard_assign(df: DataFrame, key_col: str, n_shards: int,
+                 salt: str = "", shard_col: str = "shard_id",
+                 pos_col: str = "shard_pos") -> DataFrame:
+    """Deterministic training-shard assignment — the "global shuffle +
+    shard writer" step every LLM training pipeline runs before
+    tokenized data reaches the data loader (no reference analog; the
+    reference hands TF a single in-memory dataset,
+    reference datapipeline/tfdataset.py).
+
+    ``shard_id = md5-bucket(key) mod n_shards`` and ``shard_pos`` =
+    rank of the row's md5 *uniform* within its shard (key tie-break).
+    Together they define a total, engine-portable training order:
+    epoch reader = shards in id order, rows in pos order. Because both
+    derive from the key hash alone, the order is stable across runs,
+    engines, partitionings, and cluster sizes — re-sharding with the
+    same salt is a no-op, and a resumed training job sees the same
+    sequence (the reproducibility contract checkpointed training
+    needs).
+
+    Scale shape: the bucket is a narrow map; the position is a
+    row_number over ``Window.partitionBy(shard)`` — ONE hash-partition
+    shuffle into n_shards groups, each sorted independently (never a
+    global sort). At 100 TB pick n_shards so a shard fits an executor
+    sort spill (e.g. 100 TB / 8192 shards ≈ 12 GB); the per-shard sort
+    spills to disk, no driver involvement. Writing then pairs with
+    ``partitionBy(shard_col)`` so each output file IS a shard."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    out = df.withColumn(shard_col,
+                        hash_bucket(key_col, salt, n_shards)
+                        .cast("int"))
+    w = (Window.partitionBy(shard_col)
+         .orderBy(uniform_from_key(key_col, salt + "|order"),
+                  F.col(key_col)))
+    return out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+
+
+def shard_manifest(df: DataFrame, key_col: str, n_shards: int,
+                   size_col: str | None = None,
+                   salt: str = "") -> DataFrame:
+    """Per-shard manifest for :func:`shard_assign`: row count, total
+    payload size, and an ORDER-SENSITIVE checksum
+    ``sum(shard_pos · (key-hash mod 1e6+3))`` (exact BIGINT fold) —
+    equal manifests prove two engines/runs produced byte-identical
+    shard sequences, not just equal membership. The manifest is one row
+    per shard (fixed-size, driver-safe); the corpus reduces map-side."""
+    assigned = shard_assign(df, key_col, n_shards, salt)
+    small_hash = _md5_prefix_bigint(F.col(key_col), salt + "|ck",
+                                    8) % 1_000_003
+    agg = [F.count("*").cast("bigint").alias("n_rows"),
+           F.sum(F.col("shard_pos") * small_hash).cast("bigint")
+           .alias("order_checksum")]
+    if size_col is not None:
+        agg.append(F.sum(F.col(size_col).cast("bigint")).cast("bigint")
+                   .alias("total_size"))
+    return assigned.groupBy("shard_id").agg(*agg)
+
+
+def zorder_code(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton / Z-order interleave of two non-negative integer bucket
+    ids (``bits`` bits each) into one BIGINT sort key: bit ``i`` of
+    ``x`` lands at position ``2i``, of ``y`` at ``2i+1``. Built purely
+    from ``shiftleft``/``bitwise OR`` column expressions — ``2·bits``
+    codegen'd terms, no UDF — and the same expression spells directly
+    in any engine (DuckDB: ``<<``/``|``), so the code is bit-portable.
+
+    This is the multi-dimensional clustering primitive behind
+    Delta/Iceberg ``ZORDER BY``: sorting by the interleaved code keeps
+    rows close in BOTH dimensions close in the file order, so per-file
+    min/max statistics become tight on BOTH columns and a scan with a
+    predicate on either one prunes files — single-column sort gives
+    that for one dimension only."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    xi = x.cast("bigint")
+    yi = y.cast("bigint")
+    terms = []
+    for i in range(bits):
+        bit_x = F.shiftright(xi, i).bitwiseAND(F.lit(1))
+        bit_y = F.shiftright(yi, i).bitwiseAND(F.lit(1))
+        terms.append(F.shiftleft(bit_x, 2 * i))
+        terms.append(F.shiftleft(bit_y, 2 * i + 1))
+    code = terms[0]
+    for t in terms[1:]:
+        code = code.bitwiseOR(t)
+    return code
+
+
+def zorder_layout_audit(df: DataFrame, x_col: Column, y_col: Column,
+                        n_files: int, bits: int = 16) -> DataFrame:
+    """Z-order clustering audit: assign every row to one of ``n_files``
+    equal-count files by rank of its :func:`zorder_code` and report the
+    per-file min/max envelope of BOTH dimensions — the exact statistics
+    a data-skipping scan would consult. Tight envelopes on both columns
+    = a point/range predicate on either dimension prunes most files; a
+    single-column sort would show wide envelopes on the other column.
+
+    Output: one row per file (fixed-size): ``file_id``, ``n_rows``,
+    ``x_min/x_max/y_min/y_max``. File assignment is ntile over the code
+    (count-balanced, deterministic with the (code, x, y) tie-break).
+
+    Scale shape: the audit's global ntile is the verification harness;
+    the PRODUCTION write is ``repartitionByRange(n_files, code)`` +
+    sortWithinPartitions — a range shuffle on sampled bounds, no global
+    window — and the engine then gets these min/max stats for free from
+    the parquet footers. The audit states the target layout exactly and
+    is itself a one-shuffle, one-row-per-file reduction."""
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    coded = df.select(x_col.cast("bigint").alias("__x"),
+                      y_col.cast("bigint").alias("__y"))
+    coded = coded.withColumn(
+        "__z", zorder_code(F.col("__x"), F.col("__y"), bits))
+    w = Window.orderBy("__z", "__x", "__y")
+    filed = coded.withColumn("file_id",
+                             F.ntile(n_files).over(w).cast("int"))
+    return (filed.groupBy("file_id")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.min("__x").alias("x_min"), F.max("__x").alias("x_max"),
+                 F.min("__y").alias("y_min"), F.max("__y").alias("y_max"))
+            )
+
+
+def temperature_mixture(df: DataFrame, strata_col: str = "source",
+                        size_col: str | None = None,
+                        alpha: float = 0.5,
+                        token_budget: int | None = None) -> DataFrame:
+    """Temperature-scaled source mixture — the multilingual/multi-source
+    sampling rule of GPT-3 / mT5 / XLM-R: sample stratum ``s`` with
+    probability ``p_s = n_s^α / Σ_t n_t^α`` where ``n_s`` is the stratum
+    size (docs, or token mass when ``size_col`` is given) and
+    ``α ∈ [0, 1]`` the temperature (α=1 natural proportions, α=0
+    uniform; 0.3–0.7 up-weights the tail without drowning the head —
+    the published heuristic for low-resource balance).
+
+    Returns one row per stratum: size, natural share, temperature-scaled
+    ``mixture_weight``, and — when ``token_budget`` is given — the
+    expected draw ``expected_size = budget · p_s`` plus
+    ``oversample_factor = expected / n_s`` (> 1 ⇒ the stratum repeats
+    within an epoch; the number curation teams check before committing
+    to a mixture). The ``pow`` is transcendental, so shares round to 6
+    decimals per the repo parity rule; sizes stay exact BIGINTs.
+
+    Scale shape: one map-side-combined groupBy on the low-cardinality
+    stratum key; everything after lives on the #strata-row frame (the
+    window total is a #strata-row exchange, not data). Feeding the
+    weights into :func:`mixture_resample_plan` turns the plan into the
+    actual deterministic selection."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    size = (F.count("*").cast("bigint") if size_col is None
+            else F.sum(F.col(size_col).cast("bigint")).cast("bigint"))
+    sizes = df.groupBy(F.col(strata_col).alias("stratum")) \
+              .agg(size.alias("n_size"))
+    w_all = Window.partitionBy()
+    scaled = F.pow(F.col("n_size").cast("double"), F.lit(float(alpha)))
+    out = (sizes
+           .withColumn("natural_share",
+                       F.round(F.col("n_size")
+                               / F.sum("n_size").over(w_all), 6))
+           .withColumn("mixture_weight",
+                       F.round(scaled / F.sum(scaled).over(w_all), 6)))
+    # expected/oversample derive from the 6-ROUNDED weight, not the raw
+    # pow ratio: floor() of an unrounded transcendental product can flip
+    # at the integer boundary across engines (1-ulp pow divergence); on
+    # the rounded weight every downstream op is plain IEEE arithmetic on
+    # identical inputs — bit-stable anywhere.
+    if token_budget is not None:
+        out = (out.withColumn(
+                   "expected_size",
+                   F.floor(F.lit(float(token_budget))
+                           * F.col("mixture_weight")).cast("bigint"))
+               .withColumn("oversample_factor",
+                           F.round(F.lit(float(token_budget))
+                                   * F.col("mixture_weight")
+                                   / F.col("n_size"), 6)))
+    return out

@@ -1631,3 +1631,83 @@ def dsir_importance(df: DataFrame, is_target: Column,
            .localCheckpoint(eager=True))
     index.unpersist()
     return out
+
+
+def length_bucketed_batches(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            batch_size: int = 32,
+                            salt: str = "") -> DataFrame:
+    """Length-bucketed batch assembly — the padding-efficiency step of
+    sequence-model training (TF bucket_by_sequence_length / HF
+    LengthGroupedSampler, made a distributed operator): documents are
+    bucketed by the power-of-two ceiling of their BPE-piece count
+    (``length_bucket = 2^ceil(log2(n))``), ordered INSIDE each bucket
+    by a deterministic key hash, and cut into fixed-size batches.
+
+    Returns one row per document: id, ``n_pieces``, ``length_bucket``,
+    ``batch_id`` (globally unique as bucket·2^20 + ordinal) and
+    ``batch_pos``. Batching within near-equal lengths is what bounds
+    padding waste (≤ 2× by construction inside a pow-2 bucket vs
+    unbounded under random batching); the hash order keeps the batch
+    composition reproducible across runs/engines/cluster sizes (the
+    same no-RNG-state contract as relational.hash_split).
+
+    Scale shape: the length + bucket are narrow maps; the ordinal is a
+    row_number per bucket — ONE hash-partition shuffle over ~30 bucket
+    keys. Buckets are coarse (pow-2), so at 100 TB each bucket is large
+    but the per-bucket sort spills executor-side; skew across buckets
+    is bounded because real corpora concentrate in ~6 adjacent pow-2
+    classes — if a single bucket dominates, sub-salt it with the same
+    rule applied to ``hash(key) mod k`` sub-buckets."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    from powerdatapipeline_spark.operators.relational import \
+        uniform_from_key
+    n = bpe_piece_count(text_col)
+    # pow-2 ceiling via bit length of (n-1): portable as
+    # floor(log2(x)) = length-of-binary-string - 1 in both engines;
+    # n <= 1 pins to bucket 1
+    base = df.select(F.col(id_col), n.alias("n_pieces"))
+    # F.shiftleft only takes a literal shift, so the column-shift spells
+    # as a SQL expression over the named bit-length column
+    base = base.withColumn(
+        "__nb", F.length(F.conv((F.col("n_pieces") - 1).cast("string"),
+                                10, 2)).cast("int"))
+    bucket = F.when(F.col("n_pieces") <= 1, F.lit(1).cast("bigint")) \
+              .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), __nb)"))
+    base = base.withColumn("length_bucket", bucket.cast("bigint")) \
+               .drop("__nb")
+    w = (Window.partitionBy("length_bucket")
+         .orderBy(uniform_from_key(id_col, salt), F.col(id_col)))
+    base = base.withColumn("__ord", F.row_number().over(w) - 1)
+    return (base.select(
+        id_col, "n_pieces", "length_bucket",
+        (F.col("length_bucket") * F.lit(1 << 20)
+         + F.floor(F.col("__ord") / batch_size)).cast("bigint")
+        .alias("batch_id"),
+        (F.col("__ord") % batch_size).cast("int").alias("batch_pos")))
+
+
+def batch_padding_report(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", batch_size: int = 32,
+                         salt: str = "") -> DataFrame:
+    """Per-batch padding-waste audit over
+    :func:`length_bucketed_batches`: each batch pads to its own max
+    piece count, so ``padding_waste = n_docs·max_pieces − Σ pieces``
+    and ``pad_ratio = waste / (n_docs·max_pieces)``. One row per batch
+    (fixed-size output); the training-efficiency number a curation team
+    reads before locking a bucketing config."""
+    batches = length_bucketed_batches(df, id_col, text_col, batch_size,
+                                      salt)
+    return (batches.groupBy("length_bucket", "batch_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.max("n_pieces").cast("bigint").alias("max_pieces"),
+                 F.sum(F.col("n_pieces").cast("bigint")).cast("bigint")
+                 .alias("sum_pieces"))
+            .withColumn("padding_waste",
+                        (F.col("n_docs") * F.col("max_pieces")
+                         - F.col("sum_pieces")).cast("bigint"))
+            .withColumn("pad_ratio",
+                        F.round(F.col("padding_waste")
+                                / (F.col("n_docs") * F.col("max_pieces")),
+                                6)))

@@ -4912,6 +4912,166 @@ def q137_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_cosine_matrix(_t(spark, sf_dir, "embeddings"))
 
 
+@register("q138_shard_manifest", """
+WITH a AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 32 AS INT) AS shard_id,
+         CAST(CAST(('0x' || substr(md5('|order' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1 AS DOUBLE)
+           / 1152921504606846976.0 AS u,
+         CAST(('0x' || substr(md5('|ck' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000003 AS ck
+  FROM documents),
+p AS (SELECT shard_id, n_chars, ck,
+             CAST(row_number() OVER (PARTITION BY shard_id
+                                     ORDER BY u, doc_id) AS BIGINT) AS pos
+      FROM a)
+SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(pos * ck) AS BIGINT) AS order_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS total_size
+FROM p GROUP BY shard_id
+""", priority=PRI_TAIL)
+def q138_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + manifest (operators/
+    relational.shard_assign/shard_manifest) — the global-shuffle-and-
+    shard step between curation and the training data loader (the
+    reference hands TF one in-memory dataset, reference
+    datapipeline/tfdataset.py:24; at 100 TB the shard layout IS the
+    product). shard = md5-bucket(doc_id), intra-shard order = md5
+    uniform — both pure key functions, so epoch order is reproducible
+    across runs/engines/cluster sizes. The manifest's ORDER-SENSITIVE
+    checksum (Σ pos·keyhash, exact BIGINT) makes the green hash prove
+    sequence equality, not mere membership; one hash-partition shuffle,
+    per-shard executor sorts, 32-row output."""
+    return rel.shard_manifest(_t(spark, sf_dir, "documents"), "doc_id",
+                              n_shards=32, size_col="n_chars")
+
+
+#: Morton interleave of 20-bit x/y as portable SQL — the same 40 terms
+#: zorder_code builds as column expressions, spelled with <<,>>,&,|
+_Z_SQL = " | ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(20))
+
+
+@register("q139_zorder_layout", f"""
+WITH c AS (
+  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(l_partkey AS BIGINT) AS y
+  FROM lineitem),
+z AS (SELECT x, y, {_Z_SQL} AS zc FROM c),
+f AS (SELECT x, y, CAST(ntile(64) OVER (ORDER BY zc, x, y) AS INT)
+             AS file_id FROM z)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM f GROUP BY file_id
+""", priority=PRI_TAIL)
+def q139_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout + data-skipping audit
+    (operators/relational.zorder_code/zorder_layout_audit) — the
+    Delta/Iceberg ``ZORDER BY`` primitive the engine's own sinks lack:
+    interleave ship-day and partkey bits into one sort key, cut the
+    sorted stream into 64 equal files, and report each file's min/max
+    envelope on BOTH dimensions — exactly the footer statistics a scan
+    consults to prune files for a predicate on either column. The
+    interleave is 40 codegen'd shift/mask terms (no UDF) and spells
+    identically in the oracle, so the entire layout is hash-verified.
+    The audit's global ntile is the verification shape; production
+    writes ``repartitionByRange(code)`` + sortWithinPartitions (range
+    shuffle on sampled bounds, no global window) and gets the same
+    envelopes from parquet footers free."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.datediff(F.col("l_shipdate").cast("date"),
+                   F.to_date(F.lit("1970-01-01")))
+    return rel.zorder_layout_audit(li, x, F.col("l_partkey"),
+                                   n_files=64, bits=20)
+
+
+@register("q140_batch_padding", f"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{tx.BPE_PIECE_RE}'))
+              AS INT) AS n_pieces
+  FROM documents),
+b AS (
+  SELECT doc_id, n_pieces,
+         CASE WHEN n_pieces <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << length(bin(n_pieces - 1))
+         END AS length_bucket,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 AS u
+  FROM n),
+o AS (
+  SELECT length_bucket, n_pieces,
+         row_number() OVER (PARTITION BY length_bucket
+                            ORDER BY u, doc_id) - 1 AS ord
+  FROM b),
+g AS (
+  SELECT length_bucket,
+         length_bucket * 1048576
+           + CAST(floor(ord / 16.0) AS BIGINT) AS batch_id,
+         n_pieces
+  FROM o)
+SELECT length_bucket, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_pieces) AS BIGINT) AS max_pieces,
+       CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+       CAST(count(*) * max(n_pieces) - sum(n_pieces) AS BIGINT)
+         AS padding_waste,
+       round(CAST(count(*) * max(n_pieces) - sum(n_pieces) AS DOUBLE)
+             / (count(*) * max(n_pieces)), 6) AS pad_ratio
+FROM g GROUP BY 1, 2
+""", priority=PRI_TAIL)
+def q140_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly + padding-waste audit (operators/
+    text.length_bucketed_batches/batch_padding_report) — the
+    padding-efficiency step of sequence training (TF
+    bucket_by_sequence_length / HF LengthGroupedSampler as a
+    distributed operator; the reference's fixed window_size sidesteps
+    it, reference datapipeline/tfdataset.py:61). Documents bucket by
+    the pow-2 ceiling of BPE-piece count, order inside the bucket by
+    key hash (reproducible batches, no RNG state), and cut into
+    16-doc batches; the report prices each batch's pad-to-max waste.
+    Narrow maps + ONE ~30-key hash shuffle; output is one row per
+    batch."""
+    return tx.batch_padding_report(_t(spark, sf_dir, "documents"),
+                                   batch_size=16)
+
+
+@register("q141_temperature_mixture", """
+WITH s AS (SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS n_size
+           FROM documents GROUP BY 1),
+w AS (SELECT stratum, n_size,
+             round(CAST(n_size AS DOUBLE)
+                   / CAST(sum(n_size) OVER () AS DOUBLE), 6)
+               AS natural_share,
+             round(pow(CAST(n_size AS DOUBLE), 0.5)
+                   / sum(pow(CAST(n_size AS DOUBLE), 0.5)) OVER (), 6)
+               AS mixture_weight
+      FROM s)
+SELECT stratum, n_size, natural_share, mixture_weight,
+       CAST(floor(1000000.0 * mixture_weight) AS BIGINT) AS expected_size,
+       round(1000000.0 * mixture_weight / n_size, 6) AS oversample_factor
+FROM w
+""", priority=PRI_TAIL)
+def q141_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (operators/relational.
+    temperature_mixture) — the mT5/XLM-R ``p_s ∝ n_s^α`` sampling rule
+    beside the explicit-weight plan (q86) and DSIR (q131): α=0.5 on
+    per-source character mass, with the 1M-token expected draw and the
+    oversample factor per source. Downstream numbers derive from the
+    6-ROUNDED weight so the floor() at the integer boundary cannot
+    flip on a 1-ulp pow divergence (the parity rule's corollary). One
+    map-side-combined groupBy; everything else lives on the 20-row
+    strata frame."""
+    return rel.temperature_mixture(_t(spark, sf_dir, "documents"),
+                                   strata_col="source",
+                                   size_col="n_chars", alpha=0.5,
+                                   token_budget=1_000_000)
+
+
 _BINFIX_N = 200
 
 
