@@ -572,3 +572,116 @@ def centroid_cosine_matrix(embeddings: DataFrame, group_col: str = "label",
            .localCheckpoint(eager=True))
     cent.unpersist()
     return out
+
+
+def _sub_l2(a, b, d_sub: int):
+    """Rounded squared-L2 between two ``d_sub``-dim array slices via the
+    engine-portable PLAIN-DOUBLE left fold (the q98 construction: Spark
+    ``aggregate`` ≡ DuckDB ``list_reduce`` term-for-term, so the sum is
+    bit-identical without decimal casts), 6-rounded per the
+    transcendental-parity rule so downstream decimal sums are exact."""
+    diffs = F.zip_with(a, b, lambda x, y:
+                       (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double")))
+    return F.round(F.aggregate(diffs, F.lit(0.0),
+                               lambda acc, v: acc + v), 6)
+
+
+def pq_seed_codebook(emb: DataFrame, m: int = 8, k: int = 16,
+                     dim: int = 64, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebook from DETERMINISTIC seed vectors
+    (the q47 seed-centroid discipline: ``id < k``, so the fit is
+    replayable by any engine; a production fit swaps in sampled
+    per-subspace k-means centroids — same downstream contract): the
+    vector space splits into ``m`` subspaces of ``dim/m`` dims and each
+    seed's j-th slice becomes codeword ``(j, code)``. Output is the
+    ``m·k``-row codebook frame ``(j, code, cvec)`` — tiny by
+    construction (128 rows at the defaults), always broadcastable."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    seeds = emb.where(F.col(id_col) < k)
+    return (seeds.select(F.col(id_col).cast("int").alias("code"),
+                         F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                         .alias("j"), F.col(vec_col))
+            .select("code", "j",
+                    F.slice(F.col(vec_col), F.col("j") * d_sub + 1,
+                            F.lit(d_sub)).alias("cvec")))
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, m: int = 8,
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ encoding: every vector compresses to ``m`` one-byte codes —
+    its nearest codeword per subspace (squared-L2, code tie-break). At
+    64 float dims → 8 codes that's 32× memory compression; the encoded
+    corpus (``vec_id, j, code``) is what a 100 TB ANN index actually
+    stores and scans.
+
+    Shape: explode to ``m`` slices per vector, broadcast-join the
+    ``m·k``-row codebook, argmin via one row_number window partitioned
+    by (vector, subspace) — a single narrow pass over ``N·m·k``
+    candidate rows with ``d_sub``-dim folds, no shuffle beyond the
+    window's hash partition."""
+    d_sub = dim // m
+    sub = (emb.select(F.col(id_col),
+                      F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                      .alias("j"), F.col(vec_col))
+           .select(id_col, "j",
+                   F.slice(F.col(vec_col), F.col("j") * d_sub + 1,
+                           F.lit(d_sub)).alias("svec")))
+    scored = (sub.join(F.broadcast(codebook), "j")
+              .withColumn("dist", _sub_l2(F.col("svec"), F.col("cvec"),
+                                          d_sub)))
+    w = Window.partitionBy(id_col, "j").orderBy("dist", "code")
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1").select(id_col, "j", "code"))
+
+
+def pq_adc_topk(emb: DataFrame, queries: DataFrame, k_top: int = 10,
+                m: int = 8, k_codes: int = 16, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al., IEEE TPAMI 2011 —
+    the memory-bound ANN path beside LSH buckets and IVF cells): the
+    corpus is scanned as CODES ONLY; each query precomputes an
+    ``m × k`` table of exact subspace distances to every codeword, and
+    a candidate's approximate distance is ``Σ_j table[j][code_j]`` — m
+    BIGINT-keyed lookups instead of a ``dim``-dim float kernel, against
+    32×-compressed data.
+
+    Parity: subspace distances are 6-rounded plain-double folds
+    (`_sub_l2`), the ADC total is an EXACT decimal sum of those rounded
+    terms, and ranking ties break on vec_id — every step replays
+    bit-identically in the oracle engine.
+
+    Scale shape: distance tables are ``|Q|·m·k`` rows — broadcast; the
+    probe is a broadcast-hash join of the encoded corpus (``N·m``
+    rows) to the tables on ``(j, code)`` then an ``N·|Q|``-key partial
+    aggregation of m terms each, and a per-query top-k window. The
+    corpus never re-reads its float vectors after encode — at 100 TB
+    the float column stays in cold storage and the scan touches only
+    the 8-byte code rows."""
+    codebook = pq_seed_codebook(emb, m, k_codes, dim, id_col, vec_col)
+    codes = pq_encode(emb, codebook, m, dim, id_col, vec_col)
+    d_sub = dim // m
+    qsub = (queries.select(F.col(query_id_col),
+                           F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                           .alias("j"), F.col(vec_col))
+            .select(query_id_col, "j",
+                    F.slice(F.col(vec_col), F.col("j") * d_sub + 1,
+                            F.lit(d_sub)).alias("qvec")))
+    dtab = (qsub.join(F.broadcast(codebook), "j")
+            .select(query_id_col, "j", "code",
+                    _sub_l2(F.col("qvec"), F.col("cvec"), d_sub)
+                    .alias("qdist")))
+    probed = (codes.join(F.broadcast(dtab), ["j", "code"])
+              .groupBy(query_id_col, id_col)
+              .agg(F.sum(F.col("qdist").cast("decimal(18,6)"))
+                   .cast("double").alias("adc_dist")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist"),
+                                                 F.col(id_col))
+    return (probed.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_top)
+            .select(query_id_col, id_col, "rank", "adc_dist"))

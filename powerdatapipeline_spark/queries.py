@@ -5072,6 +5072,63 @@ def q141_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    token_budget=1_000_000)
 
 
+#: the q98-style engine-portable fold: rounded plain-double squared-L2
+#: between two 8-dim slice lists (identical left fold both engines)
+_PQ_SUBL2 = ("round(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(generate_series(1, 8), "
+             "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+             "(acc, x) -> acc + x), 6)")
+
+
+@register("q142_pq_adc_topk", f"""
+WITH sub AS (
+  SELECT vec_id, j,
+         list_transform(generate_series(1, 8),
+                        i -> CAST(embedding[j * 8 + i] AS DOUBLE)) AS svec
+  FROM embeddings, unnest(generate_series(0, 7)) AS t(j)),
+cb AS (
+  SELECT CAST(vec_id AS INT) AS code, j, svec AS cvec
+  FROM sub WHERE vec_id < 16),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, cb.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+               ORDER BY {_PQ_SUBL2.format(a='s.svec', b='cb.cvec')},
+                        cb.code) AS rn
+    FROM sub s JOIN cb ON cb.j = s.j) WHERE rn = 1),
+dtab AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.code,
+         {_PQ_SUBL2.format(a='q.svec', b='cb.cvec')} AS qdist
+  FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 4),
+adc AS (
+  SELECT d.query_id, e.vec_id,
+         CAST(sum(CAST(d.qdist AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+  FROM enc e JOIN dtab d ON d.j = e.j AND d.code = e.code
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist
+FROM (SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rank
+      FROM adc)
+WHERE rank <= 10
+""", priority=PRI_TAIL)
+def q142_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (operators/
+    similarity.pq_seed_codebook/pq_encode/pq_adc_topk; Jégou et al.
+    2011) — the MEMORY-bound ANN scale path beside the LSH (q34) and
+    IVF (q35) compute paths: the corpus compresses 32× to 8 one-byte
+    codes per vector, queries precompute an 8×16 subspace-distance
+    table, and the scan is code lookups + an exact decimal sum of
+    6-rounded plain-double folds — every stage replayed bit-identically
+    by the oracle, including the argmin encoding itself. Codebook =
+    deterministic seed vectors (the q47 discipline; production swaps in
+    sampled per-subspace k-means without changing the contract)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4) \
+                 .select(F.col("vec_id").alias("query_id"), "embedding")
+    return sim.pq_adc_topk(emb, queries, k_top=10)
+
+
 _BINFIX_N = 200
 
 
