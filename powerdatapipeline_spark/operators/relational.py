@@ -715,3 +715,88 @@ def temperature_mixture(df: DataFrame, strata_col: str = "source",
                                    * F.col("mixture_weight")
                                    / F.col("n_size"), 6)))
     return out
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare_cols: Sequence[str] | None = None) -> DataFrame:
+    """Row-level diff of two dataset versions — the regression check a
+    pipeline team runs between two runs of the same corpus build (and
+    the change-data-feed a downstream incremental consumer reads):
+    full-outer join on the key, per-row status ``added`` (key only in
+    new), ``removed`` (only in old), ``changed`` (both, any compared
+    column differs), ``unchanged``.
+
+    Column comparison is null-safe (``<=>``), so NULL→value and
+    value→NULL both count as changes and NULL==NULL does not. Returns
+    the row-level frame ``(key, status)``; aggregate with
+    :func:`snapshot_diff_summary` for the fixed-size report.
+
+    Scale shape: ONE full-outer shuffle join on the key — the minimum
+    any exact diff pays; comparison is a codegen'd conjunction, no
+    hashing pass over either input. If the two versions were written
+    bucketed on the key (sources/readers' bucketed sink), the join is
+    exchange-free."""
+    cols = list(compare_cols
+                if compare_cols is not None
+                else [c for c in old.columns if c != key])
+    missing = ([c for c in cols if c not in old.columns]
+               + [c for c in cols if c not in new.columns])
+    if missing:
+        raise ValueError(f"compare columns missing from inputs: {missing}")
+    o = old.select(F.col(key).alias("__ko"),
+                   *[F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select(F.col(key).alias("__kn"),
+                   *[F.col(c).alias(f"__n_{c}") for c in cols])
+    j = o.join(n, F.col("__ko") == F.col("__kn"), "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (F.when(F.col("__ko").isNull(), F.lit("added"))
+              .when(F.col("__kn").isNull(), F.lit("removed"))
+              .when(same, F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.coalesce(F.col("__ko"), F.col("__kn")).alias(key),
+                    status.alias("status"))
+
+
+def snapshot_diff_summary(old: DataFrame, new: DataFrame, key: str,
+                          compare_cols: Sequence[str] | None = None
+                          ) -> DataFrame:
+    """Fixed-size rollup of :func:`snapshot_diff`: one row per status
+    with count and share (6-rounded). The four-row report is what a
+    run-over-run gate asserts on (``added+changed`` below a threshold
+    ⇒ safe to promote the new snapshot)."""
+    diff = snapshot_diff(old, new, key, compare_cols)
+    w_all = Window.partitionBy()
+    return (diff.groupBy("status")
+            .agg(F.count("*").cast("bigint").alias("n_rows"))
+            .withColumn("share",
+                        F.round(F.col("n_rows")
+                                / F.sum("n_rows").over(w_all), 6)))
+
+
+def fk_audit(fact: DataFrame, dim: DataFrame, fact_key: str,
+             dim_key: str, relation: str) -> DataFrame:
+    """Referential-integrity audit for one foreign-key edge: count of
+    fact rows whose key has no match in the dimension (orphans), NULL
+    keys (counted separately — a NULL FK is a modeling decision, not a
+    dangling pointer), and the orphan rate. One summary row out.
+
+    Scale shape: the orphan count is a LEFT ANTI join on the key — at
+    star-schema ratios the dim side broadcasts (AQE picks this up from
+    sizes; the operator does not force it so a large-dim audit still
+    plans a shuffle join), and the aggregation is a count reduce —
+    nothing row-level survives to the driver."""
+    non_null = fact.where(F.col(fact_key).isNotNull())
+    orphans = non_null.join(dim.select(F.col(dim_key).alias(fact_key))
+                            .distinct(), fact_key, "left_anti")
+    totals = fact.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col(fact_key).isNull().cast("bigint")).cast("bigint")
+        .alias("n_null_keys"))
+    orp = orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+    return (totals.crossJoin(orp)
+            .select(F.lit(relation).alias("relation"), "n_rows",
+                    "n_null_keys", "n_orphans",
+                    F.round(F.col("n_orphans") / F.col("n_rows"), 6)
+                    .alias("orphan_rate")))

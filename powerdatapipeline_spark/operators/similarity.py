@@ -685,3 +685,49 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame, k_top: int = 10,
     return (probed.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k_top)
             .select(query_id_col, id_col, "rank", "adc_dist"))
+
+
+def knn_classify(labeled: DataFrame, queries: DataFrame, k: int = 5,
+                 n_planes: int = 8, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label",
+                 query_id_col: str = "query_id",
+                 seed: int = 42, dim: int = 64) -> DataFrame:
+    """k-NN label classification over the embedding column — the
+    weak-labeling / label-transfer step of corpus curation (propagate a
+    small human-labeled seed set's domains/quality tags to the whole
+    corpus): each query takes the majority label of its k nearest
+    LABELED neighbors (cosine, via the same multi-probe hyperplane-LSH
+    candidate generation as the ANN path, so no all-pairs shape exists
+    at any scale).
+
+    Vote resolution is deterministic: winner by (votes desc, label
+    asc); ties in neighbor rank resolve inside
+    :func:`hyperplane_lsh_topk` by (cosine desc, id). Output one row
+    per query: predicted label, vote count, and the 6-rounded mean
+    cosine of the winning label's neighbors (decimal-exact mean) as a
+    confidence proxy.
+
+    Scale shape: inherits the LSH path's — the labeled corpus hashes
+    once and never shuffles; queries broadcast ×n_probe; the vote is a
+    ≤ k·|Q|-row aggregation. k-NN with |labeled| ≪ corpus is exactly
+    the regime where the broadcast side is the SEED set, so 100 TB of
+    unlabeled queries stream map-side."""
+    neigh = hyperplane_lsh_topk(labeled, queries, k=k, n_planes=n_planes,
+                                n_probe=n_probe, id_col=id_col,
+                                vec_col=vec_col,
+                                query_id_col=query_id_col,
+                                seed=seed, dim=dim)
+    labels = labeled.select(F.col(id_col), F.col(label_col))
+    votes = (neigh.join(labels, id_col)
+             .groupBy(query_id_col, label_col)
+             .agg(F.count("*").cast("bigint").alias("n_votes"),
+                  F.round(F.sum(F.col("cosine").cast("decimal(18,6)"))
+                          .cast("double") / F.count("*"), 6)
+                  .alias("mean_cosine")))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc())
+    return (votes.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .select(query_id_col, F.col(label_col).alias("pred_label"),
+                    "n_votes", "mean_cosine"))

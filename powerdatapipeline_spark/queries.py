@@ -5129,6 +5129,199 @@ def q142_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(emb, queries, k_top=10)
 
 
+@register("q143_snapshot_diff", """
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 101 = 0 THEN text || '!' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 89 = 0),
+d AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN (o.text IS NOT DISTINCT FROM n.text)
+                   AND (o.lang IS NOT DISTINCT FROM n.lang)
+                   AND (o.source IS NOT DISTINCT FROM n.source)
+                   AND (o.n_chars IS NOT DISTINCT FROM n.n_chars)
+                THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM d GROUP BY status
+""", priority=PRI_TAIL)
+def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus-build runs (operators/
+    relational.snapshot_diff_summary) — the run-over-run regression
+    gate (and change-data-feed) a 100 TB pipeline promotes builds
+    with: full-outer join on the key, null-safe column compare,
+    added/removed/changed/unchanged rollup. The 'new' version is a
+    deterministic mutation of the fixture (drop doc_id%97, edit text
+    of doc_id%101, append doc_id%89 re-keyed) so every status class is
+    exercised and both engines construct it identically."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = (docs.where(F.col("doc_id") % 97 != 0)
+            .withColumn("text",
+                        F.when(F.col("doc_id") % 101 == 0,
+                               F.concat(F.col("text"), F.lit("!")))
+                        .otherwise(F.col("text"))))
+    added = (docs.where(F.col("doc_id") % 89 == 0)
+             .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    return rel.snapshot_diff_summary(docs, kept.unionByName(added),
+                                     "doc_id")
+
+
+@register("q144_fk_audit", """
+SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_keys,
+       CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       round(CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                           AND o.o_orderkey IS NULL
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS orphan_rate
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN r.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN r.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       round(CAST(sum(CASE WHEN r.o_custkey IS NOT NULL
+                           AND c.c_custkey IS NULL
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+FROM orders r
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON r.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT),
+       round(CAST(sum(CASE WHEN l.l_partkey IS NOT NULL
+                           AND p.p_partkey IS NULL
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+  ON l.l_partkey = p.p_partkey
+""", priority=PRI_TAIL)
+def q144_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema (operators/
+    relational.fk_audit) — the ingest-time FK health report
+    (orphans / NULL keys / orphan rate per edge) that belongs beside
+    the null/NaN audit (q44) in any warehouse intake: three edges,
+    each a LEFT ANTI probe + count reduce, three summary rows out.
+    Green-zero orphans on the fixtures is the assertion — the operator
+    is the detection machinery, exercised by pytest with planted
+    orphans."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    return (rel.fk_audit(li, od, "l_orderkey", "o_orderkey",
+                         "lineitem.l_orderkey->orders.o_orderkey")
+            .unionByName(rel.fk_audit(
+                od, _t(spark, sf_dir, "customer"), "o_custkey",
+                "c_custkey", "orders.o_custkey->customer.c_custkey"))
+            .unionByName(rel.fk_audit(
+                li, _t(spark, sf_dir, "part"), "l_partkey", "p_partkey",
+                "lineitem.l_partkey->part.p_partkey")))
+
+
+def _knn_classify_oracle(n_planes: int = 8, dim: int = 64,
+                         seed: int = 42, n_probe: int = 4,
+                         k: int = 5, n_queries: int = 40) -> str:
+    """DuckDB twin of similarity.knn_classify over the even/odd split:
+    the _lsh_topk_oracle template (same seeded hyperplane literals, same
+    multi-probe bit flips, same decimal-exact cosine kernel) with the
+    corpus restricted to EVEN vec_ids (the labeled seed set), queries =
+    odd vec_ids < n_queries, and the ranked neighbors folded into a
+    deterministic (votes desc, label asc) majority vote with a
+    decimal-exact mean-cosine confidence."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def margin(i: int) -> str:
+        plist = "[" + ",".join(repr(float(x)) for x in planes[i]) + "]"
+        return (f"list_sum(list_transform(generate_series(1,{dim}), "
+                f"j -> CAST(embedding[j] AS DOUBLE) * ({plist})[j]))")
+
+    margins = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {i} AS bit, ({margin(i)}) AS m FROM embeddings"
+        for i in range(n_planes))
+    is_query = f"vec_id % 2 = 1 AND vec_id < {n_queries}"
+    return f"""
+WITH h AS ({margins}),
+bk AS (
+  SELECT vec_id,
+         SUM(CASE WHEN m >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+  FROM h GROUP BY vec_id),
+flips AS (
+  SELECT vec_id AS query_id, bit,
+         row_number() OVER (PARTITION BY vec_id ORDER BY abs(m), bit) AS rn
+  FROM h WHERE {is_query}),
+probes AS (
+  SELECT vec_id AS query_id, bucket FROM bk WHERE {is_query}
+  UNION ALL
+  SELECT f.query_id, xor(q.bucket, CAST(1 AS BIGINT) << f.bit)
+  FROM flips f JOIN bk q ON q.vec_id = f.query_id
+  WHERE f.rn <= {n_probe - 1}),
+cand AS (
+  SELECT p.query_id, c.vec_id
+  FROM probes p JOIN bk c ON c.bucket = p.bucket
+  WHERE c.vec_id % 2 = 0),
+scored AS (
+  SELECT cand.query_id, a.vec_id,
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')} * {_SQL_NORM.format(t='b')}), 6) AS cosine
+  FROM cand JOIN embeddings a ON a.vec_id = cand.vec_id
+            JOIN embeddings b ON b.vec_id = cand.query_id),
+topk AS (
+  SELECT query_id, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= {k}),
+votes AS (
+  SELECT t.query_id, e.label,
+         CAST(count(*) AS BIGINT) AS n_votes,
+         round(CAST(sum(CAST(t.cosine AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS mean_cosine
+  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+  GROUP BY 1, 2)
+SELECT query_id, label AS pred_label, n_votes, mean_cosine FROM (
+  SELECT query_id, label, n_votes, mean_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS rn
+  FROM votes) WHERE rn = 1
+"""
+
+
+@register("q145_knn_classify", _knn_classify_oracle(), priority=PRI_TAIL)
+def q145_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label transfer (operators/similarity.knn_classify) — the
+    weak-labeling step of corpus curation: the even-id half of the
+    embeddings table acts as the human-labeled seed set, odd ids < 40
+    are classified by the deterministic majority label of their 5
+    nearest labeled neighbors via the SAME multi-probe hyperplane-LSH
+    candidate path as q34 (no all-pairs shape at any scale; the seed
+    set broadcasts, the unlabeled corpus streams map-side). The entire
+    pipeline — buckets, probes, cosines, vote, confidence — replays in
+    the oracle, so the approximate classifier is still hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.where(F.col("vec_id") % 2 == 0)
+    queries = (emb.where((F.col("vec_id") % 2 == 1)
+                         & (F.col("vec_id") < 40))
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sim.knn_classify(labeled, queries, k=5, n_probe=4)
+
+
 _BINFIX_N = 200
 
 
