@@ -437,3 +437,38 @@ def k_anonymity_audit(df: DataFrame, qi_cols: Sequence[str],
         .alias("n_rows_at_risk"),
         F.min("__n").cast("bigint").alias("min_group_size"),
         (F.sum(unsafe.cast("bigint")) == 0).alias("k_anonymous"))
+
+
+def trimmed_mean(df: DataFrame, value_col: str,
+                 group_by: Sequence[str] | None = None,
+                 trim_frac: float = 0.1,
+                 tiebreak: str | None = None) -> DataFrame:
+    """Symmetric trimmed mean — the robust location estimate between
+    the median (trim 0.5) and the mean (trim 0): per group, drop the
+    ``floor(n·f)`` smallest and largest values by rank and average the
+    rest with a decimal-exact sum. Outlier-resistant without the full
+    information loss of the median; the robust-stats sibling of
+    :func:`mad_outliers`.
+
+    Rank ties are total-ordered by ``(value, tiebreak)`` so the
+    trimmed SET — not just its size — is engine-reproducible. One
+    shuffle for the per-group rank window, then a map-side-combined
+    reduce; output is one row per group (fixed-size)."""
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
+    keys = list(group_by or [])
+    order = [F.col(value_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wn = Window.partitionBy(*keys)
+    ranked = (df.where(F.col(value_col).isNotNull())
+              .withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count("*").over(wn))
+              .withColumn("__cut", F.floor(F.col("__n")
+                                           * F.lit(float(trim_frac)))))
+    kept = ranked.where((F.col("__rn") > F.col("__cut"))
+                        & (F.col("__rn") <= F.col("__n") - F.col("__cut")))
+    gb = kept.groupBy(*keys) if keys else kept.groupBy()
+    return gb.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(F.sum(F.col(value_col).cast("decimal(28,6)"))
+                .cast("double") / F.count("*"), 6).alias("trimmed_mean"))

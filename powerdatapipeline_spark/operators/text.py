@@ -1711,3 +1711,45 @@ def batch_padding_report(df: DataFrame, id_col: str = "doc_id",
                         F.round(F.col("padding_waste")
                                 / (F.col("n_docs") * F.col("max_pieces")),
                                 6)))
+
+
+def vocab_top_k(df: DataFrame, text_col: str = "text",
+                vocab_size: int = 500) -> DataFrame:
+    """Corpus vocabulary: the ``vocab_size`` most frequent lowercased
+    whitespace tokens (ties by term asc — deterministic cut). One
+    explode + map-side-combined count + a global top-k; the output is
+    the fixed-size frame every tokenizer/coverage job broadcasts."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = df.select(F.explode(tokens(F.lower(_c(text_col))))
+                     .alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").cast("bigint")
+                                      .alias("term_freq"))
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("term").asc())
+    return (counts.withColumn("vocab_rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("vocab_rank") <= vocab_size))
+
+
+def oov_report(df: DataFrame, vocab: DataFrame,
+               group_col: str = "source", text_col: str = "text"
+               ) -> DataFrame:
+    """Out-of-vocabulary audit against a fixed vocabulary: per group,
+    total tokens, OOV tokens, and the OOV rate (6-rounded) — the
+    tokenizer-fit health metric (a rising OOV rate on new data means
+    the vocab no longer covers the corpus). The vocab frame (from
+    :func:`vocab_top_k` or an external tokenizer dump) is broadcast;
+    the corpus explodes once and reduces map-side — no shuffle carries
+    token rows, only the per-group partials."""
+    toks = df.select(F.col(group_col),
+                     F.explode(tokens(F.lower(_c(text_col))))
+                     .alias("term"))
+    flagged = (toks.join(F.broadcast(vocab.select("term")
+                                     .withColumn("__in", F.lit(1))),
+                         "term", "left")
+               .withColumn("__oov", F.col("__in").isNull().cast("bigint")))
+    return (flagged.groupBy(group_col)
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum("__oov").cast("bigint").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))

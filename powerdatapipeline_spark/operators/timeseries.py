@@ -1156,3 +1156,97 @@ def cusum_changepoints(df: DataFrame, ts_col: str, value_col: str,
                        F.abs(F.col("cusum"))
                        > F.lit(float(threshold_sigmas)) * F.sqrt(F.col("__i"))))
     return out.drop("__n", "__mu", "__ex2", "__sigma", "__i")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          start_col: str = "start", end_col: str = "end",
+                          bucket_seconds: float = 3600.0,
+                          suffixes: tuple[str, str] = ("_a", "_b"),
+                          extra_cond=None) -> DataFrame:
+    """Interval×interval OVERLAP join (both sides are [start, end]
+    ranges — the harder sibling of the point-in-range join, q38): pairs
+    where ``l.start <= r.end AND r.start <= l.end`` (closed intervals),
+    with ``overlap_seconds`` attached. The segment-alignment primitive
+    for audio/video span data and concurrent-session analytics.
+
+    Scale shape — the naive form is a cross join with an inequality
+    predicate (BNLJ, quadratic); this rewrite is the bucketed
+    equi-join: each interval explodes to the time buckets it covers,
+    pairs meet in a shared bucket (equi-join key!), and the classic
+    FIRST-SHARED-BUCKET guard ``bucket == max(floor(l.start/b),
+    floor(r.start/b))`` emits every pair exactly once — no DISTINCT
+    pass. Cost is Σ span/bucket copies of each row and a hash join;
+    pick ``bucket_seconds`` near the median interval length so the
+    explode factor stays O(1) (same tuning rule as q38's docstring).
+    Long-tail intervals that span many buckets are the skew caveat —
+    cap or split pathological spans upstream.
+
+    ``extra_cond`` (a Column over the suffixed pair frame) pushes an
+    additional pair predicate (e.g. different-user) INTO the join, so
+    non-qualifying pairs never materialize."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    sa, sb = suffixes
+    if sa == sb:
+        raise ValueError("suffixes must differ (self-joins would collide)")
+    b = float(bucket_seconds)
+
+    def prep(df: DataFrame, suf: str) -> DataFrame:
+        s = F.col(start_col).cast("double")
+        e = F.col(end_col).cast("double")
+        renamed = df.select(
+            *[F.col(c).alias(f"{c}{suf}") for c in df.columns])
+        # suffix the bucket too: a self-join (left is right) would make
+        # a shared name unresolvable
+        return renamed.withColumn(
+            f"__bucket{suf}",
+            F.explode(F.sequence(
+                F.floor(F.col(f"{start_col}{suf}").cast("double") / b),
+                F.floor(F.col(f"{end_col}{suf}").cast("double") / b))))
+
+    l = prep(left, sa)
+    r = prep(right, sb)
+    la, lb = F.col(f"{start_col}{sa}").cast("double"), \
+        F.col(f"{end_col}{sa}").cast("double")
+    ra, rb = F.col(f"{start_col}{sb}").cast("double"), \
+        F.col(f"{end_col}{sb}").cast("double")
+    cond = ((F.col(f"__bucket{sa}") == F.col(f"__bucket{sb}"))
+            & (F.col(f"__bucket{sa}") ==
+               F.greatest(F.floor(la / b), F.floor(ra / b)))
+            & (la <= rb) & (ra <= lb))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    joined = (l.join(r, on=cond, how="inner")
+              .drop(f"__bucket{sa}", f"__bucket{sb}"))
+    return joined.withColumn(
+        "overlap_seconds",
+        F.least(lb, rb) - F.greatest(la, ra))
+
+
+def transition_matrix(df: DataFrame, ts_col: str, state_col: str,
+                      partition_by: Sequence[str],
+                      tiebreak: str | None = None) -> DataFrame:
+    """First-order Markov transition matrix over an event stream: for
+    each series, pair every event's state with its predecessor's (lag
+    over the per-series time order) and reduce to ``(from_state,
+    to_state, n_transitions, prob)`` where ``prob`` is row-normalized
+    per ``from_state`` (6-rounded; the count stays exact). The
+    navigation-flow summary beside the funnel (q109) and retention
+    (q110) views.
+
+    Scale shape: one shuffle on the series key for the lag window, then
+    a map-side-combined groupBy on the tiny state×state key space; the
+    normalizing total is a window over #states rows. Ordering ties
+    break on ``tiebreak`` (e.g. the event id) so the lag is total-
+    ordered and engine-reproducible."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    pairs = (df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+             .where(F.col("__prev").isNotNull()))
+    counts = (pairs.groupBy(F.col("__prev").alias("from_state"),
+                            F.col(state_col).alias("to_state"))
+              .agg(F.count("*").cast("bigint").alias("n_transitions")))
+    w_from = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "prob", F.round(F.col("n_transitions")
+                        / F.sum("n_transitions").over(w_from), 6))

@@ -5322,6 +5322,152 @@ def q145_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(labeled, queries, k=5, n_probe=4)
 
 
+@register("q146_concurrent_sessions", """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 8
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq),
+iv AS (SELECT user_id, session_id, min(epoch(ts)) AS s,
+              max(epoch(ts)) + 1800.0 AS e
+       FROM sess GROUP BY 1, 2),
+p AS (SELECT a.user_id AS user_id_a, b.user_id AS user_id_b,
+             least(a.e, b.e) - greatest(a.s, b.s) AS ov
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+SELECT user_id_a, user_id_b, CAST(count(*) AS BIGINT) AS n_overlaps,
+       round(CAST(sum(CAST(ov AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS total_overlap_s
+FROM p GROUP BY 1, 2
+""", priority=PRI_TAIL)
+def q146_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/timeseries.
+    interval_overlap_join) — the segment-alignment primitive the
+    point-in-range join (q38) can't express: 30-min-gap sessions
+    (padded by the session timeout, i.e. [first_event, last_event+gap])
+    for users < 8, self-joined on OVERLAP to a per-user-pair
+    concurrency report. The Spark side is the bucketed equi-join
+    rewrite with the first-shared-bucket emit-once guard — no BNLJ
+    shape at any scale; the oracle states the same semantics as the
+    naive inequality join, so a green hash proves the bucketing is an
+    implementation detail, not a semantic change."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 8)
+    sess = ts.sessionize(ev, "ts", ["user_id"], gap_seconds=1800)
+    es = F.col("ts").cast("double")
+    iv = (sess.groupBy("user_id", "session_id")
+          .agg(F.min(es).alias("start"),
+               (F.max(es) + F.lit(1800.0)).alias("end")))
+    pairs = ts.interval_overlap_join(
+        iv, iv, "start", "end", bucket_seconds=3600.0,
+        extra_cond=F.col("user_id_a") < F.col("user_id_b"))
+    return (pairs.groupBy("user_id_a", "user_id_b")
+            .agg(F.count("*").cast("bigint").alias("n_overlaps"),
+                 F.round(F.sum(F.col("overlap_seconds")
+                               .cast("decimal(18,6)")).cast("double"), 6)
+                 .alias("total_overlap_s")))
+
+
+@register("q147_markov_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT prev AS from_state, event_type AS to_state,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT from_state, to_state, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+                    AS DOUBLE), 6) AS prob
+FROM c
+""", priority=PRI_TAIL)
+def q147_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream
+    (operators/timeseries.transition_matrix) — the navigation-flow
+    summary beside the funnel (q109) and retention (q110): per-user
+    lag pairs (total-ordered by ts + event_id) reduced to the
+    state×state count matrix with per-row-normalized probabilities.
+    One key shuffle + a tiny-keyspace map-side reduce."""
+    return ts.transition_matrix(_t(spark, sf_dir, "events"), "ts",
+                                "event_type", ["user_id"],
+                                tiebreak="event_id")
+
+
+@register("q148_trimmed_mean", """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice,
+                      l_orderkey * 10 + l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+kept AS (
+  SELECT l_returnflag, l_extendedprice
+  FROM ranked
+  WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+    AND rn <= n - CAST(floor(n * 0.1) AS BIGINT))
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             / count(*), 6) AS trimmed_mean
+FROM kept GROUP BY l_returnflag
+""", priority=PRI_TAIL)
+def q148_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric 10% trimmed mean per return flag (operators/stats.
+    trimmed_mean) — the robust location estimate between the exact
+    median (q100) and the plain mean, with the trimmed SET (not just
+    its size) total-ordered by (value, primary key) so both engines
+    drop identical rows. One rank-window shuffle + decimal-exact
+    reduce; one row per group."""
+    from powerdatapipeline_spark.operators import stats as st
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("__tb", F.col("l_orderkey") * 10
+                      + F.col("l_linenumber")))
+    return st.trimmed_mean(li, "l_extendedprice",
+                                  ["l_returnflag"], trim_frac=0.1,
+                                  tiebreak="__tb")
+
+
+@register("q149_vocab_oov", """
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text),
+              '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) AS t(term)),
+vocab AS (
+  SELECT term FROM (
+    SELECT term,
+           row_number() OVER (ORDER BY count(*) DESC, term ASC) AS r
+    FROM toks GROUP BY term) WHERE r <= 500)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (term)
+GROUP BY source
+""", priority=PRI_TAIL)
+def q149_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV audit (operators/text.vocab_top_k +
+    oov_report) — the tokenizer-fit health metric: build the top-500
+    corpus vocabulary (freq desc, term asc — a deterministic cut),
+    broadcast it, and report per-source token counts and OOV rate. A
+    rising OOV rate on incoming data is the signal the tokenizer no
+    longer covers the corpus. Token rows never shuffle — only the
+    per-source partials do."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tx.vocab_top_k(docs, vocab_size=500)
+    return tx.oov_report(docs, vocab, "source")
+
+
 _BINFIX_N = 200
 
 
