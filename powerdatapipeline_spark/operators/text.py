@@ -1753,3 +1753,40 @@ def oov_report(df: DataFrame, vocab: DataFrame,
                  F.sum("__oov").cast("bigint").alias("n_oov"))
             .withColumn("oov_rate",
                         F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+
+
+def bpe_merge_candidates(df: DataFrame, text_col: str = "text",
+                         top_n: int = 20) -> DataFrame:
+    """One BPE-learning statistic pass (Sennrich et al. 2016): count
+    every ADJACENT PIECE PAIR inside the pre-tokenized piece stream
+    and rank the top merge candidates — the exact frequency table a
+    byte-pair tokenizer trainer consumes per merge iteration (the
+    driver loop applies the winning merge and re-runs, the q47 Lloyd
+    pattern: the corpus never moves, one tiny winner row per round
+    does).
+
+    Pairs come from each document's piece array zipped with its own
+    tail — a narrow map (no explode-then-self-join on position, which
+    would shuffle token rows); the count reduces map-side into the
+    piece-pair keyspace and only top-n survives the final TakeOrdered.
+    Ties rank (count desc, left asc, right asc) for a deterministic
+    merge choice."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    pieces = bpe_pieces(_c(text_col))
+    pairs = F.zip_with(F.slice(pieces, 1, F.greatest(F.size(pieces) - 1,
+                                                     F.lit(0))),
+                       F.slice(pieces, 2, F.greatest(F.size(pieces) - 1,
+                                                     F.lit(0))),
+                       lambda a, b: F.struct(a.alias("left_piece"),
+                                             b.alias("right_piece")))
+    exploded = (df.select(F.explode(pairs).alias("p"))
+                .select("p.left_piece", "p.right_piece"))
+    counts = (exploded.groupBy("left_piece", "right_piece")
+              .agg(F.count("*").cast("bigint").alias("pair_count")))
+    w = Window.orderBy(F.col("pair_count").desc(),
+                       F.col("left_piece").asc(),
+                       F.col("right_piece").asc())
+    return (counts.withColumn("merge_rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("merge_rank") <= top_n))

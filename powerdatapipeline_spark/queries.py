@@ -5468,6 +5468,37 @@ def q149_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.oov_report(docs, vocab, "source")
 
 
+@register("q150_bpe_merge_candidates", f"""
+WITH p AS (
+  SELECT regexp_extract_all(lower(text), '{tx.BPE_PIECE_RE}') AS ps
+  FROM documents),
+pairs AS (
+  SELECT u.pr[1] AS left_piece, u.pr[2] AS right_piece
+  FROM p, unnest(list_transform(generate_series(1, len(ps) - 1),
+                 i -> [ps[i], ps[i + 1]])) AS u(pr)),
+c AS (SELECT left_piece, right_piece,
+             CAST(count(*) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT left_piece, right_piece, pair_count,
+         CAST(row_number() OVER (ORDER BY pair_count DESC, left_piece,
+                                 right_piece) AS BIGINT) AS merge_rank
+  FROM c) WHERE merge_rank <= 20
+""", priority=PRI_TAIL)
+def q150_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (operators/text.
+    bpe_merge_candidates; Sennrich et al. 2016) — the distributed half
+    of tokenizer TRAINING, beside the token-count consumers (q61,
+    q140): adjacent piece-pair frequencies over the pre-tokenized
+    stream, top-20 merge candidates with a deterministic (count desc,
+    pair asc) tie-break. Pairs come from zipping each piece array with
+    its own tail — a narrow map; only map-side-combined pair partials
+    shuffle. The trainer's outer loop is the q47 driver-iteration
+    pattern: apply the winning merge, re-run, corpus never moves."""
+    return tx.bpe_merge_candidates(_t(spark, sf_dir, "documents"),
+                                   top_n=20)
+
+
 _BINFIX_N = 200
 
 
@@ -5582,13 +5613,14 @@ def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
 # green): promote tranche 2 — q99-q123 (25 remaining round-7-born
-# queries) plus any round-8-born queries (q124+) — by switching their
-# decorators to PRI_HEAD, demoting an equal number of freshly-recorded
-# multi-round-green head entries (candidates by the established policy:
-# q29, q31, q33, q34, q35, q36, q45, q46, q47, q48, q59, q60, q61, q62,
-# q63, q64, q65, q66, q67, q68, q69, q70, q71, q72 — pick the longest
-# driver-green first; a third tranche if needed in round 10). Each move
-# is a one-argument edit; the boundary-tie guard and
+# queries) plus the round-8-born pool (q124-q150, none driver-recorded
+# yet) — by switching their decorators to PRI_HEAD, demoting an equal
+# number of freshly-recorded multi-round-green head entries (candidates
+# by the established policy: q29, q31, q33, q34, q35, q36, q45, q46,
+# q47, q48, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+# q71, q72 — pick the longest driver-green first; the pool now exceeds
+# two tranches, so plan a third in round 10). Each move is a
+# one-argument edit; the boundary-tie guard and
 # tests/test_tail_query_parity.py enforce the invariants.
 # ===========================================================================
 

@@ -126,3 +126,29 @@ def test_oov_zero_when_vocab_covers(spark):
     assert r.n_oov == 0 and r.oov_rate == 0.0
     with pytest.raises(ValueError, match="vocab_size"):
         tx.vocab_top_k(docs, vocab_size=0)
+
+
+# ---------------------------------------------------------------- BPE merges
+
+def test_bpe_merge_candidates_hand_case(spark):
+    # digits split letter runs, so each doc yields several pieces
+    docs = spark.createDataFrame(
+        [Row(source="a", text="lo1lo1lo"), Row(source="b", text="hi1lo")])
+    got = {(r.left_piece, r.right_piece): (r.pair_count, r.merge_rank)
+           for r in tx.bpe_merge_candidates(docs, top_n=10).collect()}
+    # doc a pieces: lo,1,lo,1,lo -> (lo,1)x2 (1,lo)x2 ; doc b: hi,1,lo
+    assert got[("lo", "1")][0] == 2
+    assert got[("1", "lo")][0] == 3
+    assert got[("hi", "1")][0] == 1
+    # ranks deterministic: (1,lo) first, then (lo,1), then (hi,1)
+    assert got[("1", "lo")][1] == 1
+    assert got[("lo", "1")][1] == 2
+    assert got[("hi", "1")][1] == 3
+
+
+def test_bpe_merge_single_piece_docs_yield_nothing(spark):
+    docs = spark.createDataFrame([Row(source="a", text="word"),
+                                  Row(source="b", text="")])
+    assert tx.bpe_merge_candidates(docs).count() == 0
+    with pytest.raises(ValueError, match="top_n"):
+        tx.bpe_merge_candidates(docs, top_n=0)

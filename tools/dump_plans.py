@@ -64,6 +64,22 @@ SCALAR_BROADCAST_INTENDED = {
     # round 7b: q121 splits ref/cur on the 1-row global-median frame —
     # two single-row broadcast cross joins onto the event scan
     "q121_psi_drift",
+    # round 8: q131's target/reference token totals are a 1-row frame
+    # cross-joined onto the hash-bucket counts (operators/text.py
+    # dsir_scores `totals`)
+    "q131_dsir_resample",
+    # round 8: q135 joins the 1-row node-count frame onto the rank
+    # vector once per Lloyd-style iteration (graph.py pagerank
+    # `n_nodes`) — the teleport term without a driver collect
+    "q135_pagerank",
+    # round 8: q136's pair universe is the #sources-row size table
+    # equi-joined with itself on a constant key so zero-overlap pairs
+    # survive — bounded by #strata², never by corpus size
+    "q136_source_overlap",
+    # round 8: q144 combines the 1-row totals and 1-row orphan-count
+    # aggregates per FK edge — three 1×1 cross joins (relational.py
+    # fk_audit)
+    "q144_fk_audit",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
