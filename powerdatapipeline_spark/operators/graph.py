@@ -53,8 +53,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     integer out-degree, folded in decimal(28,12) (partition-order
     independent), damped, and re-rounded to 6 — every iteration's vector
     is bit-identical across engines, so the fixpoint trajectory is too.
-    The rank vector localCheckpoints per round to keep the unrolled plan
-    shallow (lineage otherwise doubles per iteration)."""
+    The rank vector localCheckpoints every few rounds (deep loops
+    only) to bound lineage; shallow unrolls run as one pipelined job."""
     if iterations < 1:
         raise ValueError("pagerank needs at least 1 iteration")
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -74,11 +74,17 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # Python's 1.0−0.85 and a SQL engine's CAST(0.15 AS DOUBLE) are
     # different doubles; round(·, 6) lands both on the same bits
     base = F.round(F.lit(round(1.0 - damping, 6)) / F.col("__n"), 12)
-    ranks = (nodes.crossJoin(F.broadcast(n_nodes))
-             .select("node", F.round(F.lit(1.0) / F.col("__n"), 6)
-                     .alias("rank"))
-             .localCheckpoint(eager=True))
-    for _ in range(iterations):
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 6).alias("rank"))
+    # Checkpoint PERIODICALLY, not per round: an eager localCheckpoint
+    # is a synchronous job, so per-iteration checkpointing serializes
+    # k+1 jobs and pays per-stage task overhead k+1 times (measured
+    # ~3× wall at sf0.1 for 3 iterations — SCALE.md round-8c triage).
+    # A shallow unroll (≤ checkpoint_every rounds) stays ONE pipelined
+    # job that AQE coalesces end to end; only deep loops need the
+    # lineage cut, and they get it every checkpoint_every rounds.
+    checkpoint_every = 5
+    for i in range(iterations):
         contrib = (e.join(ranks.withColumnRenamed("node", "src"), "src")
                    .join(deg, "src")
                    .select(F.col("dst").alias("node"),
@@ -89,7 +95,11 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         ranks = (summed.crossJoin(F.broadcast(n_nodes))
                  .select("node",
                          F.round(base + damping * F.col("__in"), 6)
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
-    e.unpersist()
+                         .alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    # NOTE: e stays persisted until the caller's action consumes the
+    # returned plan; unpersisting here would evict the cache before the
+    # (now lazy) iterations ever run. Spark drops it with the session,
+    # and repeated fits re-persist their own edge frames.
     return ranks

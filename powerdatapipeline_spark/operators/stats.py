@@ -472,3 +472,55 @@ def trimmed_mean(df: DataFrame, value_col: str,
         F.count("*").cast("bigint").alias("n_kept"),
         F.round(F.sum(F.col(value_col).cast("decimal(28,6)"))
                 .cast("double") / F.count("*"), 6).alias("trimmed_mean"))
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over ``k`` numeric columns in
+    ONE aggregation pass: every moment the matrix needs — n, Σxᵢ, Σxᵢ²,
+    Σxᵢxⱼ — is a decimal-exact aggregate of the same scan, so the cost
+    is one map-side-combined reduce to a SINGLE row regardless of
+    corpus size, then a narrow k(k−1)/2-row explode. (The naive
+    per-pair ``df.stat.corr`` loop scans the table O(k²) times.)
+
+    Complete-case semantics: rows with a NULL in ANY of ``cols`` are
+    excluded once, up front — per-pair NULL handling would make each
+    coefficient see a different population and the matrix inconsistent
+    (non-PSD). Coefficients are 6-rounded (sqrt is transcendental);
+    degenerate (zero-variance) columns yield NULL, not a division
+    error."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least 2 columns")
+    base = df
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    aggs = [F.count("*").cast("bigint").alias("__n")]
+    for i, ci in enumerate(cols):
+        x = F.col(ci).cast("double")
+        aggs.append(F.sum(x.cast("decimal(28,12)")).alias(f"__s_{i}"))
+        for j in range(i, len(cols)):
+            y = F.col(cols[j]).cast("double")
+            aggs.append(F.sum((x * y).cast("decimal(28,12)"))
+                        .alias(f"__p_{i}_{j}"))
+    moments = base.agg(*aggs)
+    pairs = []
+    for i, ci in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            n = F.col("__n").cast("double")
+            si = F.col(f"__s_{i}").cast("double")
+            sj = F.col(f"__s_{j}").cast("double")
+            sii = F.col(f"__p_{i}_{i}").cast("double")
+            sjj = F.col(f"__p_{j}_{j}").cast("double")
+            sij = F.col(f"__p_{i}_{j}").cast("double")
+            var_i = n * sii - si * si
+            var_j = n * sjj - sj * sj
+            corr = F.when(
+                (var_i > 0) & (var_j > 0),
+                F.round((n * sij - si * sj)
+                        / (F.sqrt(var_i) * F.sqrt(var_j)), 6))
+            pairs.append(F.struct(F.lit(ci).alias("col_a"),
+                                  F.lit(cols[j]).alias("col_b"),
+                                  corr.alias("corr")))
+    return (moments.select(F.col("__n").alias("n_rows"),
+                           F.explode(F.array(*pairs)).alias("p"))
+            .select("p.col_a", "p.col_b", "p.corr", "n_rows"))

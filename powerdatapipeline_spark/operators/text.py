@@ -1790,3 +1790,82 @@ def bpe_merge_candidates(df: DataFrame, text_col: str = "text",
     return (counts.withColumn("merge_rank",
                               F.row_number().over(w).cast("bigint"))
             .where(F.col("merge_rank") <= top_n))
+
+
+def boilerplate_line_stats(df: DataFrame, group_col: str = "source",
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Per-(group, line) document frequency — the statistic behind
+    line-level boilerplate detection (CCNet / jusText heritage):
+    headers, footers, nav chrome repeat VERBATIM across a source's
+    pages, so a line's within-source doc frequency separates template
+    from content. Lines are newline-split, whitespace-trimmed,
+    md5-keyed; empty lines drop. One explode + distinct(doc, line) +
+    map-side count — the line TEXT itself stays out of the shuffle key
+    (md5 key), and the stats frame is vocabulary-sized, not
+    corpus-sized."""
+    lines = (df.select(F.col(group_col), F.col(id_col),
+                       F.explode(F.split(_c(text_col), "\n"))
+                       .alias("line"))
+             .select(group_col, id_col, F.trim("line").alias("line"))
+             .where(F.col("line") != ""))
+    per_doc = lines.select(group_col, id_col,
+                           F.md5(F.col("line")).alias("line_key")) \
+                   .distinct()
+    docs_per_group = (df.groupBy(group_col)
+                      .agg(F.count("*").cast("bigint").alias("n_docs")))
+    return (per_doc.groupBy(group_col, "line_key")
+            .agg(F.count("*").cast("bigint").alias("line_df"))
+            .join(F.broadcast(docs_per_group), group_col)
+            .withColumn("df_frac",
+                        F.round(F.col("line_df") / F.col("n_docs"), 6)))
+
+
+def remove_boilerplate_lines(df: DataFrame, group_col: str = "source",
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             max_df_frac: float = 0.5,
+                             min_df: int = 2) -> DataFrame:
+    """Line-level boilerplate removal: drop every line whose
+    within-source document frequency reaches BOTH ``min_df`` docs and
+    ``max_df_frac`` of the source (the two-guard rule keeps rare lines
+    and singleton sources intact), then reassemble each document in
+    original line order. Returns ``(id, clean_text, n_lines_kept,
+    n_lines_removed)``.
+
+    Scale shape: the boilerplate line SET per source is tiny (template
+    chrome) — it broadcasts back as an md5-key semi-join filter; the
+    reassembly is one concat_ws over a per-doc collect_list pinned to
+    line order by sortWithinPartitions on (doc, line index), never a
+    global sort. Blank lines are dropped (they carry no content and
+    their 'df' is meaningless)."""
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    stats = boilerplate_line_stats(df, group_col, id_col, text_col)
+    bp = (stats.where((F.col("line_df") >= min_df)
+                      & (F.col("df_frac") >= max_df_frac))
+          .select(group_col, "line_key"))
+    lines = (df.select(F.col(group_col), F.col(id_col),
+                       F.posexplode(F.split(_c(text_col), "\n"))
+                       .alias("line_idx", "line"))
+             .withColumn("line", F.trim("line"))
+             .where(F.col("line") != "")
+             .withColumn("line_key", F.md5(F.col("line"))))
+    kept = lines.join(F.broadcast(bp), [group_col, "line_key"],
+                      "left_anti")
+    n_all = (lines.groupBy(id_col)
+             .agg(F.count("*").cast("bigint").alias("__n_lines")))
+    agg = (kept.groupBy(id_col)
+           .agg(F.concat_ws(
+                    "\n", F.array_sort(F.collect_list(
+                        F.struct("line_idx", "line"))).getField("line"))
+                .alias("clean_text"),
+                F.count("*").cast("bigint").alias("n_lines_kept")))
+    return (n_all.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_lines_kept", F.lit(0).cast("bigint"))
+                    .alias("n_lines_kept"),
+                    (F.col("__n_lines")
+                     - F.coalesce("n_lines_kept", F.lit(0).cast("bigint")))
+                    .cast("bigint").alias("n_lines_removed")))

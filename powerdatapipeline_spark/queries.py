@@ -4791,10 +4791,10 @@ def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q135_pagerank", r"""
 WITH raw AS (
-  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
 e AS (SELECT src, dst FROM raw
-      UNION SELECT dst AS src, src AS dst FROM raw),
+      UNION ALL SELECT dst AS src, src AS dst FROM raw),
 deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
 nodes AS (SELECT DISTINCT src AS node FROM e),
 n AS (SELECT count(*) AS nn FROM nodes),
@@ -4829,7 +4829,8 @@ SELECT node, rank FROM r3
 def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 statically-unrolled iterations (operators/graph.
     pagerank) over the symmetrized customer↔supplier interaction graph
-    (distinct o_custkey–l_suppkey pairs through orders⋈lineitem) — the
+    (distinct o_custkey–l_suppkey pairs through orders⋈lineitem,
+    BIGINT-encoded node ids) — the
     bounded-iteration distributed-algorithm shape: each round is one
     hash-partitioned join of the |V|-row rank vector with the edge list
     plus a groupBy on the destination, lineage cut per round by an eager
@@ -4840,11 +4841,18 @@ def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     this extends the dedup-cluster/graph family (q63)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    # BIGINT node ids (even = customer, odd = supplier), not string
+    # concat: integer shuffle keys halve the edge-build wall time at
+    # sf0.1 (SCALE.md round-8c triage). The bipartite id spaces are
+    # disjoint, so the reverse union needs NO second distinct —
+    # symmetrize()'s generic dedup pass is provably redundant here.
     raw = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                   F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+           .select((F.col("o_custkey") * 2).alias("src"),
+                   (F.col("l_suppkey") * 2 + 1).alias("dst"))
            .distinct())
-    return gr.pagerank(gr.symmetrize(raw), iterations=3, damping=0.85)
+    sym = raw.unionByName(raw.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    return gr.pagerank(sym, iterations=3, damping=0.85)
 
 
 @register("q136_source_overlap", r"""
@@ -5497,6 +5505,145 @@ def q150_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: apply the winning merge, re-run, corpus never moves."""
     return tx.bpe_merge_candidates(_t(spark, sf_dir, "documents"),
                                    top_n=20)
+
+
+@register("q151_boilerplate_removal", """
+WITH base AS (
+  SELECT doc_id, source,
+         'NAV ' || source || chr(10) || text || chr(10)
+           || 'FOOTER ' || source AS t
+  FROM documents),
+parts AS (SELECT source, doc_id, string_split(t, chr(10)) AS ps
+          FROM base),
+lines AS (
+  SELECT source, doc_id, u.i AS line_idx, trim(ps[u.i]) AS line
+  FROM parts, unnest(generate_series(1, len(ps))) AS u(i)),
+nz AS (SELECT * FROM lines WHERE line <> ''),
+df AS (SELECT source, md5(line) AS line_key,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS line_df
+       FROM nz GROUP BY 1, 2),
+nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1),
+bp AS (SELECT df.source, line_key
+       FROM df JOIN nd USING (source)
+       WHERE line_df >= 2
+         AND round(CAST(line_df AS DOUBLE) / n_docs, 6) >= 0.5),
+kept AS (SELECT nz.source, nz.doc_id, nz.line_idx, nz.line
+         FROM nz LEFT JOIN bp
+           ON bp.source = nz.source AND bp.line_key = md5(nz.line)
+         WHERE bp.line_key IS NULL),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM nz GROUP BY 1),
+agg AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY 1)
+SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(agg.n_kept, 0) AS n_lines_kept,
+       t.n_lines - coalesce(agg.n_kept, 0) AS n_lines_removed
+FROM tot t LEFT JOIN agg USING (doc_id)
+""", priority=PRI_TAIL)
+def q151_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/text.
+    remove_boilerplate_lines; the CCNet/jusText template-chrome rule) —
+    the curation step between URL filtering (q92) and span dedup
+    (q85/q126): a line repeating across ≥ half a source's documents
+    (and ≥ 2 docs) is template, not content. The fixture has no nav
+    chrome, so the query INJECTS a deterministic per-source header and
+    footer — both engines build the same corpus, the operator must
+    strip exactly those lines and reassemble every document in
+    original order (hash-verified clean_text). Boilerplate sets are
+    tiny → broadcast anti-join; reassembly is per-doc array_sort, no
+    global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.withColumn(
+        "t", F.concat(F.lit("NAV "), F.col("source"), F.lit("\n"),
+                      F.col("text"), F.lit("\n"),
+                      F.lit("FOOTER "), F.col("source")))
+    return tx.remove_boilerplate_lines(base, "source", "doc_id", "t",
+                                       max_df_frac=0.5, min_df=2)
+
+
+@register("q152_correlation_matrix", """WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(28,12))) AS s0,
+         sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(28,12))) AS p00,
+         sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(28,12))) AS p01,
+         sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(28,12))) AS p02,
+         sum(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(28,12))) AS p03,
+         sum(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(28,12))) AS s1,
+         sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(28,12))) AS p11,
+         sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(28,12))) AS p12,
+         sum(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(28,12))) AS p13,
+         sum(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(28,12))) AS s2,
+         sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(28,12))) AS p22,
+         sum(CAST(CAST(l_discount AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(28,12))) AS p23,
+         sum(CAST(CAST(l_tax AS DOUBLE) AS DECIMAL(28,12))) AS s3,
+         sum(CAST(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(28,12))) AS p33
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+  THEN round((CAST(n AS DOUBLE) * CAST(p01 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6)
+  END AS corr, n AS n_rows FROM m
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) > 0
+  THEN round((CAST(n AS DOUBLE) * CAST(p02 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6)
+  END AS corr, n AS n_rows FROM m
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) > 0
+  THEN round((CAST(n AS DOUBLE) * CAST(p03 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s3 AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))), 6)
+  END AS corr, n AS n_rows FROM m
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) > 0
+  THEN round((CAST(n AS DOUBLE) * CAST(p12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6)
+  END AS corr, n AS n_rows FROM m
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) > 0
+  THEN round((CAST(n AS DOUBLE) * CAST(p13 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))), 6)
+  END AS corr, n AS n_rows FROM m
+UNION ALL
+SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) > 0
+  THEN round((CAST(n AS DOUBLE) * CAST(p23 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))), 6)
+  END AS corr, n AS n_rows FROM m
+""", priority=PRI_TAIL)
+def q152_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numerics
+    (operators/stats.correlation_matrix) — the feature-redundancy
+    screen run before model fitting, beside the per-column profile
+    (q66) and grouped OLS (q68): every moment the k x k matrix needs
+    reduces in ONE map-side-combined pass to a single row (the naive
+    per-pair corr() loop scans the table O(k^2) times), then a narrow
+    6-row explode. Complete-case up front so every coefficient sees
+    the same population; decimal-exact moments, 6-rounded sqrt per the
+    parity rules."""
+    from powerdatapipeline_spark.operators import stats as st
+
+    return st.correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
 _BINFIX_N = 200
