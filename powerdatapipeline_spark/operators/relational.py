@@ -800,3 +800,50 @@ def fk_audit(fact: DataFrame, dim: DataFrame, fact_key: str,
                     "n_null_keys", "n_orphans",
                     F.round(F.col("n_orphans") / F.col("n_rows"), 6)
                     .alias("orphan_rate")))
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/aggregation-key skew report — the planning tool behind the
+    salted-join decision (see :func:`salted_join` and AQE's skew
+    thresholds): per-key frequencies reduced to the ``top_n`` heaviest
+    keys with their row shares, plus the key-space size and the Gini
+    coefficient of the frequency distribution (0 = perfectly uniform,
+    → 1 = one key owns everything). A top-1 share approaching one
+    shuffle partition's capacity is the signal to salt.
+
+    Scale shape: the corpus reduces map-side to the per-key count frame
+    (|keys| rows — the only thing that shuffles); Gini ranks THAT frame
+    with one window over counts, never the data. Output is ``top_n``
+    rows with the summary columns repeated (constant per report).
+    NULL keys are excluded (they never collide in a join)."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    counts = (df.where(F.col(key_col).isNotNull())
+              .groupBy(F.col(key_col).alias("key_value"))
+              .agg(F.count("*").cast("bigint").alias("n_rows_key")))
+    w_all = Window.partitionBy()
+    # Gini over per-key counts c_(1..K) sorted ascending:
+    #   G = (2·Σ i·c_i) / (K·Σ c) − (K + 1)/K    (exact BIGINT sums)
+    wr = Window.orderBy(F.col("n_rows_key").asc(),
+                        F.col("key_value").asc())
+    ranked = (counts
+              .withColumn("__i", F.row_number().over(wr).cast("bigint"))
+              .withColumn("__K", F.count("*").over(w_all))
+              .withColumn("__tot", F.sum("n_rows_key").over(w_all)))
+    enriched = (ranked
+                .withColumn("n_keys", F.col("__K"))
+                .withColumn("gini", F.round(
+                    (F.lit(2.0) * F.sum(F.col("__i")
+                                        * F.col("n_rows_key"))
+                     .over(w_all))
+                    / (F.col("__K") * F.col("__tot"))
+                    - (F.col("__K") + 1) / F.col("__K"), 6))
+                .withColumn("share", F.round(F.col("n_rows_key")
+                                             / F.col("__tot"), 6)))
+    wd = Window.orderBy(F.col("n_rows_key").desc(),
+                        F.col("key_value").asc())
+    return (enriched.withColumn("skew_rank",
+                                F.row_number().over(wd).cast("bigint"))
+            .where(F.col("skew_rank") <= top_n)
+            .select("skew_rank", "key_value", "n_rows_key", "share",
+                    "n_keys", "gini"))

@@ -524,3 +524,73 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return (moments.select(F.col("__n").alias("n_rows"),
                            F.explode(F.array(*pairs)).alias("p"))
             .select("p.col_a", "p.col_b", "p.corr", "n_rows"))
+
+
+#: Poisson(1) inverse-CDF thresholds (cumulative, 12-decimal literals so
+#: both engines compare against the SAME doubles); draws cap at 6 —
+#: P(X>6) ≈ 8e-5 distorts the bootstrap negligibly and bounds the blowup
+_POIS1_CDF = [0.367879441171, 0.735758882343, 0.919698602929,
+              0.981011843123, 0.996340153172, 0.999405815182]
+
+
+def poisson_bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
+                         n_replicas: int = 40, salt: str = "",
+                         lo_q: float = 0.025, hi_q: float = 0.975
+                         ) -> DataFrame:
+    """Bootstrap confidence interval for the mean in ONE pass — the
+    Poisson bootstrap (Chamandy et al., Google 2012): each row joins
+    replica ``b`` with weight ``w ~ Poisson(1)`` drawn DETERMINISTICALLY
+    from ``md5(key ‖ b)``, so at 100 TB the B resampled means cost one
+    scan with an explode factor of B and a B-row shuffle — no second
+    pass, no driver-side resampling, and the whole CI replays on any
+    engine (no RNG state).
+
+    Returns one row: the point mean, the (lo_q, hi_q) percentile CI of
+    the replica means (exact order statistics over the B-row frame),
+    and the 6-rounded bootstrap standard error. Replica means are
+    decimal-exact weighted means; the inverse-CDF thresholds are fixed
+    12-decimal literals so every draw is bit-identical cross-engine."""
+    if n_replicas < 4:
+        raise ValueError(f"n_replicas must be >= 4, got {n_replicas}")
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got {lo_q}, {hi_q}")
+    from powerdatapipeline_spark.operators.relational import \
+        uniform_from_key
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
+    rows = df.where(F.col(value_col).isNotNull()) \
+             .select(F.col(key_col).alias("__k"),
+                     F.col(value_col).cast("double").alias("__v"), b)
+    u = uniform_from_key(
+        F.concat(F.col("__k").cast("string"), F.lit("|"),
+                 F.col("b").cast("string")), salt + "|boot")
+    w = F.lit(len(_POIS1_CDF))
+    for i in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u <= F.lit(_POIS1_CDF[i]), F.lit(i)).otherwise(w)
+    weighted = rows.withColumn("__w", w.cast("bigint"))
+    reps = (weighted.groupBy("b")
+            .agg((F.sum((F.col("__w") * F.col("__v"))
+                        .cast("decimal(28,6)")).cast("double")
+                  / F.sum("__w")).alias("__mean"))
+            # an all-zero-weight replica (tiny-n corner) has no mean;
+            # drop it BEFORE ranking — engines disagree on NULL sort
+            # order, so a surviving NULL would break rank parity
+            .where(F.col("__mean").isNotNull()))
+    wo = Window.orderBy(F.col("__mean"), F.col("b"))
+    ranked = reps.withColumn("__rn", F.row_number().over(wo))
+    lo_i = int(lo_q * (n_replicas - 1)) + 1
+    hi_i = int(hi_q * (n_replicas - 1)) + 1
+    point = df.where(F.col(value_col).isNotNull()).agg(
+        (F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+         / F.count("*")).alias("point_mean"),
+        F.count("*").cast("bigint").alias("n_rows"))
+    summary = ranked.agg(
+        F.round(F.min(F.when(F.col("__rn") == lo_i, F.col("__mean"))), 6)
+        .alias("boot_lo"),
+        F.round(F.min(F.when(F.col("__rn") == hi_i, F.col("__mean"))), 6)
+        .alias("boot_hi"),
+        F.round(F.stddev_pop("__mean"), 6).alias("boot_se"),
+        F.count("*").cast("bigint").alias("n_replicas"))
+    return point.crossJoin(summary).select(
+        F.round("point_mean", 6).alias("point_mean"), "n_rows",
+        "boot_lo", "boot_hi", "boot_se", "n_replicas")

@@ -5646,6 +5646,94 @@ def q152_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+@register("q153_bootstrap_ci", """
+WITH rows_b AS (
+  SELECT event_id AS k, CAST(value AS DOUBLE) AS v, bb.b AS b
+  FROM events, unnest(generate_series(0, 39)) AS bb(b)
+  WHERE value IS NOT NULL),
+u AS (SELECT k, v, b,
+        CAST(CAST(('0x' || substr(md5('|boot' || CAST(k AS VARCHAR)
+             || '|' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) + 1
+             AS DOUBLE) / 1152921504606846976.0 AS uu
+      FROM rows_b),
+wtd AS (SELECT b, v,
+          CASE WHEN uu <= 0.367879441171 THEN 0
+               WHEN uu <= 0.735758882343 THEN 1
+               WHEN uu <= 0.919698602929 THEN 2
+               WHEN uu <= 0.981011843123 THEN 3
+               WHEN uu <= 0.996340153172 THEN 4
+               WHEN uu <= 0.999405815182 THEN 5
+               ELSE 6 END AS w
+        FROM u),
+reps AS (SELECT b,
+           CAST(sum(CAST(w * v AS DECIMAL(28,6))) AS DOUBLE)
+             / NULLIF(sum(w), 0) AS m
+         FROM wtd GROUP BY b),
+nn AS (SELECT * FROM reps WHERE m IS NOT NULL),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM nn),
+summary AS (
+  SELECT round(min(CASE WHEN rn = 1 THEN m END), 6) AS boot_lo,
+         round(min(CASE WHEN rn = 39 THEN m END), 6) AS boot_hi,
+         round(stddev_pop(m), 6) AS boot_se,
+         CAST(count(*) AS BIGINT) AS n_replicas
+  FROM ranked),
+pt AS (SELECT round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                    / count(*), 6) AS point_mean,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM events WHERE value IS NOT NULL)
+SELECT point_mean, n_rows, boot_lo, boot_hi, boot_se, n_replicas
+FROM pt CROSS JOIN summary
+""", priority=PRI_TAIL)
+def q153_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean in ONE pass
+    (operators/stats.poisson_bootstrap_ci; Chamandy et al. 2012) —
+    error bars at 100 TB without resampling: every row joins each of
+    40 replicas with a DETERMINISTIC md5-derived Poisson(1) weight, so
+    the whole CI is one scan with explode factor B, a B-row shuffle,
+    and zero RNG state — the draw, the replica means, the order
+    statistics, and the SE all replay bit-stably in the oracle. The
+    statistical sibling of the approx-contract queries (q48/q108/q115):
+    uncertainty quantification as a first-class distributed op."""
+    from powerdatapipeline_spark.operators import stats as st
+
+    return st.poisson_bootstrap_ci(_t(spark, sf_dir, "events"),
+                                   "value", "event_id", n_replicas=40)
+
+
+@register("q154_skew_report", """
+WITH counts AS (
+  SELECT o_custkey AS key_value, CAST(count(*) AS BIGINT) AS n_rows_key
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+r1 AS (SELECT key_value, n_rows_key,
+         CAST(row_number() OVER (ORDER BY n_rows_key ASC, key_value ASC)
+              AS BIGINT) AS i
+       FROM counts),
+r2 AS (SELECT key_value, n_rows_key, i,
+         CAST(count(*) OVER () AS BIGINT) AS k_keys,
+         CAST(sum(n_rows_key) OVER () AS BIGINT) AS tot,
+         CAST(sum(i * n_rows_key) OVER () AS BIGINT) AS s_ic
+       FROM r1)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_rows_key DESC, key_value ASC)
+              AS BIGINT) AS skew_rank,
+         key_value, n_rows_key,
+         round(CAST(n_rows_key AS DOUBLE) / tot, 6) AS share,
+         k_keys AS n_keys,
+         round((2.0 * s_ic) / (k_keys * tot)
+               - CAST(k_keys + 1 AS DOUBLE) / k_keys, 6) AS gini
+  FROM r2) WHERE skew_rank <= 10
+""", priority=PRI_TAIL)
+def q154_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report (operators/relational.skew_report) — the
+    planning tool behind the salted-join decision (q82) and AQE's skew
+    thresholds: top-10 heaviest o_custkey values with row shares, the
+    key-space size, and the Gini coefficient of the key-frequency
+    distribution. The corpus reduces map-side to the |keys|-row count
+    frame; Gini ranks THAT frame, never the data."""
+    return rel.skew_report(_t(spark, sf_dir, "orders"), "o_custkey",
+                           top_n=10)
+
+
 _BINFIX_N = 200
 
 

@@ -80,6 +80,9 @@ SCALAR_BROADCAST_INTENDED = {
     # aggregates per FK edge — three 1×1 cross joins (relational.py
     # fk_audit)
     "q144_fk_audit",
+    # round 8c: q153 combines the 1-row point-estimate and 1-row
+    # bootstrap-summary aggregates (stats.py poisson_bootstrap_ci)
+    "q153_bootstrap_ci",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
