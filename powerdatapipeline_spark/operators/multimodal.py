@@ -268,3 +268,81 @@ def frame_sample(df: DataFrame, blob_col: str = "blob", every_n_bytes: int = 102
                           F.substring(F.col(blob_col).cast("binary"),
                                       F.col("frame_idx") * every_n_bytes + 1,
                                       every_n_bytes)))
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ahash_hi", T.LongType()),
+    T.StructField("ahash_lo", T.LongType()),
+])
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id",
+                blob_col: str = "blob", fake: bool = True) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint of an image payload:
+    decode to the 8×8 pixel grid, bit ``i`` = pixel ≥ mean, packed as
+    two NON-NEGATIVE 32-bit halves (``ahash_hi`` = pixels 0-31,
+    ``ahash_lo`` = 32-63, MSB-first) — split halves sidestep the signed
+    shift/sort pitfalls a 64-bit pack invites across engines. Decoding
+    runs in the sanctioned Arrow ``mapInPandas`` escape hatch (same
+    contract as :func:`extract_image_features`; ``fake=True`` is the
+    deterministic md5 decoder the oracle replays, ``fake=False`` real
+    Pillow when installed). The visual analog of the text SimHash
+    (q33): resize/re-encode-stable where the byte checksum (q26-style
+    exact dedup) is not."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b: bytes) -> tuple[int, int]:
+                _w, _h, px = decode_image_full(bytes(b), fake=fake)
+                n = len(px)
+                mean = float(sum(px)) / n
+                bits = [1 if p >= mean else 0 for p in px[:64]]
+                bits += [0] * (64 - len(bits))
+                hi = sum(b_ << (31 - i) for i, b_ in enumerate(bits[:32]))
+                lo = sum(b_ << (31 - i) for i, b_ in enumerate(bits[32:]))
+                return hi, lo
+            hashed = pdf[blob_col].map(one)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "ahash_hi": hashed.map(lambda t: t[0]),
+                "ahash_lo": hashed.map(lambda t: t[1]),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema=AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Perceptual near-duplicate pairs over :func:`image_ahash` output —
+    the image-side twin of the SimHash banding (q33): the 64-bit hash
+    splits into four 16-bit bands; by pigeonhole any pair within
+    hamming ≤ 3·(bands−1) shares at least one band WHEN the distance
+    concentrates, so candidates come from a band-keyed EQUI-join
+    (never all-pairs) and only candidates pay the bit_count verify.
+    Band keys are offset by band index so segments never collide
+    across bands. Returns ``(doc_a, doc_b, hamming)``, ``a < b``."""
+    if not 0 <= max_hamming <= 64:
+        raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    hi, lo = F.col("ahash_hi"), F.col("ahash_lo")
+    bands = hashes.select(
+        F.col(id_col), "ahash_hi", "ahash_lo",
+        F.explode(F.array(
+            F.lit(0 * 65536) + F.shiftright(hi, 16),
+            F.lit(1 * 65536) + hi.bitwiseAND(F.lit(65535)),
+            F.lit(2 * 65536) + F.shiftright(lo, 16),
+            F.lit(3 * 65536) + lo.bitwiseAND(F.lit(65535)),
+        )).alias("band"))
+    a = bands.select(F.col(id_col).alias("doc_a"),
+                     F.col("ahash_hi").alias("hi_a"),
+                     F.col("ahash_lo").alias("lo_a"), "band")
+    b = bands.select(F.col(id_col).alias("doc_b"),
+                     F.col("ahash_hi").alias("hi_b"),
+                     F.col("ahash_lo").alias("lo_b"), "band")
+    cand = (a.join(b, ["band"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .drop("band").distinct())
+    ham = (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+           + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

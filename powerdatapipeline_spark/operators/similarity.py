@@ -704,9 +704,8 @@ def knn_classify(labeled: DataFrame, queries: DataFrame, k: int = 5,
     Vote resolution is deterministic: winner by (votes desc, label
     asc); ties in neighbor rank resolve inside
     :func:`hyperplane_lsh_topk` by (cosine desc, id). Output one row
-    per query: predicted label, vote count, and the 6-rounded mean
-    cosine of the winning label's neighbors (decimal-exact mean) as a
-    confidence proxy.
+    per query: predicted label, vote count, and the decimal-exact SUM
+    of the winning label's neighbor cosines as a confidence proxy.
 
     Scale shape: inherits the LSH path's — the labeled corpus hashes
     once and never shuffles; queries broadcast ×n_probe; the vote is a
@@ -722,12 +721,18 @@ def knn_classify(labeled: DataFrame, queries: DataFrame, k: int = 5,
     votes = (neigh.join(labels, id_col)
              .groupBy(query_id_col, label_col)
              .agg(F.count("*").cast("bigint").alias("n_votes"),
-                  F.round(F.sum(F.col("cosine").cast("decimal(18,6)"))
-                          .cast("double") / F.count("*"), 6)
-                  .alias("mean_cosine")))
+                  # EXACT decimal sum, not a mean: the 6-rounded cosines
+                  # divided by small vote counts land exactly on
+                  # .xxxxxx5 round boundaries (sum/2 does so half the
+                  # time), where Spark's shortest-repr rounding and an
+                  # exact-binary rounding disagree (the ddot caveat —
+                  # bit us at sf0.1). The sum is bit-exact everywhere
+                  # and ranks identically as a confidence signal.
+                  F.sum(F.col("cosine").cast("decimal(18,6)"))
+                  .cast("double").alias("sum_cosine")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("n_votes").desc(), F.col(label_col).asc())
     return (votes.withColumn("__rn", F.row_number().over(w))
             .where("__rn = 1")
             .select(query_id_col, F.col(label_col).alias("pred_label"),
-                    "n_votes", "mean_cosine"))
+                    "n_votes", "sum_cosine"))

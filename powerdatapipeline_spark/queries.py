@@ -5251,7 +5251,7 @@ def _knn_classify_oracle(n_planes: int = 8, dim: int = 64,
     corpus restricted to EVEN vec_ids (the labeled seed set), queries =
     odd vec_ids < n_queries, and the ranked neighbors folded into a
     deterministic (votes desc, label asc) majority vote with a
-    decimal-exact mean-cosine confidence."""
+    decimal-exact sum-cosine confidence."""
     import numpy as np
 
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
@@ -5299,12 +5299,12 @@ topk AS (
 votes AS (
   SELECT t.query_id, e.label,
          CAST(count(*) AS BIGINT) AS n_votes,
-         round(CAST(sum(CAST(t.cosine AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*), 6) AS mean_cosine
+         CAST(sum(CAST(t.cosine AS DECIMAL(18,6))) AS DOUBLE)
+           AS sum_cosine
   FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
   GROUP BY 1, 2)
-SELECT query_id, label AS pred_label, n_votes, mean_cosine FROM (
-  SELECT query_id, label, n_votes, mean_cosine,
+SELECT query_id, label AS pred_label, n_votes, sum_cosine FROM (
+  SELECT query_id, label, n_votes, sum_cosine,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY n_votes DESC, label ASC) AS rn
   FROM votes) WHERE rn = 1
@@ -5732,6 +5732,63 @@ def q154_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; Gini ranks THAT frame, never the data."""
     return rel.skew_report(_t(spark, sf_dir, "orders"), "o_custkey",
                            top_n=10)
+
+
+@register("q155_image_ahash_neardup", """
+WITH pxl AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63), i ->
+           CAST(('0x' || substr(md5(text || chr(0) || chr(0) || chr(0)
+                || chr(CAST(i // 16 AS INT))), 2 * (i % 16) + 1, 2))
+                AS INT)) AS px
+  FROM documents),
+m AS (SELECT doc_id, px, list_sum(px) / 64.0 AS mean FROM pxl),
+bits AS (SELECT doc_id,
+                list_transform(generate_series(1, 64), i ->
+                  CASE WHEN px[i] >= mean THEN 1 ELSE 0 END) AS b
+         FROM m),
+hh AS (SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 32),
+             i -> CAST(b[i] AS BIGINT) << (32 - i))),
+           (acc, x) -> acc | x) AS hi,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(33, 64),
+             i -> CAST(b[i] AS BIGINT) << (64 - i))),
+           (acc, x) -> acc | x) AS lo
+       FROM bits),
+bands AS (
+  SELECT doc_id, hi, lo, u.band
+  FROM hh, unnest([0 * 65536 + (hi >> 16), 1 * 65536 + (hi & 65535),
+                   2 * 65536 + (lo >> 16), 3 * 65536 + (lo & 65535)])
+       AS u(band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+            AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8
+""", priority=PRI_TAIL)
+def q155_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (operators/multimodal.image_ahash
+    + ahash_neardup_pairs) — the IMAGE-side member of the near-dup
+    family (MinHash q29 / SimHash q33 / embedding q60 / SemDeDup q127):
+    aHash fingerprints from the Arrow mapInPandas decoder (the
+    deterministic fake decoder the oracle replays byte-exactly — the
+    q36 contract), four 16-bit bands generate candidates via equi-join
+    (never all-pairs), bit_count verifies hamming ≤ 8. The oracle
+    re-derives every pixel, bit, band, candidate, and distance in SQL,
+    so even the Python-side decode+pack is hash-verified end to end."""
+    from powerdatapipeline_spark.operators import multimodal as mm
+
+    docs = (_t(spark, sf_dir, "documents")
+            .selectExpr("doc_id", "CAST(text AS BINARY) AS blob"))
+    hashes = mm.image_ahash(docs, fake=True)
+    return mm.ahash_neardup_pairs(hashes, max_hamming=8)
 
 
 _BINFIX_N = 200

@@ -87,4 +87,4 @@ def test_knn_classify_recovers_clusters(spark):
     assert correct / len(preds) >= 0.95
     for p in preds:
         assert 1 <= p.n_votes <= 5
-        assert p.mean_cosine is not None
+        assert p.sum_cosine is not None

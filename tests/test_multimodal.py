@@ -197,3 +197,31 @@ def test_wav_decode_widths_and_gate():
     assert twenty4 == [1_000_000, -1_000_000, -1, 0]
     with pytest.raises(NotImplementedError, match="not PCM WAV"):
         mm.decode_audio(b"ID3\x03mp3-ish garbage", fake=False)
+
+
+def test_image_ahash_identical_blobs_pair_at_zero(spark):
+    from pyspark.sql import Row
+
+    from powerdatapipeline_spark.operators import multimodal as mm
+    docs = spark.createDataFrame([
+        Row(doc_id=1, blob=bytearray(b"same payload")),
+        Row(doc_id=2, blob=bytearray(b"same payload")),
+        Row(doc_id=3, blob=bytearray(b"different bytes")),
+    ])
+    hashes = mm.image_ahash(docs, fake=True)
+    rows = {r.doc_id: (r.ahash_hi, r.ahash_lo) for r in hashes.collect()}
+    assert rows[1] == rows[2]
+    assert all(0 <= h < (1 << 32) for pair in rows.values() for h in pair)
+    pairs = mm.ahash_neardup_pairs(hashes, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_ahash_neardup_validates_threshold(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from powerdatapipeline_spark.operators import multimodal as mm
+    hashes = spark.createDataFrame(
+        [Row(doc_id=1, ahash_hi=5, ahash_lo=9)])
+    with _pytest.raises(ValueError, match="max_hamming"):
+        mm.ahash_neardup_pairs(hashes, max_hamming=65)
