@@ -1869,3 +1869,80 @@ def remove_boilerplate_lines(df: DataFrame, group_col: str = "source",
                     (F.col("__n_lines")
                      - F.coalesce("n_lines_kept", F.lit(0).cast("bigint")))
                     .cast("bigint").alias("n_lines_removed")))
+
+
+def cdc_chunk_rows(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", window: int = 8,
+                   modulus: int = 64) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS rule storage dedup and
+    shift-robust corpus dedup are built on): cut after every position
+    whose trailing ``window``-gram hashes to ``0 mod modulus``, so
+    boundaries depend on CONTENT, not offsets — insert a byte at the
+    head of a document and every later chunk realigns, where
+    fixed-width chunking (q85's approximation) loses every boundary.
+    Expected chunk length ≈ ``modulus`` chars. Returns one row per
+    chunk: ``(id, chunk_idx, chunk_md5, chunk_len)``.
+
+    Everything is a pure column HOF pipeline (sequence → filter →
+    zip_with → posexplode): per-doc, zero shuffle; the md5-prefix
+    boundary hash is the repo's engine-portable primitive, so the
+    oracle replays every boundary decision. Cost is O(len·window)
+    hashing per doc — window stays small (8) by design; a production
+    variant swaps in the O(len) rolling polynomial (q61's fold) once
+    both engines agree on its incremental form. Empty documents emit
+    no chunks."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if modulus < 2:
+        raise ValueError(f"modulus must be >= 2, got {modulus}")
+    t = f"`{text_col}`"
+    bnds = (f"filter(sequence({window}, length({t})), i -> "
+            f"CAST(conv(substring(md5(substring({t}, i - {window - 1}, "
+            f"{window})), 1, 8), 16, 10) AS BIGINT) % {modulus} = 0)")
+    spans = (f"filter(zip_with("
+             f"concat(array(1), transform({bnds}, b -> b + 1)), "
+             f"concat({bnds}, array(length({t}))), "
+             f"(s, e) -> struct(s AS s, e AS e)), p -> p.e >= p.s)")
+    base = (df.where(F.length(F.col(text_col)) > 0)
+            .select(F.col(id_col), F.col(text_col),
+                    F.posexplode(F.expr(spans)).alias("chunk_idx", "p")))
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(F.expr(f"substring({t}, p.s, p.e - p.s + 1)"))
+        .alias("chunk_md5"),
+        (F.col("p.e") - F.col("p.s") + 1).cast("bigint")
+        .alias("chunk_len"))
+
+
+def cdc_dedup_report(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", window: int = 8,
+                     modulus: int = 64, top_n: int = 10) -> DataFrame:
+    """Corpus-level chunk-dedup report over :func:`cdc_chunk_rows`:
+    the ``top_n`` most-repeated chunk fingerprints (count desc, md5
+    asc) with the corpus totals — total chunks, distinct chunks, and
+    the dedupable share ``1 − distinct/total`` — repeated on each row.
+    The storage-dedup estimate a 100 TB ingest runs before deciding
+    chunk-level dedup is worth a pass; chunk rows reduce map-side to
+    the fingerprint keyspace and only that frame is ranked."""
+    chunks = cdc_chunk_rows(df, id_col, text_col, window, modulus)
+    counts = (chunks.groupBy("chunk_md5")
+              .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                   F.min("chunk_len").cast("bigint").alias("chunk_len")))
+    w_all = Window.partitionBy()
+    enriched = (counts
+                .withColumn("n_chunks_total",
+                            F.sum("n_occurrences").over(w_all)
+                            .cast("bigint"))
+                .withColumn("n_distinct_chunks",
+                            F.count("*").over(w_all).cast("bigint"))
+                .withColumn("dup_share", F.round(
+                    F.lit(1.0) - F.col("n_distinct_chunks")
+                    / F.col("n_chunks_total"), 6)))
+    wr = Window.orderBy(F.col("n_occurrences").desc(),
+                        F.col("chunk_md5").asc())
+    return (enriched.withColumn("dup_rank",
+                                F.row_number().over(wr).cast("bigint"))
+            .where(F.col("dup_rank") <= top_n)
+            .select("dup_rank", "chunk_md5", "n_occurrences", "chunk_len",
+                    "n_chunks_total", "n_distinct_chunks", "dup_share"))

@@ -5791,6 +5791,63 @@ def q155_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.ahash_neardup_pairs(hashes, max_hamming=8)
 
 
+_CDC_FOOTER = " @@SHARED LICENSE FOOTER: this block repeats verbatim on every page of the corpus; content-defined boundaries inside it realign across documents regardless of the preceding text length, which is exactly what fixed-width chunking cannot do.@@"
+
+
+@register("q156_cdc_chunk_dedup", """
+WITH base AS (
+  SELECT doc_id, text || ' @@SHARED LICENSE FOOTER: this block repeats verbatim on every page of the corpus; content-defined boundaries inside it realign across documents regardless of the preceding text length, which is exactly what fixed-width chunking cannot do.@@' AS t FROM documents),
+ch AS (SELECT doc_id, t,
+  list_filter(generate_series(8, length(t)), i ->
+    CAST(('0x' || substr(md5(substr(t, i - 7, 8)), 1, 8)) AS BIGINT)
+      % 64 = 0) AS bnds
+  FROM base),
+raw AS (
+  SELECT doc_id, u.k AS kk,
+         CASE WHEN u.k = 1 THEN 1 ELSE bnds[u.k - 1] + 1 END AS s,
+         CASE WHEN u.k <= len(bnds) THEN bnds[u.k]
+              ELSE length(t) END AS e,
+         t
+  FROM ch, unnest(generate_series(1, len(bnds) + 1)) AS u(k)),
+valid AS (SELECT doc_id, md5(substr(t, s, e - s + 1)) AS chunk_md5,
+                 CAST(e - s + 1 AS BIGINT) AS chunk_len
+          FROM raw WHERE e >= s),
+counts AS (SELECT chunk_md5,
+                  CAST(count(*) AS BIGINT) AS n_occurrences,
+                  CAST(min(chunk_len) AS BIGINT) AS chunk_len
+           FROM valid GROUP BY 1),
+tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS n_chunks_total,
+               CAST(count(*) AS BIGINT) AS n_distinct_chunks
+        FROM counts)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+                                 chunk_md5 ASC) AS BIGINT) AS dup_rank,
+         chunk_md5, n_occurrences, chunk_len,
+         n_chunks_total, n_distinct_chunks,
+         round(1.0 - CAST(n_distinct_chunks AS DOUBLE) / n_chunks_total,
+               6) AS dup_share
+  FROM counts CROSS JOIN tot) WHERE dup_rank <= 10
+""", priority=PRI_TAIL)
+def q156_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + corpus chunk-dedup report (operators/
+    text.cdc_chunk_rows/cdc_dedup_report; the Rabin/LBFS rule) — the
+    SHIFT-ROBUST member of the dedup family: q126 removes exact
+    repeats, q85 approximates with fixed-width windows, CDC cuts where
+    the CONTENT says so, so a one-byte prefix edit realigns every later
+    chunk. The query appends a deterministic shared license footer to
+    every document (both engines build the same corpus): its interior
+    boundaries fall at the same content positions in every doc despite
+    different preceding lengths, so the footer's chunks repeat
+    corpus-wide — the top of the dup ranking proves realignment, and
+    the dedupable share prices a chunk-level dedup pass. Pure per-doc
+    HOFs; only fingerprint partials shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id",
+                       F.concat(F.col("text"), F.lit(_CDC_FOOTER))
+                       .alias("t"))
+    return tx.cdc_dedup_report(base, "doc_id", "t")
+
+
 _BINFIX_N = 200
 
 

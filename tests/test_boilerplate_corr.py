@@ -77,3 +77,60 @@ def test_correlation_matrix_complete_case(spark):
     assert abs(out.corr - round(num / den, 6)) <= 1e-6
     with pytest.raises(ValueError, match="at least 2"):
         st.correlation_matrix(df, ["a"])
+
+
+# ------------------------------------------------------------ CDC chunking
+
+def _chunks(spark, txt, doc_id=1):
+    df = spark.createDataFrame([Row(doc_id=doc_id, text=txt)])
+    return sorted(tx.cdc_chunk_rows(df).collect(),
+                  key=lambda r: r.chunk_idx)
+
+
+def test_cdc_chunks_partition_the_document(spark):
+    import hashlib
+    import random
+    rnd = random.Random(11)
+    txt = "".join(rnd.choice("abcdefgh ") for _ in range(2000))
+    rows = _chunks(spark, txt)
+    assert sum(r.chunk_len for r in rows) == 2000
+    assert len(rows) > 5  # ~2000/64 expected boundaries
+    # chunk hashes are md5 of the actual substrings, in order
+    pos = 0
+    for r in rows:
+        seg = txt[pos:pos + r.chunk_len]
+        assert hashlib.md5(seg.encode()).hexdigest() == r.chunk_md5
+        pos += r.chunk_len
+
+
+def test_cdc_shift_robustness(spark):
+    """A prefix edit must realign: all chunks after the first boundary
+    are IDENTICAL between the original and the prefixed document —
+    the property fixed-width chunking lacks."""
+    import random
+    rnd = random.Random(7)
+    txt = "".join(rnd.choice("abcdefgh ") for _ in range(1500))
+    a = {r.chunk_md5 for r in _chunks(spark, txt)}
+    b = {r.chunk_md5 for r in _chunks(spark, "PREFIX-EDIT " + txt, 2)}
+    shared = a & b
+    assert len(shared) >= len(a) - 2  # only the head chunk may differ
+
+
+def test_cdc_report_counts_shared_footer(spark):
+    import random
+    rnd = random.Random(13)
+    # high-entropy FIXED tail: periodic text has too few distinct
+    # 8-grams to guarantee a boundary inside the shared region
+    tail = "".join(rnd.choice("abcdefgh ") for _ in range(600))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique head {i} " * 20 + tail)
+         for i in range(6)])
+    rep = tx.cdc_dedup_report(docs).collect()
+    # shared-tail chunks repeat in every doc (intra-doc repeats from the
+    # periodic head may rank even higher — also correct detection)
+    assert any(r.n_occurrences >= 6 for r in rep)
+    assert rep[0].dup_share > 0.2
+    with pytest.raises(ValueError, match="window"):
+        tx.cdc_chunk_rows(docs, window=1)
+    with pytest.raises(ValueError, match="modulus"):
+        tx.cdc_chunk_rows(docs, modulus=1)
