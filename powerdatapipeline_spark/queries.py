@@ -5962,7 +5962,7 @@ def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
 # green): promote tranche 2 — q99-q123 (25 remaining round-7-born
-# queries) plus the round-8-born pool (q124-q150, none driver-recorded
+# queries) plus the round-8-born pool (q124-q156, none driver-recorded
 # yet) — by switching their decorators to PRI_HEAD, demoting an equal
 # number of freshly-recorded multi-round-green head entries (candidates
 # by the established policy: q29, q31, q33, q34, q35, q36, q45, q46,
