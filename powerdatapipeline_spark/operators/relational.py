@@ -847,3 +847,36 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             .where(F.col("skew_rank") <= top_n)
             .select("skew_rank", "key_value", "n_rows_key", "share",
                     "n_keys", "gini"))
+
+
+def group_reservoir_sample(df: DataFrame, group_cols: Sequence[str],
+                           key_col: str, k: int,
+                           salt: str = "") -> DataFrame:
+    """Deterministic uniform k-per-group sample ("reservoir" semantics
+    without RNG state): rank rows inside each group by a hash-derived
+    uniform (:func:`uniform_from_key` — the same md5 primitive as
+    hash_split / weighted_hash_sample, so engines and reruns agree on
+    every draw) and keep the ``k`` smallest. Every subset of size k is
+    equally likely per group, which is exactly what a streaming
+    reservoir gives — but as a pure column expression it is rerun- and
+    partitioning-stable, and an oracle engine reproduces the identical
+    rows.
+
+    The curation use: "k eval examples per source / per language" —
+    the per-stratum twin of the GLOBAL weighted draw
+    (weighted_hash_sample) and the FRACTION-based stratified sample
+    (stratified_sample takes a rate; this takes an exact count).
+
+    Scale shape: one shuffle on the group key into a rank-k window
+    Spark rewrites to WindowGroupLimit (per-partition top-k heaps —
+    no group materializes fully), so a skewed 10-billion-row group
+    still only heaps k rows per task. Ranking uses (uniform, key) so
+    ties are total-ordered."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = uniform_from_key(key_col, salt)
+    w = Window.partitionBy(*group_cols).orderBy(u.asc(),
+                                                F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn"))

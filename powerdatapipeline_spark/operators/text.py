@@ -1946,3 +1946,71 @@ def cdc_dedup_report(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("dup_rank") <= top_n)
             .select("dup_rank", "chunk_md5", "n_occurrences", "chunk_len",
                     "n_chunks_total", "n_distinct_chunks", "dup_share"))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", lam: float = 0.8) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document — the next
+    step up from :func:`unigram_logprob` toward the KenLM-style
+    perplexity filter CCNet (Wenzek et al. 2019) buckets corpora by:
+    ``p(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/T`` with the model
+    fit on the corpus itself, so every document bigram is observed and
+    the probability is always positive (no OOV smoothing edge cases).
+    The left-context count ``c(w1,·)`` is derived from the bigram
+    counts themselves (Σ over w2), NOT the unigram count — so rows
+    where w1 ends a document don't inflate the denominator.
+
+    Output one row per document with ≥ 2 tokens:
+    ``(doc_id, n_bigrams, avg_neg_logprob)`` where
+    ``avg_neg_logprob = −Σ tf·ln(p̂) / Σ tf``. High = incoherent word
+    soup; low = templated boilerplate — exactly the tails a curation
+    pass drops.
+
+    Scale shape: bigrams come from a NARROW per-doc transform (each
+    token array zipped with its own tail — the q150 BPE pattern, no
+    posexplode self-join); one shuffle builds the per-doc bigram index,
+    corpus bigram/left-context counts reduce from it map-side and join
+    back on the SAME (w1,w2)/(w1) keys (exchange-reusable; unlike the
+    unigram vocab these tables are NOT force-broadcast — a 100 TB
+    corpus's bigram vocabulary doesn't fit an executor, so AQE picks
+    broadcast only when it actually fits), and only the scalar total
+    broadcasts unconditionally. ln() rounded to 6 and
+    the weighted sum folded in decimal per the parity rules; the inner
+    interpolation is plain IEEE double arithmetic written with the
+    same association on both engines."""
+    toks = tokens(text_col)
+    base = (_spread(df)
+            .select(F.col(id_col), toks.alias("t")))
+    pairs = (base.where(F.size("t") >= 2)
+             .select(id_col,
+                     F.explode(F.transform(
+                         F.sequence(F.lit(2), F.size("t")),
+                         lambda i: F.struct(
+                             F.element_at("t", i - 1).alias("w1"),
+                             F.element_at("t", i).alias("w2")))).alias("bg"))
+             .select(id_col, "bg.w1", "bg.w2"))
+    dtf = (pairs.groupBy(id_col, "w1", "w2")
+           .agg(F.count("*").alias("tf")).persist())
+    c12 = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = (base.select(F.explode("t").alias("w2")))
+    c2 = uni.groupBy("w2").agg(F.count("*").alias("c2"))
+    total = uni.select(F.count("*").alias("__total"))
+    p_hat = (F.lit(lam) * (F.col("c12").cast("double")
+                           / F.col("c1").cast("double"))
+             + F.lit(1.0 - lam) * (F.col("c2").cast("double")
+                                   / F.col("__total")))
+    lnp = F.round(F.log(p_hat), 6)
+    out = (dtf.join(c12, ["w1", "w2"])
+           .join(c1, "w1")
+           .join(c2, "w2")
+           .crossJoin(F.broadcast(total))
+           .groupBy(id_col)
+           .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
+                F.round(
+                    (-F.sum((F.col("tf") * lnp).cast("decimal(28,12)"))
+                     .cast("double")
+                     / F.sum("tf")), 6).alias("avg_neg_logprob"))
+           .localCheckpoint(eager=True))
+    dtf.unpersist()
+    return out

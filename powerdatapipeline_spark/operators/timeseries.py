@@ -1250,3 +1250,154 @@ def transition_matrix(df: DataFrame, ts_col: str, state_col: str,
     return counts.withColumn(
         "prob", F.round(F.col("n_transitions")
                         / F.sum("n_transitions").over(w_from), 6))
+
+
+def rolling_distinct(df: DataFrame, ts_col: str = "ts",
+                     id_col: str = "user_id", window_buckets: int = 7,
+                     bucket_seconds: float = 86400.0) -> DataFrame:
+    """Rolling-window distinct count ("7-day active users"): for every
+    observed time bucket, the number of distinct ids seen in the
+    ``window_buckets`` buckets ending there. COUNT(DISTINCT) OVER a
+    RANGE frame does not exist in either engine, and the naive
+    day×day range self-join rescans the id set per window; this is the
+    scalable rewrite:
+
+    1. ONE distinct pass reduces the stream to (bucket, id) pairs —
+       at 100 TB this is the only pass that touches raw events, and it
+       is a map-side-combinable groupBy;
+    2. each pair replicates to the ≤ ``window_buckets`` window-end
+       buckets it can serve (narrow ``explode(sequence)``, the
+       range_join_bucketed trick applied to a rolling frame);
+    3. windows that end on a bucket with no events are dropped by a
+       broadcast semi-join against the observed-bucket set (#buckets is
+       tiny by construction — days, not rows);
+    4. one final countDistinct per window-end bucket.
+
+    Cost: 2 shuffles, fan-out exactly ``window_buckets``×|distinct
+    pairs|. The HLL twin :func:`rolling_distinct_sketch` replicates
+    per-bucket SKETCHES instead of pairs (fan-out ``window_buckets``×
+    #buckets rows of fixed-size sketch bytes — independent of
+    cardinality), which is the 100 TB production path; this exact
+    variant is its oracle-checkable counterpart.
+
+    Returns ``(window_end_day, n_active, n_id_buckets)`` where
+    ``n_id_buckets`` = Σ per-bucket distinct counts over the window
+    (the de-dup denominator: n_id_buckets/n_active = avg buckets an
+    active id appears in)."""
+    day = (F.floor(F.col(ts_col).cast("double") / F.lit(bucket_seconds))
+           .cast("bigint"))
+    du = (df.select(day.alias("__day"), F.col(id_col).alias("__uid"))
+          .distinct())
+    days = du.select(F.col("__day").alias("__wday")).distinct()
+    ex = du.select(
+        F.explode(F.sequence(F.col("__day"),
+                             F.col("__day") + F.lit(window_buckets - 1)))
+        .alias("__wday"), "__uid")
+    win = ex.join(F.broadcast(days), "__wday", "left_semi")
+    return (win.groupBy("__wday")
+            .agg(F.countDistinct("__uid").cast("bigint").alias("n_active"),
+                 F.count("*").cast("bigint").alias("n_id_buckets"))
+            .select(F.col("__wday").alias("window_end_day"),
+                    "n_active", "n_id_buckets"))
+
+
+def rolling_distinct_sketch(df: DataFrame, ts_col: str = "ts",
+                            id_col: str = "user_id",
+                            window_buckets: int = 7,
+                            bucket_seconds: float = 86400.0,
+                            lg_config_k: int = 12) -> DataFrame:
+    """HLL-sketch twin of :func:`rolling_distinct` — the 100 TB path:
+    raw events reduce ONCE to one fixed-size HLL sketch per bucket
+    (map-side partial aggregation), and only sketch rows (#buckets of
+    them, kilobytes each) replicate across window ends and merge with
+    ``hll_union_agg``. Unlike the exact path, the window fan-out is
+    independent of id cardinality. Accuracy contract pinned by pytest
+    against the exact twin (3σ ≈ 3·1.04/√2^lgK)."""
+    day = (F.floor(F.col(ts_col).cast("double") / F.lit(bucket_seconds))
+           .cast("bigint"))
+    daily = (df.select(day.alias("__day"), F.col(id_col).alias("__uid"))
+             .groupBy("__day")
+             .agg(F.hll_sketch_agg("__uid", lg_config_k).alias("__sk")))
+    days = daily.select(F.col("__day").alias("__wday"))
+    ex = daily.select(
+        F.explode(F.sequence(F.col("__day"),
+                             F.col("__day") + F.lit(window_buckets - 1)))
+        .alias("__wday"), "__sk")
+    win = ex.join(F.broadcast(days), "__wday", "left_semi")
+    return (win.groupBy("__wday")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk"))
+                 .alias("est_active"))
+            .select(F.col("__wday").alias("window_end_day"), "est_active"))
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame,
+                      partition_by: Sequence[str], ts_col: str,
+                      right_value_cols: Sequence[str],
+                      tolerance_seconds: float,
+                      prefix: str = "near_") -> DataFrame:
+    """Nearest-direction as-of join with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=...)``): every left row
+    matches the closest right row with the same key within
+    ``tolerance_seconds`` — before OR after — ties prefer the earlier
+    (backward) row. Left rows with no match survive with NULLs.
+
+    Same single-shuffle shape as :func:`asof_join` (tag, union, keyed
+    window — never an inequality join): the backward candidate is
+    ``last(__r, ignorenulls)`` over (-∞, current] and the forward
+    candidate ``first(__r, ignorenulls)`` over [current, +∞), both on
+    the SAME window ordering, so the whole operator costs one shuffle
+    of |L|+|R| on the series key. At equal timestamps right rows sort
+    before left rows, so a same-ts right row is captured by the
+    backward pass at distance 0 (which always wins — the forward pass
+    missing it is harmless by construction).
+
+    Determinism contract: ``right`` must be unique per (key, ts) —
+    aggregate duplicates first (the q159 registry query does), else
+    which same-ts row the window carries is partition-order dependent.
+
+    Output: all left columns + ``{prefix}ts`` (matched right ts as
+    epoch double), ``{prefix}<value>`` per requested column,
+    ``{prefix}direction`` ('backward'/'forward'/NULL) and
+    ``{prefix}gap_s``."""
+    keys = list(partition_by)
+    lcols = list(left.columns)
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    rstruct_t = ("struct<ts:double," + ",".join(
+        f"{c}:{rtypes[c]}" for c in right_value_cols) + ">")
+    tagged_l = left.select(
+        *lcols, F.lit(1).alias("__tag"),
+        F.lit(None).cast(rstruct_t).alias("__r"))
+    tagged_r = right.select(
+        *[F.col(c) if c in keys + [ts_col]
+          else F.lit(None).cast(ltypes.get(c, "string")).alias(c)
+          for c in lcols],
+        F.lit(0).alias("__tag"),
+        F.struct(F.col(ts_col).cast("double").alias("ts"),
+                 *[F.col(c) for c in right_value_cols]).alias("__r"))
+    unioned = tagged_l.unionByName(tagged_r)
+    ow = Window.partitionBy(*keys).orderBy(ts_col, "__tag")
+    wb = ow.rowsBetween(Window.unboundedPreceding, 0)
+    wf = ow.rowsBetween(0, Window.unboundedFollowing)
+    lts = F.col(ts_col).cast("double")
+    out = (unioned
+           .withColumn("__b", F.last("__r", ignorenulls=True).over(wb))
+           .withColumn("__f", F.first("__r", ignorenulls=True).over(wf))
+           .where(F.col("__tag") == 1))
+    db = lts - F.col("__b.ts")
+    df_ = F.col("__f.ts") - lts
+    bok = F.col("__b").isNotNull() & (db <= F.lit(tolerance_seconds))
+    fok = F.col("__f").isNotNull() & (df_ <= F.lit(tolerance_seconds))
+    use_b = bok & (~fok | (db <= df_))
+    use_f = fok & ~use_b
+    chosen = F.when(use_b, F.col("__b")).when(use_f, F.col("__f"))
+    out = (out.withColumn("__m", chosen)
+           .withColumn(f"{prefix}direction",
+                       F.when(use_b, F.lit("backward"))
+                       .when(use_f, F.lit("forward")))
+           .withColumn(f"{prefix}gap_s",
+                       F.when(use_b, db).when(use_f, df_)))
+    out = out.withColumn(f"{prefix}ts", F.col("__m.ts"))
+    for c in right_value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col("__m")[c])
+    return out.drop("__tag", "__r", "__b", "__f", "__m")

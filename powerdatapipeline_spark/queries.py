@@ -5952,6 +5952,213 @@ def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r1-r6) and pinned by the tail-parity pytest. Demoted entries keep their
 # oracles and still run in tools/check_parity.py and the smoke test.
 #
+# --- round-8d additions ---------------------------------------------------
+
+_BIGRAM_LAM = 0.8
+
+
+@register("q157_bigram_lm", rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS i
+        FROM toks WHERE len(t) >= 2),
+docbg AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM pos),
+dtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM docbg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM dtf GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+uni AS (SELECT unnest(t) AS w FROM toks),
+c2 AS (SELECT w AS w2, CAST(count(*) AS BIGINT) AS c2 FROM uni GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM uni),
+lp AS (SELECT d.doc_id, d.tf,
+         round(ln({_BIGRAM_LAM!r} * (CAST(c12.c12 AS DOUBLE)
+                                     / CAST(c1.c1 AS DOUBLE))
+               + {1.0 - _BIGRAM_LAM!r} * (CAST(c2.c2 AS DOUBLE)
+                                          / tot.total)), 6) AS lnp
+       FROM dtf d JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            JOIN c2 ON c2.w2 = d.w2 CROSS JOIN tot)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(CAST(-sum(CAST(tf * lnp AS DECIMAL(28,12))) AS DOUBLE)
+             / sum(tf), 6) AS avg_neg_logprob
+FROM lp GROUP BY doc_id
+""", priority=PRI_TAIL)
+def q157_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document
+    (operators/text.bigram_logprob) — the next rung of the CCNet-style
+    perplexity filter above the unigram model (q81): ``p(w2|w1) =
+    λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/T`` fit on the corpus itself, so
+    every document bigram is observed and smoothing edge cases vanish.
+    Bigrams come from a NARROW per-doc tail-zip (the q150 BPE shape, no
+    positional self-join); corpus bigram tables join back on their own
+    grouping keys (NOT force-broadcast — a 100 TB bigram vocabulary
+    doesn't fit an executor; AQE may still pick broadcast when it fits)
+    and only the scalar token total broadcasts. The λ-interpolation
+    constants are repr()'d into the oracle so both engines evaluate the
+    bit-identical IEEE expression; ln rounded to 6, decimal fold."""
+    return tx.bigram_logprob(_t(spark, sf_dir, "documents"),
+                             lam=_BIGRAM_LAM)
+
+
+@register("q158_rolling_distinct", """
+WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts)/86400.0) AS BIGINT) AS day,
+                   user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+ex AS (SELECT du.day + g.o AS wday, du.user_id
+       FROM du, generate_series(0, 6) AS g(o)),
+win AS (SELECT ex.wday, ex.user_id FROM ex JOIN days ON days.day = ex.wday)
+SELECT wday AS window_end_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+       CAST(count(*) AS BIGINT) AS n_id_buckets
+FROM win GROUP BY 1
+""", priority=PRI_TAIL)
+def q158_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day
+    (operators/timeseries.rolling_distinct) — the "7-day active users"
+    OLAP staple that COUNT(DISTINCT) OVER RANGE cannot express in
+    either engine: one distinct (day,user) pass over raw events, a
+    narrow ≤7× replicate to each window end (the range_join_bucketed
+    trick applied to a rolling frame), a broadcast semi-join against
+    the tiny observed-day set, one final countDistinct. The 100 TB
+    production path is the HLL twin (rolling_distinct_sketch —
+    replicates fixed-size per-day SKETCHES instead of id pairs, fan-out
+    independent of cardinality; pytest pins it within the 3σ accuracy
+    contract of this exact, oracle-verified variant)."""
+    return ts.rolling_distinct(_t(spark, sf_dir, "events"))
+
+
+@register("q159_asof_nearest", """
+WITH l AS (SELECT event_id, user_id, epoch(ts) AS ets FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, epoch(ts) AS rts, CAST(count(*) AS BIGINT) AS n_clicks,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+cand AS (SELECT l.event_id, r.rts, r.n_clicks, r.click_value,
+                abs(l.ets - r.rts) AS gap,
+                CASE WHEN r.rts <= l.ets THEN 0 ELSE 1 END AS fwd
+         FROM l JOIN r ON r.user_id = l.user_id
+                      AND abs(l.ets - r.rts) <= 1800),
+pick AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                  ORDER BY gap, fwd) AS rn FROM cand)
+SELECT l.event_id, l.user_id, l.ets,
+       p.rts AS near_ts, p.n_clicks AS near_n_clicks,
+       p.click_value AS near_click_value,
+       CASE WHEN p.fwd = 0 THEN 'backward'
+            WHEN p.fwd = 1 THEN 'forward' END AS near_direction,
+       p.gap AS near_gap_s
+FROM l LEFT JOIN pick p ON p.event_id = l.event_id AND p.rn = 1
+""", priority=PRI_TAIL)
+def q159_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance
+    (operators/timeseries.asof_join_nearest — pandas
+    ``merge_asof(direction='nearest')``): every purchase matches its
+    closest same-user click within 30 min, before OR after, ties
+    preferring the earlier side; unmatched purchases survive with
+    NULLs. The Spark side is the q37 tag-union single-shuffle shape
+    with BOTH a backward ``last(ignorenulls)`` and a forward
+    ``first(ignorenulls)`` over one window ordering — never an
+    inequality join; the oracle deliberately states the naive
+    |L|×|R| candidate join + rank, so the green hash proves the
+    window rewrite is an implementation detail. Clicks pre-aggregate
+    per (user, ts) to satisfy the operator's determinism contract."""
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id",
+                    F.col("ts").cast("double").alias("ets")))
+    right = (ev.where(F.col("event_type") == "click")
+             .groupBy("user_id", F.col("ts").cast("double").alias("ets"))
+             .agg(F.count("*").cast("bigint").alias("n_clicks"),
+                  F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 6).alias("click_value")))
+    return ts.asof_join_nearest(left, right, ["user_id"], "ets",
+                                ["n_clicks", "click_value"], 1800.0)
+
+
+@register("q160_scan_stats", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+       min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+       min(value) AS min_value, max(value) AS max_value
+FROM events
+""", priority=PRI_TAIL)
+def q160_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only dataset profile (sources/readers.scan_stats):
+    COUNT(*) + id/value MIN/MAX answered from parquet FOOTER statistics
+    via DSv2 aggregate pushdown — the plan's scan carries
+    ``PushedAggregation: [COUNT(*), MIN(event_id), ...]`` and reads
+    O(#files) footer bytes instead of O(rows) data pages, which is the
+    difference between a catalog lookup and a cluster job at 100 TB.
+    A pytest pins the PushedAggregation plan shape (the conf key is
+    easy to misspell — CamelCase silently no-ops) and the helper
+    refuses string/timestamp min-max upfront because their footer stats
+    are truncated/rebased and would silently fall back to a full scan.
+    The oracle computes the same profile the honest way, so the hash
+    also proves footer stats agree with the data."""
+    from powerdatapipeline_spark.sources import readers as rd
+    return rd.scan_stats(spark, f"{sf_dir}/events.parquet",
+                         min_max_cols=["event_id", "user_id", "value"])
+
+
+@register("q161_frame_sample", """
+WITH n AS (SELECT doc_id, text AS t,
+       least(CAST(ceil(length(text) / 64.0) AS BIGINT), 6) AS nf
+       FROM documents),
+idx AS (SELECT doc_id, t,
+        unnest(generate_series(0, greatest(nf - 1, 0))) AS frame_idx FROM n)
+SELECT doc_id, frame_idx,
+       CAST(length(substr(t, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+            AS BIGINT) AS frame_len,
+       md5(substr(t, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM idx
+""", priority=PRI_TAIL)
+def q161_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, oracle-paired
+    (operators/multimodal.frame_sample — the north star names
+    frame-sample explicitly; previously pytest-only): each payload
+    splits into ≤6 byte-range "frames" of 64 bytes via a NARROW
+    1→N explode (no shuffle — the partition-preserving expansion a
+    real ffmpeg sampler would ride), then per-frame length + md5
+    fingerprints. Payloads are the documents' bytes (the q155 fixture
+    convention); the oracle re-derives every frame boundary, length,
+    and digest from VARCHAR substr — byte-exact because the corpus is
+    ASCII (asserted by the fixture contract) — so the binary
+    slicing path is hash-verified end to end. Real codec decode
+    stays behind the q36 env-gate; the byte plumbing here is what a
+    100 TB video corpus actually exercises."""
+    from powerdatapipeline_spark.operators import multimodal as mm
+    blobs = (_t(spark, sf_dir, "documents")
+             .select("doc_id", F.col("text").cast("binary").alias("blob")))
+    return (mm.frame_sample(blobs, every_n_bytes=64, max_frames=6)
+            .select("doc_id",
+                    F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                    F.length("frame").cast("bigint").alias("frame_len"),
+                    F.md5("frame").alias("frame_md5")))
+
+
+@register("q162_group_reservoir", """
+WITH s AS (SELECT source, doc_id, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY
+      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) + 1) / 1152921504606846976.0 ASC, doc_id ASC) AS rn
+  FROM documents)
+SELECT source, doc_id, n_chars FROM s WHERE rn <= 5
+""", priority=PRI_TAIL)
+def q162_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-group sample
+    (operators/relational.group_reservoir_sample) — "5 eval examples
+    per source", the exact-count per-stratum member of the sampling
+    family (global weighted draw q99, fraction-based stratified q69):
+    rows rank inside each group by the md5-derived uniform (the same
+    engine-portable primitive as hash_split), keep the 5 smallest.
+    Reservoir semantics (every k-subset equally likely) without RNG
+    state — rerun-, partitioning-, and engine-stable, which is why the
+    oracle reproduces the identical rows. One shuffle on the group key
+    into a rank window Spark rewrites to WindowGroupLimit (per-task
+    top-k heaps — a skewed group never materializes)."""
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return rel.group_reservoir_sample(d, ["source"], "doc_id", 5)
+
+
 # Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so
 # tranche 1 of the round-7-born pool — q85-q98 (14 queries, tail-parity
 # pinned since birth) — was promoted to default PRI_HEAD and the 14
@@ -5962,7 +6169,7 @@ def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
 # green): promote tranche 2 — q99-q123 (25 remaining round-7-born
-# queries) plus the round-8-born pool (q124-q156, none driver-recorded
+# queries) plus the round-8-born pool (q124-q162, none driver-recorded
 # yet) — by switching their decorators to PRI_HEAD, demoting an equal
 # number of freshly-recorded multi-round-green head entries (candidates
 # by the established policy: q29, q31, q33, q34, q35, q36, q45, q46,

@@ -500,3 +500,49 @@ def compact_dataset(spark: SparkSession, src: str, dst: str,
     n_files = max(1, -(-n // target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst)
     return n_files
+
+
+def scan_stats(spark: SparkSession, path: str,
+               min_max_cols: "list[str] | None" = None,
+               fmt: str = "parquet") -> DataFrame:
+    """Metadata-only dataset statistics — COUNT(*) + per-column MIN/MAX
+    answered from parquet FOOTERS, never the data pages: the scan-free
+    profile a 100 TB catalog query ("how many rows landed yesterday,
+    what id range?") should cost.
+
+    Mechanics: parquet aggregate pushdown is a DSv2-only optimizer rule,
+    so the read runs in a derived session (``newSession()`` — same
+    SparkContext, independent SQLConf) with parquet removed from the V1
+    fallback list and ``spark.sql.parquet.aggregatePushdown`` on (note
+    the lowercase-d spelling — the CamelCase variant silently no-ops).
+    The plan's scan then carries ``PushedAggregation: [COUNT(*),
+    MIN(..), MAX(..)]`` and reads ONLY footer statistics — bytes scanned
+    are O(#files), not O(rows); a pytest pins the plan shape so a conf
+    drift can't silently fall back to a full scan.
+
+    Restrictions (inherited from the Spark rule, enforced loudly): no
+    filters, and MIN/MAX only for numeric/date columns — string and
+    timestamp stats may be truncated/timezone-rebased in footers, so
+    Spark refuses them; this helper raises upfront rather than letting
+    the plan silently degrade to a full scan. Output: one row —
+    ``n_rows`` + ``min_<c>``/``max_<c>`` per requested column."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    df = s2.read.format(fmt).load(path)
+    allowed = {"tinyint", "smallint", "int", "bigint", "float", "double",
+               "decimal", "date"}
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in (min_max_cols or []):
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"scan_stats: column {c!r} not in {df.columns}")
+        if dt.split("(")[0] not in allowed:
+            raise ValueError(
+                f"scan_stats: column {c!r} has type {dt}, which parquet "
+                "aggregate pushdown cannot serve from footer stats "
+                "(strings may be truncated, timestamps rebased) — the "
+                "query would silently degrade to a full scan")
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.agg(*aggs)
