@@ -13,7 +13,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.operators.text import (
@@ -615,3 +615,125 @@ def semdedup(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                       id_col, "left")
             .select(id_col, "cell_id", "cent_sim",
                     F.col("__dropped").isNull().alias("is_kept")))
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold: float = 0.8,
+                                unit: str = "word") -> DataFrame:
+    """All-pairs Jaccard ≥ τ via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. 2007 / Xiao et al. 2008) — the EXACT sub-quadratic
+    alternative to the full inverted-index join
+    (:func:`ngram_jaccard_pairs`): identical output set, guaranteed (a
+    pytest pins prefix-filter ≡ baseline), but candidates come only
+    from each document's RAREST shingles.
+
+    Why it's exact: order the shingle universe globally (by document
+    frequency asc, digest asc — rarest first). If two sets A, B have
+    ``J(A,B) ≥ τ`` then ``|A∩B| ≥ τ/(1+τ)·(|A|+|B|) ≥ τ·max(|A|,|B|)``,
+    so A and B MUST collide inside their first
+    ``p = |S| − ⌈τ·|S|⌉ + 1`` shingles under any fixed global order —
+    skipping the frequent tail cannot lose a qualifying pair. A length
+    filter (``τ·|A| ≤ |B| ≤ |A|/τ``) prunes further at candidate time.
+
+    Cost: the index join shrinks from ``Σ_g df(g)²`` over ALL shingles
+    to Σ over PREFIX postings only — and because the global order puts
+    high-df shingles last, prefixes are made of the rarest grams, which
+    is exactly where df² is smallest. The df table is one extra
+    map-side-combined aggregate joined back on its own key (not
+    force-broadcast: a 100 TB shingle vocabulary doesn't fit an
+    executor; AQE may still pick broadcast when it fits). Verification
+    touches candidates only, through the full index.
+
+    Returns ``(id_a, id_b, jaccard)`` with jaccard rounded to 6."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh_col = (char_ngrams(text_col, n) if unit == "char"
+              else shingles(text_col, n, unit="word"))
+    sh = (_spread(df).select(F.col(id_col), sh_col.alias("sh"))
+          .withColumn("sh_n", F.size("sh")))
+    ex = (sh.select(id_col, "sh_n",
+                    F.explode(F.transform("sh", F.md5)).alias("g"))
+          .persist())
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(),
+                                           F.col("g").asc())
+    # prefix length |S| - ceil(τ|S|) + 1 under the (df, digest) order
+    ranked = (ex.join(dfreq, "g")
+              .withColumn("__r", F.row_number().over(w)))
+    prefix = ranked.where(
+        F.col("__r") <= F.col("sh_n")
+        - F.ceil(F.lit(threshold) * F.col("sh_n")) + 1)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   & (F.col("b.sh_n")
+                      >= F.ceil(F.lit(threshold) * F.col("a.sh_n")))
+                   & (F.col("b.sh_n") * F.lit(threshold)
+                      <= F.col("a.sh_n")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    ea = ex.select(F.col(id_col).alias("id_a"),
+                   F.col("sh_n").alias("n_a"), F.col("g").alias("ga"))
+    eb = ex.select(F.col(id_col).alias("__idb"),
+                   F.col("sh_n").alias("n_b"), F.col("g").alias("gb"))
+    # composite-key hash join (id_b, shingle): materializes exactly
+    # Σ_cand |A∩B| rows — never the |A|×|B| per-pair cross product
+    inter = (cand.join(ea, "id_a")
+             .join(eb, (F.col("id_b") == F.col("__idb"))
+                   & (F.col("ga") == F.col("gb")))
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count("*").alias("n_inter")))
+    jacc = F.round(F.col("n_inter").cast("double")
+                   / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+    out = (inter.select("id_a", "id_b", jacc.alias("jaccard"))
+           .where(F.col("jaccard") >= threshold)
+           .localCheckpoint(eager=True))
+    ex.unpersist()
+    return out
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str, sort_col: str,
+                              window: int = 5) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    third candidate-generation strategy beside hash blocking (exact /
+    URL dedup) and LSH banding (MinHash/SimHash/embedding): sort the
+    corpus on a fuzzy key and compare each record only to its ``window−1``
+    successors. Catches near-matches that share a sort-key PREFIX even
+    when no shingle or band collides (typos deep in the string), at
+    O(n·window) candidates.
+
+    Implementation: a global rank on (sort_col, key_col) — ties broken
+    by the unique key so the neighborhood is deterministic — then each
+    row replicates to the ``window−1`` ranks behind it (narrow
+    ``explode(sequence)``) and equi-joins on rank: candidate pairs
+    WITHOUT an inequality join. The global sort is inherent to the
+    method (it's what "neighborhood" means); at 100 TB use
+    repartitionByRange(sort_col) + per-partition ranks with a
+    ``window``-row overlap replicated across partition boundaries —
+    same output, no single-task sort (the q104 distributed-prefix-sum
+    pattern).
+
+    Returns ``(key_a, key_b, sort_a, sort_b, rank_gap)`` candidate
+    pairs ordered key_a < key_b by RANK (a before b in sort order);
+    the caller applies the expensive verifier (edit distance, field
+    compare) to candidates only."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    w = Window.orderBy(F.col("s").asc(), F.col("k").asc())
+    ranked = (df.select(F.col(key_col).alias("k"),
+                        F.col(sort_col).alias("s"))
+              .withColumn("rn", F.row_number().over(w)))
+    right = ranked.select(F.col("k").alias("key_b"),
+                          F.col("s").alias("sort_b"),
+                          F.col("rn").alias("rn_b"))
+    left = (ranked.select(
+        F.col("k").alias("key_a"), F.col("s").alias("sort_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.sequence(F.col("rn") + 1,
+                             F.col("rn") + window - 1)).alias("rn_b")))
+    return (left.join(right, "rn_b")
+            .select("key_a", "key_b", "sort_a", "sort_b",
+                    (F.col("rn_b") - F.col("rn_a")).cast("bigint")
+                    .alias("rank_gap")))

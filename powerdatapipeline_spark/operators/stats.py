@@ -594,3 +594,91 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
     return point.crossJoin(summary).select(
         F.round("point_mean", 6).alias("point_mean"), "n_rows",
         "boot_lo", "boot_hi", "boot_se", "n_replicas")
+
+
+def kmv_sketch(df: DataFrame, group_col: str, id_col: str,
+               k: int = 128, salt: str = "") -> DataFrame:
+    """K-minimum-values (KMV / bottom-k) distinct-count sketch per group
+    (Bar-Yossef et al. 2002; the theta-sketch family's deterministic
+    core): the ``k`` SMALLEST 60-bit md5 hash values of the distinct
+    ids in each group. Unlike HLL the sketch is a plain DataFrame of
+    ≤ k BIGINT rows per group — mergeable by union+re-rank, persistable
+    as parquet, and (because the hash is the repo's engine-portable md5
+    primitive, no RNG state) byte-identical across engines, so
+    estimates derived from it are exactly oracle-replayable, not just
+    accuracy-contracted.
+
+    Estimator (consumed by :func:`kmv_set_compare`): with ``v_k`` the
+    k-th smallest normalized hash, distinct ≈ (k−1)/v_k; when a group
+    has fewer than k distinct ids the sketch IS the exact id-hash set.
+    Scale shape: one distinct pass, one rank-k window the optimizer
+    rewrites to WindowGroupLimit (per-task heaps) — the sketch build
+    never materializes a group. 60-bit collisions merge two ids
+    (P ≈ n²/2⁶¹ — negligible below billions of distinct ids per
+    group, and at that cardinality the estimator error dominates)."""
+    from powerdatapipeline_spark.operators.relational import (
+        _md5_prefix_bigint)
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    du = (df.select(F.col(group_col).alias("g"),
+                    F.col(id_col).alias("__id")).distinct()
+          .select("g", _md5_prefix_bigint(
+              F.col("__id").cast("string"), salt, 15).alias("hv"))
+          .distinct())
+    w = Window.partitionBy("g").orderBy(F.col("hv").asc())
+    return (du.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k))
+
+
+def kmv_set_compare(sketch: DataFrame, k: int) -> DataFrame:
+    """Pairwise set-overlap estimates from KMV sketches — the
+    distinct-INTERSECTION estimator HLL cannot provide (HLL unions
+    losslessly but intersects only via inclusion-exclusion error
+    blowup): for every group pair, merge the two bottom-k sets, keep
+    the k smallest of the union, and read off
+
+    * ``est_union = (k−1)·2⁶⁰ / v_k``  (exact count when the merged
+      set has fewer than k values),
+    * ``jaccard_est = |{merged-k present in BOTH sketches}| / |merged-k|``,
+    * ``est_intersection = jaccard_est · est_union``.
+
+    Everything is joins/windows over ≤ k-row-per-group frames —
+    after the one sketch-build pass over raw data, comparing ANY
+    number of set pairs costs O(#pairs · k), independent of raw
+    cardinality; the deterministic hash makes every estimate
+    hash-verifiable in the oracle."""
+    groups = sketch.select(F.col("g")).distinct()
+    pairs = (groups.alias("x").join(
+                 groups.alias("y"),
+                 F.col("x.g") < F.col("y.g"))
+             .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb")))
+    e = sketch.select("g", "hv")
+    la = (pairs.join(e, pairs["ga"] == e["g"])
+          .select("ga", "gb", "hv", F.lit(1).alias("in_a"),
+                  F.lit(0).alias("in_b")))
+    lb = (pairs.join(e, pairs["gb"] == e["g"])
+          .select("ga", "gb", "hv", F.lit(0).alias("in_a"),
+                  F.lit(1).alias("in_b")))
+    merged = (la.unionByName(lb)
+              .groupBy("ga", "gb", "hv")
+              .agg(F.max("in_a").alias("in_a"),
+                   F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("ga", "gb").orderBy(F.col("hv").asc())
+    kept = (merged.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k))
+    agg = (kept.groupBy("ga", "gb")
+           .agg(F.count("*").cast("bigint").alias("n_merged"),
+                F.max("hv").alias("__vk"),
+                F.sum((F.col("in_a") * F.col("in_b")).cast("bigint"))
+                .alias("__n_both")))
+    est_union = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60))
+        / F.col("__vk").cast("double"))
+    jac = F.col("__n_both").cast("double") / F.col("n_merged")
+    return (agg.select(
+        F.col("ga").alias("set_a"), F.col("gb").alias("set_b"), "n_merged",
+        F.round(est_union, 6).alias("est_union"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * est_union, 6).alias("est_intersection")))

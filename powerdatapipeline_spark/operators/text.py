@@ -2014,3 +2014,55 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
            .localCheckpoint(eager=True))
     dtf.unpersist()
     return out
+
+
+def heaps_law_fit(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — ``V(N) ≈ k·N^β`` with N
+    cumulative tokens and V cumulative distinct terms — the corpus-
+    composition companion to the Zipf rank-frequency fit (q111): β far
+    from the ~0.4-0.6 natural-text band flags templated/synthetic text
+    (β→0, vocabulary saturates) or id-soup (β→1, every token new).
+
+    One corpus pass: per-term FIRST-occurrence doc (min doc id) and
+    per-doc token counts; running sums over the doc spine turn those
+    into (ln N_d, ln V_d) points — the streaming-order trick that makes
+    cumulative-distinct cheap: V_d = Σ_{d'≤d} #{terms first seen at d'},
+    so no per-prefix distinct scans. OLS in closed form over
+    decimal-folded sums (the q68 discipline). At 100 TB sample the doc
+    spine at log-spaced checkpoints instead of every doc; the running
+    sums are otherwise identical. Returns one row:
+    ``(n_points, total_tokens, total_vocab, beta, log_k)``."""
+    base = _spread(df).select(F.col(id_col).alias("d"),
+                              tokens(text_col).alias("t"))
+    ntok = base.select("d", F.size("t").alias("nt"))
+    fo = (base.select("d", F.explode("t").alias("w"))
+          .groupBy("w").agg(F.min("d").alias("fd")))
+    newv = fo.groupBy("fd").agg(F.count("*").alias("nv"))
+    spine = (ntok.join(newv, ntok["d"] == newv["fd"], "left")
+             .select("d", "nt", F.coalesce("nv", F.lit(0)).alias("nv")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (spine
+           .withColumn("ct", F.sum("nt").over(w).cast("bigint"))
+           .withColumn("cv", F.sum("nv").over(w).cast("bigint"))
+           .where((F.col("ct") > 0) & (F.col("cv") > 0))
+           .select(F.round(F.log(F.col("ct").cast("double")), 6).alias("x"),
+                   F.round(F.log(F.col("cv").cast("double")), 6).alias("y"),
+                   "ct", "cv"))
+    agg = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("ct").alias("total_tokens"),
+        F.max("cv").alias("total_vocab"),
+        F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,12)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double").alias("sxx"))
+    nd = F.col("n").cast("double")
+    beta = ((nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (nd * F.col("sxx") - F.col("sx") * F.col("sx")))
+    logk = (F.col("sy") - beta * F.col("sx")) / nd
+    return agg.select(
+        F.col("n").alias("n_points"), "total_tokens", "total_vocab",
+        F.round(beta, 6).alias("beta"), F.round(logk, 6).alias("log_k"))

@@ -6078,7 +6078,7 @@ def q159_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        min(event_id) AS min_event_id, max(event_id) AS max_event_id,
        min(user_id) AS min_user_id, max(user_id) AS max_user_id,
-       min(value) AS min_value, max(value) AS max_value
+       min(value) + 0.0 AS min_value, max(value) + 0.0 AS max_value
 FROM events
 """, priority=PRI_TAIL)
 def q160_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6157,6 +6157,185 @@ def q162_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k heaps — a skewed group never materializes)."""
     d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     return rel.group_reservoir_sample(d, ["source"], "doc_id", 5)
+
+
+@register("q163_prefix_filter_jaccard", r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 0)),
+           i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
+ex0 AS (SELECT doc_id, len(g) AS sh_n, unnest(g) AS s0 FROM sh),
+ex AS (SELECT doc_id, sh_n, md5(s0) AS s FROM ex0),
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+ranked AS (SELECT e.doc_id, e.sh_n, e.s,
+             row_number() OVER (PARTITION BY e.doc_id
+                 ORDER BY d.df ASC, e.s ASC) AS r
+           FROM ex e JOIN dfreq d USING (s)),
+prefix AS (SELECT * FROM ranked
+           WHERE r <= sh_n - CAST(ceil(0.5 * sh_n) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+              AND b.sh_n >= CAST(ceil(0.5 * a.sh_n) AS BIGINT)
+              AND b.sh_n * 0.5 <= a.sh_n),
+inter AS (SELECT c.id_a, c.id_b, ea.sh_n AS n_a, eb.sh_n AS n_b,
+                 count(*) AS n_inter
+          FROM cand c JOIN ex ea ON ea.doc_id = c.id_a
+               JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+          GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE)
+                         / (n_a + n_b - n_inter), 6) AS jaccard
+FROM inter
+WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.5
+""", priority=PRI_TAIL)
+def q163_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filter similarity join (operators/dedup.
+    prefix_filter_jaccard_pairs — AllPairs/PPJoin, Bayardo et al.
+    2007): the EXACT sub-quadratic upgrade of the full inverted-index
+    Jaccard baseline (q91): under a global rarest-first shingle order,
+    any pair with J ≥ τ must collide inside its |S|−⌈τ|S|⌉+1 rarest
+    shingles, so the index join shrinks from Σ df(g)² over ALL
+    shingles to prefix postings only — built from exactly the grams
+    where df² is smallest — plus a τ·|A| ≤ |B| ≤ |A|/τ length prune.
+    Output is PROVABLY identical to q91 at the same τ (pytest pins
+    prefix ≡ baseline); the oracle replays df ranks, prefixes,
+    candidates, and verification."""
+    return dd.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, unit="word")
+
+
+_KMV_K = 64
+
+
+@register("q164_kmv_overlap", f"""
+WITH du AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+hv0 AS (SELECT DISTINCT g,
+          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv FROM du),
+sk AS (SELECT * FROM (SELECT g, hv, row_number() OVER (
+           PARTITION BY g ORDER BY hv ASC) AS rank FROM hv0)
+       WHERE rank <= {_KMV_K}),
+grps AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT x.g AS ga, y.g AS gb FROM grps x JOIN grps y ON x.g < y.g),
+la AS (SELECT p.ga, p.gb, e.hv, 1 AS in_a, 0 AS in_b
+       FROM pairs p JOIN sk e ON e.g = p.ga),
+lb AS (SELECT p.ga, p.gb, e.hv, 0 AS in_a, 1 AS in_b
+       FROM pairs p JOIN sk e ON e.g = p.gb),
+merged AS (SELECT ga, gb, hv, max(in_a) AS in_a, max(in_b) AS in_b
+           FROM (SELECT * FROM la UNION ALL SELECT * FROM lb)
+           GROUP BY 1, 2, 3),
+kept AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY ga, gb ORDER BY hv ASC) AS r FROM merged)
+         WHERE r <= {_KMV_K}),
+agg AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_merged,
+               max(hv) AS vk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        FROM kept GROUP BY 1, 2),
+raw AS (SELECT ga, gb, n_merged,
+          CASE WHEN n_merged < {_KMV_K} THEN CAST(n_merged AS DOUBLE)
+               ELSE {float(_KMV_K - 1)!r} * 1152921504606846976.0
+                    / CAST(vk AS DOUBLE)
+          END AS eu,
+          CAST(n_both AS DOUBLE) / n_merged AS jac
+        FROM agg)
+SELECT ga AS set_a, gb AS set_b, n_merged,
+       round(eu, 6) AS est_union, round(jac, 6) AS jaccard_est,
+       round(jac * eu, 6) AS est_intersection
+FROM raw
+""", priority=PRI_TAIL)
+def q164_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k set-overlap estimates between per-event-type user
+    sets (operators/stats.kmv_sketch + kmv_set_compare — Bar-Yossef et
+    al. 2002, the theta-sketch family's deterministic core): the
+    distinct-INTERSECTION estimator HLL cannot provide. Sketches are
+    plain ≤k-row BIGINT frames — mergeable by union+re-rank,
+    persistable as parquet — and because the hash is the repo's
+    engine-portable md5 primitive (no RNG state) every ESTIMATE is
+    exactly hash-verified by the oracle, not just accuracy-contracted.
+    After the one sketch pass, comparing any number of set pairs costs
+    O(pairs·k), independent of raw cardinality."""
+    from powerdatapipeline_spark.operators import stats as st
+
+    sk = st.kmv_sketch(_t(spark, sf_dir, "events"), "event_type",
+                       "user_id", k=_KMV_K)
+    return st.kmv_set_compare(sk, _KMV_K)
+
+
+@register("q165_heaps_law", r"""
+WITH base AS (
+  SELECT doc_id AS d, list_filter(regexp_split_to_array(lower(text),
+         '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t FROM documents),
+ntok AS (SELECT d, len(t) AS nt FROM base),
+terms AS (SELECT d, unnest(t) AS w FROM base),
+fo AS (SELECT w, min(d) AS fd FROM terms GROUP BY 1),
+newv AS (SELECT fd, count(*) AS nv FROM fo GROUP BY 1),
+spine AS (SELECT n.d, n.nt, coalesce(v.nv, 0) AS nv
+          FROM ntok n LEFT JOIN newv v ON v.fd = n.d),
+pts0 AS (SELECT d,
+           CAST(sum(nt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS ct,
+           CAST(sum(nv) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cv
+         FROM spine),
+pts AS (SELECT round(ln(CAST(ct AS DOUBLE)), 6) AS x,
+               round(ln(CAST(cv AS DOUBLE)), 6) AS y, ct, cv
+        FROM pts0 WHERE ct > 0 AND cv > 0),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          max(ct) AS total_tokens, max(cv) AS total_vocab,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM pts)
+SELECT n AS n_points, total_tokens, total_vocab,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS beta,
+       round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS log_k
+FROM agg
+""", priority=PRI_TAIL)
+def q165_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (operators/text.heaps_law_fit)
+    — V(N) ≈ k·N^β beside the Zipf rank-frequency fit (q111): β far
+    from the ~0.4-0.6 natural-text band flags templated corpora (β→0)
+    or id-soup (β→1). The cumulative-distinct curve costs ONE corpus
+    pass via the first-occurrence trick (V_d = running sum of terms
+    first seen at each doc — no per-prefix distinct scans); OLS in
+    closed form over decimal-folded sums."""
+    return tx.heaps_law_fit(_t(spark, sf_dir, "documents"))
+
+
+@register("q166_sorted_neighborhood", """
+WITH r AS (SELECT p_partkey AS k, p_name AS s,
+             row_number() OVER (ORDER BY p_name ASC, p_partkey ASC) AS rn
+           FROM part),
+cand AS (SELECT a.k AS key_a, b.k AS key_b, a.s AS sort_a, b.s AS sort_b,
+                CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4)
+SELECT key_a, key_b, sort_a, sort_b, rank_gap,
+       CAST(levenshtein(sort_a, sort_b) AS BIGINT) AS lev
+FROM cand WHERE levenshtein(sort_a, sort_b) <= 4
+""", priority=PRI_TAIL)
+def q166_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking
+    (operators/dedup.sorted_neighborhood_pairs — Hernández & Stolfo
+    1995): the third candidate-generation strategy beside hash
+    blocking and LSH banding — sort parts on the fuzzy name key,
+    compare each record to its 4 successors only (O(n·w) candidates),
+    verify with Levenshtein ≤ 4. The Spark side replicates each rank
+    to its trailing window and EQUI-joins on rank (never an inequality
+    join — the oracle deliberately states the naive rank-range join);
+    at 100 TB the global rank becomes repartitionByRange +
+    per-partition ranks with a w-row boundary overlap (the q104
+    pattern), same output."""
+    sn = dd.sorted_neighborhood_pairs(_t(spark, sf_dir, "part"),
+                                      "p_partkey", "p_name", window=5)
+    return (sn.withColumn("lev",
+                          F.levenshtein("sort_a", "sort_b").cast("bigint"))
+            .where(F.col("lev") <= 4))
+
 
 
 # Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so

@@ -545,4 +545,13 @@ def scan_stats(spark: SparkSession, path: str,
                 "query would silently degrade to a full scan")
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    return df.agg(*aggs)
+    out = df.agg(*aggs)
+    # normalize IEEE negative zero AFTER the aggregate (an outer projection
+    # never blocks the pushdown below it): parquet footer stats preserve
+    # -0.0 while a data-side min() may surface either sign — repr-level
+    # compares would flap on '-0.0' vs '0.0' (bit us at sf0.1)
+    fixes = [(F.col(f"{m}_{c}") + F.lit(0.0)).alias(f"{m}_{c}")
+             if dict(df.dtypes)[c] in ("float", "double")
+             else F.col(f"{m}_{c}")
+             for c in (min_max_cols or []) for m in ("min", "max")]
+    return out.select("n_rows", *fixes)
