@@ -6338,6 +6338,57 @@ def q166_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("q167_triangle_count", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 7 = 0),
+e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey <> b.l_partkey),
+deg AS (SELECT n, count(*) AS deg FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1),
+keyed AS (SELECT n, CAST(deg AS BIGINT) * 1000000000 + n AS ok FROM deg),
+o AS (SELECT CASE WHEN ku.ok < kv.ok THEN e.u ELSE e.v END AS a,
+             CASE WHEN ku.ok < kv.ok THEN e.v ELSE e.u END AS b,
+             CASE WHEN ku.ok < kv.ok THEN kv.ok ELSE ku.ok END AS ok_b
+      FROM e JOIN keyed ku ON ku.n = e.u JOIN keyed kv ON kv.n = e.v),
+wed AS (SELECT w1.b AS wa, w2.b AS wb
+        FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.ok_b < w2.ok_b),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM wed JOIN o ON o.a = wed.wa AND o.b = wed.wb),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT)
+                AS n_wedges FROM deg),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+         AS global_clustering
+FROM tri, st, ne
+""", priority=PRI_TAIL)
+def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over the
+    part co-purchase graph (operators/graph.triangle_count — the
+    second classic graph workload beside PageRank q135): parts sharing
+    an order (1-in-7 order sample keeps edge density honest) form
+    undirected edges; each edge is ORIENTED from its (degree,id)-
+    smaller endpoint (Suri & Vassilvitskii's node-iterator++), capping
+    every out-degree at O(√|E|) so the wedge self-join is |E|^1.5-
+    bounded REGARDLESS of hub skew — the algorithmic rewrite no
+    optimizer finds. All equi-joins; the oracle replays orientation,
+    wedges, and closures, so the count is hash-verified."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") % 7 == 0)
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst")))
+    return gr.triangle_count(edges)
+
+
 # Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so
 # tranche 1 of the round-7-born pool — q85-q98 (14 queries, tail-parity
 # pinned since birth) — was promoted to default PRI_HEAD and the 14
@@ -6348,7 +6399,7 @@ def q166_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
 # green): promote tranche 2 — q99-q123 (25 remaining round-7-born
-# queries) plus the round-8-born pool (q124-q162, none driver-recorded
+# queries) plus the round-8-born pool (q124-q167, none driver-recorded
 # yet) — by switching their decorators to PRI_HEAD, demoting an equal
 # number of freshly-recorded multi-round-green head entries (candidates
 # by the established policy: q29, q31, q33, q34, q35, q36, q45, q46,

@@ -73,3 +73,48 @@ def test_symmetrize_dedups_both_orientations(spark):
         "src string, dst string")
     got = {(r["src"], r["dst"]) for r in gr.symmetrize(raw).collect()}
     assert got == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+
+
+# --------------------------------------------------------------------------
+# triangle counting (round 8e)
+# --------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    from pyspark.sql import Row
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_triangle_count_k4(spark):
+    from powerdatapipeline_spark.operators import graph as gr
+    k4 = _edges(spark, [(a, b) for a in range(4) for b in range(4) if a < b])
+    r = gr.triangle_count(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
+            r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["global_clustering"] == 1.0
+
+
+def test_triangle_count_triangle_free(spark):
+    from powerdatapipeline_spark.operators import graph as gr
+    # bipartite C4: 4 nodes in a square, zero triangles
+    c4 = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    r = gr.triangle_count(c4).collect()[0]
+    assert r["n_triangles"] == 0 and r["global_clustering"] == 0.0
+
+
+def test_triangle_count_dedupes_and_ignores_direction(spark):
+    from powerdatapipeline_spark.operators import graph as gr
+    # one triangle given with duplicates, reversed edges, and a self-loop
+    messy = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)])
+    r = gr.triangle_count(messy).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def test_triangle_count_hub_star_plus_triangle(spark):
+    from powerdatapipeline_spark.operators import graph as gr
+    # a 20-leaf hub star (no triangles) + one disjoint triangle:
+    # degree orientation points each hub edge AT the hub, so the wedge
+    # join at the hub materializes zero rows despite the skew
+    pairs = [(100, i) for i in range(20)] + [(200, 201), (201, 202),
+                                             (200, 202)]
+    r = gr.triangle_count(_edges(spark, pairs)).collect()[0]
+    assert r["n_triangles"] == 1

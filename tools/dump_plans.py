@@ -83,6 +83,19 @@ SCALAR_BROADCAST_INTENDED = {
     # round 8c: q153 combines the 1-row point-estimate and 1-row
     # bootstrap-summary aggregates (stats.py poisson_bootstrap_ci)
     "q153_bootstrap_ci",
+    # round 8d: q157 inherits the q81 single-row token-total broadcast
+    # (text.py bigram_logprob `total`)
+    "q157_bigram_lm",
+    # round 8e: q164's group-pair universe is the #event-types-row
+    # distinct frame inequality-crossed with itself (stats.py
+    # kmv_set_compare `pairs`) — bounded by #sets², never by raw
+    # cardinality; the sketch joins themselves are equi-joins
+    "q164_kmv_overlap",
+    # round 8e: q167 combines the 1-row triangle count with the 1-row
+    # degree-stats and 1-row edge-count aggregates (graph.py
+    # triangle_count) — two 1×1 broadcast crosses; the wedge/closure
+    # stages themselves are equi-joins
+    "q167_triangle_count",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
