@@ -737,3 +737,127 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str, sort_col: str,
             .select("key_a", "key_b", "sort_a", "sort_b",
                     (F.col("rn_b") - F.col("rn_a")).cast("bigint")
                     .alias("rank_gap")))
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 5,
+                      threshold: float = 0.5,
+                      unit: str = "word") -> DataFrame:
+    """DIRECTIONAL n-gram containment ``C(A→B) = |A∩B| / |A|`` — the
+    asymmetric near-dup measure Jaccard hides: a short doc quoted
+    wholesale inside a much longer one has tiny Jaccard (union is
+    dominated by the long doc) but containment ≈ 1 in the short→long
+    direction. This is the Broder (1997) "containment" companion to
+    :func:`ngram_jaccard_pairs`, and the right primitive for
+    quote/excerpt/subset-duplication detection in a training corpus.
+
+    Same inverted-index candidate generation as the Jaccard baseline
+    (md5(shingle) equi-join, only co-shingled pairs scored; same Σdf²
+    cost model and the same word-unit selectivity caveat), but each
+    undirected candidate emits BOTH directions, each normalized by its
+    own source size. Returns ``(src, dst, n_src, n_inter, containment)``
+    rows with containment 6-rounded and ≥ ``threshold``."""
+    sh_col = (char_ngrams(text_col, n) if unit == "char"
+              else shingles(text_col, n, unit="word"))
+    sh = (_spread(df).select(F.col(id_col), sh_col.alias("sh"))
+          .withColumn("sh_n", F.size("sh")))
+    ex = sh.select(id_col, "sh_n",
+                   F.explode(F.transform("sh", F.md5)).alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.sh_n").alias("n_a"),
+                      F.col("b.sh_n").alias("n_b"))
+             .agg(F.count("*").cast("bigint").alias("n_inter")))
+    fwd = inter.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+                       F.col("n_a").cast("bigint").alias("n_src"), "n_inter")
+    rev = inter.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+                       F.col("n_b").cast("bigint").alias("n_src"), "n_inter")
+    return (fwd.unionByName(rev)
+            .withColumn("containment",
+                        F.round(F.col("n_inter") / F.col("n_src"), 6))
+            .where(F.col("containment") >= threshold))
+
+
+def fs_linkage(df: DataFrame, id_col: str, block_keys: list,
+               comparisons: dict, m_probs: dict,
+               max_block: int | None = None,
+               materialize: bool = True) -> DataFrame:
+    """Fellegi–Sunter (1969) probabilistic record-linkage scoring — the
+    decision-theoretic layer ABOVE the repo's candidate generators
+    (hash blocking, sorted neighborhood, LSH): each candidate pair gets
+    a log-likelihood-ratio score Σ_f log2(m_f/u_f) over agreeing fields
+    and Σ_f log2((1−m_f)/(1−u_f)) over disagreeing ones, so agreement
+    on a RARE value (low u) counts for more than agreement on a common
+    one — the property plain edit-distance matching lacks.
+
+    ``comparisons`` maps field name → a Column deriving that field's
+    comparison value from a record; agreement is exact equality of the
+    derived values with NULL-on-either-side = disagreement (the
+    conservative convention). ``m_probs`` maps field name → the
+    declared P(agree | true match). The u-probabilities are estimated
+    from the DATA — the classical frequency-based estimator
+    ``u_f = Σ_v n_v(n_v−1) / (N(N−1))`` (probability two random
+    records agree on f) — as one tiny aggregate per field whose 1-row
+    result joins back by scalar broadcast; no EM iteration, so every
+    weight is exactly replayable in SQL. Weights are 6-rounded (log2
+    is transcendental); the per-pair score is a fixed-order sum of
+    those rounded weights, 6-rounded again.
+
+    Candidate pairs come from :func:`blocked_pairs` (union of
+    equi-joins, ``max_block`` guards degenerate keys). At 100 TB the
+    u-estimates read the same scan that derives the comparison values,
+    and every join is an equi-join on id or block key. Returns one row
+    per candidate pair: ``(id_a, id_b, agree_<f>..., score)``."""
+    if set(comparisons) != set(m_probs):
+        raise ValueError(
+            f"comparisons/m_probs key mismatch: {sorted(comparisons)} "
+            f"vs {sorted(m_probs)}")
+    for f_, m in m_probs.items():
+        if not 0.0 < m < 1.0:
+            raise ValueError(f"m_probs[{f_!r}] must be in (0,1), got {m}")
+    names = sorted(comparisons)
+    # block keys are evaluated into the same single-scan projection as
+    # the comparison values (blocked_pairs sees only this narrow frame)
+    derived = df.select(
+        F.col(id_col),
+        *[comparisons[nm].alias(f"v_{nm}") for nm in names],
+        *[k.alias(f"__blk_{i}") for i, k in enumerate(block_keys)]).persist()
+    cand = blocked_pairs(derived,
+                         [F.col(f"__blk_{i}")
+                          for i in range(len(block_keys))],
+                         id_col=id_col, max_block=max_block)
+    weights = None
+    for nm in names:
+        vc = (derived.where(F.col(f"v_{nm}").isNotNull())
+              .groupBy(f"v_{nm}").agg(F.count("*").alias("c")))
+        u = vc.agg(
+            (F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+             / (F.sum("c").cast("double")
+                * (F.sum("c") - 1).cast("double"))).alias("u"))
+        m = float(m_probs[nm])
+        w = u.select(
+            F.round(F.log2(F.lit(m) / F.col("u")), 6).alias(f"wa_{nm}"),
+            F.round(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - F.col("u"))), 6)
+            .alias(f"wd_{nm}"))
+        weights = w if weights is None else weights.crossJoin(w)
+    va = derived.select(F.col(id_col).alias("id_a"),
+                        *[F.col(f"v_{nm}").alias(f"a_{nm}") for nm in names])
+    vb = derived.select(F.col(id_col).alias("id_b"),
+                        *[F.col(f"v_{nm}").alias(f"b_{nm}") for nm in names])
+    paired = (cand.join(va, "id_a").join(vb, "id_b")
+              .crossJoin(F.broadcast(weights)))
+    agrees = {nm: F.coalesce(F.col(f"a_{nm}") == F.col(f"b_{nm}"),
+                             F.lit(False)) for nm in names}
+    score = None
+    for nm in names:
+        term = F.when(agrees[nm], F.col(f"wa_{nm}")) \
+                .otherwise(F.col(f"wd_{nm}"))
+        score = term if score is None else score + term
+    out = paired.select(
+        "id_a", "id_b",
+        *[agrees[nm].alias(f"agree_{nm}") for nm in names],
+        F.round(score, 6).alias("score"))
+    return _finish(out, derived, materialize)

@@ -736,3 +736,141 @@ def knn_classify(labeled: DataFrame, queries: DataFrame, k: int = 5,
             .where("__rn = 1")
             .select(query_id_col, F.col(label_col).alias("pred_label"),
                     "n_votes", "sum_cosine"))
+
+
+def truncation_recall(embeddings: DataFrame, queries: DataFrame,
+                      dims, k: int = 10, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      query_id_col: str = "query_id") -> DataFrame:
+    """Dimension-truncation recall curve — the evaluation harness for
+    Matryoshka-style embedding truncation: search with only the first
+    ``d`` components (2-8× cheaper dot products and index storage) and
+    measure recall@k against full-dimension ground truth, one row per
+    candidate ``d``. This is how you pick the cheapest dimension that
+    still clears a recall bar BEFORE committing a 100 TB corpus to a
+    truncated index.
+
+    Both the truncated and the full-dim top-k use the exact brute-force
+    scorer (:func:`brute_force_topk` — intentional brute-force baseline,
+    bounded |Q|: this is an EVAL harness over a fixed probe set, not
+    the production search path, which stays LSH/IVF). Recall@k =
+    |topk_d ∩ topk_full| / |topk_full|, 6-rounded; the 1-row
+    ground-truth count joins by scalar broadcast. Since each query
+    vector is its own nearest neighbor at every dimension, recall is
+    bounded below by 1/k by construction."""
+    dims = sorted(set(int(d) for d in dims))
+    if not dims:
+        raise ValueError("truncation_recall needs at least one dim")
+    full = (brute_force_topk(embeddings, queries, k=k, id_col=id_col,
+                             vec_col=vec_col, query_id_col=query_id_col)
+            .select(query_id_col, id_col).persist())
+    n_full = full.agg(F.count("*").cast("bigint").alias("n_full"))
+    outs = []
+    for d in dims:
+        emb_d = embeddings.withColumn(vec_col,
+                                      F.slice(F.col(vec_col), 1, d))
+        q_d = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1, d))
+        t = brute_force_topk(emb_d, q_d, k=k, id_col=id_col,
+                             vec_col=vec_col, query_id_col=query_id_col)
+        outs.append(
+            t.join(full, [query_id_col, id_col])
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(F.lit(d).cast("bigint").alias("dim"), "n_hits"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    out = (res.crossJoin(F.broadcast(n_full))
+           .select("dim", "n_hits", "n_full",
+                   F.round(F.col("n_hits") / F.col("n_full"), 6)
+                   .alias("recall"))
+           .localCheckpoint(eager=True))
+    full.unpersist()
+    return out
+
+
+def centroid_calibration(embeddings: DataFrame, n_bins: int = 10,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Reliability diagram + per-bin calibration gaps for the
+    nearest-centroid classifier — the "is my quality/domain classifier's
+    confidence trustworthy" audit (Guo et al. 2017's ECE, binned): a
+    filter that says 0.9 but is right 70% of the time silently skews
+    any confidence-thresholded curation step, so calibration is checked
+    BEFORE the classifier gates a corpus.
+
+    Classifier: predict the label whose embedding centroid has the
+    highest cosine (ties → smaller label); confidence = (1+cos)/2
+    mapped onto [0,1] (an exact power-of-two rescale of the 6-rounded
+    cosine — deterministic, never re-rounded). Centroids fit in long
+    form — posexplode to (label, dim), decimal-exact dimension means —
+    so the fit is one map-side-combined reduce to #labels×dim rows;
+    scoring joins the corpus long-form to the tiny centroid table on
+    dim (equi-join, #labels×dim rows broadcast), never per-pair UDF
+    work.
+
+    Returns one row per confidence bin: ``(bin, n, n_correct,
+    accuracy, sum_cos)``. The bin's mean confidence is
+    ``(n + sum_cos) / (2n)`` and ECE is the n-weighted mean of
+    ``|mean_conf − accuracy|`` — published as EXACT components, not
+    pre-divided means: a 6-rounded cosine sum halved lands exactly on
+    .xxxxxx5 round boundaries (the knn_classify sum-vs-mean caveat,
+    reproduced here at 1e-6 during development), where Spark's
+    shortest-repr rounding and an exact-binary rounding disagree.
+    ``accuracy = n_correct/n`` is safe: dyadic-n quotients are exactly
+    representable (both engines round the same exact tie away from
+    zero) and non-dyadic quotients never land a shortest repr on the
+    half-grid."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    e = (embeddings
+         .select(F.col(id_col), F.col(label_col),
+                 F.posexplode(vec_col).alias("dim", "v"))
+         # components 6-rounded up front: every downstream decimal-cast
+         # product then multiplies two ~6-decimal doubles, the class
+         # where Spark's shortest-repr double→decimal cast and DuckDB's
+         # exact-binary rounding provably agree (the ddot caveat —
+         # raw float32 components broke sum_conf parity at 1e-6)
+         .withColumn("v", F.round(F.col("v").cast("double"), 6)))
+    cent = (e.groupBy(F.col(label_col).alias("g"), "dim")
+            .agg(F.round(F.sum(F.col("v").cast("decimal(28,12)"))
+                         .cast("double") / F.count("*"), 6).alias("c")))
+    cnorm = cent.groupBy("g").agg(
+        F.round(F.sqrt(F.sum((F.col("c") * F.col("c"))
+                             .cast("decimal(28,12)")).cast("double")), 6)
+        .alias("cn"))
+    vnorm = e.groupBy(id_col).agg(
+        F.round(F.sqrt(F.sum((F.col("v") * F.col("v"))
+                             .cast("decimal(28,12)")).cast("double")), 6)
+        .alias("vn"))
+    dots = (e.join(F.broadcast(cent), "dim")
+            .groupBy(id_col, F.col(label_col), "g")
+            .agg(F.sum((F.col("v") * F.col("c")).cast("decimal(28,12)"))
+                 .cast("double").alias("d")))
+    scored = (dots.join(F.broadcast(cnorm), "g")
+              .join(vnorm, id_col)
+              .select(id_col, label_col, "g",
+                      F.when((F.col("vn") > 0) & (F.col("cn") > 0),
+                             F.round(F.col("d")
+                                     / (F.col("vn") * F.col("cn")), 6))
+                      .otherwise(F.lit(-1.0)).alias("cos")))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
+                                           F.col("g").asc())
+    pred = (scored.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1"))
+    conf = (F.lit(1.0) + F.col("cos")) / 2
+    binned = pred.select(
+        F.least(F.floor(conf * n_bins), F.lit(n_bins - 1)).cast("bigint")
+        .alias("bin"),
+        F.col("cos"),
+        (F.col("g") == F.col(label_col)).alias("ok"))
+    return (binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint")
+        .alias("n_correct"),
+        F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+        .alias("sum_cos"))
+        .select("bin", "n", "n_correct",
+                F.round(F.col("n_correct") / F.col("n"), 6)
+                .alias("accuracy"),
+                "sum_cos"))

@@ -682,3 +682,46 @@ def kmv_set_compare(sketch: DataFrame, k: int) -> DataFrame:
         F.round(est_union, 6).alias("est_union"),
         F.round(jac, 6).alias("jaccard_est"),
         F.round(jac * est_union, 6).alias("est_intersection")))
+
+
+def cohen_kappa(df: DataFrame, rater_a, rater_b) -> DataFrame:
+    """Cohen's kappa (1960) between two binary raters — the
+    labeler-agreement audit of a curation stack: two heuristic quality
+    labelers (or a heuristic and a model distillation) that agree 90%
+    of the time sound aligned, but if both keep 90% of the corpus,
+    88% agreement is expected BY CHANCE — kappa reports agreement in
+    excess of chance, which is what actually justifies swapping one
+    labeler for the other.
+
+    ``rater_a``/``rater_b`` are boolean Columns (NULL ⇒ False via
+    coalesce, the conservative convention). One map-side-combined
+    aggregation to a single confusion row — no shuffle wider than the
+    4-cell reduce at any corpus size. Returns one row:
+    ``(n, n00, n01, n10, n11, po, pe, kappa)``; po/pe are 6-rounded
+    count ratios (dyadic-or-off-grid quotients, the tie-safe class),
+    kappa = (po−pe)/(1−pe) from the UNROUNDED ratios, NULL when the
+    raters are degenerate (pe = 1)."""
+    t = df.select(F.coalesce(rater_a, F.lit(False)).alias("a"),
+                  F.coalesce(rater_b, F.lit(False)).alias("b"))
+    c = t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n00"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n01"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint").alias("n11"))
+    nd = F.col("n").cast("double")
+    po = (F.col("n00") + F.col("n11")).cast("double") / F.col("n")
+    pe = ((F.col("n11") + F.col("n10")).cast("double")
+          * (F.col("n11") + F.col("n01")).cast("double")
+          + (F.col("n00") + F.col("n01")).cast("double")
+          * (F.col("n00") + F.col("n10")).cast("double")) / (nd * nd)
+    return c.select(
+        "n", "n00", "n01", "n10", "n11",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(F.lit(1.0) - pe > 0,
+               F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"))

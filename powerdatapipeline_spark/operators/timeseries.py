@@ -1401,3 +1401,67 @@ def asof_join_nearest(left: DataFrame, right: DataFrame,
     for c in right_value_cols:
         out = out.withColumn(f"{prefix}{c}", F.col("__m")[c])
     return out.drop("__tag", "__r", "__b", "__f", "__m")
+
+
+def acf(df: DataFrame, ts_col: str = "ts", value_col: str = "value",
+        max_lag: int = 12, bucket_seconds: int = 3600) -> DataFrame:
+    """Autocorrelation function of a bucketed series at lags 1..max_lag —
+    the classical seasonality/persistence diagnostic (a peak at lag 24
+    on hourly buckets ⇒ daily cycle) that complements the repo's grid
+    operators: period detection (readers.detect_period) finds the
+    sampling interval, the seasonal profile (q96) ASSUMES a period —
+    ACF is how you discover one in the signal itself.
+
+    Shape: the series is first reduced to per-bucket means (floor
+    epoch/bucket_seconds — decimal-exact sums), then each bucket row is
+    replicated once per lag via a literal-array explode and EQUI-joined
+    back on ``bucket + k`` (one join for ALL lags; never an inequality
+    or window over a global order — the series stays hash-partitioned
+    by bucket, so at 100 TB this is a narrow max_lag× fan-out of an
+    already-aggregated frame). Missing buckets simply produce no pair —
+    the pairwise-available estimator over an irregular grid; the
+    denominator is the full-series Σ(x-x̄)² (the standard biased
+    normalizer), so |r_k| ≤ 1 under any gap pattern.
+
+    r_k = Σ(x_b-x̄)(x_{b+k}-x̄) / Σ(x-x̄)², expanded to decimal-exact
+    raw moments (Σx0·xk, Σx0, Σxk, m per lag; n, Σx, Σx² globally) so
+    both engines combine the SAME doubles; the 1-row global-moment
+    frame joins by scalar broadcast (annotated in the plan audit).
+    Returns ``(lag, n_pairs, acf)`` with acf 6-rounded, NULL for a
+    zero-variance series."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    x = F.col(value_col).cast("double")
+    series = (df
+              .where(F.col(ts_col).isNotNull() & x.isNotNull())
+              .groupBy(F.floor(F.col(ts_col).cast("double")
+                               / F.lit(float(bucket_seconds)))
+                       .cast("bigint").alias("b"))
+              .agg((F.sum(x.cast("decimal(28,12)")).cast("double")
+                    / F.count("*")).alias("x")))
+    glob = series.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double").alias("sxx"))
+    lags = F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+    probes = (series.select(F.col("x").alias("x0"),
+                            F.explode(lags).alias("lag"),
+                            (F.col("b") + F.col("lag")).alias("b"))
+              .join(series.withColumnRenamed("x", "xk"), "b"))
+    per_lag = probes.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x0").cast("decimal(28,12)")).cast("double").alias("s0"),
+        F.sum(F.col("xk").cast("decimal(28,12)")).cast("double").alias("sk"),
+        F.sum((F.col("x0") * F.col("xk")).cast("decimal(28,12)"))
+        .cast("double").alias("s0k"))
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    denom = F.col("sxx") - n * mean * mean
+    num = (F.col("s0k") - mean * F.col("s0") - mean * F.col("sk")
+           + F.col("n_pairs").cast("double") * mean * mean)
+    return (per_lag.crossJoin(F.broadcast(glob))
+            .select(F.col("lag").cast("bigint").alias("lag"), "n_pairs",
+                    F.when(denom > 0, F.round(num / denom, 6))
+                    .alias("acf"))
+            .orderBy("lag"))

@@ -6389,6 +6389,365 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_count(edges)
 
 
+@register("q168_acf", """
+WITH s AS (SELECT CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS b,
+                  CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                    / count(*) AS x
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM s),
+p AS (SELECT gs.o AS lag, a.x AS x0, k.x AS xk
+      FROM s a CROSS JOIN generate_series(1, 12) AS gs(o)
+      JOIN s k ON k.b = a.b + gs.o),
+pl AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CAST(x0 AS DECIMAL(28,12))) AS DOUBLE) AS s0,
+              CAST(sum(CAST(xk AS DECIMAL(28,12))) AS DOUBLE) AS sk,
+              CAST(sum(CAST(x0*xk AS DECIMAL(28,12))) AS DOUBLE) AS s0k
+       FROM p GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       CASE WHEN sxx - CAST(n AS DOUBLE)*(sx/CAST(n AS DOUBLE))
+                         *(sx/CAST(n AS DOUBLE)) > 0 THEN
+         round((s0k - (sx/CAST(n AS DOUBLE))*s0 - (sx/CAST(n AS DOUBLE))*sk
+                + CAST(n_pairs AS DOUBLE)*(sx/CAST(n AS DOUBLE))
+                  *(sx/CAST(n AS DOUBLE)))
+               / (sxx - CAST(n AS DOUBLE)*(sx/CAST(n AS DOUBLE))
+                          *(sx/CAST(n AS DOUBLE))), 6) END AS acf
+FROM pl CROSS JOIN g
+ORDER BY lag
+""", priority=PRI_TAIL)
+def q168_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-12h over the hourly-bucketed
+    event-value series (operators/timeseries.acf) — the seasonality/
+    persistence diagnostic that DISCOVERS a period in the signal,
+    where the seasonal profile (q96) assumes one. Each bucket row is
+    replicated once per lag and EQUI-joined back on bucket+k (one join
+    for all 12 lags, no global-order window — the aggregated series
+    stays hash-partitioned by bucket, a narrow 12x fan-out at any
+    scale); pairwise-available semantics over grid gaps with the
+    full-series variance as normalizer; decimal-exact raw moments so
+    the oracle reproduces every double bit-for-bit."""
+    return ts.acf(_t(spark, sf_dir, "events"), max_lag=12,
+                  bucket_seconds=3600)
+
+
+@register("q169_fs_linkage", """
+WITH d AS (SELECT c_custkey AS id,
+             CAST(floor(c_acctbal/1000) AS BIGINT) AS v_bal,
+             CAST(floor(c_custkey/100) AS BIGINT) AS v_cohort,
+             right(c_name, 1) AS v_digit,
+             concat_ws('|', c_nationkey, c_mktsegment) AS bk
+           FROM customer),
+u_bal AS (SELECT CAST(sum(c*(c-1)) AS DOUBLE)
+            / (CAST(sum(c) AS DOUBLE) * CAST(sum(c)-1 AS DOUBLE)) AS u
+          FROM (SELECT count(*) AS c FROM d WHERE v_bal IS NOT NULL
+                GROUP BY v_bal)),
+u_coh AS (SELECT CAST(sum(c*(c-1)) AS DOUBLE)
+            / (CAST(sum(c) AS DOUBLE) * CAST(sum(c)-1 AS DOUBLE)) AS u
+          FROM (SELECT count(*) AS c FROM d WHERE v_cohort IS NOT NULL
+                GROUP BY v_cohort)),
+u_dig AS (SELECT CAST(sum(c*(c-1)) AS DOUBLE)
+            / (CAST(sum(c) AS DOUBLE) * CAST(sum(c)-1 AS DOUBLE)) AS u
+          FROM (SELECT count(*) AS c FROM d WHERE v_digit IS NOT NULL
+                GROUP BY v_digit)),
+w AS (SELECT round(log2(0.95 / u_bal.u), 6) AS wa_bal,
+             round(log2(0.050000000000000044 / (1.0 - u_bal.u)), 6) AS wd_bal,
+             round(log2(0.85 / u_coh.u), 6) AS wa_cohort,
+             round(log2(0.15000000000000002 / (1.0 - u_coh.u)), 6)
+               AS wd_cohort,
+             round(log2(0.9 / u_dig.u), 6) AS wa_digit,
+             round(log2(0.09999999999999998 / (1.0 - u_dig.u)), 6) AS wd_digit
+      FROM u_bal, u_coh, u_dig),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM d a JOIN d b ON a.bk = b.bk AND a.id < b.id),
+sc AS (SELECT (a.v_bal = b.v_bal) IS TRUE AS agree_bal,
+              (a.v_cohort = b.v_cohort) IS TRUE AS agree_cohort,
+              (a.v_digit = b.v_digit) IS TRUE AS agree_digit,
+              round((CASE WHEN (a.v_bal = b.v_bal) IS TRUE
+                          THEN wa_bal ELSE wd_bal END)
+                    + (CASE WHEN (a.v_cohort = b.v_cohort) IS TRUE
+                            THEN wa_cohort ELSE wd_cohort END)
+                    + (CASE WHEN (a.v_digit = b.v_digit) IS TRUE
+                            THEN wa_digit ELSE wd_digit END), 6) AS score
+       FROM cand p JOIN d a ON a.id = p.id_a JOIN d b ON b.id = p.id_b
+       CROSS JOIN w)
+SELECT CASE WHEN score >= 2.0 THEN 'match'
+            WHEN score >= -2.0 THEN 'possible'
+            ELSE 'non_match' END AS link_class,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_score,
+       CAST(sum(CASE WHEN agree_bal THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree_bal,
+       CAST(sum(CASE WHEN agree_cohort THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree_cohort,
+       CAST(sum(CASE WHEN agree_digit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree_digit
+FROM sc GROUP BY 1
+""", priority=PRI_TAIL)
+def q169_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage over (nation,
+    segment)-blocked customer pairs (operators/dedup.fs_linkage) — the
+    decision-theoretic scoring layer above the repo's candidate
+    generators (hash blocking q64, sorted neighborhood q166, LSH
+    banding q29): log2(m/u) evidence weights where the u-probabilities
+    are ESTIMATED from the value-frequency distribution (agreement on
+    a rare acctbal bucket outweighs agreement on a common name digit),
+    m declared per field. No EM iteration, so every weight
+    and every pair score is replayed exactly by the oracle; the
+    summary classifies pairs at the +/-2.0 log-odds thresholds."""
+    cust = _t(spark, sf_dir, "customer")
+    comparisons = {
+        "bal": F.floor(F.col("c_acctbal") / 1000).cast("bigint"),
+        "cohort": F.floor(F.col("c_custkey") / 100).cast("bigint"),
+        "digit": F.substring("c_name", -1, 1),
+    }
+    m_probs = {"bal": 0.95, "cohort": 0.85, "digit": 0.9}
+    blocks = [F.concat_ws("|", F.col("c_nationkey"),
+                          F.col("c_mktsegment"))]
+    pairs = dd.fs_linkage(cust, "c_custkey", blocks, comparisons, m_probs)
+    cls = (F.when(F.col("score") >= 2.0, "match")
+           .when(F.col("score") >= -2.0, "possible")
+           .otherwise("non_match"))
+    return (pairs.groupBy(cls.alias("link_class")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum(F.col("score").cast("decimal(18,6)"))
+                .cast("double"), 6).alias("sum_score"),
+        F.sum(F.when(F.col("agree_bal"), 1).otherwise(0)).cast("bigint")
+        .alias("n_agree_bal"),
+        F.sum(F.when(F.col("agree_cohort"), 1).otherwise(0)).cast("bigint")
+        .alias("n_agree_cohort"),
+        F.sum(F.when(F.col("agree_digit"), 1).otherwise(0)).cast("bigint")
+        .alias("n_agree_digit")))
+
+
+@register("q170_containment", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks),
+ex AS (SELECT doc_id, len(g) AS sh_n, unnest(g) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh_n AS n_a, b.sh_n AS n_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4),
+both_dirs AS (
+  SELECT id_a AS src, id_b AS dst, CAST(n_a AS BIGINT) AS n_src, n_inter
+  FROM inter
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, CAST(n_b AS BIGINT) AS n_src, n_inter
+  FROM inter)
+SELECT src, dst, n_src, n_inter,
+       round(CAST(n_inter AS DOUBLE) / n_src, 6) AS containment
+FROM both_dirs
+WHERE round(CAST(n_inter AS DOUBLE) / n_src, 6) >= 0.7
+""", priority=PRI_TAIL)
+def q170_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional word-3-gram containment pairs C(A->B) = |A inter B|
+    / |A| (operators/dedup.containment_pairs — Broder 1997's asymmetric
+    companion to the q91 Jaccard baseline): a short doc quoted inside a
+    much longer one scores ~1 in the short->long direction while its
+    Jaccard drowns in the big union — the right primitive for excerpt/
+    subset-duplication detection. Same md5-shingle inverted-index
+    candidate join and Sum(df^2) cost model as q91; each undirected
+    candidate emits both directions normalized by its own source
+    size."""
+    return dd.containment_pairs(_t(spark, sf_dir, "documents"), n=3,
+                                threshold=0.7, unit="word")
+
+
+def _trunc_recall_oracle(dims=(8, 16, 32), full=64, k=10, nq=5) -> str:
+    """DuckDB twin of similarity.truncation_recall: per-dim brute-force
+    top-k with the PLAIN-DOUBLE left fold (list_reduce ≡ Spark
+    aggregate term-for-term, the q98 construction) so every truncated
+    cosine is bit-identical, then hit counts against the full-dim
+    ranking."""
+    def fold(t1: str, t2: str, d: int) -> str:
+        return ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(generate_series(1, {d}), "
+                f"i -> CAST({t1}.embedding[i] AS DOUBLE) * "
+                f"CAST({t2}.embedding[i] AS DOUBLE))), "
+                "(acc, x) -> acc + x)")
+
+    def ranked(d: int) -> str:
+        cos = (f"CASE WHEN sqrt({fold('a', 'a', d)}) > 0 AND "
+               f"sqrt({fold('b', 'b', d)}) > 0 THEN "
+               f"round({fold('a', 'b', d)} / (sqrt({fold('a', 'a', d)}) "
+               f"* sqrt({fold('b', 'b', d)})), 6) END")
+        return (f"SELECT query_id, vec_id FROM ("
+                f"SELECT b.vec_id AS query_id, a.vec_id, "
+                f"row_number() OVER (PARTITION BY b.vec_id "
+                f"ORDER BY {cos} DESC, a.vec_id) AS rank "
+                f"FROM embeddings a CROSS JOIN embeddings b "
+                f"WHERE b.vec_id < {nq}) WHERE rank <= {k}")
+
+    parts = [f"full_k AS ({ranked(full)})",
+             "nf AS (SELECT CAST(count(*) AS BIGINT) AS n_full FROM full_k)"]
+    unions = []
+    for d in dims:
+        parts.append(f"t{d} AS ({ranked(d)})")
+        unions.append(
+            f"SELECT CAST({d} AS BIGINT) AS dim, "
+            f"CAST(count(*) AS BIGINT) AS n_hits "
+            f"FROM t{d} h JOIN full_k f ON f.query_id = h.query_id "
+            f"AND f.vec_id = h.vec_id")
+    u = " UNION ALL ".join(unions)
+    return ("WITH " + ",\n".join(parts) + f",\nhits AS ({u})\n"
+            "SELECT dim, n_hits, n_full, "
+            "round(CAST(n_hits AS DOUBLE) / n_full, 6) AS recall "
+            "FROM hits CROSS JOIN nf")
+
+
+@register("q171_truncation_recall", _trunc_recall_oracle(),
+          priority=PRI_TAIL)
+def q171_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall curve
+    (operators/similarity.truncation_recall): search with only the
+    first 8/16/32 of 64 embedding components and measure recall@10
+    against full-dimension ground truth — the eval that picks the
+    cheapest dimension clearing a recall bar BEFORE a 100 TB corpus
+    commits to a truncated index. Both sides of every comparison use
+    the exact brute-force scorer over the bounded 5-query probe set
+    (intentional brute-force EVAL baseline, like q31 — production
+    search stays LSH/IVF); every truncated cosine replays bit-exact in
+    the oracle via the plain-double left fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.truncation_recall(emb, qs, dims=[8, 16, 32], k=10)
+
+
+@register("q172_calibration", """
+WITH e AS (SELECT vec_id, label, i - 1 AS dim,
+                  round(CAST(embedding[i] AS DOUBLE), 6) AS v
+           FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i)),
+cent AS (SELECT label AS g, dim,
+                round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 6) AS c
+         FROM e GROUP BY 1, 2),
+cn AS (SELECT g, round(sqrt(CAST(sum(CAST(c*c AS DECIMAL(28,12)))
+                                 AS DOUBLE)), 6) AS cn
+       FROM cent GROUP BY 1),
+vn AS (SELECT vec_id, round(sqrt(CAST(sum(CAST(v*v AS DECIMAL(28,12)))
+                                      AS DOUBLE)), 6) AS vn
+       FROM e GROUP BY 1),
+d AS (SELECT e.vec_id, e.label, cent.g,
+             CAST(sum(CAST(e.v * cent.c AS DECIMAL(28,12))) AS DOUBLE) AS d
+      FROM e JOIN cent ON cent.dim = e.dim GROUP BY 1, 2, 3),
+sc AS (SELECT d.vec_id, d.label, d.g,
+              CASE WHEN vn.vn > 0 AND cn.cn > 0
+                   THEN round(d.d / (vn.vn * cn.cn), 6)
+                   ELSE -1.0 END AS cos
+       FROM d JOIN cn ON cn.g = d.g JOIN vn ON vn.vec_id = d.vec_id),
+pred AS (SELECT vec_id, label, g, cos FROM (
+           SELECT vec_id, label, g, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, g ASC) AS rn
+           FROM sc) WHERE rn = 1),
+b AS (SELECT least(CAST(floor(((1.0 + cos) / 2) * 10) AS BIGINT),
+                   9) AS bin,
+             cos,
+             (g = label) AS ok
+      FROM pred)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS accuracy,
+       CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
+FROM b GROUP BY 1
+""", priority=PRI_TAIL)
+def q172_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the nearest-centroid embedding
+    classifier (operators/similarity.centroid_calibration, Guo et al.
+    2017 ECE binning): a quality/domain classifier whose stated 0.9
+    confidence is right 70% of the time silently skews every
+    confidence-thresholded curation gate, so the per-bin
+    confidence-vs-accuracy gap is audited BEFORE the classifier gates
+    a corpus. Centroid fit + scoring run in long form on (label, dim)
+    keys — map-side reduce to #labels x dim rows, tiny centroid table
+    broadcast back, no per-pair UDF — and every cosine and bin edge
+    replays exactly in the oracle (the bin mean-confidence is
+    published as exact components (n + sum_cos)/2n, never a
+    pre-divided rounded mean — the tie-prone class)."""
+    return sim.centroid_calibration(_t(spark, sf_dir, "embeddings"),
+                                    n_bins=10)
+
+
+@register("q173_cohen_kappa", r"""
+WITH r AS (
+  SELECT coalesce((length(text) >= 200
+                   AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            AS DOUBLE) / length(text) >= 0.55), FALSE) AS a,
+         coalesce((len(list_filter(
+                      regexp_split_to_array(lower(text),
+                                            '[ \t\n\r\f\x0B]+'),
+                      x -> x <> '')) >= 40
+                   AND contains(lower(text), ' the ')), FALSE) AS b
+  FROM documents),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11
+      FROM r)
+SELECT n, n00, n01, n10, n11,
+       round(CAST(n00 + n11 AS DOUBLE) / n, 6) AS po,
+       round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              + CAST(n00 + n01 AS DOUBLE) * CAST(n00 + n10 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       CASE WHEN 1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                        + CAST(n00 + n01 AS DOUBLE)
+                          * CAST(n00 + n10 AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0
+            THEN round((CAST(n00 + n11 AS DOUBLE) / n
+                        - (CAST(n11 + n10 AS DOUBLE)
+                           * CAST(n11 + n01 AS DOUBLE)
+                           + CAST(n00 + n01 AS DOUBLE)
+                             * CAST(n00 + n10 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                       / (1.0 - (CAST(n11 + n10 AS DOUBLE)
+                                 * CAST(n11 + n01 AS DOUBLE)
+                                 + CAST(n00 + n01 AS DOUBLE)
+                                   * CAST(n00 + n10 AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+                       6) END AS kappa
+FROM c
+""", priority=PRI_TAIL)
+def q173_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic keep/drop labelers on the
+    document corpus (operators/stats.cohen_kappa): labeler A = length
+    >= 200 chars AND alpha ratio >= 0.55, labeler B = >= 40 tokens AND
+    contains ' the ' — two plausible quality gates whose RAW agreement
+    is inflated by both keeping most of the corpus; kappa reports the
+    agreement in excess of chance, the number that actually justifies
+    swapping one labeler for the other (or trusting a distilled
+    classifier against its teacher). One map-side-combined reduce to a
+    single confusion row at any corpus size."""
+    from powerdatapipeline_spark.operators import stats as st
+    docs = _t(spark, sf_dir, "documents")
+    alpha = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+             .cast("double") / F.length("text"))
+    a = (F.length("text") >= 200) & (alpha >= 0.55)
+    b = ((F.size(tx.tokens("text")) >= 40)
+         & F.lower(F.col("text")).contains(" the "))
+    return st.cohen_kappa(docs, a, b)
+
+
 # Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so
 # tranche 1 of the round-7-born pool — q85-q98 (14 queries, tail-parity
 # pinned since birth) — was promoted to default PRI_HEAD and the 14
@@ -6399,7 +6758,7 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
 # green): promote tranche 2 — q99-q123 (25 remaining round-7-born
-# queries) plus the round-8-born pool (q124-q167, none driver-recorded
+# queries) plus the round-8-born pool (q124-q173, none driver-recorded
 # yet) — by switching their decorators to PRI_HEAD, demoting an equal
 # number of freshly-recorded multi-round-green head entries (candidates
 # by the established policy: q29, q31, q33, q34, q35, q36, q45, q46,

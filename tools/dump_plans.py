@@ -39,6 +39,10 @@ BRUTE_FORCE_INTENDED = {
     # round 8: q127's E-step is |corpus| × k broadcast centroids (the q47
     # shape); k is the SemDeDup scale knob, small by design
     "q127_semdedup",
+    # round 8f: q171 is an EVAL harness — four q31-shape brute-force
+    # rankings (full-dim ground truth + three truncations) over the
+    # bounded 5-query probe set; production search stays LSH/IVF
+    "q171_truncation_recall",
 }
 
 SCALAR_BROADCAST_INTENDED = {
@@ -96,6 +100,18 @@ SCALAR_BROADCAST_INTENDED = {
     # triangle_count) — two 1×1 broadcast crosses; the wedge/closure
     # stages themselves are equi-joins
     "q167_triangle_count",
+    # round 8f: q168's global series moments (n, Σx, Σx²) are a 1-row
+    # frame cross-joined onto the 12-row per-lag aggregate (timeseries.py
+    # acf `glob`)
+    "q168_acf",
+    # round 8f: q169's per-field u-probability weights combine into ONE
+    # 1-row frame (k 1×1 crosses of tiny aggregates) broadcast onto the
+    # blocked candidate pairs (dedup.py fs_linkage `weights`)
+    "q169_fs_linkage",
+    # round 8f: q171's ground-truth pair count is a 1-row frame joined
+    # onto the 3-row per-dim hit counts (similarity.py truncation_recall
+    # `n_full`)
+    "q171_truncation_recall",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
