@@ -823,14 +823,47 @@ def centroid_calibration(embeddings: DataFrame, n_bins: int = 10,
     half-grid."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    pred = centroid_predict(embeddings, id_col=id_col, vec_col=vec_col,
+                            label_col=label_col)
+    conf = (F.lit(1.0) + F.col("cos")) / 2
+    binned = pred.select(
+        F.least(F.floor(conf * n_bins), F.lit(n_bins - 1)).cast("bigint")
+        .alias("bin"),
+        F.col("cos"),
+        (F.col("g") == F.col(label_col)).alias("ok"))
+    return (binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint")
+        .alias("n_correct"),
+        F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+        .alias("sum_cos"))
+        .select("bin", "n", "n_correct",
+                F.round(F.col("n_correct") / F.col("n"), 6)
+                .alias("accuracy"),
+                "sum_cos"))
+
+
+def centroid_predict(embeddings: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Nearest-centroid label prediction — the shared classifier under
+    the calibration audit (:func:`centroid_calibration`) and the
+    classification report (q176): per-label centroids fit in long form
+    (posexplode to (label, dim), decimal-exact dimension means), every
+    vector scored against the tiny centroid table by a dim-keyed
+    equi-join, argmax by (cosine desc, label asc).
+
+    Components are 6-rounded up front: every downstream decimal-cast
+    product then multiplies two ~6-decimal doubles, the class where
+    Spark's shortest-repr double→decimal cast and DuckDB's
+    exact-binary rounding provably agree (the ddot caveat — raw
+    float32 components broke parity at 1e-6 in development). Returns
+    one row per input vector: ``(id_col, label_col, g, cos)`` with
+    ``g`` the predicted label and ``cos`` its 6-rounded centroid
+    cosine (-1.0 for degenerate zero norms)."""
     e = (embeddings
          .select(F.col(id_col), F.col(label_col),
                  F.posexplode(vec_col).alias("dim", "v"))
-         # components 6-rounded up front: every downstream decimal-cast
-         # product then multiplies two ~6-decimal doubles, the class
-         # where Spark's shortest-repr double→decimal cast and DuckDB's
-         # exact-binary rounding provably agree (the ddot caveat —
-         # raw float32 components broke sum_conf parity at 1e-6)
          .withColumn("v", F.round(F.col("v").cast("double"), 6)))
     cent = (e.groupBy(F.col(label_col).alias("g"), "dim")
             .agg(F.round(F.sum(F.col("v").cast("decimal(28,12)"))
@@ -856,21 +889,5 @@ def centroid_calibration(embeddings: DataFrame, n_bins: int = 10,
                       .otherwise(F.lit(-1.0)).alias("cos")))
     w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
                                            F.col("g").asc())
-    pred = (scored.withColumn("__rn", F.row_number().over(w))
-            .where("__rn = 1"))
-    conf = (F.lit(1.0) + F.col("cos")) / 2
-    binned = pred.select(
-        F.least(F.floor(conf * n_bins), F.lit(n_bins - 1)).cast("bigint")
-        .alias("bin"),
-        F.col("cos"),
-        (F.col("g") == F.col(label_col)).alias("ok"))
-    return (binned.groupBy("bin").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint")
-        .alias("n_correct"),
-        F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
-        .alias("sum_cos"))
-        .select("bin", "n", "n_correct",
-                F.round(F.col("n_correct") / F.col("n"), 6)
-                .alias("accuracy"),
-                "sum_cos"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1").drop("__rn"))

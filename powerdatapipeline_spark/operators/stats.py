@@ -725,3 +725,198 @@ def cohen_kappa(df: DataFrame, rater_a, rater_b) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.when(F.lit(1.0) - pe > 0,
                F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"))
+
+
+def classification_report(df: DataFrame, true_col: str,
+                          pred_col: str) -> DataFrame:
+    """Per-class precision/recall/F1 from one confusion aggregation —
+    the eval harness for any labeler/classifier the pipeline gates on
+    (centroid classifier q172/q176, kNN label transfer q145, language
+    ID, a distilled quality model vs its teacher). Macro-F1 is the
+    mean of the ``f1`` column; it is NOT published pre-averaged — the
+    per-class rows are the diagnostic (a 0.9-accuracy classifier that
+    never predicts one class hides that class in any scalar).
+
+    Shape: ONE groupBy(true, pred) count (map-side combined,
+    #classes² rows max), then class-level marginals from that tiny
+    frame — the corpus is scanned once regardless of class count.
+    Classes appearing in EITHER column get a row (full-outer
+    marginal join); precision is NULL when a class is never
+    predicted, recall NULL when it has no true members, F1 NULL when
+    either is. Ratios are tie-safe count quotients; F1 is computed
+    from the UNROUNDED precision/recall and rounded once."""
+    conf = (df.groupBy(F.col(true_col).alias("t"),
+                       F.col(pred_col).alias("p"))
+            .agg(F.count("*").cast("bigint").alias("c")))
+    tcnt = (conf.groupBy(F.col("t").alias("cls"))
+            .agg(F.sum("c").cast("bigint").alias("n_true")))
+    pcnt = (conf.groupBy(F.col("p").alias("cls"))
+            .agg(F.sum("c").cast("bigint").alias("n_pred")))
+    tp = (conf.where(F.col("t") == F.col("p"))
+          .select(F.col("t").alias("cls"), F.col("c").alias("tp")))
+    base = (tcnt.join(pcnt, "cls", "full_outer")
+            .join(tp, "cls", "left")
+            .select("cls",
+                    F.coalesce("n_true", F.lit(0)).cast("bigint")
+                    .alias("n_true"),
+                    F.coalesce("n_pred", F.lit(0)).cast("bigint")
+                    .alias("n_pred"),
+                    F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp")))
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true"))
+    f1 = F.when(prec + rec > 0,
+                F.round(2 * prec * rec / (prec + rec), 6))
+    return base.select(
+        "cls", "n_true", "n_pred", "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        f1.alias("f1"))
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit — the data-forensics screen for
+    fabricated or clipped numeric columns (amounts invented by humans
+    or re-generated by a buggy synthesizer over-represent mid digits;
+    genuine multiplicative-growth data follows P(d) = log10(1+1/d)).
+    A large chi-square against Benford flags a column for provenance
+    review before it trains anything.
+
+    Digit extraction never touches log10-of-value (floor(log10(x)) at
+    exact powers of ten is the classic 1-ulp cross-engine landmine):
+    values are scaled to integer cents with an explicit floor(x*100 +
+    0.5) — DuckDB's double→int cast ROUNDS while Spark's truncates,
+    so the repo's explicit-floor rule applies — and the first digit
+    is the leading character of the BIGINT's decimal string, identical
+    in any engine. Expected shares are 6-rounded (log10 is
+    transcendental); the chi-square terms then combine deterministic
+    doubles only. One map-side digit count; the 1-row total joins by
+    scalar broadcast. Returns 9 rows: ``(digit, n, total, share,
+    expected_p, chi2_term)`` — the statistic is the sum of
+    ``chi2_term`` (8 degrees of freedom)."""
+    x = F.col(value_col).cast("double")
+    cents = F.floor(x * 100 + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    counts = (df.where(x > 0)
+              .groupBy(digit.alias("digit"))
+              .agg(F.count("*").cast("bigint").alias("n")))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    p6 = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    dev = F.col("n") - F.col("total") * p6
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n", "total",
+                    F.round(F.col("n") / F.col("total"), 6).alias("share"),
+                    p6.alias("expected_p"),
+                    F.round(dev * dev / (F.col("total") * p6), 6)
+                    .alias("chi2_term"))
+            .orderBy("digit"))
+
+
+def l_diversity_audit(df: DataFrame, qi_cols: Sequence[str],
+                      sensitive_col: str, l: int = 3) -> DataFrame:
+    """Distinct l-diversity audit — the privacy gate k-anonymity
+    (:func:`k_anonymity_audit`) misses: a quasi-identifier group can
+    hold 50 rows (safely k-anonymous) that all share ONE sensitive
+    value, so joining on the quasi-identifiers still discloses the
+    attribute. Machanavajjhala et al. (2007): every group must carry
+    ≥ ``l`` distinct sensitive values.
+
+    One distinct pass over (qi..., sensitive) for the diversity
+    counts plus one group count for sizes — both map-side-combined,
+    reduced to a single release/no-release row: ``(n_groups,
+    n_low_diversity_groups, n_rows_at_risk, min_distinct_sensitive,
+    l_diverse)``. The row-level leak list is deliberately NOT
+    returned (it is itself sensitive) — same contract as the
+    k-anonymity audit."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not qi_cols:
+        raise ValueError("l_diversity_audit requires quasi-identifiers")
+    qi = [F.col(c) for c in qi_cols]
+    sizes = df.groupBy(*qi).agg(F.count("*").cast("bigint").alias("n"))
+    div = (df.select(*qi, F.col(sensitive_col).alias("__s")).distinct()
+           .groupBy(*qi).agg(F.count("*").cast("bigint").alias("d")))
+    g = sizes.join(div, qi_cols)
+    low = F.col("d") < l
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(low, 1).otherwise(0)).cast("bigint")
+        .alias("n_low_diversity_groups"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("d").cast("bigint").alias("min_distinct_sensitive"),
+        (F.sum(F.when(low, 1).otherwise(0)) == 0).alias("l_diverse"))
+
+
+def winsorize_report(df: DataFrame, value_col: str,
+                     keys: Sequence[str] = (), lo: float = 0.05,
+                     hi: float = 0.95) -> DataFrame:
+    """Per-group winsorization report — the clamp-don't-drop companion
+    to the trimmed mean (:func:`trimmed_mean`): trimming DELETES tail
+    rows (changes n, biases any per-row downstream join), winsorizing
+    CLAMPS them to the fitted percentile caps, preserving row count —
+    the standard pre-step before a mean/std fit on spiky telemetry or
+    a reward/score column with heavy tails.
+
+    Fit = exact interpolated percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the q50-verified
+    bit-identical pair) broadcast back onto the scan; no second
+    shuffle. Published sums are decimal-exact over 6-ROUNDED values
+    (raw and clamped) — the publish-components discipline. Returns one
+    row per group: ``(keys..., n, p_lo, p_hi, n_clipped_low,
+    n_clipped_high, sum_raw, sum_winsorized)``."""
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"need 0 < lo < hi < 1, got lo={lo} hi={hi}")
+    x = F.col(value_col).cast("double")
+    keys = list(keys)
+    fit = (df.groupBy(*[F.col(k) for k in keys])
+           .agg(F.percentile(x, lo).alias("p_lo"),
+                F.percentile(x, hi).alias("p_hi")))
+    joined = (df.join(F.broadcast(fit), keys) if keys
+              else df.crossJoin(F.broadcast(fit)))
+    clamped = F.least(F.greatest(x, F.col("p_lo")), F.col("p_hi"))
+    return (joined.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(x).cast("bigint").alias("n"),
+        F.round(F.min("p_lo"), 6).alias("p_lo"),
+        F.round(F.min("p_hi"), 6).alias("p_hi"),
+        F.sum(F.when(x < F.col("p_lo"), 1).otherwise(0)).cast("bigint")
+        .alias("n_clipped_low"),
+        F.sum(F.when(x > F.col("p_hi"), 1).otherwise(0)).cast("bigint")
+        .alias("n_clipped_high"),
+        F.sum(F.round(x, 6).cast("decimal(18,6)")).cast("double")
+        .alias("sum_raw"),
+        F.sum(F.round(clamped, 6).cast("decimal(18,6)")).cast("double")
+        .alias("sum_winsorized")))
+
+
+def effective_sample_size(df: DataFrame, weight_col,
+                          keys: Sequence[str] = ()) -> DataFrame:
+    """Kish effective sample size per group — the diagnostic every
+    weighted-mixture plan (mixture q86, temperature q141, DSIR q131,
+    weighted sampling q99) should publish next to its weights: n
+    weighted rows only carry ``ESS = (Σw)²/Σw²`` rows' worth of
+    statistical information, and a handful of huge weights silently
+    collapses a "million-document" source to a few hundred effective
+    documents.
+
+    ``weight_col`` is a Column (6-rounded by the operator, so Σw is
+    decimal-exact and Σw² multiplies two ~6-decimal doubles — the
+    parity-safe product class). One map-side-combined aggregation per
+    group. Returns ``(keys..., n, sum_w, ess, ess_ratio)`` with ESS
+    6-rounded and ``ess_ratio = ESS/n`` (1.0 = unweighted; → 0 =
+    weight collapse)."""
+    w = F.round(weight_col.cast("double"), 6)
+    base = df.select(*[F.col(k) for k in keys], w.alias("__w"))
+    sw = F.col("sum_w")
+    sww = F.col("__sww")
+    ess = sw * sw / sww
+    return (base.where(F.col("__w") > 0)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.col("__w").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_w"),
+                 F.sum((F.col("__w") * F.col("__w"))
+                       .cast("decimal(28,12)")).cast("double")
+                 .alias("__sww"))
+            .select(*keys, "n", "sum_w",
+                    F.round(ess, 6).alias("ess"),
+                    F.round(ess / F.col("n"), 6).alias("ess_ratio")))

@@ -2066,3 +2066,108 @@ def heaps_law_fit(df: DataFrame, text_col: str = "text",
     return agg.select(
         F.col("n").alias("n_points"), "total_tokens", "total_vocab",
         F.round(beta, 6).alias("beta"), F.round(logk, 6).alias("log_k"))
+
+
+def js_divergence_matrix(df: DataFrame, text_col: str = "text",
+                         group_col: str = "source") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between per-group
+    unigram distributions — the distribution-level drift measure
+    beside the set-level vocabulary Jaccard (source_vocab_overlap) and
+    the binned PSI (psi_drift): symmetric, bounded [0,1] in base 2,
+    finite even on disjoint supports, and sensitive to FREQUENCY
+    shifts a vocabulary set comparison cannot see.
+
+    Decomposition (no full-outer union-vocabulary join anywhere):
+    with h(z) = −z·log2(z) and JSD = H(M) − (H(P)+H(Q))/2,
+    each group's one-sided terms Σ_w [h(p/2) − h(p)/2] reduce
+    PER GROUP (a word absent from the other side contributes exactly
+    that), and only words in BOTH groups need the pair equi-join
+    correction h((p+q)/2) − (h(p)+h(q))/2 − solo(p) − solo(q). So the
+    corpus-scaled work is one token count + one intersection
+    equi-join on word; the #groups²-row pair universe comes from the
+    tiny totals frame.
+
+    Parity: every per-word term is 6-rounded then decimal-summed, and
+    the published JSD combines five such exact sums — an exact
+    multiple of 1e-6 in the reals, never a round-6 midpoint, so the
+    final round is tie-safe by construction. Returns one row per
+    unordered group pair: ``(src_a, src_b, n_common, jsd_bits)``."""
+    def h(z):
+        return -(z * F.log2(z))
+
+    tok = _spread(df).select(F.col(group_col).alias("s"),
+                             F.explode(tokens(text_col)).alias("w"))
+    cnt = tok.groupBy("s", "w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = cnt.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
+    pw = (cnt.join(tot, "s")
+          .select("s", "w",
+                  (F.col("c").cast("double") / F.col("n")).alias("p")))
+    solo = pw.select(
+        "s", "w", "p",
+        F.round(h(F.col("p") / 2) - h(F.col("p")) / 2, 6).alias("solo6"))
+    ssum = solo.groupBy("s").agg(
+        F.sum(F.col("solo6").cast("decimal(18,6)")).cast("double")
+        .alias("sv"))
+    a = solo.select(F.col("s").alias("sa"), "w",
+                    F.col("p").alias("pa"), F.col("solo6").alias("solo_a"))
+    b = solo.select(F.col("s").alias("sb"), F.col("w").alias("wb"),
+                    F.col("p").alias("pb"), F.col("solo6").alias("solo_b"))
+    m = (F.col("pa") + F.col("pb")) / 2
+    c6 = F.round(h(m) - (h(F.col("pa")) + h(F.col("pb"))) / 2, 6)
+    inter = (a.join(b, (F.col("w") == F.col("wb"))
+                    & (F.col("sa") < F.col("sb")))
+             .groupBy("sa", "sb")
+             .agg(F.count("*").cast("bigint").alias("n_common"),
+                  F.sum(c6.cast("decimal(18,6)")).cast("double")
+                  .alias("ci"),
+                  F.sum(F.col("solo_a").cast("decimal(18,6)"))
+                  .cast("double").alias("sai"),
+                  F.sum(F.col("solo_b").cast("decimal(18,6)"))
+                  .cast("double").alias("sbi")))
+    ta = tot.select(F.col("s").alias("sa"))
+    tb = tot.select(F.col("s").alias("sb"))
+    pairs = ta.join(tb, F.col("sa") < F.col("sb"))
+    sa_ = ssum.select(F.col("s").alias("sa"), F.col("sv").alias("sva"))
+    sb_ = ssum.select(F.col("s").alias("sb"), F.col("sv").alias("svb"))
+    return (pairs
+            .join(F.broadcast(sa_), "sa").join(F.broadcast(sb_), "sb")
+            .join(F.broadcast(inter), ["sa", "sb"], "left")
+            .select(F.col("sa").alias("src_a"), F.col("sb").alias("src_b"),
+                    F.coalesce("n_common", F.lit(0)).cast("bigint")
+                    .alias("n_common"),
+                    F.round((((F.col("sva") + F.col("svb"))
+                              + F.coalesce(F.col("ci"), F.lit(0.0)))
+                             - F.coalesce(F.col("sai"), F.lit(0.0)))
+                            - F.coalesce(F.col("sbi"), F.lit(0.0)), 6)
+                    .alias("jsd_bits")))
+
+
+def good_turing_mass(df: DataFrame, text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Good-Turing missing-mass estimate per group — "how much of this
+    source's distribution have I NOT seen yet": the total probability
+    of unseen vocabulary is estimated by the singleton share N₁/N
+    (Good 1953), the quantity that tells a curation plan whether a
+    source is saturated (missing mass → 0, more scraping adds little)
+    or still rich in unseen content — the probabilistic complement to
+    the Heaps'-law growth CURVE (heaps_law_fit).
+
+    One token-count pass per (group, word), then a per-group reduce
+    over the count-of-counts — map-side combined, output is
+    #groups-sized. Returns ``(group, n_tokens, vocab, n_singletons,
+    n_doubletons, missing_mass)`` with the mass a 6-rounded count
+    ratio (the tie-safe class)."""
+    tok = _spread(df).select(F.col(group_col).alias("g"),
+                             F.explode(tokens(text_col)).alias("w"))
+    cnt = tok.groupBy("g", "w").agg(F.count("*").cast("bigint").alias("c"))
+    return (cnt.groupBy("g")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count("*").cast("bigint").alias("vocab"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_singletons"),
+                 F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                 .cast("bigint").alias("n_doubletons"))
+            .select(F.col("g").alias(group_col), "n_tokens", "vocab",
+                    "n_singletons", "n_doubletons",
+                    F.round(F.col("n_singletons") / F.col("n_tokens"), 6)
+                    .alias("missing_mass")))

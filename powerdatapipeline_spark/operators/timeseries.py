@@ -1465,3 +1465,69 @@ def acf(df: DataFrame, ts_col: str = "ts", value_col: str = "value",
                     F.when(denom > 0, F.round(num / denom, 6))
                     .alias("acf"))
             .orderBy("lag"))
+
+
+def seasonal_decompose_profile(df: DataFrame, ts_col: str = "ts",
+                               value_col: str = "value",
+                               period: int = 24,
+                               bucket_seconds: int = 3600) -> DataFrame:
+    """Classical additive seasonal decomposition, profile form — the
+    trend/seasonal split q96's seasonal profile skips: q96 averages RAW
+    values by hour-of-day, so any multi-day trend (load growth, a cold
+    spell) leaks straight into the "seasonal" shape; the classical
+    method (Macaulay 1931, the STL precursor) first removes a centered
+    2×period moving-average TREND and only then profiles the
+    detrended remainder by phase.
+
+    Grid + trend are built shuffle-lean: per-bucket means (6-rounded),
+    then each bucket row is replicated once per window offset
+    (literal-range explode, the q168 lag-join shape) and EQUI-joined
+    to its target bucket — never a ROWS-frame window over a global
+    order. The 2×period CMA takes the ±period/2 edge terms at half
+    weight: halving a 6-rounded double is EXACT (power-of-two), so
+    every decimal-cast term sits on the scale-7 grid (the parity-safe
+    class). Trend exists only where the full window (period+1
+    contributors) is present — classical edge semantics, gaps
+    propagate honestly instead of averaging over holes.
+
+    Returns one row per phase (bucket % period): ``(phase, n,
+    sum_value, sum_detrended)`` — exact decimal sums of 6-rounded
+    values, published as components (the mean-of-6-rounded roundings
+    are the tie-prone class; see SCALE.md round-8f). The seasonal
+    index is ``sum_detrended/n`` minus its phase-average, derived by
+    the caller."""
+    if period < 2 or period % 2 != 0:
+        raise ValueError(
+            f"period must be an even integer >= 2 (2x{period} centered "
+            f"moving average), got {period}")
+    half = period // 2
+    x = F.col(value_col).cast("double")
+    series = (df
+              .where(F.col(ts_col).isNotNull() & x.isNotNull())
+              .groupBy(F.floor(F.col(ts_col).cast("double")
+                               / F.lit(float(bucket_seconds)))
+                       .cast("bigint").alias("b"))
+              .agg(F.round(F.sum(x.cast("decimal(28,12)")).cast("double")
+                           / F.count("*"), 6).alias("x")))
+    term = F.when(F.abs(F.col("o")) == half, F.col("x") / 2) \
+            .otherwise(F.col("x"))
+    contrib = (series
+               .select("x", F.explode(F.sequence(F.lit(-half),
+                                                 F.lit(half))).alias("o"),
+                       (F.col("b") - F.col("o")).alias("t"))
+               .select("t", term.alias("term")))
+    trend = (contrib.groupBy("t")
+             .agg(F.count("*").alias("m"),
+                  F.sum(F.col("term").cast("decimal(28,12)"))
+                  .cast("double").alias("s"))
+             .where(F.col("m") == period + 1)
+             .select("t", (F.col("s") / period).alias("trend")))
+    det = (series.join(trend, series["b"] == trend["t"])
+           .select("b", "x",
+                   F.round(F.col("x") - F.col("trend"), 6).alias("det")))
+    return (det.groupBy((F.col("b") % period).cast("bigint").alias("phase"))
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value"),
+                 F.sum(F.col("det").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_detrended")))

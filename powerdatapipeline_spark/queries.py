@@ -1701,7 +1701,12 @@ def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.3, n_tables=4, n_planes=8)
 
 
-@register("q63_dedup_clusters", """
+#: shared blocking-pair → connected-components CTEs (DuckDB twin of
+#: dedup.blocked_pairs + dedup_clusters over the q63 prefix/suffix
+#: blocking keys) — prefix of the q63 cluster-assignment and q182
+#: dedup-savings oracles so the recursive-reachability replay has
+#: exactly one SQL definition
+_DEDUP_CLUSTER_CTES = """
 WITH RECURSIVE n AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS txt
   FROM documents),
@@ -1721,7 +1726,10 @@ r AS (
   SELECT src AS node, src AS reach FROM e
   UNION
   SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
-lab AS (SELECT node, min(reach) AS label FROM r GROUP BY node)
+lab AS (SELECT node, min(reach) AS label FROM r GROUP BY node)"""
+
+
+@register("q63_dedup_clusters", f"""{_DEDUP_CLUSTER_CTES}
 SELECT d.doc_id,
        COALESCE(lab.label, d.doc_id) AS cluster_id,
        CAST(CASE WHEN COALESCE(lab.label, d.doc_id) = d.doc_id
@@ -6628,8 +6636,12 @@ def q171_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.truncation_recall(emb, qs, dims=[8, 16, 32], k=10)
 
 
-@register("q172_calibration", """
-WITH e AS (SELECT vec_id, label, i - 1 AS dim,
+#: shared centroid-classifier prediction CTEs (DuckDB twin of
+#: similarity.centroid_predict) — prefix of the q172 calibration and
+#: q176 classification-report oracles so the classifier replay has
+#: exactly one SQL definition
+_CENTROID_PRED_CTES = """
+e AS (SELECT vec_id, label, i - 1 AS dim,
                   round(CAST(embedding[i] AS DOUBLE), 6) AS v
            FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i)),
 cent AS (SELECT label AS g, dim,
@@ -6654,7 +6666,11 @@ pred AS (SELECT vec_id, label, g, cos FROM (
            SELECT vec_id, label, g, cos,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY cos DESC, g ASC) AS rn
-           FROM sc) WHERE rn = 1),
+           FROM sc) WHERE rn = 1)"""
+
+
+@register("q172_calibration", f"""
+WITH {_CENTROID_PRED_CTES},
 b AS (SELECT least(CAST(floor(((1.0 + cos) / 2) * 10) AS BIGINT),
                    9) AS bin,
              cos,
@@ -6748,6 +6764,212 @@ def q173_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.cohen_kappa(docs, a, b)
 
 
+@register("q174_seasonal_decompose", """
+WITH s AS (SELECT CAST(floor(epoch(ts)/3600.0) AS BIGINT) AS b,
+                  round(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                        / count(*), 6) AS x
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1),
+contrib AS (SELECT s.b - gs.o AS t,
+                   CASE WHEN abs(gs.o) = 12 THEN x / 2 ELSE x END AS term
+            FROM s CROSS JOIN generate_series(-12, 12) AS gs(o)),
+tr AS (SELECT t, count(*) AS m,
+              CAST(sum(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS sv
+       FROM contrib GROUP BY 1),
+det AS (SELECT s.b, s.x, round(s.x - tr.sv / 24, 6) AS det
+        FROM s JOIN tr ON tr.t = s.b WHERE tr.m = 25)
+SELECT CAST(b % 24 AS BIGINT) AS phase, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE) AS sum_detrended
+FROM det GROUP BY 1
+""", priority=PRI_TAIL)
+def q174_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series (operators/timeseries.seasonal_decompose_profile) — the
+    trend/seasonal split q96 skips: q96 profiles RAW values by
+    hour-of-day, so any multi-day trend leaks into the "seasonal"
+    shape; here a centered 2x24 moving-average trend is removed first
+    (the STL precursor) and only the detrended remainder is profiled.
+    The CMA is built with the q168 lag-join shape (literal-offset
+    explode + equi-join, never a ROWS window over a global order);
+    half-weight edge terms are EXACT power-of-two halvings of
+    6-rounded values, keeping every decimal-cast term on the
+    parity-safe scale-7 grid."""
+    return ts.seasonal_decompose_profile(_t(spark, sf_dir, "events"),
+                                         period=24, bucket_seconds=3600)
+
+
+def _jsd_oracle() -> str:
+    """DuckDB twin of the q175 Jensen-Shannon divergence: every
+    per-word entropy term is 6-rounded then decimal-summed, and the
+    pair JSD combines five such exact sums — a value that is an exact
+    multiple of 1e-6 in the reals (never a .5 round-6 midpoint), so
+    the final round(...,6) is tie-safe by construction."""
+    h = "(-({z} * log2({z})))"
+    solo = (f"round({h.format(z='(p / 2)')} - {h.format(z='p')} / 2, 6)")
+    return f"""
+WITH tok AS (SELECT source AS s,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                        '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '')) AS w
+             FROM documents),
+cnt AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+pw AS (SELECT cnt.s, cnt.w, CAST(cnt.c AS DOUBLE) / tot.n AS p
+       FROM cnt JOIN tot ON tot.s = cnt.s),
+solo AS (SELECT s, w, p, {solo} AS solo6 FROM pw),
+ssum AS (SELECT s, CAST(sum(CAST(solo6 AS DECIMAL(18,6))) AS DOUBLE) AS sv
+         FROM solo GROUP BY 1),
+inter AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_common,
+                 CAST(sum(CAST(round(
+                     {h.format(z='((a.p + b.p) / 2)')}
+                     - ({h.format(z='a.p')} + {h.format(z='b.p')}) / 2, 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS ci,
+                 CAST(sum(CAST(a.solo6 AS DECIMAL(18,6))) AS DOUBLE) AS sai,
+                 CAST(sum(CAST(b.solo6 AS DECIMAL(18,6))) AS DOUBLE) AS sbi
+          FROM solo a JOIN solo b ON a.w = b.w AND a.s < b.s
+          GROUP BY 1, 2),
+pairs AS (SELECT a.s AS sa, b.s AS sb FROM tot a JOIN tot b ON a.s < b.s)
+SELECT p.sa AS src_a, p.sb AS src_b,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       round(((((sa.sv + sb.sv) + coalesce(i.ci, 0.0))
+               - coalesce(i.sai, 0.0)) - coalesce(i.sbi, 0.0)), 6)
+         AS jsd_bits
+FROM pairs p
+JOIN ssum sa ON sa.s = p.sa
+JOIN ssum sb ON sb.s = p.sb
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+"""
+
+
+@register("q175_js_divergence", _jsd_oracle(), priority=PRI_TAIL)
+def q175_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between per-source
+    unigram distributions (operators/text.js_divergence_matrix) — the
+    distribution-level drift measure beside the set-level vocabulary
+    Jaccard (q136) and the binned PSI (q121): symmetric, bounded
+    [0,1], and sensitive to FREQUENCY shifts Jaccard cannot see (two
+    sources sharing every word but at different rates). Decomposed so
+    no full-outer union-vocabulary join exists: per-source one-sided
+    entropy sums + an intersection equi-join correction, every term
+    6-rounded then decimal-summed, so the published JSD is an exact
+    multiple of 1e-6 — tie-safe by construction. The #sources²-row
+    pair universe comes from the tiny per-source totals frame (the
+    q136 shape), never from corpus-sized data."""
+    return tx.js_divergence_matrix(_t(spark, sf_dir, "documents"))
+
+
+@register("q176_classification_report", f"""
+WITH {_CENTROID_PRED_CTES},
+conf AS (SELECT label AS t, g AS p, CAST(count(*) AS BIGINT) AS c
+         FROM pred GROUP BY 1, 2),
+tc AS (SELECT t AS cls, CAST(sum(c) AS BIGINT) AS n_true
+       FROM conf GROUP BY 1),
+pc AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS n_pred
+       FROM conf GROUP BY 1),
+tpc AS (SELECT t AS cls, c AS tp FROM conf WHERE t = p),
+base AS (SELECT coalesce(tc.cls, pc.cls) AS cls,
+                CAST(coalesce(tc.n_true, 0) AS BIGINT) AS n_true,
+                CAST(coalesce(pc.n_pred, 0) AS BIGINT) AS n_pred
+         FROM tc FULL OUTER JOIN pc ON pc.cls = tc.cls),
+m AS (SELECT b.cls, b.n_true, b.n_pred,
+             CAST(coalesce(tpc.tp, 0) AS BIGINT) AS tp,
+             CASE WHEN b.n_pred > 0
+                  THEN CAST(coalesce(tpc.tp, 0) AS DOUBLE) / b.n_pred
+             END AS pr,
+             CASE WHEN b.n_true > 0
+                  THEN CAST(coalesce(tpc.tp, 0) AS DOUBLE) / b.n_true
+             END AS rc
+      FROM base b LEFT JOIN tpc ON tpc.cls = b.cls)
+SELECT cls, n_true, n_pred, tp,
+       round(pr, 6) AS precision,
+       round(rc, 6) AS recall,
+       CASE WHEN pr + rc > 0
+            THEN round(2 * pr * rc / (pr + rc), 6) END AS f1
+FROM m
+""", priority=PRI_TAIL)
+def q176_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 for the nearest-centroid
+    embedding classifier (operators/stats.classification_report over
+    similarity.centroid_predict — the same classifier q172 calibrates,
+    replayed from ONE shared SQL definition): the eval harness any
+    corpus-gating labeler needs, published per class because a
+    0.9-accuracy classifier that never predicts one class hides that
+    class inside every scalar metric. One groupBy(true, pred) count
+    scans the corpus once; marginals and ratios reduce the tiny
+    #classes²-row confusion frame."""
+    from powerdatapipeline_spark.operators import stats as st
+    pred = sim.centroid_predict(_t(spark, sf_dir, "embeddings"))
+    return st.classification_report(pred, "label", "g")
+
+
+@register("q177_benford_audit", """
+WITH c AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit
+           FROM lineitem WHERE l_extendedprice > 0),
+counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+SELECT digit, n, total,
+       round(CAST(n AS DOUBLE) / total, 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+       round((n - total * round(log10(1.0 + 1.0 / digit), 6))
+             * (n - total * round(log10(1.0 + 1.0 / digit), 6))
+             / (total * round(log10(1.0 + 1.0 / digit), 6)), 6)
+         AS chi2_term
+FROM counts CROSS JOIN tot ORDER BY digit
+""", priority=PRI_TAIL)
+def q177_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of lineitem prices
+    (operators/stats.benford_audit) — the data-forensics screen for
+    fabricated or re-synthesized numeric columns, run before an
+    amount column trains anything. Digit extraction avoids
+    floor(log10(x)) entirely (the classic 1-ulp landmine at exact
+    powers of ten): explicit floor to integer cents, then the leading
+    character of the BIGINT's decimal string — engine-identical by
+    construction. Expected shares 6-round the transcendental log10;
+    chi-square terms combine deterministic doubles only."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.benford_audit(_t(spark, sf_dir, "lineitem"),
+                            "l_extendedprice")
+
+
+@register("q178_l_diversity", """
+WITH s AS (SELECT source, lang, CAST(floor(n_chars/200) AS BIGINT) AS sb
+           FROM documents),
+sizes AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY 1, 2),
+div AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT DISTINCT source, lang, sb FROM s) GROUP BY 1, 2),
+g AS (SELECT sizes.n, div.d
+      FROM sizes JOIN div ON div.source = sizes.source
+           AND div.lang = sizes.lang)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_groups,
+       CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
+       sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) = 0 AS l_diverse
+FROM g
+""", priority=PRI_TAIL)
+def q178_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (operators/stats.l_diversity_audit,
+    l=3 on quasi-identifiers (source, lang) with the document-length
+    bucket as the sensitive attribute) — the privacy gate q123's
+    k-anonymity misses: a 50-row quasi-identifier group is safely
+    k-anonymous yet still discloses the attribute if all 50 rows
+    share one sensitive value (Machanavajjhala et al. 2007). Two
+    map-side-combined aggregations reduced to a single
+    release/no-release row; the row-level leak list is deliberately
+    not returned."""
+    from powerdatapipeline_spark.operators import stats as st
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("sens_bucket",
+                        F.floor(F.col("n_chars") / 200).cast("bigint")))
+    return st.l_diversity_audit(docs, ["source", "lang"], "sens_bucket",
+                                l=3)
+
+
 # Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so
 # tranche 1 of the round-7-born pool — q85-q98 (14 queries, tail-parity
 # pinned since birth) — was promoted to default PRI_HEAD and the 14
@@ -6758,7 +6980,7 @@ def q173_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
 # green): promote tranche 2 — q99-q123 (25 remaining round-7-born
-# queries) plus the round-8-born pool (q124-q173, none driver-recorded
+# queries) plus the round-8-born pool (q124-q178, none driver-recorded
 # yet) — by switching their decorators to PRI_HEAD, demoting an equal
 # number of freshly-recorded multi-round-green head entries (candidates
 # by the established policy: q29, q31, q33, q34, q35, q36, q45, q46,

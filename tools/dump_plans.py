@@ -112,6 +112,14 @@ SCALAR_BROADCAST_INTENDED = {
     # onto the 3-row per-dim hit counts (similarity.py truncation_recall
     # `n_full`)
     "q171_truncation_recall",
+    # round 8g: q175's pair universe is the #sources-row totals frame
+    # inequality-crossed with itself (text.py js_divergence_matrix
+    # `pairs`, the q136 shape) — bounded by #sources², never by corpus
+    # size; the word-level intersection join is an equi-join
+    "q175_js_divergence",
+    # round 8g: q177's corpus digit total is a 1-row frame cross-joined
+    # onto the 9-row digit counts (stats.py benford_audit `total`)
+    "q177_benford_audit",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
