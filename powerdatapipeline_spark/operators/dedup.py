@@ -838,9 +838,23 @@ def fs_linkage(df: DataFrame, id_col: str, block_keys: list,
              / (F.sum("c").cast("double")
                 * (F.sum("c") - 1).cast("double"))).alias("u"))
         m = float(m_probs[nm])
+        # guard degenerate u (mirrors the m_probs range check): an
+        # all-distinct field gives u=0 (log2(m/u) → NULL), N<=1
+        # non-null rows divides by zero (→ NULL), u=1 zeroes the
+        # disagree term's denominator — any of these would silently
+        # NULL every pair score downstream, so raise loudly instead.
+        u_bad = (F.col("u").isNull() | (F.col("u") <= 0)
+                 | (F.col("u") >= 1))
+        u_ok = F.when(u_bad, F.raise_error(F.concat(
+            F.lit(f"fs_linkage: degenerate u-probability for field "
+                  f"{nm!r} (u="),
+            F.col("u").cast("string"),
+            F.lit("): field is all-distinct, constant, or has <2 "
+                  "non-null rows — drop it from comparisons")))) \
+            .otherwise(F.col("u"))
         w = u.select(
-            F.round(F.log2(F.lit(m) / F.col("u")), 6).alias(f"wa_{nm}"),
-            F.round(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - F.col("u"))), 6)
+            F.round(F.log2(F.lit(m) / u_ok), 6).alias(f"wa_{nm}"),
+            F.round(F.log2(F.lit(1.0 - m) / (F.lit(1.0) - u_ok)), 6)
             .alias(f"wd_{nm}"))
         weights = w if weights is None else weights.crossJoin(w)
     va = derived.select(F.col(id_col).alias("id_a"),

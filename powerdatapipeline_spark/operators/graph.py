@@ -120,7 +120,10 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
     Pipeline (all equi-joins, no inequality shapes): canonicalize to
     undirected distinct edges; compute true degrees; orient by the
-    composite key ``deg·10⁹ + id`` (documented precondition: ids < 10⁹);
+    lexicographic STRUCT key ``(deg, id)`` — a native struct
+    comparison, total for any id type/range (negative, ≥10⁹, or
+    non-integer ids all order correctly; the earlier arithmetic
+    ``deg·10⁹+id`` composite silently collided above 10⁹);
     wedge = self-join of oriented edges on their source; close the
     wedge with one more equi-join against the oriented edge list
     (each triangle {x<y<z} in orientation order is counted exactly
@@ -134,8 +137,8 @@ def triangle_count(edges: DataFrame, src: str = "src",
     deg = (e.select(F.col("u").alias("n"))
            .unionAll(e.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count("*").alias("deg")))
-    okey = (F.col("deg").cast("bigint") * F.lit(1_000_000_000)
-            + F.col("n"))
+    okey = F.struct(F.col("deg").cast("bigint").alias("d"),
+                    F.col("n").alias("i"))
     keyed = deg.select("n", okey.alias("ok"))
     withk = (e.join(keyed.select(F.col("n").alias("u"),
                                  F.col("ok").alias("ok_u")), "u")

@@ -796,7 +796,12 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     x = F.col(value_col).cast("double")
     cents = F.floor(x * 100 + F.lit(0.5)).cast("bigint")
     digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
-    counts = (df.where(x > 0)
+    # cents >= 1 (not just x > 0): a value in (0, 0.005) floors to 0
+    # cents, whose leading character is '0' — a tenth bucket whose
+    # expected_p = log10(1 + 1/0) is NULL, silently breaking the
+    # 9-row/8-dof contract. Sub-cent positives carry no first digit
+    # at this scale, so they are excluded from the statistic.
+    counts = (df.where((x > 0) & (cents >= 1))
               .groupBy(digit.alias("digit"))
               .agg(F.count("*").cast("bigint").alias("n")))
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
@@ -871,7 +876,11 @@ def winsorize_report(df: DataFrame, value_col: str,
     fit = (df.groupBy(*[F.col(k) for k in keys])
            .agg(F.percentile(x, lo).alias("p_lo"),
                 F.percentile(x, hi).alias("p_hi")))
-    joined = (df.join(F.broadcast(fit), keys) if keys
+    # keyed join: NO forced broadcast — one row per group is unbounded
+    # under a high-cardinality key set, so AQE picks the strategy (it
+    # broadcasts when the fit really is small); the forced hint stays
+    # only on the keyless 1-row scalar crossJoin.
+    joined = (df.join(fit, keys) if keys
               else df.crossJoin(F.broadcast(fit)))
     clamped = F.least(F.greatest(x, F.col("p_lo")), F.col("p_hi"))
     return (joined.groupBy(*[F.col(k) for k in keys]).agg(

@@ -6906,7 +6906,8 @@ def q176_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH c AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
                                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
                     AS digit
-           FROM lineitem WHERE l_extendedprice > 0),
+           FROM lineitem WHERE l_extendedprice > 0
+             AND floor(l_extendedprice * 100 + 0.5) >= 1),
 counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
 SELECT digit, n, total,

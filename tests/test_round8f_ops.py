@@ -127,10 +127,16 @@ def test_fs_linkage_rare_agreement_outweighs_common(spark):
 
 
 def test_fs_linkage_null_is_disagreement(spark):
-    rows = [Row(pid=1, blk="b", f="v"), Row(pid=2, blk="b", f=None)]
+    # pids 3/4 give the field a non-degenerate u (2 values, one
+    # repeat); the (1,2) pair still pins NULL -> disagreement.
+    # (A single non-null row would now RAISE — see
+    # test_round9_advice.py's degenerate-u guards.)
+    rows = [Row(pid=1, blk="b", f="v"), Row(pid=2, blk="b", f=None),
+            Row(pid=3, blk="c", f="v"), Row(pid=4, blk="c", f="w")]
     out = dd.fs_linkage(spark.createDataFrame(rows), "pid", [F.col("blk")],
                         {"f": F.col("f")}, {"f": 0.9}).collect()
-    assert len(out) == 1 and out[0]["agree_f"] is False
+    pair = {(r["id_a"], r["id_b"]): r for r in out}
+    assert pair[(1, 2)]["agree_f"] is False
 
 
 def test_fs_linkage_key_mismatch_guard(spark):
