@@ -865,9 +865,17 @@ def centroid_predict(embeddings: DataFrame, id_col: str = "vec_id",
          .select(F.col(id_col), F.col(label_col),
                  F.posexplode(vec_col).alias("dim", "v"))
          .withColumn("v", F.round(F.col("v").cast("double"), 6)))
+    # the dimension mean is rounded with floor(x*1e6 + 0.5)/1e6, NOT
+    # round(x, 6): sum/count with a 6-decimal sum lands EXACTLY on the
+    # .5e-6 half-grid (PARITY r9: label-9 dim-6 at sf0.1 had
+    # 0.616992/192 = 0.0032135 — a true tie where Spark's HALF_UP on
+    # the binary double and DuckDB's scaled-multiply round() diverge);
+    # the explicit formula is identical IEEE ops in both engines.
+    cmean = (F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+             / F.count("*"))
     cent = (e.groupBy(F.col(label_col).alias("g"), "dim")
-            .agg(F.round(F.sum(F.col("v").cast("decimal(28,12)"))
-                         .cast("double") / F.count("*"), 6).alias("c")))
+            .agg((F.floor(cmean * F.lit(1_000_000.0) + F.lit(0.5))
+                  .cast("double") / F.lit(1_000_000.0)).alias("c")))
     cnorm = cent.groupBy("g").agg(
         F.round(F.sqrt(F.sum((F.col("c") * F.col("c"))
                              .cast("decimal(28,12)")).cast("double")), 6)
@@ -880,12 +888,21 @@ def centroid_predict(embeddings: DataFrame, id_col: str = "vec_id",
             .groupBy(id_col, F.col(label_col), "g")
             .agg(F.sum((F.col("v") * F.col("c")).cast("decimal(28,12)"))
                  .cast("double").alias("d")))
+    # cos is rounded with the EXPLICIT floor(x*1e6 + 0.5)/1e6 formula,
+    # not round(x, 6): the quotient of three 6-rounded doubles lands
+    # within 1e-11 of a .5e-6 half-grid boundary often enough at sf0.1
+    # (~1e5 quotients) that Spark's BigDecimal HALF_UP and DuckDB's
+    # scaled-double round() disagree by 1 ulp of the 6th decimal
+    # (PARITY r9: q172's sum_cos drifted 1e-5 from exactly such rows).
+    # floor/multiply/add are pure IEEE doubles — engine-identical by
+    # construction, the same rule benford_audit applies to cents.
+    q = F.col("d") / (F.col("vn") * F.col("cn"))
+    cos6 = F.floor(q * F.lit(1_000_000.0) + F.lit(0.5)) \
+            .cast("double") / F.lit(1_000_000.0)
     scored = (dots.join(F.broadcast(cnorm), "g")
               .join(vnorm, id_col)
               .select(id_col, label_col, "g",
-                      F.when((F.col("vn") > 0) & (F.col("cn") > 0),
-                             F.round(F.col("d")
-                                     / (F.col("vn") * F.col("cn")), 6))
+                      F.when((F.col("vn") > 0) & (F.col("cn") > 0), cos6)
                       .otherwise(F.lit(-1.0)).alias("cos")))
     w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
                                            F.col("g").asc())

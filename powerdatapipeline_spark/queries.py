@@ -848,7 +848,7 @@ SELECT id_a, id_b,
              / (len(ma.g) + len(mb.g) - len(list_intersect(ma.g, mb.g))), 6) AS jaccard
 FROM cand JOIN mh ma ON ma.doc_id = id_a JOIN mh mb ON mb.doc_id = id_b
 WHERE CAST(len(list_filter(list_zip(ma.sig, mb.sig), z -> z[1] = z[2])) AS DOUBLE) / 16 >= 0.5
-""")
+""", priority=PRI_TAIL)
 def q29_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup with exact verification, one pass
     (operators/dedup.neardup_report): K–M double-hashed MinHash (16 perms, 4 bands
@@ -891,7 +891,7 @@ SELECT * FROM (
   SELECT query_id, vec_id, cosine, vec_norm,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 10
-""")
+""", priority=PRI_TAIL)
 def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (operators/similarity.brute_force_topk
     semantics, decimal-exact dot products for engine parity): queries are
@@ -1176,7 +1176,7 @@ SELECT date_trunc('hour', ts) AS bucket_ts,
        COUNT(*) AS n
 FROM events
 GROUP BY 1, 2
-""")
+""", priority=PRI_TAIL)
 def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING twin of q17 (SURVEY.md §2.10, §7.6): the same
     hourly tumbling mean executed incrementally — file stream source →
@@ -1242,7 +1242,7 @@ assigned AS (
 SELECT centroid_id, COUNT(*) AS n_assigned,
        round(CAST(SUM(CAST(dot AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_dot
 FROM assigned WHERE rn = 1 GROUP BY centroid_id
-""")
+""", priority=PRI_TAIL)
 def q47_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means E-step (assignment) — the building block of iterative
     algorithms on the engine: deterministic seed centroids (vec_id < 8)
@@ -1569,7 +1569,7 @@ SELECT event_type, tick AS tick_s,
        CASE WHEN t1 IS NULL OR tick = t0 THEN v0
             ELSE v0 + (v1 - v0) * ((tick - t0) / (t1 - t0)) END AS value_interp
 FROM ticks
-""")
+""", priority=PRI_TAIL)
 def q59_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsample with LINEAR interpolation (the reference's stubbed
     ``fill_method='linear'`` intent, tfdataset_resampling.py:22-25, now
@@ -1646,7 +1646,7 @@ SELECT doc_id,
             WHEN bk < 9000 THEN 'val'
             ELSE 'test' END AS split
 FROM b
-""")
+""", priority=PRI_TAIL)
 def q62_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split
     (operators/relational.hash_split): md5-bucket assignment — stable
@@ -1671,7 +1671,7 @@ SELECT doc_id,
                                   i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
                    (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_fp
 FROM n
-""")
+""", priority=PRI_TAIL)
 def q61_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + document fingerprinting (operators/text): whitespace
     token count, BPE-ish piece count (letter/digit/symbol pre-tokenization —
@@ -1687,7 +1687,7 @@ def q61_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.rolling_fingerprint("text").alias("rolling_fp"))
 
 
-@register("q60_embedding_neardup", _emb_lsh_oracle())
+@register("q60_embedding_neardup", _emb_lsh_oracle(), priority=PRI_TAIL)
 def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs
     (operators/dedup.embedding_neardup_pairs): 4 hyperplane-LSH tables × 8
@@ -1735,7 +1735,7 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(lab.label, d.doc_id) = d.doc_id
                  THEN 1 ELSE 0 END AS INT) AS is_canonical
 FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
-""")
+""", priority=PRI_TAIL)
 def q63_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: blocking pairs → connected components →
     canonical pick (operators/dedup.blocked_pairs + dedup_clusters). Pair
@@ -1772,7 +1772,7 @@ SELECT id_a, id_b, a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
 FROM cand JOIN p a ON a.p_partkey = id_a JOIN p b ON b.p_partkey = id_b
 WHERE levenshtein(a.p_name, b.p_name) <= 4
-""")
+""", priority=PRI_TAIL)
 def q64_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy key matching (operators/dedup.fuzzy_blocked_match): blocking on
     (p_brand, p_size) generates candidates, Levenshtein ≤ 4 verifies —
@@ -1804,7 +1804,7 @@ SELECT l_returnflag,
        round((sxy - sx * sy / n)
              / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_qty_price
 FROM s
-""")
+""", priority=PRI_TAIL)
 def q66_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-column statistical profile (covariance, stddev, correlation) per
     group from exact decimal moment sums. Built-in ``corr``/``covar_pop``
@@ -1848,7 +1848,7 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND a.event_type = 'click' AND b.event_type = 'purchase'
  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
-""")
+""", priority=PRI_TAIL)
 def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING stream-stream join
     (streaming/pipeline.stream_stream_join): clicks and purchases arrive as
@@ -1893,7 +1893,7 @@ SELECT o_orderpriority,
        {_DSUM.format(c="CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS status_o,
        {_DSUM.format(c="CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS status_p
 FROM orders GROUP BY o_orderpriority
-""")
+""", priority=PRI_TAIL)
 def q67_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot (operators/relational.pivot_table, the inverse of
     q58's unpivot): total order value per priority × status. The status
@@ -1930,7 +1930,7 @@ SELECT event_type, n,
                   THEN (n * sxy - sx * sy)
                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r
 FROM m
-""")
+""", priority=PRI_TAIL)
 def q68_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series OLS time-trend (operators/stats.grouped_ols): slope/
     intercept/Pearson-r of value against time (days since a fixed epoch
@@ -1956,7 +1956,7 @@ def q68_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q46_sample", """
 SELECT COUNT(*) AS n_total, TRUE AS sample_in_bounds FROM events
-""")
+""", priority=PRI_TAIL)
 def q46_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (the reference's declared-but-unconsumed
     ``downsampling_rate`` knob, config/config.py:118-119 → df.sample).
@@ -1982,7 +1982,7 @@ SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
        TRUE AS approx_in_bounds
 FROM lineitem GROUP BY l_returnflag
-""")
+""", priority=PRI_TAIL)
 def q48_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (gap §2.12): the sketch path for
     cardinalities where exact count-distinct's shuffle is not worth it at
@@ -2031,7 +2031,7 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 
 
-@register("q33_simhash_pairs", _SIMHASH_ORACLE)
+@register("q33_simhash_pairs", _SIMHASH_ORACLE, priority=PRI_TAIL)
 def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (operators/dedup.simhash_pairs): 64-bit
     fingerprints, 16-bit-slice LSH, Hamming verification. max_hamming is
@@ -2098,7 +2098,7 @@ SELECT * FROM (
 """
 
 
-@register("q34_ann_lsh_topk", _lsh_topk_oracle())
+@register("q34_ann_lsh_topk", _lsh_topk_oracle(), priority=PRI_TAIL)
 def q34_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-probe random-hyperplane LSH
     (operators/similarity.hyperplane_lsh_topk) — the 100 TB scale path for
@@ -2198,7 +2198,7 @@ SELECT * FROM (
 """
 
 
-@register("q35_ann_ivf_topk", _ivf_topk_oracle())
+@register("q35_ann_ivf_topk", _ivf_topk_oracle(), priority=PRI_TAIL)
 def q35_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators/similarity.ivf_topk): spherical-k-means-fitted
     coarse centroids (fit_iters=2 Lloyd passes, deterministic from the
@@ -2240,7 +2240,7 @@ FROM {rel_sql}
 """
 
 
-@register("q36_multimodal_features", _multimodal_oracle())
+@register("q36_multimodal_features", _multimodal_oracle(), priority=PRI_TAIL)
 def q36_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (operators/multimodal): documents.text encoded to
     a binary payload column + typed metadata (built-ins), then the
@@ -2276,7 +2276,7 @@ WHERE bk < CASE o_orderpriority
              WHEN '2-HIGH'   THEN 5000
              WHEN '3-MEDIUM' THEN 2500
              ELSE 1000 END
-""")
+""", priority=PRI_TAIL)
 def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/relational.
     stratified_hash_sample — SURVEY.md §2.8's `downsampling_rate` config
@@ -2305,7 +2305,7 @@ SELECT l_returnflag, bin,
        0.0 + (bin + 1) * 5000.0 AS bin_hi,
        COUNT(*) AS n
 FROM t GROUP BY l_returnflag, bin
-""")
+""", priority=PRI_TAIL)
 def q70_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram per group (operators/stats.histogram): the
     profile-a-column primitive (reference pandas_utilities.py:99-105 spans
@@ -2348,7 +2348,7 @@ SELECT split,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
 FROM s GROUP BY split
-""")
+""", priority=PRI_TAIL)
 def q71_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation (the BASELINE.json north-star
     pipeline as ONE composed query): quality filter (token count +
@@ -2394,7 +2394,7 @@ SELECT doc_id,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean_text
 FROM documents
-""")
+""", priority=PRI_TAIL)
 def q73_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction for corpus curation (operators/text.redact_pii): scrub
     URLs, emails, and IPv4 literals to typed placeholders and count each
@@ -2435,7 +2435,7 @@ top AS (
 SELECT l.doc_id, CAST(l.n_lines AS INT) AS n_lines, l.dup_line_frac,
        COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
 FROM lines l LEFT JOIN top t USING (doc_id)
-""")
+""", priority=PRI_TAIL)
 def q74_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (operators/text.repetition_stats):
     duplicate-line fraction + top-bigram share — the Gopher repetition
@@ -2455,7 +2455,7 @@ WITH r AS (
 SELECT user_id, ts AS last_ts, event_id AS last_event_id,
        value AS last_value, n_events
 FROM r WHERE rn = 1
-""")
+""", priority=PRI_TAIL)
 def q72_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-per-key via ONE aggregation — ``max(struct(ts,
     event_id, value))`` takes the lexicographic max, so the whole
@@ -2497,7 +2497,7 @@ JOIN (SELECT DISTINCT gh, doc_id FROM sh WHERE source = 'src0') b
   ON s.gh = b.gh
 WHERE s.source <> 'src0'
 GROUP BY s.doc_id
-""")
+""", priority=PRI_TAIL)
 def q75_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection (operators/text.contamination_report):
     flag training documents sharing any word 8-gram with the eval set
@@ -2534,7 +2534,7 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
        array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32),
                        ' ') AS chunk_text
 FROM c
-""")
+""", priority=PRI_TAIL)
 def q76_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (operators/text.chunk_documents): split every
     document into 32-token training chunks with 8-token overlap (stride
@@ -2567,7 +2567,7 @@ r AS (
   FROM s)
 SELECT doc_id, term, tf, doc_freq, score, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= 3
-""")
+""", priority=PRI_TAIL)
 def q77_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by TF-IDF (operators/text.tfidf_top_terms)
     — corpus topic profiling / salience scoring. One (doc, term) count
@@ -2584,7 +2584,7 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100 OFFSET 50
-""")
+""", priority=PRI_TAIL)
 def q78_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-then-take pagination (operators/relational.offset_limit — the
     reference's dataset.skip/take, examples/datapipeline_test.py:44-45)
@@ -2610,7 +2610,7 @@ r AS (
   FROM customer)
 SELECT l.o_orderkey, l.o_totalprice, r.c_custkey, r.c_acctbal
 FROM l JOIN r ON l.__rn = r.__rn
-""")
+""", priority=PRI_TAIL)
 def q79_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional zip of two plans (operators/timeseries.zip_by_position —
     the reference's zip_datasets, tfdataset.py:177-183): align by
@@ -2637,7 +2637,7 @@ seen AS (
 SELECT fp, doc_id, n_copies_in_batch
 FROM new_batch b
 WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
-""")
+""", priority=PRI_TAIL)
 def q84_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-ingest dedup (operators/dedup.incremental_dedup): documents
     with doc_id >= 250 play the newly-arrived batch, the rest the
@@ -2679,7 +2679,7 @@ SELECT doc_id, CAST(count(*) AS INT) AS n_query_terms_hit,
 FROM s GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT 10
-""")
+""", priority=PRI_TAIL)
 def q83_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search (operators/text.bm25_topk): rank the corpus
     for the query {spark, window, join} — the inverted-index retrieval
@@ -2698,7 +2698,7 @@ WITH u AS (
   SELECT user_id, count(*) AS user_n_events FROM events GROUP BY user_id)
 SELECT e.event_id, e.user_id, e.value, u.user_n_events
 FROM events e JOIN u ON e.user_id = u.user_id
-""")
+""", priority=PRI_TAIL)
 def q82_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted join (operators/relational.salted_join): the
     skewed fact side (events, hot user_ids) takes a random salt in
@@ -2738,7 +2738,7 @@ SELECT d.doc_id, d.source, d.n_chars
 FROM documents d
 WHERE d.source <> 'src0'
   AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
-""")
+""", priority=PRI_TAIL)
 def q80_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination, the action half of q75
     (operators/text.decontaminate): anti-join the contaminated ids out of
@@ -2768,7 +2768,7 @@ SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
              / sum(tf.tf), 6) AS avg_neg_logprob
 FROM tf JOIN ct USING (term) CROSS JOIN tot
 GROUP BY tf.doc_id
-""")
+""", priority=PRI_TAIL)
 def q81_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy per document
     (operators/text.unigram_logprob) — the perplexity-proxy quality
@@ -2808,7 +2808,7 @@ SELECT d.doc_id, coalesce(reb.n_spans, 0) AS n_spans,
        coalesce(reb.n_removed, 0) AS n_removed,
        coalesce(reb.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN reb USING (doc_id)
-""")
+""", priority=PRI_TAIL)
 def q85_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level (fixed-width span) deduplication
     (operators/text.remove_repeated_spans): segment each document into
@@ -2850,7 +2850,7 @@ SELECT pt.stratum, pt.n_docs, round(pt.tw, 6) AS target_weight,
        round(pt.rate, 6) AS rate,
        coalesce(sel.n_selected, 0) AS n_selected
 FROM pt LEFT JOIN sel USING (stratum)
-""")
+""", priority=PRI_TAIL)
 def q86_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling plan (operators/relational.
     mixture_resample_plan) — the Pile/DoReMi corpus-mixing step: target
@@ -2892,7 +2892,7 @@ SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS INT) AS n_docs,
        round(CAST(sum(CAST(n_tokens AS DECIMAL(28,12))) AS DOUBLE)
              / count(*), 6) AS avg_tokens
 FROM b GROUP BY bucket
-""")
+""", priority=PRI_TAIL)
 def q87_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing (operators/text.quality_buckets):
     rank documents by unigram-LM cross-entropy (q81's per-doc signal,
@@ -2924,7 +2924,7 @@ SELECT shard,
        CAST(sum(nt) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1, 2
-""")
+""", priority=PRI_TAIL)
 def q88_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training batches (operators/text.
     pack_sequences): per shard (source), concatenate documents in id
@@ -2986,7 +2986,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
            AS rank
   FROM f) WHERE rank <= 10
-""")
+""", priority=PRI_TAIL)
 def q89_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search via reciprocal-rank fusion (operators/similarity.
     rrf_fuse; Cormack et al. 2009): fuse the BM25 keyword ranking (q83's
@@ -3034,7 +3034,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC)
               AS INT) AS rank
   FROM c) WHERE rank <= 20
-""")
+""", priority=PRI_TAIL)
 def q90_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams (operators/text.
     corpus_ngram_counts) — the non-distinct counting pass a BPE merge or
@@ -3067,7 +3067,7 @@ SELECT id_a, id_b,
        round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
 FROM inter
 WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.5
-""")
+""", priority=PRI_TAIL)
 def q91_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via the inverted-index
     join (operators/dedup.ngram_jaccard_pairs, unit='word') — the
@@ -3100,7 +3100,7 @@ SELECT canonical_url,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS first_doc
 FROM c GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q92_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (operators/text.
     canonical_url / url_dedup) — the first dedup pass of every
@@ -3139,7 +3139,7 @@ w AS (
               ELSE CAST([] AS BIGINT[]) END AS wins
   FROM g)
 SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w
-""")
+""", priority=PRI_TAIL)
 def q93_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints per document (operators/text.
     winnow_fingerprints; Schleimer et al., SIGMOD 2003 — MOSS): hash
@@ -3180,7 +3180,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 6
-""")
+""", priority=PRI_TAIL)
 def q94_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style near-dup pairs from shared winnowing fingerprints
     (operators/text.winnow_neardup_pairs): documents sharing ≥6 RARE
@@ -3212,7 +3212,7 @@ s AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, sid
-""")
+""", priority=PRI_TAIL)
 def q95_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING sessionization over the events stream
     (streaming/pipeline.streaming_sessionize — q39's streaming twin,
@@ -3256,7 +3256,7 @@ SELECT event_type, slot, n,
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            / (n * n), 0.0)), 6) AS profile_std
 FROM a
-""")
+""", priority=PRI_TAIL)
 def q96_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal baseline per event type
     (operators/timeseries.seasonal_profile) — the load-profile primitive
@@ -3290,7 +3290,7 @@ SELECT event_id, event_type, slot, value, z_score
 FROM j WHERE z_score IS NOT NULL
 ORDER BY abs(z_score) DESC, event_id
 LIMIT 20
-""")
+""", priority=PRI_TAIL)
 def q97_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 seasonal anomalies (operators/timeseries.
     deviation_from_profile): each event z-scored against its own
@@ -3342,7 +3342,7 @@ SELECT d.vec_id, CAST(d.dim AS INT) AS dim,
                i -> CAST(d.embedding[i] AS DOUBLE) * r.m[d.dim + 1][i])),
            (acc, x) -> acc + x), 6) AS value
 FROM d CROSS JOIN r
-""")
+""", priority=PRI_TAIL)
 def q98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection 64 → 16 dims
     (operators/similarity.random_projection) — the standard cheap
@@ -3368,7 +3368,7 @@ WITH s AS (
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, n_chars, round(sample_score, 6) AS sample_score
 FROM s ORDER BY round(s.sample_score, 6) DESC, doc_id ASC LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/relational.weighted_hash_sample) — Efraimidis–Spirakis
@@ -3396,7 +3396,7 @@ SELECT e.event_id, e.event_type, e.value,
        round(CASE WHEN f.iqr <> 0 THEN (e.value - f.med) / f.iqr END, 6)
          AS robust_z
 FROM events e JOIN f USING (event_type)
-""", priority=PRI_TAIL)
+""")
 def q100_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/stats.robust_scale_fit/apply):
     median/IQR instead of mean/std (q22's fit), the outlier-resistant
@@ -3426,7 +3426,7 @@ SELECT d.event_id, d.event_type, d.value,
             THEN abs(0.6745 * (d.value - d.med) / md.mad) > 3.5 END
          AS is_outlier
 FROM d JOIN md USING (event_type)
-""", priority=PRI_TAIL)
+""")
 def q101_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via the modified z-score
     (operators/stats.mad_outliers, Iglewicz–Hoaglin 0.6745·dev/MAD,
@@ -3446,7 +3446,7 @@ def q101_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
-""", priority=PRI_TAIL)
+""")
 def q102_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter-pruned selective join
     (operators/relational.bloom_prune_join) — the runtime-filter idiom
@@ -3513,7 +3513,7 @@ UNION ALL SELECT 3, 'mean_word_len', s2, s3, s2 - s3 FROM a
 UNION ALL SELECT 4, 'stopword_ratio', s3, s4, s3 - s4 FROM a
 UNION ALL SELECT 5, 'punct_ratio', s4, s5, s4 - s5 FROM a
 UNION ALL SELECT 6, 'dup_lines', s5, s6, s5 - s6 FROM a
-""", priority=PRI_TAIL)
+""")
 def q103_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation filter-funnel audit (operators/text.filter_funnel): the
     ordered C4/Gopher-style rule list with per-stage entered/dropped/
@@ -3538,7 +3538,7 @@ c AS (
 SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(cum AS BIGINT) AS cum_tokens
 FROM c WHERE cum - n_tokens < 5000
-""", priority=PRI_TAIL)
+""")
 def q104_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget enforcement
     (operators/text.enforce_token_quota): admit documents in
@@ -3573,7 +3573,7 @@ SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
              (acc, x) -> acc + x) / length(d.text), 6)
        ELSE 0.0 END AS char_entropy
 FROM documents d LEFT JOIN pl USING (doc_id)
-""", priority=PRI_TAIL)
+""")
 def q105_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy
     (operators/text.char_entropy) — the gibberish/mojibake/base64-blob
@@ -3614,7 +3614,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY pmi DESC, ngram ASC) AS INT)
            AS rank
   FROM s) WHERE rank <= 20
-""", priority=PRI_TAIL)
+""")
 def q106_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by pointwise mutual information
     (operators/text.pmi_bigrams): ``ln p(ab) − ln p(a) − ln p(b)`` over
@@ -3654,7 +3654,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-@register("q107_ewma", _ewma_oracle(), priority=PRI_TAIL)
+@register("q107_ewma", _ewma_oracle())
 def q107_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per user series
     (operators/timeseries.ewma_fir) — telemetry smoothing in its
@@ -3675,7 +3675,7 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50_exact,
        TRUE AS within_contract
 FROM events GROUP BY 1
-""", priority=PRI_TAIL)
+""")
 def q108_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile with an explicit accuracy contract (the q48
     HLL pattern applied to quantile sketches): the scale path for
@@ -3732,7 +3732,7 @@ SELECT CAST(step AS INT) AS step, event_type,
                        / lag(n_users) OVER (ORDER BY step) END, 6)
          AS conversion
 FROM c
-""", priority=PRI_TAIL)
+""")
 def q109_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase
     (operators/timeseries.event_funnel): per step, the users who
@@ -3759,7 +3759,7 @@ b0 AS (SELECT cohort, n_active AS base FROM c WHERE week_offset = 0)
 SELECT c.cohort, c.week_offset, c.n_active,
        round(CAST(c.n_active AS DOUBLE) / b0.base, 6) AS retention
 FROM c JOIN b0 USING (cohort)
-""", priority=PRI_TAIL)
+""")
 def q110_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix
     (operators/timeseries.retention_cohorts): users cohorted by the
@@ -3806,7 +3806,7 @@ SELECT n,
                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
              END, 6) AS r
 FROM m
-""", priority=PRI_TAIL)
+""")
 def q111_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus frequency spectrum
     (operators/text.zipf_fit): OLS of ln(count) on ln(rank) over the
@@ -3845,7 +3845,7 @@ SELECT l.event_id, l.user_id,
                    / (epoch(ta) - epoch(tb))
        END, 6) AS interp_value
 FROM l LEFT JOIN bb USING (event_id) LEFT JOIN aa USING (event_id)
-""", priority=PRI_TAIL)
+""")
 def q112_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-at-event interpolation join
     (operators/timeseries.interpolation_join): each click event samples
@@ -3890,7 +3890,7 @@ SELECT top.term, CAST(top.c AS BIGINT) AS exact_count,
        CAST(est.est AS BIGINT) AS cms_estimate,
        est.est >= top.c AS no_underestimate
 FROM top JOIN est USING (term)
-""", priority=PRI_TAIL)
+""")
 def q113_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the corpus' top-20 terms
     (operators/stats.cms_build/cms_estimate): the mergeable
@@ -3954,7 +3954,7 @@ SELECT * FROM (
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY qscore DESC, vec_id ASC) AS INT) AS rank
   FROM s) WHERE rank <= 10
-""", priority=PRI_TAIL)
+""")
 def q114_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized similarity top-k
     (operators/similarity.int8_topk): the 4× embedding-compression path
@@ -3976,7 +3976,7 @@ SELECT CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT))
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
        TRUE AS within_contract
 FROM events
-""", priority=PRI_TAIL)
+""")
 def q115_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch COLUMNS (Spark's Datasketches
     ``hll_sketch_agg`` / ``hll_union_agg``): distinct users per day as
@@ -4026,7 +4026,7 @@ SELECT user_id, n_readings,
        round(CASE WHEN span > 0 THEN COALESCE(intg, 0.0) / span END, 6)
          AS time_weighted_avg
 FROM a
-""", priority=PRI_TAIL)
+""")
 def q116_energy_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trapezoidal time integral + time-weighted average per user series
     (operators/timeseries.energy_integral) — THE power-domain primitive:
@@ -4060,7 +4060,7 @@ SELECT a.event_type, a.bucket, a.n_readings,
        round(CASE WHEN a.mn <> 0 THEN a.pk / a.mn END, 6) AS peak_to_avg,
        p.peak_ts AS peak_ts_seconds
 FROM a JOIN p USING (event_type, bucket)
-""", priority=PRI_TAIL)
+""")
 def q117_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily peak-demand statistics per series
     (operators/timeseries.peak_analysis): peak load, decimal-exact mean
@@ -4089,7 +4089,7 @@ f(i, d) AS (VALUES {', '.join(
 SELECT a.event_type, a.n_readings,
        f.d AS duration_frac, round(a.qs[f.i], 6) AS load
 FROM a CROSS JOIN f
-""", priority=PRI_TAIL)
+""")
 def q118_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load-duration curve per series
     (operators/timeseries.load_duration_curve) — the sorted-load-vs-time
@@ -4123,7 +4123,7 @@ SELECT event_type, n_readings, n_gaps, missing_ticks,
                   THEN n_readings / (round(span / 60.0e0, 0) + 1)
                   ELSE 1.0 END, 6) AS completeness
 FROM a
-""", priority=PRI_TAIL)
+""")
 def q119_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series cadence-gap report (operators/timeseries.gap_report) —
     the observability twin of q16's interval AUDIT (which asserts):
@@ -4157,7 +4157,7 @@ c AS (SELECT event_id, event_type,
 SELECT event_id, event_type, round(cs, 6) AS cusum,
        abs(round(cs, 6)) > 5.0e0 * sqrt(CAST(i AS DOUBLE)) AS is_shift
 FROM c
-""", priority=PRI_TAIL)
+""")
 def q120_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection per series
     (operators/timeseries.cusum_changepoints): the running sum of
@@ -4215,7 +4215,7 @@ SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
        CAST(max(nc) AS BIGINT) AS n_cur,
        round(CAST(sum(term) AS DOUBLE), 6) AS psi
 FROM terms GROUP BY 1
-""", priority=PRI_TAIL)
+""")
 def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift report
     (operators/stats.psi_drift): the standard training-data / feature
@@ -4254,7 +4254,7 @@ s AS (SELECT event_type, value,
       FROM b)
 SELECT event_type, min(value) AS weighted_median
 FROM s WHERE cum >= 0.5e0 * tot GROUP BY 1
-""", priority=PRI_TAIL)
+""")
 def q122_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duration-weighted median load per series
     (operators/stats.weighted_percentile): each reading weighted by its
@@ -4288,7 +4288,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
        CAST(min(n) AS BIGINT) AS min_group_size,
        sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) = 0 AS k_anonymous
 FROM g
-""", priority=PRI_TAIL)
+""")
 def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release audit over the corpus quasi-identifiers
     (operators/stats.k_anonymity_audit, k=10 on (source, lang)): every
@@ -4354,7 +4354,7 @@ SELECT t.doc_id,
                          THEN t.t[pos] END),
            x -> x IS NOT NULL), ' '), '') AS clean_text
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
-""", priority=PRI_TAIL)
+""")
 def q126_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring dedup at token granularity (operators/text.
     remove_repeated_substrings_exact) — the suffix-array-equivalent
@@ -4404,7 +4404,7 @@ dropped AS (
 SELECT b1.vec_id, b1.cell_id, b1.cent_sim,
        d.vec_id IS NULL AS is_kept
 FROM b1 LEFT JOIN dropped d ON d.vec_id = b1.vec_id
-""", priority=PRI_TAIL)
+""")
 def q127_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — SEMANTIC deduplication (operators/dedup.semdedup; Abbas
     et al. 2023): k-means-style cell assignment (deterministic seed
@@ -4437,7 +4437,7 @@ FROM events e
 LEFT JOIN (SELECT c_custkey, c_name, c_nationkey FROM customer
            WHERE c_acctbal >= 500.0) c
   ON c.c_custkey = e.user_id
-""", priority=PRI_TAIL)
+""")
 def q124_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING stream-static dimension enrichment
     (streaming/pipeline.stream_static_enrich — the round-7 operator that
@@ -4502,7 +4502,7 @@ JOIN (SELECT DISTINCT gh, doc_id FROM sh WHERE split = 'test') b
   ON s.gh = b.gh
 WHERE s.split = 'train'
 GROUP BY s.doc_id
-""", priority=PRI_TAIL)
+""")
 def q128_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test SPLIT-LEAKAGE audit — q75's decontamination rule turned
     on the pipeline's own split (operators/relational.hash_split +
@@ -4549,7 +4549,7 @@ rebuilt AS (
   FROM surviving)
 SELECT user_id, bal, valid_from, valid_to, valid_to IS NULL AS is_current
 FROM rebuilt
-""", priority=PRI_TAIL)
+""")
 def q129_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 merge (operators/relational.
     scd2_merge — the dimension-MAINTENANCE half of the star-join story;
@@ -4616,7 +4616,7 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
          AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
          AND n_stopwords >= 2 AS passes
 FROM m
-""", priority=PRI_TAIL)
+""")
 def q130_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule battery (operators/text.gopher_quality_flags;
     Rae et al. 2021 App. A1.1) — the canonical hard-threshold doc filter
@@ -4667,7 +4667,7 @@ SELECT d.doc_id, coalesce(doc.n_tokens, 0) AS n_tokens,
        coalesce(rk.rn <= 100, FALSE) AS selected
 FROM documents d
 LEFT JOIN doc USING (doc_id) LEFT JOIN rk USING (doc_id)
-""", priority=PRI_TAIL)
+""")
 def q131_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/text.dsir_importance; Xie
     et al. 2023, arXiv:2302.03169) — score every document by the
@@ -4719,7 +4719,7 @@ SELECT d.doc_id, coalesce(b.topic, 'none') AS topic,
        coalesce(b.n_terms_hit, 0) AS n_terms_hit
 FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
   USING (doc_id)
-""", priority=PRI_TAIL)
+""")
 def q132_keyword_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-keyword domain router (operators/text.keyword_route) —
     the auditable topic classifier that mixture plans (q86) and token
@@ -4752,7 +4752,7 @@ SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
             THEN round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6)
        END AS novelty_frac
 FROM documents d LEFT JOIN pd USING (doc_id)
-""", priority=PRI_TAIL)
+""")
 def q133_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 8-gram novelty (operators/text.ngram_novelty) — the
     fraction of a document's distinct word 8-grams occurring in no other
@@ -4772,7 +4772,7 @@ SELECT date_trunc('day', ts) AS day, event_type,
        min(value) AS min_value, max(value) AS max_value
 FROM events
 GROUP BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/relational.
     partial_rollup + merge_rollups): the event stream is split into three
@@ -4833,7 +4833,7 @@ r3 AS (SELECT e.dst AS node,
        FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
        CROSS JOIN n GROUP BY e.dst, n.nn)
 SELECT node, rank FROM r3
-""", priority=PRI_TAIL)
+""")
 def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 statically-unrolled iterations (operators/graph.
     pagerank) over the symmetrized customer↔supplier interaction graph
@@ -4880,7 +4880,7 @@ SELECT sa.g AS g_a, sb.g AS g_b, sa.n AS n_a, sb.n AS n_b,
              / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
 FROM sizes sa JOIN sizes sb ON sa.g < sb.g
 LEFT JOIN inter i ON i.g_a = sa.g AND i.g_b = sb.g
-""", priority=PRI_TAIL)
+""")
 def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary Jaccard matrix (operators/text.
     source_vocab_overlap) — the corpus-overlap report curation teams
@@ -4915,7 +4915,7 @@ SELECT dots.g_a, dots.g_b, ca.n AS n_a, cb.n AS n_b,
             THEN round(dots.d / (na.s * nb.s), 6) END AS cosine
 FROM dots JOIN nrm na ON na.g = dots.g_a JOIN nrm nb ON nb.g = dots.g_b
 JOIN counts ca ON ca.g = dots.g_a JOIN counts cb ON cb.g = dots.g_b
-""", priority=PRI_TAIL)
+""")
 def q137_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids + pairwise centroid-cosine matrix
     (operators/similarity.centroid_cosine_matrix) — the embedding-space
@@ -4947,7 +4947,7 @@ SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(pos * ck) AS BIGINT) AS order_checksum,
        CAST(sum(n_chars) AS BIGINT) AS total_size
 FROM p GROUP BY shard_id
-""", priority=PRI_TAIL)
+""")
 def q138_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment + manifest (operators/
     relational.shard_assign/shard_manifest) — the global-shuffle-and-
@@ -4983,7 +4983,7 @@ SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
        min(x) AS x_min, max(x) AS x_max,
        min(y) AS y_min, max(y) AS y_max
 FROM f GROUP BY file_id
-""", priority=PRI_TAIL)
+""")
 def q139_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering layout + data-skipping audit
     (operators/relational.zorder_code/zorder_layout_audit) — the
@@ -5039,7 +5039,7 @@ SELECT length_bucket, batch_id,
        round(CAST(count(*) * max(n_pieces) - sum(n_pieces) AS DOUBLE)
              / (count(*) * max(n_pieces)), 6) AS pad_ratio
 FROM g GROUP BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q140_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch assembly + padding-waste audit (operators/
     text.length_bucketed_batches/batch_padding_report) — the
@@ -5071,7 +5071,7 @@ SELECT stratum, n_size, natural_share, mixture_weight,
        CAST(floor(1000000.0 * mixture_weight) AS BIGINT) AS expected_size,
        round(1000000.0 * mixture_weight / n_size, 6) AS oversample_factor
 FROM w
-""", priority=PRI_TAIL)
+""")
 def q141_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (operators/relational.
     temperature_mixture) — the mT5/XLM-R ``p_s ∝ n_s^α`` sampling rule
@@ -5127,7 +5127,7 @@ FROM (SELECT query_id, vec_id, adc_dist,
                                 ORDER BY adc_dist, vec_id) AS rank
       FROM adc)
 WHERE rank <= 10
-""", priority=PRI_TAIL)
+""")
 def q142_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (operators/
     similarity.pq_seed_codebook/pq_encode/pq_adc_topk; Jégou et al.
@@ -5168,7 +5168,7 @@ SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
        round(CAST(count(*) AS DOUBLE)
              / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
 FROM d GROUP BY status
-""", priority=PRI_TAIL)
+""")
 def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two corpus-build runs (operators/
     relational.snapshot_diff_summary) — the run-over-run regression
@@ -5228,7 +5228,7 @@ SELECT 'lineitem.l_partkey->part.p_partkey',
 FROM lineitem l
 LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
-""", priority=PRI_TAIL)
+""")
 def q144_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over the star schema (operators/
     relational.fk_audit) — the ingest-time FK health report
@@ -5319,7 +5319,7 @@ SELECT query_id, label AS pred_label, n_votes, sum_cosine FROM (
 """
 
 
-@register("q145_knn_classify", _knn_classify_oracle(), priority=PRI_TAIL)
+@register("q145_knn_classify", _knn_classify_oracle())
 def q145_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label transfer (operators/similarity.knn_classify) — the
     weak-labeling step of corpus curation: the even-id half of the
@@ -5362,7 +5362,7 @@ SELECT user_id_a, user_id_b, CAST(count(*) AS BIGINT) AS n_overlaps,
        round(CAST(sum(CAST(ov AS DECIMAL(18,6))) AS DOUBLE), 6)
          AS total_overlap_s
 FROM p GROUP BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q146_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join (operators/timeseries.
     interval_overlap_join) — the segment-alignment primitive the
@@ -5404,7 +5404,7 @@ SELECT from_state, to_state, n_transitions,
              / CAST(sum(n_transitions) OVER (PARTITION BY from_state)
                     AS DOUBLE), 6) AS prob
 FROM c
-""", priority=PRI_TAIL)
+""")
 def q147_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over the event stream
     (operators/timeseries.transition_matrix) — the navigation-flow
@@ -5434,7 +5434,7 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
              / count(*), 6) AS trimmed_mean
 FROM kept GROUP BY l_returnflag
-""", priority=PRI_TAIL)
+""")
 def q148_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric 10% trimmed mean per return flag (operators/stats.
     trimmed_mean) — the robust location estimate between the exact
@@ -5470,7 +5470,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
                   AS DOUBLE) / count(*), 6) AS oov_rate
 FROM toks LEFT JOIN vocab v USING (term)
 GROUP BY source
-""", priority=PRI_TAIL)
+""")
 def q149_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage / OOV audit (operators/text.vocab_top_k +
     oov_report) — the tokenizer-fit health metric: build the top-500
@@ -6645,8 +6645,8 @@ e AS (SELECT vec_id, label, i - 1 AS dim,
                   round(CAST(embedding[i] AS DOUBLE), 6) AS v
            FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i)),
 cent AS (SELECT label AS g, dim,
-                round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
-                      / count(*), 6) AS c
+                floor(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*) * 1000000.0 + 0.5) / 1000000.0 AS c
          FROM e GROUP BY 1, 2),
 cn AS (SELECT g, round(sqrt(CAST(sum(CAST(c*c AS DECIMAL(28,12)))
                                  AS DOUBLE)), 6) AS cn
@@ -6659,7 +6659,8 @@ d AS (SELECT e.vec_id, e.label, cent.g,
       FROM e JOIN cent ON cent.dim = e.dim GROUP BY 1, 2, 3),
 sc AS (SELECT d.vec_id, d.label, d.g,
               CASE WHEN vn.vn > 0 AND cn.cn > 0
-                   THEN round(d.d / (vn.vn * cn.cn), 6)
+                   THEN floor(d.d / (vn.vn * cn.cn) * 1000000.0 + 0.5)
+                        / 1000000.0
                    ELSE -1.0 END AS cos
        FROM d JOIN cn ON cn.g = d.g JOIN vn ON vn.vec_id = d.vec_id),
 pred AS (SELECT vec_id, label, g, cos FROM (
@@ -6979,17 +6980,21 @@ def q178_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Demoted entries keep their oracles and still run in check_parity + the
 # tail-parity pytest at sf0.001+sf0.01 and the sf0.1 full sweep.
 #
-# ROUND-9 ROTATION PLAN (apply once CORRECTNESS_r08 records q85-q98
-# green): promote tranche 2 — q99-q123 (25 remaining round-7-born
-# queries) plus the round-8-born pool (q124-q178, none driver-recorded
-# yet) — by switching their decorators to PRI_HEAD, demoting an equal
-# number of freshly-recorded multi-round-green head entries (candidates
-# by the established policy: q29, q31, q33, q34, q35, q36, q45, q46,
-# q47, q48, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-# q71, q72 — pick the longest driver-green first; the pool now exceeds
-# two tranches, so plan a third in round 10). Each move is a
-# one-argument edit; the boundary-tie guard and
-# tests/test_tail_query_parity.py enforce the invariants.
+# Round-9 rotation (EXECUTED): CORRECTNESS_r08 recorded the full head
+# (q29-q98 window) green, so the entire 50-entry head was demoted to
+# PRI_TAIL and tranche 2 — the 50 OLDEST never-driver-recorded queries
+# in registration order, q99_weighted_sample .. q149_vocab_oov — was
+# promoted to default PRI_HEAD. Demoted entries keep their oracles and
+# still run in check_parity + the tail-parity pytest at sf0.001+sf0.01
+# and the sf0.1 full sweep.
+#
+# ROUND-10 ROTATION PLAN (apply once CORRECTNESS_r09 records q99-q149
+# green): promote tranche 3 — the remaining never-recorded pool
+# (q150_bpe_merge_candidates .. q178_l_diversity, ~29 queries, plus any
+# round-9-born entries) — and demote an equal number of the freshly-
+# recorded q99-q149 heads. Each move is a one-argument edit; the
+# boundary-tie guard and tests/test_tail_query_parity.py enforce the
+# invariants.
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)
