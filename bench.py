@@ -74,9 +74,13 @@ def build_payloads(timings: dict[str, float],
     }
     # The compact map is a triage signal (BENCH_DETAIL.json keeps 3
     # decimals). Degrade gracefully as the registry grows: 1-decimal map
-    # -> integer-second map -> headline only. Typical real runs (most
-    # queries < 5 s) keep the 1-decimal map well past 150 entries; the
-    # integer fallback only engages for pathological timings.
+    # -> integer-second map -> SLOWEST-FIRST truncated integer map with
+    # an explicit q_omitted count -> headline only. Typical real runs
+    # (most queries < 5 s) keep the 1-decimal map well past 150 entries;
+    # the truncation rung (new in round 9 when the registry hit 172 and
+    # the envelope guard tripped, as designed) keeps the queries that
+    # MATTER for triage — the slow ones — visible at any future size,
+    # instead of shipping a map-less headline.
     for ndigits in (1, 0):
         compact["queries"] = {
             short_name(n): (round(t, 1) if ndigits else int(round(t)))
@@ -84,7 +88,18 @@ def build_payloads(timings: dict[str, float],
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= MAX_LINE:
             return detail, line
-    del compact["queries"]
+    items = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = len(items)
+    while keep > 0:
+        compact["queries"] = {short_name(n): int(round(t))
+                              for n, t in items[:keep]}
+        compact["q_omitted"] = len(items) - keep
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= MAX_LINE:
+            return detail, line
+        keep -= max(1, (len(line) - MAX_LINE) // 12)
+    compact.pop("queries", None)
+    compact.pop("q_omitted", None)
     line = json.dumps(compact, separators=(",", ":"))
     return detail, line
 

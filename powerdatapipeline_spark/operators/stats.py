@@ -929,3 +929,320 @@ def effective_sample_size(df: DataFrame, weight_col,
             .select(*keys, "n", "sum_w",
                     F.round(ess, 6).alias("ess"),
                     F.round(ess / F.col("n"), 6).alias("ess_ratio")))
+
+
+def _floor6(x) -> "F.Column":
+    """Engine-stable 6-decimal rounding: ``floor(x*1e6 + 0.5)/1e6``.
+
+    ``round(x, 6)`` is NOT cross-engine-stable on quotients: Spark
+    rounds the binary double's exact decimal expansion (BigDecimal
+    HALF_UP) while DuckDB rounds the scaled double ``x*1e6`` — a
+    quotient like ``0.616992/192 = 0.0032135`` (an EXACT half-tie,
+    found at sf0.1 in the r9 centroid parity sweep) lands on opposite
+    sides. floor/multiply/add are identical IEEE-754 ops everywhere,
+    so this formula gives bit-identical results by construction; the
+    SQL twin is ``floor(x * 1000000.0 + 0.5) / 1000000.0``. Half-ties
+    round toward +inf (not away from zero) — acceptable because both
+    engines agree, which is the only property parity needs."""
+    return (F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1_000_000.0))
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col,
+               keys: Sequence[str] = ()) -> DataFrame:
+    """ROC AUC of a score column against a binary label — the
+    threshold-free companion to the calibration audit (q172) and the
+    classification report (q176): a quality/relevance scorer that
+    gates a corpus is summarized by how often it ranks a random
+    positive above a random negative (the Mann–Whitney U statistic),
+    independent of any cut point.
+
+    Exact, in integers: collapse the corpus to one row per DISTINCT
+    score (map-side combined count of positives/negatives at each
+    score), order by score, and accumulate ``Σ_s np_s·(2·cum_neg_below
+    + nn_s)`` as BIGINT — ties contribute the conventional half credit
+    without ever materializing per-row ranks, so the only ordered pass
+    runs on the |distinct scores| frame, not the corpus (the
+    load_duration_curve discipline: the corpus shuffles once into
+    per-score partial counts; the window is a footnote-sized single
+    task). ``AUC = num/(2·NP·NN)`` — an exact integer ratio rounded
+    with the engine-stable floor formula. Returns ``(keys..., n_pos,
+    n_neg, n_scores, auc, gini)`` with ``gini = 2·AUC − 1`` derived
+    from the ROUNDED auc (dyadic, deterministic)."""
+    klist = list(keys)
+    lab = label_col if not isinstance(label_col, str) else \
+        F.col(label_col).cast("boolean")
+    per = (df.select(*[F.col(k) for k in klist],
+                     F.col(score_col).alias("__s"),
+                     lab.alias("__y"))
+           .groupBy(*klist, "__s")
+           .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0))
+                .cast("bigint").alias("np"),
+                F.sum(F.when(F.col("__y"), 0).otherwise(1))
+                .cast("bigint").alias("nn")))
+    w = (Window.partitionBy(*klist) if klist
+         else Window.partitionBy(F.lit(1))).orderBy("__s") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    per = per.withColumn("__cnb",
+                         F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    out = (per.groupBy(*klist)
+           .agg(F.sum("np").cast("bigint").alias("n_pos"),
+                F.sum("nn").cast("bigint").alias("n_neg"),
+                F.count("*").cast("bigint").alias("n_scores"),
+                F.sum(F.col("np") * (2 * F.col("__cnb") + F.col("nn")))
+                .cast("bigint").alias("__num")))
+    auc = _floor6(F.col("__num").cast("double")
+                  / (2.0 * F.col("n_pos") * F.col("n_neg")))
+    return (out.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select(*klist, "n_pos", "n_neg", "n_scores",
+                    auc.alias("auc"),
+                    (F.lit(2.0) * auc - F.lit(1.0)).alias("gini")))
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns — the
+    redundancy screen for metadata features (is ``source`` just
+    ``lang`` in disguise?) and the dependence audit behind stratified
+    sampling plans: MI = Σ p_xy·ln(p_xy/(p_x·p_y)), with marginal
+    entropies for normalization.
+
+    One groupBy(x, y) collapses the corpus to the contingency table
+    (map-side combined); marginals and totals derive from THAT frame
+    by window sums, never a second scan. Every ln argument is an exact
+    BIGINT ratio evaluated as one double quotient (``n_xy·N/(n_x·n_y)``
+    — engine-identical), each ln is 6-rounded, each term's product
+    with the exact p is 6-rounded into exact decimal, and the sums
+    fold partition-order-free (the PSI/JS discipline). Returns one
+    row: ``(n, x_levels, y_levels, h_x, h_y, mi, nmi)`` where ``nmi =
+    MI/min(H_x, H_y)`` (floor-rounded; NULL for a degenerate
+    single-level marginal)."""
+    ct = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+          .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+          .agg(F.count("*").cast("bigint").alias("nxy")))
+    wall = Window.partitionBy(F.lit(1))
+    ct = (ct.withColumn("nx", F.sum("nxy").over(
+              Window.partitionBy("__x")))
+          .withColumn("ny", F.sum("nxy").over(
+              Window.partitionBy("__y")))
+          .withColumn("ntot", F.sum("nxy").over(wall)))
+    nd = F.col("ntot").cast("double")
+    p_xy = F.col("nxy").cast("double") / nd
+    ratio = (F.col("nxy").cast("double") * nd
+             / (F.col("nx").cast("double") * F.col("ny").cast("double")))
+    # marginal-entropy terms must count each x (resp. y) level ONCE:
+    # mark one representative row per level (min partner — any
+    # deterministic pick works) and zero the term elsewhere
+    ct = (ct.withColumn("__is_x_rep",
+                        F.col("__y") == F.min("__y").over(
+                            Window.partitionBy("__x")))
+          .withColumn("__is_y_rep",
+                      F.col("__x") == F.min("__x").over(
+                          Window.partitionBy("__y"))))
+    mi_term = F.round(p_xy * F.round(F.log(ratio), 6), 6) \
+        .cast("decimal(28,12)")
+    hx_term = F.when(
+        F.col("__is_x_rep"),
+        F.round((F.col("nx") / nd) * -F.round(F.log(F.col("nx") / nd), 6),
+                6)).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    hy_term = F.when(
+        F.col("__is_y_rep"),
+        F.round((F.col("ny") / nd) * -F.round(F.log(F.col("ny") / nd), 6),
+                6)).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    agg = ct.agg(
+        F.first("ntot").cast("bigint").alias("n"),
+        F.count_distinct("__x").cast("bigint").alias("x_levels"),
+        F.count_distinct("__y").cast("bigint").alias("y_levels"),
+        F.round(F.sum(mi_term).cast("double"), 6).alias("mi"),
+        F.round(F.sum(hx_term).cast("double"), 6).alias("h_x"),
+        F.round(F.sum(hy_term).cast("double"), 6).alias("h_y"))
+    hmin = F.least(F.col("h_x"), F.col("h_y"))
+    return agg.select(
+        "n", "x_levels", "y_levels", "h_x", "h_y", "mi",
+        F.when(hmin > 0, _floor6(F.col("mi") / hmin)).alias("nmi"))
+
+
+def welch_ttest(df: DataFrame, value_col: str, group_col: str,
+                group_a, group_b) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the A/B mean
+    comparison that pairs with the Poisson-bootstrap CI (q153): did
+    segment A's metric move vs segment B, without assuming equal
+    variances or sizes?
+
+    All six moments (n, Σv, Σv² per side) accumulate in ONE
+    map-side-combined conditional aggregation — in EXACT INTEGER
+    micro-units, not decimal casts of double products: each value is
+    ``μ = floor(v·1e6 + 0.5)`` (a BIGINT, engine-stable by the explicit
+    floor rule) and the square sums ``μ²`` as DECIMAL(38,0), so Σv and
+    Σv² are exact rationals with NO double→decimal cast anywhere — the
+    cast of a ~1e9-magnitude double product to 12 fractional digits
+    asks for ~21 significant decimal digits, which Spark's BigDecimal
+    conversion and DuckDB's scaled cast resolve differently (q182
+    failed at exactly that seam during development; grouped_ols'
+    decimal-product pattern is only safe at small magnitudes). Means,
+    variances, t, and the Welch–Satterthwaite df then combine the
+    exact sums in a FIXED double expression (descaled by the exact
+    power-of-ten literals), floor-rounded at the end. Returns one row:
+    ``(n_a, n_b, mean_a, mean_b, var_a, var_b, t, df)``; a group with
+    < 2 rows raises at evaluation (variance undefined — loud, not
+    NULL). Precondition: |v| < ~9e12 so μ fits a BIGINT."""
+    v = F.round(F.col(value_col).cast("double"), 6)
+    mu = F.floor(v * F.lit(1_000_000.0) + F.lit(0.5))
+    g = F.col(group_col)
+    side = F.when(g == group_a, "a").when(g == group_b, "b")
+    base = (df.select(side.alias("__g"), mu.alias("__m"))
+            .where(F.col("__g").isNotNull() & F.col("__m").isNotNull())
+            .withColumn("__md", F.col("__m").cast("decimal(19,0)")))
+
+    def agg_side(s):
+        c = F.col("__g") == s
+        zero = F.lit(0).cast("decimal(19,0)")
+        return [F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+                .alias(f"n_{s}"),
+                F.sum(F.when(c, F.col("__md")).otherwise(zero))
+                .cast("decimal(38,0)").alias(f"s_{s}"),
+                F.sum(F.when(c, F.col("__md") * F.col("__md"))
+                      .otherwise(zero * zero)).cast("decimal(38,0)")
+                .alias(f"ss_{s}")]
+
+    out = base.agg(*agg_side("a"), *agg_side("b"))
+    guard = F.when(
+        (F.col("n_a") < 2) | (F.col("n_b") < 2),
+        F.raise_error(F.lit(
+            "welch_ttest: a group has < 2 non-null rows — variance "
+            "undefined")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # descale exact micro sums: Σv = S/1e6, Σv² = SS/1e12 — each a
+    # SINGLE double division of an exactly-converted decimal
+    sa = F.col("s_a").cast("double") / F.lit(1.0e6)
+    sb = F.col("s_b").cast("double") / F.lit(1.0e6)
+    ssa = F.col("ss_a").cast("double") / F.lit(1.0e12)
+    ssb = F.col("ss_b").cast("double") / F.lit(1.0e12)
+    va = (ssa - sa * sa / na) / (na - 1)
+    vb = (ssb - sb * sb / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dfree = (se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                           + (vb / nb) * (vb / nb) / (nb - 1))
+    return out.select(
+        F.coalesce(guard.cast("bigint"), F.col("n_a")).alias("n_a"),
+        "n_b",
+        _floor6(sa / na).alias("mean_a"), _floor6(sb / nb).alias("mean_b"),
+        _floor6(va).alias("var_a"), _floor6(vb).alias("var_b"),
+        _floor6(t).alias("t"), _floor6(dfree).alias("df"))
+
+
+def ks_test(df: DataFrame, value_col: str, group_col: str,
+            group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic — the distribution-
+    SHAPE companion to Welch's t (mean shift) and PSI (fixed-bin
+    drift): D = max |F_a(v) − F_b(v)| over the pooled sample, sensitive
+    to any difference — location, spread, or shape — without choosing
+    bins.
+
+    Exact, in integers: collapse both groups to per-DISTINCT-value
+    counts (one map-side-combined aggregate), one ordered cumulative
+    pass over that |distinct values| frame, and maximize
+    ``|cum_a·n_b − cum_b·n_a|`` as BIGINT — no doubles until the final
+    ratio (floor-rounded). The argmax value is published (smallest
+    value attaining D, a deterministic tie-break). Returns one row:
+    ``(n_a, n_b, n_values, d, d_at)``."""
+    v = F.round(F.col(value_col).cast("double"), 6)
+    g = F.col(group_col)
+    side = F.when(g == group_a, "a").when(g == group_b, "b")
+    per = (df.select(side.alias("__g"), v.alias("__v"))
+           .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+           .groupBy("__v")
+           .agg(F.sum(F.when(F.col("__g") == "a", 1).otherwise(0))
+                .cast("bigint").alias("ca"),
+                F.sum(F.when(F.col("__g") == "b", 1).otherwise(0))
+                .cast("bigint").alias("cb")))
+    w = Window.partitionBy(F.lit(1)).orderBy("__v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(1))
+    per = (per.withColumn("cuma", F.sum("ca").over(w))
+           .withColumn("cumb", F.sum("cb").over(w))
+           .withColumn("na", F.sum("ca").over(wall))
+           .withColumn("nb", F.sum("cb").over(wall)))
+    per = per.withColumn(
+        "dnum", F.abs(F.col("cuma") * F.col("nb")
+                      - F.col("cumb") * F.col("na")))
+    top = per.agg(F.max("dnum").alias("__dmax"))
+    out = (per.join(F.broadcast(top),
+                    per["dnum"] == top["__dmax"])
+           .agg(F.first("na").cast("bigint").alias("n_a"),
+                F.first("nb").cast("bigint").alias("n_b"),
+                F.min("__v").alias("d_at"),
+                F.first("__dmax").cast("bigint").alias("__dn")))
+    nvals = per.agg(F.count("*").cast("bigint").alias("n_values"))
+    d = _floor6(F.col("__dn").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")))
+    return (out.crossJoin(F.broadcast(nvals))
+            .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+            .select("n_a", "n_b", "n_values", d.alias("d"), "d_at"))
+
+
+def km_survival(df: DataFrame, duration_col: str, event_col,
+                keys: Sequence[str] = ()) -> DataFrame:
+    """Kaplan–Meier survival estimate — retention/churn over lifetimes
+    with right-censoring, the time-to-event summary the retention
+    cohort grid (q110) approximates with fixed buckets: subjects still
+    active at observation end are CENSORED (they leave the risk set
+    without counting as churn), which a naive per-bucket churn rate
+    silently gets wrong.
+
+    One groupBy(duration) collapses subjects to per-distinct-time
+    (events, censored) counts; the at-risk set is a DESCENDING
+    cumulative sum over that tiny frame (n_risk(t) = Σ_{u≥t} counts —
+    no per-subject window); survival is the running product
+    Π(1 − d/n_risk), accumulated in LOG space: each ln factor is
+    6-rounded, the cumulative sum folds in exact decimal
+    (partition-order-free), and ``survival = exp(log_survival)``
+    floor-rounded (exp of an identical double — both engines' libm
+    agree to the ulp at the magnitudes here; log_survival is the
+    deterministic contract column). Returns one row per EVENT time
+    (censoring-only times fold into the risk set but emit no row):
+    ``(keys..., t, n_risk, n_events, n_censored, log_survival,
+    survival)``."""
+    klist = list(keys)
+    ev = event_col if not isinstance(event_col, str) else \
+        F.col(event_col).cast("boolean")
+    per = (df.select(*[F.col(k) for k in klist],
+                     F.col(duration_col).cast("bigint").alias("t"),
+                     ev.alias("__e"))
+           .groupBy(*klist, "t")
+           .agg(F.sum(F.when(F.col("__e"), 1).otherwise(0))
+                .cast("bigint").alias("n_events"),
+                F.sum(F.when(F.col("__e"), 0).otherwise(1))
+                .cast("bigint").alias("n_censored")))
+    wdesc = (Window.partitionBy(*klist) if klist
+             else Window.partitionBy(F.lit(1))).orderBy(F.col("t").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    per = per.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(wdesc))
+    # a time where EVERY remaining at-risk subject has the event is the
+    # terminal point: its factor is 0 (ln undefined), survival hits
+    # exactly 0 there. It can only be the LAST time (n_risk counts all
+    # subjects with duration >= t). Publish it with survival = 0.0 and
+    # log_survival NULL instead of dropping it (a silently missing
+    # curve end) or feeding -inf into the cumsum.
+    lnf = F.round(F.log(F.lit(1.0) - F.col("n_events").cast("double")
+                        / F.col("n_risk")), 6)
+    per = per.withColumn(
+        "__lnf",
+        F.when((F.col("n_events") > 0)
+               & (F.col("n_events") < F.col("n_risk")), lnf)
+        .otherwise(F.lit(0.0)).cast("decimal(28,12)"))
+    wasc = (Window.partitionBy(*klist) if klist
+            else Window.partitionBy(F.lit(1))).orderBy("t") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    per = (per.withColumn("__ls", F.sum("__lnf").over(wasc).cast("double"))
+           .withColumn("__dead",
+                       F.max(F.when(F.col("n_events") == F.col("n_risk"),
+                                    1).otherwise(0)).over(wasc)))
+    return (per.where(F.col("n_events") > 0)
+            .select(*klist, "t", "n_risk", "n_events", "n_censored",
+                    F.when(F.col("__dead") == 0, F.round(F.col("__ls"), 6))
+                    .alias("log_survival"),
+                    F.when(F.col("__dead") == 1, F.lit(0.0))
+                    .otherwise(_floor6(F.exp(F.col("__ls"))))
+                    .alias("survival")))

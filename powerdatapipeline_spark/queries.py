@@ -6972,6 +6972,304 @@ def q178_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 l=3)
 
 
+
+@register("q179_roc_auc", """
+WITH s AS (SELECT vec_id, (label >= 5) AS y,
+                  CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                                AS DECIMAL(28,12))) AS DOUBLE) / 64 AS score
+           FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i)
+           GROUP BY vec_id, label),
+per AS (SELECT score,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM s GROUP BY 1),
+cum AS (SELECT np, nn,
+               coalesce(sum(nn) OVER (ORDER BY score
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cnb
+        FROM per),
+agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CAST(count(*) AS BIGINT) AS n_scores,
+               CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS num
+        FROM cum)
+SELECT n_pos, n_neg, n_scores,
+       floor(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg)
+             * 1000000.0 + 0.5) / 1000000.0 AS auc,
+       2.0 * (floor(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg)
+                    * 1000000.0 + 0.5) / 1000000.0) - 1.0 AS gini
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+""", priority=PRI_TAIL)
+def q179_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a scalar embedding score against a binary label
+    (operators/stats.binary_auc — exact Mann-Whitney U in BIGINT over
+    the per-distinct-score frame): the threshold-free ranking-quality
+    companion to calibration (q172) and the confusion report (q176).
+    Score = mean embedding component (decimal-exact sum, power-of-two
+    divide — bit-identical across engines); label = upper half of the
+    class ids. Ties get the conventional half credit without per-row
+    ranks: the only ordered pass runs on |distinct scores| rows, never
+    the corpus."""
+    from powerdatapipeline_spark.operators import stats as st
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = (emb.select("vec_id", "label",
+                         F.posexplode("embedding").alias("dim", "v"))
+              .groupBy("vec_id", "label")
+              .agg((F.sum(F.round(F.col("v").cast("double"), 6)
+                          .cast("decimal(28,12)")).cast("double")
+                    / F.lit(64)).alias("score")))
+    return st.binary_auc(scored, "score", F.col("label") >= 5)
+
+
+@register("q180_mutual_information", """
+WITH ct AS (SELECT lang AS x, source AS y,
+                   CAST(count(*) AS BIGINT) AS nxy
+            FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM ct),
+mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM ct GROUP BY 1),
+my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM ct GROUP BY 1),
+mi AS (SELECT CAST(sum(CAST(round(
+                (CAST(nxy AS DOUBLE) / n)
+                * round(ln(CAST(nxy AS DOUBLE) * n
+                           / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 6),
+                6) AS DECIMAL(28,12))) AS DOUBLE) AS mi
+       FROM ct JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+hx AS (SELECT CAST(sum(CAST(round(
+                (CAST(nx AS DOUBLE) / n)
+                * -round(ln(CAST(nx AS DOUBLE) / n), 6), 6)
+              AS DECIMAL(28,12))) AS DOUBLE) AS h_x
+       FROM mx CROSS JOIN tot),
+hy AS (SELECT CAST(sum(CAST(round(
+                (CAST(ny AS DOUBLE) / n)
+                * -round(ln(CAST(ny AS DOUBLE) / n), 6), 6)
+              AS DECIMAL(28,12))) AS DOUBLE) AS h_y
+       FROM my CROSS JOIN tot)
+SELECT n, (SELECT CAST(count(*) AS BIGINT) FROM mx) AS x_levels,
+       (SELECT CAST(count(*) AS BIGINT) FROM my) AS y_levels,
+       round(h_x, 6) AS h_x, round(h_y, 6) AS h_y,
+       round(mi, 6) AS mi,
+       CASE WHEN least(round(h_x, 6), round(h_y, 6)) > 0
+            THEN floor(round(mi, 6)
+                       / least(round(h_x, 6), round(h_y, 6))
+                       * 1000000.0 + 0.5) / 1000000.0
+            END AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+""", priority=PRI_TAIL)
+def q180_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source
+    (operators/stats.mutual_information) — the metadata-redundancy
+    screen behind stratified sampling plans: is ``source`` just
+    ``lang`` in disguise? One groupBy collapses the corpus to the
+    contingency table; marginals, entropies, MI, and normalized MI all
+    derive from that frame with 6-rounded ln terms folded in exact
+    decimal (the PSI/JS discipline) — the oracle recomputes every term
+    from the same BIGINT counts."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.mutual_information(_t(spark, sf_dir, "documents"),
+                                 "lang", "source")
+
+
+@register("q181_km_survival", """
+WITH span AS (SELECT max(ts) AS tmax FROM events),
+life AS (SELECT user_id,
+                floor((epoch_us(max(ts)) - epoch_us(min(ts)))
+                      / 1000000.0) AS t,
+                (max(ts) < (SELECT tmax FROM span) - INTERVAL 1 DAY)
+                  AS churned
+         FROM events GROUP BY user_id),
+per AS (SELECT CAST(t AS BIGINT) AS t,
+               CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_censored
+        FROM life GROUP BY 1),
+risk AS (SELECT *, sum(n_events + n_censored)
+                     OVER (ORDER BY t DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS n_risk
+         FROM per),
+lnf AS (SELECT *, CAST(CASE WHEN n_events > 0 AND n_events < n_risk
+                            THEN round(ln(1.0 - CAST(n_events AS DOUBLE)
+                                          / n_risk), 6)
+                            ELSE 0.0 END AS DECIMAL(28,12)) AS lf
+        FROM risk),
+cum AS (SELECT *,
+               CAST(sum(lf) OVER (ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS DOUBLE) AS ls,
+               max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS dead
+        FROM lnf)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+       CASE WHEN dead = 0 THEN round(ls, 6) END AS log_survival,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE floor(exp(ls) * 1000000.0 + 0.5) / 1000000.0
+            END AS survival
+FROM cum WHERE n_events > 0 ORDER BY t
+""", priority=PRI_TAIL)
+def q181_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention curve over event-stream lifetimes
+    (operators/stats.km_survival): lifetime = last minus first event
+    in whole seconds (explicit floor on the microsecond delta — the
+    engine-portable integer rule); a user still active within one day
+    of the stream's end is CENSORED, leaving the risk set without
+    counting as churn — the error the fixed-bucket retention grid
+    (q110) cannot express. Survival accumulates in log space (6-rounded
+    ln factors, decimal-exact cumsum); a terminal all-events time
+    publishes survival exactly 0 with NULL log."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("tmax"))
+    life = (ev.crossJoin(F.broadcast(span))
+            .groupBy("user_id")
+            .agg(F.floor((F.unix_micros(F.max("ts"))
+                          - F.unix_micros(F.min("ts")))
+                         / F.lit(1_000_000.0)).cast("bigint").alias("t"),
+                 (F.max("ts") < F.first("tmax")
+                  - F.expr("INTERVAL 1 DAY")).alias("churned")))
+    return st.km_survival(life, "t", "churned")
+
+
+@register("q182_welch_ttest", """
+WITH base AS (SELECT CASE WHEN l_returnflag = 'A' THEN 'a'
+                          WHEN l_returnflag = 'R' THEN 'b' END AS g,
+                     CAST(floor(round(CAST(l_extendedprice AS DOUBLE), 6)
+                                * 1000000.0 + 0.5) AS DECIMAL(19,0)) AS mu
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'R')
+                AND l_extendedprice IS NOT NULL),
+m AS (SELECT CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(CAST(sum(CASE WHEN g = 'a' THEN mu
+                           ELSE CAST(0 AS DECIMAL(19,0)) END)
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS sa,
+             CAST(CAST(sum(CASE WHEN g = 'b' THEN mu
+                           ELSE CAST(0 AS DECIMAL(19,0)) END)
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000.0 AS sb,
+             CAST(CAST(sum(CASE WHEN g = 'a' THEN mu * mu
+                           ELSE CAST(0 AS DECIMAL(38,0)) END)
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0
+               AS ssa,
+             CAST(CAST(sum(CASE WHEN g = 'b' THEN mu * mu
+                           ELSE CAST(0 AS DECIMAL(38,0)) END)
+                       AS DECIMAL(38,0)) AS DOUBLE) / 1000000000000.0
+               AS ssb
+      FROM base),
+x AS (SELECT n_a, n_b, sa, sb,
+             (ssa - sa * sa / n_a) / (n_a - 1) AS va,
+             (ssb - sb * sb / n_b) / (n_b - 1) AS vb
+      FROM m),
+y AS (SELECT *, va / n_a + vb / n_b AS se2 FROM x)
+SELECT n_a, n_b,
+       floor(sa / n_a * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+       floor(sb / n_b * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+       floor(va * 1000000.0 + 0.5) / 1000000.0 AS var_a,
+       floor(vb * 1000000.0 + 0.5) / 1000000.0 AS var_b,
+       floor((sa / n_a - sb / n_b) / sqrt(se2)
+             * 1000000.0 + 0.5) / 1000000.0 AS t,
+       floor((se2 * se2) / ((va / n_a) * (va / n_a) / (n_a - 1)
+                            + (vb / n_b) * (vb / n_b) / (n_b - 1))
+             * 1000000.0 + 0.5) / 1000000.0 AS df
+FROM y
+""", priority=PRI_TAIL)
+def q182_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between returned ('A') and
+    refused ('R') lineitem prices (operators/stats.welch_ttest) — the
+    A/B mean comparison beside the Poisson-bootstrap CI (q153). All
+    six moments accumulate in ONE map-side-combined conditional
+    aggregation in exact decimal; t and the Welch-Satterthwaite df
+    combine those sums in a fixed double expression the oracle
+    replays term-for-term, floor-rounded at the end."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.welch_ttest(_t(spark, sf_dir, "lineitem"),
+                          "l_extendedprice", "l_returnflag", "A", "R")
+
+
+@register("q183_ks_test", """
+WITH base AS (SELECT CASE WHEN l_returnflag = 'A' THEN 'a'
+                          WHEN l_returnflag = 'R' THEN 'b' END AS g,
+                     round(CAST(l_extendedprice AS DOUBLE), 6) AS v
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'R')
+                AND l_extendedprice IS NOT NULL),
+per AS (SELECT v,
+               CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+        FROM base GROUP BY 1),
+cum AS (SELECT v,
+               sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cuma,
+               sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumb,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM per),
+d AS (SELECT v, abs(cuma * nb - cumb * na) AS dnum, na, nb FROM cum),
+mx AS (SELECT max(dnum) AS dmax FROM d),
+hit AS (SELECT CAST(min(na) AS BIGINT) AS n_a,
+               CAST(min(nb) AS BIGINT) AS n_b,
+               min(v) AS d_at,
+               CAST(min(dnum) AS BIGINT) AS dn
+        FROM d JOIN mx ON d.dnum = mx.dmax),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_values FROM d)
+SELECT n_a, n_b, n_values,
+       floor(CAST(dn AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+             * 1000000.0 + 0.5) / 1000000.0 AS d,
+       d_at
+FROM hit CROSS JOIN nv WHERE n_a > 0 AND n_b > 0
+""", priority=PRI_TAIL)
+def q183_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between returned and refused
+    lineitem price distributions (operators/stats.ks_test) — the
+    distribution-SHAPE drift companion to Welch's t (q182, mean only)
+    and PSI (q121, fixed bins): D = max |F_a - F_b| over the pooled
+    sample, exact in BIGINT cross-products until the single final
+    ratio. The ordered pass runs on the per-distinct-value frame; the
+    argmax value publishes with a smallest-value tie-break."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.ks_test(_t(spark, sf_dir, "lineitem"),
+                      "l_extendedprice", "l_returnflag", "A", "R")
+
+
+@register("q184_connected_components", """
+WITH multi AS (SELECT o_custkey FROM orders GROUP BY 1
+               HAVING count(*) >= 2),
+nodes AS (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_custkey IN (SELECT o_custkey FROM multi))
+SELECT n.o_orderkey AS node,
+       m.lbl AS label
+FROM nodes n JOIN (SELECT o_custkey, min(o_orderkey) AS lbl
+                   FROM nodes GROUP BY 1) m
+     ON m.o_custkey = n.o_custkey
+""", priority=PRI_TAIL)
+def q184_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over per-customer order chains
+    (operators/graph.connected_components — alternating
+    large-star/small-star, Kiveris et al. SoCC'14): consecutive orders
+    of one customer (by date, then key) form path edges, so components
+    are exactly one customer's order set and the ground truth is
+    independently derivable — the oracle computes min(orderkey) per
+    multi-order customer with NO graph traversal at all, making this a
+    true black-box check of the O(log n) star contraction (path graphs
+    are the min-label flood's worst case: diameter rounds vs ~5 here).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    chains = (o.select("o_custkey", "o_orderkey",
+                       F.lag("o_orderkey").over(w).alias("prev"))
+              .where(F.col("prev").isNotNull()))
+    edges = chains.select(F.col("prev").alias("src"),
+                          F.col("o_orderkey").alias("dst"))
+    return gr.connected_components(edges)
+
+
 # Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so
 # tranche 1 of the round-7-born pool — q85-q98 (14 queries, tail-parity
 # pinned since birth) — was promoted to default PRI_HEAD and the 14
@@ -6988,11 +7286,11 @@ def q178_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still run in check_parity + the tail-parity pytest at sf0.001+sf0.01
 # and the sf0.1 full sweep.
 #
-# ROUND-10 ROTATION PLAN (apply once CORRECTNESS_r09 records q99-q149
-# green): promote tranche 3 — the remaining never-recorded pool
-# (q150_bpe_merge_candidates .. q178_l_diversity, ~29 queries, plus any
-# round-9-born entries) — and demote an equal number of the freshly-
-# recorded q99-q149 heads. Each move is a one-argument edit; the
+# ROUND-10 ROTATION PLAN (apply once CORRECTNESS_r09 records the q99-q149
+# head green): promote tranche 3 — the remaining never-recorded pool
+# (q150_bpe_merge_candidates .. q178_l_diversity plus the late-registered
+# q125_binary_ingest and the round-9-born q179-q184, ~36 queries) — and
+# demote an equal number of the freshly-recorded q99-q149 heads. Each move is a one-argument edit; the
 # boundary-tie guard and tests/test_tail_query_parity.py enforce the
 # invariants.
 # ===========================================================================

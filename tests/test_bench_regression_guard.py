@@ -127,23 +127,44 @@ def test_bench_compact_line_always_fits_driver_capture():
     assert parsed["n_queries"] == len(REGISTRY) + 1
 
     # at the CURRENT registry size with typical sub-100 s timings the
-    # per-query map must still FIT the compact line — when registry
-    # growth trips this, widen the envelope deliberately (shorter keys /
-    # coarser rounding / MAX_LINE bump) instead of silently shipping a
-    # map-less headline every round
+    # per-query map must still be PRESENT in the compact line (full or
+    # slowest-first truncated with an explicit q_omitted count) — the
+    # map-less headline is reserved for pathological headline bloat
     typical = {n: 99.99 for n in REGISTRY}
     typical["flagship"] = 99.99
     _, tline = bench.build_payloads(typical, 0.1)
     assert len(tline) <= bench.MAX_LINE
-    assert "queries" in json.loads(tline), (
+    tparsed = json.loads(tline)
+    assert "queries" in tparsed, (
         f"registry ({len(REGISTRY)} entries) has outgrown the compact "
         "per-query map — widen the bench envelope deliberately")
+    assert len(tparsed["queries"]) + tparsed.get("q_omitted", 0) \
+        == len(REGISTRY) + 1
 
-    # pathological future growth: headline survives, map is dropped
-    big = {f"q{i:03d}_very_long_query_name_{i}": 1.5 for i in range(400)}
+    # REALISTIC timings (mostly sub-10 s) at the current size keep the
+    # FULL map — truncation should only engage for uniform-slow runs
+    realistic = {n: (9.5 if i % 10 == 0 else 0.8)
+                 for i, n in enumerate(REGISTRY)}
+    realistic["flagship"] = 1.2
+    _, rline = bench.build_payloads(realistic, 0.1)
+    rparsed = json.loads(rline)
+    assert len(rline) <= bench.MAX_LINE
+    assert rparsed.get("q_omitted", 0) == 0
+    assert len(rparsed["queries"]) == len(REGISTRY) + 1
+
+    # pathological future growth: the slowest entries stay visible, the
+    # omission is explicit, and the line still fits
+    big = {f"q{i:03d}_very_long_query_name_{i}": float(i % 37)
+           for i in range(400)}
     _, line2 = bench.build_payloads(big, 0.1)
     assert len(line2) <= bench.MAX_LINE
-    assert "queries" not in json.loads(line2)
+    p2 = json.loads(line2)
+    assert "queries" in p2 and p2["q_omitted"] > 0
+    assert len(p2["queries"]) + p2["q_omitted"] == 400
+    # the kept entries are exactly a slowest-first slice
+    kept_min = min(p2["queries"].values())
+    boundary = sorted(big.values(), reverse=True)[len(p2["queries"]) - 1]
+    assert kept_min >= int(round(boundary))
 
 
 def test_repeat_takes_per_query_minimums(monkeypatch, tmp_path):

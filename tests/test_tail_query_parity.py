@@ -86,13 +86,22 @@ def test_head_is_exactly_the_top_50_by_priority():
     assert PRI_HEAD > PRI_TAIL
 
 
-def test_round7_rotation_records_q75_to_q84():
-    """Round-7 rotation (VERDICT r6 #2): the ten round-6-born queries must
-    sit inside the driver's recorded window for their first driver rows."""
+def test_round9_rotation_head_is_never_recorded_tranche():
+    """Round-9 rotation: after CORRECTNESS_r08 recorded the whole q29-q98
+    window green, the head is exactly the 50 OLDEST never-driver-recorded
+    queries (q99_weighted_sample .. q149_vocab_oov in registration
+    order) so each gets its first driver record this round. (The round-7
+    pin on q75-q84 is superseded — those are multi-round driver-green
+    and demoted to the tail, where this module still strict-compares
+    them.)"""
     head = set(list(REGISTRY)[:SNAPSHOT_CAP])
+    # q125_binary_ingest carries a q1xx number but was REGISTERED after
+    # q156, so by the oldest-first-by-registration policy it waits for
+    # tranche 3 with q150+
     expected = {n for n in REGISTRY
-                if n.split("_")[0] in {f"q{i}" for i in range(75, 85)}}
-    assert len(expected) == 10 and expected <= head
+                if n.split("_")[0] in {f"q{i}" for i in range(99, 150)}}
+    expected -= {"q125_binary_ingest"}
+    assert len(expected) == 50 and expected == head
 
 
 def test_head_is_at_most_fifty_and_oracle_paired():

@@ -9,6 +9,8 @@ from __future__ import annotations
 import re
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, ".")
 
 from powerdatapipeline_spark.queries import REGISTRY  # noqa: E402
@@ -120,6 +122,13 @@ SCALAR_BROADCAST_INTENDED = {
     # round 8g: q177's corpus digit total is a 1-row frame cross-joined
     # onto the 9-row digit counts (stats.py benford_audit `total`)
     "q177_benford_audit",
+    # round 9: q181's censoring horizon is the 1-row global-max-ts frame
+    # cross-joined onto the event scan (queries.py q181 `span`)
+    "q181_km_survival",
+    # round 9: q183 combines the 1-row max-D frame with the per-value
+    # cumulative frame, then the 1-row n_values frame — two scalar
+    # broadcasts around an exact-integer argmax (stats.py ks_test)
+    "q183_ks_test",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
@@ -178,6 +187,37 @@ def _streaming_variants(spark, sf):
     }
 
 
+def _iterative_variants(spark, sf):
+    """ONE-ALTERNATION frames for convergence-loop queries: their
+    builders run driver-side convergence checks (collect per round), and
+    with localCheckpoint no-op'd (above) the unrolled lineage doubles per
+    round — q184 OOM'd plan ANALYSIS that way. The audited unit is one
+    large-star + small-star alternation plus the label projection — the
+    exact per-round shape the loop repeats, which is what a plan audit
+    can meaningfully certify about an iterative operator (same rationale
+    as auditing pagerank's statically-unrolled rounds)."""
+    from pyspark.sql import Window as W
+
+    from powerdatapipeline_spark.operators.graph import (
+        _cc_canonical, _cc_large_star, _cc_small_star)
+    from powerdatapipeline_spark.queries import _t
+
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chains = (o.select("o_custkey", "o_orderkey",
+                       F.lag("o_orderkey").over(w).alias("prev"))
+              .where(F.col("prev").isNotNull()))
+    edges = chains.select(F.col("prev").alias("src"),
+                          F.col("o_orderkey").alias("dst"))
+    one_round = _cc_small_star(_cc_large_star(_cc_canonical(edges)))
+    labels = (one_round.select(F.col("v").alias("node"),
+                               F.col("u").alias("label"))
+              .union(one_round.select(F.col("u").alias("node"),
+                                      F.col("u").alias("label")))
+              .groupBy("node").agg(F.min("label").alias("label")))
+    return {"q184_connected_components": labels}
+
+
 def plan_summary(df) -> tuple[list[str], list[str], list[str]]:
     txt = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -203,6 +243,8 @@ def main() -> None:
            "CartesianProduct anywhere (the two quadratic red flags).", ""]
     n_flags = 0
     streaming_lazy = _streaming_variants(spark, SF)
+    iterative_lazy = _iterative_variants(spark, SF)
+    streaming_lazy.update(iterative_lazy)
     items = list(REGISTRY.items()) + [("flagship_entry", (lambda s, d: flagship(s, d), None))]
     for name, (fn, _oracle) in items:
         if name in streaming_lazy:
