@@ -97,7 +97,12 @@ def build_payloads(timings: dict[str, float],
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= MAX_LINE:
             return detail, line
-        keep -= max(1, (len(line) - MAX_LINE) // 12)
+        if keep == 1:  # explicit smallest-map attempt failed — give up
+            break
+        # clamp: the estimated decrement must not overshoot past small
+        # feasible sizes straight to <= 0 (round-9 ADVICE) — a 1-2 entry
+        # map may still fit where the full map did not
+        keep = max(1, keep - max(1, (len(line) - MAX_LINE) // 12))
     compact.pop("queries", None)
     compact.pop("q_omitted", None)
     line = json.dumps(compact, separators=(",", ":"))

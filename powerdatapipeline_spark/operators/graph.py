@@ -182,8 +182,11 @@ def triangle_count(edges: DataFrame, src: str = "src",
 def _cc_canonical(edges: DataFrame, src: str = "src",
                   dst: str = "dst") -> DataFrame:
     """Canonical undirected distinct edge set for star contraction.
-    Self-loop-only nodes keep their (u,u) row dropped here but reappear
-    from the nodes frame; see :func:`connected_components`."""
+    Self-loop (u,u) rows SURVIVE this canonicalization (least = greatest
+    = u) and are eliminated by the first large-star half-round's
+    ``v > u`` orientation; self-loop-only nodes then reappear as
+    singletons from the nodes frame — see :func:`connected_components`
+    and the self-loop pytest."""
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
     return (e.select(F.least("u", "v").alias("u"),
@@ -243,8 +246,8 @@ def connected_components(edges: DataFrame, src: str = "src",
     groupBy(min) + one equi-join (two shuffles keyed by node id — no
     inequality joins, the skewed hub's neighborhood reduces map-side);
     lineage is cut per round with an eager localCheckpoint and
-    convergence is an exact edge-set checksum (count + XOR of edge
-    hashes — order-free), with ``max_iter`` exhaustion RAISING rather
+    convergence is an exact edge-set checksum (count + SUM of xxhash64
+    edge hashes — order-free), with ``max_iter`` exhaustion RAISING rather
     than returning a partial labeling. Returns ``(node, label)`` for
     every node incident to an edge, labeled by its component's minimum
     id (self-loops contribute their node; fully isolated nodes never

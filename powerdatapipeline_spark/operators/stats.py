@@ -975,6 +975,12 @@ def binary_auc(df: DataFrame, score_col: str, label_col,
     per = (df.select(*[F.col(k) for k in klist],
                      F.col(score_col).alias("__s"),
                      lab.alias("__y"))
+           # NULL contract (round-9 ADVICE): rows with a NULL score or
+           # label are excluded, mirroring welch_ttest/ks_test — a NULL
+           # label would otherwise silently count as negative, and a
+           # NULL score bucket sorts NULLS FIRST in Spark but NULLS
+           # LAST in DuckDB, breaking oracle parity on nullable inputs
+           .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
            .groupBy(*klist, "__s")
            .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0))
                 .cast("bigint").alias("np"),
@@ -1123,12 +1129,20 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str,
     t = (sa / na - sb / nb) / F.sqrt(se2)
     dfree = (se2 * se2) / ((va / na) * (va / na) / (na - 1)
                            + (vb / nb) * (vb / nb) / (nb - 1))
+    # the guard threads through EVERY output column (round-9 ADVICE): a
+    # consumer projecting any subset still trips the loud error —
+    # attached only to n_a, column pruning would optimize it away and
+    # t/var would degrade to NULL/Inf silently
+    def g(expr, typ="double"):
+        return F.coalesce(guard.cast(typ), expr)
+
     return out.select(
-        F.coalesce(guard.cast("bigint"), F.col("n_a")).alias("n_a"),
-        "n_b",
-        _floor6(sa / na).alias("mean_a"), _floor6(sb / nb).alias("mean_b"),
-        _floor6(va).alias("var_a"), _floor6(vb).alias("var_b"),
-        _floor6(t).alias("t"), _floor6(dfree).alias("df"))
+        g(F.col("n_a"), "bigint").alias("n_a"),
+        g(F.col("n_b"), "bigint").alias("n_b"),
+        g(_floor6(sa / na)).alias("mean_a"),
+        g(_floor6(sb / nb)).alias("mean_b"),
+        g(_floor6(va)).alias("var_a"), g(_floor6(vb)).alias("var_b"),
+        g(_floor6(t)).alias("t"), g(_floor6(dfree)).alias("df"))
 
 
 def ks_test(df: DataFrame, value_col: str, group_col: str,
@@ -1209,6 +1223,10 @@ def km_survival(df: DataFrame, duration_col: str, event_col,
     per = (df.select(*[F.col(k) for k in klist],
                      F.col(duration_col).cast("bigint").alias("t"),
                      ev.alias("__e"))
+           # NULL contract (round-9 ADVICE): a NULL duration would emit
+           # a t=NULL curve row and a NULL event flag would silently
+           # count as censored — exclude both, mirroring welch_ttest
+           .where(F.col("t").isNotNull() & F.col("__e").isNotNull())
            .groupBy(*klist, "t")
            .agg(F.sum(F.when(F.col("__e"), 1).otherwise(0))
                 .cast("bigint").alias("n_events"),

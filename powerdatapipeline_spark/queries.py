@@ -3890,7 +3890,7 @@ SELECT top.term, CAST(top.c AS BIGINT) AS exact_count,
        CAST(est.est AS BIGINT) AS cms_estimate,
        est.est >= top.c AS no_underestimate
 FROM top JOIN est USING (term)
-""")
+""", priority=PRI_TAIL)
 def q113_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimates for the corpus' top-20 terms
     (operators/stats.cms_build/cms_estimate): the mergeable
@@ -3954,7 +3954,7 @@ SELECT * FROM (
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY qscore DESC, vec_id ASC) AS INT) AS rank
   FROM s) WHERE rank <= 10
-""")
+""", priority=PRI_TAIL)
 def q114_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized similarity top-k
     (operators/similarity.int8_topk): the 4× embedding-compression path
@@ -3976,7 +3976,7 @@ SELECT CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT))
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
        TRUE AS within_contract
 FROM events
-""")
+""", priority=PRI_TAIL)
 def q115_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch COLUMNS (Spark's Datasketches
     ``hll_sketch_agg`` / ``hll_union_agg``): distinct users per day as
@@ -4026,7 +4026,7 @@ SELECT user_id, n_readings,
        round(CASE WHEN span > 0 THEN COALESCE(intg, 0.0) / span END, 6)
          AS time_weighted_avg
 FROM a
-""")
+""", priority=PRI_TAIL)
 def q116_energy_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trapezoidal time integral + time-weighted average per user series
     (operators/timeseries.energy_integral) — THE power-domain primitive:
@@ -4060,7 +4060,7 @@ SELECT a.event_type, a.bucket, a.n_readings,
        round(CASE WHEN a.mn <> 0 THEN a.pk / a.mn END, 6) AS peak_to_avg,
        p.peak_ts AS peak_ts_seconds
 FROM a JOIN p USING (event_type, bucket)
-""")
+""", priority=PRI_TAIL)
 def q117_peak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily peak-demand statistics per series
     (operators/timeseries.peak_analysis): peak load, decimal-exact mean
@@ -4089,7 +4089,7 @@ f(i, d) AS (VALUES {', '.join(
 SELECT a.event_type, a.n_readings,
        f.d AS duration_frac, round(a.qs[f.i], 6) AS load
 FROM a CROSS JOIN f
-""")
+""", priority=PRI_TAIL)
 def q118_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load-duration curve per series
     (operators/timeseries.load_duration_curve) — the sorted-load-vs-time
@@ -4123,7 +4123,7 @@ SELECT event_type, n_readings, n_gaps, missing_ticks,
                   THEN n_readings / (round(span / 60.0e0, 0) + 1)
                   ELSE 1.0 END, 6) AS completeness
 FROM a
-""")
+""", priority=PRI_TAIL)
 def q119_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series cadence-gap report (operators/timeseries.gap_report) —
     the observability twin of q16's interval AUDIT (which asserts):
@@ -4157,7 +4157,7 @@ c AS (SELECT event_id, event_type,
 SELECT event_id, event_type, round(cs, 6) AS cusum,
        abs(round(cs, 6)) > 5.0e0 * sqrt(CAST(i AS DOUBLE)) AS is_shift
 FROM c
-""")
+""", priority=PRI_TAIL)
 def q120_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM level-shift detection per series
     (operators/timeseries.cusum_changepoints): the running sum of
@@ -4215,7 +4215,7 @@ SELECT event_type, CAST(max(nr) AS BIGINT) AS n_ref,
        CAST(max(nc) AS BIGINT) AS n_cur,
        round(CAST(sum(term) AS DOUBLE), 6) AS psi
 FROM terms GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q121_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift report
     (operators/stats.psi_drift): the standard training-data / feature
@@ -4254,7 +4254,7 @@ s AS (SELECT event_type, value,
       FROM b)
 SELECT event_type, min(value) AS weighted_median
 FROM s WHERE cum >= 0.5e0 * tot GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q122_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duration-weighted median load per series
     (operators/stats.weighted_percentile): each reading weighted by its
@@ -4288,7 +4288,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
        CAST(min(n) AS BIGINT) AS min_group_size,
        sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) = 0 AS k_anonymous
 FROM g
-""")
+""", priority=PRI_TAIL)
 def q123_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release audit over the corpus quasi-identifiers
     (operators/stats.k_anonymity_audit, k=10 on (source, lang)): every
@@ -4354,7 +4354,7 @@ SELECT t.doc_id,
                          THEN t.t[pos] END),
            x -> x IS NOT NULL), ' '), '') AS clean_text
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
-""")
+""", priority=PRI_TAIL)
 def q126_exact_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring dedup at token granularity (operators/text.
     remove_repeated_substrings_exact) — the suffix-array-equivalent
@@ -4404,7 +4404,7 @@ dropped AS (
 SELECT b1.vec_id, b1.cell_id, b1.cent_sim,
        d.vec_id IS NULL AS is_kept
 FROM b1 LEFT JOIN dropped d ON d.vec_id = b1.vec_id
-""")
+""", priority=PRI_TAIL)
 def q127_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — SEMANTIC deduplication (operators/dedup.semdedup; Abbas
     et al. 2023): k-means-style cell assignment (deterministic seed
@@ -4437,7 +4437,7 @@ FROM events e
 LEFT JOIN (SELECT c_custkey, c_name, c_nationkey FROM customer
            WHERE c_acctbal >= 500.0) c
   ON c.c_custkey = e.user_id
-""")
+""", priority=PRI_TAIL)
 def q124_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCTURED STREAMING stream-static dimension enrichment
     (streaming/pipeline.stream_static_enrich — the round-7 operator that
@@ -4502,7 +4502,7 @@ JOIN (SELECT DISTINCT gh, doc_id FROM sh WHERE split = 'test') b
   ON s.gh = b.gh
 WHERE s.split = 'train'
 GROUP BY s.doc_id
-""")
+""", priority=PRI_TAIL)
 def q128_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test SPLIT-LEAKAGE audit — q75's decontamination rule turned
     on the pipeline's own split (operators/relational.hash_split +
@@ -4549,7 +4549,7 @@ rebuilt AS (
   FROM surviving)
 SELECT user_id, bal, valid_from, valid_to, valid_to IS NULL AS is_current
 FROM rebuilt
-""")
+""", priority=PRI_TAIL)
 def q129_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension TYPE 2 merge (operators/relational.
     scd2_merge — the dimension-MAINTENANCE half of the star-join story;
@@ -4616,7 +4616,7 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
          AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
          AND n_stopwords >= 2 AS passes
 FROM m
-""")
+""", priority=PRI_TAIL)
 def q130_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule battery (operators/text.gopher_quality_flags;
     Rae et al. 2021 App. A1.1) — the canonical hard-threshold doc filter
@@ -4667,7 +4667,7 @@ SELECT d.doc_id, coalesce(doc.n_tokens, 0) AS n_tokens,
        coalesce(rk.rn <= 100, FALSE) AS selected
 FROM documents d
 LEFT JOIN doc USING (doc_id) LEFT JOIN rk USING (doc_id)
-""")
+""", priority=PRI_TAIL)
 def q131_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/text.dsir_importance; Xie
     et al. 2023, arXiv:2302.03169) — score every document by the
@@ -4719,7 +4719,7 @@ SELECT d.doc_id, coalesce(b.topic, 'none') AS topic,
        coalesce(b.n_terms_hit, 0) AS n_terms_hit
 FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
   USING (doc_id)
-""")
+""", priority=PRI_TAIL)
 def q132_keyword_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-keyword domain router (operators/text.keyword_route) —
     the auditable topic classifier that mixture plans (q86) and token
@@ -4752,7 +4752,7 @@ SELECT d.doc_id, coalesce(pd.n_grams, 0) AS n_grams,
             THEN round(CAST(pd.n_novel AS DOUBLE) / pd.n_grams, 6)
        END AS novelty_frac
 FROM documents d LEFT JOIN pd USING (doc_id)
-""")
+""", priority=PRI_TAIL)
 def q133_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 8-gram novelty (operators/text.ngram_novelty) — the
     fraction of a document's distinct word 8-grams occurring in no other
@@ -4772,7 +4772,7 @@ SELECT date_trunc('day', ts) AS day, event_type,
        min(value) AS min_value, max(value) AS max_value
 FROM events
 GROUP BY 1, 2
-""")
+""", priority=PRI_TAIL)
 def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/relational.
     partial_rollup + merge_rollups): the event stream is split into three
@@ -4833,7 +4833,7 @@ r3 AS (SELECT e.dst AS node,
        FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
        CROSS JOIN n GROUP BY e.dst, n.nn)
 SELECT node, rank FROM r3
-""")
+""", priority=PRI_TAIL)
 def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 statically-unrolled iterations (operators/graph.
     pagerank) over the symmetrized customer↔supplier interaction graph
@@ -4880,7 +4880,7 @@ SELECT sa.g AS g_a, sb.g AS g_b, sa.n AS n_a, sb.n AS n_b,
              / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
 FROM sizes sa JOIN sizes sb ON sa.g < sb.g
 LEFT JOIN inter i ON i.g_a = sa.g AND i.g_b = sb.g
-""")
+""", priority=PRI_TAIL)
 def q136_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary Jaccard matrix (operators/text.
     source_vocab_overlap) — the corpus-overlap report curation teams
@@ -4915,7 +4915,7 @@ SELECT dots.g_a, dots.g_b, ca.n AS n_a, cb.n AS n_b,
             THEN round(dots.d / (na.s * nb.s), 6) END AS cosine
 FROM dots JOIN nrm na ON na.g = dots.g_a JOIN nrm nb ON nb.g = dots.g_b
 JOIN counts ca ON ca.g = dots.g_a JOIN counts cb ON cb.g = dots.g_b
-""")
+""", priority=PRI_TAIL)
 def q137_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids + pairwise centroid-cosine matrix
     (operators/similarity.centroid_cosine_matrix) — the embedding-space
@@ -4947,7 +4947,7 @@ SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(pos * ck) AS BIGINT) AS order_checksum,
        CAST(sum(n_chars) AS BIGINT) AS total_size
 FROM p GROUP BY shard_id
-""")
+""", priority=PRI_TAIL)
 def q138_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment + manifest (operators/
     relational.shard_assign/shard_manifest) — the global-shuffle-and-
@@ -4983,7 +4983,7 @@ SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
        min(x) AS x_min, max(x) AS x_max,
        min(y) AS y_min, max(y) AS y_max
 FROM f GROUP BY file_id
-""")
+""", priority=PRI_TAIL)
 def q139_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering layout + data-skipping audit
     (operators/relational.zorder_code/zorder_layout_audit) — the
@@ -5039,7 +5039,7 @@ SELECT length_bucket, batch_id,
        round(CAST(count(*) * max(n_pieces) - sum(n_pieces) AS DOUBLE)
              / (count(*) * max(n_pieces)), 6) AS pad_ratio
 FROM g GROUP BY 1, 2
-""")
+""", priority=PRI_TAIL)
 def q140_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch assembly + padding-waste audit (operators/
     text.length_bucketed_batches/batch_padding_report) — the
@@ -5071,7 +5071,7 @@ SELECT stratum, n_size, natural_share, mixture_weight,
        CAST(floor(1000000.0 * mixture_weight) AS BIGINT) AS expected_size,
        round(1000000.0 * mixture_weight / n_size, 6) AS oversample_factor
 FROM w
-""")
+""", priority=PRI_TAIL)
 def q141_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixture (operators/relational.
     temperature_mixture) — the mT5/XLM-R ``p_s ∝ n_s^α`` sampling rule
@@ -5127,7 +5127,7 @@ FROM (SELECT query_id, vec_id, adc_dist,
                                 ORDER BY adc_dist, vec_id) AS rank
       FROM adc)
 WHERE rank <= 10
-""")
+""", priority=PRI_TAIL)
 def q142_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (operators/
     similarity.pq_seed_codebook/pq_encode/pq_adc_topk; Jégou et al.
@@ -5168,7 +5168,7 @@ SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
        round(CAST(count(*) AS DOUBLE)
              / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
 FROM d GROUP BY status
-""")
+""", priority=PRI_TAIL)
 def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two corpus-build runs (operators/
     relational.snapshot_diff_summary) — the run-over-run regression
@@ -5228,7 +5228,7 @@ SELECT 'lineitem.l_partkey->part.p_partkey',
 FROM lineitem l
 LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
   ON l.l_partkey = p.p_partkey
-""")
+""", priority=PRI_TAIL)
 def q144_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit over the star schema (operators/
     relational.fk_audit) — the ingest-time FK health report
@@ -5319,7 +5319,7 @@ SELECT query_id, label AS pred_label, n_votes, sum_cosine FROM (
 """
 
 
-@register("q145_knn_classify", _knn_classify_oracle())
+@register("q145_knn_classify", _knn_classify_oracle(), priority=PRI_TAIL)
 def q145_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label transfer (operators/similarity.knn_classify) — the
     weak-labeling step of corpus curation: the even-id half of the
@@ -5362,7 +5362,7 @@ SELECT user_id_a, user_id_b, CAST(count(*) AS BIGINT) AS n_overlaps,
        round(CAST(sum(CAST(ov AS DECIMAL(18,6))) AS DOUBLE), 6)
          AS total_overlap_s
 FROM p GROUP BY 1, 2
-""")
+""", priority=PRI_TAIL)
 def q146_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join (operators/timeseries.
     interval_overlap_join) — the segment-alignment primitive the
@@ -5404,7 +5404,7 @@ SELECT from_state, to_state, n_transitions,
              / CAST(sum(n_transitions) OVER (PARTITION BY from_state)
                     AS DOUBLE), 6) AS prob
 FROM c
-""")
+""", priority=PRI_TAIL)
 def q147_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over the event stream
     (operators/timeseries.transition_matrix) — the navigation-flow
@@ -5434,7 +5434,7 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
              / count(*), 6) AS trimmed_mean
 FROM kept GROUP BY l_returnflag
-""")
+""", priority=PRI_TAIL)
 def q148_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric 10% trimmed mean per return flag (operators/stats.
     trimmed_mean) — the robust location estimate between the exact
@@ -5470,7 +5470,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
                   AS DOUBLE) / count(*), 6) AS oov_rate
 FROM toks LEFT JOIN vocab v USING (term)
 GROUP BY source
-""")
+""", priority=PRI_TAIL)
 def q149_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage / OOV audit (operators/text.vocab_top_k +
     oov_report) — the tokenizer-fit health metric: build the top-500
@@ -5500,7 +5500,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY pair_count DESC, left_piece,
                                  right_piece) AS BIGINT) AS merge_rank
   FROM c) WHERE merge_rank <= 20
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q150_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-candidate statistics (operators/text.
     bpe_merge_candidates; Sennrich et al. 2016) — the distributed half
@@ -5550,7 +5550,7 @@ SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
        coalesce(agg.n_kept, 0) AS n_lines_kept,
        t.n_lines - coalesce(agg.n_kept, 0) AS n_lines_removed
 FROM tot t LEFT JOIN agg USING (doc_id)
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q151_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (operators/text.
     remove_boilerplate_lines; the CCNet/jusText template-chrome rule) —
@@ -5636,7 +5636,7 @@ SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
        / (sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
           * sqrt(CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))), 6)
   END AS corr, n AS n_rows FROM m
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q152_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over the lineitem numerics
     (operators/stats.correlation_matrix) — the feature-redundancy
@@ -5691,7 +5691,7 @@ pt AS (SELECT round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
        FROM events WHERE value IS NOT NULL)
 SELECT point_mean, n_rows, boot_lo, boot_hi, boot_se, n_replicas
 FROM pt CROSS JOIN summary
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q153_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean in ONE pass
     (operators/stats.poisson_bootstrap_ci; Chamandy et al. 2012) —
@@ -5730,7 +5730,7 @@ SELECT * FROM (
          round((2.0 * s_ic) / (k_keys * tot)
                - CAST(k_keys + 1 AS DOUBLE) / k_keys, 6) AS gini
   FROM r2) WHERE skew_rank <= 10
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q154_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew report (operators/relational.skew_report) — the
     planning tool behind the salted-join decision (q82) and AQE's skew
@@ -5780,7 +5780,7 @@ SELECT doc_a, doc_b,
             AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q155_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.image_ahash
     + ahash_neardup_pairs) — the IMAGE-side member of the near-dup
@@ -5835,7 +5835,7 @@ SELECT * FROM (
          round(1.0 - CAST(n_distinct_chunks AS DOUBLE) / n_chunks_total,
                6) AS dup_share
   FROM counts CROSS JOIN tot) WHERE dup_rank <= 10
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q156_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + corpus chunk-dedup report (operators/
     text.cdc_chunk_rows/cdc_dedup_report; the Rabin/LBFS rule) — the
@@ -5911,7 +5911,7 @@ def materialize_binary_fixture(spark: SparkSession, sf_dir: str,
 @register("q125_binary_ingest",
           f"""WITH sel AS (SELECT doc_id, text FROM documents
   WHERE text IS NOT NULL ORDER BY doc_id LIMIT {_BINFIX_N})
-""" + _multimodal_oracle("sel"), priority=PRI_TAIL)
+""" + _multimodal_oracle("sel"), priority=PRI_HEAD)
 def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-FILE multimodal ingestion end to end (VERDICT r7 missing
     #1): a directory of real on-disk payload files is scanned with the
@@ -5953,12 +5953,13 @@ def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the first 50 form the recorded head. Rotation = editing one query's
 # ``priority=`` argument.
 #
-# Round-7 rotation: q75-q84 (born round 6, strict-parity-verified locally
-# at sf0.001+sf0.01 but never driver-recorded) hold default PRI_HEAD and
-# enter the window; ten PRI_TAIL demotions make room — q01/q02/q04/q06/
-# q08/q10/q16/q17/q19/q20, each driver-green in EVERY round it appeared
-# (r1-r6) and pinned by the tail-parity pytest. Demoted entries keep their
-# oracles and still run in tools/check_parity.py and the smoke test.
+# Invariant since round 10: EVERY registry query has at least one green
+# driver record (rotations r7/r8/r9/r10 walked the whole registry through
+# the 50-entry window — ledger in COVERAGE.md). Rotation is now needed
+# only for NEW entries: register them at default PRI_HEAD and demote an
+# equal number of freshly-recorded heads to PRI_TAIL. Demoted entries
+# keep their oracles and still run in tools/check_parity.py, the
+# tail-parity pytest (sf0.001+sf0.01 strict compare) and the sf0.1 sweep.
 #
 # --- round-8d additions ---------------------------------------------------
 
@@ -5989,7 +5990,7 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        round(CAST(-sum(CAST(tf * lnp AS DECIMAL(28,12))) AS DOUBLE)
              / sum(tf), 6) AS avg_neg_logprob
 FROM lp GROUP BY doc_id
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q157_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM cross-entropy per document
     (operators/text.bigram_logprob) — the next rung of the CCNet-style
@@ -6018,7 +6019,7 @@ SELECT wday AS window_end_day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
        CAST(count(*) AS BIGINT) AS n_id_buckets
 FROM win GROUP BY 1
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q158_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day
     (operators/timeseries.rolling_distinct) — the "7-day active users"
@@ -6055,7 +6056,7 @@ SELECT l.event_id, l.user_id, l.ets,
             WHEN p.fwd = 1 THEN 'forward' END AS near_direction,
        p.gap AS near_gap_s
 FROM l LEFT JOIN pick p ON p.event_id = l.event_id AND p.rn = 1
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q159_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of join with tolerance
     (operators/timeseries.asof_join_nearest — pandas
@@ -6088,7 +6089,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        min(user_id) AS min_user_id, max(user_id) AS max_user_id,
        min(value) + 0.0 AS min_value, max(value) + 0.0 AS max_value
 FROM events
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q160_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only dataset profile (sources/readers.scan_stats):
     COUNT(*) + id/value MIN/MAX answered from parquet FOOTER statistics
@@ -6118,7 +6119,7 @@ SELECT doc_id, frame_idx,
             AS BIGINT) AS frame_len,
        md5(substr(t, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
 FROM idx
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q161_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing, oracle-paired
     (operators/multimodal.frame_sample — the north star names
@@ -6150,7 +6151,7 @@ WITH s AS (SELECT source, doc_id, n_chars,
             AS BIGINT) + 1) / 1152921504606846976.0 ASC, doc_id ASC) AS rn
   FROM documents)
 SELECT source, doc_id, n_chars FROM s WHERE rn <= 5
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q162_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform k-per-group sample
     (operators/relational.group_reservoir_sample) — "5 eval examples
@@ -6196,7 +6197,7 @@ SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE)
                          / (n_a + n_b - n_inter), 6) AS jaccard
 FROM inter
 WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.5
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q163_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filter similarity join (operators/dedup.
     prefix_filter_jaccard_pairs — AllPairs/PPJoin, Bayardo et al.
@@ -6251,7 +6252,7 @@ SELECT ga AS set_a, gb AS set_b, n_merged,
        round(eu, 6) AS est_union, round(jac, 6) AS jaccard_est,
        round(jac * eu, 6) AS est_intersection
 FROM raw
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q164_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k set-overlap estimates between per-event-type user
     sets (operators/stats.kmv_sketch + kmv_set_compare — Bar-Yossef et
@@ -6303,7 +6304,7 @@ SELECT n AS n_points, total_tokens, total_vocab,
                     / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
              / CAST(n AS DOUBLE), 6) AS log_k
 FROM agg
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q165_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit (operators/text.heaps_law_fit)
     — V(N) ≈ k·N^β beside the Zipf rank-frequency fit (q111): β far
@@ -6325,7 +6326,7 @@ cand AS (SELECT a.k AS key_a, b.k AS key_b, a.s AS sort_a, b.s AS sort_b,
 SELECT key_a, key_b, sort_a, sort_b, rank_gap,
        CAST(levenshtein(sort_a, sort_b) AS BIGINT) AS lev
 FROM cand WHERE levenshtein(sort_a, sort_b) <= 4
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q166_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood entity-resolution blocking
     (operators/dedup.sorted_neighborhood_pairs — Hernández & Stolfo
@@ -6374,7 +6375,7 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
                   THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
          AS global_clustering
 FROM tri, st, ne
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count + global clustering coefficient over the
     part co-purchase graph (operators/graph.triangle_count — the
@@ -6425,7 +6426,7 @@ SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
                           *(sx/CAST(n AS DOUBLE))), 6) END AS acf
 FROM pl CROSS JOIN g
 ORDER BY lag
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q168_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function at lags 1-12h over the hourly-bucketed
     event-value series (operators/timeseries.acf) — the seasonality/
@@ -6494,7 +6495,7 @@ SELECT CASE WHEN score >= 2.0 THEN 'match'
        CAST(sum(CASE WHEN agree_digit THEN 1 ELSE 0 END) AS BIGINT)
          AS n_agree_digit
 FROM sc GROUP BY 1
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q169_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage over (nation,
     segment)-blocked customer pairs (operators/dedup.fs_linkage) — the
@@ -6560,7 +6561,7 @@ SELECT src, dst, n_src, n_inter,
        round(CAST(n_inter AS DOUBLE) / n_src, 6) AS containment
 FROM both_dirs
 WHERE round(CAST(n_inter AS DOUBLE) / n_src, 6) >= 0.7
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q170_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional word-3-gram containment pairs C(A->B) = |A inter B|
     / |A| (operators/dedup.containment_pairs — Broder 1997's asymmetric
@@ -6618,7 +6619,7 @@ def _trunc_recall_oracle(dims=(8, 16, 32), full=64, k=10, nq=5) -> str:
 
 
 @register("q171_truncation_recall", _trunc_recall_oracle(),
-          priority=PRI_TAIL)
+          priority=PRI_HEAD)
 def q171_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension-truncation recall curve
     (operators/similarity.truncation_recall): search with only the
@@ -6683,7 +6684,7 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
              / count(*), 6) AS accuracy,
        CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
 FROM b GROUP BY 1
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q172_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the nearest-centroid embedding
     classifier (operators/similarity.centroid_calibration, Guo et al.
@@ -6744,7 +6745,7 @@ SELECT n, n00, n01, n10, n11,
                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
                        6) END AS kappa
 FROM c
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q173_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two heuristic keep/drop labelers on the
     document corpus (operators/stats.cohen_kappa): labeler A = length
@@ -6783,7 +6784,7 @@ SELECT CAST(b % 24 AS BIGINT) AS phase, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE) AS sum_detrended
 FROM det GROUP BY 1
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q174_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the hourly event
     series (operators/timeseries.seasonal_decompose_profile) — the
@@ -6842,7 +6843,7 @@ LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 """
 
 
-@register("q175_js_divergence", _jsd_oracle(), priority=PRI_TAIL)
+@register("q175_js_divergence", _jsd_oracle(), priority=PRI_HEAD)
 def q175_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence (bits) between per-source
     unigram distributions (operators/text.js_divergence_matrix) — the
@@ -6887,7 +6888,7 @@ SELECT cls, n_true, n_pred, tp,
        CASE WHEN pr + rc > 0
             THEN round(2 * pr * rc / (pr + rc), 6) END AS f1
 FROM m
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q176_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 for the nearest-centroid
     embedding classifier (operators/stats.classification_report over
@@ -6919,7 +6920,7 @@ SELECT digit, n, total,
              / (total * round(log10(1.0 + 1.0 / digit), 6)), 6)
          AS chi2_term
 FROM counts CROSS JOIN tot ORDER BY digit
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q177_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of lineitem prices
     (operators/stats.benford_audit) — the data-forensics screen for
@@ -6953,7 +6954,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
        CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
        sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) = 0 AS l_diverse
 FROM g
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q178_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct l-diversity audit (operators/stats.l_diversity_audit,
     l=3 on quasi-identifiers (source, lang) with the document-length
@@ -6999,7 +7000,7 @@ SELECT n_pos, n_neg, n_scores,
        2.0 * (floor(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg)
                     * 1000000.0 + 0.5) / 1000000.0) - 1.0 AS gini
 FROM agg WHERE n_pos > 0 AND n_neg > 0
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q179_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC AUC of a scalar embedding score against a binary label
     (operators/stats.binary_auc — exact Mann-Whitney U in BIGINT over
@@ -7055,7 +7056,7 @@ SELECT n, (SELECT CAST(count(*) AS BIGINT) FROM mx) AS x_levels,
                        * 1000000.0 + 0.5) / 1000000.0
             END AS nmi
 FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q180_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between document language and source
     (operators/stats.mutual_information) — the metadata-redundancy
@@ -7109,7 +7110,7 @@ SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
             ELSE floor(exp(ls) * 1000000.0 + 0.5) / 1000000.0
             END AS survival
 FROM cum WHERE n_events > 0 ORDER BY t
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q181_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier user-retention curve over event-stream lifetimes
     (operators/stats.km_survival): lifetime = last minus first event
@@ -7176,7 +7177,7 @@ SELECT n_a, n_b,
                             + (vb / n_b) * (vb / n_b) / (n_b - 1))
              * 1000000.0 + 0.5) / 1000000.0 AS df
 FROM y
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q182_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between returned ('A') and
     refused ('R') lineitem prices (operators/stats.welch_ttest) — the
@@ -7223,7 +7224,7 @@ SELECT n_a, n_b, n_values,
              * 1000000.0 + 0.5) / 1000000.0 AS d,
        d_at
 FROM hit CROSS JOIN nv WHERE n_a > 0 AND n_b > 0
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q183_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between returned and refused
     lineitem price distributions (operators/stats.ks_test) — the
@@ -7247,7 +7248,7 @@ SELECT n.o_orderkey AS node,
 FROM nodes n JOIN (SELECT o_custkey, min(o_orderkey) AS lbl
                    FROM nodes GROUP BY 1) m
      ON m.o_custkey = n.o_custkey
-""", priority=PRI_TAIL)
+""", priority=PRI_HEAD)
 def q184_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over per-customer order chains
     (operators/graph.connected_components — alternating
@@ -7270,29 +7271,13 @@ def q184_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.connected_components(edges)
 
 
-# Round-8 rotation (EXECUTED): CORRECTNESS_r07 recorded q75-q84 green, so
-# tranche 1 of the round-7-born pool — q85-q98 (14 queries, tail-parity
-# pinned since birth) — was promoted to default PRI_HEAD and the 14
-# freshly-recorded multi-round-green entries q22/q25/q28/q37/q38/q39/
-# q41/q42/q43/q44/q49/q50/q54/q56 (each green r1-r7) demoted to PRI_TAIL.
-# Demoted entries keep their oracles and still run in check_parity + the
-# tail-parity pytest at sf0.001+sf0.01 and the sf0.1 full sweep.
-#
-# Round-9 rotation (EXECUTED): CORRECTNESS_r08 recorded the full head
-# (q29-q98 window) green, so the entire 50-entry head was demoted to
-# PRI_TAIL and tranche 2 — the 50 OLDEST never-driver-recorded queries
-# in registration order, q99_weighted_sample .. q149_vocab_oov — was
-# promoted to default PRI_HEAD. Demoted entries keep their oracles and
-# still run in check_parity + the tail-parity pytest at sf0.001+sf0.01
-# and the sf0.1 full sweep.
-#
-# ROUND-10 ROTATION PLAN (apply once CORRECTNESS_r09 records the q99-q149
-# head green): promote tranche 3 — the remaining never-recorded pool
-# (q150_bpe_merge_candidates .. q178_l_diversity plus the late-registered
-# q125_binary_ingest and the round-9-born q179-q184, ~36 queries) — and
-# demote an equal number of the freshly-recorded q99-q149 heads. Each move is a one-argument edit; the
-# boundary-tie guard and tests/test_tail_query_parity.py enforce the
-# invariants.
+# Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
+# head green (50/50), so the last never-driver-recorded pool — q125,
+# q150-q184 (36 queries) — was promoted to PRI_HEAD together with 14
+# retained freshly-recorded entries (q99-q112); q113-q124 and q126-q149
+# were demoted to PRI_TAIL. With CORRECTNESS_r10 green, every registry
+# query has >=1 driver record (full ledger: COVERAGE.md); rotation is
+# thereafter needed only for NEW entries.
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)

@@ -86,22 +86,21 @@ def test_head_is_exactly_the_top_50_by_priority():
     assert PRI_HEAD > PRI_TAIL
 
 
-def test_round9_rotation_head_is_never_recorded_tranche():
-    """Round-9 rotation: after CORRECTNESS_r08 recorded the whole q29-q98
-    window green, the head is exactly the 50 OLDEST never-driver-recorded
-    queries (q99_weighted_sample .. q149_vocab_oov in registration
-    order) so each gets its first driver record this round. (The round-7
-    pin on q75-q84 is superseded — those are multi-round driver-green
-    and demoted to the tail, where this module still strict-compares
-    them.)"""
+def test_round10_rotation_head_completes_driver_coverage():
+    """Round-10 rotation: after CORRECTNESS_r09 recorded the q99-q149
+    window green, the head is the last 36 never-driver-recorded queries
+    (q125, q150-q184) plus 14 retained freshly-recorded entries
+    (q99-q112). With this head recorded, EVERY registry query has at
+    least one driver record; rotation is thereafter needed only when new
+    queries register."""
     head = set(list(REGISTRY)[:SNAPSHOT_CAP])
-    # q125_binary_ingest carries a q1xx number but was REGISTERED after
-    # q156, so by the oldest-first-by-registration policy it waits for
-    # tranche 3 with q150+
-    expected = {n for n in REGISTRY
-                if n.split("_")[0] in {f"q{i}" for i in range(99, 150)}}
-    expected -= {"q125_binary_ingest"}
-    assert len(expected) == 50 and expected == head
+    never_recorded = {n for n in REGISTRY
+                      if n.split("_")[0] in (
+                          {"q125"} | {f"q{i}" for i in range(150, 185)})}
+    retained = {n for n in REGISTRY
+                if n.split("_")[0] in {f"q{i}" for i in range(99, 113)}}
+    assert len(never_recorded) == 36 and len(retained) == 14
+    assert head == never_recorded | retained
 
 
 def test_head_is_at_most_fifty_and_oracle_paired():
