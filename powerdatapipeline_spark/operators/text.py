@@ -2171,3 +2171,89 @@ def good_turing_mass(df: DataFrame, text_col: str = "text",
                     "n_singletons", "n_doubletons",
                     F.round(F.col("n_singletons") / F.col("n_tokens"), 6)
                     .alias("missing_mass")))
+
+
+def _bpe_apply_merge(ps: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of ONE learned BPE merge to a
+    piece array: every non-overlapping adjacent ``(left, right)``
+    occurrence collapses into the space-joined token ``left + ' ' +
+    right`` (original pieces never contain spaces — BPE_PIECE_RE
+    excludes them — so merged tokens are collision-free by
+    construction and later rounds can merge merged tokens further).
+
+    A single ``F.aggregate`` fold per document (narrow, zero-shuffle):
+    the accumulator array grows piece by piece, and when its last
+    element is ``left`` and the incoming piece is ``right`` the pair
+    collapses. Greedy non-overlap falls out for free — a just-merged
+    token is the space-joined string, never equal to ``left`` (which
+    would need ``left == left+' '+right``), so ``[x, x, x]`` with the
+    merge ``(x, x)`` yields ``['x x', x]``, the Sennrich convention."""
+    merged = f"{left} {right}"
+    return F.aggregate(
+        ps,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 3) -> DataFrame:
+    """The BPE trainer's OUTER LOOP (Sennrich et al. 2016) — the
+    bounded k-merge iteration q150's single statistic pass feeds,
+    completing the tokenizer-training story: per round, count adjacent
+    piece pairs (q150's map-side-combined statistic), pick the winner
+    ((count desc, left asc, right asc) — q150's deterministic
+    tie-break), apply it greedily to every document, repeat on the
+    merged stream.
+
+    The q47 Lloyd discipline at 100 TB: the corpus never moves —
+    documents hold their (checkpointed) piece arrays and each round
+    re-shuffles only map-side-combined PAIR PARTIALS into the
+    pair-count keyspace; the driver collects exactly ONE winner row
+    per round (k rows total over the whole run, the fixed-size-collect
+    ledger class in SCALE.md) and re-broadcasts it as two string
+    literals inside the next round's fold. Lineage is cut per round
+    with an eager localCheckpoint (swap for a reliable checkpoint dir
+    on a real cluster). Raises if a round finds no pair (corpus too
+    small for ``n_merges`` — loud, not a silent short table).
+
+    Returns the learned merge table, one row per round:
+    ``(merge_rank, left_piece, right_piece, pair_count, merged)``.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = df.sparkSession
+    docs = (df.select(bpe_pieces(_c(text_col)).alias("ps"))
+            .localCheckpoint(eager=True))
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = F.zip_with(
+            F.slice(F.col("ps"), 1,
+                    F.greatest(F.size("ps") - 1, F.lit(0))),
+            F.slice(F.col("ps"), 2,
+                    F.greatest(F.size("ps") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+        win = (docs.select(F.explode(pairs).alias("p"))
+               .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+               .agg(F.count("*").cast("bigint").alias("c"))
+               .orderBy(F.col("c").desc(), F.col("l").asc(),
+                        F.col("r").asc())
+               .limit(1).collect())
+        if not win:
+            raise ValueError(
+                f"bpe_train: no adjacent pair left at merge round {rank} "
+                f"(corpus supports only {rank - 1} merges)")
+        l, r, c = win[0]["l"], win[0]["r"], win[0]["c"]
+        out.append((rank, l, r, c, f"{l} {r}"))
+        if rank < n_merges:
+            docs = (docs.select(_bpe_apply_merge(F.col("ps"), l, r)
+                                .alias("ps"))
+                    .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        out, "merge_rank bigint, left_piece string, right_piece string, "
+             "pair_count bigint, merged string")

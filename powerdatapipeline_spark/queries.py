@@ -3368,7 +3368,7 @@ WITH s AS (
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
 SELECT doc_id, n_chars, round(sample_score, 6) AS sample_score
 FROM s ORDER BY round(s.sample_score, 6) DESC, doc_id ASC LIMIT 25
-""")
+""", priority=PRI_TAIL)
 def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/relational.weighted_hash_sample) — Efraimidis–Spirakis
@@ -7271,13 +7271,79 @@ def q184_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.connected_components(edges)
 
 
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Static DuckDB replay of bpe_train's k-round outer loop: the
+    data-dependent iteration unrolls into k mechanical CTE blocks —
+    each round counts adjacent pairs over the previous round's piece
+    arrays, picks the (count desc, left, right) winner, and re-applies
+    it greedily (non-overlapping left-to-right: within each maximal
+    run of consecutive match positions, every ODD offset merges — the
+    run-parity formulation of the fold in operators/text.
+    _bpe_apply_merge, equivalent because matches can only be adjacent
+    when left == right)."""
+    blocks = ["""p0 AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text),
+         '{re}') AS ps
+  FROM documents)""".format(re=tx.BPE_PIECE_RE)]
+    for k in range(1, n_merges + 1):
+        blocks.append(f"""c{k} AS (
+  SELECT ps[u.i] AS l, ps[u.i + 1] AS r2, CAST(count(*) AS BIGINT) AS c
+  FROM p{k - 1}, unnest(generate_series(1, len(ps) - 1)) AS u(i)
+  GROUP BY 1, 2),
+w{k} AS (SELECT l, r2, c FROM c{k} ORDER BY c DESC, l, r2 LIMIT 1)""")
+        if k < n_merges:
+            blocks.append(f"""pos{k} AS (
+  SELECT doc, u.i AS i, ps[u.i] AS tok, ps[u.i + 1] AS nxt
+  FROM p{k - 1}, unnest(generate_series(1, len(ps))) AS u(i)),
+m{k} AS (
+  SELECT p.doc, p.i,
+         row_number() OVER (PARTITION BY p.doc ORDER BY p.i) AS rn
+  FROM pos{k} p, w{k} w WHERE p.tok = w.l AND p.nxt = w.r2),
+sel{k} AS (
+  SELECT doc, i FROM (
+    SELECT doc, i,
+           row_number() OVER (PARTITION BY doc, i - rn ORDER BY i) AS o
+    FROM m{k}) WHERE o % 2 = 1),
+p{k} AS (
+  SELECT p.doc,
+         list(CASE WHEN s.i IS NOT NULL THEN w.l || ' ' || w.r2
+              ELSE p.tok END ORDER BY p.i) AS ps
+  FROM pos{k} p CROSS JOIN w{k} w
+  LEFT JOIN sel{k} s ON s.doc = p.doc AND s.i = p.i
+  LEFT JOIN sel{k} s2 ON s2.doc = p.doc AND s2.i = p.i - 1
+  WHERE s2.i IS NULL
+  GROUP BY p.doc)""")
+    winners = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_piece, "
+        f"r2 AS right_piece, c AS pair_count, l || ' ' || r2 AS merged "
+        f"FROM w{k}"
+        for k in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(blocks) + "\n" + winners
+
+
+@register("q185_bpe_train", _bpe_train_oracle(3), priority=PRI_HEAD)
+def q185_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, outer loop included (operators/text.
+    bpe_train; Sennrich et al. 2016) — q150's merge-candidate
+    statistic iterated to an actual learned merge table: three rounds
+    of count → deterministic winner → greedy non-overlapping re-merge
+    over the corpus piece stream. The q47 Lloyd discipline: per round
+    the corpus re-shuffles only map-side-combined pair partials, the
+    driver collects exactly ONE winner row, and the merge re-applies
+    as a narrow per-document fold over checkpointed piece arrays. The
+    oracle unrolls the same three data-dependent rounds as static CTE
+    blocks (run-parity greedy, provably equivalent to the fold)."""
+    return tx.bpe_train(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
-# q150-q184 (36 queries) — was promoted to PRI_HEAD together with 14
-# retained freshly-recorded entries (q99-q112); q113-q124 and q126-q149
-# were demoted to PRI_TAIL. With CORRECTNESS_r10 green, every registry
-# query has >=1 driver record (full ledger: COVERAGE.md); rotation is
-# thereafter needed only for NEW entries.
+# q150-q184 (36 queries) plus the round-10-born q185 — was promoted to
+# PRI_HEAD together with 13 retained freshly-recorded entries
+# (q100-q112); q99 and q113-q124 and q126-q149 were demoted to
+# PRI_TAIL. With CORRECTNESS_r10 green, every registry query has >=1
+# driver record (full ledger: COVERAGE.md); rotation is thereafter
+# needed only for NEW entries.
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)

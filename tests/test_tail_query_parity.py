@@ -96,10 +96,10 @@ def test_round10_rotation_head_completes_driver_coverage():
     head = set(list(REGISTRY)[:SNAPSHOT_CAP])
     never_recorded = {n for n in REGISTRY
                       if n.split("_")[0] in (
-                          {"q125"} | {f"q{i}" for i in range(150, 185)})}
+                          {"q125"} | {f"q{i}" for i in range(150, 186)})}
     retained = {n for n in REGISTRY
-                if n.split("_")[0] in {f"q{i}" for i in range(99, 113)}}
-    assert len(never_recorded) == 36 and len(retained) == 14
+                if n.split("_")[0] in {f"q{i}" for i in range(100, 113)}}
+    assert len(never_recorded) == 37 and len(retained) == 13
     assert head == never_recorded | retained
 
 
