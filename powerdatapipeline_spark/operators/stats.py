@@ -969,23 +969,48 @@ def binary_auc(df: DataFrame, score_col: str, label_col,
     with the engine-stable floor formula. Returns ``(keys..., n_pos,
     n_neg, n_scores, auc, gini)`` with ``gini = 2·AUC − 1`` derived
     from the ROUNDED auc (dyadic, deterministic)."""
+    return auc_from_score_counts(
+        auc_per_score_counts(df, score_col, label_col, keys), keys)
+
+
+def auc_per_score_counts(df: DataFrame, score_col: str, label_col,
+                         keys: Sequence[str] = ()) -> DataFrame:
+    """The MERGEABLE half of :func:`binary_auc`: per-distinct-score
+    (np, nn) partial counts — two partial frames (micro-batches,
+    shards, days) merge by summing np/nn per ``(keys..., __s)``, which
+    is exactly what the streaming twin's foreachBatch accumulator
+    appends and the finalizer re-reduces. NULL contract (round-9
+    ADVICE): rows with a NULL score or label are excluded, mirroring
+    welch_ttest/ks_test — a NULL label would otherwise silently count
+    as negative, and a NULL score bucket sorts NULLS FIRST in Spark
+    but NULLS LAST in DuckDB, breaking oracle parity on nullable
+    inputs. Columns: ``(keys..., __s, np, nn)``."""
     klist = list(keys)
     lab = label_col if not isinstance(label_col, str) else \
         F.col(label_col).cast("boolean")
-    per = (df.select(*[F.col(k) for k in klist],
-                     F.col(score_col).alias("__s"),
-                     lab.alias("__y"))
-           # NULL contract (round-9 ADVICE): rows with a NULL score or
-           # label are excluded, mirroring welch_ttest/ks_test — a NULL
-           # label would otherwise silently count as negative, and a
-           # NULL score bucket sorts NULLS FIRST in Spark but NULLS
-           # LAST in DuckDB, breaking oracle parity on nullable inputs
-           .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-           .groupBy(*klist, "__s")
-           .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0))
-                .cast("bigint").alias("np"),
-                F.sum(F.when(F.col("__y"), 0).otherwise(1))
-                .cast("bigint").alias("nn")))
+    return (df.select(*[F.col(k) for k in klist],
+                      F.col(score_col).alias("__s"),
+                      lab.alias("__y"))
+            .where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+            .groupBy(*klist, "__s")
+            .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0))
+                 .cast("bigint").alias("np"),
+                 F.sum(F.when(F.col("__y"), 0).otherwise(1))
+                 .cast("bigint").alias("nn")))
+
+
+def auc_from_score_counts(per: DataFrame,
+                          keys: Sequence[str] = ()) -> DataFrame:
+    """Finalize ROC AUC from a per-distinct-score counts frame
+    ``(keys..., __s, np, nn)`` — possibly the merged union of partial
+    frames (rows for the SAME score are re-reduced here first, so
+    appended micro-batch partials need no pre-compaction). The ordered
+    pass runs on the |distinct scores| frame only; see
+    :func:`binary_auc` for the arithmetic contract."""
+    klist = list(keys)
+    per = (per.groupBy(*klist, "__s")
+           .agg(F.sum("np").cast("bigint").alias("np"),
+                F.sum("nn").cast("bigint").alias("nn")))
     w = (Window.partitionBy(*klist) if klist
          else Window.partitionBy(F.lit(1))).orderBy("__s") \
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -240,3 +240,52 @@ def batch_ewma_iir(df: DataFrame, series_col: str, ts_col: str = "ts",
                     F.col(ts_col).alias("ts"),
                     F.col(value_col).cast("double").alias("value"))
     return src.groupBy("series").applyInPandas(smooth, schema=EWMA_OUTPUT)
+
+
+def streaming_binary_auc(stream: DataFrame, score_col: str,
+                         label_col: str, partials_path: str,
+                         checkpoint: str,
+                         keys: tuple[str, ...] = ()):
+    """Streaming ROC AUC — the round-10 streaming twin of
+    :func:`~powerdatapipeline_spark.operators.stats.binary_auc` (q179),
+    growing the streaming surface with the stats family per the q45/q95
+    discipline: foreachBatch reduces each micro-batch to its
+    MERGEABLE per-distinct-score (np, nn) partial frame (NULL rows
+    already excluded by the shared ``auc_per_score_counts`` half) and
+    appends it to a parquet accumulator; nothing corpus-sized ever
+    accumulates in executor state. AUC itself is NOT computed per
+    batch — it is not incrementally maintainable under late data, but
+    its sufficient statistic (per-score counts) merges by simple
+    addition, the CMS/KMV sketch discipline.
+
+    At 100 TB: each batch's partial is |distinct scores in batch|
+    rows, the append is blind (no read-modify-write races), and the
+    finalizer's re-reduce collapses duplicates across appends. Compact
+    the accumulator periodically on a real cluster (readers.
+    compact_small_files) to bound file counts.
+
+    Returns the started StreamingQuery (caller awaits termination,
+    then calls :func:`finalize_binary_auc`)."""
+    from powerdatapipeline_spark.operators.stats import \
+        auc_per_score_counts
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (auc_per_score_counts(batch_df, score_col, label_col, keys)
+         .write.mode("append").parquet(partials_path))
+
+    return (stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update").trigger(availableNow=True).start())
+
+
+def finalize_binary_auc(spark, partials_path: str,
+                        keys: tuple[str, ...] = ()) -> DataFrame:
+    """Reduce the appended per-score partials to the final AUC frame —
+    bit-identical to the batch operator on the same rows because both
+    halves are shared code: the partials carry exact BIGINT counts (no
+    rounding happened upstream) and ``auc_from_score_counts`` re-sums
+    per score before its one ordered pass."""
+    from powerdatapipeline_spark.operators.stats import \
+        auc_from_score_counts
+
+    return auc_from_score_counts(spark.read.parquet(partials_path), keys)

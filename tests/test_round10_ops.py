@@ -58,3 +58,60 @@ class TestBpeTrain:
             (1, "a", "b", 3, "a b"),
             (2, "a b", "c", 2, "a b c"),
         ]
+
+
+class TestStreamingBinaryAuc:
+    def _write_csv(self, d, name, rows):
+        import os
+        import time
+        f = d / name
+        with open(f, "w") as fh:
+            fh.write("score,label\n")
+            for s, y in rows:
+                fh.write(f"{'' if s is None else s},"
+                         f"{'' if y is None else str(y).lower()}\n")
+        return f
+
+    def test_streaming_equals_batch_across_microbatches(self, spark,
+                                                        tmp_path):
+        from pyspark.sql import types as T
+
+        from powerdatapipeline_spark.operators import stats as st
+        from powerdatapipeline_spark.streaming.stateful import (
+            finalize_binary_auc, streaming_binary_auc)
+
+        # ties across batches + NULL rows: the per-score partials for
+        # score 0.5 land in BOTH batches and must merge by addition;
+        # the NULL rows must be excluded by the shared half
+        b1 = [(0.9, True), (0.5, True), (0.5, False), (0.1, False),
+              (None, True)]
+        b2 = [(0.5, True), (0.5, False), (0.7, True), (0.1, False),
+              (0.2, None)]
+        src = tmp_path / "in"
+        src.mkdir()
+        import os
+        import time
+        f1 = self._write_csv(src, "a.csv", b1)
+        f2 = self._write_csv(src, "b.csv", b2)
+        now = time.time()
+        os.utime(f1, (now - 60, now - 60))
+        os.utime(f2, (now, now))
+
+        schema = T.StructType([T.StructField("score", T.DoubleType()),
+                               T.StructField("label", T.BooleanType())])
+        stream = (spark.readStream.schema(schema).option("header", "true")
+                  .option("maxFilesPerTrigger", "1").csv(str(src)))
+        q = streaming_binary_auc(stream, "score", "label",
+                                 str(tmp_path / "partials"),
+                                 str(tmp_path / "ckpt"))
+        assert q.awaitTermination(120)
+        got = finalize_binary_auc(spark,
+                                  str(tmp_path / "partials")).collect()
+
+        batch_df = spark.createDataFrame(b1 + b2, schema)
+        want = st.binary_auc(batch_df, "score", "label").collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+        r = got[0]
+        # score 0.2 appears only with a NULL label, so it is excluded
+        # entirely: 4 surviving distinct scores
+        assert (r["n_pos"], r["n_neg"], r["n_scores"]) == (4, 4, 4)

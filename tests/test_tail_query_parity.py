@@ -103,6 +103,35 @@ def test_round10_rotation_head_completes_driver_coverage():
     assert head == never_recorded | retained
 
 
+def test_latest_sf01_parity_artifact_covers_full_registry():
+    """The committed full-sweep artifact must never lag the registry
+    (VERDICT r9 'What's wrong' #3 — the staleness recurred in r8 AND
+    r9 when late-session cohorts registered after the sweep ran): the
+    PARITY_sf0.1_r*.json with the highest round number must hold a
+    green row for EVERY registry query. Re-run
+    ``tools/check_parity.py --json PARITY_sf0.1_r<N>.json
+    /root/testdata/sf0.1`` after registering new queries."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(repo, "PARITY_sf0.1_r*.json"))
+    assert arts, "no committed sf0.1 parity artifact"
+    latest = max(
+        arts, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+    data = json.load(open(latest))
+    recorded = set(data["queries"])
+    missing = sorted(set(REGISTRY) - recorded)
+    assert not missing, (
+        f"{os.path.basename(latest)} lags the registry by {len(missing)} "
+        f"queries: {missing} — re-run the sf0.1 sweep before shipping")
+    bad = {n: r["status"] for n, r in data["queries"].items()
+           if r["status"] != "pass"}
+    assert not bad, f"non-pass rows in {os.path.basename(latest)}: {bad}"
+
+
 def test_head_is_at_most_fifty_and_oracle_paired():
     names = list(REGISTRY)
     head = names[:SNAPSHOT_CAP]
