@@ -215,7 +215,31 @@ def _iterative_variants(spark, sf):
               .union(one_round.select(F.col("u").alias("node"),
                                       F.col("u").alias("label")))
               .groupBy("node").agg(F.min("label").alias("label")))
-    return {"q184_connected_components": labels}
+
+    # q185 bpe_train: the registered builder runs k winner-collect
+    # rounds and returns a driver-built merge table (LocalTableScan —
+    # nothing to audit). The per-round repeated unit is: pair partials
+    # -> winner candidate frame, plus the greedy fold re-merge
+    # projection for a FIXED winner literal — audit both as one frame.
+    from powerdatapipeline_spark.operators.text import (
+        _bpe_apply_merge, bpe_pieces)
+
+    docs = _t(spark, sf, "documents").select(
+        bpe_pieces(F.col("text")).alias("ps"))
+    pairs = F.zip_with(
+        F.slice(F.col("ps"), 1, F.greatest(F.size("ps") - 1, F.lit(0))),
+        F.slice(F.col("ps"), 2, F.greatest(F.size("ps") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    merged_round = docs.select(
+        _bpe_apply_merge(F.col("ps"), "the", "of").alias("ps"))
+    bpe_round = (merged_round.select(F.explode(pairs).alias("p"))
+                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                 .agg(F.count("*").cast("bigint").alias("c"))
+                 .orderBy(F.col("c").desc(), F.col("l").asc(),
+                          F.col("r").asc())
+                 .limit(1))
+    return {"q184_connected_components": labels,
+            "q185_bpe_train": bpe_round}
 
 
 def plan_summary(df) -> tuple[list[str], list[str], list[str]]:
