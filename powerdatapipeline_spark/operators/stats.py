@@ -1092,6 +1092,129 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.when(hmin > 0, _floor6(F.col("mi") / hmin)).alias("nmi"))
 
 
+def chisq_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the significance companion to :func:`mutual_information`
+    (MI measures HOW dependent; chi-square asks whether the dependence
+    exceeds sampling noise) and the frequentist sibling of the PSI
+    drift score (q121): χ² = Σ_cells (n_xy − e_xy)²/e_xy with
+    e_xy = n_x·n_y/N, plus Cramér's V = sqrt(χ²/(N·min(r−1, c−1)))
+    for an effect size comparable across table shapes.
+
+    One groupBy(x, y) collapses the corpus to the NONZERO contingency
+    cells (map-side combined); marginals/totals are window sums over
+    that frame — and the EMPTY cells, which a join-based expected
+    table would need an r×c level cross-join to materialize, are
+    folded in analytically instead: a zero cell contributes exactly
+    e_xy, and Σ_zero e_xy = (N² − Σ_nonzero n_x·n_y)/N, computable
+    from the nonzero frame alone (no cross join reaches the plan at
+    any cardinality). Arithmetic: the per-cell deviation
+    d = n_xy·N − n_x·n_y accumulates exact in DECIMAL; each cell term
+    is the fixed double expression (d/N)·(d/(n_x·n_y)), 6-rounded into
+    exact decimal (partition-order-free, the MI/PSI discipline); the
+    zero-cell term is one exact decimal ratio. NULL x or y rows are
+    excluded (the round-9 contract). Returns one row:
+    ``(n, x_levels, y_levels, dof, chi2, cramers_v)`` with
+    ``cramers_v`` NULL for a degenerate single-level margin."""
+    ct = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+          .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+          .agg(F.count("*").cast("bigint").alias("nxy")))
+    wall = Window.partitionBy(F.lit(1))
+    ct = (ct.withColumn("nx", F.sum("nxy").over(
+              Window.partitionBy("__x")))
+          .withColumn("ny", F.sum("nxy").over(
+              Window.partitionBy("__y")))
+          .withColumn("ntot", F.sum("nxy").over(wall)))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    d = (dec("nxy") * dec("ntot") - dec("nx") * dec("ny")) \
+        .cast("decimal(38,0)")
+    term = F.round(
+        (d.cast("double") / F.col("ntot"))
+        * (d.cast("double") / (F.col("nx").cast("double") * F.col("ny"))),
+        6).cast("decimal(28,12)")
+    exy_sum = (dec("nx") * dec("ny")).cast("decimal(38,0)")
+    agg = ct.agg(
+        F.first("ntot").cast("bigint").alias("n"),
+        F.count_distinct("__x").cast("bigint").alias("x_levels"),
+        F.count_distinct("__y").cast("bigint").alias("y_levels"),
+        F.sum(term).alias("__tsum"),
+        F.sum(exy_sum).cast("decimal(38,0)").alias("__esum"))
+    nd = F.col("n").cast("double")
+    zero_term = F.round(
+        (F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)")
+         - F.col("__esum")).cast("double") / nd, 6)
+    chi2 = F.round(F.col("__tsum").cast("double") + zero_term, 6)
+    dof = ((F.col("x_levels") - 1) * (F.col("y_levels") - 1)) \
+        .cast("bigint")
+    mindim = F.least(F.col("x_levels"), F.col("y_levels")) - 1
+    return agg.select(
+        "n", "x_levels", "y_levels", dof.alias("dof"),
+        chi2.alias("chi2"),
+        F.when(mindim > 0,
+               _floor6(F.sqrt(chi2 / (nd * mindim)))).alias("cramers_v"))
+
+
+def spearman_corr(df: DataFrame, x_col, y_col) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    monotone-association screen that completes the correlation family
+    (q152's Pearson matrix is linear-only; Spearman is Pearson on
+    RANKS, robust to any monotone transform and to heavy tails): does
+    event magnitude drift with time, does quality rise with length,
+    without assuming linearity.
+
+    Exact ranks without a corpus-wide sort: each column collapses to
+    its per-DISTINCT-value count frame (map-side combined), the
+    tie-averaged rank derives from a cumulative sum over THAT frame —
+    DOUBLED to stay integer (2·rank = 2·cum_below + ties + 1, the
+    weighted-median half-tie trick), so rank arithmetic is exact
+    BIGINT — and ranks join back to the corpus by value equi-join
+    (distinct-value-sized build side, AQE broadcasts when small; no
+    forced hint, the winsorize lesson). One aggregation accumulates
+    the five moment sums in exact decimal; the final Pearson-on-ranks
+    ratio is a FIXED double expression (engine-identical), floor-
+    rounded. Doubling cancels: corr(2R_x, 2R_y) = corr(R_x, R_y).
+    NULL x or y rows are excluded (the round-9 contract). Returns one
+    row: ``(n, x_distinct, y_distinct, rho)`` with rho NULL when
+    either column is constant (zero rank variance)."""
+    xc = F.col(x_col) if isinstance(x_col, str) else x_col
+    yc = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = (df.select(xc.alias("__x"), yc.alias("__y"))
+            .where(F.col("__x").isNotNull() & F.col("__y").isNotNull()))
+
+    def ranks(col):
+        d = base.groupBy(col).agg(F.count("*").cast("bigint").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return d.select(
+            col,
+            (2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+             + F.col("c") + 1).cast("bigint").alias(f"r2{col}"))
+
+    j = (base.join(ranks("__x"), "__x").join(ranks("__y"), "__y"))
+    dec = lambda c: c.cast("decimal(19,0)")
+    rx, ry = F.col("r2__x"), F.col("r2__y")
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec(rx)).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(ry)).cast("decimal(38,0)").alias("sy"),
+        F.sum((dec(rx) * dec(ry)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum((dec(rx) * dec(rx)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum((dec(ry) * dec(ry)).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("syy"),
+        F.count_distinct("__x").cast("bigint").alias("x_distinct"),
+        F.count_distinct("__y").cast("bigint").alias("y_distinct"))
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    da = nd * F.col("sxx").cast("double") - sxd * sxd
+    db = nd * F.col("syy").cast("double") - syd * syd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    return agg.select(
+        "n", "x_distinct", "y_distinct",
+        F.when((da > 0) & (db > 0),
+               _floor6(num / (F.sqrt(da) * F.sqrt(db)))).alias("rho"))
+
+
 def welch_ttest(df: DataFrame, value_col: str, group_col: str,
                 group_a, group_b) -> DataFrame:
     """Welch's unequal-variance two-sample t-test — the A/B mean

@@ -2257,3 +2257,26 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     return spark.createDataFrame(
         out, "merge_rank bigint, left_piece string, right_piece string, "
              "pair_count bigint, merged string")
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text") -> DataFrame:
+    """The APPLY half of the tokenizer story (:func:`bpe_train` learns,
+    this encodes): re-play a learned merge table over the corpus piece
+    stream — each merge applies greedily left-to-right in RANK ORDER
+    (the same `_bpe_apply_merge` fold the trainer used, so train-then-
+    encode round-trips bit-identically), appended as a ``tokens``
+    column next to the raw ``pieces``.
+
+    ``merges`` is an ordered sequence of ``(left, right)`` pairs (e.g.
+    ``[(r.left_piece, r.right_piece) for r in bpe_train(...).collect()]``
+    — k tiny rows, the fixed-size driver hand-off class). The k folds
+    chain lazily into ONE narrow pass over the corpus: zero shuffles,
+    embarrassingly parallel at 100 TB, the tokenizer-inference shape
+    that runs ahead of every token-count/packing consumer (q61, q140).
+    """
+    pairs = [(str(l), str(r)) for l, r in merges]
+    out = df.withColumn("pieces", bpe_pieces(_c(text_col)))
+    toks = F.col("pieces")
+    for l, r in pairs:
+        toks = _bpe_apply_merge(toks, l, r)
+    return out.withColumn("tokens", toks)

@@ -3396,7 +3396,7 @@ SELECT e.event_id, e.event_type, e.value,
        round(CASE WHEN f.iqr <> 0 THEN (e.value - f.med) / f.iqr END, 6)
          AS robust_z
 FROM events e JOIN f USING (event_type)
-""")
+""", priority=PRI_TAIL)
 def q100_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/stats.robust_scale_fit/apply):
     median/IQR instead of mean/std (q22's fit), the outlier-resistant
@@ -3426,7 +3426,7 @@ SELECT d.event_id, d.event_type, d.value,
             THEN abs(0.6745 * (d.value - d.med) / md.mad) > 3.5 END
          AS is_outlier
 FROM d JOIN md USING (event_type)
-""")
+""", priority=PRI_TAIL)
 def q101_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via the modified z-score
     (operators/stats.mad_outliers, Iglewicz–Hoaglin 0.6745·dev/MAD,
@@ -3446,7 +3446,7 @@ def q101_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 WHERE c.c_mktsegment = 'BUILDING'
-""")
+""", priority=PRI_TAIL)
 def q102_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter-pruned selective join
     (operators/relational.bloom_prune_join) — the runtime-filter idiom
@@ -7271,7 +7271,7 @@ def q184_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.connected_components(edges)
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
+def _bpe_train_oracle(n_merges: int, emit: str = "merges") -> str:
     """Static DuckDB replay of bpe_train's k-round outer loop: the
     data-dependent iteration unrolls into k mechanical CTE blocks —
     each round counts adjacent pairs over the previous round's piece
@@ -7280,7 +7280,9 @@ def _bpe_train_oracle(n_merges: int) -> str:
     run of consecutive match positions, every ODD offset merges — the
     run-parity formulation of the fold in operators/text.
     _bpe_apply_merge, equivalent because matches can only be adjacent
-    when left == right)."""
+    when left == right). ``emit='merges'`` outputs the k-row learned
+    merge table (q185); ``emit='corpus'`` pushes the k-th apply through
+    as well and outputs per-document encode stats (q186)."""
     blocks = ["""p0 AS (
   SELECT doc_id AS doc, regexp_extract_all(lower(text),
          '{re}') AS ps
@@ -7291,7 +7293,7 @@ def _bpe_train_oracle(n_merges: int) -> str:
   FROM p{k - 1}, unnest(generate_series(1, len(ps) - 1)) AS u(i)
   GROUP BY 1, 2),
 w{k} AS (SELECT l, r2, c FROM c{k} ORDER BY c DESC, l, r2 LIMIT 1)""")
-        if k < n_merges:
+        if k < n_merges or emit == "corpus":
             blocks.append(f"""pos{k} AS (
   SELECT doc, u.i AS i, ps[u.i] AS tok, ps[u.i + 1] AS nxt
   FROM p{k - 1}, unnest(generate_series(1, len(ps))) AS u(i)),
@@ -7313,12 +7315,21 @@ p{k} AS (
   LEFT JOIN sel{k} s2 ON s2.doc = p.doc AND s2.i = p.i - 1
   WHERE s2.i IS NULL
   GROUP BY p.doc)""")
-    winners = "\nUNION ALL ".join(
-        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_piece, "
-        f"r2 AS right_piece, c AS pair_count, l || ' ' || r2 AS merged "
-        f"FROM w{k}"
-        for k in range(1, n_merges + 1))
-    return "WITH " + ",\n".join(blocks) + "\n" + winners
+    if emit == "corpus":
+        final = f"""SELECT p0.doc AS doc_id,
+       CAST(len(p0.ps) AS BIGINT) AS n_pieces,
+       CAST(coalesce(len(p{n_merges}.ps), 0) AS BIGINT) AS n_tokens,
+       CASE WHEN len(p0.ps) > 0 THEN
+         round(CAST(coalesce(len(p{n_merges}.ps), 0) AS DOUBLE)
+               / len(p0.ps), 6) END AS compression
+FROM p0 LEFT JOIN p{n_merges} ON p{n_merges}.doc = p0.doc"""
+    else:
+        final = "\nUNION ALL ".join(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_piece, "
+            f"r2 AS right_piece, c AS pair_count, l || ' ' || r2 AS merged "
+            f"FROM w{k}"
+            for k in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(blocks) + "\n" + final
 
 
 @register("q185_bpe_train", _bpe_train_oracle(3), priority=PRI_HEAD)
@@ -7334,6 +7345,139 @@ def q185_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same three data-dependent rounds as static CTE
     blocks (run-parity greedy, provably equivalent to the fold)."""
     return tx.bpe_train(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+@register("q186_bpe_encode", _bpe_train_oracle(3, emit="corpus"),
+          priority=PRI_HEAD)
+def q186_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train-then-ENCODE round trip (operators/text.
+    bpe_encode) — the inference half q185's trainer feeds: the learned
+    3-merge table (k tiny collected rows, the fixed-size hand-off
+    class) re-applies to the corpus as k chained greedy folds in ONE
+    narrow zero-shuffle pass, and the per-document piece→token
+    compression is the statistic every downstream token-count consumer
+    (quota q104, packing q140) actually budgets with. The oracle
+    extends q185's unrolled CTE replay by one more apply block and
+    diffs p0 (raw pieces) against p3 (encoded) per document."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [(r["left_piece"], r["right_piece"])
+              for r in tx.bpe_train(docs, n_merges=3)
+              .orderBy("merge_rank").collect()]
+    enc = tx.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.when(F.size("pieces") > 0,
+               F.round(F.size("tokens").cast("double")
+                       / F.size("pieces"), 6)).alias("compression"))
+
+
+@register("q187_chisq_independence", """
+WITH ct AS (SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS nxy
+            FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+            GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM ct),
+mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM ct GROUP BY 1),
+my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM ct GROUP BY 1),
+dd AS (SELECT nxy, nx, ny, n,
+              CAST(CAST(nxy AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                   - CAST(nx AS DECIMAL(19,0)) * CAST(ny AS DECIMAL(19,0))
+                   AS DECIMAL(38,0)) AS d
+       FROM ct JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+agg AS (SELECT
+  CAST(sum(CAST(round((CAST(d AS DOUBLE) / n)
+                      * (CAST(d AS DOUBLE)
+                         / (CAST(nx AS DOUBLE) * ny)), 6)
+           AS DECIMAL(28,12))) AS DOUBLE) AS tsum,
+  CAST(sum(CAST(CAST(nx AS DECIMAL(19,0)) * CAST(ny AS DECIMAL(19,0))
+                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS esum
+  FROM dd),
+fin AS (SELECT n,
+  (SELECT CAST(count(*) AS BIGINT) FROM mx) AS x_levels,
+  (SELECT CAST(count(*) AS BIGINT) FROM my) AS y_levels,
+  round(tsum + round(CAST(CAST(n AS DECIMAL(19,0))
+                          * CAST(n AS DECIMAL(19,0))
+                          - esum AS DOUBLE) / n, 6), 6) AS chi2
+  FROM tot CROSS JOIN agg)
+SELECT n, x_levels, y_levels,
+       CAST((x_levels - 1) * (y_levels - 1) AS BIGINT) AS dof,
+       chi2,
+       CASE WHEN least(x_levels, y_levels) - 1 > 0 THEN
+         floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                            * (least(x_levels, y_levels) - 1)))
+               * 1000000.0 + 0.5) / 1000000.0 END AS cramers_v
+FROM fin
+""", priority=PRI_HEAD)
+def q187_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of document language vs
+    source (operators/stats.chisq_independence) — the significance
+    companion to q180's mutual information on the SAME contingency
+    table: MI says how dependent, chi-square + Cramér's V say whether
+    the dependence exceeds sampling noise and how large the effect
+    is. Empty cells fold in analytically ((N² − Σ nx·ny)/N) so no
+    level cross-join reaches the plan; every deviation accumulates
+    exact in decimal with the fixed double term shape the oracle
+    replays verbatim."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.chisq_independence(_t(spark, sf_dir, "documents"),
+                                 "lang", "source")
+
+
+@register("q188_spearman_trend", """
+WITH base AS (
+  SELECT epoch(ts) AS x, round(CAST(value AS DOUBLE), 6) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+dx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+rx AS (SELECT x, CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r2x FROM dx),
+dy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+ry AS (SELECT y, CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS r2y FROM dy),
+j AS (SELECT r2x, r2y FROM base JOIN rx USING (x) JOIN ry USING (y)),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(r2x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+  CAST(sum(CAST(r2y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+  CAST(sum(CAST(CAST(r2x AS DECIMAL(19,0)) * CAST(r2y AS DECIMAL(19,0))
+           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+  CAST(sum(CAST(CAST(r2x AS DECIMAL(19,0)) * CAST(r2x AS DECIMAL(19,0))
+           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+  CAST(sum(CAST(CAST(r2y AS DECIMAL(19,0)) * CAST(r2y AS DECIMAL(19,0))
+           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+  (SELECT CAST(count(*) AS BIGINT) FROM dx) AS x_distinct,
+  (SELECT CAST(count(*) AS BIGINT) FROM dy) AS y_distinct
+  FROM j)
+SELECT n, x_distinct, y_distinct,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+    floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          * 1000000.0 + 0.5) / 1000000.0 END AS rho
+FROM agg
+""", priority=PRI_HEAD)
+def q188_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of event value vs event time
+    (operators/stats.spearman_corr) — the monotone drift/trend screen
+    q152's linear Pearson matrix misses (a Mann–Kendall-style question
+    answered with exact distributed rank arithmetic): are event
+    magnitudes creeping up over the observation window? Ranks are
+    tie-averaged, DOUBLED to exact BIGINT, derived from per-distinct-
+    value cumulative counts (never a corpus-wide sort) and equi-joined
+    back; the oracle replays the identical integer rank construction
+    and fixed double Pearson shape."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.col("ts").cast("double").alias("x"),
+                  F.round(F.col("value").cast("double"), 6).alias("y")))
+    return st.spearman_corr(ev, "x", "y")
 
 
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149

@@ -115,3 +115,82 @@ class TestStreamingBinaryAuc:
         # score 0.2 appears only with a NULL label, so it is excluded
         # entirely: 4 surviving distinct scores
         assert (r["n_pos"], r["n_neg"], r["n_scores"]) == (4, 4, 4)
+
+
+class TestChisqIndependence:
+    def test_perfect_association_2x2(self, spark):
+        # a->0 x3, b->1 x3: chi2 = N = 6 exactly, V = 1, with two
+        # EMPTY cells exercising the analytic zero-cell correction
+        from powerdatapipeline_spark.operators import stats as st
+        rows = [("a", "0")] * 3 + [("b", "1")] * 3
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = st.chisq_independence(df, "x", "y").collect()[0]
+        assert (r["n"], r["x_levels"], r["y_levels"], r["dof"]) \
+            == (6, 2, 2, 1)
+        assert r["chi2"] == 6.0
+        assert r["cramers_v"] == 1.0
+
+    def test_dense_table_hand_value(self, spark):
+        # a0:2 a1:1 b0:1 b1:2 -> each cell term (0.25/1.5) rounds to
+        # 0.166667; four terms sum to 0.666668 (rounding discipline:
+        # per-term 6-round into exact decimal)
+        from powerdatapipeline_spark.operators import stats as st
+        rows = ([("a", "0")] * 2 + [("a", "1")] + [("b", "0")]
+                + [("b", "1")] * 2)
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = st.chisq_independence(df, "x", "y").collect()[0]
+        assert r["chi2"] == 0.666668
+
+    def test_null_rows_excluded_and_single_level_degenerate(self, spark):
+        from powerdatapipeline_spark.operators import stats as st
+        rows = [("a", "0"), ("a", "1"), (None, "0"), ("a", None)]
+        df = spark.createDataFrame(rows, "x string, y string")
+        r = st.chisq_independence(df, "x", "y").collect()[0]
+        assert (r["n"], r["x_levels"], r["dof"]) == (2, 1, 0)
+        assert r["chi2"] == 0.0
+        assert r["cramers_v"] is None
+
+
+class TestSpearmanCorr:
+    def _df(self, spark, pts):
+        return spark.createDataFrame(pts, "x double, y double")
+
+    def test_perfect_monotone_nonlinear(self, spark):
+        from powerdatapipeline_spark.operators import stats as st
+        pts = [(1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0)]
+        r = st.spearman_corr(self._df(spark, pts), "x", "y").collect()[0]
+        assert r["rho"] == 1.0
+        assert (r["n"], r["x_distinct"], r["y_distinct"]) == (4, 4, 4)
+
+    def test_perfect_inverse(self, spark):
+        from powerdatapipeline_spark.operators import stats as st
+        pts = [(1.0, 9.0), (2.0, 4.0), (3.0, 1.0)]
+        r = st.spearman_corr(self._df(spark, pts), "x", "y").collect()[0]
+        assert r["rho"] == -1.0
+
+    def test_ties_hand_computed(self, spark):
+        # x = 1,2,2,3 ; y = 10,20,20,30: tie-averaged ranks are
+        # identical (1, 2.5, 2.5, 4) -> rho exactly 1
+        from powerdatapipeline_spark.operators import stats as st
+        pts = [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 30.0)]
+        r = st.spearman_corr(self._df(spark, pts), "x", "y").collect()[0]
+        assert r["rho"] == 1.0
+        assert (r["x_distinct"], r["y_distinct"]) == (3, 3)
+
+    def test_tie_break_partial_hand_value(self, spark):
+        # x = 1,2,3,4 with y = 1,1,2,2: rank_y = (1.5,1.5,3.5,3.5),
+        # rank_x = (1,2,3,4). Pearson on ranks:
+        # cov = sum(rx*ry) - n*mx*my = (1.5+3+10.5+14) - 4*2.5*2.5 = 4
+        # var_x = 30 - 25 = 5 ; var_y = (2.25+2.25+12.25+12.25) - 25 = 4
+        # rho = 4 / sqrt(20) = 0.894427
+        from powerdatapipeline_spark.operators import stats as st
+        pts = [(1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 2.0)]
+        r = st.spearman_corr(self._df(spark, pts), "x", "y").collect()[0]
+        assert r["rho"] == 0.894427
+
+    def test_constant_column_null_and_nulls_excluded(self, spark):
+        from powerdatapipeline_spark.operators import stats as st
+        pts = [(1.0, 5.0), (2.0, 5.0), (None, 1.0), (3.0, None)]
+        r = st.spearman_corr(self._df(spark, pts), "x", "y").collect()[0]
+        assert r["n"] == 2
+        assert r["rho"] is None
