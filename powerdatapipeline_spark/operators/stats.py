@@ -1154,6 +1154,58 @@ def chisq_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                _floor6(F.sqrt(chi2 / (nd * mindim)))).alias("cramers_v"))
 
 
+def gini_concentration(df: DataFrame, value_col: str,
+                       keys: Sequence[str] = ()) -> DataFrame:
+    """Gini coefficient of a non-negative size column per group — the
+    corpus-concentration audit behind mixture design (q141) and token
+    quotas (q104): is a source's character mass spread across its
+    documents or locked up in a few giants? G = 0 is perfect equality,
+    G → 1 is total concentration; it is the summary statistic of the
+    Lorenz curve and the inequality twin of the load-duration curve
+    (q118). Distinct from the skew_report's key-frequency Gini (q154,
+    relational.py): that ranks JOIN-KEY row counts to predict shuffle
+    skew; this ranks an arbitrary non-negative VALUE mass per group —
+    with ties handled exactly via run arithmetic rather than a
+    per-key rank.
+
+    Exact, in integers, without a per-row sort: values collapse to the
+    per-DISTINCT-value count frame (map-side combined); on the
+    ascending cumulative over THAT frame, a run of ``c`` copies of
+    value ``v`` occupying sorted positions ``p+1..p+c`` contributes
+    ``v·(c·p + c(c+1)/2)`` to Σ i·x_(i) — BIGINT×DECIMAL exact — and
+    ``G = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n`` evaluates as a fixed
+    double expression, floor-rounded. NULL and negative values are
+    excluded (negatives make G ill-defined). Returns one row per
+    group: ``(keys..., n, total, gini)``; gini is NULL when the group
+    total is zero (all-zero values carry no mass to concentrate)."""
+    klist = list(keys)
+    per = (df.select(*[F.col(k) for k in klist],
+                     F.col(value_col).cast("decimal(19,0)").alias("__v"))
+           .where(F.col("__v").isNotNull() & (F.col("__v") >= 0))
+           .groupBy(*klist, "__v")
+           .agg(F.count("*").cast("bigint").alias("c")))
+    w = (Window.partitionBy(*klist) if klist
+         else Window.partitionBy(F.lit(1))).orderBy("__v") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    per = per.withColumn("p", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    contrib = (F.col("__v")
+               * (F.col("c").cast("decimal(19,0)") * F.col("p")
+                  + (F.col("c").cast("decimal(19,0)")
+                     * (F.col("c") + 1)) / 2)).cast("decimal(38,0)")
+    agg = (per.groupBy(*klist)
+           .agg(F.sum(F.col("c")).cast("bigint").alias("n"),
+                F.sum(F.col("__v") * F.col("c").cast("decimal(19,0)"))
+                .cast("decimal(38,0)").alias("total"),
+                F.sum(contrib).cast("decimal(38,0)").alias("__ix")))
+    nd = F.col("n").cast("double")
+    g = (F.lit(2.0) * F.col("__ix").cast("double")
+         / (nd * F.col("total").cast("double"))
+         - (nd + 1.0) / nd)
+    return agg.select(*klist, "n",
+                      F.col("total").cast("bigint").alias("total"),
+                      F.when(F.col("total") > 0, _floor6(g)).alias("gini"))
+
+
 def spearman_corr(df: DataFrame, x_col, y_col) -> DataFrame:
     """Spearman rank correlation between two numeric columns — the
     monotone-association screen that completes the correlation family

@@ -3513,7 +3513,7 @@ UNION ALL SELECT 3, 'mean_word_len', s2, s3, s2 - s3 FROM a
 UNION ALL SELECT 4, 'stopword_ratio', s3, s4, s3 - s4 FROM a
 UNION ALL SELECT 5, 'punct_ratio', s4, s5, s4 - s5 FROM a
 UNION ALL SELECT 6, 'dup_lines', s5, s6, s5 - s6 FROM a
-""")
+""", priority=PRI_TAIL)
 def q103_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation filter-funnel audit (operators/text.filter_funnel): the
     ordered C4/Gopher-style rule list with per-stage entered/dropped/
@@ -7478,6 +7478,49 @@ def q188_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("ts").cast("double").alias("x"),
                   F.round(F.col("value").cast("double"), 6).alias("y")))
     return st.spearman_corr(ev, "x", "y")
+
+
+@register("q189_gini_concentration", """
+WITH per AS (
+  SELECT source, CAST(n_chars AS DECIMAL(19,0)) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0
+  GROUP BY 1, 2),
+cum AS (
+  SELECT source, v, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS p
+  FROM per),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS total,
+         CAST(sum(CAST(v * (CAST(c AS DECIMAL(19,0)) * p
+                            + (CAST(c AS DECIMAL(19,0)) * (c + 1)) / 2)
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ix
+  FROM cum GROUP BY 1)
+SELECT source, n, CAST(total AS BIGINT) AS total,
+       CASE WHEN total > 0 THEN
+         floor((2.0 * CAST(ix AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 END AS gini
+FROM agg
+""", priority=PRI_HEAD)
+def q189_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document character mass
+    (operators/stats.gini_concentration) — the corpus-concentration
+    audit mixture design (q141) and token quotas (q104) budget
+    against: a source whose mass sits in a few giant documents behaves
+    very differently under per-document sampling than its row count
+    suggests. Exact tie-run arithmetic on the per-distinct-size frame
+    (never a per-row sort); the key-frequency skew_report Gini (q154)
+    is the join-planning sibling."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.gini_concentration(_t(spark, sf_dir, "documents"),
+                                 "n_chars", keys=("source",))
 
 
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149

@@ -1,5 +1,6 @@
-"""Round-10-born operators: the BPE trainer outer loop (q185) and the
-streaming ROC-AUC twin."""
+"""Round-10-born operators: the BPE trainer outer loop (q185) and encode
+half (q186), the streaming ROC-AUC twin, chi-square independence (q187),
+Spearman rank correlation (q188), and value-mass Gini (q189)."""
 import pytest
 from pyspark.sql import Row
 
@@ -194,3 +195,31 @@ class TestSpearmanCorr:
         r = st.spearman_corr(self._df(spark, pts), "x", "y").collect()[0]
         assert r["n"] == 2
         assert r["rho"] is None
+
+
+class TestGiniConcentration:
+    def test_hand_values(self, spark):
+        from powerdatapipeline_spark.operators import stats as st
+        # group a: [1,1,2] sorted -> sum i*x = 1+2+6 = 9; total 4, n 3
+        #   G = 2*9/(3*4) - 4/3 = 1.5 - 1.333333... -> floor6 0.166667
+        # group b: perfect equality [5,5] -> G = 2*15/(2*10) - 3/2 = 0
+        # group c: total concentration [0,0,7]
+        #   sum i*x = 21, G = 42/(3*7) - 4/3 = 2 - 1.333333 = 0.666667
+        rows = ([("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", 5),
+                 ("c", 0), ("c", 0), ("c", 7)])
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {r["g"]: r for r in
+               st.gini_concentration(df, "v", keys=("g",)).collect()}
+        assert (out["a"]["n"], out["a"]["total"]) == (3, 4)
+        assert out["a"]["gini"] == 0.166667
+        assert out["b"]["gini"] == 0.0
+        assert out["c"]["gini"] == 0.666667
+
+    def test_zero_total_and_nulls_and_negatives(self, spark):
+        from powerdatapipeline_spark.operators import stats as st
+        rows = [("z", 0), ("z", 0), ("z", None), ("z", -3)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        r = st.gini_concentration(df, "v", keys=("g",)).collect()[0]
+        # NULL and negative values excluded; zero-mass group -> NULL G
+        assert (r["n"], r["total"]) == (2, 0)
+        assert r["gini"] is None
