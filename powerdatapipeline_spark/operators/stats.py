@@ -1370,6 +1370,19 @@ def ks_test(df: DataFrame, value_col: str, group_col: str,
                 .cast("bigint").alias("ca"),
                 F.sum(F.when(F.col("__g") == "b", 1).otherwise(0))
                 .cast("bigint").alias("cb")))
+    return ks_from_value_counts(per)
+
+
+def ks_from_value_counts(per: DataFrame) -> DataFrame:
+    """Finalize the two-sample KS statistic from a per-distinct-value
+    counts frame ``(__v, ca, cb)`` — possibly the merged union of
+    partial frames (rows for the same value are re-reduced first, so
+    appended micro-batch partials need no pre-compaction; the
+    auc_from_score_counts discipline). See :func:`ks_test` for the
+    arithmetic contract."""
+    per = (per.groupBy("__v")
+           .agg(F.sum("ca").cast("bigint").alias("ca"),
+                F.sum("cb").cast("bigint").alias("cb")))
     w = Window.partitionBy(F.lit(1)).orderBy("__v") \
         .rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy(F.lit(1))

@@ -289,3 +289,55 @@ def finalize_binary_auc(spark, partials_path: str,
         auc_from_score_counts
 
     return auc_from_score_counts(spark.read.parquet(partials_path), keys)
+
+
+def streaming_ks_drift(stream: DataFrame, value_col: str,
+                       partials_path: str, checkpoint: str):
+    """Streaming half of a KS drift monitor — the distribution-shape
+    watchdog over incoming data (the q121 PSI question without bins):
+    foreachBatch reduces each micro-batch to its per-distinct-value
+    count partial (6-rounded values, NULLs excluded — ks_test's
+    contract) and appends it to a parquet accumulator; the partials
+    merge by addition like the AUC twin's. Pair with
+    :func:`finalize_ks_drift` against a static REFERENCE frame to get
+    the exact two-sample D between everything-seen-so-far and the
+    reference — recomputable at any checkpoint without rescanning the
+    stream's history.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        v = F.round(F.col(value_col).cast("double"), 6)
+        (batch_df.select(v.alias("__v"))
+         .where(F.col("__v").isNotNull())
+         .groupBy("__v")
+         .agg(F.count("*").cast("bigint").alias("cb"))
+         .write.mode("append").parquet(partials_path))
+
+    return (stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update").trigger(availableNow=True).start())
+
+
+def finalize_ks_drift(spark, reference: DataFrame, ref_value_col: str,
+                      partials_path: str) -> DataFrame:
+    """Exact KS D between a static reference distribution (side "a")
+    and the accumulated stream partials (side "b") — shared
+    `ks_from_value_counts` arithmetic, so the result is bit-identical
+    to running batch ks_test over (reference ∪ stream history). The
+    reference collapses to ITS per-value counts here (one aggregate of
+    the reference frame, not the stream); the full-outer merge of the
+    two count frames is value-keyed and |distinct values|-sized."""
+    from powerdatapipeline_spark.operators.stats import \
+        ks_from_value_counts
+
+    v = F.round(F.col(ref_value_col).cast("double"), 6)
+    ref = (reference.select(v.alias("__v"))
+           .where(F.col("__v").isNotNull())
+           .groupBy("__v")
+           .agg(F.count("*").cast("bigint").alias("ca"))
+           .withColumn("cb", F.lit(0).cast("bigint")))
+    got = (spark.read.parquet(partials_path)
+           .withColumn("ca", F.lit(0).cast("bigint"))
+           .select("__v", "ca", "cb"))
+    return ks_from_value_counts(ref.select("__v", "ca", "cb").union(got))

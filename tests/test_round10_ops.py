@@ -223,3 +223,55 @@ class TestGiniConcentration:
         # NULL and negative values excluded; zero-mass group -> NULL G
         assert (r["n"], r["total"]) == (2, 0)
         assert r["gini"] is None
+
+
+class TestStreamingKsDrift:
+    def test_streaming_equals_batch_ks(self, spark, tmp_path):
+        import os
+        import time
+
+        from pyspark.sql import types as T
+
+        from powerdatapipeline_spark.operators import stats as st
+        from powerdatapipeline_spark.streaming.stateful import (
+            finalize_ks_drift, streaming_ks_drift)
+
+        ref_vals = [1.0, 2.0, 2.0, 3.0, 5.0]
+        b1 = [2.0, 4.0, None]
+        b2 = [4.0, 6.0, 2.0]
+
+        src = tmp_path / "in"
+        src.mkdir()
+        for i, batch in enumerate([b1, b2]):
+            f = src / f"{i}.csv"
+            with open(f, "w") as fh:
+                fh.write("v\n")
+                for x in batch:
+                    fh.write(("" if x is None else str(x)) + "\n")
+            t0 = time.time() - 60 * (2 - i)
+            os.utime(f, (t0, t0))
+
+        schema = T.StructType([T.StructField("v", T.DoubleType())])
+        stream = (spark.readStream.schema(schema)
+                  .option("header", "true")
+                  .option("maxFilesPerTrigger", "1").csv(str(src)))
+        q = streaming_ks_drift(stream, "v", str(tmp_path / "p"),
+                               str(tmp_path / "ck"))
+        assert q.awaitTermination(120)
+
+        ref = spark.createDataFrame([(x,) for x in ref_vals],
+                                    "v double")
+        got = finalize_ks_drift(spark, ref, "v",
+                                str(tmp_path / "p")).collect()[0]
+
+        # batch oracle: same rows through ks_test with a group column
+        rows = ([("a", x) for x in ref_vals]
+                + [("b", x) for x in b1 + b2 if x is not None])
+        both = spark.createDataFrame(rows, "g string, v double")
+        want = st.ks_test(both, "v", "g", "a", "b").collect()[0]
+        assert got.asDict() == want.asDict()
+        # hand check (n_a = n_b = 5): cum_a = 1,3,4,4,5,5 and
+        # cum_b = 0,2,2,4,4,5 over sorted values 1,2,3,4,5,6 ->
+        # |cum_a - cum_b| peaks at v=3 (4 vs 2) -> D = 2/5
+        assert got["d"] == 0.4
+        assert got["d_at"] == 3.0
