@@ -3538,7 +3538,7 @@ c AS (
 SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(cum AS BIGINT) AS cum_tokens
 FROM c WHERE cum - n_tokens < 5000
-""")
+""", priority=PRI_TAIL)
 def q104_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget enforcement
     (operators/text.enforce_token_quota): admit documents in
@@ -7523,13 +7523,85 @@ def q189_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "n_chars", keys=("source",))
 
 
+@register("q190_streaming_auc", """
+WITH s AS (SELECT round(CAST(value AS DOUBLE), 6) AS score,
+                  (user_id % 2 = 0) AS y
+           FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL),
+per AS (SELECT score,
+               CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM s GROUP BY 1),
+cum AS (SELECT np, nn,
+               coalesce(sum(nn) OVER (ORDER BY score
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cnb
+        FROM per),
+agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CAST(count(*) AS BIGINT) AS n_scores,
+               CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS num
+        FROM cum)
+SELECT n_pos, n_neg, n_scores,
+       floor(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg)
+             * 1000000.0 + 0.5) / 1000000.0 AS auc,
+       2.0 * (floor(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg)
+                    * 1000000.0 + 0.5) / 1000000.0) - 1.0 AS gini
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+""", priority=PRI_HEAD)
+def q190_streaming_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ROC AUC under driver verification (streaming/stateful.
+    streaming_binary_auc + finalize_binary_auc) — q179's exact
+    Mann-Whitney machinery fed incrementally, the q45/q95 discipline
+    for the stats family: the events file stream reduces per
+    micro-batch to mergeable per-distinct-score (np, nn) partials
+    (foreachBatch parquet appends — nothing corpus-sized in executor
+    state), and the finalizer re-reduces them through the SAME
+    ``auc_from_score_counts`` the batch operator uses, so stream ≡
+    batch bit-identically and the batch DuckDB oracle verifies the
+    streaming run. Score = event value; label = even-user cohort (the
+    A/B ranking-separation audit)."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_binary_auc, streaming_binary_auc)
+
+    stream = events_stream_source(spark, sf_dir)
+    scored = stream.select(
+        F.round(F.col("value").cast("double"), 6).alias("score"),
+        (F.col("user_id") % 2 == 0).alias("label"))
+    tmp = tempfile.mkdtemp(prefix="q190_streaming_auc_")
+    q = streaming_binary_auc(scored, "score", "label",
+                             f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q190 streaming job did not finish within 300 s")
+    return finalize_binary_auc(spark, f"{tmp}/partials")
+
+
+def q190_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-micro-batch partials frame q190's foreachBatch appends —
+    shared with tools/dump_plans so the plan audit inspects the DAG
+    each trigger actually runs (batch frame stand-in for the stream:
+    foreachBatch receives a plain DataFrame)."""
+    from powerdatapipeline_spark.operators.stats import \
+        auc_per_score_counts
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value").cast("double"), 6).alias("score"),
+        (F.col("user_id") % 2 == 0).alias("label"))
+    return auc_per_score_counts(scored, "score", "label")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
-# q150-q184 (36 queries) plus the round-10-born q185 — was promoted to
-# PRI_HEAD together with 13 retained freshly-recorded entries
-# (q100-q112); q99 and q113-q124 and q126-q149 were demoted to
-# PRI_TAIL. With CORRECTNESS_r10 green, every registry query has >=1
-# driver record (full ledger: COVERAGE.md); rotation is thereafter
+# q150-q184 (36 queries) plus the round-10-born q185-q190 — was
+# promoted to PRI_HEAD together with 8 retained freshly-recorded
+# entries (q105-q112); q99-q104, q113-q124 and q126-q149 were demoted
+# to PRI_TAIL. With CORRECTNESS_r10 green, every registry query has
+# >=1 driver record (full ledger: COVERAGE.md); rotation is thereafter
 # needed only for NEW entries.
 # ===========================================================================
 

@@ -94,13 +94,13 @@ def test_round10_rotation_head_completes_driver_coverage():
     least one driver record; rotation is thereafter needed only when new
     queries register."""
     head = set(list(REGISTRY)[:SNAPSHOT_CAP])
-    # q125 + q150-q184 (never recorded) + the round-10-born q185-q189
+    # q125 + q150-q184 (never recorded) + the round-10-born q185-q190
     never_recorded = {n for n in REGISTRY
                       if n.split("_")[0] in (
-                          {"q125"} | {f"q{i}" for i in range(150, 190)})}
+                          {"q125"} | {f"q{i}" for i in range(150, 191)})}
     retained = {n for n in REGISTRY
-                if n.split("_")[0] in {f"q{i}" for i in range(104, 113)}}
-    assert len(never_recorded) == 41 and len(retained) == 9
+                if n.split("_")[0] in {f"q{i}" for i in range(105, 113)}}
+    assert len(never_recorded) == 42 and len(retained) == 8
     assert head == never_recorded | retained
 
 

@@ -177,6 +177,7 @@ def _streaming_variants(spark, sf):
         q65_stream_frame,
         q95_stream_frame,
         q124_stream_frame,
+        q190_stream_frame,
     )
 
     return {
@@ -184,6 +185,7 @@ def _streaming_variants(spark, sf):
         "q65_stream_stream_join": q65_stream_frame(spark, sf),
         "q95_streaming_sessionize": q95_stream_frame(spark, sf),
         "q124_stream_static_enrich": q124_stream_frame(spark, sf),
+        "q190_streaming_auc": q190_stream_frame(spark, sf),
     }
 
 
