@@ -1477,3 +1477,160 @@ def km_survival(df: DataFrame, duration_col: str, event_col,
                     F.when(F.col("__dead") == 1, F.lit(0.0))
                     .otherwise(_floor6(F.exp(F.col("__ls"))))
                     .alias("survival")))
+
+
+def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA F-test across k groups — the k-sample extension of
+    Welch's t (q182): does the metric's MEAN differ across sources /
+    segments / shards at all, before any pairwise drill-down? The
+    omnibus screen a mixture design (q141) or quality-bucket split
+    (q87) runs first.
+
+    Scale shape: ONE map-side-combined groupBy accumulates per-group
+    (n, Σμ, Σμ²) in exact integer micro-units (the welch_ttest
+    contract: μ = floor(v·1e6 + 0.5) as BIGINT, squares as
+    DECIMAL(38,0) — no double→decimal casts anywhere); the k-row group
+    frame then folds the within/between sum-of-squares terms as
+    6-rounded decimals (partition-order-free, the km_survival log-fold
+    discipline) and the final F ratio is a fixed double expression.
+    NULL values and NULL group labels are excluded (round-9 contract).
+    Raises at evaluation when k < 2 or every group is a singleton
+    (within-group variance undefined); the guard threads through EVERY
+    output column (welch round-9 ADVICE lesson — column pruning must
+    not optimize it away). Returns one row:
+    ``(k, n, ssb, ssw, df_between, df_within, f_stat, eta_sq)``."""
+    v = F.round(F.col(value_col).cast("double"), 6)
+    mu = F.floor(v * F.lit(1_000_000.0) + F.lit(0.5))
+    base = (df.select(F.col(group_col).alias("__g"), mu.alias("__m"))
+            .where(F.col("__g").isNotNull() & F.col("__m").isNotNull())
+            .withColumn("__md", F.col("__m").cast("decimal(19,0)")))
+    per = base.groupBy("__g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__md").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("__md") * F.col("__md")).cast("decimal(38,0)")
+        .alias("ss"))
+    # names must differ from "n"/"s" by more than case: Spark resolves
+    # column names case-insensitively, so withColumn("N", ...) would
+    # silently REPLACE "n"
+    wall = Window.partitionBy(F.lit(1))
+    per = (per.withColumn("__tot_n", F.sum("n").over(wall))
+           .withColumn("__tot_s",
+                       F.sum("s").over(wall).cast("decimal(38,0)")))
+    nd = F.col("n").cast("double")
+    Nd = F.col("__tot_n").cast("double")
+    s6 = F.col("s").cast("double") / F.lit(1.0e6)
+    ss12 = F.col("ss").cast("double") / F.lit(1.0e12)
+    g6 = F.col("__tot_s").cast("double") / F.lit(1.0e6)
+    # per-group terms in double (fixed expression shape), floor6-rounded
+    # (tie-safe on quotients, unlike round — the _floor6 contract) and
+    # decimal-folded so the cross-group sum is partition-order-free
+    ssw_t = _floor6(ss12 - (s6 * s6) / nd).cast("decimal(28,6)")
+    mdiff = s6 / nd - g6 / Nd
+    ssb_t = _floor6(nd * mdiff * mdiff).cast("decimal(28,6)")
+    agg = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max("__tot_n").cast("bigint").alias("n"),
+        F.sum(ssb_t).cast("double").alias("ssb"),
+        F.sum(ssw_t).cast("double").alias("ssw"))
+    guard = F.when(
+        (F.col("k") < 2) | (F.col("n") <= F.col("k")),
+        F.raise_error(F.lit(
+            "anova_f: need >= 2 groups and at least one group with "
+            ">= 2 non-null rows — F undefined")))
+
+    def g(expr, typ="double"):
+        return F.coalesce(guard.cast(typ), expr)
+
+    dfb = (F.col("k") - 1).cast("double")
+    dfw = (F.col("n") - F.col("k")).cast("double")
+    f_stat = (F.col("ssb") / dfb) / (F.col("ssw") / dfw)
+    eta = F.col("ssb") / (F.col("ssb") + F.col("ssw"))
+    return agg.select(
+        g(F.col("k"), "bigint").alias("k"),
+        g(F.col("n"), "bigint").alias("n"),
+        g(F.col("ssb")).alias("ssb"),
+        g(F.col("ssw")).alias("ssw"),
+        g(dfb.cast("bigint"), "bigint").alias("df_between"),
+        g(dfw.cast("bigint"), "bigint").alias("df_within"),
+        g(F.when(F.col("ssw") > 0, _floor6(f_stat))).alias("f_stat"),
+        g(F.when(F.col("ssb") + F.col("ssw") > 0, _floor6(eta)))
+        .alias("eta_sq"))
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str
+                   ) -> DataFrame:
+    """Kruskal–Wallis H test — the rank-based (distribution-free)
+    sibling of :func:`anova_f`: does the metric's LOCATION differ
+    across k groups, robust to heavy tails and any monotone transform
+    (the Spearman-vs-Pearson relationship, lifted to k samples)?
+
+    Exact distributed rank arithmetic, no corpus-wide sort: values
+    collapse to the per-DISTINCT-value count frame; the tie-averaged
+    DOUBLED rank 2r(v) = 2·cum_below + t + 1 is exact BIGINT (the
+    spearman_corr trick); per-(group, value) counts equi-join the rank
+    frame and one groupBy accumulates Σ 2r·c per group as
+    DECIMAL(38,0). H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1) folds the
+    k per-group terms as 6-rounded decimals (order-free); the tie
+    correction C = 1 − Σ(t³−t)/(N³−N) comes exactly from the same
+    distinct-value frame. NULL values/groups excluded. Raises when
+    k < 2 (guard threads through every column). Returns one row:
+    ``(k, n, n_values, h, tie_correction, h_adj)`` with h_adj NULL
+    when every value is identical (C = 0)."""
+    v = F.round(F.col(value_col).cast("double"), 6)
+    base = (df.select(F.col(group_col).alias("__g"), v.alias("__v"))
+            .where(F.col("__g").isNotNull() & F.col("__v").isNotNull()))
+    gv = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("bigint").alias("c"))
+    dv = gv.groupBy("__v").agg(F.sum("c").cast("bigint").alias("t"))
+    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = dv.select(
+        "__v",
+        (2 * F.coalesce(F.sum("t").over(wcum), F.lit(0))
+         + F.col("t") + 1).cast("bigint").alias("r2"),
+        "t")
+    per_g = (gv.join(ranks.select("__v", "r2"), "__v")
+             .groupBy("__g")
+             .agg(F.sum("c").cast("bigint").alias("n"),
+                  F.sum(F.col("c").cast("decimal(19,0)")
+                        * F.col("r2").cast("decimal(19,0)"))
+                  .cast("decimal(38,0)").alias("r2sum")))
+    wall = Window.partitionBy(F.lit(1))
+    # "__tot_n", not "N": Spark's case-insensitive resolver would fold
+    # "N" into the existing "n" (the anova_f lesson)
+    per_g = per_g.withColumn("__tot_n", F.sum("n").over(wall))
+    nd = F.col("n").cast("double")
+    Nd = F.col("__tot_n").cast("double")
+    rg = F.col("r2sum").cast("double") / F.lit(2.0)
+    # per-group H term 12·R²/(N(N+1)n), 6-rounded + decimal-folded
+    h_t = _floor6(F.lit(12.0) * rg * rg / (Nd * (Nd + 1) * nd)) \
+        .cast("decimal(28,6)")
+    agg = per_g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max("__tot_n").cast("bigint").alias("n"),
+        F.sum(h_t).cast("double").alias("__hsum"))
+    tiedec = (F.col("t").cast("decimal(19,0)")
+              * F.col("t").cast("decimal(19,0)")
+              * F.col("t").cast("decimal(19,0)")
+              - F.col("t").cast("decimal(19,0)"))
+    ties = dv.agg(F.count("*").cast("bigint").alias("n_values"),
+                  F.sum(tiedec).cast("decimal(38,0)").alias("__tt"))
+    out = agg.crossJoin(F.broadcast(ties))
+    guard = F.when(
+        F.col("k") < 2,
+        F.raise_error(F.lit("kruskal_wallis: need >= 2 groups")))
+
+    def g(expr, typ="double"):
+        return F.coalesce(guard.cast(typ), expr)
+
+    Nd2 = F.col("n").cast("double")
+    h = F.col("__hsum") - F.lit(3.0) * (Nd2 + 1)
+    corr = F.lit(1.0) - F.col("__tt").cast("double") \
+        / (Nd2 * Nd2 * Nd2 - Nd2)
+    return out.select(
+        g(F.col("k"), "bigint").alias("k"),
+        g(F.col("n"), "bigint").alias("n"),
+        g(F.col("n_values"), "bigint").alias("n_values"),
+        g(_floor6(h)).alias("h"),
+        g(F.when(Nd2 > 1, _floor6(corr))).alias("tie_correction"),
+        g(F.when((Nd2 > 1) & (F.col("n_values") > 1),
+                 _floor6(h / corr))).alias("h_adj"))

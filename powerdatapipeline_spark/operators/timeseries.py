@@ -1531,3 +1531,139 @@ def seasonal_decompose_profile(df: DataFrame, ts_col: str = "ts",
                  .alias("sum_value"),
                  F.sum(F.col("det").cast("decimal(18,6)")).cast("double")
                  .alias("sum_detrended")))
+
+
+def cross_correlation(df: DataFrame, ts_col: str, type_col: str,
+                      type_a: str, type_b: str, max_lag: int = 12,
+                      bucket_seconds: int = 3600) -> DataFrame:
+    """Lagged cross-correlation between two event streams' bucketed
+    COUNT series — the lead/lag diagnostic beside :func:`acf` (auto)
+    and q152's contemporaneous Pearson matrix: do errors spike k hours
+    AFTER clicks surge, does signup volume lead purchase volume? The
+    peak-lag answer drives alerting windows and feature-lag choices in
+    supervised pairing (q43).
+
+    Shape (the acf discipline): each stream reduces to per-bucket
+    BIGINT counts first (map-side combined; the corpus never joins
+    itself), stream A's tiny bucket frame fans out once per lag in
+    0..max_lag via a literal-array explode and equi-joins stream B on
+    ``bucket + lag`` — one hash join for ALL lags, no window over a
+    global order, partitioned by bucket at any scale. Counts are
+    integers, so ALL five moment sums per lag are EXACT
+    (BIGINT/DECIMAL(38,0)); the only doubles are the final Pearson
+    ratio per lag (fixed expression, floor6). Pairwise-complete: a
+    bucket missing from either stream contributes no pair at that lag.
+    Returns ``(lag, n_pairs, r)`` with r NULL when either side is
+    constant over the paired buckets."""
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+
+    def counts(tv: str, out: str) -> DataFrame:
+        return (df.where(F.col(ts_col).isNotNull()
+                         & (F.col(type_col) == tv))
+                .groupBy(F.floor(F.col(ts_col).cast("double")
+                                 / F.lit(float(bucket_seconds)))
+                         .cast("bigint").alias("b"))
+                .agg(F.count("*").cast("bigint").alias(out)))
+
+    ca, cb = counts(type_a, "xa"), counts(type_b, "xb")
+    lags = F.array(*[F.lit(k) for k in range(0, max_lag + 1)])
+    probes = (ca.select("xa", F.explode(lags).alias("lag"),
+                        (F.col("b") + F.col("lag")).alias("b"))
+              .join(cb, "b"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    per = probes.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(dec("xa")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("xb")).cast("decimal(38,0)").alias("sy"),
+        F.sum((dec("xa") * dec("xb")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum((dec("xa") * dec("xa")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum((dec("xb") * dec("xb")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("syy"))
+    md = F.col("m").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    da = md * F.col("sxx").cast("double") - sx * sx
+    db = md * F.col("syy").cast("double") - sy * sy
+    num = md * F.col("sxy").cast("double") - sx * sy
+    r6 = (F.floor(num / (F.sqrt(da) * F.sqrt(db))
+                  * F.lit(1_000_000.0) + F.lit(0.5)).cast("double")
+          / F.lit(1_000_000.0))
+    return (per.select(F.col("lag").cast("bigint").alias("lag"),
+                       F.col("m").alias("n_pairs"),
+                       F.when((da > 0) & (db > 0), r6).alias("r"))
+            .orderBy("lag"))
+
+
+def mann_kendall(df: DataFrame, ts_col: str = "ts",
+                 value_col: str = "value",
+                 bucket_seconds: int = 86400) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope on the bucketed daily-mean
+    series — the nonparametric is-it-drifting verdict beside q188's
+    Spearman-vs-time (same question, different statistic: MK counts
+    concordant pairs, publishes an effect SIZE in units/bucket via
+    Sen's median slope, and has the classical tie-corrected normal
+    approximation).
+
+    Scale contract: the corpus reduces to per-bucket means FIRST (one
+    map-side-combined groupBy; exact decimal sums, floor6-rounded so
+    pair differences are engine-identical), and the O(m²/2) pair frame
+    is built over THAT — m is CALENDAR-bounded (days in the window),
+    not corpus-bounded, so the pair count never grows with data volume
+    (30 days = 435 pairs at 100 TB exactly as at sf0.001; the plan's
+    nested-loop pair join is annotated in PLANS.md as bucket-bounded).
+    S = Σ sign(v_j − v_i) over i<j is exact BIGINT; the tie-corrected
+    variance [m(m−1)(2m+5) − Σt(t−1)(2t+5)]/18 is exact integer
+    arithmetic from the distinct-value frame; Sen's slope is the LOWER
+    MEDIAN of pairwise slopes selected by deterministic row_number
+    (slope, i, j) — no engine-divergent percentile semantics. Returns
+    one row: ``(n_buckets, n_pairs, s, var_s, z, sen_slope)`` with
+    z = (S∓1)/√var (0 when S=0), NULL when var = 0."""
+    x = F.col(value_col).cast("double")
+    days = (df.where(F.col(ts_col).isNotNull() & x.isNotNull())
+            .groupBy(F.floor(F.col(ts_col).cast("double")
+                             / F.lit(float(bucket_seconds)))
+                     .cast("bigint").alias("d"))
+            .agg((F.floor(F.sum(x.cast("decimal(28,12)")).cast("double")
+                          / F.count("*") * F.lit(1_000_000.0) + F.lit(0.5))
+                  .cast("double") / F.lit(1_000_000.0)).alias("v")))
+    a = days.select(F.col("d").alias("di"), F.col("v").alias("vi"))
+    b = days.select(F.col("d").alias("dj"), F.col("v").alias("vj"))
+    # bucket-bounded pair frame: |days|^2/2 rows regardless of corpus
+    # size (calendar-bounded, the docstring contract)
+    pairs = a.join(b, F.col("dj") > F.col("di"))
+    slope = (F.col("vj") - F.col("vi")) \
+        / (F.col("dj") - F.col("di")).cast("double")
+    sgn = F.signum(F.col("vj") - F.col("vi")).cast("bigint")
+    pw = pairs.select("di", "dj", slope.alias("slope"), sgn.alias("sgn"))
+    agg = pw.agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.sum("sgn").cast("bigint").alias("s"))
+    wmed = Window.orderBy("slope", "di", "dj")
+    med = (pw.withColumn("__rn", F.row_number().over(wmed))
+           .withColumn("__cnt", F.count("*").over(
+               Window.partitionBy(F.lit(1))))
+           .where(F.col("__rn") == F.floor((F.col("__cnt") + 1) / 2))
+           .select(F.col("slope").alias("sen_slope")))
+    tdec = lambda: F.col("t").cast("decimal(19,0)")
+    ties = (days.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+            # n_buckets = Σt (the DAY count), not the distinct-value
+            # count — a flat series has 1 distinct value but m days
+            .agg(F.sum("t").cast("bigint").alias("n_buckets"),
+                 F.sum(tdec() * (tdec() - 1) * (2 * tdec() + 5))
+                 .cast("decimal(38,0)").alias("__tt")))
+    out = agg.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(med))
+    m = F.col("n_buckets").cast("double")
+    var_s = (m * (m - 1) * (2 * m + 5)
+             - F.col("__tt").cast("double")) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s)) \
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return out.select(
+        "n_buckets", "n_pairs", "s",
+        fl6(var_s).alias("var_s"),
+        F.when(var_s > 0, fl6(z)).alias("z"),
+        fl6(F.col("sen_slope")).alias("sen_slope"))

@@ -7595,6 +7595,229 @@ def q190_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_per_score_counts(scored, "score", "label")
 
 
+@register("q191_anova_f", """
+WITH base AS (
+  SELECT source AS g,
+         CAST(floor(round(CAST(n_chars AS DOUBLE), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS m
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(m AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+  FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(s) AS DECIMAL(38,0)) AS tsum FROM per),
+terms AS (
+  SELECT n, tn,
+    CAST(floor((CAST(ss AS DOUBLE) / 1e12
+          - (CAST(s AS DOUBLE) / 1e6) * (CAST(s AS DOUBLE) / 1e6)
+            / CAST(n AS DOUBLE))
+         * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS ssw_t,
+    CAST(floor((CAST(n AS DOUBLE)
+          * (CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+             - CAST(tsum AS DOUBLE) / 1e6 / CAST(tn AS DOUBLE))
+          * (CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+             - CAST(tsum AS DOUBLE) / 1e6 / CAST(tn AS DOUBLE)))
+         * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS ssb_t
+  FROM per CROSS JOIN tot),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(tn) AS BIGINT) AS n,
+         CAST(sum(ssb_t) AS DOUBLE) AS ssb,
+         CAST(sum(ssw_t) AS DOUBLE) AS ssw
+  FROM terms)
+SELECT k, n, ssb, ssw,
+  CAST(k - 1 AS BIGINT) AS df_between,
+  CAST(n - k AS BIGINT) AS df_within,
+  CASE WHEN ssw > 0 THEN
+    floor((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+          * 1000000.0 + 0.5) / 1000000.0 END AS f_stat,
+  CASE WHEN ssb + ssw > 0 THEN
+    floor(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0 END AS eta_sq
+FROM agg
+""", priority=PRI_TAIL)
+def q191_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the 20 document sources
+    (operators/stats.anova_f) — the k-sample omnibus mean screen the
+    pairwise Welch t (q182) needs k(k-1)/2 runs to cover: do sources
+    differ in document size AT ALL, before any drill-down? One
+    map-side-combined groupBy accumulates exact integer-micro moments
+    per source; the 20-row group frame folds the between/within
+    sum-of-squares as floor6-rounded decimals (partition-order-free)
+    and the F ratio is a fixed double expression the oracle replays.
+    Round-10b born: PRI_TAIL until the round-11 rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.anova_f(_t(spark, sf_dir, "documents"), "n_chars", "source")
+
+
+@register("q192_kruskal_wallis", """
+WITH base AS (
+  SELECT event_type AS g, round(CAST(value AS DOUBLE), 6) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+dv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY 1),
+rk AS (SELECT v, CAST(2 * coalesce(sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + t + 1 AS BIGINT) AS r2 FROM dv),
+per AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(CAST(c AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2sum
+  FROM gv JOIN rk USING (v) GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM per),
+terms AS (
+  SELECT n, tn,
+    CAST(floor(12.0 * (CAST(r2sum AS DOUBLE) / 2.0)
+               * (CAST(r2sum AS DOUBLE) / 2.0)
+               / (CAST(tn AS DOUBLE) * (CAST(tn AS DOUBLE) + 1)
+                  * CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS h_t
+  FROM per CROSS JOIN tot),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(tn) AS BIGINT) AS n,
+               CAST(sum(h_t) AS DOUBLE) AS hsum FROM terms),
+ties AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+                CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+                         * CAST(t AS DECIMAL(19,0))
+                         - CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS tt
+         FROM dv)
+SELECT k, n, n_values,
+  floor((hsum - 3.0 * (CAST(n AS DOUBLE) + 1)) * 1000000.0 + 0.5)
+    / 1000000.0 AS h,
+  CASE WHEN n > 1 THEN
+    floor((1.0 - CAST(tt AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0
+  END AS tie_correction,
+  CASE WHEN n > 1 AND n_values > 1 THEN
+    floor(((hsum - 3.0 * (CAST(n AS DOUBLE) + 1))
+           / (1.0 - CAST(tt AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
+  END AS h_adj
+FROM agg CROSS JOIN ties
+""", priority=PRI_TAIL)
+def q192_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the 5 event types
+    (operators/stats.kruskal_wallis) — the rank-based omnibus location
+    test beside q191's ANOVA (Spearman-vs-Pearson, lifted to k
+    samples): robust to the heavy-tailed event values a mean test
+    over-weights. Exact BIGINT tie-averaged doubled ranks from the
+    per-distinct-value frame (the q188 machinery), per-group rank
+    sums in exact decimal, tie correction from the same tiny frame;
+    the oracle replays the identical integer construction.
+    Round-10b born: PRI_TAIL until the round-11 rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = _t(spark, sf_dir, "events")
+    return st.kruskal_wallis(ev, "value", "event_type")
+
+
+@register("q193_cross_correlation", """
+WITH ca AS (
+  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS xa
+  FROM events WHERE ts IS NOT NULL AND event_type = 'click' GROUP BY 1),
+cb AS (
+  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS xb
+  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase' GROUP BY 1),
+lags AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS lag),
+probes AS (
+  SELECT lags.lag, ca.xa, cb.xb
+  FROM ca CROSS JOIN lags JOIN cb ON cb.b = ca.b + lags.lag),
+per AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(CAST(xa AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+    CAST(sum(CAST(xb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+    CAST(sum(CAST(CAST(xa AS DECIMAL(19,0)) * CAST(xb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+    CAST(sum(CAST(CAST(xa AS DECIMAL(19,0)) * CAST(xa AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+    CAST(sum(CAST(CAST(xb AS DECIMAL(19,0)) * CAST(xb AS DECIMAL(19,0))
+             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+  FROM probes GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, m AS n_pairs,
+  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+    floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          * 1000000.0 + 0.5) / 1000000.0 END AS r
+FROM per ORDER BY lag
+""", priority=PRI_TAIL)
+def q193_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly click->purchase cross-correlation at lags 0..6
+    (operators/timeseries.cross_correlation) — the lead/lag companion
+    to q168's ACF: does purchase volume track click volume k hours
+    later? Both streams pre-reduce to per-hour BIGINT count frames
+    (the corpus never joins itself); one explode+equi-join covers all
+    lags; every moment sum is exact integer arithmetic and only the
+    final per-lag Pearson ratio is double (floor6, oracle-replayed).
+    Round-10b born: PRI_TAIL until the round-11 rotation."""
+    return ts.cross_correlation(_t(spark, sf_dir, "events"), "ts",
+                                "event_type", "click", "purchase",
+                                max_lag=6)
+
+
+@register("q194_mann_kendall", """
+WITH days AS (
+  SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
+         floor(CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,12)))
+                    AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+           / 1000000.0 AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+pairs AS (
+  SELECT a.d AS di, b.d AS dj,
+         (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS slope,
+         CAST(sign(b.v - a.v) AS BIGINT) AS sgn
+  FROM days a JOIN days b ON b.d > a.d),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(sgn) AS BIGINT) AS s FROM pairs),
+med AS (
+  SELECT slope AS sen_raw FROM (
+    SELECT slope, row_number() OVER (ORDER BY slope, di, dj) AS rn,
+           count(*) OVER () AS cnt FROM pairs) q
+  WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)),
+ties AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n_buckets,
+         CAST(sum(CAST(t AS DECIMAL(19,0)) * (CAST(t AS DECIMAL(19,0)) - 1)
+                  * (2 * CAST(t AS DECIMAL(19,0)) + 5))
+              AS DECIMAL(38,0)) AS tt
+  FROM (SELECT v, CAST(count(*) AS BIGINT) AS t FROM days GROUP BY 1)),
+vr AS (
+  SELECT n_buckets, tt,
+         (CAST(n_buckets AS DOUBLE) * (CAST(n_buckets AS DOUBLE) - 1)
+          * (2 * CAST(n_buckets AS DOUBLE) + 5) - CAST(tt AS DOUBLE))
+         / 18.0 AS var_raw
+  FROM ties)
+SELECT n_buckets, n_pairs, s,
+  floor(var_raw * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+  CASE WHEN var_raw > 0 THEN
+    floor((CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(var_raw)
+                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(var_raw)
+                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 END AS z,
+  floor(sen_raw * 1000000.0 + 0.5) / 1000000.0 AS sen_slope
+FROM agg CROSS JOIN med CROSS JOIN vr
+""", priority=PRI_TAIL)
+def q194_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test with Sen's slope on the daily-mean event
+    value series (operators/timeseries.mann_kendall) — the
+    nonparametric drift verdict + effect size beside q188's
+    Spearman-vs-time: S from exact BIGINT pair signs, tie-corrected
+    variance from exact integer arithmetic, Sen's slope as the
+    deterministic lower-median pairwise slope. The O(days^2/2) pair
+    frame is calendar-bounded (30 days = 435 pairs at ANY corpus
+    scale; the corpus itself reduces to daily means in one map-side
+    combined pass). Round-10b born: PRI_TAIL until the round-11
+    rotation."""
+    return ts.mann_kendall(_t(spark, sf_dir, "events"), "ts", "value")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

@@ -1,0 +1,186 @@
+"""Round-10b operators: one-way ANOVA F (q191), Kruskal-Wallis H
+(q192), and the rest of the late-round-10 cohort — each pinned to
+hand-computed values on corpora small enough to verify by hand."""
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from powerdatapipeline_spark.operators import stats as st
+
+
+def _gv(spark, pairs):
+    return spark.createDataFrame([Row(g=g, v=float(v)) for g, v in pairs])
+
+
+class TestAnovaF:
+    def test_hand_two_groups(self, spark):
+        # a: [1,2,3] mean 2, ss 2; b: [5,7] mean 6, ss 2
+        # grand mean 3.6; ssb = 3*(2-3.6)^2 + 2*(6-3.6)^2 = 7.68+11.52
+        # = 19.2; ssw = 4; F = (19.2/1)/(4/3) = 14.4
+        out = st.anova_f(
+            _gv(spark, [("a", 1), ("a", 2), ("a", 3), ("b", 5), ("b", 7)]),
+            "v", "g").collect()[0]
+        assert out["k"] == 2 and out["n"] == 5
+        assert out["df_between"] == 1 and out["df_within"] == 3
+        assert out["ssb"] == pytest.approx(19.2, abs=1e-6)
+        assert out["ssw"] == pytest.approx(4.0, abs=1e-6)
+        assert out["f_stat"] == pytest.approx(14.4, abs=1e-6)
+        assert out["eta_sq"] == pytest.approx(19.2 / 23.2, abs=1e-6)
+
+    def test_identical_groups_f_zero(self, spark):
+        out = st.anova_f(
+            _gv(spark, [("a", 1), ("a", 3), ("b", 1), ("b", 3)]),
+            "v", "g").collect()[0]
+        assert out["ssb"] == pytest.approx(0.0, abs=1e-6)
+        assert out["f_stat"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", v=1.0), Row(g="a", v=2.0), Row(g="a", v=3.0),
+             Row(g="b", v=5.0), Row(g="b", v=7.0),
+             Row(g=None, v=99.0), Row(g="b", v=None)])
+        out = st.anova_f(df, "v", "g").collect()[0]
+        assert out["n"] == 5 and out["f_stat"] == pytest.approx(14.4, 1e-6)
+
+    def test_single_group_raises(self, spark):
+        with pytest.raises(Exception, match="anova_f"):
+            st.anova_f(_gv(spark, [("a", 1), ("a", 2)]), "v", "g").collect()
+
+    def test_all_singletons_raises(self, spark):
+        with pytest.raises(Exception, match="anova_f"):
+            st.anova_f(_gv(spark, [("a", 1), ("b", 2)]), "v", "g").collect()
+
+    def test_guard_survives_column_pruning(self, spark):
+        out = st.anova_f(_gv(spark, [("a", 1), ("a", 2)]), "v", "g")
+        with pytest.raises(Exception, match="anova_f"):
+            out.select("eta_sq").collect()
+
+
+class TestKruskalWallis:
+    def test_hand_no_ties(self, spark):
+        # a: [1,2] ranks {1,2} R=3; b: [3,4,5] ranks {3,4,5} R=12
+        # H = 12/(5*6) * (9/2 + 144/3) - 3*6 = 0.4*52.5 - 18 = 3.0
+        out = st.kruskal_wallis(
+            _gv(spark, [("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5)]),
+            "v", "g").collect()[0]
+        assert out["k"] == 2 and out["n"] == 5 and out["n_values"] == 5
+        assert out["h"] == pytest.approx(3.0, abs=1e-6)
+        assert out["tie_correction"] == pytest.approx(1.0, abs=1e-6)
+        assert out["h_adj"] == pytest.approx(3.0, abs=1e-6)
+
+    def test_hand_with_ties(self, spark):
+        # values: a=[1,2,2], b=[2,3]; ranks: 1->1, 2->avg(2,3,4)=3, 3->5
+        # R_a = 1+3+3 = 7, R_b = 3+5 = 8
+        # H = 12/(5*6) * (49/3 + 64/2) - 18 = 0.4*(16.3333+32) - 18
+        #   = 19.33333 - 18 = 1.333333
+        # ties: t=3 at v=2 -> sum(t^3-t)=24; C = 1 - 24/120 = 0.8
+        out = st.kruskal_wallis(
+            _gv(spark, [("a", 1), ("a", 2), ("a", 2), ("b", 2), ("b", 3)]),
+            "v", "g").collect()[0]
+        assert out["h"] == pytest.approx(1.333333, abs=1e-5)
+        assert out["tie_correction"] == pytest.approx(0.8, abs=1e-6)
+        assert out["h_adj"] == pytest.approx(1.333333 / 0.8, abs=1e-5)
+
+    def test_all_values_identical_h_adj_null(self, spark):
+        out = st.kruskal_wallis(
+            _gv(spark, [("a", 2), ("a", 2), ("b", 2)]), "v", "g").collect()[0]
+        assert out["n_values"] == 1
+        assert out["tie_correction"] == pytest.approx(0.0, abs=1e-6)
+        assert out["h_adj"] is None
+
+    def test_single_group_raises(self, spark):
+        with pytest.raises(Exception, match="kruskal_wallis"):
+            st.kruskal_wallis(
+                _gv(spark, [("a", 1), ("a", 2)]), "v", "g").collect()
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", v=1.0), Row(g="a", v=2.0), Row(g="b", v=3.0),
+             Row(g="b", v=4.0), Row(g="b", v=5.0), Row(g=None, v=0.5),
+             Row(g="a", v=None)])
+        out = st.kruskal_wallis(df, "v", "g").collect()[0]
+        assert out["n"] == 5 and out["h"] == pytest.approx(3.0, abs=1e-6)
+
+
+class TestCrossCorrelation:
+    def _ev(self, spark, rows):
+        df = spark.createDataFrame(
+            [Row(ts=float(t), event_type=e) for t, e in rows])
+        return df.selectExpr("timestamp_seconds(ts) AS ts", "event_type")
+
+    def test_perfect_lag_one(self, spark):
+        # clicks per hour [1,2,3]; purchases one hour later [1,2,3]:
+        # r at lag 1 = 1.0 over the 3 aligned pairs; lag 0 pairs
+        # (1,1),(2,2) on hours 1,2 -> also 1.0 but only 2 pairs
+        rows = []
+        for h, c in enumerate([1, 2, 3]):
+            rows += [(h * 3600 + 1, "click")] * c
+            rows += [((h + 1) * 3600 + 2, "purchase")] * c
+        from powerdatapipeline_spark.operators.timeseries import \
+            cross_correlation
+        out = {r["lag"]: r for r in cross_correlation(
+            self._ev(spark, rows), "ts", "event_type", "click",
+            "purchase", max_lag=2).collect()}
+        assert out[1]["n_pairs"] == 3
+        assert out[1]["r"] == pytest.approx(1.0, abs=1e-6)
+        assert out[0]["n_pairs"] == 2
+
+    def test_constant_side_null_r(self, spark):
+        rows = []
+        for h, c in enumerate([1, 2, 3]):
+            rows += [(h * 3600 + 1, "click")] * c
+            rows += [(h * 3600 + 2, "purchase")] * 2  # constant
+        from powerdatapipeline_spark.operators.timeseries import \
+            cross_correlation
+        out = cross_correlation(self._ev(spark, rows), "ts", "event_type",
+                                "click", "purchase", max_lag=0).collect()
+        assert out[0]["r"] is None
+
+    def test_bad_lag_raises(self, spark):
+        from powerdatapipeline_spark.operators.timeseries import \
+            cross_correlation
+        with pytest.raises(ValueError, match="max_lag"):
+            cross_correlation(self._ev(spark, [(0.0, "click")]), "ts",
+                              "event_type", "click", "purchase",
+                              max_lag=-1)
+
+
+class TestMannKendall:
+    def _series(self, spark, day_vals):
+        rows = [Row(ts=float(d * 86400 + 10), value=float(v))
+                for d, v in enumerate(day_vals)]
+        return spark.createDataFrame(rows).selectExpr(
+            "timestamp_seconds(ts) AS ts", "value")
+
+    def test_strictly_increasing(self, spark):
+        # 4 days strictly rising: S = 6 (all pairs +1), no ties,
+        # var = 4*3*13/18 = 8.6667; z = 5/sqrt(8.6667) = 1.698494...
+        # slopes all pairs of [1,2,3,4]: six slopes all 1.0 -> sen = 1
+        from powerdatapipeline_spark.operators.timeseries import \
+            mann_kendall
+        out = mann_kendall(self._series(spark, [1, 2, 3, 4])).collect()[0]
+        assert out["n_buckets"] == 4 and out["n_pairs"] == 6
+        assert out["s"] == 6
+        assert out["var_s"] == pytest.approx(8.666667, abs=1e-5)
+        assert out["z"] == pytest.approx(5 / math.sqrt(26 / 3), abs=1e-5)
+        assert out["sen_slope"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_flat_series_zero(self, spark):
+        # all equal: S=0, every tie in one group of 4 ->
+        # var = (4*3*13 - 4*3*13)/18 = 0 -> z NULL, sen 0
+        from powerdatapipeline_spark.operators.timeseries import \
+            mann_kendall
+        out = mann_kendall(self._series(spark, [5, 5, 5, 5])).collect()[0]
+        assert out["s"] == 0 and out["var_s"] == 0.0
+        assert out["z"] is None
+        assert out["sen_slope"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_sen_slope_lower_median_hand(self, spark):
+        # days [0,1,2] values [0, 10, 2]: slopes 10, 1, -8 ->
+        # sorted [-8, 1, 10], lower median (pos 2) = 1
+        from powerdatapipeline_spark.operators.timeseries import \
+            mann_kendall
+        out = mann_kendall(self._series(spark, [0, 10, 2])).collect()[0]
+        assert out["sen_slope"] == pytest.approx(1.0, abs=1e-6)
+        assert out["s"] == 1  # +1 (0<10), +1 (0<2), -1 (10>2)

@@ -129,6 +129,16 @@ SCALAR_BROADCAST_INTENDED = {
     # cumulative frame, then the 1-row n_values frame — two scalar
     # broadcasts around an exact-integer argmax (stats.py ks_test)
     "q183_ks_test",
+    # round 10b: q192 combines the k-group H-sum aggregate with the
+    # 1-row tie-correction frame (stats.py kruskal_wallis) — a 1×1
+    # broadcast cross
+    "q192_kruskal_wallis",
+    # round 10b: q194's day-pair universe is the |days|-row bucketed
+    # frame inequality-joined with itself (timeseries.py mann_kendall
+    # `pairs`, the q164/q175 bounded-pair-universe shape) — calendar-
+    # bounded (30 days = 435 pairs at ANY corpus scale), never
+    # corpus-bounded; plus 1-row Sen-median and tie-frame crosses
+    "q194_mann_kendall",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
