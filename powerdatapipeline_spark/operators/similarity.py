@@ -908,3 +908,63 @@ def centroid_predict(embeddings: DataFrame, id_col: str = "vec_id",
                                            F.col("g").asc())
     return (scored.withColumn("__rn", F.row_number().over(w))
             .where("__rn = 1").drop("__rn"))
+
+
+def ranking_metrics(ranked: DataFrame, rel_col: str,
+                    score_col: str = "score", id_col: str = "doc_id",
+                    k: int = 10, rel_threshold: int = 2) -> DataFrame:
+    """Ranking-quality metrics (DCG@k / NDCG@k / MRR / precision@k) for
+    a scored candidate frame with graded relevance — the EVAL half the
+    retrieval family (TF-IDF q77, BM25 q83, hybrid RRF q89) was
+    missing: a search pipeline without NDCG is a ranker nobody can
+    tune. Standard formulation (Järvelin & Kekäläinen 2002):
+    gain 2^rel − 1, discount log2(pos + 1), ideal order re-sorts the
+    SAME candidates by relevance.
+
+    Input contract: ``ranked`` is an already-small candidate frame (a
+    top-k retrieval output — bounded by k per query, NOT corpus-sized;
+    the keyless windows here are footnote-sized by construction).
+    Ranks are deterministic: actual order (score desc, id asc), ideal
+    order (rel desc, score desc, id asc). Each position's term
+    (2^rel − 1)/log2(pos+1) is 6-rounded (the transcendental rule —
+    2^rel is exact in double for rel ≤ 52) then decimal-folded, so
+    DCG/IDCG are partition-order-free; NDCG/MRR are fixed double
+    ratios, floor6. MRR is 1/first-position with rel ≥ rel_threshold
+    (0.0 when no candidate qualifies — a published miss, not a NULL).
+    Returns one row:
+    ``(k, n_ranked, dcg, idcg, ndcg, mrr, precision_at_k)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rel = F.col(rel_col).cast("int")
+    base = (ranked.select(F.col(id_col).alias("__id"),
+                          F.col(score_col).alias("__s"), rel.alias("__r"))
+            .where(F.col("__s").isNotNull() & F.col("__r").isNotNull()))
+    wa = Window.orderBy(F.desc("__s"), F.asc("__id"))
+    wi = Window.orderBy(F.desc("__r"), F.desc("__s"), F.asc("__id"))
+    pos = (base.withColumn("pos", F.row_number().over(wa))
+           .withColumn("ipos", F.row_number().over(wi))
+           .where(F.col("pos") <= k))
+    gain = F.pow(F.lit(2.0), F.col("__r")) - F.lit(1.0)
+    dterm = F.round(gain / F.log2(F.col("pos").cast("double") + 1), 6)
+    # the ideal list must rank the same top-k CANDIDATES (pos <= k
+    # filter above), re-discounted at their relevance-sorted positions
+    iterm = F.round(gain / F.log2(F.col("ipos").cast("double") + 1), 6)
+    hit = F.when(F.col("__r") >= rel_threshold, F.col("pos"))
+    agg = pos.agg(
+        F.count("*").cast("bigint").alias("n_ranked"),
+        F.sum(dterm.cast("decimal(18,6)")).cast("double").alias("dcg"),
+        F.sum(iterm.cast("decimal(18,6)")).cast("double").alias("idcg"),
+        F.min(hit).cast("bigint").alias("__first_hit"),
+        F.sum(F.when(F.col("__r") >= rel_threshold, 1).otherwise(0))
+        .cast("bigint").alias("__hits"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"), "n_ranked", "dcg", "idcg",
+        F.when(F.col("idcg") > 0, fl6(F.col("dcg") / F.col("idcg")))
+        .alias("ndcg"),
+        F.when(F.col("__first_hit").isNotNull(),
+               fl6(F.lit(1.0) / F.col("__first_hit").cast("double")))
+        .otherwise(F.lit(0.0)).alias("mrr"),
+        fl6(F.col("__hits").cast("double") / F.lit(float(k)))
+        .alias("precision_at_k"))

@@ -232,7 +232,7 @@ def grouped_ols_pandas(df: DataFrame, keys: Sequence[str], x: str, y: str) -> Da
 
 
 def cms_build(df: DataFrame, key_col: str, width: int = 1024,
-              depth: int = 3) -> DataFrame:
+              depth: int = 3, count_col: str | None = None) -> DataFrame:
     """Count-min sketch build over a key stream: ``depth`` independent
     md5-salted hash rows × ``width`` buckets, counts aggregated per
     cell — the mergeable frequency sketch for heavy-hitter queries at
@@ -258,9 +258,11 @@ def cms_build(df: DataFrame, key_col: str, width: int = 1024,
                  (_md5_prefix_bigint(key, f"cms{j}:", 15) % width)
                  .alias("b"))
         for j in range(depth)])).alias("c")
-    return (df.select(cells)
+    sel = [cells] + ([F.col(count_col).alias("__w")] if count_col else [])
+    agg = (F.sum("__w") if count_col else F.count("*"))
+    return (df.select(*sel)
             .groupBy("c.j", "c.b")
-            .agg(F.count("*").cast("bigint").alias("n"))
+            .agg(agg.cast("bigint").alias("n"))
             .withColumn("j", F.col("j").alias(
                 "j", metadata={"cms_width": width, "cms_depth": depth})))
 

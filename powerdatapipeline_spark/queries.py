@@ -188,6 +188,16 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def docs_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader for the documents table (q196): readStream with
+    the documents fixture's explicit schema, glob-filtered to the single
+    parquet inside the sf dir (the events_stream_source convention)."""
+    return (spark.readStream
+            .schema("doc_id long, text string, lang string,"
+                    " source string, n_chars long")
+            .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+
+
 def dsum(col, alias: str):
     """Exact engine-portable sum of a double column (see module docstring)."""
     return F.sum(F.col(col).cast("decimal(18,6)")).cast("double").alias(alias)
@@ -7816,6 +7826,142 @@ def q194_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined pass). Round-10b born: PRI_TAIL until the round-11
     rotation."""
     return ts.mann_kendall(_t(spark, sf_dir, "events"), "ts", "value")
+
+
+@register("q195_ndcg", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ('spark', 'window', 'join') GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         round(round(ln(1.0 + (stats.n - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5)), 6)
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+               6) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+top AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS rel,
+         round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+  FROM s GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT 10),
+ranked AS (
+  SELECT rel,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS pos,
+         row_number() OVER (ORDER BY rel DESC, score DESC, doc_id) AS ipos
+  FROM top),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+    CAST(sum(CAST(round((power(2.0, rel) - 1.0)
+                        / log2(CAST(pos AS DOUBLE) + 1), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS dcg,
+    CAST(sum(CAST(round((power(2.0, rel) - 1.0)
+                        / log2(CAST(ipos AS DOUBLE) + 1), 6)
+             AS DECIMAL(18,6))) AS DOUBLE) AS idcg,
+    CAST(min(CASE WHEN rel >= 2 THEN pos END) AS BIGINT) AS first_hit,
+    CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM ranked)
+SELECT CAST(10 AS BIGINT) AS k, n_ranked, dcg, idcg,
+  CASE WHEN idcg > 0 THEN
+    floor(dcg / idcg * 1000000.0 + 0.5) / 1000000.0 END AS ndcg,
+  CASE WHEN first_hit IS NOT NULL THEN
+    floor(1.0 / CAST(first_hit AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+  ELSE 0.0 END AS mrr,
+  floor(CAST(hits AS DOUBLE) / 10.0 * 1000000.0 + 0.5) / 1000000.0
+    AS precision_at_k
+FROM agg
+""", priority=PRI_TAIL)
+def q195_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / precision@10 for the q83 BM25 ranking
+    (operators/similarity.ranking_metrics) — the retrieval-EVAL half
+    the search family was missing: relevance grade = number of query
+    terms hit (1..3, threshold 2 for MRR/precision), gain 2^rel − 1,
+    log2 discount, deterministic actual/ideal orders. The metric runs
+    on the top-10 frame only (bounded by k, never corpus-sized); the
+    oracle replays BM25 end-to-end then the identical metric
+    arithmetic. Round-10b born: PRI_TAIL until the round-11
+    rotation."""
+    from powerdatapipeline_spark.operators import similarity as sim
+    ranked = tx.bm25_topk(_t(spark, sf_dir, "documents"),
+                          ["spark", "window", "join"], k=10)
+    return sim.ranking_metrics(ranked, rel_col="n_query_terms_hit",
+                               k=10, rel_threshold=2)
+
+
+@register("q196_streaming_heavy_hitters", r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 20),
+js AS (SELECT unnest([0, 1, 2]) AS j),
+cells AS (
+  SELECT js.j,
+         CAST(('0x' || substr(md5('cms' || js.j || ':' || toks.term), 1, 15))
+              AS BIGINT) % 1024 AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks CROSS JOIN js GROUP BY 1, 2),
+est AS (
+  SELECT top.term, min(cells.n) AS est
+  FROM top CROSS JOIN js
+  JOIN cells ON cells.j = js.j
+            AND cells.b = CAST(('0x' || substr(md5('cms' || js.j || ':'
+                                  || top.term), 1, 15)) AS BIGINT) % 1024
+  GROUP BY 1)
+SELECT top.term, CAST(top.c AS BIGINT) AS exact_count,
+       CAST(est.est AS BIGINT) AS cms_estimate,
+       est.est >= top.c AS no_underestimate
+FROM top JOIN est USING (term)
+""", priority=PRI_TAIL)
+def q196_streaming_heavy_hitters(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """STREAMING heavy hitters under driver verification
+    (streaming/stateful.streaming_heavy_hitters +
+    finalize_heavy_hitters) — q113's exact top-20 + CMS estimates fed
+    incrementally, the q190 mergeable-sufficient-statistic discipline
+    for the sketch family: each micro-batch appends its per-term count
+    partial (vocabulary-per-batch rows, never the token stream); the
+    finalizer re-reduces and rebuilds the EXACT batch sketch via
+    cms_build's count_col contract (cell counts merge by addition), so
+    stream ≡ batch bit-identically and q113's batch DuckDB oracle
+    verifies the streaming run. Round-10b born: PRI_TAIL until the
+    round-11 rotation."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_heavy_hitters, streaming_heavy_hitters)
+
+    stream = docs_stream_source(spark, sf_dir)
+    terms = stream.select(F.explode(tx.tokens("text")).alias("term"))
+    tmp = tempfile.mkdtemp(prefix="q196_streaming_hh_")
+    q = streaming_heavy_hitters(terms, "term",
+                                f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q196 streaming job did not finish within 300 s")
+    return finalize_heavy_hitters(spark, f"{tmp}/partials")
+
+
+def q196_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-micro-batch partials frame q196's foreachBatch appends —
+    the q190_stream_frame convention for the plan audit (batch frame
+    stand-in: foreachBatch receives a plain DataFrame)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(tx.tokens("text")).alias("term"))
+            .groupBy("term").agg(F.count("*").cast("bigint").alias("c")))
 
 
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149

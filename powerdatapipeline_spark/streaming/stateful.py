@@ -341,3 +341,54 @@ def finalize_ks_drift(spark, reference: DataFrame, ref_value_col: str,
            .withColumn("ca", F.lit(0).cast("bigint"))
            .select("__v", "ca", "cb"))
     return ks_from_value_counts(ref.select("__v", "ca", "cb").union(got))
+
+
+def streaming_heavy_hitters(term_stream: DataFrame, term_col: str,
+                            partials_path: str, checkpoint: str):
+    """Streaming heavy hitters — the round-10b streaming twin of the
+    CMS query (q113), same mergeable-sufficient-statistic discipline
+    as :func:`streaming_binary_auc`: each micro-batch reduces to its
+    per-term count partial (|distinct terms in batch| rows — NEVER the
+    token stream) and appends it blind to a parquet accumulator. The
+    sketch is NOT built per batch: both the exact top-N and the CMS
+    cells merge by addition from the count partials, so the finalizer
+    reconstructs the exact batch result (cms_build's ``count_col``
+    contract). At 100 TB: partial size is vocabulary-per-batch
+    bounded; compact the accumulator periodically
+    (readers.compact_small_files) to bound file counts.
+
+    Returns the started StreamingQuery (caller awaits, then calls
+    :func:`finalize_heavy_hitters`)."""
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.groupBy(F.col(term_col).alias("term"))
+         .agg(F.count("*").cast("bigint").alias("c"))
+         .write.mode("append").parquet(partials_path))
+
+    return (term_stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update").trigger(availableNow=True).start())
+
+
+def finalize_heavy_hitters(spark, partials_path: str, top_n: int = 20,
+                           width: int = 1024, depth: int = 3) -> DataFrame:
+    """Re-reduce the appended per-batch count partials and publish the
+    q113 report: exact top-N terms, their CMS estimates from the
+    merged sketch, and the one-sided no-underestimate contract column.
+    Addition commutes, so this is bit-identical to the batch operator
+    over the union of all batches — the batch DuckDB oracle verifies
+    the streaming run."""
+    from powerdatapipeline_spark.operators.stats import (cms_build,
+                                                         cms_estimate)
+
+    counts = (spark.read.parquet(partials_path)
+              .groupBy("term")
+              .agg(F.sum("c").cast("bigint").alias("c")))
+    top = counts.orderBy(F.desc("c"), F.asc("term")).limit(top_n)
+    sketch = cms_build(counts, "term", width=width, depth=depth,
+                       count_col="c")
+    est = cms_estimate(sketch, top, "term")
+    return (top.join(est, "term")
+            .select("term", F.col("c").cast("bigint").alias("exact_count"),
+                    "cms_estimate",
+                    (F.col("cms_estimate") >= F.col("c"))
+                    .alias("no_underestimate")))

@@ -184,3 +184,134 @@ class TestMannKendall:
         out = mann_kendall(self._series(spark, [0, 10, 2])).collect()[0]
         assert out["sen_slope"] == pytest.approx(1.0, abs=1e-6)
         assert out["s"] == 1  # +1 (0<10), +1 (0<2), -1 (10>2)
+
+
+class TestRankingMetrics:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(doc_id=i, score=float(s), rel=r)
+             for i, (s, r) in enumerate(rows)])
+
+    def test_hand_ndcg(self, spark):
+        # ranked by score desc: rels [2, 0, 1]; gains [3, 0, 1]
+        # DCG = 3/log2(2) + 0/log2(3) + 1/log2(4) = 3 + 0 + 0.5 = 3.5
+        # ideal rels [2, 1, 0]: IDCG = 3 + 1/log2(3) + 0
+        #   1/log2(3) = 0.630930 -> IDCG = 3.630930
+        # NDCG = 3.5/3.63093 = 0.963996...; first rel>=2 at pos 1 ->
+        # mrr 1.0; hits(>=2)=1 -> p@3 = 1/3
+        from powerdatapipeline_spark.operators.similarity import \
+            ranking_metrics
+        out = ranking_metrics(
+            self._frame(spark, [(0.9, 2), (0.8, 0), (0.7, 1)]),
+            rel_col="rel", k=3).collect()[0]
+        assert out["n_ranked"] == 3
+        assert out["dcg"] == pytest.approx(3.5, abs=1e-6)
+        assert out["idcg"] == pytest.approx(3.630930, abs=1e-6)
+        assert out["ndcg"] == pytest.approx(3.5 / 3.630930, abs=1e-5)
+        assert out["mrr"] == pytest.approx(1.0, abs=1e-6)
+        assert out["precision_at_k"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_no_relevant_hit_mrr_zero(self, spark):
+        from powerdatapipeline_spark.operators.similarity import \
+            ranking_metrics
+        out = ranking_metrics(
+            self._frame(spark, [(0.9, 1), (0.8, 0)]),
+            rel_col="rel", k=5).collect()[0]
+        assert out["mrr"] == 0.0 and out["precision_at_k"] == 0.0
+        # all candidates still score DCG on their graded gains
+        assert out["ndcg"] is not None
+
+    def test_k_truncates_and_tie_break(self, spark):
+        # score tie at 0.8: doc_id asc breaks it -> the rel=2 doc with
+        # the smaller id lands at pos 2 inside k=2
+        from powerdatapipeline_spark.operators.similarity import \
+            ranking_metrics
+        df = spark.createDataFrame(
+            [Row(doc_id=5, score=0.8, rel=0), Row(doc_id=3, score=0.8,
+             rel=2), Row(doc_id=9, score=0.9, rel=0)])
+        out = ranking_metrics(df, rel_col="rel", k=2).collect()[0]
+        assert out["n_ranked"] == 2
+        assert out["mrr"] == pytest.approx(0.5, abs=1e-6)  # hit at pos 2
+
+    def test_bad_k_raises(self, spark):
+        from powerdatapipeline_spark.operators.similarity import \
+            ranking_metrics
+        with pytest.raises(ValueError, match="k must be"):
+            ranking_metrics(self._frame(spark, [(0.9, 1)]), rel_col="rel",
+                            k=0)
+
+
+class TestStreamingHeavyHitters:
+    def test_streaming_equals_batch_sketch(self, spark, tmp_path):
+        """Terms split across two micro-batches: the merged partials
+        must rebuild the EXACT batch sketch (cell addition commutes)
+        and the exact top-N."""
+        import os
+        import time
+
+        from pyspark.sql import types as T
+
+        from powerdatapipeline_spark.operators.stats import (cms_build,
+                                                             cms_estimate)
+        from powerdatapipeline_spark.streaming.stateful import (
+            finalize_heavy_hitters, streaming_heavy_hitters)
+
+        b1 = ["the quick the fox", "the lazy dog"]
+        b2 = ["quick quick fox", "the dog"]
+        src = tmp_path / "in"
+        src.mkdir()
+        for name, lines, age in (("a.txt", b1, 60), ("b.txt", b2, 0)):
+            f = src / name
+            f.write_text("\n".join(lines) + "\n")
+            now = time.time()
+            os.utime(f, (now - age, now - age))
+        stream = (spark.readStream
+                  .schema(T.StructType([T.StructField("value",
+                                                      T.StringType())]))
+                  .option("maxFilesPerTrigger", "1").text(str(src)))
+        from powerdatapipeline_spark.operators.text import tokens
+        terms = stream.select(
+            __import__("pyspark.sql.functions", fromlist=["F"])
+            .explode(tokens("value")).alias("term"))
+        q = streaming_heavy_hitters(terms, "term",
+                                    str(tmp_path / "partials"),
+                                    str(tmp_path / "ckpt"))
+        assert q.awaitTermination(120)
+        got = {r["term"]: r for r in finalize_heavy_hitters(
+            spark, str(tmp_path / "partials"), top_n=10).collect()}
+
+        # batch twin over the union
+        from pyspark.sql import functions as F
+        batch = spark.createDataFrame(
+            [Row(value=l) for l in b1 + b2]).select(
+            F.explode(tokens("value")).alias("term"))
+        counts = batch.groupBy("term").agg(
+            F.count("*").cast("bigint").alias("c"))
+        top = counts.orderBy(F.desc("c"), F.asc("term")).limit(10)
+        est = cms_estimate(cms_build(batch, "term"), top, "term")
+        want = {r["term"]: r for r in
+                top.join(est, "term").collect()}
+        assert set(got) == set(want)
+        for t in want:
+            assert got[t]["exact_count"] == want[t]["c"]
+            assert got[t]["cms_estimate"] == want[t]["cms_estimate"]
+            assert got[t]["no_underestimate"]
+        assert got["the"]["exact_count"] == 4
+        assert got["quick"]["exact_count"] == 3
+
+    def test_cms_build_count_col_equals_raw(self, spark):
+        """cms_build(reduced, count_col) ≡ cms_build(raw) — the merge
+        identity the streaming finalizer relies on."""
+        from pyspark.sql import functions as F
+
+        from powerdatapipeline_spark.operators.stats import cms_build
+        raw = spark.createDataFrame(
+            [Row(t=w) for w in "a a a b b c".split()])
+        reduced = raw.groupBy("t").agg(
+            F.count("*").cast("bigint").alias("c"))
+        s1 = {(r["j"], r["b"]): r["n"]
+              for r in cms_build(raw, "t", width=64, depth=2).collect()}
+        s2 = {(r["j"], r["b"]): r["n"]
+              for r in cms_build(reduced, "t", width=64, depth=2,
+                                 count_col="c").collect()}
+        assert s1 == s2

@@ -188,6 +188,7 @@ def _streaming_variants(spark, sf):
         q95_stream_frame,
         q124_stream_frame,
         q190_stream_frame,
+        q196_stream_frame,
     )
 
     return {
@@ -196,6 +197,7 @@ def _streaming_variants(spark, sf):
         "q95_streaming_sessionize": q95_stream_frame(spark, sf),
         "q124_stream_static_enrich": q124_stream_frame(spark, sf),
         "q190_streaming_auc": q190_stream_frame(spark, sf),
+        "q196_streaming_heavy_hitters": q196_stream_frame(spark, sf),
     }
 
 
