@@ -2280,3 +2280,98 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text") -> DataFrame:
     for l, r in pairs:
         toks = _bpe_apply_merge(toks, l, r)
     return out.withColumn("tokens", toks)
+
+
+def hellinger_tv_matrix(df: DataFrame, text_col: str = "text",
+                        group_col: str = "source") -> DataFrame:
+    """Pairwise Hellinger distance and total-variation distance between
+    per-group unigram distributions — two more distribution-drift
+    geometries beside JS divergence (:func:`js_divergence_matrix`):
+    TV is the worst-case probability gap (the testing bound), Hellinger
+    upper-bounds TV and tensorizes across independent components.
+
+    Same no-outer-join decomposition as JSD: with intersection I,
+    TV(P,Q) = ½[Σ_I |p−q| + (1 − Σ_I p) + (1 − Σ_I q)] — a word absent
+    from the other side contributes exactly its own mass, which folds
+    PER PAIR from three intersection sums; the Bhattacharyya
+    coefficient BC = Σ √(pq) is zero off-intersection, and
+    Hellinger = √(1 − BC). Corpus-scaled work: one token count + one
+    intersection equi-join on word; the #groups²-row pair universe
+    comes from the tiny totals frame (the q175 audited shape).
+    Parity: per-word |p−q| and √(pq) terms are 6-rounded then
+    decimal-folded; the published combos are fixed double expressions,
+    floor6. Returns one row per unordered pair:
+    ``(src_a, src_b, n_common, tv, bc, hellinger)``."""
+    tok = _spread(df).select(F.col(group_col).alias("s"),
+                             F.explode(tokens(text_col)).alias("w"))
+    cnt = tok.groupBy("s", "w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = cnt.groupBy("s").agg(F.sum("c").cast("bigint").alias("n"))
+    pw = (cnt.join(tot, "s")
+          .select("s", "w",
+                  (F.col("c").cast("double") / F.col("n")).alias("p")))
+    a = pw.select(F.col("s").alias("sa"), "w", F.col("p").alias("pa"))
+    b = pw.select(F.col("s").alias("sb"), F.col("w").alias("wb"),
+                  F.col("p").alias("pb"))
+    d6 = lambda c: F.round(c, 6).cast("decimal(18,6)")
+    inter = (a.join(b, (F.col("w") == F.col("wb"))
+                    & (F.col("sa") < F.col("sb")))
+             .groupBy("sa", "sb")
+             .agg(F.count("*").cast("bigint").alias("n_common"),
+                  F.sum(d6(F.abs(F.col("pa") - F.col("pb"))))
+                  .cast("double").alias("ti"),
+                  F.sum(d6(F.sqrt(F.col("pa") * F.col("pb"))))
+                  .cast("double").alias("bci"),
+                  F.sum(d6(F.col("pa"))).cast("double").alias("ma"),
+                  F.sum(d6(F.col("pb"))).cast("double").alias("mb")))
+    ta = tot.select(F.col("s").alias("sa"))
+    tb = tot.select(F.col("s").alias("sb"))
+    pairs = ta.join(tb, F.col("sa") < F.col("sb"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    ti = F.coalesce(F.col("ti"), F.lit(0.0))
+    bci = F.coalesce(F.col("bci"), F.lit(0.0))
+    ma = F.coalesce(F.col("ma"), F.lit(0.0))
+    mb = F.coalesce(F.col("mb"), F.lit(0.0))
+    tv = (ti + (F.lit(1.0) - ma) + (F.lit(1.0) - mb)) / F.lit(2.0)
+    # BC can exceed 1 by accumulated 1e-6 rounding on near-identical
+    # distributions; clamp so hellinger never goes NaN
+    bc_c = F.least(bci, F.lit(1.0))
+    return (pairs
+            .join(F.broadcast(inter), ["sa", "sb"], "left")
+            .select(F.col("sa").alias("src_a"), F.col("sb").alias("src_b"),
+                    F.coalesce("n_common", F.lit(0)).cast("bigint")
+                    .alias("n_common"),
+                    fl6(tv).alias("tv"), fl6(bci).alias("bc"),
+                    fl6(F.sqrt(F.lit(1.0) - bc_c)).alias("hellinger")))
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str = "text",
+                        group_col: str = "source") -> DataFrame:
+    """Tokenizer fertility per group: BPE-ish pieces per whitespace
+    word — the cost model a token-budgeted pipeline (quota q104,
+    packing q88, batching q140) needs per SOURCE, because fertility is
+    where punctuation-heavy or non-prose sources silently blow a token
+    budget computed from word counts. Pure per-document size
+    expressions (zero shuffle beyond the one keyed agg); both counts
+    are exact BIGINT sums, ratios are fixed double expressions floor6.
+    Returns ``(group, n_docs, n_words, n_pieces, fertility,
+    pieces_per_doc)`` with fertility NULL for a group with no words."""
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    per = (df.where(F.col(text_col).isNotNull()
+                    & F.col(group_col).isNotNull())
+           .groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(token_count(text_col).cast("bigint"))
+                .cast("bigint").alias("n_words"),
+                F.sum(bpe_piece_count(text_col).cast("bigint"))
+                .cast("bigint").alias("n_pieces")))
+    return per.select(
+        "grp", "n_docs", "n_words", "n_pieces",
+        F.when(F.col("n_words") > 0,
+               fl6(F.col("n_pieces").cast("double")
+                   / F.col("n_words").cast("double"))).alias("fertility"),
+        F.when(F.col("n_docs") > 0,
+               fl6(F.col("n_pieces").cast("double")
+                   / F.col("n_docs").cast("double")))
+        .alias("pieces_per_doc"))

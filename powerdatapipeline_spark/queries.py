@@ -7964,6 +7964,90 @@ def q196_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("term").agg(F.count("*").cast("bigint").alias("c")))
 
 
+def _hellinger_oracle() -> str:
+    """DuckDB twin of q197: per-word |p-q| / sqrt(pq) / mass terms
+    6-rounded then decimal-summed (the _jsd_oracle discipline), final
+    combos as the identical fixed double expressions, floor6."""
+    return r"""
+WITH tok AS (SELECT source AS s,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                        '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS w
+             FROM documents),
+cnt AS (SELECT s, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+pw AS (SELECT cnt.s, cnt.w, CAST(cnt.c AS DOUBLE) / tot.n AS p
+       FROM cnt JOIN tot ON tot.s = cnt.s),
+inter AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_common,
+                 CAST(sum(CAST(round(abs(a.p - b.p), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS ti,
+                 CAST(sum(CAST(round(sqrt(a.p * b.p), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS bci,
+                 CAST(sum(CAST(round(a.p, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS ma,
+                 CAST(sum(CAST(round(b.p, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS mb
+          FROM pw a JOIN pw b ON a.w = b.w AND a.s < b.s
+          GROUP BY 1, 2),
+pairs AS (SELECT a.s AS sa, b.s AS sb FROM tot a JOIN tot b ON a.s < b.s)
+SELECT p.sa AS src_a, p.sb AS src_b,
+  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+  floor((coalesce(i.ti, 0.0) + (1.0 - coalesce(i.ma, 0.0))
+         + (1.0 - coalesce(i.mb, 0.0))) / 2.0 * 1000000.0 + 0.5)
+    / 1000000.0 AS tv,
+  floor(coalesce(i.bci, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS bc,
+  floor(sqrt(1.0 - least(coalesce(i.bci, 0.0), 1.0))
+        * 1000000.0 + 0.5) / 1000000.0 AS hellinger
+FROM pairs p
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+"""
+
+
+@register("q197_hellinger_tv", _hellinger_oracle(), priority=PRI_TAIL)
+def q197_hellinger_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Hellinger + total-variation distance between per-source
+    unigram distributions (operators/text.hellinger_tv_matrix) — the
+    remaining two classical f-divergence geometries beside q175's JSD:
+    TV is the worst-case probability gap, Hellinger tensorizes. Same
+    no-outer-join decomposition (off-intersection mass folds from
+    per-pair intersection sums; #sources²-row pair universe from the
+    tiny totals frame). Round-10b born: PRI_TAIL until the round-11
+    rotation."""
+    return tx.hellinger_tv_matrix(_t(spark, sf_dir, "documents"))
+
+
+@register("q198_tokenizer_fertility", f"""
+SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(list_filter(regexp_split_to_array(lower(text),
+           '[ \t\n\r\f\x0B]+'), x -> x <> ''))) AS BIGINT) AS n_words,
+  CAST(sum(len(regexp_extract_all(lower(text), '{tx.BPE_PIECE_RE}')))
+       AS BIGINT) AS n_pieces,
+  CASE WHEN sum(len(list_filter(regexp_split_to_array(lower(text),
+           '[ \t\n\r\f\x0B]+'), x -> x <> ''))) > 0 THEN
+    floor(CAST(sum(len(regexp_extract_all(lower(text),
+               '{tx.BPE_PIECE_RE}'))) AS DOUBLE)
+          / CAST(sum(len(list_filter(regexp_split_to_array(lower(text),
+                   '[ \t\n\r\f\x0B]+'), x -> x <> ''))) AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0 END AS fertility,
+  CASE WHEN count(*) > 0 THEN
+    floor(CAST(sum(len(regexp_extract_all(lower(text),
+               '{tx.BPE_PIECE_RE}'))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+  END AS pieces_per_doc
+FROM documents
+WHERE text IS NOT NULL AND source IS NOT NULL
+GROUP BY 1
+""", priority=PRI_TAIL)
+def q198_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility: BPE-ish pieces per whitespace
+    word (operators/text.tokenizer_fertility) — the token-budget cost
+    model for quota (q104) / packing (q88) / batching (q140): a
+    punctuation-heavy source at fertility 2.1 consumes twice the LLM
+    tokens its word count suggests. Zero-shuffle per-document size
+    expressions + one keyed agg; exact BIGINT sums, floor6 ratios.
+    Round-10b born: PRI_TAIL until the round-11 rotation."""
+    return tx.tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

@@ -315,3 +315,66 @@ class TestStreamingHeavyHitters:
               for r in cms_build(reduced, "t", width=64, depth=2,
                                  count_col="c").collect()}
         assert s1 == s2
+
+
+class TestHellingerTv:
+    def test_hand_two_sources(self, spark):
+        # A: "x x y" -> p(x)=2/3, p(y)=1/3; B: "x z" -> p(x)=1/2,
+        # p(z)=1/2. Intersection {x}: |2/3-1/2| = 1/6 = 0.166667;
+        # TV = (0.166667 + (1-0.666667) + (1-0.5))/2 = 0.5
+        # BC = sqrt(2/3 * 1/2) = sqrt(1/3) = 0.577350
+        # H = sqrt(1 - 0.577350) = 0.650115...
+        from powerdatapipeline_spark.operators.text import \
+            hellinger_tv_matrix
+        df = spark.createDataFrame([Row(source="A", text="x x y"),
+                                    Row(source="B", text="x z")])
+        out = hellinger_tv_matrix(df).collect()[0]
+        assert (out["src_a"], out["src_b"], out["n_common"]) == ("A", "B", 1)
+        assert out["tv"] == pytest.approx(0.5, abs=2e-6)
+        assert out["bc"] == pytest.approx(0.57735, abs=2e-6)
+        assert out["hellinger"] == pytest.approx(
+            math.sqrt(1 - 0.57735), abs=2e-5)
+
+    def test_identical_sources_zero_distance(self, spark):
+        from powerdatapipeline_spark.operators.text import \
+            hellinger_tv_matrix
+        df = spark.createDataFrame([Row(source="A", text="a b c"),
+                                    Row(source="B", text="a b c")])
+        out = hellinger_tv_matrix(df).collect()[0]
+        assert out["tv"] == pytest.approx(0.0, abs=2e-6)
+        assert out["bc"] == pytest.approx(1.0, abs=3e-6)
+        # clamped sqrt never NaN even when bc rounds above 1
+        assert out["hellinger"] == pytest.approx(0.0, abs=2e-3)
+
+    def test_disjoint_sources_max_distance(self, spark):
+        from powerdatapipeline_spark.operators.text import \
+            hellinger_tv_matrix
+        df = spark.createDataFrame([Row(source="A", text="a b"),
+                                    Row(source="B", text="c d")])
+        out = hellinger_tv_matrix(df).collect()[0]
+        assert out["n_common"] == 0
+        assert out["tv"] == pytest.approx(1.0, abs=1e-6)
+        assert out["bc"] == 0.0
+        assert out["hellinger"] == pytest.approx(1.0, abs=1e-6)
+
+
+class TestTokenizerFertility:
+    def test_hand_counts(self, spark):
+        # "hi, there" -> words ["hi,", "there"] = 2;
+        # pieces ["hi", ",", "there"] = 3 -> fertility 1.5
+        from powerdatapipeline_spark.operators.text import \
+            tokenizer_fertility
+        df = spark.createDataFrame([Row(source="s", text="hi, there")])
+        out = tokenizer_fertility(df).collect()[0]
+        assert out["n_docs"] == 1
+        assert out["n_words"] == 2 and out["n_pieces"] == 3
+        assert out["fertility"] == pytest.approx(1.5, abs=1e-6)
+        assert out["pieces_per_doc"] == pytest.approx(3.0, abs=1e-6)
+
+    def test_empty_text_null_fertility(self, spark):
+        from powerdatapipeline_spark.operators.text import \
+            tokenizer_fertility
+        df = spark.createDataFrame([Row(source="s", text="   ")])
+        out = tokenizer_fertility(df).collect()[0]
+        assert out["n_words"] == 0 and out["n_pieces"] == 0
+        assert out["fertility"] is None
