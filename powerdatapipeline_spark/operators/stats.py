@@ -1636,3 +1636,38 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str
         g(F.when(Nd2 > 1, _floor6(corr))).alias("tie_correction"),
         g(F.when((Nd2 > 1) & (F.col("n_values") > 1),
                  _floor6(h / corr))).alias("h_adj"))
+
+
+def levene_bf(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Brown-Forsythe test (Levene with median centers) — do the
+    groups differ in SPREAD? The variance-homogeneity companion to
+    :func:`anova_f` (which assumes it) and :func:`welch_ttest` (which
+    dodges it pairwise): one-way ANOVA on the absolute deviations from
+    each group's MEDIAN (median-centering is the robust Brown-Forsythe
+    variant — mean-centering is classical Levene, fragile under
+    skew).
+
+    The group median is the exact LOWER median from the
+    per-(group, distinct value) count frame (position ⌊(n+1)/2⌋ via a
+    per-group cumulative sum — the weighted-median discipline, no
+    per-row sort); medians join back k-row-broadcast; the deviations
+    |v − med| (exact multiples of 1e-6 by the shared 6-rounding) then
+    flow through the UNCHANGED :func:`anova_f` — one operator, one
+    oracle seam. Returns anova_f's row:
+    ``(k, n, ssb, ssw, df_between, df_within, f_stat, eta_sq)``."""
+    v = F.round(F.col(value_col).cast("double"), 6)
+    base = (df.select(F.col(group_col).alias("__g"), v.alias("__v"))
+            .where(F.col("__g").isNotNull() & F.col("__v").isNotNull()))
+    per = base.groupBy("__g", "__v").agg(
+        F.count("*").cast("bigint").alias("c"))
+    wcum = Window.partitionBy("__g").orderBy("__v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("__g")
+    med = (per.withColumn("cum", F.sum("c").over(wcum))
+           .withColumn("n_g", F.sum("c").over(wall))
+           .where(F.col("cum") >= F.floor((F.col("n_g") + 1) / 2))
+           .groupBy("__g").agg(F.min("__v").alias("__med")))
+    centered = (base.join(med, "__g")
+                .select(F.col("__g").alias("g"),
+                        F.abs(F.col("__v") - F.col("__med")).alias("ad")))
+    return anova_f(centered, "ad", "g")

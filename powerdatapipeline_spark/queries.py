@@ -8048,6 +8048,144 @@ def q198_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tokenizer_fertility(_t(spark, sf_dir, "documents"))
 
 
+@register("q199_streaming_ks_drift", """
+WITH base AS (SELECT CASE WHEN event_type = 'view' THEN 'a'
+                          WHEN event_type = 'click' THEN 'b' END AS g,
+                     round(CAST(value AS DOUBLE), 6) AS v
+              FROM events
+              WHERE event_type IN ('view', 'click')
+                AND value IS NOT NULL),
+per AS (SELECT v,
+               CAST(sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ca,
+               CAST(sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cb
+        FROM base GROUP BY 1),
+cum AS (SELECT v,
+               sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cuma,
+               sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumb,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM per),
+d AS (SELECT v, abs(cuma * nb - cumb * na) AS dnum, na, nb FROM cum),
+mx AS (SELECT max(dnum) AS dmax FROM d),
+hit AS (SELECT CAST(min(na) AS BIGINT) AS n_a,
+               CAST(min(nb) AS BIGINT) AS n_b,
+               min(v) AS d_at,
+               CAST(min(dnum) AS BIGINT) AS dn
+        FROM d JOIN mx ON d.dnum = mx.dmax),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_values FROM d)
+SELECT n_a, n_b, n_values,
+       floor(CAST(dn AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+             * 1000000.0 + 0.5) / 1000000.0 AS d,
+       d_at
+FROM hit CROSS JOIN nv WHERE n_a > 0 AND n_b > 0
+""", priority=PRI_TAIL)
+def q199_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING KS drift monitor under driver verification
+    (streaming/stateful.streaming_ks_drift + finalize_ks_drift) — the
+    distribution-shape watchdog: the CLICK value stream reduces per
+    micro-batch to per-distinct-value count partials (appended blind,
+    mergeable by addition — the q190/q196 discipline) and finalizes
+    against the static VIEW reference through the SAME
+    ks_from_value_counts as batch q183, so stream ≡ batch
+    bit-identically and the batch DuckDB oracle verifies the streaming
+    run. Round-10b born: PRI_TAIL until the round-11 rotation."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_ks_drift, streaming_ks_drift)
+
+    stream = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "click"))
+    tmp = tempfile.mkdtemp(prefix="q199_streaming_ks_")
+    q = streaming_ks_drift(stream, "value",
+                           f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q199 streaming job did not finish within 300 s")
+    reference = load_events(spark, sf_dir).where(
+        (F.col("event_type") == "view") & F.col("value").isNotNull())
+    return finalize_ks_drift(spark, reference, "value", f"{tmp}/partials")
+
+
+def q199_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-micro-batch partials frame q199's foreachBatch appends —
+    the q190_stream_frame convention for the plan audit."""
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "click")
+    v = F.round(F.col("value").cast("double"), 6)
+    return (ev.select(v.alias("__v")).where(F.col("__v").isNotNull())
+            .groupBy("__v").agg(F.count("*").cast("bigint").alias("cb")))
+
+
+@register("q200_levene_bf", """
+WITH base AS (
+  SELECT event_type AS g, round(CAST(value AS DOUBLE), 6) AS v
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+per AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+cum AS (SELECT g, v,
+               sum(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n_g
+        FROM per),
+med AS (SELECT g, min(v) AS med FROM cum
+        WHERE cum >= floor((n_g + 1) / 2) GROUP BY 1),
+centered AS (
+  SELECT base.g,
+         CAST(floor(round(abs(base.v - med.med), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS m
+  FROM base JOIN med ON med.g = base.g),
+pg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(m AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+  FROM centered GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(s) AS DECIMAL(38,0)) AS tsum FROM pg),
+terms AS (
+  SELECT n, tn,
+    CAST(floor((CAST(ss AS DOUBLE) / 1e12
+          - (CAST(s AS DOUBLE) / 1e6) * (CAST(s AS DOUBLE) / 1e6)
+            / CAST(n AS DOUBLE))
+         * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS ssw_t,
+    CAST(floor((CAST(n AS DOUBLE)
+          * (CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+             - CAST(tsum AS DOUBLE) / 1e6 / CAST(tn AS DOUBLE))
+          * (CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+             - CAST(tsum AS DOUBLE) / 1e6 / CAST(tn AS DOUBLE)))
+         * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS ssb_t
+  FROM pg CROSS JOIN tot),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(tn) AS BIGINT) AS n,
+         CAST(sum(ssb_t) AS DOUBLE) AS ssb,
+         CAST(sum(ssw_t) AS DOUBLE) AS ssw
+  FROM terms)
+SELECT k, n, ssb, ssw,
+  CAST(k - 1 AS BIGINT) AS df_between,
+  CAST(n - k AS BIGINT) AS df_within,
+  CASE WHEN ssw > 0 THEN
+    floor((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+          * 1000000.0 + 0.5) / 1000000.0 END AS f_stat,
+  CASE WHEN ssb + ssw > 0 THEN
+    floor(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0 END AS eta_sq
+FROM agg
+""", priority=PRI_TAIL)
+def q200_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe spread-homogeneity test across the 5 event types
+    (operators/stats.levene_bf) — do event VALUES differ in dispersion,
+    the assumption q191's ANOVA quietly makes and q183's KS can only
+    flag without localizing? Exact lower medians from per-group
+    distinct-value cumsums, |v − median| deviations through the
+    UNCHANGED anova_f (one operator, one oracle seam). Round-10b born:
+    PRI_TAIL until the round-11 rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.levene_bf(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

@@ -378,3 +378,79 @@ class TestTokenizerFertility:
         out = tokenizer_fertility(df).collect()[0]
         assert out["n_words"] == 0 and out["n_pieces"] == 0
         assert out["fertility"] is None
+
+
+class TestLeveneBF:
+    def test_hand_spread_difference(self, spark):
+        # a: [0, 10] (lower median 0 -> ad [0, 10]);
+        # b: [5, 5, 5] (median 5 -> ad [0, 0, 0])
+        # anova on ad: mean_a 5, mean_b 0, grand 2
+        # ssb = 2*(5-2)^2 + 3*(0-2)^2 = 18+12 = 30
+        # ssw = (0-5)^2+(10-5)^2 + 0 = 50; F = (30/1)/(50/3) = 1.8
+        out = st.levene_bf(
+            _gv(spark, [("a", 0), ("a", 10), ("b", 5), ("b", 5), ("b", 5)]),
+            "v", "g").collect()[0]
+        assert out["k"] == 2 and out["n"] == 5
+        assert out["ssb"] == pytest.approx(30.0, abs=1e-6)
+        assert out["ssw"] == pytest.approx(50.0, abs=1e-6)
+        assert out["f_stat"] == pytest.approx(1.8, abs=1e-6)
+
+    def test_equal_spread_f_zero(self, spark):
+        # both groups have the same |v - med| multiset -> ssb = 0
+        out = st.levene_bf(
+            _gv(spark, [("a", 1), ("a", 3), ("b", 11), ("b", 13)]),
+            "v", "g").collect()[0]
+        assert out["ssb"] == pytest.approx(0.0, abs=1e-6)
+        assert out["f_stat"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_lower_median_even_group(self, spark):
+        # group a: [1, 2, 3, 4] -> lower median 2 (pos (4+1)//2 = 2)
+        # ad = [1, 0, 1, 2]; sanity: runs through anova without raise
+        out = st.levene_bf(
+            _gv(spark, [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+                        ("b", 7), ("b", 9)]), "v", "g").collect()[0]
+        # group b: median 7 -> ad [0, 2]
+        # means: a 1.0, b 1.0 -> ssb 0
+        assert out["ssb"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestStreamingKsDrift:
+    def test_stream_equals_batch_ks(self, spark, tmp_path):
+        """click-vs-view KS via streamed per-value partials must equal
+        batch ks_test over the same rows (q199's registry contract)."""
+        import os
+        import time
+
+        from pyspark.sql import types as T
+
+        from powerdatapipeline_spark.streaming.stateful import (
+            finalize_ks_drift, streaming_ks_drift)
+
+        b1 = [1.0, 2.0, 2.0, 5.0]
+        b2 = [2.0, 3.0, 7.0]
+        ref_vals = [1.0, 1.5, 2.0, 6.0]
+        src = tmp_path / "in"
+        src.mkdir()
+        for name, vals, age in (("a.csv", b1, 60), ("b.csv", b2, 0)):
+            f = src / name
+            f.write_text("v\n" + "\n".join(str(v) for v in vals) + "\n")
+            now = time.time()
+            os.utime(f, (now - age, now - age))
+        stream = (spark.readStream
+                  .schema(T.StructType([T.StructField("v",
+                                                      T.DoubleType())]))
+                  .option("header", "true")
+                  .option("maxFilesPerTrigger", "1").csv(str(src)))
+        q = streaming_ks_drift(stream, "v", str(tmp_path / "partials"),
+                               str(tmp_path / "ckpt"))
+        assert q.awaitTermination(120)
+        ref = spark.createDataFrame([Row(v=v) for v in ref_vals])
+        got = finalize_ks_drift(spark, ref, "v",
+                                str(tmp_path / "partials")).collect()
+
+        batch = spark.createDataFrame(
+            [Row(g="a", v=v) for v in ref_vals]
+            + [Row(g="b", v=v) for v in b1 + b2])
+        want = st.ks_test(batch, "v", "g", "a", "b").collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+        assert got[0]["n_a"] == 4 and got[0]["n_b"] == 7

@@ -133,6 +133,18 @@ SCALAR_BROADCAST_INTENDED = {
     # 1-row tie-correction frame (stats.py kruskal_wallis) — a 1×1
     # broadcast cross
     "q192_kruskal_wallis",
+    # round 10b: q199's finalizer inherits q183's ks_from_value_counts
+    # shape — the 1-row max-D frame and 1-row n_values frame scalar
+    # broadcasts around the exact-integer argmax
+    "q199_streaming_ks_drift",
+    # round 10b: q195 inherits q83's BM25 single-row N/avgdl stats
+    # broadcast (text.py bm25_topk `stats`) — the metric itself runs on
+    # the bounded top-k frame
+    "q195_ndcg",
+    # round 10b: q197's pair universe is the #sources-row totals frame
+    # inequality-crossed with itself (text.py hellinger_tv_matrix
+    # `pairs`, the q175 shape) — bounded by #sources², never corpus
+    "q197_hellinger_tv",
     # round 10b: q194's day-pair universe is the |days|-row bucketed
     # frame inequality-joined with itself (timeseries.py mann_kendall
     # `pairs`, the q164/q175 bounded-pair-universe shape) — calendar-
@@ -189,6 +201,7 @@ def _streaming_variants(spark, sf):
         q124_stream_frame,
         q190_stream_frame,
         q196_stream_frame,
+        q199_stream_frame,
     )
 
     return {
@@ -198,6 +211,7 @@ def _streaming_variants(spark, sf):
         "q124_stream_static_enrich": q124_stream_frame(spark, sf),
         "q190_streaming_auc": q190_stream_frame(spark, sf),
         "q196_streaming_heavy_hitters": q196_stream_frame(spark, sf),
+        "q199_streaming_ks_drift": q199_stream_frame(spark, sf),
     }
 
 
