@@ -1671,3 +1671,68 @@ def levene_bf(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
                 .select(F.col("__g").alias("g"),
                         F.abs(F.col("__v") - F.col("__med")).alias("ad")))
     return anova_f(centered, "ad", "g")
+
+
+def quantile_normalize(df: DataFrame, value_col: str, group_col: str,
+                       id_col: str) -> DataFrame:
+    """Quantile normalization across groups — map every value onto the
+    GLOBAL empirical distribution at its within-group quantile, the
+    batch-effect remover (Bolstad et al. 2003, microarray lineage)
+    that makes per-source size/score distributions directly comparable
+    before mixture planning (q141) or quality bucketing (q87): after
+    it, every group has (as near as ties allow) the same marginal
+    distribution.
+
+    Exact, distributed, NO per-row global sort: within-group LOW rank
+    r comes from the per-(group, distinct value) count frame's
+    cumulative sum (tied rows share a rank — and therefore a target,
+    the deterministic tie policy); the global inverse CDF is the
+    per-distinct-value GLOBAL count frame exploded into an
+    (position → value) dictionary via ``sequence(cum+1, cum+t)`` —
+    corpus-row-count rows but 2 columns, equi-joined on the target
+    position p = ⌊q·(N−1)+0.5⌋+1 where q = (r−1)/(n_g−1) (q = 0.5 for
+    a singleton group). Both the rank and dictionary sides are
+    hash-partitioned equi-joins at any scale. Values stay exact BIGINT
+    end-to-end; q is the only double (fixed expression). Returns
+    ``(id, group, value, quantile, norm_value)``."""
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(group_col).alias("grp"),
+                      F.col(value_col).cast("bigint").alias("value"))
+            .where(F.col("id").isNotNull() & F.col("grp").isNotNull()
+                   & F.col("value").isNotNull()))
+    gv = base.groupBy("grp", "value").agg(
+        F.count("*").cast("bigint").alias("c"))
+    wg = Window.partitionBy("grp").orderBy("value") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy("grp")
+    ranks = (gv.withColumn("cum_below",
+                           F.coalesce(F.sum("c").over(wg), F.lit(0)))
+             .withColumn("n_g", F.sum("c").over(wall))
+             .select("grp", "value",
+                     (F.col("cum_below") + 1).cast("bigint").alias("r"),
+                     "n_g"))
+    q = F.when(F.col("n_g") > 1,
+               (F.col("r") - 1).cast("double")
+               / (F.col("n_g") - 1).cast("double")).otherwise(F.lit(0.5))
+    with_q = (base.join(ranks, ["grp", "value"])
+              .withColumn("quantile", q))
+    dv = gv.groupBy("value").agg(F.sum("c").cast("bigint").alias("t"))
+    wglob = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1)
+    dict_ = (dv.withColumn("cum_below",
+                           F.coalesce(F.sum("t").over(wglob), F.lit(0)))
+             .select(F.explode(F.sequence(
+                 F.col("cum_below") + 1,
+                 F.col("cum_below") + F.col("t"))).alias("pos"),
+                 F.col("value").alias("norm_value")))
+    n_tot = base.agg(F.count("*").cast("bigint").alias("N"))
+    target = (with_q.crossJoin(F.broadcast(n_tot))
+              .withColumn("pos",
+                          (F.floor(F.col("quantile")
+                                   * (F.col("N") - 1).cast("double")
+                                   + F.lit(0.5)) + 1).cast("bigint")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (target.join(dict_, "pos")
+            .select("id", "grp", "value", fl6(F.col("quantile"))
+                    .alias("quantile"), "norm_value"))

@@ -1667,3 +1667,38 @@ def mann_kendall(df: DataFrame, ts_col: str = "ts",
         fl6(var_s).alias("var_s"),
         F.when(var_s > 0, fl6(z)).alias("z"),
         fl6(F.col("sen_slope")).alias("sen_slope"))
+
+
+def sequence_ngrams(df: DataFrame, ts_col: str, key_col: str,
+                    state_col: str, n: int = 3, top_k: int = 25,
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Top-k length-n event-type sequences per entity — higher-order
+    sequential pattern mining over the 1-step Markov transition matrix
+    (:func:`transition_matrix`, q147): which 3-step paths dominate the
+    corpus (view→click→purchase vs view→error→view decides funnel
+    instrumentation and session features).
+
+    Shape: ONE entity-keyed window (hash-partitioned by key; order
+    (ts, tiebreak) is deterministic under timestamp ties) emits the n
+    leads per row — no collect_list, no per-entity memory ceiling —
+    then a map-side-combined count and a (count desc, gram asc) top-k.
+    Exact integers throughout. Returns ``(s1..sn, n_occurrences)``."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cols = [F.col(state_col).alias("s1")]
+    base = df.where(F.col(ts_col).isNotNull()
+                    & F.col(state_col).isNotNull()
+                    & F.col(key_col).isNotNull())
+    for i in range(1, n):
+        cols.append(F.lead(state_col, i).over(w).alias(f"s{i + 1}"))
+    grams = base.select(*cols).where(
+        F.col(f"s{n}").isNotNull())
+    names = [f"s{i}" for i in range(1, n + 1)]
+    return (grams.groupBy(*names)
+            .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"),
+                     *[F.asc(c) for c in names])
+            .limit(top_k))

@@ -8186,6 +8186,93 @@ def q200_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.levene_bf(_t(spark, sf_dir, "events"), "value", "event_type")
 
 
+@register("q201_quantile_normalize", """
+WITH base AS (
+  SELECT doc_id AS id, source AS grp, CAST(n_chars AS BIGINT) AS value
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    AND n_chars IS NOT NULL),
+gv AS (SELECT grp, value, CAST(count(*) AS BIGINT) AS c
+       FROM base GROUP BY 1, 2),
+ranks AS (
+  SELECT grp, value,
+         CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + 1 AS BIGINT) AS r,
+         sum(c) OVER (PARTITION BY grp) AS n_g
+  FROM gv),
+wq AS (
+  SELECT base.id, base.grp, base.value,
+         CASE WHEN ranks.n_g > 1 THEN
+           CAST(ranks.r - 1 AS DOUBLE) / CAST(ranks.n_g - 1 AS DOUBLE)
+         ELSE 0.5 END AS q
+  FROM base JOIN ranks ON ranks.grp = base.grp
+                      AND ranks.value = base.value),
+dv AS (SELECT value, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY 1),
+cumd AS (
+  SELECT value,
+         CAST(coalesce(sum(t) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_below, t
+  FROM dv),
+dict AS (
+  SELECT unnest(generate_series(cum_below + 1, cum_below + t)) AS pos,
+         value AS norm_value
+  FROM cumd),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+tgt AS (
+  SELECT wq.id, wq.grp, wq.value, wq.q,
+         CAST(floor(wq.q * CAST(tot.n - 1 AS DOUBLE) + 0.5) + 1
+              AS BIGINT) AS pos
+  FROM wq CROSS JOIN tot)
+SELECT tgt.id, tgt.grp, tgt.value,
+       floor(tgt.q * 1000000.0 + 0.5) / 1000000.0 AS quantile,
+       dict.norm_value
+FROM tgt JOIN dict USING (pos)
+""", priority=PRI_TAIL)
+def q201_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document sizes across the 20 sources
+    (operators/stats.quantile_normalize) — the batch-effect remover
+    that gives every source the same marginal size distribution before
+    mixture planning (q141) / quality bucketing (q87). Exact BIGINT
+    rank arithmetic from per-distinct-value count frames, global
+    inverse CDF as an exploded (position → value) dictionary equi-join
+    — no per-row global sort anywhere. Round-10b born: PRI_TAIL until
+    the round-11 rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.quantile_normalize(_t(spark, sf_dir, "documents"),
+                                 "n_chars", "source", "doc_id")
+
+
+@register("q202_sequence_trigrams", """
+WITH seq AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s3
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    AND user_id IS NOT NULL)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM seq WHERE s3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_occurrences DESC, s1, s2, s3
+LIMIT 25
+""", priority=PRI_TAIL)
+def q202_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 per-user event-type TRIGRAMS
+    (operators/timeseries.sequence_ngrams) — higher-order sequential
+    pattern mining over q147's 1-step Markov matrix: the dominant
+    3-step paths that drive funnel instrumentation and session
+    features. One user-keyed lead window (deterministic (ts, event_id)
+    order), no collect_list, map-side-combined counts, exact integers.
+    Round-10b born: PRI_TAIL until the round-11 rotation."""
+    return ts.sequence_ngrams(load_events(spark, sf_dir), "ts",
+                              "user_id", "event_type", n=3, top_k=25,
+                              tiebreak_col="event_id")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

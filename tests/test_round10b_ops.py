@@ -454,3 +454,95 @@ class TestStreamingKsDrift:
         want = st.ks_test(batch, "v", "g", "a", "b").collect()
         assert [r.asDict() for r in got] == [r.asDict() for r in want]
         assert got[0]["n_a"] == 4 and got[0]["n_b"] == 7
+
+
+class TestQuantileNormalize:
+    def test_hand_mapping(self, spark):
+        # a: [1, 2] -> q 0, 1; b: [10, 20, 30] -> q 0, 0.5, 1
+        # global sorted [1, 2, 10, 20, 30], N=5
+        # q=0   -> pos floor(0*4+.5)+1  = 1 -> 1
+        # q=0.5 -> pos floor(2.5)+1     = 3 -> 10
+        # q=1   -> pos floor(4.5)+1     = 5 -> 30
+        from powerdatapipeline_spark.operators.stats import \
+            quantile_normalize
+        df = spark.createDataFrame(
+            [Row(id=1, g="a", v=1), Row(id=2, g="a", v=2),
+             Row(id=3, g="b", v=10), Row(id=4, g="b", v=20),
+             Row(id=5, g="b", v=30)])
+        out = {r["id"]: r for r in
+               quantile_normalize(df, "v", "g", "id").collect()}
+        assert len(out) == 5
+        assert out[1]["norm_value"] == 1 and out[2]["norm_value"] == 30
+        assert out[3]["norm_value"] == 1
+        assert out[4]["norm_value"] == 10
+        assert out[5]["norm_value"] == 30
+        assert out[4]["quantile"] == pytest.approx(0.5, abs=1e-6)
+
+    def test_ties_share_target(self, spark):
+        # duplicate values inside a group share the LOW rank and
+        # therefore the same normalized target
+        from powerdatapipeline_spark.operators.stats import \
+            quantile_normalize
+        df = spark.createDataFrame(
+            [Row(id=1, g="a", v=5), Row(id=2, g="a", v=5),
+             Row(id=3, g="a", v=9), Row(id=4, g="b", v=1),
+             Row(id=5, g="b", v=2)])
+        out = {r["id"]: r for r in
+               quantile_normalize(df, "v", "g", "id").collect()}
+        assert out[1]["norm_value"] == out[2]["norm_value"]
+        assert out[1]["quantile"] == out[2]["quantile"] == 0.0
+
+    def test_singleton_group_maps_to_middle(self, spark):
+        from powerdatapipeline_spark.operators.stats import \
+            quantile_normalize
+        df = spark.createDataFrame(
+            [Row(id=1, g="solo", v=999), Row(id=2, g="b", v=1),
+             Row(id=3, g="b", v=2), Row(id=4, g="b", v=3)])
+        out = {r["id"]: r for r in
+               quantile_normalize(df, "v", "g", "id").collect()}
+        # N=4: q=0.5 -> pos floor(0.5*3+0.5)+1 = 3 ->
+        # sorted [1,2,3,999][2] = 3
+        assert out[1]["quantile"] == pytest.approx(0.5, abs=1e-6)
+        assert out[1]["norm_value"] == 3
+
+
+class TestSequenceNgrams:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(ts=float(t), user_id=u, event_id=i, event_type=e)
+             for i, (t, u, e) in enumerate(rows)]).selectExpr(
+            "timestamp_seconds(ts) AS ts", "user_id", "event_id",
+            "event_type")
+
+    def test_hand_trigrams(self, spark):
+        # user 1: a b c a b c -> trigrams abc, bca, cab, abc
+        # user 2: a b c       -> abc
+        from powerdatapipeline_spark.operators.timeseries import \
+            sequence_ngrams
+        rows = ([(t, 1, e) for t, e in
+                 enumerate(["a", "b", "c", "a", "b", "c"])]
+                + [(t, 2, e) for t, e in enumerate(["a", "b", "c"])])
+        out = {(r["s1"], r["s2"], r["s3"]): r["n_occurrences"]
+               for r in sequence_ngrams(self._ev(spark, rows), "ts",
+                                        "user_id", "event_type",
+                                        tiebreak_col="event_id").collect()}
+        assert out[("a", "b", "c")] == 3
+        assert out[("b", "c", "a")] == 1
+        assert out[("c", "a", "b")] == 1
+        assert len(out) == 3  # no cross-user grams
+
+    def test_short_sequences_emit_nothing(self, spark):
+        from powerdatapipeline_spark.operators.timeseries import \
+            sequence_ngrams
+        rows = [(0, 1, "a"), (1, 1, "b")]  # length 2 < n=3
+        out = sequence_ngrams(self._ev(spark, rows), "ts", "user_id",
+                              "event_type",
+                              tiebreak_col="event_id").collect()
+        assert out == []
+
+    def test_bad_n_raises(self, spark):
+        from powerdatapipeline_spark.operators.timeseries import \
+            sequence_ngrams
+        with pytest.raises(ValueError, match="n must be"):
+            sequence_ngrams(self._ev(spark, [(0, 1, "a")]), "ts",
+                            "user_id", "event_type", n=1)

@@ -133,6 +133,10 @@ SCALAR_BROADCAST_INTENDED = {
     # 1-row tie-correction frame (stats.py kruskal_wallis) — a 1×1
     # broadcast cross
     "q192_kruskal_wallis",
+    # round 10b: q201's corpus row count N is a 1-row frame
+    # cross-joined onto the ranked stream (stats.py quantile_normalize
+    # `n_tot`) — the target-position formula without a driver collect
+    "q201_quantile_normalize",
     # round 10b: q199's finalizer inherits q183's ks_from_value_counts
     # shape — the 1-row max-D frame and 1-row n_values frame scalar
     # broadcasts around the exact-integer argmax
