@@ -880,3 +880,76 @@ def group_reservoir_sample(df: DataFrame, group_cols: Sequence[str],
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .drop("__rn"))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_pair_count: int = 2, top_k: int = 25,
+                      max_basket_size: int | None = None) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    over item PAIRS — the co-occurrence miner behind "parts ordered
+    together" and corpus-curation analogs (tags co-occurring in
+    documents): which pairs appear together more than their marginals
+    predict?
+
+    A-priori shape, scale-first: baskets dedupe to DISTINCT
+    (basket, item) first; the pair generator is a basket-keyed
+    self-equi-join (a.item < b.item), so cost is Σ_b C(k_b, 2) —
+    bounded by BASKET size, not corpus size (TPC-H orders hold ≤ 7
+    parts; pass ``max_basket_size`` to loudly RAISE on a degenerate
+    hot basket instead of quadratically exploding it — the q166
+    max-block discipline). ``min_pair_count`` prunes before the
+    marginal joins. All counts exact BIGINT; support/confidence/lift
+    are fixed double expressions floor6; top-k by
+    (lift desc, item_a, item_b) is a total order. Returns
+    ``(item_a, item_b, n_pairs, n_a, n_b, support, conf_a_to_b,
+    conf_b_to_a, lift)``."""
+    li = (df.select(F.col(basket_col).alias("b"),
+                    F.col(item_col).alias("i"))
+          .where(F.col("b").isNotNull() & F.col("i").isNotNull())
+          .distinct())
+    sizes = li.groupBy("b").agg(F.count("*").alias("k"))
+    n_orders = sizes.agg(F.count("*").cast("bigint").alias("N"),
+                         F.max("k").cast("bigint").alias("__max_k"))
+    # the cap guard threads through EVERY output column below (a
+    # column attached to a pruned branch is optimized away before it
+    # can raise — the welch/anova round-9 lesson)
+    guard = (F.when(F.col("__max_k") > max_basket_size, F.raise_error(
+        F.concat(F.lit("association_rules: a basket exceeds "
+                       f"max_basket_size={max_basket_size} (size "),
+                 F.col("__max_k").cast("string"),
+                 F.lit("); quadratic pair explosion refused"))))
+             if max_basket_size is not None else F.lit(None))
+    item_n = li.groupBy("i").agg(F.count("*").cast("bigint").alias("n_i"))
+    a = li.select("b", F.col("i").alias("ia"))
+    bb = li.select(F.col("b").alias("b2"), F.col("i").alias("ib"))
+    pairs = (a.join(bb, (F.col("b") == F.col("b2"))
+                    & (F.col("ia") < F.col("ib")))
+             .groupBy("ia", "ib")
+             .agg(F.count("*").cast("bigint").alias("n_pairs"))
+             .where(F.col("n_pairs") >= min_pair_count))
+    na = item_n.select(F.col("i").alias("ia"), F.col("n_i").alias("n_a"))
+    nb = item_n.select(F.col("i").alias("ib"), F.col("n_i").alias("n_b"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    Nd = F.col("N").cast("double")
+    lift = (Nd * F.col("n_pairs").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")))
+    out = (pairs.join(na, "ia").join(nb, "ib")
+           .crossJoin(F.broadcast(n_orders))
+           .select(F.col("ia").alias("item_a"),
+                   F.col("ib").alias("item_b"),
+                   "n_pairs", "n_a", "n_b",
+                   fl6(F.col("n_pairs").cast("double") / Nd)
+                   .alias("support"),
+                   fl6(F.col("n_pairs").cast("double")
+                       / F.col("n_a").cast("double"))
+                   .alias("conf_a_to_b"),
+                   fl6(F.col("n_pairs").cast("double")
+                       / F.col("n_b").cast("double"))
+                   .alias("conf_b_to_a"),
+                   fl6(lift).alias("lift"), "__max_k"))
+    out = out.select(*[
+        F.coalesce(guard.cast(f.dataType), F.col(f.name)).alias(f.name)
+        for f in out.schema.fields if f.name != "__max_k"])
+    return (out.orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
+            .limit(top_k))

@@ -8273,6 +8273,49 @@ def q202_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                               tiebreak_col="event_id")
 
 
+@register("q203_association_rules", """
+WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+n_orders AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS N FROM li),
+item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT ia AS item_a, ib AS item_b, n_pairs,
+       na.n_i AS n_a, nb.n_i AS n_b,
+  floor(CAST(n_pairs AS DOUBLE) / CAST(N AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS support,
+  floor(CAST(n_pairs AS DOUBLE) / CAST(na.n_i AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS conf_a_to_b,
+  floor(CAST(n_pairs AS DOUBLE) / CAST(nb.n_i AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS conf_b_to_a,
+  floor(CAST(N AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+        / (CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM pairs
+JOIN item_n na ON na.i = pairs.ia
+JOIN item_n nb ON nb.i = pairs.ib
+CROSS JOIN n_orders
+ORDER BY lift DESC, item_a, item_b
+LIMIT 25
+""", priority=PRI_TAIL)
+def q203_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 part-pair association rules by lift over order baskets
+    (operators/relational.association_rules) — the market-basket
+    co-occurrence miner: support/confidence/lift for pairs that
+    co-occur in >= 2 orders. A-priori shape: distinct (order, part)
+    first, basket-keyed pair self-equi-join bounded by Σ C(k_b, 2)
+    (TPC-H baskets <= 7 items; max_basket_size raises loudly on a
+    degenerate hot basket at scale), min-support prune BEFORE the
+    marginal joins. Exact BIGINT counts, floor6 ratios, total-order
+    top-k. Round-10b born: PRI_TAIL until the round-11 rotation."""
+    return rel.association_rules(_t(spark, sf_dir, "lineitem"),
+                                 "l_orderkey", "l_partkey",
+                                 min_pair_count=2, top_k=25)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

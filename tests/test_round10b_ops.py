@@ -546,3 +546,41 @@ class TestSequenceNgrams:
         with pytest.raises(ValueError, match="n must be"):
             sequence_ngrams(self._ev(spark, [(0, 1, "a")]), "ts",
                             "user_id", "event_type", n=1)
+
+
+class TestAssociationRules:
+    def test_hand_lift(self, spark):
+        # baskets: {1: a b}, {2: a b}, {3: a c}, {4: b}
+        # N=4; n_a=3, n_b=3, n_c=1; pair (a,b) n=2
+        # support 0.5; conf both 2/3; lift = 4*2/(3*3) = 0.888889
+        from powerdatapipeline_spark.operators.relational import \
+            association_rules
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"),
+                (3, "a"), (3, "c"), (4, "b")]
+        df = spark.createDataFrame([Row(b=b, i=i) for b, i in rows])
+        out = association_rules(df, "b", "i", min_pair_count=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["item_a"], r["item_b"]) == ("a", "b")
+        assert (r["n_pairs"], r["n_a"], r["n_b"]) == (2, 3, 3)
+        assert r["support"] == pytest.approx(0.5, abs=1e-6)
+        assert r["conf_a_to_b"] == pytest.approx(2 / 3, abs=1e-6)
+        assert r["lift"] == pytest.approx(8 / 9, abs=1e-6)
+
+    def test_duplicate_basket_rows_deduped(self, spark):
+        # the same (basket, item) row twice must not double-count
+        from powerdatapipeline_spark.operators.relational import \
+            association_rules
+        rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+        df = spark.createDataFrame([Row(b=b, i=i) for b, i in rows])
+        out = association_rules(df, "b", "i", min_pair_count=2).collect()
+        assert out[0]["n_pairs"] == 2 and out[0]["n_a"] == 2
+
+    def test_max_basket_guard_raises(self, spark):
+        from powerdatapipeline_spark.operators.relational import \
+            association_rules
+        rows = [(1, x) for x in "abcde"] + [(2, "a"), (2, "b")]
+        df = spark.createDataFrame([Row(b=b, i=i) for b, i in rows])
+        with pytest.raises(Exception, match="max_basket_size"):
+            association_rules(df, "b", "i", min_pair_count=1,
+                              max_basket_size=3).collect()

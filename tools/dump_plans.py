@@ -133,6 +133,10 @@ SCALAR_BROADCAST_INTENDED = {
     # 1-row tie-correction frame (stats.py kruskal_wallis) — a 1×1
     # broadcast cross
     "q192_kruskal_wallis",
+    # round 10b: q203's basket count N (+ max-basket guard scalar) is
+    # a 1-row frame cross-joined onto the pruned pair frame
+    # (relational.py association_rules `n_orders`)
+    "q203_association_rules",
     # round 10b: q201's corpus row count N is a 1-row frame
     # cross-joined onto the ranked stream (stats.py quantile_normalize
     # `n_tot`) — the target-position formula without a driver collect
