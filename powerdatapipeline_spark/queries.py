@@ -8324,6 +8324,18 @@ def q203_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to PRI_TAIL. With CORRECTNESS_r10 green, every registry query has
 # >=1 driver record (full ledger: COVERAGE.md); rotation is thereafter
 # needed only for NEW entries.
+#
+# ROUND-11 ROTATION PLAN (stage at the start of round 11, after
+# CORRECTNESS_r10 lands green): promote the 13 round-10b-born queries
+# q191-q203 (ANOVA, Kruskal-Wallis, cross-correlation, Mann-Kendall,
+# NDCG, streaming heavy hitters, Hellinger/TV, tokenizer fertility,
+# streaming KS drift, Brown-Forsythe, quantile normalize, sequence
+# trigrams, association rules) to PRI_HEAD and demote 13 of the
+# freshly-recorded round-10 head (q105-q112 retained pool first, then
+# the oldest of q150+). All 13 are oracle-paired, strict-compared at
+# sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact at
+# sf0.1 in PARITY_sf0.1_r10.json — the driver record is the only
+# missing evidence tier.
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)
