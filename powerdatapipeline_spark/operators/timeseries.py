@@ -1702,3 +1702,50 @@ def sequence_ngrams(df: DataFrame, ts_col: str, key_col: str,
             .orderBy(F.desc("n_occurrences"),
                      *[F.asc(c) for c in names])
             .limit(top_k))
+
+
+def seasonal_quantile_bands(df: DataFrame, ts_col: str = "ts",
+                            value_col: str = "value",
+                            bucket_seconds: int = 3600,
+                            period: int = 24,
+                            quantiles: Sequence[float] = (0.1, 0.5, 0.9)
+                            ) -> DataFrame:
+    """Per-seasonal-slot exact quantile bands (default p10/p50/p90 per
+    hour-of-day) — the DISTRIBUTIONAL seasonal profile beside the mean
+    profile (q96) and its anomaly flags (q97): band width per slot is
+    the expected operating range, and a reading outside its slot's
+    p10-p90 band is an anomaly verdict robust to the heavy tails that
+    inflate a mean±kσ gate.
+
+    Exact grouped quantiles WITHOUT per-row windows: values collapse
+    to the per-(slot, distinct value) count frame (map-side combined),
+    one cumulative pass per slot over THAT frame, and each requested
+    quantile selects the smallest value whose cumulative count reaches
+    position ⌊q·(n−1)+0.5⌋+1 (the deterministic nearest-rank rule the
+    quantile-normalize dictionary uses). Returns one row per slot:
+    ``(slot, n, q_<pct>...)``."""
+    for q in quantiles:
+        if not 0 < q < 1:
+            raise ValueError(f"quantiles must be in (0, 1), got {q}")
+    v = F.round(F.col(value_col).cast("double"), 6)
+    slot = (F.floor(F.col(ts_col).cast("double")
+                    / F.lit(float(bucket_seconds))).cast("bigint")
+            % period).alias("slot")
+    per = (df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+           .select(slot, v.alias("__v"))
+           .groupBy("slot", "__v")
+           .agg(F.count("*").cast("bigint").alias("c")))
+    wcum = Window.partitionBy("slot").orderBy("__v") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("slot")
+    staged = (per.withColumn("cum", F.sum("c").over(wcum))
+              .withColumn("n", F.sum("c").over(wall)))
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in quantiles:
+        pos = (F.floor(F.lit(float(q))
+                       * (F.col("n") - 1).cast("double") + F.lit(0.5))
+               + 1)
+        name = f"q_{int(round(q * 100)):02d}"
+        aggs.append(F.min(F.when(F.col("cum") >= pos, F.col("__v")))
+                    .alias(name))
+    return staged.groupBy("slot").agg(*aggs).orderBy("slot")

@@ -8316,6 +8316,40 @@ def q203_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  min_pair_count=2, top_k=25)
 
 
+@register("q204_seasonal_quantile_bands", """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) % 24 AS slot,
+         round(CAST(value AS DOUBLE), 6) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+per AS (SELECT slot, v, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2),
+staged AS (
+  SELECT slot, v,
+         sum(c) OVER (PARTITION BY slot ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY slot) AS n
+  FROM per)
+SELECT slot, CAST(max(n) AS BIGINT) AS n,
+  min(CASE WHEN cum >= floor(0.1 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_10,
+  min(CASE WHEN cum >= floor(0.5 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_50,
+  min(CASE WHEN cum >= floor(0.9 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_90
+FROM staged GROUP BY 1 ORDER BY 1
+""", priority=PRI_TAIL)
+def q204_seasonal_quantile_bands(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Hour-of-day p10/p50/p90 bands of event value
+    (operators/timeseries.seasonal_quantile_bands) — the
+    distributional seasonal profile beside q96's mean profile: exact
+    per-slot quantiles from distinct-value count-frame cumsums (no
+    per-row windows), deterministic nearest-rank positions. Round-10b
+    born: PRI_TAIL until the round-11 rotation."""
+    return ts.seasonal_quantile_bands(load_events(spark, sf_dir))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -8326,13 +8360,14 @@ def q203_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 13 round-10b-born queries
-# q191-q203 (ANOVA, Kruskal-Wallis, cross-correlation, Mann-Kendall,
+# CORRECTNESS_r10 lands green): promote the 14 round-10b-born queries
+# q191-q204 (ANOVA, Kruskal-Wallis, cross-correlation, Mann-Kendall,
 # NDCG, streaming heavy hitters, Hellinger/TV, tokenizer fertility,
 # streaming KS drift, Brown-Forsythe, quantile normalize, sequence
-# trigrams, association rules) to PRI_HEAD and demote 13 of the
+# trigrams, association rules, seasonal quantile bands) to PRI_HEAD
+# and demote 14 of the
 # freshly-recorded round-10 head (q105-q112 retained pool first, then
-# the oldest of q150+). All 13 are oracle-paired, strict-compared at
+# the oldest of q150+). All 14 are oracle-paired, strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact at
 # sf0.1 in PARITY_sf0.1_r10.json — the driver record is the only
 # missing evidence tier.

@@ -584,3 +584,40 @@ class TestAssociationRules:
         with pytest.raises(Exception, match="max_basket_size"):
             association_rules(df, "b", "i", min_pair_count=1,
                               max_basket_size=3).collect()
+
+
+class TestSeasonalQuantileBands:
+    def test_hand_quantiles(self, spark):
+        # one slot (hour 0), values 1..10: n=10
+        # p10 pos floor(.1*9+.5)+1 = 2 -> 2; p50 pos floor(5)+1 = 6 -> 6
+        # p90 pos floor(8.6)+1 = 9 -> 9
+        from powerdatapipeline_spark.operators.timeseries import \
+            seasonal_quantile_bands
+        rows = [Row(ts=float(60 * i), value=float(i + 1))
+                for i in range(10)]
+        df = spark.createDataFrame(rows).selectExpr(
+            "timestamp_seconds(ts) AS ts", "value")
+        out = seasonal_quantile_bands(df).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["slot"], r["n"]) == (0, 10)
+        assert (r["q_10"], r["q_50"], r["q_90"]) == (2.0, 6.0, 9.0)
+
+    def test_slots_independent(self, spark):
+        from powerdatapipeline_spark.operators.timeseries import \
+            seasonal_quantile_bands
+        rows = ([Row(ts=10.0, value=1.0)]                # hour 0
+                + [Row(ts=3610.0, value=100.0)])         # hour 1
+        df = spark.createDataFrame(rows).selectExpr(
+            "timestamp_seconds(ts) AS ts", "value")
+        out = {r["slot"]: r for r in
+               seasonal_quantile_bands(df).collect()}
+        assert out[0]["q_50"] == 1.0 and out[1]["q_50"] == 100.0
+
+    def test_bad_quantile_raises(self, spark):
+        from powerdatapipeline_spark.operators.timeseries import \
+            seasonal_quantile_bands
+        df = spark.createDataFrame([Row(ts=1.0, value=1.0)]).selectExpr(
+            "timestamp_seconds(ts) AS ts", "value")
+        with pytest.raises(ValueError, match="quantiles"):
+            seasonal_quantile_bands(df, quantiles=(0.0, 0.5))
