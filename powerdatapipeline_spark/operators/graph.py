@@ -291,3 +291,58 @@ def connected_components(edges: DataFrame, src: str = "src",
     return (nodes.join(labels, "node", "left")
             .select("node", F.coalesce(F.col("label"), F.col("node"))
                     .alias("label")))
+
+
+def k_core(edges: DataFrame, k: int = 2, src: str = "src",
+           dst: str = "dst", max_rounds: int = 12) -> DataFrame:
+    """k-core decomposition by iterative peeling — the density-based
+    subgraph extractor that completes the graph family (pagerank =
+    importance, components = reachability, triangles = local
+    clustering, k-core = GLOBAL cohesion): repeatedly delete every
+    node with degree < k until none remains; what survives is the
+    maximal subgraph where everyone keeps >= k neighbors, the classic
+    spam-farm / tight-community / co-purchase-cluster screen.
+
+    Each peel round is one bidirectional degree count (groupBy node,
+    map-side combined) + one semi-join filter on BOTH endpoints — two
+    node-keyed shuffles, no inequality joins; lineage cuts per round
+    with an eager localCheckpoint and convergence is the exact
+    edge-count fixpoint (peeling is monotone decreasing, so equal
+    count = identical edge set). Rounds are bounded by the peeling
+    depth (the graph's degeneracy ordering length), NOT by node count;
+    ``max_rounds`` exhaustion RAISES rather than returning an
+    un-peeled supergraph — and the SQL oracle unrolls the same fixed
+    round budget, which is sound because converged rounds are no-ops.
+    Returns ``(node, core_degree)`` for every k-core member, with its
+    degree inside the core."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = _cc_canonical(edges, src, dst).localCheckpoint(eager=True)
+
+    def degrees(d: DataFrame) -> DataFrame:
+        return (d.select(F.col("u").alias("node"))
+                .union(d.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").cast("bigint").alias("deg")))
+
+    prev = e.count()
+    converged = prev == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        keep = degrees(e).where(F.col("deg") >= k).select("node")
+        e = (e.join(keep.withColumnRenamed("node", "u"), "u", "semi")
+             .join(keep.withColumnRenamed("node", "v"), "v", "semi")
+             .select("u", "v").localCheckpoint(eager=True))
+        cur = e.count()
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"k_core(k={k}) did not converge within max_rounds="
+            f"{max_rounds} peel rounds; raise max_rounds — returning an "
+            "un-peeled supergraph would report non-core nodes as core")
+    return (degrees(e).where(F.col("deg") >= k)
+            .select("node", F.col("deg").alias("core_degree")))

@@ -8350,6 +8350,61 @@ def q204_seasonal_quantile_bands(spark: SparkSession, sf_dir: str
     return ts.seasonal_quantile_bands(load_events(spark, sf_dir))
 
 
+def _kcore_oracle(k: int = 2, rounds: int = 12) -> str:
+    """DuckDB twin of q205: the peel loop unrolled to the SAME fixed
+    round budget the Spark operator enforces (graph.k_core raises past
+    max_rounds, and converged rounds are no-ops, so a 12-round unroll
+    is exact whenever the query returns at all — the q185 unrolled-
+    oracle discipline)."""
+    ctes = ["li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i\n"
+            "  FROM lineitem\n"
+            "  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)",
+            "e0 AS MATERIALIZED (SELECT a.i AS u, c.i AS v FROM li a\n"
+            "  JOIN li c ON a.b = c.b AND a.i < c.i\n"
+            "  GROUP BY 1, 2 HAVING count(*) >= 2)"]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg\n"
+            f"  FROM (SELECT u AS node FROM e{i}\n"
+            f"        UNION ALL SELECT v FROM e{i}) GROUP BY 1)")
+        ctes.append(f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})")
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e{i}.u, e{i}.v FROM e{i}\n"
+            f"  JOIN k{i} ku ON ku.node = e{i}.u\n"
+            f"  JOIN k{i} kv ON kv.node = e{i}.v)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY 1 HAVING count(*) >= {k}""")
+
+
+@register("q205_k_core", _kcore_oracle(), priority=PRI_TAIL)
+def q205_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-occurrence graph (operators/graph.k_core)
+    — density-based cohesion completing the graph family (pagerank
+    q135 = importance, components q184 = reachability, triangles q167
+    = local clustering): iterative peeling of nodes with degree < 2
+    over the q203 co-purchase edges (pairs in >= 2 orders). Each round
+    is two node-keyed shuffles (degree count + double semi-join),
+    lineage cut per round, exact edge-count fixpoint, loud raise past
+    the round budget the oracle unrolls. Round-10b born: PRI_TAIL
+    until the round-11 rotation."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("b"),
+                  F.col("l_partkey").alias("i"))
+          .where(F.col("b").isNotNull() & F.col("i").isNotNull())
+          .distinct())
+    a = li.select("b", F.col("i").alias("u"))
+    c = li.select(F.col("b").alias("b2"), F.col("i").alias("v"))
+    edges = (a.join(c, (F.col("b") == F.col("b2"))
+                    & (F.col("u") < F.col("v")))
+             .groupBy("u", "v")
+             .agg(F.count("*").alias("n"))
+             .where(F.col("n") >= 2)
+             .select("u", "v"))
+    return gr.k_core(edges, k=2, src="u", dst="v")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -8360,14 +8415,14 @@ def q204_seasonal_quantile_bands(spark: SparkSession, sf_dir: str
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 14 round-10b-born queries
-# q191-q204 (ANOVA, Kruskal-Wallis, cross-correlation, Mann-Kendall,
+# CORRECTNESS_r10 lands green): promote the 15 round-10b-born queries
+# q191-q205 (ANOVA, Kruskal-Wallis, cross-correlation, Mann-Kendall,
 # NDCG, streaming heavy hitters, Hellinger/TV, tokenizer fertility,
 # streaming KS drift, Brown-Forsythe, quantile normalize, sequence
-# trigrams, association rules, seasonal quantile bands) to PRI_HEAD
-# and demote 14 of the
+# trigrams, association rules, seasonal quantile bands, k-core) to
+# PRI_HEAD and demote 15 of the
 # freshly-recorded round-10 head (q105-q112 retained pool first, then
-# the oldest of q150+). All 14 are oracle-paired, strict-compared at
+# the oldest of q150+). All 15 are oracle-paired, strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact at
 # sf0.1 in PARITY_sf0.1_r10.json — the driver record is the only
 # missing evidence tier.

@@ -621,3 +621,45 @@ class TestSeasonalQuantileBands:
             "timestamp_seconds(ts) AS ts", "value")
         with pytest.raises(ValueError, match="quantiles"):
             seasonal_quantile_bands(df, quantiles=(0.0, 0.5))
+
+
+class TestKCore:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in pairs])
+
+    def test_triangle_with_tail_peels_tail(self, spark):
+        # triangle 1-2-3 plus tail 3-4: node 4 (deg 1) peels first,
+        # then everyone left has deg 2 -> 2-core = {1, 2, 3}
+        from powerdatapipeline_spark.operators.graph import k_core
+        out = {r["node"]: r["core_degree"] for r in k_core(
+            self._edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)]),
+            k=2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_chain_peels_to_empty(self, spark):
+        # a path has no 2-core: peeling cascades from both ends
+        from powerdatapipeline_spark.operators.graph import k_core
+        out = k_core(self._edges(spark, [(1, 2), (2, 3), (3, 4)]),
+                     k=2).collect()
+        assert out == []
+
+    def test_cascading_peel_needs_multiple_rounds(self, spark):
+        # triangle + chain 3-4-5-6: round1 drops 6, round2 drops 5,
+        # round3 drops 4 -> core {1,2,3}; exercises >1 peel round
+        from powerdatapipeline_spark.operators.graph import k_core
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+        out = {r["node"] for r in
+               k_core(self._edges(spark, edges), k=2).collect()}
+        assert out == {1, 2, 3}
+
+    def test_round_budget_raises(self, spark):
+        from powerdatapipeline_spark.operators.graph import k_core
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            k_core(self._edges(spark, edges), k=2, max_rounds=1)
+
+    def test_bad_k_raises(self, spark):
+        from powerdatapipeline_spark.operators.graph import k_core
+        with pytest.raises(ValueError, match="k must be"):
+            k_core(self._edges(spark, [(1, 2)]), k=0)

@@ -274,8 +274,32 @@ def _iterative_variants(spark, sf):
                  .orderBy(F.col("c").desc(), F.col("l").asc(),
                           F.col("r").asc())
                  .limit(1))
+    # q205 k_core: the registered builder runs driver-side peel rounds
+    # over localCheckpoints — audit ONE peel round (bidirectional
+    # degree count + double semi-join), the exact repeated unit.
+    li = (_t(spark, sf, "lineitem")
+          .select(F.col("l_orderkey").alias("b"),
+                  F.col("l_partkey").alias("i"))
+          .where(F.col("b").isNotNull() & F.col("i").isNotNull())
+          .distinct())
+    pa = li.select("b", F.col("i").alias("u"))
+    pc = li.select(F.col("b").alias("b2"), F.col("i").alias("v"))
+    kedges = (pa.join(pc, (F.col("b") == F.col("b2"))
+                      & (F.col("u") < F.col("v")))
+              .groupBy("u", "v").agg(F.count("*").alias("n"))
+              .where(F.col("n") >= 2).select("u", "v"))
+    kdeg = (kedges.select(F.col("u").alias("node"))
+            .union(kedges.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg")))
+    kkeep = kdeg.where(F.col("deg") >= 2).select("node")
+    kcore_round = (kedges
+                   .join(kkeep.withColumnRenamed("node", "u"), "u", "semi")
+                   .join(kkeep.withColumnRenamed("node", "v"), "v", "semi")
+                   .select("u", "v"))
+
     return {"q184_connected_components": labels,
-            "q185_bpe_train": bpe_round}
+            "q185_bpe_train": bpe_round,
+            "q205_k_core": kcore_round}
 
 
 def plan_summary(df) -> tuple[list[str], list[str], list[str]]:
