@@ -875,3 +875,66 @@ def fs_linkage(df: DataFrame, id_col: str, block_keys: list,
         *[agrees[nm].alias(f"agree_{nm}") for nm in names],
         F.round(score, 6).alias("score"))
     return _finish(out, derived, materialize)
+
+
+def fuzzy_dict_pairs(df: DataFrame, value_col: str,
+                     max_dist: int = 5, top_k: int = 50,
+                     max_dict_size: int = 200_000) -> DataFrame:
+    """Fuzzy matching over the value DICTIONARY (blocked Levenshtein) —
+    the schema/label-reconciliation primitive (reference intent:
+    datapipeline/datapipeline.py's categorical-column handling assumes
+    clean labels; real feeds have typo'd variants): which distinct
+    values of a categorical column are within ``max_dist`` edits of
+    each other, and how many rows back each side?
+
+    Scale design — entity resolution runs on the DICTIONARY, never the
+    corpus: the first aggregation reduces N rows to |V| distinct values
+    with exact BIGINT support counts (one map-side-combined shuffle on
+    the value itself); the quadratic stage sees only |V|. Even that is
+    not all-pairs: candidates must share a BLOCK KEY (last whitespace
+    token — the head noun for product-style labels) AND sit within a
+    length band (``abs(len_a - len_b) <= max_dist``, a necessary
+    condition for edit distance, pushed into the join), so cost is
+    Σ_block C(k_b, 2) over length-compatible pairs. ``max_dict_size``
+    RAISES loudly on a dictionary too large to pair (the q166/q203
+    quadratic-refusal discipline) instead of exploding. Levenshtein is
+    exact integer JVM codegen — no UDF, no float.
+
+    Returns ``(value_a, value_b, dist, n_a, n_b)`` — top-k by
+    (dist asc, value_a, value_b), a total order."""
+    d = (df.select(F.col(value_col).alias("v"))
+         .where(F.col("v").isNotNull())
+         .groupBy("v").agg(F.count("*").cast("bigint").alias("n")))
+    sized = d.select(
+        "v", "n", F.length("v").alias("len"),
+        F.element_at(F.split(F.col("v"), " "), -1).alias("blk"))
+    n_dict = sized.agg(F.count("*").cast("bigint").alias("n_v"))
+    guard = F.when(
+        F.col("n_v") > max_dict_size,
+        F.raise_error(F.concat(
+            F.lit(f"fuzzy_dict_pairs: dictionary exceeds max_dict_size="
+                  f"{max_dict_size} ("),
+            F.col("n_v").cast("string"),
+            F.lit(" distinct values); quadratic pairing refused — "
+                  "raise the cap or pre-bucket the column"))))
+    a = sized.select(F.col("v").alias("value_a"), F.col("n").alias("n_a"),
+                     F.col("len").alias("len_a"), F.col("blk").alias("blk"))
+    b = sized.select(F.col("v").alias("value_b"), F.col("n").alias("n_b"),
+                     F.col("len").alias("len_b"),
+                     F.col("blk").alias("blk2"))
+    pairs = (a.join(b, (F.col("blk") == F.col("blk2"))
+                    & (F.col("value_a") < F.col("value_b"))
+                    & (F.abs(F.col("len_a") - F.col("len_b"))
+                       <= max_dist))
+             .select("value_a", "value_b",
+                     F.levenshtein("value_a", "value_b").alias("dist"),
+                     "n_a", "n_b")
+             .where(F.col("dist") <= max_dist))
+    out = (pairs.crossJoin(F.broadcast(n_dict))
+           .select(*[F.coalesce(guard.cast(t), F.col(c)).alias(c)
+                     for c, t in [("value_a", "string"),
+                                  ("value_b", "string"),
+                                  ("dist", "integer"),
+                                  ("n_a", "bigint"), ("n_b", "bigint")]]))
+    return (out.orderBy(F.asc("dist"), F.asc("value_a"), F.asc("value_b"))
+            .limit(top_k))

@@ -953,3 +953,64 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
         for f in out.schema.fields if f.name != "__max_k"])
     return (out.orderBy(F.desc("lift"), F.asc("item_a"), F.asc("item_b"))
             .limit(top_k))
+
+
+def grid_nearest_join(points: DataFrame, sites: DataFrame,
+                      point_id: str, site_id: str,
+                      cell_deg: float = 10.0) -> DataFrame:
+    """Radius-bounded spatial nearest-neighbor join on a lon/lat grid —
+    the "attach each meter to its closest substation" primitive
+    (reference intent: the pipeline's per-site feature joins assume the
+    assignment already exists; this operator builds it). Each POINT is
+    matched to the nearest SITE registered in its own grid cell or one
+    of the 8 neighbors; points with no site within that ring are
+    dropped (radius-bounded semantics — one ``cell_deg`` guarantees a
+    ``cell_deg``-degree search radius, the standard geo-join contract).
+
+    Scale design — never point × site all-pairs: SITES (the small dim,
+    e.g. substations) are replicated into their 3×3 cell neighborhood
+    (a fixed 9× fan-out of the SMALL side, with longitude cells
+    wrapping at the date line), then a plain equi-join on the cell key
+    — broadcastable when sites fit, hash-partitioned on the uniform
+    cell id otherwise. Haversine distance (km, R=6371) in JVM codegen;
+    the per-point argmin is one window over ``point_id`` ordered by
+    the 6-rounded distance with the site id as total-order tiebreak.
+
+    Inputs need columns ``(point_id, lat, lon)`` / ``(site_id, lat,
+    lon)``. Returns ``(point_id, site_id, dist_km)``."""
+    n_lon = int(round(360.0 / cell_deg))
+    half = n_lon // 2
+    p = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col("lat").alias("plat"), F.col("lon").alias("plon"),
+        F.floor(F.col("lon") / cell_deg).cast("bigint").alias("cx"),
+        F.floor(F.col("lat") / cell_deg).cast("bigint").alias("cy"))
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    s = (sites.select(
+            F.col(site_id).alias("__sid"),
+            F.col("lat").alias("slat"), F.col("lon").alias("slon"),
+            F.floor(F.col("lon") / cell_deg).cast("bigint").alias("scx"),
+            F.floor(F.col("lat") / cell_deg).cast("bigint").alias("scy"))
+         .withColumn("dx", off).withColumn("dy", off)
+         .select("__sid", "slat", "slon", "dy",
+                 # longitude wraps at the date line; latitude does not
+                 (((F.col("scx") + F.col("dx") + half + n_lon)
+                   % n_lon) - half).alias("cx"),
+                 (F.col("scy") + F.col("dy")).alias("cy"))
+         .drop("dy"))
+    la1, la2 = F.radians("plat"), F.radians("slat")
+    dla = F.radians(F.col("slat") - F.col("plat")) / 2
+    dlo = F.radians(F.col("slon") - F.col("plon")) / 2
+    h = (F.sin(dla) * F.sin(dla)
+         + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo))
+    dist = 2 * F.lit(6371.0) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    cand = (p.join(s, ["cx", "cy"])
+            .select("__pid", "__sid",
+                    (F.floor(dist * 1e6 + F.lit(0.5)) / 1e6)
+                    .alias("dist_km")))
+    w = Window.partitionBy("__pid").orderBy(F.asc("dist_km"),
+                                            F.asc("__sid"))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col("__pid").alias(point_id),
+                    F.col("__sid").alias(site_id), "dist_km"))

@@ -8405,6 +8405,92 @@ def q205_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.k_core(edges, k=2, src="u", dst="v")
 
 
+@register("q206_fuzzy_dict_match", """
+WITH d AS (SELECT p_name AS v, CAST(count(*) AS BIGINT) AS n
+           FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+s AS (SELECT v, n, length(v) AS len, string_split(v, ' ')[-1] AS blk FROM d),
+p AS (SELECT a.v AS value_a, b.v AS value_b,
+             CAST(levenshtein(a.v, b.v) AS INTEGER) AS dist,
+             a.n AS n_a, b.n AS n_b
+      FROM s a JOIN s b
+        ON a.blk = b.blk AND a.v < b.v AND abs(a.len - b.len) <= 5)
+SELECT value_a, value_b, dist, n_a, n_b
+FROM p WHERE dist <= 5
+ORDER BY dist, value_a, value_b
+LIMIT 50
+""", priority=PRI_TAIL)
+def q206_fuzzy_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy label reconciliation over the part-name dictionary
+    (operators/dedup.fuzzy_dict_pairs) — blocked Levenshtein entity
+    resolution on DISTINCT values: "cold anvil" vs "old anvil" style
+    typo/variant pairs with their row support. The quadratic stage
+    sees only the |V|-row dictionary (corpus reduced by one
+    map-side-combined groupBy first), blocked by head-noun + length
+    band, with a loud max_dict_size refusal — never all-pairs, never
+    the corpus. Exact integer edit distance, JVM codegen, no UDF.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
+    from powerdatapipeline_spark.operators import dedup as dd
+    return dd.fuzzy_dict_pairs(_t(spark, sf_dir, "part"), "p_name",
+                               max_dist=5, top_k=50)
+
+
+@register("q207_grid_nearest_join", """
+WITH cust AS (SELECT c_custkey,
+        (c_custkey * 7907) % 12000 / 100.0 - 60.0 AS lat,
+        (c_custkey * 104717) % 36000 / 100.0 - 180.0 AS lon
+      FROM customer),
+supp AS (SELECT s_suppkey,
+        (s_suppkey * 7919) % 12000 / 100.0 - 60.0 AS lat,
+        (s_suppkey * 104729) % 36000 / 100.0 - 180.0 AS lon
+      FROM supplier),
+p AS (SELECT c_custkey, lat AS plat, lon AS plon,
+             CAST(floor(lon / 10.0) AS BIGINT) AS cx,
+             CAST(floor(lat / 10.0) AS BIGINT) AS cy FROM cust),
+s9 AS (SELECT s_suppkey, lat AS slat, lon AS slon,
+              ((CAST(floor(lon / 10.0) AS BIGINT) + dx.d + 54) % 36) - 18
+                AS cx,
+              CAST(floor(lat / 10.0) AS BIGINT) + dy.d AS cy
+       FROM supp,
+            (SELECT unnest([-1, 0, 1]) AS d) dx,
+            (SELECT unnest([-1, 0, 1]) AS d) dy),
+cand AS (SELECT c_custkey, s_suppkey,
+       floor(2 * 6371.0 * asin(least(1.0, sqrt(
+         sin(radians(slat - plat) / 2) * sin(radians(slat - plat) / 2)
+         + cos(radians(plat)) * cos(radians(slat))
+           * sin(radians(slon - plon) / 2)
+           * sin(radians(slon - plon) / 2))))
+         * 1000000.0 + 0.5) / 1000000.0 AS dist_km
+     FROM p JOIN s9 USING (cx, cy)),
+r AS (SELECT c_custkey, s_suppkey, dist_km,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_km, s_suppkey) AS rn
+      FROM cand)
+SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1
+""", priority=PRI_TAIL)
+def q207_grid_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-supplier assignment per customer on a 10-degree lon/lat
+    grid (operators/relational.grid_nearest_join) — the radius-bounded
+    spatial join a meter→substation mapping needs. Coordinates are a
+    deterministic hash-free derivation from the keys (both engines run
+    the identical modular arithmetic), sites replicate into their 3x3
+    cell ring (9x fan-out of the SMALL side, date-line wrap included),
+    then one cell equi-join + haversine + per-point window argmin with
+    a total-order tiebreak. Never point x site all-pairs. Round-10c
+    born: PRI_TAIL until the round-11 rotation."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7907) % 12000 / 100.0 - 60.0).alias("lat"),
+        ((F.col("c_custkey") * 104717) % 36000 / 100.0 - 180.0)
+        .alias("lon"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919) % 12000 / 100.0 - 60.0).alias("lat"),
+        ((F.col("s_suppkey") * 104729) % 36000 / 100.0 - 180.0)
+        .alias("lon"))
+    return rel.grid_nearest_join(cust, supp, "c_custkey", "s_suppkey",
+                                 cell_deg=10.0)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
