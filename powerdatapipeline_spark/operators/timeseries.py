@@ -1749,3 +1749,129 @@ def seasonal_quantile_bands(df: DataFrame, ts_col: str = "ts",
         aggs.append(F.min(F.when(F.col("cum") >= pos, F.col("__v")))
                     .alias(name))
     return staged.groupBy("slot").agg(*aggs).orderBy("slot")
+
+
+def load_coincidence(df: DataFrame, ts_col: str = "ts",
+                     group_col: str = "event_type",
+                     value_col: str = "value",
+                     bucket_seconds: int = 3600) -> DataFrame:
+    """Load factor / coincidence factor report — the classic power-grid
+    demand aggregation (reference domain: ANL power data; per-feeder
+    peak vs system peak drives capacity planning): bucket each group's
+    load into ``bucket_seconds`` intervals, then per group report the
+    peak interval load, when it happened, the load factor (mean/peak),
+    the group's load at the SYSTEM peak interval, and the system-wide
+    coincidence factor (system peak / Σ group peaks — < 1 exactly when
+    group peaks don't line up).
+
+    Parity/scale design: interval loads are exact decimal(38,10) sums
+    (partition-order-free), so peak selection and the peak-interval
+    argmax (min interval among exact-decimal ties) are deterministic in
+    both engines; every ratio is computed in double at the end and
+    6-rounded. One shuffle on (group, bucket), one on group; the system
+    frame is a 1-row broadcast; the per-group frame is |groups| rows.
+    Returns ``(group, n_buckets, peak_load, peak_bucket, load_factor,
+    load_at_system_peak, coincidence_factor)`` ordered by group."""
+    g = F.col(group_col).alias("g")
+    hourly = (df.where(F.col(ts_col).isNotNull()
+                       & F.col(value_col).isNotNull()
+                       & F.col(group_col).isNotNull())
+              .select(g, F.floor(F.col(ts_col).cast("double")
+                                 / F.lit(float(bucket_seconds)))
+                      .cast("bigint").alias("b"),
+                      F.col(value_col).cast("double").alias("v"))
+              .groupBy("g", "b")
+              .agg(F.sum(F.col("v").cast("decimal(38,10)")).alias("load")))
+    per = (hourly.groupBy("g")
+           .agg(F.count("*").cast("bigint").alias("n_buckets"),
+                F.max("load").alias("peak"),
+                F.sum("load").alias("tot")))
+    peak_b = (hourly.join(per.select("g", "peak"), "g")
+              .where(F.col("load") == F.col("peak"))
+              .groupBy("g").agg(F.min("b").alias("peak_bucket")))
+    sys_hourly = hourly.groupBy("b").agg(F.sum("load").alias("sload"))
+    sys_row = (sys_hourly
+               .agg(F.max("sload").alias("sys_peak"))
+               .crossJoin(F.broadcast(
+                   per.agg(F.sum("peak").alias("sum_peaks")))))
+    sys_b = (sys_hourly.crossJoin(F.broadcast(sys_row))
+             .where(F.col("sload") == F.col("sys_peak"))
+             .agg(F.min("b").alias("sys_peak_bucket")))
+    at_sys = (hourly.join(F.broadcast(sys_b),
+                          hourly["b"] == sys_b["sys_peak_bucket"])
+              .select("g", F.col("load").alias("at_peak")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (per.join(peak_b, "g")
+            .join(at_sys, "g", "left")
+            .crossJoin(F.broadcast(sys_row))
+            .select(F.col("g").alias(group_col), "n_buckets",
+                    F.col("peak").cast("double").alias("peak_load"),
+                    "peak_bucket",
+                    fl6(F.col("tot").cast("double")
+                        / F.col("n_buckets").cast("double")
+                        / F.col("peak").cast("double"))
+                    .alias("load_factor"),
+                    F.coalesce(F.col("at_peak").cast("double"),
+                               F.lit(0.0)).alias("load_at_system_peak"),
+                    fl6(F.col("sys_peak").cast("double")
+                        / F.col("sum_peaks").cast("double"))
+                    .alias("coincidence_factor"))
+            .orderBy(group_col))
+
+
+def changepoint_binary_seg(df: DataFrame, ts_col: str = "ts",
+                           value_col: str = "value",
+                           bucket_seconds: int = 86400) -> DataFrame:
+    """Single change-point detection (one binary-segmentation step) on
+    the bucketed load series — "when did the level shift?" for grid
+    telemetry: the split k maximizing the between-segment sum-of-squares
+    reduction gain(k) = S_L²/n_L + S_R²/n_R − S²/n (equivalent to the
+    two-segment least-squares fit; Scott & Knott / CUSUM-square family,
+    the offline companion to the streaming CUSUM operator).
+
+    Parity/scale design: the corpus collapses to the |buckets| frame
+    first (exact decimal(38,10) sums, one shuffle); prefix sums are
+    DECIMAL window cumsums over that tiny ordered frame — exact, so
+    both engines derive bit-identical doubles and the argmax needs no
+    epsilon (day tiebreak only for exact ties). The single-partition
+    window is on the aggregated frame (|days|), never the raw series.
+    Returns one row ``(split_bucket, n_buckets, gain, mean_left,
+    mean_right)`` — the last bucket of the LEFT segment; ratios floor6."""
+    daily = (df.where(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+             .select(F.floor(F.col(ts_col).cast("double")
+                             / F.lit(float(bucket_seconds)))
+                     .cast("bigint").alias("b"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("b")
+             .agg(F.sum(F.col("v").cast("decimal(38,10)")).alias("ld")))
+    tot = daily.agg(F.sum("ld").alias("s"),
+                    F.count("*").cast("bigint").alias("n"))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    kw = Window.orderBy("b")
+    staged = (daily
+              .withColumn("sl", F.sum("ld").over(w))
+              .withColumn("k", F.row_number().over(kw).cast("bigint"))
+              .crossJoin(F.broadcast(tot))
+              .where(F.col("k") < F.col("n")))
+    sl = F.col("sl").cast("double")
+    s = F.col("s").cast("double")
+    sr = (F.col("s") - F.col("sl")).cast("double")
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    gain = (sl * sl / kd + sr * sr / (nd - kd) - s * s / nd)
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (staged
+            .select(F.col("b").alias("split_bucket"),
+                    F.col("n").alias("n_buckets"),
+                    gain.alias("__g"),
+                    fl6(sl / kd).alias("mean_left"),
+                    fl6(sr / (nd - kd)).alias("mean_right"))
+            .orderBy(F.desc("__g"), F.asc("split_bucket"))
+            .limit(1)
+            .select("split_bucket", "n_buckets",
+                    fl6(F.col("__g")).alias("gain"),
+                    "mean_left", "mean_right"))

@@ -8491,6 +8491,93 @@ def q207_grid_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  cell_deg=10.0)
 
 
+@register("q208_load_coincidence", """
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS b,
+         SUM(CAST(value AS DECIMAL(38,10))) AS ld
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets,
+               max(ld) AS peak, sum(ld) AS tot
+        FROM hourly GROUP BY 1),
+pkb AS (SELECT h.g, min(b) AS peak_bucket
+        FROM hourly h JOIN per USING (g)
+        WHERE h.ld = per.peak GROUP BY 1),
+sysh AS (SELECT b, sum(ld) AS sload FROM hourly GROUP BY 1),
+sysr AS (SELECT (SELECT max(sload) FROM sysh) AS sys_peak,
+                (SELECT sum(peak) FROM per) AS sum_peaks),
+sysb AS (SELECT min(b) AS sys_peak_bucket FROM sysh, sysr
+         WHERE sload = sys_peak),
+at_sys AS (SELECT g, ld AS at_peak FROM hourly, sysb
+           WHERE b = sys_peak_bucket)
+SELECT per.g AS event_type, n_buckets,
+       CAST(peak AS DOUBLE) AS peak_load, peak_bucket,
+       floor(CAST(tot AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+             / CAST(peak AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS load_factor,
+       coalesce(CAST(at_peak AS DOUBLE), 0.0) AS load_at_system_peak,
+       floor(CAST(sys_peak AS DOUBLE) / CAST(sum_peaks AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS coincidence_factor
+FROM per JOIN pkb USING (g) LEFT JOIN at_sys USING (g), sysr
+ORDER BY event_type
+""", priority=PRI_TAIL)
+def q208_load_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type load factor + system coincidence factor over hourly
+    event load (operators/timeseries.load_coincidence) — the demand
+    aggregation the reference's power-grid domain plans capacity with
+    (per-feeder peak vs system peak). Interval loads are exact
+    decimal(38,10) sums, so peak picks and the exact-tie argmin bucket
+    are deterministic across engines; ratios are double + floor6 at
+    the very end. Two keyed shuffles, 1-row broadcast system frame.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
+    return ts.load_coincidence(load_events(spark, sf_dir))
+
+
+@register("q209_changepoint", """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS b,
+         SUM(CAST(value AS DECIMAL(38,10))) AS ld
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1),
+tot AS (SELECT sum(ld) AS s, CAST(count(*) AS BIGINT) AS n FROM daily),
+staged AS (
+  SELECT b,
+         sum(ld) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS sl,
+         CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS k
+  FROM daily),
+scored AS (
+  SELECT b, n,
+         CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(k AS DOUBLE)
+         + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+           / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           AS g,
+         floor(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS mean_left,
+         floor(CAST(s - sl AS DOUBLE)
+               / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS mean_right
+  FROM staged, tot WHERE k < n)
+SELECT b AS split_bucket, n AS n_buckets,
+       floor(g * 1000000.0 + 0.5) / 1000000.0 AS gain,
+       mean_left, mean_right
+FROM scored ORDER BY g DESC, b LIMIT 1
+""", priority=PRI_TAIL)
+def q209_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline change-point detection on the daily load series
+    (operators/timeseries.changepoint_binary_seg) — the two-segment
+    least-squares split maximizing between-segment SSE reduction, the
+    batch companion to q97's streaming CUSUM. Corpus collapses to the
+    |days| frame first (exact decimal sums); prefix sums are decimal
+    window cumsums, so gains are bit-identical doubles in both engines
+    and the argmax needs no epsilon. Round-10c born: PRI_TAIL until
+    the round-11 rotation."""
+    return ts.changepoint_binary_seg(load_events(spark, sf_dir))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
