@@ -1736,3 +1736,129 @@ def quantile_normalize(df: DataFrame, value_col: str, group_col: str,
     return (target.join(dict_, "pos")
             .select("id", "grp", "value", fl6(F.col("quantile"))
                     .alias("quantile"), "norm_value"))
+
+
+def dq_expectations(df: DataFrame, spec: dict) -> DataFrame:
+    """Data-quality expectation suite (Deequ-style column profiler) —
+    the automated audit a 100 TB ingest gate runs before training data
+    is admitted (reference intent: check_csv_file's per-column
+    validation, generalized from "columns exist" to measured
+    constraints). ``spec`` maps column → kind ('numeric' | 'string' |
+    'timestamp'); the report emits one (col_name, metric, value) row
+    per check: completeness (non-null fraction), exact distinct count,
+    and per-kind min/max/mean (numeric), length stats (string), epoch
+    span (timestamp).
+
+    Scale design: ONE pass — every metric is an aggregate in a single
+    ``agg()`` (Catalyst plans the distinct counts via expand; swap
+    ``approx_count_distinct`` in at 100 TB where exactness isn't
+    contractual — exact is kept here because the oracle compare is
+    exact). The unpivot runs on the 1-row aggregate frame, not the
+    corpus. Means are decimal-sum / count per the parity rules; the
+    fraction metrics are floor6."""
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c, kind in spec.items():
+        aggs.append(F.count(c).cast("bigint").alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint")
+                    .alias(f"nd_{c}"))
+        if kind == "numeric":
+            v = F.col(c).cast("double")
+            aggs += [F.min(v).alias(f"min_{c}"), F.max(v).alias(f"max_{c}"),
+                     F.sum(v.cast("decimal(38,10)")).alias(f"sum_{c}")]
+        elif kind == "string":
+            ln = F.length(c)
+            aggs += [F.min(ln.cast("double")).alias(f"min_{c}"),
+                     F.max(ln.cast("double")).alias(f"max_{c}"),
+                     F.sum(ln.cast("bigint")).alias(f"sum_{c}")]
+        elif kind == "timestamp":
+            # parquet TIMESTAMP_NTZ cannot cast straight to double;
+            # normalize through session-zoned TIMESTAMP first (callers
+            # run under a UTC session zone, so this equals DuckDB's
+            # naive epoch() — the load_events discipline)
+            e = F.col(c).cast("timestamp").cast("double")
+            aggs += [F.min(e).alias(f"min_{c}"), F.max(e).alias(f"max_{c}")]
+        else:
+            raise ValueError(f"dq_expectations: unknown kind {kind!r} "
+                             f"for column {c!r}")
+    one = df.agg(*aggs)
+    nmetric = {"numeric": [("min", "min_{}"), ("max", "max_{}")],
+               "string": [("min_len", "min_{}"), ("max_len", "max_{}")],
+               "timestamp": [("min_epoch", "min_{}"),
+                             ("max_epoch", "max_{}")]}
+    parts = []
+    for c, kind in spec.items():
+        rows = [("completeness", fl6(F.col(f"nn_{c}").cast("double")
+                                     / F.col("__n").cast("double"))),
+                ("n_distinct", F.col(f"nd_{c}").cast("double"))]
+        rows += [(m, F.col(t.format(c))) for m, t in nmetric[kind]]
+        if kind == "numeric":
+            rows.append(("mean", fl6(F.col(f"sum_{c}").cast("double")
+                                     / F.col(f"nn_{c}").cast("double"))))
+        elif kind == "string":
+            rows.append(("avg_len", fl6(F.col(f"sum_{c}").cast("double")
+                                        / F.col(f"nn_{c}").cast("double"))))
+        for metric, expr in rows:
+            parts.append(one.select(F.lit(c).alias("col_name"),
+                                    F.lit(metric).alias("metric"),
+                                    expr.cast("double").alias("value")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name", "metric")
+
+
+def exceedance_report(df: DataFrame, value_col: str, group_col: str,
+                      q: float = 0.99) -> DataFrame:
+    """Peaks-over-threshold exceedance report per group — the extreme-
+    value screen for grid telemetry (how heavy is the tail above the
+    per-feeder p99?): exact nearest-rank quantile threshold, exceedance
+    count, mean excess (the mean-residual-life statistic EVT fits start
+    from) and the observed maximum.
+
+    Scale/parity design: the corpus reduces to per-(group, value)
+    count frames first (values 6-rounded, the q204 discipline), so the
+    quantile is an exact cumsum position on the |distinct| frame and
+    every downstream sum is over distinct values weighted by exact
+    BIGINT counts; the excess sum is decimal-cast for partition-order
+    freedom. No per-row global sort, no all-row window. Returns
+    ``(group, n, threshold, n_exceed, mean_excess, max_value)``."""
+    g = F.col(group_col).alias("g")
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    per = (df.where(F.col(group_col).isNotNull()
+                    & F.col(value_col).isNotNull())
+           .select(g, v6.alias("v"))
+           .groupBy("g", "v")
+           .agg(F.count("*").cast("bigint").alias("c")))
+    wcum = (Window.partitionBy("g").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("g")
+    staged = (per.withColumn("cum", F.sum("c").over(wcum))
+              .withColumn("n", F.sum("c").over(wall)))
+    pos = (F.floor(F.lit(q) * (F.col("n") - 1).cast("double")
+                   + F.lit(0.5)) + 1)
+    thr = (staged.where(F.col("cum") >= pos)
+           .groupBy("g").agg(F.min("v").alias("thr"),
+                             F.max("n").alias("n")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    joined = per.join(thr, "g")
+    exceed = (joined.where(F.col("v") > F.col("thr"))
+              .groupBy("g")
+              .agg(F.sum("c").cast("bigint").alias("n_exceed"),
+                   F.sum(((F.col("v") - F.col("thr"))
+                          * F.col("c").cast("double"))
+                         .cast("decimal(38,10)")).alias("sum_excess")))
+    mx = per.groupBy("g").agg(F.max("v").alias("max_value"))
+    return (thr.join(exceed, "g", "left").join(mx, "g")
+            .select(F.col("g").alias(group_col), F.col("n"),
+                    F.col("thr").alias("threshold"),
+                    F.coalesce("n_exceed", F.lit(0).cast("bigint"))
+                    .alias("n_exceed"),
+                    F.when(F.col("n_exceed") > 0,
+                           fl6(F.col("sum_excess").cast("double")
+                               / F.col("n_exceed").cast("double")))
+                    .alias("mean_excess"),
+                    "max_value")
+            .orderBy(group_col))

@@ -8578,6 +8578,117 @@ def q209_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.changepoint_binary_seg(load_events(spark, sf_dir))
 
 
+#: q210 column spec — shared by the Spark builder and the generated oracle
+_DQ_SPEC = {"o_orderkey": "numeric", "o_custkey": "numeric",
+            "o_totalprice": "numeric", "o_orderstatus": "string",
+            "o_orderpriority": "string", "o_orderdate": "timestamp"}
+
+
+def _dq_oracle(table: str, spec: dict) -> str:
+    """DuckDB twin of stats.dq_expectations, generated from the SAME
+    spec the Spark builder uses (the q185/q205 generated-oracle
+    discipline: one source of truth for the metric list)."""
+    fl6 = lambda e: f"floor(({e}) * 1000000.0 + 0.5) / 1000000.0"
+    aggs, sels = ["CAST(count(*) AS BIGINT) AS n"], []
+    for c, kind in spec.items():
+        aggs.append(f"CAST(count({c}) AS BIGINT) AS nn_{c}")
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        if kind == "numeric":
+            aggs += [f"min(CAST({c} AS DOUBLE)) AS min_{c}",
+                     f"max(CAST({c} AS DOUBLE)) AS max_{c}",
+                     f"SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,10)))"
+                     f" AS sum_{c}"]
+        elif kind == "string":
+            aggs += [f"min(CAST(length({c}) AS DOUBLE)) AS min_{c}",
+                     f"max(CAST(length({c}) AS DOUBLE)) AS max_{c}",
+                     f"CAST(SUM(CAST(length({c}) AS BIGINT)) AS BIGINT)"
+                     f" AS sum_{c}"]
+        else:
+            aggs += [f"min(epoch({c})) AS min_{c}",
+                     f"max(epoch({c})) AS max_{c}"]
+        rows = [("completeness",
+                 fl6(f"CAST(nn_{c} AS DOUBLE) / CAST(n AS DOUBLE)")),
+                ("n_distinct", f"CAST(nd_{c} AS DOUBLE)")]
+        if kind == "numeric":
+            rows += [("min", f"min_{c}"), ("max", f"max_{c}"),
+                     ("mean", fl6(f"CAST(sum_{c} AS DOUBLE) "
+                                  f"/ CAST(nn_{c} AS DOUBLE)"))]
+        elif kind == "string":
+            rows += [("min_len", f"min_{c}"), ("max_len", f"max_{c}"),
+                     ("avg_len", fl6(f"CAST(sum_{c} AS DOUBLE) "
+                                     f"/ CAST(nn_{c} AS DOUBLE)"))]
+        else:
+            rows += [("min_epoch", f"min_{c}"), ("max_epoch", f"max_{c}")]
+        sels += [f"SELECT '{c}' AS col_name, '{m}' AS metric, "
+                 f"CAST({e} AS DOUBLE) AS value FROM a" for m, e in rows]
+    return ("WITH a AS (SELECT " + ", ".join(aggs) + f" FROM {table})\n"
+            + "\nUNION ALL ".join(sels) + "\nORDER BY col_name, metric")
+
+
+@register("q210_dq_expectations", _dq_oracle("orders", _DQ_SPEC),
+          priority=PRI_TAIL)
+def q210_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite over orders
+    (operators/stats.dq_expectations) — the measured ingest gate the
+    reference's check_csv_file implies (reference
+    datapipeline/datapipeline_utilities.py:47-75 validates presence;
+    this measures completeness/distinctness/ranges per column, one
+    (col_name, metric, value) row each). ONE corpus pass — every
+    metric is an aggregate in a single agg(); the unpivot runs on the
+    1-row result. Exact distincts here for oracle exactness;
+    approx_count_distinct is the documented 100 TB swap-in. Round-10c
+    born: PRI_TAIL until the round-11 rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.dq_expectations(_t(spark, sf_dir, "orders"), _DQ_SPEC)
+
+
+@register("q211_exceedance_report", """
+WITH per AS (
+  SELECT event_type AS g, round(CAST(value AS DOUBLE), 6) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+staged AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM per),
+thr AS (
+  SELECT g, min(v) AS thr, CAST(max(n) AS BIGINT) AS n
+  FROM staged
+  WHERE cum >= floor(0.99 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+  GROUP BY 1),
+exceed AS (
+  SELECT per.g, CAST(sum(c) AS BIGINT) AS n_exceed,
+         sum(CAST((v - thr) * CAST(c AS DOUBLE) AS DECIMAL(38,10)))
+           AS sum_excess
+  FROM per JOIN thr USING (g) WHERE v > thr GROUP BY 1),
+mx AS (SELECT g, max(v) AS max_value FROM per GROUP BY 1)
+SELECT thr.g AS event_type, n, thr AS threshold,
+       coalesce(n_exceed, 0) AS n_exceed,
+       CASE WHEN n_exceed > 0 THEN
+         floor(CAST(sum_excess AS DOUBLE) / CAST(n_exceed AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 END AS mean_excess,
+       max_value
+FROM thr LEFT JOIN exceed USING (g) JOIN mx USING (g)
+ORDER BY event_type
+""", priority=PRI_TAIL)
+def q211_exceedance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold tail report per event type
+    (operators/stats.exceedance_report) — exact per-group p99
+    threshold (nearest-rank on the distinct-value count frame, the
+    q204 discipline), exceedance count, mean excess (the EVT
+    mean-residual-life statistic) and max. All sums over the
+    |distinct| frame weighted by exact BIGINT counts; the excess sum
+    is decimal-cast. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.exceedance_report(load_events(spark, sf_dir),
+                                "value", "event_type", q=0.99)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
