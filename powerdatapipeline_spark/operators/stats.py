@@ -1862,3 +1862,78 @@ def exceedance_report(df: DataFrame, value_col: str, group_col: str,
                     .alias("mean_excess"),
                     "max_value")
             .orderBy(group_col))
+
+
+def ols_trend(df: DataFrame, x_col: str, y_col: str,
+              group_col: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend line (slope / intercept /
+    R²) via closed-form moments — "is this feeder's daily load
+    drifting?" as a grouped aggregate, the parametric companion to
+    q194's Mann-Kendall/Sen nonparametric trend.
+
+    Parity/scale design: one grouped pass accumulating the five
+    moments Σx, Σy, Σx², Σxy, Σy² — each term computed in double
+    (bit-identical across engines) then cast decimal(38,10) so the
+    SUM itself is partition-order-free (the one-pass correlation-
+    matrix discipline, stats.correlation_matrix). Slope/intercept/R²
+    are fixed double expressions over the exact moments, floor6 at the
+    end; degenerate groups (n < 2 or zero x-variance) yield NULLs
+    rather than Inf. Never sorts, never windows — pure map-side
+    combine. Returns ``(group, n, slope, intercept, r2)``."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    dec = lambda c: c.cast("decimal(38,10)")
+    m = (df.where(F.col(group_col).isNotNull()
+                  & F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .groupBy(F.col(group_col).alias("g"))
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(dec(x)).alias("sx"), F.sum(dec(y)).alias("sy"),
+              F.sum(dec(x * x)).alias("sxx"),
+              F.sum(dec(x * y)).alias("sxy"),
+              F.sum(dec(y * y)).alias("syy")))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    den_x = nd * sxx - sx * sx
+    den_y = nd * syy - sy * sy
+    num = nd * sxy - sx * sy
+    slope = num / den_x
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    ok = (F.col("n") >= 2) & (den_x != 0)
+    return (m.select(
+        F.col("g").alias(group_col), "n",
+        F.when(ok, fl6(slope)).alias("slope"),
+        F.when(ok, fl6((sy - slope * sx) / nd)).alias("intercept"),
+        F.when(ok & (den_y != 0), fl6(num * num / (den_x * den_y)))
+        .alias("r2"))
+        .orderBy(group_col))
+
+
+def quantiles_from_value_counts(per: DataFrame,
+                                qs=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Exact nearest-rank quantiles from a mergeable per-distinct-value
+    count frame ``(__v, c)`` — the shared finalizer for the streaming
+    quantile monitor (partials merge by addition, so quantiles of
+    everything-seen-so-far are recomputable at any checkpoint) and any
+    batch caller that already holds count partials. Same nearest-rank
+    position arithmetic as seasonal_quantile_bands (floor(q·(n−1)+0.5)
+    + 1 on the cumsum), computed on the |distinct values| frame — the
+    single-partition window never touches the corpus. Returns ONE row
+    ``(n, q_<pct>...)``."""
+    merged = per.groupBy("__v").agg(F.sum("c").cast("bigint").alias("c"))
+    w = (Window.orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (merged.withColumn("cum", F.sum("c").over(w))
+              .withColumn("n", F.sum("c").over(
+                  Window.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing))))
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q in qs:
+        pos = (F.floor(F.lit(float(q)) * (F.col("n") - 1).cast("double")
+                       + F.lit(0.5)) + 1)
+        name = f"q_{int(round(q * 100)):02d}"
+        aggs.append(F.min(F.when(F.col("cum") >= pos, F.col("__v")))
+                    .alias(name))
+    return staged.agg(*aggs)

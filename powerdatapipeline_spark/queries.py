@@ -8689,6 +8689,128 @@ def q211_exceedance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "value", "event_type", q=0.99)
 
 
+@register("q212_ols_trend", """
+WITH daily AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2),
+mins AS (SELECT g, min(d) AS d0 FROM daily GROUP BY 1),
+f AS (SELECT g, CAST(d - d0 AS DOUBLE) AS x, CAST(rev AS DOUBLE) AS y
+      FROM daily JOIN mins USING (g)),
+m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(y * y AS DECIMAL(38,10))) AS DOUBLE) AS syy
+      FROM f GROUP BY 1)
+SELECT g AS o_orderpriority, n,
+  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+    floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n AS DOUBLE) * sxx - sx * sx)
+          * 1000000.0 + 0.5) / 1000000.0 END AS slope,
+  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+    floor((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+          / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    END AS intercept,
+  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+            AND CAST(n AS DOUBLE) * syy - sy * sy <> 0 THEN
+    floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+          * (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+             * (CAST(n AS DOUBLE) * syy - sy * sy))
+          * 1000000.0 + 0.5) / 1000000.0 END AS r2
+FROM m ORDER BY o_orderpriority
+""", priority=PRI_TAIL)
+def q212_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of daily order revenue
+    (operators/stats.ols_trend) — slope/intercept/R² from one grouped
+    five-moment pass (each term double, decimal-cast before SUM for
+    partition-order freedom — the correlation-matrix discipline), the
+    parametric companion to q194's Mann-Kendall. Daily revenue is an
+    exact decimal sum first; x is the day offset from each group's
+    first day. Round-10c born: PRI_TAIL until the round-11 rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.where(F.col("o_orderpriority").isNotNull()
+                     & F.col("o_orderdate").isNotNull()
+                     & F.col("o_totalprice").isNotNull())
+             .select(F.col("o_orderpriority").alias("g"),
+                     F.floor(F.col("o_orderdate").cast("timestamp")
+                             .cast("double") / F.lit(86400.0))
+                     .cast("bigint").alias("d"),
+                     F.col("o_totalprice"))
+             .groupBy("g", "d")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+                  .alias("rev")))
+    mins = daily.groupBy("g").agg(F.min("d").alias("d0"))
+    frame = (daily.join(mins, "g")
+             .select(F.col("g").alias("o_orderpriority"),
+                     (F.col("d") - F.col("d0")).cast("double").alias("x"),
+                     F.col("rev").cast("double").alias("y")))
+    return st.ols_trend(frame, "x", "y", "o_orderpriority")
+
+
+@register("q213_streaming_quantile", """
+WITH base AS (SELECT round(CAST(value AS DOUBLE), 6) AS v FROM events
+              WHERE event_type = 'purchase' AND value IS NOT NULL),
+per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+cum AS (SELECT v,
+               sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+        FROM per)
+SELECT CAST(max(n) AS BIGINT) AS n,
+  min(CASE WHEN cum >= floor(0.5 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_50,
+  min(CASE WHEN cum >= floor(0.9 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_90,
+  min(CASE WHEN cum >= floor(0.99 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_99
+FROM cum
+""", priority=PRI_TAIL)
+def q213_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-quantile monitor under driver verification
+    (streaming/stateful.streaming_quantile_monitor +
+    finalize via stats.quantiles_from_value_counts) — p50/p90/p99 of
+    the purchase-value stream from mergeable per-distinct-value count
+    partials (the q190/q196/q199 sufficient-statistic discipline: each
+    micro-batch appends its |batch-distinct|-row partial blind;
+    quantiles of everything-seen merge by addition, exact at any
+    checkpoint, state bounded by |distinct values| not rows). The
+    batch DuckDB oracle verifies the streaming run bit-for-bit.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_quantile_monitor, streaming_quantile_monitor)
+
+    stream = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "purchase"))
+    tmp = tempfile.mkdtemp(prefix="q213_streaming_quantile_")
+    q = streaming_quantile_monitor(stream, "value",
+                                   f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q213 streaming job did not finish within 300 s")
+    return finalize_quantile_monitor(spark, f"{tmp}/partials")
+
+
+def q213_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-micro-batch partials frame q213's foreachBatch appends —
+    the q190_stream_frame convention for the plan audit."""
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    v = F.round(F.col("value").cast("double"), 6)
+    return (ev.select(v.alias("__v")).where(F.col("__v").isNotNull())
+            .groupBy("__v").agg(F.count("*").cast("bigint").alias("c")))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

@@ -392,3 +392,43 @@ def finalize_heavy_hitters(spark, partials_path: str, top_n: int = 20,
                     "cms_estimate",
                     (F.col("cms_estimate") >= F.col("c"))
                     .alias("no_underestimate")))
+
+
+def streaming_quantile_monitor(stream: DataFrame, value_col: str,
+                               partials_path: str, checkpoint: str):
+    """Streaming exact-quantile monitor — "what are p50/p90/p99 of
+    everything seen so far?" without a sketch approximation: each
+    micro-batch reduces to its per-distinct-value count partial
+    (6-rounded values, NULLs excluded) and appends it blind — the SAME
+    mergeable sufficient statistic as the KS drift twin, finalized by
+    :func:`powerdatapipeline_spark.operators.stats.
+    quantiles_from_value_counts` instead of the D statistic. Because
+    partials merge by addition, the monitor is exact at any
+    checkpoint and never rescans stream history; the state is bounded
+    by |distinct 6-rounded values|, not row count.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        v = F.round(F.col(value_col).cast("double"), 6)
+        (batch_df.select(v.alias("__v"))
+         .where(F.col("__v").isNotNull())
+         .groupBy("__v")
+         .agg(F.count("*").cast("bigint").alias("c"))
+         .write.mode("append").parquet(partials_path))
+
+    return (stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update").trigger(availableNow=True).start())
+
+
+def finalize_quantile_monitor(spark, partials_path: str,
+                              qs=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Merge the accumulated per-value count partials by addition and
+    return the exact nearest-rank quantile row — bit-identical to
+    running the batch quantile over the stream's full history."""
+    from powerdatapipeline_spark.operators.stats import \
+        quantiles_from_value_counts
+
+    return quantiles_from_value_counts(
+        spark.read.parquet(partials_path), qs=qs)
