@@ -1,0 +1,248 @@
+"""Round-10c operators: fuzzy dictionary matching (q206), grid nearest
+join (q207), load/coincidence factors (q208), change-point (q209), DQ
+expectations (q210), exceedance report (q211), OLS trend (q212), and
+the streaming quantile monitor's shared finalizer (q213) — each pinned
+to hand-computed values on corpora small enough to verify by hand."""
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from powerdatapipeline_spark.operators import dedup as dd
+from powerdatapipeline_spark.operators import relational as rel
+from powerdatapipeline_spark.operators import stats as st
+from powerdatapipeline_spark.operators import timeseries as ts
+
+
+class TestFuzzyDictPairs:
+    def _df(self, spark):
+        rows = (["red bolt"] * 3 + ["rad bolt"] + ["blue bolt"] * 2
+                + ["red gear"] + [None])
+        return spark.createDataFrame([Row(v=r) for r in rows])
+
+    def test_hand_pairs(self, spark):
+        out = dd.fuzzy_dict_pairs(self._df(spark), "v",
+                                  max_dist=4).collect()
+        # same last-token block "bolt"; "red gear" is in another block
+        # ("blue" -> "red" and "blue" -> "rad" are both 4 edits)
+        assert [(r["value_a"], r["value_b"], r["dist"], r["n_a"], r["n_b"])
+                for r in out] == [
+            ("rad bolt", "red bolt", 1, 1, 3),
+            ("blue bolt", "rad bolt", 4, 2, 1),
+            ("blue bolt", "red bolt", 4, 2, 3)]
+
+    def test_threshold_prunes(self, spark):
+        out = dd.fuzzy_dict_pairs(self._df(spark), "v",
+                                  max_dist=1).collect()
+        assert len(out) == 1 and out[0]["dist"] == 1
+
+    def test_dict_cap_raises(self, spark):
+        with pytest.raises(Exception, match="fuzzy_dict_pairs"):
+            dd.fuzzy_dict_pairs(self._df(spark), "v", max_dist=3,
+                                max_dict_size=2).collect()
+
+
+class TestGridNearestJoin:
+    def test_nearest_in_cell_and_out_of_ring_dropped(self, spark):
+        pts = spark.createDataFrame(
+            [Row(pid=1, lat=0.5, lon=0.5), Row(pid=2, lat=50.0, lon=50.0)])
+        sites = spark.createDataFrame(
+            [Row(sid=10, lat=1.0, lon=1.0), Row(sid=20, lat=20.0, lon=20.0)])
+        out = {r["pid"]: r for r in rel.grid_nearest_join(
+            pts, sites, "pid", "sid").collect()}
+        # pid=1 matches sid=10 in its own cell; pid=2 has no site within
+        # the 3x3 ring of 10-degree cells and is dropped
+        assert set(out) == {1}
+        assert out[1]["sid"] == 10
+        # haversine((0.5,0.5),(1,1)) ~ 78.6 km
+        assert 70 < out[1]["dist_km"] < 90
+
+    def test_date_line_wrap(self, spark):
+        pts = spark.createDataFrame([Row(pid=1, lat=0.0, lon=179.5)])
+        sites = spark.createDataFrame([Row(sid=7, lat=0.0, lon=-179.5)])
+        out = rel.grid_nearest_join(pts, sites, "pid", "sid").collect()
+        assert len(out) == 1 and out[0]["sid"] == 7
+        # 1 degree of longitude at the equator ~ 111.19 km
+        assert 100 < out[0]["dist_km"] < 120
+
+    def test_tie_breaks_on_site_id(self, spark):
+        pts = spark.createDataFrame([Row(pid=1, lat=0.0, lon=0.0)])
+        sites = spark.createDataFrame(
+            [Row(sid=2, lat=1.0, lon=0.0), Row(sid=1, lat=-1.0, lon=0.0)])
+        out = rel.grid_nearest_join(pts, sites, "pid", "sid").collect()
+        assert out[0]["sid"] == 1
+
+
+class TestLoadCoincidence:
+    def test_hand_factors(self, spark):
+        rows = [("a", 100.0, 4.0), ("a", 200.0, 6.0),      # a@h0 = 10
+                ("a", 3700.0, 20.0),                       # a@h1 = 20
+                ("b", 50.0, 30.0),                         # b@h0 = 30
+                ("b", 3650.0, 5.0)]                        # b@h1 = 5
+        df = spark.createDataFrame(
+            [Row(event_type=g, ts=t, value=v) for g, t, v in rows])
+        out = {r["event_type"]: r for r in
+               ts.load_coincidence(df).collect()}
+        a, b = out["a"], out["b"]
+        assert a["peak_load"] == 20.0 and a["peak_bucket"] == 1
+        assert a["load_factor"] == pytest.approx(0.75, abs=1e-6)
+        assert b["peak_load"] == 30.0 and b["peak_bucket"] == 0
+        assert b["load_factor"] == pytest.approx(17.5 / 30, abs=1e-6)
+        # system hourly: h0=40 (peak), h1=25 -> CF = 40 / (20+30)
+        assert a["load_at_system_peak"] == 10.0
+        assert b["load_at_system_peak"] == 30.0
+        assert a["coincidence_factor"] == pytest.approx(0.8, abs=1e-6)
+        assert b["coincidence_factor"] == pytest.approx(0.8, abs=1e-6)
+
+    def test_group_absent_at_system_peak_is_zero(self, spark):
+        df = spark.createDataFrame([
+            Row(event_type="a", ts=100.0, value=50.0),
+            Row(event_type="b", ts=3700.0, value=10.0)])
+        out = {r["event_type"]: r for r in
+               ts.load_coincidence(df).collect()}
+        assert out["b"]["load_at_system_peak"] == 0.0
+
+
+class TestChangepoint:
+    def test_hand_step(self, spark):
+        df = spark.createDataFrame(
+            [Row(ts=float(d) * 86400.0, value=v)
+             for d, v in [(0, 1.0), (1, 1.0), (2, 5.0), (3, 5.0)]])
+        out = ts.changepoint_binary_seg(df).collect()[0]
+        # gains: k=1 -> 5.333, k=2 -> 16, k=3 -> 5.333
+        assert out["split_bucket"] == 1 and out["n_buckets"] == 4
+        assert out["gain"] == pytest.approx(16.0, abs=1e-6)
+        assert out["mean_left"] == pytest.approx(1.0, abs=1e-6)
+        assert out["mean_right"] == pytest.approx(5.0, abs=1e-6)
+
+    def test_tie_picks_earliest_bucket(self, spark):
+        # symmetric series: k=1 and k=3 tie; k=2 has zero gain
+        df = spark.createDataFrame(
+            [Row(ts=float(d) * 86400.0, value=v)
+             for d, v in [(0, 4.0), (1, 0.0), (2, 0.0), (3, 4.0)]])
+        out = ts.changepoint_binary_seg(df).collect()[0]
+        assert out["split_bucket"] == 0
+
+
+class TestDqExpectations:
+    def test_hand_metrics(self, spark):
+        d0 = dt.datetime(1970, 1, 1, 0, 0, 0)
+        df = spark.createDataFrame([
+            Row(k=1, name="ab", t=d0),
+            Row(k=2, name="abcd", t=d0 + dt.timedelta(seconds=100)),
+            Row(k=2, name=None, t=None),
+            Row(k=None, name="ab", t=d0)])
+        spec = {"k": "numeric", "name": "string", "t": "timestamp"}
+        out = {(r["col_name"], r["metric"]): r["value"]
+               for r in st.dq_expectations(df, spec).collect()}
+        assert out[("k", "completeness")] == pytest.approx(0.75)
+        assert out[("k", "n_distinct")] == 2.0
+        assert out[("k", "min")] == 1.0 and out[("k", "max")] == 2.0
+        assert out[("k", "mean")] == pytest.approx(5.0 / 3, abs=1e-6)
+        assert out[("name", "completeness")] == pytest.approx(0.75)
+        assert out[("name", "n_distinct")] == 2.0
+        assert out[("name", "min_len")] == 2.0
+        assert out[("name", "max_len")] == 4.0
+        assert out[("name", "avg_len")] == pytest.approx(8.0 / 3, abs=1e-6)
+        assert out[("t", "completeness")] == pytest.approx(0.75)
+        assert out[("t", "min_epoch")] == 0.0
+        assert out[("t", "max_epoch")] == 100.0
+
+    def test_unknown_kind_raises(self, spark):
+        df = spark.createDataFrame([Row(k=1)])
+        with pytest.raises(ValueError, match="unknown kind"):
+            st.dq_expectations(df, {"k": "blob"})
+
+
+class TestExceedanceReport:
+    def test_hand_tail(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", v=float(i)) for i in range(1, 11)])
+        out = st.exceedance_report(df, "v", "g", q=0.9).collect()[0]
+        # pos = floor(0.9*9+0.5)+1 = 9 -> threshold 9; exceed {10}
+        assert out["n"] == 10 and out["threshold"] == 9.0
+        assert out["n_exceed"] == 1
+        assert out["mean_excess"] == pytest.approx(1.0, abs=1e-6)
+        assert out["max_value"] == 10.0
+
+    def test_no_exceedance_gives_zero_and_null(self, spark):
+        df = spark.createDataFrame([Row(g="a", v=5.0)] * 4)
+        out = st.exceedance_report(df, "v", "g", q=0.5).collect()[0]
+        assert out["n_exceed"] == 0 and out["mean_excess"] is None
+        assert out["threshold"] == 5.0 and out["max_value"] == 5.0
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", v=float(i)) for i in range(1, 11)]
+            + [Row(g="a", v=None), Row(g=None, v=999.0)])
+        out = st.exceedance_report(df, "v", "g", q=0.9).collect()
+        assert len(out) == 1 and out[0]["n"] == 10
+
+
+class TestOlsTrend:
+    def test_exact_line(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", x=float(x), y=2.0 * x + 1.0) for x in range(4)])
+        out = st.ols_trend(df, "x", "y", "g").collect()[0]
+        assert out["n"] == 4
+        assert out["slope"] == pytest.approx(2.0, abs=1e-6)
+        assert out["intercept"] == pytest.approx(1.0, abs=1e-6)
+        assert out["r2"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_hand_noisy(self, spark):
+        # x=[0,1,2], y=[0,2,3]: slope=1.5, intercept=1/6, r2=27/28
+        df = spark.createDataFrame(
+            [Row(g="a", x=0.0, y=0.0), Row(g="a", x=1.0, y=2.0),
+             Row(g="a", x=2.0, y=3.0)])
+        out = st.ols_trend(df, "x", "y", "g").collect()[0]
+        assert out["slope"] == pytest.approx(1.5, abs=1e-6)
+        assert out["intercept"] == pytest.approx(1.0 / 6, abs=1e-6)
+        assert out["r2"] == pytest.approx(27.0 / 28, abs=1e-6)
+
+    def test_degenerate_groups_null(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="single", x=1.0, y=1.0),
+             Row(g="novar", x=2.0, y=1.0), Row(g="novar", x=2.0, y=5.0),
+             Row(g="flat", x=0.0, y=3.0), Row(g="flat", x=1.0, y=3.0)])
+        out = {r["g"]: r for r in
+               st.ols_trend(df, "x", "y", "g").collect()}
+        assert out["single"]["slope"] is None
+        assert out["novar"]["slope"] is None       # zero x-variance
+        assert out["flat"]["slope"] == pytest.approx(0.0, abs=1e-6)
+        assert out["flat"]["r2"] is None           # zero y-variance
+
+
+class TestQuantilesFromValueCounts:
+    def _per(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(__v=float(v), c=c) for v, c in rows])
+
+    def test_hand_positions(self, spark):
+        out = st.quantiles_from_value_counts(
+            self._per(spark, [(1.0, 2), (2.0, 3), (3.0, 5)])).collect()[0]
+        # n=10: q50 pos 6 -> 3.0; q90 pos 9 -> 3.0; q99 pos 9 -> 3.0
+        assert out["n"] == 10
+        assert (out["q_50"], out["q_90"], out["q_99"]) == (3.0, 3.0, 3.0)
+
+    def test_partials_merge_by_addition(self, spark):
+        whole = st.quantiles_from_value_counts(
+            self._per(spark, [(1.0, 4), (2.0, 3), (5.0, 3)])).collect()
+        split = st.quantiles_from_value_counts(
+            self._per(spark, [(1.0, 1), (1.0, 3), (2.0, 3),
+                              (5.0, 2), (5.0, 1)])).collect()
+        assert whole == split
+
+    def test_streaming_finalizer_matches_batch(self, spark, tmp_path):
+        from powerdatapipeline_spark.streaming.stateful import \
+            finalize_quantile_monitor
+        p = str(tmp_path / "partials")
+        self._per(spark, [(1.0, 2), (2.0, 1)]) \
+            .write.mode("append").parquet(p)
+        self._per(spark, [(2.0, 2), (9.0, 5)]) \
+            .write.mode("append").parquet(p)
+        got = finalize_quantile_monitor(spark, p).collect()
+        want = st.quantiles_from_value_counts(
+            self._per(spark, [(1.0, 2), (2.0, 3), (9.0, 5)])).collect()
+        assert got == want
