@@ -1014,3 +1014,87 @@ def grid_nearest_join(points: DataFrame, sites: DataFrame,
             .where(F.col("__rn") == 1)
             .select(F.col("__pid").alias(point_id),
                     F.col("__sid").alias(site_id), "dist_km"))
+
+
+def rfm_scores(df: DataFrame, id_col: str, ts_col: str,
+               amount_col: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    classic behavioral segmentation: per entity, days since last
+    activity, activity count, and exact total spend, each scored 1-5
+    against QUINTILE THRESHOLDS of the entity population (5 = best:
+    most recent / most frequent / highest spend).
+
+    Scale design — no global sort, no per-row rank: the corpus
+    reduces to one row per entity (exact decimal spend sums), each
+    dimension's quintile cut points come from the per-distinct-value
+    count frame (the q204/q211 nearest-rank discipline, |distinct|
+    frame only), and scoring is four broadcast threshold comparisons —
+    an ntile() would need a total-order window over every entity;
+    thresholds are one tiny broadcast instead. Recency is inverted
+    (fewer days = higher score). Monetary is 6-rounded before the
+    count frame so both engines cut on identical doubles. Returns
+    ``(id, recency_days, frequency, monetary, r_score, f_score,
+    m_score, rfm_cell)``."""
+    from powerdatapipeline_spark.operators.stats import \
+        quantiles_from_value_counts
+
+    ref = df.agg(F.max(F.col(ts_col).cast("double")).alias("t_ref"))
+    base = (df.where(F.col(id_col).isNotNull()
+                     & F.col(ts_col).isNotNull()
+                     & F.col(amount_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.max(F.col(ts_col).cast("double")).alias("t_last"),
+                 F.count("*").cast("bigint").alias("frequency"),
+                 F.sum(F.col(amount_col).cast("decimal(38,10)"))
+                 .alias("spend"))
+            .crossJoin(F.broadcast(ref))
+            .select(id_col,
+                    F.floor((F.col("t_ref") - F.col("t_last"))
+                            / F.lit(86400.0)).cast("bigint")
+                    .alias("recency_days"),
+                    "frequency",
+                    F.round(F.col("spend").cast("double"), 6)
+                    .alias("monetary")))
+    qs = (0.2, 0.4, 0.6, 0.8)
+
+    def thresholds(col: str, prefix: str) -> DataFrame:
+        per = (base.select(F.col(col).cast("double").alias("__v"))
+               .groupBy("__v")
+               .agg(F.count("*").cast("bigint").alias("c")))
+        t = quantiles_from_value_counts(per, qs=qs)
+        return t.select(*[F.col(f"q_{int(q * 100):02d}")
+                          .alias(f"{prefix}{int(q * 100):02d}")
+                          for q in qs])
+
+    rt = thresholds("recency_days", "r")
+    ft = thresholds("frequency", "f")
+    mt = thresholds("monetary", "m")
+
+    def score_up(v, prefix):
+        s = F.lit(1)
+        for q in qs:
+            s = s + F.when(v > F.col(f"{prefix}{int(q * 100):02d}"), 1) \
+                     .otherwise(0)
+        return s
+
+    def score_down(v, prefix):
+        s = F.lit(1)
+        for q in qs:
+            s = s + F.when(v < F.col(f"{prefix}{int(q * 100):02d}"), 1) \
+                     .otherwise(0)
+        return s
+
+    scored = (base.crossJoin(F.broadcast(rt))
+              .crossJoin(F.broadcast(ft))
+              .crossJoin(F.broadcast(mt))
+              .select(id_col, "recency_days", "frequency", "monetary",
+                      score_down(F.col("recency_days").cast("double"), "r")
+                      .cast("int").alias("r_score"),
+                      score_up(F.col("frequency").cast("double"), "f")
+                      .cast("int").alias("f_score"),
+                      score_up(F.col("monetary"), "m")
+                      .cast("int").alias("m_score")))
+    return (scored.withColumn(
+        "rfm_cell", (F.col("r_score") * 100 + F.col("f_score") * 10
+                     + F.col("m_score")).cast("int"))
+        .orderBy(id_col))

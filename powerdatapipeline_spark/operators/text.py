@@ -2375,3 +2375,71 @@ def tokenizer_fertility(df: DataFrame, text_col: str = "text",
                fl6(F.col("n_pieces").cast("double")
                    / F.col("n_docs").cast("double")))
         .alias("pieces_per_doc"))
+
+
+def ngram_cosine_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       top_k: int = 25,
+                       max_df: int | None = None) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between DOCUMENT PAIRS over word
+    n-gram vectors — the all-pairs companion to query-side TF-IDF/BM25
+    (q77/q83): which documents point the same direction in n-gram
+    space? Complements Jaccard (q91: set overlap, ignores counts) and
+    MinHash (q29: approximate) with the exact count-weighted measure.
+
+    Scale design — inverted-index candidate generation, never doc x
+    doc: postings join on md5(gram) (uniform 32-byte key, narrow
+    shuffle), so candidate cost is Σ_g df(g)² over the n-GRAM
+    dictionary — n ≥ 3 keeps df small where a unigram index would
+    degenerate on a stopword (pass ``max_df`` to drop grams above a
+    document-frequency cap: the standard stopword prune, applied
+    identically in the oracle). Weights are the q77 recipe
+    (round(tf · round(ln(N/df), 6), 6)); dot products and squared
+    norms are decimal(38,10) sums of double products (partition-order
+    free); sqrt is IEEE-exact; the final cosine is floor6 with a
+    (cosine desc, id_a, id_b) total order. Returns
+    ``(id_a, id_b, dot, cosine)`` top-k rows."""
+    t = tokens(text_col)
+    grams = _shifted_grams(t, F.size(t) - (n - 1), n, " ")
+    ti = (_spread(df)
+          .select(F.col(id_col), F.explode(grams).alias("g"))
+          .select(id_col, F.md5("g").alias("gh"))
+          .groupBy(id_col, "gh")
+          .agg(F.count("*").cast("bigint").alias("tf"))
+          .persist())
+    dfreq = ti.groupBy("gh").agg(F.count("*").cast("bigint").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_df)
+    nd = df.agg(F.count_distinct(F.col(id_col)).cast("bigint").alias("N"))
+    idf6 = F.round(F.log(F.col("N").cast("double")
+                         / F.col("df").cast("double")), 6)
+    w = (ti.join(dfreq, "gh").crossJoin(F.broadcast(nd))
+         .select(id_col, "gh",
+                 F.round(F.col("tf").cast("double") * idf6, 6).alias("w")))
+    norms = (w.groupBy(id_col)
+             .agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
+                               .cast("decimal(38,10)")).cast("double"))
+                  .alias("nrm")))
+    a = w.select(F.col(id_col).alias("id_a"), "gh", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("id_b"),
+                 F.col("gh").alias("gh2"), F.col("w").alias("wb"))
+    dots = (a.join(b, (F.col("gh") == F.col("gh2"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum((F.col("wa") * F.col("wb"))
+                       .cast("decimal(38,10)")).alias("dot")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    out = (dots.join(na, "id_a").join(nb, "id_b")
+           .where((F.col("na") > 0) & (F.col("nb") > 0))
+           .select("id_a", "id_b",
+                   fl6(F.col("dot").cast("double")).alias("dot"),
+                   fl6(F.col("dot").cast("double")
+                       / (F.col("na") * F.col("nb"))).alias("cosine"))
+           .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+           .limit(top_k))
+    res = out.localCheckpoint(eager=True)
+    ti.unpersist()
+    return res

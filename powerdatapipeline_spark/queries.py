@@ -8811,6 +8811,120 @@ def q213_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("__v").agg(F.count("*").cast("bigint").alias("c")))
 
 
+@register("q214_ngram_cosine_pairs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '[ \t\n\r\f\x0B]+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> md5(array_to_string(list_slice(t, i, i + 2), ' ')))) AS gh
+  FROM toks),
+ti AS (SELECT doc_id, gh, CAST(count(*) AS BIGINT) AS tf
+       FROM grams GROUP BY 1, 2),
+dfq AS (SELECT gh, CAST(count(*) AS BIGINT) AS df FROM ti GROUP BY 1),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS N FROM documents),
+w AS (SELECT doc_id, ti.gh,
+             round(CAST(tf AS DOUBLE)
+                   * round(ln(CAST(N AS DOUBLE) / CAST(df AS DOUBLE)), 6),
+                   6) AS w
+      FROM ti JOIN dfq USING (gh) CROSS JOIN nd),
+norms AS (SELECT doc_id,
+                 sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,10))) AS DOUBLE))
+                   AS nrm
+          FROM w GROUP BY 1),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                sum(CAST(a.w * b.w AS DECIMAL(38,10))) AS dot
+         FROM w a JOIN w b ON a.gh = b.gh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT id_a, id_b,
+       floor(CAST(dot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS dot,
+       floor(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)
+             * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM dots JOIN norms na ON na.doc_id = id_a
+          JOIN norms nb ON nb.doc_id = id_b
+WHERE na.nrm > 0 AND nb.nrm > 0
+ORDER BY cosine DESC, id_a, id_b LIMIT 25
+""", priority=PRI_TAIL)
+def q214_ngram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 document pairs by exact TF-IDF cosine over word TRIGRAM
+    vectors (operators/text.ngram_cosine_pairs) — the count-weighted
+    exact companion to Jaccard (q91) and MinHash (q29): inverted-index
+    postings join on md5(gram) bounds candidates by Σ df², which the
+    trigram dictionary keeps small where the 31-word unigram vocab
+    would degenerate (measured Σdf²: 2.8M trigram vs 448M unigram at
+    sf0.1). q77's idf recipe, decimal dot/norm sums, IEEE-exact sqrt,
+    floor6 cosine, total-order top-k. Round-10c born: PRI_TAIL until
+    the round-11 rotation."""
+    return tx.ngram_cosine_pairs(_t(spark, sf_dir, "documents"),
+                                 n=3, top_k=25)
+
+
+def _rfm_oracle() -> str:
+    """DuckDB twin of q215 (relational.rfm_scores), the generated-
+    oracle discipline: the three quintile-threshold CTEs share one
+    template so the nearest-rank arithmetic cannot drift between
+    dimensions."""
+    def cuts(name: str, expr: str, p: str) -> str:
+        sels = ", ".join(
+            f"min(CASE WHEN cum >= floor(0.{q} * CAST(n - 1 AS DOUBLE)"
+            f" + 0.5) + 1 THEN v END) AS {p}{q}0" for q in (2, 4, 6, 8))
+        return (f"{name} AS (SELECT {sels} FROM ("
+                f"SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN "
+                f"UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+                f"sum(c) OVER () AS n FROM (SELECT {expr} AS v, "
+                f"CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1)))")
+
+    def score(v: str, p: str, op: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {v} {op} {p}{q}0 THEN 1 ELSE 0 END)"
+            for q in (2, 4, 6, 8))
+        return f"CAST(1 + {terms} AS INT)"
+
+    return f"""
+WITH ref AS (SELECT max(epoch(o_orderdate)) AS t_ref FROM orders),
+base AS (
+  SELECT o_custkey,
+         CAST(floor((t_ref - max(epoch(o_orderdate))) / 86400.0)
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                    AS DOUBLE), 6) AS monetary
+  FROM orders, ref
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey, t_ref),
+{cuts('rq', 'CAST(recency_days AS DOUBLE)', 'r')},
+{cuts('fq', 'CAST(frequency AS DOUBLE)', 'f')},
+{cuts('mq', 'monetary', 'm')},
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         {score('CAST(recency_days AS DOUBLE)', 'r', '<')} AS r_score,
+         {score('CAST(frequency AS DOUBLE)', 'f', '>')} AS f_score,
+         {score('monetary', 'm', '>')} AS m_score
+  FROM base, rq, fq, mq)
+SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+FROM scored ORDER BY o_custkey
+"""
+
+
+@register("q215_rfm_scores", _rfm_oracle(), priority=PRI_TAIL)
+def q215_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders
+    (operators/relational.rfm_scores) — recency/frequency/monetary per
+    customer, each scored 1-5 against population quintiles. No global
+    sort and no per-row ntile: the corpus reduces to one row per
+    customer (exact decimal spend), quintile cut points come from
+    per-distinct-value count frames (the q204/q211 nearest-rank
+    discipline), and scoring is four broadcast comparisons per
+    dimension. Round-10c born: PRI_TAIL until the round-11 rotation."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    return rel.rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
