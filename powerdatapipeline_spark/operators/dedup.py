@@ -902,6 +902,18 @@ def fuzzy_dict_pairs(df: DataFrame, value_col: str,
 
     Returns ``(value_a, value_b, dist, n_a, n_b)`` — top-k by
     (dist asc, value_a, value_b), a total order."""
+    out = _fuzzy_dict_candidates(df, value_col, max_dist, max_dict_size)
+    return (out.orderBy(F.asc("dist"), F.asc("value_a"),
+                        F.asc("value_b"))
+            .limit(top_k))
+
+
+def _fuzzy_dict_candidates(df: DataFrame, value_col: str, max_dist: int,
+                           max_dict_size: int) -> DataFrame:
+    """The unlimited (value_a, value_b, dist, n_a, n_b) candidate frame
+    behind :func:`fuzzy_dict_pairs` (which top-k's it for reporting)
+    and :func:`canonicalize_labels` (which clusters it) — one blocking
+    + guard implementation so the two surfaces cannot drift."""
     d = (df.select(F.col(value_col).alias("v"))
          .where(F.col("v").isNotNull())
          .groupBy("v").agg(F.count("*").cast("bigint").alias("n")))
@@ -936,5 +948,45 @@ def fuzzy_dict_pairs(df: DataFrame, value_col: str,
                                   ("value_b", "string"),
                                   ("dist", "integer"),
                                   ("n_a", "bigint"), ("n_b", "bigint")]]))
-    return (out.orderBy(F.asc("dist"), F.asc("value_a"), F.asc("value_b"))
-            .limit(top_k))
+    return out
+
+
+def canonicalize_labels(df: DataFrame, value_col: str,
+                        max_dist: int = 2,
+                        max_dict_size: int = 200_000,
+                        max_iter: int = 12) -> DataFrame:
+    """End-to-end label canonicalization — the entity-resolution
+    pipeline q206 starts: blocked-Levenshtein candidate pairs over the
+    value DICTIONARY (:func:`_fuzzy_dict_candidates`), connected
+    components over the match graph (the O(log n) star contraction,
+    operators/graph.connected_components), then one canonical spelling
+    per cluster = the member with the highest row support (ties →
+    lexicographically smallest), i.e. "map every typo'd variant to the
+    dominant form". Values with no fuzzy match keep themselves
+    (singletons never enter the graph — the CC contract).
+
+    Everything quadratic or iterative runs on the |V|-row dictionary,
+    never the corpus; applying the fix at 100 TB is one broadcast map
+    join of the returned frame back onto the raw column. Returns
+    ``(value, n, canonical, cluster_size)`` for clustered values,
+    ordered (canonical, value)."""
+    from powerdatapipeline_spark.operators.graph import \
+        connected_components
+
+    cand = _fuzzy_dict_candidates(df, value_col, max_dist, max_dict_size)
+    labels = connected_components(cand, src="value_a", dst="value_b",
+                                  max_iter=max_iter)
+    counts = (df.select(F.col(value_col).alias("node"))
+              .where(F.col("node").isNotNull())
+              .groupBy("node").agg(F.count("*").cast("bigint").alias("n")))
+    member = labels.join(counts, "node")
+    w = Window.partitionBy("label").orderBy(F.desc("n"), F.asc("node"))
+    canon = (member.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") == 1)
+             .select(F.col("label"), F.col("node").alias("canonical")))
+    size = member.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("cluster_size"))
+    return (member.join(canon, "label").join(size, "label")
+            .select(F.col("node").alias("value"), "n", "canonical",
+                    "cluster_size")
+            .orderBy("canonical", "value"))

@@ -1098,3 +1098,37 @@ def rfm_scores(df: DataFrame, id_col: str, ts_col: str,
         "rfm_cell", (F.col("r_score") * 100 + F.col("f_score") * 10
                      + F.col("m_score")).cast("int"))
         .orderBy(id_col))
+
+
+def class_balance(df: DataFrame, label_col: str, id_col: str,
+                  salt: str = "balance") -> DataFrame:
+    """Class-balanced downsampling — equalize every label to the
+    MINORITY class size before training (the label-skew fix a
+    classifier head needs; the per-source analog balances corpus
+    mixture the way q141's temperature sampling does softly, this one
+    exactly). Every class keeps exactly ``min_class_count`` rows,
+    chosen by deterministic md5 order (salted, reproducible across
+    runs and engines — no RNG state).
+
+    Scale shape: one count aggregate (|labels| rows, 1-row broadcast
+    of the minimum), then a per-label rank window ordered by the md5
+    draw — Spark prunes it to a per-partition top-k heap
+    (WindowGroupLimit) once the rank filter is pushed, so no label
+    partition ever fully sorts. Returns ``(id, label, draw_rank)``."""
+    counts = (df.where(F.col(label_col).isNotNull()
+                       & F.col(id_col).isNotNull())
+              .groupBy(label_col)
+              .agg(F.count("*").cast("bigint").alias("__c")))
+    m = counts.agg(F.min("__c").alias("__m"))
+    draw = F.md5(F.concat(F.lit(salt),
+                          F.col(id_col).cast("string")))
+    w = Window.partitionBy(label_col).orderBy(draw.asc(),
+                                              F.col(id_col).asc())
+    return (df.where(F.col(label_col).isNotNull()
+                     & F.col(id_col).isNotNull())
+            .withColumn("draw_rank",
+                        F.row_number().over(w).cast("bigint"))
+            .crossJoin(F.broadcast(m))
+            .where(F.col("draw_rank") <= F.col("__m"))
+            .select(F.col(id_col), F.col(label_col), "draw_rank")
+            .orderBy(label_col, id_col))

@@ -8925,6 +8925,96 @@ def q215_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+@register("q216_class_balance", """
+WITH counts AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+                FROM embeddings
+                WHERE label IS NOT NULL AND vec_id IS NOT NULL
+                GROUP BY 1),
+m AS (SELECT min(c) AS m FROM counts),
+ranked AS (
+  SELECT vec_id, label,
+         CAST(row_number() OVER (
+           PARTITION BY label
+           ORDER BY md5('balance' || CAST(vec_id AS VARCHAR)), vec_id)
+           AS BIGINT) AS draw_rank
+  FROM embeddings
+  WHERE label IS NOT NULL AND vec_id IS NOT NULL)
+SELECT vec_id, label, draw_rank
+FROM ranked, m WHERE draw_rank <= m
+ORDER BY label, vec_id
+""", priority=PRI_TAIL)
+def q216_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample of the embedding set
+    (operators/relational.class_balance) — every label equalized to
+    the minority class size by deterministic salted-md5 draw (the
+    q62/q162 reproducible-sampling discipline; no RNG state, identical
+    picks in both engines). One |labels|-row count agg + 1-row
+    broadcast minimum + WindowGroupLimit-prunable per-label rank — no
+    label partition fully sorts. Round-10c born: PRI_TAIL until the
+    round-11 rotation."""
+    return rel.class_balance(_t(spark, sf_dir, "embeddings"),
+                             "label", "vec_id")
+
+
+def _canon_oracle(max_dist: int = 2, rounds: int = 16) -> str:
+    """DuckDB twin of q217: min-label flood over the fuzzy-match
+    dictionary graph, unrolled to a fixed round budget (the
+    q185/q205 unrolled-oracle discipline). The flood converges in
+    diameter(G) rounds and extra rounds are no-ops, so a 16-round
+    unroll is exact for any dictionary whose fuzzy clusters have
+    diameter <= 16 — far beyond the fixture's (tail-parity pytest
+    guards drift); the Spark side (star contraction) is
+    diameter-independent."""
+    ctes = [
+        "d AS MATERIALIZED (SELECT p_name AS v, CAST(count(*) AS BIGINT)"
+        " AS n FROM part WHERE p_name IS NOT NULL GROUP BY 1)",
+        "s AS (SELECT v, n, length(v) AS len, string_split(v, ' ')[-1]"
+        " AS blk FROM d)",
+        f"e AS MATERIALIZED (SELECT a.v AS u, b.v AS w FROM s a JOIN s b"
+        f" ON a.blk = b.blk AND a.v < b.v"
+        f" AND abs(a.len - b.len) <= {max_dist}"
+        f" WHERE levenshtein(a.v, b.v) <= {max_dist})",
+        "sym AS MATERIALIZED (SELECT u, w FROM e"
+        " UNION ALL SELECT w, u FROM e)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"]
+    for i in range(rounds):
+        ctes.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT l.node,"
+            f" least(l.label, min(ln.label)) AS label"
+            f" FROM l{i} l JOIN sym ON sym.u = l.node"
+            f" JOIN l{i} ln ON ln.node = sym.w"
+            f" GROUP BY l.node, l.label)")
+    ctes.append(
+        f"member AS (SELECT node, label, n FROM l{rounds}"
+        f" JOIN d ON d.v = node)")
+    ctes.append(
+        "canon AS (SELECT label, node AS canonical FROM ("
+        "SELECT label, node, row_number() OVER (PARTITION BY label"
+        " ORDER BY n DESC, node) AS rn FROM member) WHERE rn = 1)")
+    ctes.append(
+        "sz AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size"
+        " FROM member GROUP BY 1)")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT node AS value, n, canonical, cluster_size
+FROM member JOIN canon USING (label) JOIN sz USING (label)
+ORDER BY canonical, value""")
+
+
+@register("q217_canonicalize_labels", _canon_oracle(), priority=PRI_TAIL)
+def q217_canonicalize_labels(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """End-to-end label canonicalization over part names
+    (operators/dedup.canonicalize_labels) — q206's fuzzy candidate
+    pairs (typo-level max_dist=2) clustered by the O(log n) star
+    contraction (graph.connected_components), each cluster mapped to
+    its dominant spelling (max support, lexicographic tiebreak). The
+    quadratic + iterative stages run on the |V| dictionary only;
+    applying the fix to a 100 TB corpus is one broadcast map join.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
+    return dd.canonicalize_labels(_t(spark, sf_dir, "part"), "p_name",
+                                  max_dist=2)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

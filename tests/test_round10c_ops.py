@@ -246,3 +246,109 @@ class TestQuantilesFromValueCounts:
         want = st.quantiles_from_value_counts(
             self._per(spark, [(1.0, 2), (2.0, 3), (9.0, 5)])).collect()
         assert got == want
+
+
+class TestNgramCosinePairs:
+    def test_hand_cosine(self, spark):
+        from powerdatapipeline_spark.operators import text as tx
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="a b c e"),
+             Row(doc_id=3, text="x y z w")])
+        out = tx.ngram_cosine_pairs(docs, n=3).collect()
+        # only (1,2) share a trigram ("a b c"); doc 3 shares nothing
+        assert len(out) == 1
+        r = out[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        idf_shared = round(math.log(3 / 2), 6)
+        idf_unique = round(math.log(3 / 1), 6)
+        w_shared = round(1 * idf_shared, 6)
+        w_unique = round(1 * idf_unique, 6)
+        dot = w_shared * w_shared
+        nrm = math.sqrt(w_shared ** 2 + w_unique ** 2)
+        assert r["dot"] == pytest.approx(dot, abs=1e-6)
+        assert r["cosine"] == pytest.approx(dot / (nrm * nrm), abs=1e-6)
+
+    def test_tf_weighting_counts_repeats(self, spark):
+        from powerdatapipeline_spark.operators import text as tx
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c a b c"),   # tf("a b c") = 2
+             Row(doc_id=2, text="a b c x")])
+        r = tx.ngram_cosine_pairs(docs, n=3).collect()[0]
+        idf = round(math.log(2 / 2), 6)           # shared gram: idf 0
+        # all of doc2's grams are unique except "a b c" whose idf is 0,
+        # so the dot collapses to 0 — the stopword property of idf
+        assert r["dot"] == pytest.approx(0.0, abs=1e-6)
+        assert idf == 0.0
+
+
+class TestRfmScores:
+    def test_hand_quintiles(self, spark):
+        day = 86400.0
+        rows = []
+        # A: 3 orders, last at day 10, total 300
+        rows += [Row(cust=1, ts=d * day, amt=a)
+                 for d, a in [(8, 100.0), (9, 100.0), (10, 100.0)]]
+        # B: 2 orders, last at day 5, total 200
+        rows += [Row(cust=2, ts=d * day, amt=a)
+                 for d, a in [(4, 100.0), (5, 100.0)]]
+        # C: 1 order at day 0, total 100
+        rows += [Row(cust=3, ts=0.0, amt=100.0)]
+        out = {r["cust"]: r for r in rel.rfm_scores(
+            spark.createDataFrame(rows), "cust", "ts", "amt").collect()}
+        a, b, c = out[1], out[2], out[3]
+        assert (a["recency_days"], b["recency_days"],
+                c["recency_days"]) == (0, 5, 10)
+        assert (a["frequency"], b["frequency"], c["frequency"]) == (3, 2, 1)
+        assert (a["monetary"], b["monetary"], c["monetary"]) \
+            == (300.0, 200.0, 100.0)
+        # n=3 quintile positions -> thresholds (v1, v2, v2, v3):
+        # best gets 4, middle 2, worst 1 on every dimension
+        assert (a["r_score"], a["f_score"], a["m_score"]) == (4, 4, 4)
+        assert (b["r_score"], b["f_score"], b["m_score"]) == (2, 2, 2)
+        assert (c["r_score"], c["f_score"], c["m_score"]) == (1, 1, 1)
+        assert (a["rfm_cell"], b["rfm_cell"], c["rfm_cell"]) \
+            == (444, 222, 111)
+
+
+class TestClassBalance:
+    def test_equalizes_to_minority(self, spark):
+        df = spark.createDataFrame(
+            [Row(id=i, label="a") for i in range(5)]
+            + [Row(id=10 + i, label="b") for i in range(2)])
+        out = rel.class_balance(df, "label", "id").collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["label"], []).append(r["id"])
+        assert len(per["a"]) == 2 and len(per["b"]) == 2
+        assert set(per["b"]) == {10, 11}
+        assert all(r["draw_rank"] <= 2 for r in out)
+
+    def test_deterministic_across_runs(self, spark):
+        df = spark.createDataFrame(
+            [Row(id=i, label="a") for i in range(8)]
+            + [Row(id=100, label="b")])
+        one = rel.class_balance(df, "label", "id").collect()
+        two = rel.class_balance(df, "label", "id").collect()
+        assert one == two
+
+
+class TestCanonicalizeLabels:
+    def test_chain_cluster_and_singleton_excluded(self, spark):
+        rows = (["red bolt"] * 3 + ["rad bolt"] + ["old bolt"] * 2
+                + ["cold bolt"] + ["green gear"] * 5)
+        df = spark.createDataFrame([Row(v=r) for r in rows])
+        out = dd.canonicalize_labels(df, "v", max_dist=2).collect()
+        # chain rad-red(1), red-old(2), old-cold(1): one 4-value cluster;
+        # "green gear" has no match and stays out (singleton contract)
+        assert len(out) == 4
+        assert all(r["canonical"] == "red bolt" for r in out)
+        assert all(r["cluster_size"] == 4 for r in out)
+        got = {r["value"]: r["n"] for r in out}
+        assert got == {"red bolt": 3, "rad bolt": 1,
+                       "old bolt": 2, "cold bolt": 1}
+
+    def test_tie_breaks_lexicographic(self, spark):
+        df = spark.createDataFrame(
+            [Row(v="red bolt"), Row(v="rad bolt")])
+        out = dd.canonicalize_labels(df, "v", max_dist=2).collect()
+        assert all(r["canonical"] == "rad bolt" for r in out)
