@@ -1875,3 +1875,112 @@ def changepoint_binary_seg(df: DataFrame, ts_col: str = "ts",
             .select("split_bucket", "n_buckets",
                     fl6(F.col("__g")).alias("gain"),
                     "mean_left", "mean_right"))
+
+
+def forecast_backtest_naive(df: DataFrame, ts_col: str = "ts",
+                            group_col: str = "event_type",
+                            value_col: str = "value",
+                            bucket_seconds: int = 3600,
+                            lag_buckets: int = 168) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every load
+    forecaster must beat (reference domain: grid load is dominated by
+    the weekly cycle, so ŷ(t) = y(t − 168 h) is the standard
+    persistence benchmark): per group, score the lag-``lag_buckets``
+    persistence forecast on every bucket where both the actual and the
+    lagged actual exist, reporting MAE, RMSE, bias and MAPE.
+
+    Parity/scale design: the corpus reduces to exact-decimal interval
+    loads first (one shuffle); the forecast join is a self equi-join
+    on ``(group, bucket − lag)`` — keyed, no window, no sort. Errors
+    are computed in double from the identical decimal-cast loads, then
+    decimal-cast again for partition-order-free sums; RMSE's sqrt is
+    IEEE-exact; every metric floor6. Returns ``(group, n_scored, mae,
+    rmse, bias, mape)`` (mape over nonzero actuals only, NULL if
+    none)."""
+    g = F.col(group_col).alias("g")
+    hourly = (df.where(F.col(ts_col).isNotNull()
+                       & F.col(value_col).isNotNull()
+                       & F.col(group_col).isNotNull())
+              .select(g, F.floor(F.col(ts_col).cast("double")
+                                 / F.lit(float(bucket_seconds)))
+                      .cast("bigint").alias("b"),
+                      F.col(value_col).cast("double").alias("v"))
+              .groupBy("g", "b")
+              .agg(F.sum(F.col("v").cast("decimal(38,10)")).alias("ld")))
+    actual = hourly.select("g", "b", F.col("ld").cast("double").alias("y"))
+    lagged = hourly.select(F.col("g").alias("g2"),
+                           (F.col("b") + lag_buckets).alias("b2"),
+                           F.col("ld").cast("double").alias("yhat"))
+    scored = (actual.join(lagged, (F.col("g") == F.col("g2"))
+                          & (F.col("b") == F.col("b2")))
+              .select("g", (F.col("y") - F.col("yhat")).alias("e"),
+                      "y"))
+    dec = lambda c: c.cast("decimal(38,10)")
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    agg = (scored.groupBy("g")
+           .agg(F.count("*").cast("bigint").alias("n_scored"),
+                F.sum(dec(F.abs(F.col("e")))).alias("sae"),
+                F.sum(dec(F.col("e") * F.col("e"))).alias("sse"),
+                F.sum(dec(F.col("e"))).alias("se"),
+                F.sum(F.when(F.col("y") != 0, 1).otherwise(0))
+                .cast("bigint").alias("n_nz"),
+                F.sum(F.when(F.col("y") != 0,
+                             dec(F.abs(F.col("e") / F.col("y")))))
+                .alias("sape")))
+    nd = F.col("n_scored").cast("double")
+    return (agg.select(
+        F.col("g").alias(group_col), "n_scored",
+        fl6(F.col("sae").cast("double") / nd).alias("mae"),
+        fl6(F.sqrt(F.col("sse").cast("double") / nd)).alias("rmse"),
+        fl6(F.col("se").cast("double") / nd).alias("bias"),
+        F.when(F.col("n_nz") > 0,
+               fl6(F.col("sape").cast("double")
+                   / F.col("n_nz").cast("double"))).alias("mape"))
+        .orderBy(group_col))
+
+
+def state_durations(df: DataFrame, ts_col: str = "ts",
+                    key_col: str = "user_id",
+                    state_col: str = "event_type",
+                    tiebreak_col: str = "event_id") -> DataFrame:
+    """Time-in-state aggregation — duration-weighted state analytics
+    (how long do devices/users sit in each state before the next
+    transition?), the dwell-time complement to q147's Markov
+    transition COUNTS: each event opens an interval in its state that
+    closes at the entity's next event; the entity's last event is
+    open-ended and excluded (the standard right-censored drop; q181's
+    KM operator is the censoring-aware treatment).
+
+    One entity-keyed lead window with a deterministic (ts, tiebreak)
+    order — no sort beyond the per-entity window; durations are epoch
+    differences 6-rounded (microsecond resolution, lossless) BEFORE
+    the decimal(38,10) cast — raw epoch-diff doubles sit exactly where
+    the engines' double→decimal roundings can disagree (the q81 term
+    recipe, timeseries.py:977). Returns
+    ``(state, n_intervals, total_seconds, mean_seconds, max_seconds)``
+    ordered by state."""
+    e = F.col(ts_col).cast("double")
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc()))
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(key_col).isNotNull()
+                     & F.col(state_col).isNotNull())
+            .select(F.col(state_col).alias("state"), e.alias("t"),
+                    F.lead(e).over(w).alias("t_next"))
+            .where(F.col("t_next").isNotNull())
+            .select("state", F.round(F.col("t_next") - F.col("t"), 6)
+                    .alias("dur")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (base.groupBy("state")
+            .agg(F.count("*").cast("bigint").alias("n_intervals"),
+                 F.sum(F.col("dur").cast("decimal(38,10)")).alias("__tot"),
+                 F.max("dur").alias("max_seconds"))
+            .select("state", "n_intervals",
+                    F.col("__tot").cast("double").alias("total_seconds"),
+                    fl6(F.col("__tot").cast("double")
+                        / F.col("n_intervals").cast("double"))
+                    .alias("mean_seconds"),
+                    "max_seconds")
+            .orderBy("state"))

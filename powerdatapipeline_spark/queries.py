@@ -9015,6 +9015,81 @@ def q217_canonicalize_labels(spark: SparkSession, sf_dir: str
                                   max_dist=2)
 
 
+@register("q218_forecast_backtest", """
+WITH hourly AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS b,
+         SUM(CAST(value AS DECIMAL(38,10))) AS ld
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+scored AS (
+  SELECT a.g, CAST(a.ld AS DOUBLE) - CAST(l.ld AS DOUBLE) AS e,
+         CAST(a.ld AS DOUBLE) AS y
+  FROM hourly a JOIN hourly l ON a.g = l.g AND a.b = l.b + 168),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_scored,
+         sum(CAST(abs(e) AS DECIMAL(38,10))) AS sae,
+         sum(CAST(e * e AS DECIMAL(38,10))) AS sse,
+         sum(CAST(e AS DECIMAL(38,10))) AS se,
+         CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nz,
+         sum(CASE WHEN y <> 0
+                  THEN CAST(abs(e / y) AS DECIMAL(38,10)) END) AS sape
+  FROM scored GROUP BY 1)
+SELECT g AS event_type, n_scored,
+  floor(CAST(sae AS DOUBLE) / CAST(n_scored AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mae,
+  floor(sqrt(CAST(sse AS DOUBLE) / CAST(n_scored AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS rmse,
+  floor(CAST(se AS DOUBLE) / CAST(n_scored AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS bias,
+  CASE WHEN n_nz > 0 THEN
+    floor(CAST(sape AS DOUBLE) / CAST(n_nz AS DOUBLE)
+          * 1000000.0 + 0.5) / 1000000.0 END AS mape
+FROM agg ORDER BY event_type
+""", priority=PRI_TAIL)
+def q218_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal-naive forecast backtest per event type
+    (operators/timeseries.forecast_backtest_naive) — MAE/RMSE/bias/
+    MAPE of the ŷ(t)=y(t−168 h) persistence baseline every grid load
+    forecaster must beat. Exact decimal interval loads, keyed
+    (group, bucket−168) self equi-join (no window, no sort), decimal
+    error sums, IEEE-exact sqrt, floor6 metrics. Round-10c born:
+    PRI_TAIL until the round-11 rotation."""
+    return ts.forecast_backtest_naive(load_events(spark, sf_dir))
+
+
+@register("q219_state_durations", """
+WITH base AS (
+  SELECT event_type AS state, epoch(ts) AS t,
+         lead(epoch(ts)) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS t_next
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL),
+durs AS (SELECT state, round(t_next - t, 6) AS dur FROM base
+         WHERE t_next IS NOT NULL),
+agg AS (SELECT state, CAST(count(*) AS BIGINT) AS n_intervals,
+               sum(CAST(dur AS DECIMAL(38,10))) AS tot,
+               max(dur) AS max_seconds
+        FROM durs GROUP BY 1)
+SELECT state, n_intervals, CAST(tot AS DOUBLE) AS total_seconds,
+       floor(CAST(tot AS DOUBLE) / CAST(n_intervals AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_seconds,
+       max_seconds
+FROM agg ORDER BY state
+""", priority=PRI_TAIL)
+def q219_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state dwell report per event type
+    (operators/timeseries.state_durations) — the duration-weighted
+    complement to q147's Markov transition counts: exact epoch
+    interval lengths from one user-keyed lead window (deterministic
+    (ts, event_id) order), right-censored last events dropped, decimal
+    total sums. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    return ts.state_durations(load_events(spark, sf_dir))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -9025,17 +9100,22 @@ def q217_canonicalize_labels(spark: SparkSession, sf_dir: str
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 15 round-10b-born queries
-# q191-q205 (ANOVA, Kruskal-Wallis, cross-correlation, Mann-Kendall,
-# NDCG, streaming heavy hitters, Hellinger/TV, tokenizer fertility,
-# streaming KS drift, Brown-Forsythe, quantile normalize, sequence
-# trigrams, association rules, seasonal quantile bands, k-core) to
-# PRI_HEAD and demote 15 of the
-# freshly-recorded round-10 head (q105-q112 retained pool first, then
-# the oldest of q150+). All 15 are oracle-paired, strict-compared at
-# sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact at
-# sf0.1 in PARITY_sf0.1_r10.json — the driver record is the only
-# missing evidence tier.
+# CORRECTNESS_r10 lands green): promote the 27 round-10-born queries
+# q191-q217 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
+# Hellinger/TV, tokenizer fertility, streaming KS drift,
+# Brown-Forsythe, quantile normalize, sequence trigrams, association
+# rules, seasonal quantile bands, k-core) plus the 10c cohort
+# q206-q217 (fuzzy dictionary match, grid nearest join,
+# load/coincidence factors, change-point, DQ expectations, exceedance
+# report, OLS trend, streaming quantile monitor, n-gram cosine pairs,
+# RFM scores, class balance, label canonicalization) — to PRI_HEAD
+# and demote 27 of the freshly-recorded round-10 head (q105-q112
+# retained pool first, then the oldest of q125/q150+). All 27 are
+# oracle-paired, strict-compared at sf0.001+sf0.01 by
+# tests/test_tail_query_parity.py, and hash-exact at sf0.1 in the
+# committed PARITY sweep — the driver record is the only missing
+# evidence tier.
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)

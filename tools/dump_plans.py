@@ -159,6 +159,20 @@ SCALAR_BROADCAST_INTENDED = {
     # bounded (30 days = 435 pairs at ANY corpus scale), never
     # corpus-bounded; plus 1-row Sen-median and tie-frame crosses
     "q194_mann_kendall",
+    # round 10c: q206/q217's max_dict_size guard is a 1-row dictionary
+    # count broadcast onto the |V|-bounded pair frame (q203's guard
+    # shape); q217 additionally inherits it via _fuzzy_dict_candidates
+    "q206_fuzzy_dict_match", "q217_canonicalize_labels",
+    # round 10c: q208's system peak / Σ-peaks frame and q209's total
+    # (S, n) frame are 1-row broadcasts onto |groups|- / |days|-sized
+    # frames — how the global statistic reaches the plan sans collect
+    "q208_load_coincidence", "q209_changepoint",
+    # round 10c: q214's corpus doc count N is the q77 1-row idf join
+    "q214_ngram_cosine_pairs",
+    # round 10c: q215's reference time + three 1-row quintile-threshold
+    # frames broadcast onto the per-customer frame; q216's minority
+    # class size is a 1-row minimum onto the rank filter
+    "q215_rfm_scores", "q216_class_balance",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
@@ -210,6 +224,7 @@ def _streaming_variants(spark, sf):
         q190_stream_frame,
         q196_stream_frame,
         q199_stream_frame,
+        q213_stream_frame,
     )
 
     return {
@@ -220,6 +235,7 @@ def _streaming_variants(spark, sf):
         "q190_streaming_auc": q190_stream_frame(spark, sf),
         "q196_streaming_heavy_hitters": q196_stream_frame(spark, sf),
         "q199_streaming_ks_drift": q199_stream_frame(spark, sf),
+        "q213_streaming_quantile": q213_stream_frame(spark, sf),
     }
 
 
@@ -297,9 +313,43 @@ def _iterative_variants(spark, sf):
                    .join(kkeep.withColumnRenamed("node", "v"), "v", "semi")
                    .select("u", "v"))
 
+    # q217 canonicalize_labels: CC loop over the fuzzy dictionary graph
+    # + canonical pick — audit ONE star alternation on the candidate
+    # edges plus the support-weighted canonical projection (the q184
+    # one-alternation discipline; the loop's collect-per-round and
+    # localCheckpoints are no-op'd here and would unroll unboundedly).
+    from powerdatapipeline_spark.operators.dedup import \
+        _fuzzy_dict_candidates
+
+    part = _t(spark, sf, "part")
+    fcand = _fuzzy_dict_candidates(part, "p_name", 2, 200_000)
+    fedges = fcand.select(F.col("value_a").alias("src"),
+                          F.col("value_b").alias("dst"))
+    fone = _cc_small_star(_cc_large_star(_cc_canonical(fedges)))
+    flabels = (fone.select(F.col("v").alias("node"),
+                           F.col("u").alias("label"))
+               .union(fone.select(F.col("u").alias("node"),
+                                  F.col("u").alias("label")))
+               .groupBy("node").agg(F.min("label").alias("label")))
+    fcounts = (part.select(F.col("p_name").alias("node"))
+               .where(F.col("node").isNotNull())
+               .groupBy("node")
+               .agg(F.count("*").cast("bigint").alias("n")))
+    fmember = flabels.join(fcounts, "node")
+    wq = W.partitionBy("label").orderBy(F.desc("n"), F.asc("node"))
+    fcanon = (fmember.withColumn("__rn", F.row_number().over(wq))
+              .where(F.col("__rn") == 1)
+              .select("label", F.col("node").alias("canonical")))
+    fsize = fmember.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("cluster_size"))
+    canon_frame = (fmember.join(fcanon, "label").join(fsize, "label")
+                   .select(F.col("node").alias("value"), "n",
+                           "canonical", "cluster_size"))
+
     return {"q184_connected_components": labels,
             "q185_bpe_train": bpe_round,
-            "q205_k_core": kcore_round}
+            "q205_k_core": kcore_round,
+            "q217_canonicalize_labels": canon_frame}
 
 
 def plan_summary(df) -> tuple[list[str], list[str], list[str]]:
