@@ -1132,3 +1132,24 @@ def class_balance(df: DataFrame, label_col: str, id_col: str,
             .where(F.col("draw_rank") <= F.col("__m"))
             .select(F.col(id_col), F.col(label_col), "draw_rank")
             .orderBy(label_col, id_col))
+
+
+def kfold_report(df: DataFrame, id_col: str, label_col: str,
+                 k: int = 5, salt: str = "kfold") -> DataFrame:
+    """Deterministic k-fold assignment + balance report — the
+    cross-validation split a training pipeline needs to be
+    reproducible across runs, engines and re-shuffles: fold =
+    md5-prefix(salt ‖ id) mod k (the :func:`_md5_prefix_bigint`
+    primitive behind hash_bucket/q62 — no RNG state, no global sort),
+    reported as (fold, label, n) counts so class balance per fold is
+    auditable before training. Pure narrow map + one
+    map-side-combined count shuffle on (fold, label) — |k × labels|
+    output rows at any corpus scale. Returns ``(fold, label, n)``."""
+    fold = F.pmod(_md5_prefix_bigint(F.col(id_col), salt, 15),
+                  F.lit(k)).cast("int")
+    return (df.where(F.col(id_col).isNotNull()
+                     & F.col(label_col).isNotNull())
+            .select(fold.alias("fold"), F.col(label_col).alias("label"))
+            .groupBy("fold", "label")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .orderBy("fold", "label"))

@@ -1937,3 +1937,50 @@ def quantiles_from_value_counts(per: DataFrame,
         aggs.append(F.min(F.when(F.col("cum") >= pos, F.col("__v")))
                     .alias(name))
     return staged.agg(*aggs)
+
+
+def lorenz_deciles(df: DataFrame, entity_col: str,
+                   amount_col: str) -> DataFrame:
+    """Lorenz-curve decile table — the concentration CURVE behind a
+    Gini number (q189 reports the scalar; this reports the ten points
+    an analyst actually plots): after reducing to exact per-entity
+    totals, the bottom d×10 % of entities (by spend, ascending) hold
+    what share of total spend?
+
+    Parity/scale design: per-entity totals are exact decimal sums,
+    6-rounded to doubles so the distinct-value count frame is engine-
+    identical; cumulative counts AND cumulative spend are windows over
+    the |distinct values| frame only; each decile row is a pure
+    monotone aggregate (min cum ≥ position — no join-back), positions
+    are exact integer arithmetic. Returns ``(decile, cum_entities,
+    cum_share)`` — cum_share floor6, 10 rows."""
+    per_entity = (df.where(F.col(entity_col).isNotNull()
+                           & F.col(amount_col).isNotNull())
+                  .groupBy(entity_col)
+                  .agg(F.round(F.sum(F.col(amount_col)
+                                     .cast("decimal(38,10)"))
+                               .cast("double"), 6).alias("v")))
+    per_v = (per_entity.groupBy("v")
+             .agg(F.count("*").cast("bigint").alias("c"),
+                  F.sum(F.col("v").cast("decimal(38,10)")).alias("s")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = per_v.agg(F.sum("c").cast("bigint").alias("n"),
+                    F.sum("s").alias("tot"))
+    staged = (per_v.withColumn("cumc", F.sum("c").over(w))
+              .withColumn("cums", F.sum("s").over(w))
+              .crossJoin(F.broadcast(tot))
+              .withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(10))))
+              .where(F.col("cumc") >= F.floor(
+                  (F.col("d") * F.col("n") + 9).cast("double")
+                  / F.lit(10.0))))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (staged.groupBy("d")
+            .agg(F.min("cumc").cast("bigint").alias("cum_entities"),
+                 fl6(F.min("cums").cast("double")
+                     / F.max(F.col("tot").cast("double")))
+                 .alias("cum_share"))
+            .select(F.col("d").cast("int").alias("decile"),
+                    "cum_entities", "cum_share")
+            .orderBy("decile"))

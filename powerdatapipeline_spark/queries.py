@@ -9090,6 +9090,68 @@ def q219_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.state_durations(load_events(spark, sf_dir))
 
 
+@register("q220_lorenz_deciles", """
+WITH pe AS (
+  SELECT o_custkey,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                    AS DOUBLE), 6) AS v
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1),
+pv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+              sum(CAST(v AS DECIMAL(38,10))) AS s
+       FROM pe GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, sum(s) AS tot FROM pv),
+staged AS (
+  SELECT v,
+         sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cumc,
+         sum(s) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cums
+  FROM pv),
+dd AS (SELECT unnest(generate_series(1, 10)) AS d)
+SELECT CAST(d AS INT) AS decile,
+       CAST(min(cumc) AS BIGINT) AS cum_entities,
+       floor(CAST(min(cums) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+FROM staged, tot, dd
+WHERE cumc >= floor(CAST(d * n + 9 AS DOUBLE) / 10.0)
+GROUP BY d ORDER BY decile
+""", priority=PRI_TAIL)
+def q220_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend concentration
+    (operators/stats.lorenz_deciles) — the ten cumulative-share points
+    behind q189's Gini scalar: bottom d×10 % of customers hold what
+    share of revenue? Exact decimal per-customer totals (6-rounded),
+    cumulative windows on the |distinct values| frame only, decile
+    rows as pure monotone aggregates — no join-back, no global
+    per-entity sort. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.lorenz_deciles(_t(spark, sf_dir, "orders"),
+                             "o_custkey", "o_totalprice")
+
+
+@register("q221_kfold_report", """
+SELECT CAST(CAST(('0x' || substr(md5('kfold' || CAST(vec_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) % 5 AS INT) AS fold,
+       label, CAST(count(*) AS BIGINT) AS n
+FROM embeddings
+WHERE vec_id IS NOT NULL AND label IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""", priority=PRI_TAIL)
+def q221_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment + class-balance report over the
+    embedding set (operators/relational.kfold_report) — reproducible
+    cross-validation folds from the md5-prefix hash primitive (q62's
+    hash_bucket discipline; no RNG, no sort), counts per (fold, label)
+    so imbalance is auditable before training. Pure narrow map + one
+    map-side-combined count shuffle. Round-10c born: PRI_TAIL until
+    the round-11 rotation."""
+    return rel.kfold_report(_t(spark, sf_dir, "embeddings"),
+                            "vec_id", "label", k=5)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

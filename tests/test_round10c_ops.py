@@ -352,3 +352,90 @@ class TestCanonicalizeLabels:
             [Row(v="red bolt"), Row(v="rad bolt")])
         out = dd.canonicalize_labels(df, "v", max_dist=2).collect()
         assert all(r["canonical"] == "rad bolt" for r in out)
+
+
+class TestForecastBacktest:
+    def test_hand_weekly_naive(self, spark):
+        h = 3600.0
+        rows = [(0, 10.0), (1, 5.0), (168, 12.0), (169, 5.0)]
+        df = spark.createDataFrame(
+            [Row(event_type="a", ts=b * h + 1.0, value=v)
+             for b, v in rows])
+        out = ts.forecast_backtest_naive(df).collect()[0]
+        # scored pairs: (b168 vs b0): e=2, (b169 vs b1): e=0
+        assert out["n_scored"] == 2
+        assert out["mae"] == pytest.approx(1.0, abs=1e-6)
+        assert out["rmse"] == pytest.approx(math.sqrt(2.0), abs=1e-6)
+        assert out["bias"] == pytest.approx(1.0, abs=1e-6)
+        assert out["mape"] == pytest.approx((2 / 12 + 0) / 2, abs=1e-6)
+
+    def test_no_pairs_group_absent(self, spark):
+        df = spark.createDataFrame(
+            [Row(event_type="a", ts=0.0, value=1.0)])
+        assert ts.forecast_backtest_naive(df).collect() == []
+
+
+class TestStateDurations:
+    def test_hand_intervals(self, spark):
+        rows = [(1, 0.0, "A", 1), (1, 10.0, "B", 2), (1, 25.0, "A", 3),
+                (2, 0.0, "B", 4), (2, 5.0, "B", 5)]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=s, event_id=e)
+             for u, t, s, e in rows])
+        out = {r["state"]: r for r in ts.state_durations(df).collect()}
+        # last event per user is right-censored and dropped
+        assert out["A"]["n_intervals"] == 1
+        assert out["A"]["total_seconds"] == 10.0
+        assert out["B"]["n_intervals"] == 2
+        assert out["B"]["total_seconds"] == 20.0
+        assert out["B"]["mean_seconds"] == pytest.approx(10.0, abs=1e-6)
+        assert out["B"]["max_seconds"] == 15.0
+
+    def test_tiebreak_orders_equal_timestamps(self, spark):
+        rows = [(1, 0.0, "A", 2), (1, 0.0, "B", 1), (1, 5.0, "C", 3)]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=s, event_id=e)
+             for u, t, s, e in rows])
+        out = {r["state"]: r for r in ts.state_durations(df).collect()}
+        # order is (ts, event_id): B(0) -> A(0) -> C(5)
+        assert out["B"]["total_seconds"] == 0.0
+        assert out["A"]["total_seconds"] == 5.0
+        assert "C" not in out
+
+
+class TestLorenzDeciles:
+    def test_hand_curve(self, spark):
+        df = spark.createDataFrame(
+            [Row(e=i, amt=float(i)) for i in (1, 2, 3, 4)])
+        out = {r["decile"]: r for r in
+               st.lorenz_deciles(df, "e", "amt").collect()}
+        assert len(out) == 10
+        assert (out[1]["cum_entities"], out[1]["cum_share"]) == (1, 0.1)
+        assert (out[3]["cum_entities"], out[3]["cum_share"]) == (2, 0.3)
+        assert (out[6]["cum_entities"], out[6]["cum_share"]) == (3, 0.6)
+        assert (out[8]["cum_entities"], out[8]["cum_share"]) == (4, 1.0)
+        assert out[10]["cum_share"] == 1.0
+
+    def test_multiple_rows_per_entity_summed(self, spark):
+        df = spark.createDataFrame(
+            [Row(e=1, amt=0.5), Row(e=1, amt=0.5),
+             Row(e=2, amt=9.0)])
+        out = {r["decile"]: r for r in
+               st.lorenz_deciles(df, "e", "amt").collect()}
+        assert out[5]["cum_share"] == pytest.approx(0.1, abs=1e-6)
+        assert out[10]["cum_share"] == 1.0
+
+
+class TestKfoldReport:
+    def test_partition_and_determinism(self, spark):
+        import hashlib
+        df = spark.createDataFrame(
+            [Row(id=i, label=i % 3) for i in range(60)])
+        out = rel.kfold_report(df, "id", "label", k=5).collect()
+        assert sum(r["n"] for r in out) == 60
+        assert {r["fold"] for r in out} <= set(range(5))
+        # engine-portable hash pin for one id
+        f0 = int(hashlib.md5(b"kfold7").hexdigest()[:15], 16) % 5
+        got = {(r["fold"], r["label"]): r["n"] for r in out}
+        assert any(f == f0 and lb == 7 % 3 for (f, lb) in got)
+        assert out == rel.kfold_report(df, "id", "label", k=5).collect()
