@@ -1153,3 +1153,44 @@ def kfold_report(df: DataFrame, id_col: str, label_col: str,
             .groupBy("fold", "label")
             .agg(F.count("*").cast("bigint").alias("n"))
             .orderBy("fold", "label"))
+
+
+def reconciliation_audit(header: DataFrame, lines: DataFrame,
+                         key: str, header_total: str,
+                         line_amount, top_k: int = 25) -> DataFrame:
+    """Header/line financial reconciliation — the cross-table
+    consistency audit a warehouse runs before trusting a feed: does
+    each header's declared total match the recomputed sum of its line
+    amounts, and which keys diverge worst? (The FK audit q144 checks
+    EXISTENCE; this checks ARITHMETIC.)
+
+    ``line_amount`` is a Column expression over ``lines`` (e.g.
+    extendedprice·(1−discount)·(1+tax)). Parity/scale: the per-line
+    amount is computed in double (identical IEEE in both engines),
+    6-rounded, then decimal(38,10)-summed per key — one keyed shuffle
+    of the fact table, header side joins by key. Missing-line headers
+    reconcile against 0 (full audit semantics via left join). Returns
+    the ``top_k`` worst ``(key, declared, recomputed, diff)`` by
+    (|diff| desc, key) — a total order."""
+    recomputed = (lines
+                  .groupBy(F.col(key))
+                  .agg(F.sum(F.round(line_amount, 6)
+                             .cast("decimal(38,10)")).alias("__rc")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    joined = (header.select(F.col(key),
+                            F.col(header_total).cast("double")
+                            .alias("declared"))
+              .join(recomputed, key, "left")
+              .select(key, "declared",
+                      F.coalesce(F.col("__rc").cast("double"),
+                                 F.lit(0.0)).alias("recomputed")))
+    diff = F.col("declared") - F.col("recomputed")
+    return (joined
+            .select(key, fl6(F.col("declared")).alias("declared"),
+                    fl6(F.col("recomputed")).alias("recomputed"),
+                    fl6(diff).alias("diff"),
+                    F.abs(diff).alias("__ad"))
+            .orderBy(F.desc("__ad"), F.asc(key))
+            .limit(top_k)
+            .drop("__ad"))

@@ -1984,3 +1984,66 @@ def state_durations(df: DataFrame, ts_col: str = "ts",
                     .alias("mean_seconds"),
                     "max_seconds")
             .orderBy("state"))
+
+
+def last_touch_attribution(df: DataFrame, ts_col: str = "ts",
+                           key_col: str = "user_id",
+                           type_col: str = "event_type",
+                           value_col: str = "value",
+                           conversion: str = "purchase",
+                           touches: tuple = ("view", "click"),
+                           window_seconds: int = 7200) -> DataFrame:
+    """Last-touch conversion attribution — every conversion credits
+    the user's most recent touch event within ``window_seconds``
+    (marketing's default attribution model; the funnel/q109 tells you
+    THAT users convert, this tells you which channel gets the
+    credit).
+
+    The as-of machinery (q37's union + carried-window discipline —
+    NEVER a per-conversion range join): touches and conversions
+    union-tag into one frame, one user-keyed window ordered by
+    (ts, kind, tiebreak) carries the last touch's type and time
+    forward (touches sort before a same-instant conversion, so a
+    simultaneous touch is creditable), then each conversion checks the
+    carried touch against the window. Exact decimal value sums.
+    Returns one row per channel — the two touch types plus
+    ``'(none)'`` for out-of-window/never-touched conversions:
+    ``(channel, n_conversions, total_value)`` ordered by channel."""
+    e = F.col(ts_col).cast("double")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(key_col).isNotNull()
+                     & F.col(type_col).isNotNull())
+            .where(F.col(type_col).isin(*touches, conversion)))
+    tagged = base.select(
+        F.col(key_col).alias("k"), e.alias("t"),
+        F.when(F.col(type_col) == conversion, 1).otherwise(0)
+        .alias("kind"),
+        F.when(F.col(type_col) != conversion, F.col(type_col))
+        .alias("touch_type"),
+        F.when(F.col(type_col) == conversion,
+               F.coalesce(F.col(value_col).cast("double"), F.lit(0.0)))
+        .alias("v"),
+        F.col("event_id").alias("__tb"))
+    w = (Window.partitionBy("k")
+         .orderBy(F.col("t").asc(), F.col("kind").asc(),
+                  F.col("__tb").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (tagged
+               .withColumn("last_touch",
+                           F.last("touch_type", ignorenulls=True).over(w))
+               .withColumn("last_touch_t",
+                           F.last(F.when(F.col("kind") == 0, F.col("t")),
+                                  ignorenulls=True).over(w)))
+    conv = (carried.where(F.col("kind") == 1)
+            .select(F.when(F.col("last_touch").isNotNull()
+                           & (F.col("t") - F.col("last_touch_t")
+                              <= window_seconds),
+                           F.col("last_touch"))
+                    .otherwise(F.lit("(none)")).alias("channel"),
+                    "v"))
+    return (conv.groupBy("channel")
+            .agg(F.count("*").cast("bigint").alias("n_conversions"),
+                 F.round(F.sum(F.round(F.col("v"), 6)
+                               .cast("decimal(38,10)"))
+                         .cast("double"), 6).alias("total_value"))
+            .orderBy("channel"))

@@ -9152,6 +9152,89 @@ def q221_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "vec_id", "label", k=5)
 
 
+@register("q222_last_touch_attribution", """
+WITH base AS (
+  SELECT user_id AS k, epoch(ts) AS t,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+         CASE WHEN event_type <> 'purchase' THEN event_type END
+           AS touch_type,
+         CASE WHEN event_type = 'purchase'
+              THEN coalesce(CAST(value AS DOUBLE), 0.0) END AS v,
+         event_id AS tb
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IN ('view', 'click', 'purchase')),
+carried AS (
+  SELECT *,
+    last_value(touch_type IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, kind, tb
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch,
+    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER
+      (PARTITION BY k ORDER BY t, kind, tb
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch_t
+  FROM base),
+conv AS (
+  SELECT CASE WHEN last_touch IS NOT NULL AND t - last_touch_t <= 7200
+              THEN last_touch ELSE '(none)' END AS channel, v
+  FROM carried WHERE kind = 1)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       round(CAST(sum(CAST(round(v, 6) AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS total_value
+FROM conv GROUP BY 1 ORDER BY 1
+""", priority=PRI_TAIL)
+def q222_last_touch_attribution(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Last-touch conversion attribution over the event stream
+    (operators/timeseries.last_touch_attribution) — every purchase
+    credits the user's most recent view/click within 2 h, out-of-
+    window conversions land in '(none)'. The q37 as-of discipline
+    (union-tag + one user-keyed carried window, touches ordered
+    before same-instant conversions) — never a per-conversion range
+    join. Exact decimal value sums. Round-10c born: PRI_TAIL until
+    the round-11 rotation."""
+    return ts.last_touch_attribution(load_events(spark, sf_dir))
+
+
+@register("q223_reconciliation_audit", """
+WITH rc AS (
+  SELECT l_orderkey,
+         sum(CAST(round(CAST(l_extendedprice AS DOUBLE)
+                        * (1.0 - CAST(l_discount AS DOUBLE))
+                        * (1.0 + CAST(l_tax AS DOUBLE)), 6)
+                  AS DECIMAL(38,10))) AS rcv
+  FROM lineitem GROUP BY 1),
+joined AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS declared,
+         coalesce(CAST(rcv AS DOUBLE), 0.0) AS recomputed
+  FROM orders LEFT JOIN rc ON rc.l_orderkey = orders.o_orderkey)
+SELECT o_orderkey,
+       floor(declared * 1000000.0 + 0.5) / 1000000.0 AS declared,
+       floor(recomputed * 1000000.0 + 0.5) / 1000000.0 AS recomputed,
+       floor((declared - recomputed) * 1000000.0 + 0.5) / 1000000.0
+         AS diff
+FROM joined
+ORDER BY abs(declared - recomputed) DESC, o_orderkey LIMIT 25
+""", priority=PRI_TAIL)
+def q223_reconciliation_audit(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Order-vs-lineitem financial reconciliation
+    (operators/relational.reconciliation_audit) — the arithmetic
+    consistency audit beside q144's FK existence audit: recompute
+    each order's total as Σ extendedprice·(1−discount)·(1+tax) over
+    its lines (per-line double, 6-rounded, decimal-summed — one keyed
+    fact shuffle) and rank the 25 worst |declared − recomputed|
+    divergences. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"))
+    amount = (F.col("l_extendedprice").cast("double")
+              * (F.lit(1.0) - F.col("l_discount").cast("double"))
+              * (F.lit(1.0) + F.col("l_tax").cast("double")))
+    return rel.reconciliation_audit(
+        _t(spark, sf_dir, "orders"), li, "o_orderkey",
+        "o_totalprice", amount)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

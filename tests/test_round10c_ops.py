@@ -439,3 +439,68 @@ class TestKfoldReport:
         got = {(r["fold"], r["label"]): r["n"] for r in out}
         assert any(f == f0 and lb == 7 % 3 for (f, lb) in got)
         assert out == rel.kfold_report(df, "id", "label", k=5).collect()
+
+
+class TestLastTouchAttribution:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=et, value=v, event_id=e)
+             for u, t, et, v, e in rows],
+            schema="user_id long, ts double, event_type string, "
+                   "value double, event_id long")
+
+    def test_hand_attribution(self, spark):
+        rows = [
+            (1, 0.0, "view", None, 1),
+            (1, 100.0, "click", None, 2),
+            (1, 200.0, "purchase", 50.0, 3),     # -> click
+            (2, 0.0, "view", None, 4),
+            (2, 8000.0, "purchase", 30.0, 5),    # touch too old -> none
+            (3, 10.0, "purchase", 20.0, 6),      # never touched -> none
+        ]
+        out = {r["channel"]: r for r in ts.last_touch_attribution(
+            self._ev(spark, rows)).collect()}
+        assert out["click"]["n_conversions"] == 1
+        assert out["click"]["total_value"] == 50.0
+        assert out["(none)"]["n_conversions"] == 2
+        assert out["(none)"]["total_value"] == 50.0
+        assert "view" not in out
+
+    def test_same_instant_touch_credits(self, spark):
+        rows = [(1, 100.0, "view", None, 1),
+                (1, 100.0, "purchase", 10.0, 2)]
+        out = ts.last_touch_attribution(self._ev(spark, rows)).collect()
+        assert out[0]["channel"] == "view"
+
+    def test_null_purchase_value_counts_as_zero(self, spark):
+        rows = [(1, 0.0, "click", None, 1),
+                (1, 10.0, "purchase", None, 2)]
+        out = ts.last_touch_attribution(self._ev(spark, rows)).collect()
+        assert out[0]["n_conversions"] == 1
+        assert out[0]["total_value"] == 0.0
+
+
+class TestReconciliationAudit:
+    def test_hand_diffs(self, spark):
+        hdr = spark.createDataFrame(
+            [Row(k=1, total=100.0), Row(k=2, total=50.0),
+             Row(k=3, total=7.5)])
+        lines = spark.createDataFrame(
+            [Row(k=1, amt=60.0), Row(k=1, amt=40.0),   # exact match
+             Row(k=2, amt=45.0)])                      # 5 short
+        out = rel.reconciliation_audit(
+            hdr, lines, "k", "total", F.col("amt")).collect()
+        # worst first: k=3 has NO lines (diff 7.5), then k=2 (5), k=1 (0)
+        assert [(r["k"], r["diff"]) for r in out] \
+            == [(3, 7.5), (2, 5.0), (1, 0.0)]
+        assert out[0]["recomputed"] == 0.0
+
+    def test_expression_amount(self, spark):
+        hdr = spark.createDataFrame([Row(k=1, total=110.0)])
+        lines = spark.createDataFrame(
+            [Row(k=1, price=100.0, disc=0.0, tax=0.1)])
+        amount = (F.col("price") * (F.lit(1.0) - F.col("disc"))
+                  * (F.lit(1.0) + F.col("tax")))
+        out = rel.reconciliation_audit(
+            hdr, lines, "k", "total", amount).collect()
+        assert out[0]["diff"] == pytest.approx(0.0, abs=1e-6)
