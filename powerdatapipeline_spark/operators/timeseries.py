@@ -2047,3 +2047,91 @@ def last_touch_attribution(df: DataFrame, ts_col: str = "ts",
                                .cast("decimal(38,10)"))
                          .cast("double"), 6).alias("total_value"))
             .orderBy("channel"))
+
+
+def time_to_convert(df: DataFrame, ts_col: str = "ts",
+                    key_col: str = "user_id",
+                    type_col: str = "event_type",
+                    start_type: str = "view",
+                    convert_type: str = "purchase") -> DataFrame:
+    """Time-to-convert distribution — the LATENCY companion to q109's
+    funnel COUNTS: per user, seconds from the first ``start_type``
+    event to the first ``convert_type`` event at-or-after it; report
+    the converter count with exact p50/p90 and the mean.
+
+    One conditional-min aggregate per user (no window), durations
+    6-rounded (microsecond-lossless, the q219 recipe), quantiles from
+    the shared per-distinct-value count-frame finalizer
+    (stats.quantiles_from_value_counts — |distinct| frame only), mean
+    from the decimal sum. Returns ONE row ``(n_converted, q_50, q_90,
+    mean_seconds)``."""
+    from powerdatapipeline_spark.operators.stats import \
+        quantiles_from_value_counts
+
+    e = F.col(ts_col).cast("double")
+    per_user = (df.where(F.col(ts_col).isNotNull()
+                         & F.col(key_col).isNotNull()
+                         & F.col(type_col).isin(start_type, convert_type))
+                .groupBy(key_col)
+                .agg(F.min(F.when(F.col(type_col) == start_type, e))
+                     .alias("t0")))
+    firsts = (df.where(F.col(ts_col).isNotNull()
+                       & F.col(key_col).isNotNull()
+                       & (F.col(type_col) == convert_type))
+              .select(F.col(key_col), e.alias("tc")))
+    durs = (per_user.where(F.col("t0").isNotNull())
+            .join(firsts, key_col)
+            .where(F.col("tc") >= F.col("t0"))
+            .groupBy(key_col)
+            .agg(F.round(F.min("tc") - F.max("t0"), 6).alias("dur")))
+    per = durs.groupBy(F.col("dur").alias("__v")).agg(
+        F.count("*").cast("bigint").alias("c"))
+    q = quantiles_from_value_counts(per, qs=(0.5, 0.9)) \
+        .withColumnRenamed("n", "n_converted")
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    mean = durs.agg(fl6(F.sum(F.col("dur").cast("decimal(38,10)"))
+                        .cast("double") / F.count("*"))
+                    .alias("mean_seconds"))
+    return q.crossJoin(F.broadcast(mean))
+
+
+def cohort_ltv(df: DataFrame, ts_col: str = "ts",
+               key_col: str = "user_id", type_col: str = "event_type",
+               value_col: str = "value",
+               convert_type: str = "purchase",
+               bucket_seconds: int = 604800) -> DataFrame:
+    """Cohort lifetime-value curve — the REVENUE companion to q110's
+    retention COUNTS: users cohort by the week of their first event
+    (any type), and each cohort's purchase revenue is laid out by age
+    in weeks — the (cohort × age) triangle a growth team reads LTV
+    payback from.
+
+    One min-aggregate per user (cohort assignment), one keyed join of
+    the purchase stream against it (no window), exact decimal revenue
+    sums, exact BIGINT buyer distincts. Returns ``(cohort_week,
+    age_weeks, n_buyers, revenue)`` ordered by (cohort_week,
+    age_weeks)."""
+    e = F.col(ts_col).cast("double")
+    t0 = (df.where(F.col(ts_col).isNotNull()
+                   & F.col(key_col).isNotNull())
+          .groupBy(key_col)
+          .agg(F.floor(F.min(e) / F.lit(float(bucket_seconds)))
+               .cast("bigint").alias("cohort_week")))
+    buys = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(key_col).isNotNull()
+                     & (F.col(type_col) == convert_type)
+                     & F.col(value_col).isNotNull())
+            .select(F.col(key_col),
+                    F.floor(e / F.lit(float(bucket_seconds)))
+                    .cast("bigint").alias("w"),
+                    F.col(value_col).cast("double").alias("v")))
+    return (buys.join(t0, key_col)
+            .groupBy("cohort_week",
+                     (F.col("w") - F.col("cohort_week"))
+                     .alias("age_weeks"))
+            .agg(F.count_distinct(F.col(key_col)).cast("bigint")
+                 .alias("n_buyers"),
+                 F.round(F.sum(F.col("v").cast("decimal(38,10)"))
+                         .cast("double"), 6).alias("revenue"))
+            .orderBy("cohort_week", "age_weeks"))

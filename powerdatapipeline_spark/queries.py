@@ -9235,6 +9235,83 @@ def q223_reconciliation_audit(spark: SparkSession, sf_dir: str
         "o_totalprice", amount)
 
 
+@register("q224_time_to_convert", """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS t0
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IN ('view', 'purchase')
+  GROUP BY 1),
+fp AS (SELECT user_id, epoch(ts) AS tc FROM events
+       WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         AND event_type = 'purchase'),
+durs AS (
+  SELECT pu.user_id, round(min(tc) - max(t0), 6) AS dur
+  FROM pu JOIN fp USING (user_id)
+  WHERE t0 IS NOT NULL AND tc >= t0
+  GROUP BY 1),
+per AS (SELECT dur AS v, CAST(count(*) AS BIGINT) AS c
+        FROM durs GROUP BY 1),
+cum AS (SELECT v,
+               sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+        FROM per),
+qq AS (SELECT CAST(max(n) AS BIGINT) AS n_converted,
+  min(CASE WHEN cum >= floor(0.5 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_50,
+  min(CASE WHEN cum >= floor(0.9 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+           THEN v END) AS q_90
+  FROM cum),
+m AS (SELECT floor(CAST(sum(CAST(dur AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0
+        AS mean_seconds
+      FROM durs)
+SELECT n_converted, q_50, q_90, mean_seconds FROM qq, m
+""", priority=PRI_TAIL)
+def q224_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution
+    (operators/timeseries.time_to_convert) — seconds from each user's
+    first view to their first purchase at-or-after it: converter
+    count, exact p50/p90 (shared count-frame quantile finalizer,
+    stats.quantiles_from_value_counts) and decimal-exact mean. The
+    latency companion to q109's funnel counts; durations 6-rounded
+    before the decimal cast (the q219 recipe). Round-10c born:
+    PRI_TAIL until the round-11 rotation."""
+    return ts.time_to_convert(load_events(spark, sf_dir))
+
+
+@register("q225_cohort_ltv", """
+WITH t0 AS (
+  SELECT user_id,
+         CAST(floor(min(epoch(ts)) / 604800.0) AS BIGINT) AS cohort_week
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1),
+buys AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS w,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type = 'purchase' AND value IS NOT NULL)
+SELECT cohort_week, w - cohort_week AS age_weeks,
+       CAST(count(DISTINCT buys.user_id) AS BIGINT) AS n_buyers,
+       round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE), 6)
+         AS revenue
+FROM buys JOIN t0 USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""", priority=PRI_TAIL)
+def q225_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV triangle (operators/timeseries.cohort_ltv) —
+    purchase revenue by (first-seen cohort week × age in weeks), the
+    revenue companion to q110's retention counts: one per-user
+    min-aggregate for cohort assignment, one keyed join of the
+    purchase stream, exact decimal revenue and BIGINT buyer
+    distincts. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    return ts.cohort_ltv(load_events(spark, sf_dir))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

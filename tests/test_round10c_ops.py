@@ -504,3 +504,42 @@ class TestReconciliationAudit:
         out = rel.reconciliation_audit(
             hdr, lines, "k", "total", amount).collect()
         assert out[0]["diff"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestTimeToConvert:
+    def test_hand_latency(self, spark):
+        rows = [(1, 0.0, "view"), (1, 100.0, "purchase"),
+                (1, 50.0, "purchase"),          # earliest at-or-after t0
+                (2, 10.0, "purchase"),          # never viewed -> excluded
+                (3, 100.0, "view"), (3, 50.0, "purchase"),  # pre-view only
+                (4, 0.0, "view"), (4, 200.0, "purchase")]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=et) for u, t, et in rows])
+        out = ts.time_to_convert(df).collect()[0]
+        # durations {50, 200}: nearest-rank p50/p90 both land on 200
+        assert out["n_converted"] == 2
+        assert out["q_50"] == 200.0 and out["q_90"] == 200.0
+        assert out["mean_seconds"] == pytest.approx(125.0, abs=1e-6)
+
+
+class TestCohortLtv:
+    def test_hand_triangle(self, spark):
+        wk = 604800.0
+        rows = [(1, 100.0, "view", None),
+                (1, 200.0, "purchase", 10.0),
+                (1, wk + 5.0, "purchase", 20.0),
+                (2, wk + 1.0, "signup", None),
+                (2, wk + 2.0, "purchase", 5.0)]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=et, value=v)
+             for u, t, et, v in rows],
+            schema="user_id long, ts double, event_type string, "
+                   "value double")
+        out = {(r["cohort_week"], r["age_weeks"]): r
+               for r in ts.cohort_ltv(df).collect()}
+        assert out[(0, 0)]["n_buyers"] == 1
+        assert out[(0, 0)]["revenue"] == 10.0
+        assert out[(0, 1)]["revenue"] == 20.0
+        assert out[(1, 0)]["n_buyers"] == 1
+        assert out[(1, 0)]["revenue"] == 5.0
+        assert len(out) == 3
