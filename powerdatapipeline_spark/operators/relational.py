@@ -1194,3 +1194,147 @@ def reconciliation_audit(header: DataFrame, lines: DataFrame,
             .orderBy(F.desc("__ad"), F.asc(key))
             .limit(top_k)
             .drop("__ad"))
+
+
+def duplicate_transactions(df: DataFrame, key_col: str, ts_col: str,
+                           amount_col: str, max_gap_seconds: float = 600.0,
+                           amount_decimals: int = 6,
+                           top_k: int = 25) -> DataFrame:
+    """Duplicate-transaction detection — the double-charge/double-count
+    screen a billing or metering feed needs (same entity, same amount,
+    seconds apart — retries and meter re-sends, not true activity):
+    flag consecutive same-amount events per entity closer than
+    ``max_gap_seconds``.
+
+    NOT a self range-join: rows group by (entity, amount rounded to
+    ``amount_decimals`` — set it to the feed's billing granularity)
+    and ONE lag window ordered by (ts, exact-tie amount order is
+    irrelevant inside the group) finds adjacent-pair gaps — O(n log n)
+    within uniform hash groups, no pair explosion, no time-bucket
+    replication (adjacent-in-group is exactly the candidate set
+    because duplicates share the group key). Returns the ``top_k``
+    tightest ``(key, amount, t_first, t_second, gap_seconds)`` pairs
+    by (gap asc, key, t_first) — a total order."""
+    e = F.col(ts_col).cast("double")
+    v6 = F.round(F.col(amount_col).cast("double"), amount_decimals)
+    w = Window.partitionBy("k", "v").orderBy(F.col("t").asc())
+    pairs = (df.where(F.col(key_col).isNotNull()
+                      & F.col(ts_col).isNotNull()
+                      & F.col(amount_col).isNotNull())
+             .select(F.col(key_col).alias("k"), v6.alias("v"),
+                     e.alias("t"))
+             .withColumn("t_prev", F.lag("t").over(w))
+             .where(F.col("t_prev").isNotNull()
+                    & (F.col("t") - F.col("t_prev") <= max_gap_seconds))
+             .select(F.col("k").alias(key_col), F.col("v").alias("amount"),
+                     F.col("t_prev").alias("t_first"),
+                     F.col("t").alias("t_second"),
+                     F.round(F.col("t") - F.col("t_prev"), 6)
+                     .alias("gap_seconds")))
+    return (pairs.orderBy(F.asc("gap_seconds"), F.asc(key_col),
+                          F.asc("t_first"))
+            .limit(top_k))
+
+
+def abc_classification(df: DataFrame, key_col: str, amount_col: str,
+                       a_cut: float = 0.8, b_cut: float = 0.95
+                       ) -> DataFrame:
+    """ABC (Pareto) classification — the inventory-analytics 80/15/5
+    split: rank entities by revenue descending and bucket them A (the
+    head making up ``a_cut`` of the mass), B (up to ``b_cut``), C
+    (tail); the value whose cumulative share CROSSES a cut opens the
+    next class (deterministic — no fractional splits).
+
+    Scale/parity shape: exact decimal per-entity totals (6-rounded to
+    doubles), then a descending cumulative window over the |distinct
+    revenue| count frame only — entities never globally sort; class
+    comparisons run on doubles derived identically in both engines
+    from exact decimal sums. Returns 3 summary rows ``(abc_class,
+    n_entities, revenue, revenue_share)`` ordered A, B, C (classes
+    with no entities are absent)."""
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    # floor6 everywhere, never round(): per-entity totals sit exactly
+    # where the engines' round() half-boundary behavior diverges (seen
+    # live at sf0.01 on this operator), while the floor expression is
+    # pure IEEE double arithmetic — bit-identical in both engines
+    per_key = (df.where(F.col(key_col).isNotNull()
+                        & F.col(amount_col).isNotNull())
+               .groupBy(key_col)
+               .agg(fl6(F.sum(F.col(amount_col).cast("decimal(38,10)"))
+                        .cast("double")).alias("v")))
+    # scale 6, not 10: v is 6-rounded so DECIMAL(38,6) is lossless,
+    # and at revenue magnitudes (1e6+) a scale-10 cast asks for digits
+    # past double precision — DuckDB then rounds the binary noise
+    # while Spark rounds the shortest repr (observed live: 1e-9 sum
+    # drift at sf0.01). v·10^6 stays exact below 9e9.
+    per_v = (per_key.groupBy("v")
+             .agg(F.count("*").cast("bigint").alias("c"),
+                  F.sum(F.col("v").cast("decimal(38,6)")).alias("s")))
+    w = (Window.orderBy(F.desc("v"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = per_v.agg(F.sum("s").alias("tot"))
+    staged = (per_v.withColumn("cums", F.sum("s").over(w))
+              .crossJoin(F.broadcast(tot))
+              .withColumn("share", F.col("cums").cast("double")
+                          / F.col("tot").cast("double")))
+    cls = (F.when(F.col("share") <= a_cut, "A")
+           .when(F.col("share") <= b_cut, "B").otherwise("C"))
+    # floor6, not round(): at class-total magnitudes (~1e9+) the
+    # engines' round() implementations disagree in the last printed
+    # digit, while the floor(x*1e6+0.5)/1e6 double expression is
+    # bit-identical everywhere
+    return (staged.groupBy(cls.alias("abc_class"))
+            .agg(F.sum("c").cast("bigint").alias("n_entities"),
+                 fl6(F.sum("s").cast("double")).alias("revenue"),
+                 fl6(F.sum("s").cast("double")
+                     / F.max(F.col("tot").cast("double")))
+                 .alias("revenue_share"))
+            .orderBy("abc_class"))
+
+
+def fanout_audit(parent: DataFrame, child: DataFrame,
+                 parent_key: str, child_key: str) -> DataFrame:
+    """FK fan-out audit — the JOIN-SHAPE companion to q144's orphan
+    audit and q154's skew report: for each parent row, how many child
+    rows attach (zero-line parents included via left join), and what
+    does that distribution look like? A fan-out distribution is what
+    predicts join amplification before you run the join at 100 TB.
+
+    One child-side count aggregate keyed by the FK, a broadcast-or-
+    hash left join onto parent keys, then exact nearest-rank p50/p95
+    from the per-distinct-fanout count frame (the q204 discipline —
+    the quantile window sees |distinct fanouts| rows, tiny by nature).
+    Returns ONE row ``(n_parents, n_children, parents_no_children,
+    min_fanout, p50_fanout, p95_fanout, max_fanout, mean_fanout)``."""
+    from powerdatapipeline_spark.operators.stats import \
+        quantiles_from_value_counts
+
+    cc = (child.where(F.col(child_key).isNotNull())
+          .groupBy(F.col(child_key).alias("__k"))
+          .agg(F.count("*").cast("bigint").alias("fan")))
+    per_parent = (parent.where(F.col(parent_key).isNotNull())
+                  .select(F.col(parent_key).alias("__k"))
+                  .join(cc, "__k", "left")
+                  .select(F.coalesce("fan", F.lit(0).cast("bigint"))
+                          .alias("fan")))
+    per = per_parent.groupBy(F.col("fan").cast("double").alias("__v")) \
+        .agg(F.count("*").cast("bigint").alias("c"))
+    q = quantiles_from_value_counts(per, qs=(0.5, 0.95))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    summary = per_parent.agg(
+        F.count("*").cast("bigint").alias("n_parents"),
+        F.sum("fan").cast("bigint").alias("n_children"),
+        F.sum(F.when(F.col("fan") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("parents_no_children"),
+        F.min("fan").cast("bigint").alias("min_fanout"),
+        F.max("fan").cast("bigint").alias("max_fanout"),
+        fl6(F.sum("fan").cast("double") / F.count("*"))
+        .alias("mean_fanout"))
+    return (summary.crossJoin(F.broadcast(q))
+            .select("n_parents", "n_children", "parents_no_children",
+                    "min_fanout",
+                    F.col("q_50").cast("bigint").alias("p50_fanout"),
+                    F.col("q_95").cast("bigint").alias("p95_fanout"),
+                    "max_fanout", "mean_fanout"))

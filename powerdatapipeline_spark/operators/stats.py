@@ -1960,9 +1960,12 @@ def lorenz_deciles(df: DataFrame, entity_col: str,
                   .agg(F.round(F.sum(F.col(amount_col)
                                      .cast("decimal(38,10)"))
                                .cast("double"), 6).alias("v")))
+    # scale 6 (v is 6-rounded, lossless): a scale-10 cast of 1e6+
+    # magnitudes reads digits past double precision, where the two
+    # engines' double->decimal roundings disagree (the q227 lesson)
     per_v = (per_entity.groupBy("v")
              .agg(F.count("*").cast("bigint").alias("c"),
-                  F.sum(F.col("v").cast("decimal(38,10)")).alias("s")))
+                  F.sum(F.col("v").cast("decimal(38,6)")).alias("s")))
     w = (Window.orderBy("v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     tot = per_v.agg(F.sum("c").cast("bigint").alias("n"),

@@ -2443,3 +2443,41 @@ def ngram_cosine_pairs(df: DataFrame, text_col: str = "text",
     res = out.localCheckpoint(eager=True)
     ti.unpersist()
     return res
+
+
+def token_coverage_curve(df: DataFrame, text_col: str = "text",
+                         ks=(1, 2, 5, 10, 20)) -> DataFrame:
+    """Corpus token-mass coverage curve — what share of ALL tokens do
+    the top-k vocabulary terms cover? The tokenizer/vocab-sizing
+    companion to Zipf (q111 fits the slope) and Heaps (q165 fits
+    growth): a fast-saturating curve says a small vocab suffices; a
+    flat one says the tail matters.
+
+    One map-side-combined unigram count (|vocab| rows), a total-order
+    rank window over the vocab frame only (count desc, term asc), one
+    cumulative sum, then each requested k reads off a pure monotone
+    aggregate. Returns ``(k, n_terms, covered_tokens, coverage)``
+    ordered by k — coverage floor6, exact BIGINT token counts."""
+    counts = (_spread(df)
+              .select(F.explode(tokens(text_col)).alias("term"))
+              .groupBy("term")
+              .agg(F.count("*").cast("bigint").alias("c")))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    wc = (Window.orderBy(F.desc("c"), F.asc("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = counts.agg(F.sum("c").cast("bigint").alias("tot"))
+    staged = (counts.withColumn("rk", F.row_number().over(w))
+              .withColumn("cum", F.sum("c").over(wc))
+              .crossJoin(F.broadcast(tot))
+              .withColumn("k", F.explode(F.array(
+                  *[F.lit(int(k)) for k in ks])))
+              .where(F.col("rk") <= F.col("k")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (staged.groupBy("k")
+            .agg(F.max("rk").cast("bigint").alias("n_terms"),
+                 F.max("cum").cast("bigint").alias("covered_tokens"),
+                 fl6(F.max("cum").cast("double")
+                     / F.max(F.col("tot").cast("double")))
+                 .alias("coverage"))
+            .orderBy("k"))

@@ -9,6 +9,12 @@ value-hash matches bit-for-bit):
     ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`` — decimal addition is
     exact, the final decimal→double conversion is identical IEEE rounding in
     both engines. Averages = exact decimal sum / count, divided in double.
+    **Scale rule (round-10c lesson, q227)**: the decimal scale must not ask
+    for digits past double precision — value·10^scale must stay ≲ 2^53, or
+    DuckDB (which rounds the exact binary expansion) and Spark (which
+    rounds the shortest decimal repr) disagree in the last decimal digit.
+    Raw magnitudes ≤ ~1e5 are safe at scale 10; 6-rounded derived values
+    (fl6/round6 outputs, magnitudes to 1e9) cast at ``DECIMAL(38,6)``.
   * **Transcendentals** (sin/cos/sqrt-of-aggregates): rounded to 6 decimals
     on both sides — libm vs JVM can differ in the last ulp; 1e-16 error vs
     5e-7 rounding spacing makes boundary collisions negligible.
@@ -9099,7 +9105,7 @@ WITH pe AS (
   WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
   GROUP BY 1),
 pv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
-              sum(CAST(v AS DECIMAL(38,10))) AS s
+              sum(CAST(v AS DECIMAL(38,6))) AS s
        FROM pe GROUP BY 1),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, sum(s) AS tot FROM pv),
 staged AS (
@@ -9312,6 +9318,168 @@ def q225_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.cohort_ltv(load_events(spark, sf_dir))
 
 
+@register("q226_duplicate_transactions", """
+WITH p AS (
+  SELECT user_id AS k, round(CAST(value AS DOUBLE), 0) AS v,
+         epoch(ts) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+lg AS (SELECT k, v, t,
+              lag(t) OVER (PARTITION BY k, v ORDER BY t) AS tp
+       FROM p)
+SELECT k AS user_id, v AS amount, tp AS t_first, t AS t_second,
+       round(t - tp, 6) AS gap_seconds
+FROM lg WHERE tp IS NOT NULL AND t - tp <= 3600
+ORDER BY gap_seconds, user_id, t_first LIMIT 25
+""", priority=PRI_TAIL)
+def q226_duplicate_transactions(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Duplicate-transaction screen over the event stream
+    (operators/relational.duplicate_transactions) — same user, same
+    unit-rounded amount, under an hour apart: the double-charge /
+    meter-re-send audit. Not a self range-join: one lag window inside
+    uniform (user, amount) hash groups finds adjacent pairs — no pair
+    explosion, no time-bucket replication. Round-10c born: PRI_TAIL
+    until the round-11 rotation."""
+    return rel.duplicate_transactions(load_events(spark, sf_dir),
+                                      "user_id", "ts", "value",
+                                      max_gap_seconds=3600.0,
+                                      amount_decimals=0)
+
+
+@register("q227_abc_classification", """
+WITH pk AS (
+  SELECT l_partkey AS k,
+         floor(CAST(SUM(CAST(round(CAST(l_extendedprice AS DOUBLE)
+                                   * (1.0 - CAST(l_discount AS DOUBLE)),
+                             6) AS DECIMAL(38,10))) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS v
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+  GROUP BY 1),
+pv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+              sum(CAST(v AS DECIMAL(38,6))) AS s
+       FROM pk GROUP BY 1),
+tot AS (SELECT sum(s) AS tot FROM pv),
+staged AS (
+  SELECT v, c, s,
+         sum(s) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cums
+  FROM pv),
+cls AS (
+  SELECT CASE WHEN CAST(cums AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                THEN 'A'
+              WHEN CAST(cums AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+                THEN 'B' ELSE 'C' END AS abc_class,
+         c, s, tot
+  FROM staged, tot)
+SELECT abc_class, CAST(sum(c) AS BIGINT) AS n_entities,
+       floor(CAST(sum(s) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS revenue,
+       floor(CAST(sum(s) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+FROM cls GROUP BY 1 ORDER BY 1
+""", priority=PRI_TAIL)
+def q227_abc_classification(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """ABC (Pareto 80/15/5) part classification by discounted revenue
+    (operators/relational.abc_classification) — the inventory-
+    analytics split beside q220's Lorenz curve: A = the head parts
+    holding 80 % of revenue, B to 95 %, C the tail. Per-line amounts
+    6-rounded before the decimal cast (the q219 recipe), descending
+    cumulative window on the |distinct revenue| frame only — parts
+    never globally sort. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    li = _t(spark, sf_dir, "lineitem")
+    amount = F.round(F.col("l_extendedprice").cast("double")
+                     * (F.lit(1.0) - F.col("l_discount").cast("double")),
+                     6)
+    frame = (li.where(F.col("l_partkey").isNotNull()
+                      & F.col("l_extendedprice").isNotNull()
+                      & F.col("l_discount").isNotNull())
+             .select(F.col("l_partkey"), amount.alias("amount")))
+    return rel.abc_classification(frame, "l_partkey", "amount")
+
+
+@register("q228_fanout_audit", """
+WITH cc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS fan
+            FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+pp AS (SELECT coalesce(fan, 0) AS fan
+       FROM orders LEFT JOIN cc ON cc.k = orders.o_orderkey
+       WHERE o_orderkey IS NOT NULL),
+per AS (SELECT CAST(fan AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS c
+        FROM pp GROUP BY 1),
+cum AS (SELECT v,
+               sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n
+        FROM per),
+qq AS (SELECT
+  CAST(min(CASE WHEN cum >= floor(0.5 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+                THEN v END) AS BIGINT) AS p50_fanout,
+  CAST(min(CASE WHEN cum >= floor(0.95 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
+                THEN v END) AS BIGINT) AS p95_fanout
+  FROM cum),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_parents,
+             CAST(sum(fan) AS BIGINT) AS n_children,
+             CAST(sum(CASE WHEN fan = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS parents_no_children,
+             CAST(min(fan) AS BIGINT) AS min_fanout,
+             CAST(max(fan) AS BIGINT) AS max_fanout,
+             floor(CAST(sum(fan) AS DOUBLE) / count(*)
+                   * 1000000.0 + 0.5) / 1000000.0 AS mean_fanout
+      FROM pp)
+SELECT n_parents, n_children, parents_no_children, min_fanout,
+       p50_fanout, p95_fanout, max_fanout, mean_fanout
+FROM s, qq
+""", priority=PRI_TAIL)
+def q228_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→lineitem fan-out audit (operators/relational.fanout_audit)
+    — the join-shape companion to q144's orphan audit and q154's skew
+    report: fan-out distribution (zero-line orders included) predicts
+    join amplification before the join runs at 100 TB. One FK-keyed
+    child count, a left join onto parent keys, exact nearest-rank
+    p50/p95 from the |distinct fanout| count frame. Round-10c born:
+    PRI_TAIL until the round-11 rotation."""
+    return rel.fanout_audit(_t(spark, sf_dir, "orders"),
+                            _t(spark, sf_dir, "lineitem"),
+                            "o_orderkey", "l_orderkey")
+
+
+@register("q229_token_coverage", r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents),
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+staged AS (
+  SELECT term, c,
+         row_number() OVER (ORDER BY c DESC, term) AS rk,
+         sum(c) OVER (ORDER BY c DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM counts),
+ks AS (SELECT unnest([1, 2, 5, 10, 20]) AS k)
+SELECT k, CAST(max(rk) AS BIGINT) AS n_terms,
+       CAST(max(cum) AS BIGINT) AS covered_tokens,
+       floor(CAST(max(cum) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS coverage
+FROM staged, tot, ks WHERE rk <= k
+GROUP BY k ORDER BY k
+""", priority=PRI_TAIL)
+def q229_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-mass coverage curve at k = 1/2/5/10/20
+    (operators/text.token_coverage_curve) — the vocab-sizing
+    companion to Zipf (q111) and Heaps (q165): one map-side unigram
+    count, a total-order rank window over the |vocab| frame only,
+    monotone aggregates per k. Round-10c born: PRI_TAIL until the
+    round-11 rotation."""
+    return tx.token_coverage_curve(_t(spark, sf_dir, "documents"))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -9322,22 +9490,26 @@ def q225_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 27 round-10-born queries
-# q191-q217 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# CORRECTNESS_r10 lands green): promote the 39 round-10-born queries
+# q191-q229 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
 # cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
 # Hellinger/TV, tokenizer fertility, streaming KS drift,
 # Brown-Forsythe, quantile normalize, sequence trigrams, association
 # rules, seasonal quantile bands, k-core) plus the 10c cohort
-# q206-q217 (fuzzy dictionary match, grid nearest join,
+# q206-q225 (fuzzy dictionary match, grid nearest join,
 # load/coincidence factors, change-point, DQ expectations, exceedance
 # report, OLS trend, streaming quantile monitor, n-gram cosine pairs,
-# RFM scores, class balance, label canonicalization) — to PRI_HEAD
-# and demote 27 of the freshly-recorded round-10 head (q105-q112
-# retained pool first, then the oldest of q125/q150+). All 27 are
-# oracle-paired, strict-compared at sf0.001+sf0.01 by
-# tests/test_tail_query_parity.py, and hash-exact at sf0.1 in the
-# committed PARITY sweep — the driver record is the only missing
-# evidence tier.
+# RFM scores, class balance, label canonicalization, forecast
+# backtest, state durations, Lorenz deciles, k-fold report,
+# last-touch attribution, reconciliation audit, time-to-convert,
+# cohort LTV, duplicate transactions, ABC classification, fan-out
+# audit, token coverage) — to PRI_HEAD and demote 39 of the
+# freshly-recorded round-10 head (q105-q112 retained pool first,
+# then the oldest of q125/q150+). All 39 are oracle-paired,
+# strict-compared at
+# sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
+# at sf0.1 in the committed PARITY sweep — the driver record is the
+# only missing evidence tier.
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)

@@ -1,8 +1,12 @@
-"""Round-10c operators: fuzzy dictionary matching (q206), grid nearest
-join (q207), load/coincidence factors (q208), change-point (q209), DQ
-expectations (q210), exceedance report (q211), OLS trend (q212), and
-the streaming quantile monitor's shared finalizer (q213) — each pinned
-to hand-computed values on corpora small enough to verify by hand."""
+"""Round-10c operators (q206-q229): fuzzy dictionary matching, grid
+nearest join, load/coincidence factors, change-point, DQ expectations,
+exceedance report, OLS trend, the streaming quantile monitor's shared
+finalizer, n-gram cosine pairs, RFM scores, class balance, label
+canonicalization, forecast backtest, state durations, Lorenz deciles,
+k-fold report, last-touch attribution, reconciliation audit,
+time-to-convert, cohort LTV, duplicate transactions, ABC
+classification, fan-out audit and token coverage — each pinned to
+hand-computed values on corpora small enough to verify by hand."""
 import datetime as dt
 import math
 
@@ -543,3 +547,76 @@ class TestCohortLtv:
         assert out[(1, 0)]["n_buyers"] == 1
         assert out[(1, 0)]["revenue"] == 5.0
         assert len(out) == 3
+
+
+class TestDuplicateTransactions:
+    def test_hand_pairs_and_rounding_groups(self, spark):
+        rows = [(1, 0.0, 10.0), (1, 100.0, 10.0), (1, 150.0, 10.4),
+                (1, 200.0, 10.6),          # rounds to 11 -> other group
+                (2, 0.0, 10.0)]            # different user
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, value=v) for u, t, v in rows])
+        out = rel.duplicate_transactions(
+            df, "user_id", "ts", "value",
+            max_gap_seconds=600.0, amount_decimals=0).collect()
+        assert [(r["user_id"], r["gap_seconds"]) for r in out] \
+            == [(1, 50.0), (1, 100.0)]
+        assert all(r["amount"] == 10.0 for r in out)
+
+    def test_gap_threshold(self, spark):
+        df = spark.createDataFrame(
+            [Row(user_id=1, ts=0.0, value=5.0),
+             Row(user_id=1, ts=999.0, value=5.0)])
+        assert rel.duplicate_transactions(
+            df, "user_id", "ts", "value",
+            max_gap_seconds=500.0).collect() == []
+
+
+class TestAbcClassification:
+    def test_hand_classes(self, spark):
+        df = spark.createDataFrame(
+            [Row(k=1, amt=80.0), Row(k=2, amt=15.0), Row(k=3, amt=5.0)])
+        out = {r["abc_class"]: r for r in
+               rel.abc_classification(df, "k", "amt").collect()}
+        # cum shares desc: 0.80 -> A, 0.95 -> B, 1.00 -> C
+        assert out["A"]["n_entities"] == 1
+        assert out["A"]["revenue"] == 80.0
+        assert out["A"]["revenue_share"] == pytest.approx(0.8, abs=1e-6)
+        assert out["B"]["revenue"] == 15.0
+        assert out["C"]["revenue"] == 5.0
+
+    def test_single_entity_all_in_c(self, spark):
+        # one entity holds 100% > b_cut: the crossing value opens C
+        df = spark.createDataFrame([Row(k=1, amt=10.0)])
+        out = rel.abc_classification(df, "k", "amt").collect()
+        assert len(out) == 1 and out[0]["abc_class"] == "C"
+
+
+class TestFanoutAudit:
+    def test_hand_distribution(self, spark):
+        parents = spark.createDataFrame([Row(pk=i) for i in (1, 2, 3, 4)])
+        children = spark.createDataFrame(
+            [Row(fk=k) for k in (1, 1, 1, 2, 3)])
+        out = rel.fanout_audit(parents, children, "pk", "fk").collect()[0]
+        assert out["n_parents"] == 4 and out["n_children"] == 5
+        assert out["parents_no_children"] == 1
+        assert out["min_fanout"] == 0 and out["max_fanout"] == 3
+        # sorted fanouts [0,1,1,3]: p50 pos 3 -> 1; p95 pos 4 -> 3
+        assert out["p50_fanout"] == 1 and out["p95_fanout"] == 3
+        assert out["mean_fanout"] == pytest.approx(1.25, abs=1e-6)
+
+
+class TestTokenCoverageCurve:
+    def test_hand_curve(self, spark):
+        from powerdatapipeline_spark.operators import text as tx
+        df = spark.createDataFrame(
+            [Row(text="a a a b"), Row(text="b c")])
+        out = {r["k"]: r for r in
+               tx.token_coverage_curve(df).collect()}
+        # counts: a=3, b=2, c=1; total 6
+        assert out[1]["covered_tokens"] == 3
+        assert out[1]["coverage"] == pytest.approx(0.5, abs=1e-6)
+        assert out[2]["coverage"] == pytest.approx(5 / 6, abs=1e-6)
+        assert out[5]["n_terms"] == 3 and out[5]["coverage"] == 1.0
+        assert out[20]["coverage"] == 1.0
+        assert len(out) == 5

@@ -173,6 +173,15 @@ SCALAR_BROADCAST_INTENDED = {
     # frames broadcast onto the per-customer frame; q216's minority
     # class size is a 1-row minimum onto the rank filter
     "q215_rfm_scores", "q216_class_balance",
+    # round 10c: q220's (n, total) frame is a 1-row broadcast onto the
+    # |distinct spend| staged frame; q224 combines the 1-row quantile
+    # aggregate with the 1-row mean — a 1×1 broadcast join
+    "q220_lorenz_deciles", "q224_time_to_convert",
+    # round 10c: q227's revenue total, q228's 1-row quantile x 1-row
+    # summary combine, and q229's corpus token total are all 1-row
+    # broadcasts onto vocab-/distinct-sized frames
+    "q227_abc_classification", "q228_fanout_audit",
+    "q229_token_coverage",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
