@@ -968,3 +968,42 @@ def ranking_metrics(ranked: DataFrame, rel_col: str,
         .otherwise(F.lit(0.0)).alias("mrr"),
         fl6(F.col("__hits").cast("double") / F.lit(float(k)))
         .alias("precision_at_k"))
+
+
+def centroid_shift_report(df: DataFrame, vec_col: str = "embedding",
+                          label_col: str = "label",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Per-label embedding centroid shift vs the corpus centroid — the
+    embedding-space drift/imbalance screen (which class sits far from
+    the population center?): L2 distance between each label's mean
+    vector and the global mean vector, with the label's share of mass.
+
+    One narrow posexplode to (label, dim, value) — a k×dim aggregate,
+    never pairwise — per-dim means from exact decimal sums (float →
+    double casts are exact), squared diffs decimal-summed over the
+    dim-frame (|dims| rows per label), IEEE-exact sqrt, floor6 output.
+    Returns ``(label, n_vectors, l2_shift)`` ordered by label."""
+    ex = (df.where(F.col(label_col).isNotNull()
+                   & F.col(vec_col).isNotNull())
+          .select(F.col(label_col).alias("lbl"),
+                  F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("lbl", "dim", F.col("x").cast("double").alias("x")))
+    per = (ex.groupBy("lbl", "dim")
+           .agg(F.sum(F.col("x").cast("decimal(38,10)")).alias("s"),
+                F.count("*").cast("bigint").alias("n")))
+    lbl_mean = per.select(
+        "lbl", "dim", "n",
+        (F.col("s").cast("double") / F.col("n").cast("double"))
+        .alias("m"))
+    glob = (per.groupBy("dim")
+            .agg((F.sum("s").cast("double")
+                  / F.sum("n").cast("double")).alias("g")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    d = F.col("m") - F.col("g")
+    return (lbl_mean.join(glob, "dim")
+            .groupBy(F.col("lbl").alias(label_col))
+            .agg(F.max("n").cast("bigint").alias("n_vectors"),
+                 fl6(F.sqrt(F.sum((d * d).cast("decimal(38,10)"))
+                            .cast("double"))).alias("l2_shift"))
+            .orderBy(label_col))

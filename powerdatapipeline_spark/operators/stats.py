@@ -354,6 +354,19 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
             .select(*on,
                     F.coalesce(F.col("__c_r"), F.lit(0)).alias("cr"),
                     F.coalesce(F.col("__c_c"), F.lit(0)).alias("cc")))
+    return psi_from_bin_counts(both, klist, eps=eps)
+
+
+def psi_from_bin_counts(both: DataFrame, keys: Sequence[str] = (),
+                        eps: float = 1e-6) -> DataFrame:
+    """PSI from an already-joined per-bin count frame ``(keys…, bin,
+    cr, cc)`` — the shared finalizer between batch :func:`psi_drift`
+    and the STREAMING PSI monitor (whose micro-batches append
+    mergeable per-bin count partials; counts merge by addition, so
+    the index is exact at any checkpoint). Same eps floor, 6-rounded
+    ln, exact-decimal term fold as the batch path — one code path, no
+    drift between the twins."""
+    klist = list(keys)
     wk = Window.partitionBy(*klist) if klist else \
         Window.partitionBy(F.lit(1))
     both = (both.withColumn("__nr", F.sum("cr").over(wk))

@@ -9480,6 +9480,113 @@ def q229_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_coverage_curve(_t(spark, sf_dir, "documents"))
 
 
+@register("q230_centroid_shift", """
+WITH ex AS (
+  SELECT label AS lbl, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+per AS (SELECT lbl, dim, sum(CAST(x AS DECIMAL(38,10))) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY 1, 2),
+lm AS (SELECT lbl, dim, n,
+              CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+       FROM per),
+gm AS (SELECT dim,
+              CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS g
+       FROM per GROUP BY 1)
+SELECT lbl AS label, CAST(max(n) AS BIGINT) AS n_vectors,
+       floor(sqrt(CAST(sum(CAST((m - g) * (m - g) AS DECIMAL(38,10)))
+                       AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS l2_shift
+FROM lm JOIN gm USING (dim)
+GROUP BY lbl ORDER BY label
+""", priority=PRI_TAIL)
+def q230_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid shift vs the corpus centroid
+    (operators/similarity.centroid_shift_report) — the embedding-space
+    drift/imbalance screen: one narrow posexplode to a k×dim
+    aggregate (never pairwise), exact decimal per-dim means, decimal
+    squared-diff sums over the |dims| frame, IEEE-exact sqrt.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
+    return sim.centroid_shift_report(_t(spark, sf_dir, "embeddings"))
+
+
+@register("q231_streaming_psi", """
+WITH rb AS (SELECT least(floor((value - 0.0e0) / 20.0e0), 9) AS bin,
+                   count(*) AS cr
+            FROM events
+            WHERE event_type = 'view'
+              AND value >= 0.0e0 AND value <= 200.0e0
+            GROUP BY 1),
+cb AS (SELECT least(floor((value - 0.0e0) / 20.0e0), 9) AS bin,
+              count(*) AS cc
+       FROM events
+       WHERE event_type = 'click'
+         AND value >= 0.0e0 AND value <= 200.0e0
+       GROUP BY 1),
+b AS (SELECT COALESCE(rb.bin, cb.bin) AS bin,
+             COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+      FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+t AS (SELECT cr, cc, sum(cr) OVER () AS nr, sum(cc) OVER () AS nc
+      FROM b),
+terms AS (SELECT nr, nc,
+                 CAST(round((greatest(CASE WHEN nc > 0
+                                 THEN CAST(cc AS DOUBLE) / nc
+                                 ELSE 0e0 END, 1e-06)
+                             - greatest(CASE WHEN nr > 0
+                                 THEN CAST(cr AS DOUBLE) / nr
+                                 ELSE 0e0 END, 1e-06))
+                     * (round(ln(greatest(CASE WHEN nc > 0
+                                 THEN CAST(cc AS DOUBLE) / nc
+                                 ELSE 0e0 END, 1e-06)), 6)
+                        - round(ln(greatest(CASE WHEN nr > 0
+                                 THEN CAST(cr AS DOUBLE) / nr
+                                 ELSE 0e0 END, 1e-06)), 6)), 6)
+                      AS DECIMAL(28,12)) AS term
+          FROM t)
+SELECT CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+       round(CAST(sum(term) AS DOUBLE), 6) AS psi
+FROM terms
+""", priority=PRI_TAIL)
+def q231_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI drift monitor under driver verification
+    (streaming/stateful.streaming_psi_drift + finalize_psi_drift) —
+    the binned companion to q199's exact-shape KS twin: the CLICK
+    value stream reduces per micro-batch to ≤ nbins per-bin count
+    partials (mergeable by addition, exact at any checkpoint) and
+    finalizes against the static VIEW reference through the SAME
+    stats.psi_from_bin_counts scorer as batch q121, so the batch
+    DuckDB oracle verifies the streaming run bit-for-bit. Round-10c
+    born: PRI_TAIL until the round-11 rotation."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_psi_drift, streaming_psi_drift)
+
+    stream = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "click"))
+    tmp = tempfile.mkdtemp(prefix="q231_streaming_psi_")
+    q = streaming_psi_drift(stream, "value",
+                            f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q231 streaming job did not finish within 300 s")
+    reference = load_events(spark, sf_dir).where(
+        F.col("event_type") == "view")
+    return finalize_psi_drift(spark, reference, "value",
+                              f"{tmp}/partials")
+
+
+def q231_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-micro-batch partials frame q231's foreachBatch appends —
+    the q190_stream_frame convention for the plan audit."""
+    from powerdatapipeline_spark.operators.stats import histogram
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "click")
+    return (histogram(ev, "value", 0.0, 200.0, 10)
+            .select("bin", F.col("n").cast("bigint").alias("n")))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -9490,8 +9597,8 @@ def q229_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 39 round-10-born queries
-# q191-q229 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# CORRECTNESS_r10 lands green): promote the 41 round-10-born queries
+# q191-q231 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
 # cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
 # Hellinger/TV, tokenizer fertility, streaming KS drift,
 # Brown-Forsythe, quantile normalize, sequence trigrams, association
@@ -9503,9 +9610,10 @@ def q229_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # backtest, state durations, Lorenz deciles, k-fold report,
 # last-touch attribution, reconciliation audit, time-to-convert,
 # cohort LTV, duplicate transactions, ABC classification, fan-out
-# audit, token coverage) — to PRI_HEAD and demote 39 of the
-# freshly-recorded round-10 head (q105-q112 retained pool first,
-# then the oldest of q125/q150+). All 39 are oracle-paired,
+# audit, token coverage, embedding centroid shift, streaming PSI) —
+# to PRI_HEAD and demote 41 of the freshly-recorded round-10 head
+# (q105-q112 retained pool first, then the oldest of q125/q150+).
+# All 41 are oracle-paired,
 # strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
 # at sf0.1 in the committed PARITY sweep — the driver record is the

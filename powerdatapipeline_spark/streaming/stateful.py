@@ -432,3 +432,53 @@ def finalize_quantile_monitor(spark, partials_path: str,
 
     return quantiles_from_value_counts(
         spark.read.parquet(partials_path), qs=qs)
+
+
+def streaming_psi_drift(stream: DataFrame, value_col: str,
+                        partials_path: str, checkpoint: str,
+                        lo: float = 0.0, hi: float = 200.0,
+                        nbins: int = 10):
+    """Streaming PSI drift monitor — the BINNED companion to the KS
+    twin (:func:`streaming_ks_drift` watches distribution SHAPE
+    exactly; this watches the conventional 10-bin population-stability
+    index a model-monitoring stack alerts on): each micro-batch
+    reduces to its fixed-width per-bin count partial (≤ ``nbins`` rows
+    per batch — the smallest sufficient statistic there is) and
+    appends it blind; bin counts merge by addition, so the PSI of
+    everything-seen-so-far is exact at any checkpoint. Finalize with
+    :func:`finalize_psi_drift` against a static reference through the
+    SAME ``stats.psi_from_bin_counts`` scorer as batch q121.
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+    from powerdatapipeline_spark.operators.stats import histogram
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (histogram(batch_df, value_col, lo, hi, nbins)
+         .select("bin", F.col("n").cast("bigint").alias("n"))
+         .write.mode("append").parquet(partials_path))
+
+    return (stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update").trigger(availableNow=True).start())
+
+
+def finalize_psi_drift(spark, reference: DataFrame, ref_value_col: str,
+                       partials_path: str, lo: float = 0.0,
+                       hi: float = 200.0, nbins: int = 10,
+                       eps: float = 1e-6) -> DataFrame:
+    """Merge the accumulated per-bin count partials by addition and
+    score PSI against the static reference — bit-identical to batch
+    psi_drift over (reference, stream history) because both run
+    through ``stats.psi_from_bin_counts``."""
+    from powerdatapipeline_spark.operators.stats import (
+        histogram, psi_from_bin_counts)
+
+    r = (histogram(reference, ref_value_col, lo, hi, nbins)
+         .select("bin", F.col("n").alias("__c_r")))
+    c = (spark.read.parquet(partials_path)
+         .groupBy("bin").agg(F.sum("n").cast("bigint").alias("__c_c")))
+    both = (r.join(c, ["bin"], "full_outer")
+            .select("bin",
+                    F.coalesce(F.col("__c_r"), F.lit(0)).alias("cr"),
+                    F.coalesce(F.col("__c_c"), F.lit(0)).alias("cc")))
+    return psi_from_bin_counts(both, (), eps=eps)

@@ -620,3 +620,46 @@ class TestTokenCoverageCurve:
         assert out[5]["n_terms"] == 3 and out[5]["coverage"] == 1.0
         assert out[20]["coverage"] == 1.0
         assert len(out) == 5
+
+
+class TestCentroidShift:
+    def test_hand_shift(self, spark):
+        from powerdatapipeline_spark.operators import similarity as sim
+        rows = [(1, 0, [1.0, 0.0]), (2, 0, [3.0, 0.0]),
+                (3, 1, [0.0, 4.0])]
+        df = spark.createDataFrame(
+            [Row(vec_id=i, label=l, embedding=v) for i, l, v in rows])
+        out = {r["label"]: r for r in
+               sim.centroid_shift_report(df).collect()}
+        # centroids: label0 = (2,0), label1 = (0,4); global = (4/3, 4/3)
+        import math
+        g = (4 / 3, 4 / 3)
+        s0 = math.sqrt((2 - g[0]) ** 2 + (0 - g[1]) ** 2)
+        s1 = math.sqrt((0 - g[0]) ** 2 + (4 - g[1]) ** 2)
+        assert out[0]["n_vectors"] == 2
+        assert out[0]["l2_shift"] == pytest.approx(s0, abs=1e-6)
+        assert out[1]["n_vectors"] == 1
+        assert out[1]["l2_shift"] == pytest.approx(s1, abs=1e-6)
+
+
+class TestStreamingPsi:
+    def test_finalizer_matches_batch(self, spark, tmp_path):
+        from powerdatapipeline_spark.operators.stats import psi_drift
+        from powerdatapipeline_spark.streaming.stateful import \
+            finalize_psi_drift
+        ref = spark.createDataFrame(
+            [Row(value=float(v)) for v in (5, 25, 45, 65, 85, 105)])
+        cur1 = [float(v) for v in (5, 5, 25, 145)]
+        cur2 = [float(v) for v in (165, 185, 25)]
+        p = str(tmp_path / "partials")
+        from powerdatapipeline_spark.operators.stats import histogram
+        for chunk in (cur1, cur2):
+            (histogram(spark.createDataFrame(
+                [Row(value=v) for v in chunk]), "value", 0.0, 200.0, 10)
+             .select("bin", F.col("n").cast("bigint").alias("n"))
+             .write.mode("append").parquet(p))
+        got = finalize_psi_drift(spark, ref, "value", p).collect()
+        want = psi_drift(ref, spark.createDataFrame(
+            [Row(value=v) for v in cur1 + cur2]),
+            "value", lo=0.0, hi=200.0, nbins=10).collect()
+        assert got == want

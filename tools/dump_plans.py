@@ -182,6 +182,10 @@ SCALAR_BROADCAST_INTENDED = {
     # broadcasts onto vocab-/distinct-sized frames
     "q227_abc_classification", "q228_fanout_audit",
     "q229_token_coverage",
+    # round 10c: q230's per-dim global-centroid frame is |dims| rows
+    # equi-joined (not crossed), but its 1-row aggregates surface as
+    # scalar broadcasts in some AQE plans — annotate defensively
+    "q230_centroid_shift",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
@@ -234,6 +238,7 @@ def _streaming_variants(spark, sf):
         q196_stream_frame,
         q199_stream_frame,
         q213_stream_frame,
+        q231_stream_frame,
     )
 
     return {
@@ -245,6 +250,7 @@ def _streaming_variants(spark, sf):
         "q196_streaming_heavy_hitters": q196_stream_frame(spark, sf),
         "q199_streaming_ks_drift": q199_stream_frame(spark, sf),
         "q213_streaming_quantile": q213_stream_frame(spark, sf),
+        "q231_streaming_psi": q231_stream_frame(spark, sf),
     }
 
 
