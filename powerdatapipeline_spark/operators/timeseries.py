@@ -2135,3 +2135,107 @@ def cohort_ltv(df: DataFrame, ts_col: str = "ts",
                  F.round(F.sum(F.col("v").cast("decimal(38,10)"))
                          .cast("double"), 6).alias("revenue"))
             .orderBy("cohort_week", "age_weeks"))
+
+
+def periodogram(df: DataFrame, ts_col: str = "ts",
+                value_col: str = "value",
+                periods_seconds=(21600, 43200, 86400, 604800)
+                ) -> DataFrame:
+    """Candidate-period power scan (single-frequency DFT probes) — the
+    dominant-cycle detector for grid load (is the 24 h or the 168 h
+    cycle stronger this month?): for each candidate period T, the
+    Fourier amplitude 2·√(a²+b²)/n of the demeaned series at frequency
+    1/T, where a = Σ v′·cos(2πt/T), b = Σ v′·sin(2πt/T).
+
+    Parity design: the phase is reduced BEFORE the transcendental —
+    t mod T via explicit ``t − floor(t/T)·T`` (exact integer-double
+    arithmetic; epoch seconds and integer T stay < 2^53), so cos/sin
+    see arguments in [0, 2π) where both engines' libm agree to < 1 ulp,
+    then 6-rounded per the transcendental rule; the demeaning constant
+    is a floor6 of the exact decimal mean (1-row broadcast); each term
+    is a bounded-magnitude double product decimal-cast for
+    partition-order-free sums. One corpus scan per call covers ALL
+    candidate periods via a small explode. Returns
+    ``(period_seconds, n, amplitude)`` ordered by period."""
+    import math
+    e = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+            .select(e.alias("t"), v.alias("v")))
+    m = base.agg((F.floor(F.sum(F.col("v").cast("decimal(38,10)"))
+                          .cast("double") / F.count("*")
+                          * F.lit(1_000_000.0) + F.lit(0.5))
+                  .cast("double") / F.lit(1_000_000.0)).alias("mean"))
+    staged = (base.crossJoin(F.broadcast(m))
+              .withColumn("prd", F.explode(F.array(
+                  *[F.lit(float(p)) for p in periods_seconds])))
+              .withColumn("ph", (F.col("t") - F.floor(F.col("t")
+                                                      / F.col("prd"))
+                                 * F.col("prd")) / F.col("prd"))
+              .withColumn("vd", F.col("v") - F.col("mean")))
+    two_pi = F.lit(2.0 * math.pi)
+    a_term = F.col("vd") * F.round(F.cos(two_pi * F.col("ph")), 6)
+    b_term = F.col("vd") * F.round(F.sin(two_pi * F.col("ph")), 6)
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    agg = (staged.groupBy(F.col("prd").cast("bigint")
+                          .alias("period_seconds"))
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.sum(a_term.cast("decimal(38,10)")).alias("a"),
+                F.sum(b_term.cast("decimal(38,10)")).alias("b")))
+    amp = (F.lit(2.0)
+           * F.sqrt(F.col("a").cast("double") * F.col("a").cast("double")
+                    + F.col("b").cast("double")
+                    * F.col("b").cast("double"))
+           / F.col("n").cast("double"))
+    return (agg.select("period_seconds", "n", fl6(amp).alias("amplitude"))
+            .orderBy("period_seconds"))
+
+
+def session_entry_exit(df: DataFrame, ts_col: str = "ts",
+                       key_col: str = "user_id",
+                       type_col: str = "event_type",
+                       tiebreak_col: str = "event_id",
+                       gap_seconds: float = 1800.0) -> DataFrame:
+    """Session entry/exit/bounce report — the landing-page analytics
+    layer on top of q39's sessionizer: per (entry type, exit type)
+    pair, how many sessions start and end there, how many BOUNCE
+    (single-event sessions), and the mean session length in events.
+
+    One user-keyed window pass builds session ids (deterministic
+    (ts, tiebreak) order, the q39 gap rule); entry/exit come from ONE
+    per-session min/max STRUCT aggregate — no second window, no
+    join-back ((t, tiebreak) is unique inside a session so the struct
+    order is total). Returns ``(entry_type, exit_type, n_sessions,
+    n_bounces, avg_events)`` ordered by (entry_type, exit_type)."""
+    e = F.col(ts_col).cast("double")
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc()))
+    prev = F.lag(e).over(w)
+    is_new = (prev.isNull() | ((e - prev) > gap_seconds)).cast("bigint")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled = (df.where(F.col(ts_col).isNotNull()
+                        & F.col(key_col).isNotNull()
+                        & F.col(type_col).isNotNull())
+               .withColumn("__sid", F.sum(is_new).over(wsum))
+               .select(F.col(key_col).alias("k"), F.col("__sid"),
+                       e.alias("t"),
+                       F.col(tiebreak_col).alias("tb"),
+                       F.col(type_col).alias("et")))
+    per = (labeled.groupBy("k", "__sid")
+           .agg(F.min(F.struct(F.col("t"), F.col("tb"), F.col("et")))
+                .alias("__first"),
+                F.max(F.struct(F.col("t"), F.col("tb"), F.col("et")))
+                .alias("__last"),
+                F.count("*").cast("bigint").alias("n_events")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (per.groupBy(F.col("__first.et").alias("entry_type"),
+                        F.col("__last.et").alias("exit_type"))
+            .agg(F.count("*").cast("bigint").alias("n_sessions"),
+                 F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_bounces"),
+                 fl6(F.sum("n_events").cast("double")
+                     / F.count("*")).alias("avg_events"))
+            .orderBy("entry_type", "exit_type"))

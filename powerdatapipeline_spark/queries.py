@@ -9587,6 +9587,168 @@ def q231_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("bin", F.col("n").cast("bigint").alias("n")))
 
 
+@register("q232_periodogram", """
+WITH base AS (SELECT epoch(ts) AS t, CAST(value AS DOUBLE) AS v
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+m AS (SELECT floor(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean
+      FROM base),
+staged AS (
+  SELECT t, v, mean, CAST(pt.p AS DOUBLE) AS prd,
+         (t - floor(t / CAST(pt.p AS DOUBLE)) * CAST(pt.p AS DOUBLE))
+           / CAST(pt.p AS DOUBLE) AS ph,
+         v - mean AS vd
+  FROM base, m,
+       (SELECT unnest([21600, 43200, 86400, 604800]) AS p) pt),
+agg AS (
+  SELECT CAST(prd AS BIGINT) AS period_seconds,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(vd * round(cos(2 * pi() * ph), 6)
+                  AS DECIMAL(38,10))) AS a,
+         sum(CAST(vd * round(sin(2 * pi() * ph), 6)
+                  AS DECIMAL(38,10))) AS b
+  FROM staged GROUP BY 1)
+SELECT period_seconds, n,
+       floor(2.0 * sqrt(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                        + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS amplitude
+FROM agg ORDER BY period_seconds
+""", priority=PRI_TAIL)
+def q232_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-period Fourier power scan over event load
+    (operators/timeseries.periodogram) — which cycle (6 h / 12 h /
+    24 h / weekly) dominates? Phase reduced exactly BEFORE the
+    transcendental (t mod T in integer-double arithmetic), cos/sin
+    6-rounded per the parity rules, demeaning constant floor6 of the
+    exact decimal mean, one corpus scan for all periods. Round-10c
+    born: PRI_TAIL until the round-11 rotation."""
+    return ts.periodogram(load_events(spark, sf_dir))
+
+
+@register("q233_session_entry_exit", """
+WITH e AS (SELECT user_id AS k, epoch(ts) AS t, event_id AS tb,
+                  event_type AS et
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND event_type IS NOT NULL),
+lg AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY k ORDER BY t, tb)
+                           IS NULL
+                        OR t - lag(t) OVER (PARTITION BY k
+                                            ORDER BY t, tb) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+       FROM e),
+s AS (SELECT *, sum(is_new) OVER (PARTITION BY k ORDER BY t, tb
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+      FROM lg),
+per AS (
+  SELECT k, sid,
+         min({'t': t, 'tb': tb, 'et': et}) AS f,
+         max({'t': t, 'tb': tb, 'et': et}) AS l,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2)
+SELECT f['et'] AS entry_type, l['et'] AS exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       floor(CAST(sum(n_events) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_events
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+""", priority=PRI_TAIL)
+def q233_session_entry_exit(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Session entry/exit/bounce report
+    (operators/timeseries.session_entry_exit) — the landing-page
+    layer on q39's sessionizer: per (entry, exit) event-type pair,
+    session count, bounce count (single-event sessions) and mean
+    session length. Entry/exit from ONE per-session min/max struct
+    aggregate — no second window, no join-back. Round-10c born:
+    PRI_TAIL until the round-11 rotation."""
+    return ts.session_entry_exit(load_events(spark, sf_dir))
+
+
+_LOADCORR_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _loadcorr_oracle(types=None) -> str:
+    """DuckDB twin of q234: hourly load pivot + the q152 one-pass
+    moment template, generated from the SAME type list the Spark
+    builder uses (generated-oracle discipline)."""
+    ts_ = types or _LOADCORR_TYPES
+    piv_cols = ",\n    ".join(
+        f"coalesce(floor(CAST(max(CASE WHEN g = '{t}' THEN ld END)"
+        f" AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0, 0.0) AS {t}"
+        for t in ts_)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, ti in enumerate(ts_):
+        aggs.append(f"sum(CAST({ti} AS DECIMAL(28,12))) AS s{i}")
+        for j in range(i, len(ts_)):
+            aggs.append(f"sum(CAST({ti} * {ts_[j]} AS DECIMAL(28,12)))"
+                        f" AS p{i}_{j}")
+    sels = []
+    for i, ti in enumerate(ts_):
+        for j in range(i + 1, len(ts_)):
+            di = (f"CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE)"
+                  f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)")
+            dj = (f"CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE)"
+                  f" - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)")
+            num = (f"CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE)"
+                   f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE)")
+            sels.append(
+                f"SELECT '{ti}' AS col_a, '{ts_[j]}' AS col_b,\n"
+                f"  CASE WHEN {di} > 0 AND {dj} > 0 THEN\n"
+                f"    round(({num}) / (sqrt({di}) * sqrt({dj})), 6)\n"
+                f"  END AS corr, n AS n_rows FROM m")
+    return f"""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS b, event_type AS g,
+         SUM(CAST(value AS DECIMAL(38,10))) AS ld
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+piv AS (
+  SELECT b,
+    {piv_cols}
+  FROM hourly GROUP BY 1),
+m AS (SELECT {", ".join(aggs)} FROM piv)
+{chr(10).join(s + (chr(10) + "UNION ALL" if k < len(sels) - 1 else "")
+              for k, s in enumerate(sels))}
+ORDER BY col_a, col_b"""
+
+
+@register("q234_load_correlation", _loadcorr_oracle(), priority=PRI_TAIL)
+def q234_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type hourly load correlation matrix
+    (operators/stats.correlation_matrix over the pivoted hourly-load
+    frame) — do click and purchase load rise together, is error load
+    countercyclical? The power-domain coincidence question q208
+    answers at THE peak, answered across the whole distribution: one
+    (type, hour) decimal-load aggregate, a conditional-aggregation
+    pivot (absent hours = 0 load), then q152's one-pass moment
+    template on the |hours|-row frame. Round-10c born: PRI_TAIL until
+    the round-11 rotation."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = load_events(spark, sf_dir)
+    hourly = (ev.where(F.col("ts").isNotNull()
+                       & F.col("value").isNotNull()
+                       & F.col("event_type").isNotNull())
+              .groupBy(F.floor(F.col("ts").cast("double") / F.lit(3600.0))
+                       .cast("bigint").alias("b"),
+                       F.col("event_type").alias("g"))
+              .agg(F.sum(F.col("value").cast("decimal(38,10)"))
+                   .alias("ld")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    piv = hourly.groupBy("b").agg(*[
+        F.coalesce(fl6(F.max(F.when(F.col("g") == t, F.col("ld")))
+                       .cast("double")), F.lit(0.0)).alias(t)
+        for t in _LOADCORR_TYPES])
+    out = st.correlation_matrix(piv, _LOADCORR_TYPES)
+    return out.orderBy("col_a", "col_b")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -9597,8 +9759,8 @@ def q231_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 41 round-10-born queries
-# q191-q231 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# CORRECTNESS_r10 lands green): promote the 44 round-10-born queries
+# q191-q234 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
 # cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
 # Hellinger/TV, tokenizer fertility, streaming KS drift,
 # Brown-Forsythe, quantile normalize, sequence trigrams, association
@@ -9610,10 +9772,12 @@ def q231_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # backtest, state durations, Lorenz deciles, k-fold report,
 # last-touch attribution, reconciliation audit, time-to-convert,
 # cohort LTV, duplicate transactions, ABC classification, fan-out
-# audit, token coverage, embedding centroid shift, streaming PSI) —
-# to PRI_HEAD and demote 41 of the freshly-recorded round-10 head
-# (q105-q112 retained pool first, then the oldest of q125/q150+).
-# All 41 are oracle-paired,
+# audit, token coverage, embedding centroid shift, streaming PSI,
+# periodogram, session entry/exit, load correlation) — to PRI_HEAD;
+# 44 > SNAPSHOT_CAP-6, so promote the first 44 by number and leave
+# the remainder for round 12, demoting the same count of the
+# freshly-recorded round-10 head (q105-q112 retained pool first,
+# then the oldest of q125/q150+). All are oracle-paired,
 # strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
 # at sf0.1 in the committed PARITY sweep — the driver record is the

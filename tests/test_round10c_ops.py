@@ -663,3 +663,69 @@ class TestStreamingPsi:
             [Row(value=v) for v in cur1 + cur2]),
             "value", lo=0.0, hi=200.0, nbins=10).collect()
         assert got == want
+
+
+class TestPeriodogram:
+    def test_pure_daily_cycle(self, spark):
+        # hourly samples of a clean 24 h cosine, amplitude 3, two days
+        rows = [Row(ts=float(h) * 3600.0,
+                    value=10.0 + 3.0 * math.cos(2 * math.pi * h / 24.0))
+                for h in range(48)]
+        out = {r["period_seconds"]: r for r in
+               ts.periodogram(spark.createDataFrame(rows)).collect()}
+        assert set(out) == {21600, 43200, 86400, 604800}
+        # the 24 h probe recovers the amplitude; off-frequency probes
+        # over an integer number of their periods stay near zero
+        assert out[86400]["amplitude"] == pytest.approx(3.0, abs=1e-3)
+        assert out[21600]["amplitude"] < 0.01
+        assert out[43200]["amplitude"] < 0.01
+
+    def test_constant_series_zero_power(self, spark):
+        rows = [Row(ts=float(h) * 3600.0, value=7.0) for h in range(24)]
+        out = ts.periodogram(spark.createDataFrame(rows)).collect()
+        assert all(r["amplitude"] == pytest.approx(0.0, abs=1e-6)
+                   for r in out)
+
+
+class TestSessionEntryExit:
+    def test_hand_sessions(self, spark):
+        rows = [
+            (1, 0.0, "view", 1), (1, 100.0, "click", 2),   # s1: view->click
+            (1, 5000.0, "purchase", 3),                    # s2: bounce
+            (2, 0.0, "view", 4),                           # s3: bounce
+            (2, 10.0, "view", 5),                          # same session
+        ]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=et, event_id=e)
+             for u, t, et, e in rows])
+        out = {(r["entry_type"], r["exit_type"]): r
+               for r in ts.session_entry_exit(df).collect()}
+        assert out[("view", "click")]["n_sessions"] == 1
+        assert out[("view", "click")]["n_bounces"] == 0
+        assert out[("purchase", "purchase")]["n_bounces"] == 1
+        assert out[("view", "view")]["n_sessions"] == 1
+        assert out[("view", "view")]["avg_events"] == 2.0
+
+    def test_same_ts_tiebreak(self, spark):
+        rows = [(1, 0.0, "b", 2), (1, 0.0, "a", 1)]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=et, event_id=e)
+             for u, t, et, e in rows])
+        out = ts.session_entry_exit(df).collect()[0]
+        # order is (ts, event_id): entry a, exit b
+        assert (out["entry_type"], out["exit_type"]) == ("a", "b")
+
+
+class TestLoadCorrelationPivot:
+    def test_correlated_and_anticorrelated(self, spark):
+        from powerdatapipeline_spark.operators import stats as st
+        rows = []
+        for b in range(20):
+            rows.append(Row(b=b, x=float(b), y=2.0 * b + 1.0,
+                            z=float(-b)))
+        df = spark.createDataFrame(rows)
+        out = {(r["col_a"], r["col_b"]): r["corr"]
+               for r in st.correlation_matrix(df, ["x", "y", "z"])
+               .collect()}
+        assert out[("x", "y")] == pytest.approx(1.0, abs=1e-6)
+        assert out[("x", "z")] == pytest.approx(-1.0, abs=1e-6)

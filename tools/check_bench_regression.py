@@ -189,8 +189,11 @@ def main() -> int:
           f"(total {baseline.get('value')}s) vs current "
           f"(total {current.get('value')}s), {len(common)} common queries")
     for name, prev, cur in regs:
-        print(f"  REGRESSED {name}: {prev:.2f}s -> {cur:.2f}s "
-              f"({cur / prev:.1f}x)")
+        # a compact-integer baseline rounds sub-0.5 s entries to 0 —
+        # the ratio is then meaningless (and 0-division); the absolute
+        # delta already passed the min_delta gate above
+        ratio = f"({cur / prev:.1f}x)" if prev > 0 else "(from ~0s)"
+        print(f"  REGRESSED {name}: {prev:.2f}s -> {cur:.2f}s {ratio}")
     if not regs:
         print("no per-query regressions "
               f"(>{args.threshold}x and >{args.min_delta}s)")

@@ -186,6 +186,9 @@ SCALAR_BROADCAST_INTENDED = {
     # equi-joined (not crossed), but its 1-row aggregates surface as
     # scalar broadcasts in some AQE plans — annotate defensively
     "q230_centroid_shift",
+    # round 10c: q232's demeaning constant is the 1-row floor6-mean
+    # frame broadcast onto the scan before the per-period explode
+    "q232_periodogram",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
