@@ -346,3 +346,48 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
             "un-peeled supergraph would report non-core nodes as core")
     return (degrees(e).where(F.col("deg") >= k)
             .select("node", F.col("deg").alias("core_degree")))
+
+
+def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
+                rounds: int = 2, top_k: int = 20) -> DataFrame:
+    """HITS hubs & authorities on a bipartite graph (Kleinberg 1999) —
+    the mutual-reinforcement ranking PageRank can't express: a part is
+    authoritative when ordered by strong hub customers, a customer is
+    a strong hub when they order authoritative parts.
+
+    Parity/scale design — EXACT INTEGER iteration: with h₀ = 1, every
+    intermediate score a_k/h_k is a BIGINT sum over the edge list
+    (h₀=1 → a₁ = in-degree, h₁ = Σ a₁, …), so ``rounds`` alternations
+    are exact 64-bit arithmetic in ANY engine and the oracle unrolls
+    them as plain SQL joins — normalization happens ONCE at the end
+    (score / max, double, floor6), not per round (per-round float
+    normalization is where HITS implementations lose cross-engine
+    reproducibility). Each half-round is one map-side-combined
+    groupBy + one hash equi-join on the edge list — two keyed
+    shuffles, same cost model as one PageRank round. ``rounds`` is
+    deliberately small: 64-bit headroom bounds it (deg^(2·rounds) must
+    fit BIGINT — raise ``rounds`` only with a wider decimal); rank
+    ORDER is already stable after 2 alternations on conveying graphs.
+    Returns the ``top_k`` authorities ``(node, authority_int,
+    authority)`` by (score desc, node asc) — exact integer + 6-rounded
+    max-normalized double."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct())
+    h = e.select("u").distinct().withColumn("h", F.lit(1).cast("bigint"))
+    a = None
+    for _ in range(rounds):
+        a = (e.join(h, "u")
+             .groupBy("v").agg(F.sum("h").cast("bigint").alias("a")))
+        h = (e.join(a, "v")
+             .groupBy("u").agg(F.sum("a").cast("bigint").alias("h")))
+    mx = a.agg(F.max("a").alias("mx"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (a.crossJoin(F.broadcast(mx))
+            .select(F.col("v").alias("node"),
+                    F.col("a").alias("authority_int"),
+                    fl6(F.col("a").cast("double")
+                        / F.col("mx").cast("double")).alias("authority"))
+            .orderBy(F.desc("authority_int"), F.asc("node"))
+            .limit(top_k))

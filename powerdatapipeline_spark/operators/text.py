@@ -2481,3 +2481,38 @@ def token_coverage_curve(df: DataFrame, text_col: str = "text",
                      / F.max(F.col("tot").cast("double")))
                  .alias("coverage"))
             .orderBy("k"))
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Per-group vocabulary richness — type-token ratio and hapax
+    share, the lexical-diversity screen beside Heaps' growth fit
+    (q165) and tokenizer fertility (q198): a source whose TTR
+    collapses is template/boilerplate-heavy; a high hapax share means
+    the vocabulary tail is still growing (deduplication and
+    quality-filter tuning both read this).
+
+    One (group, term) count aggregate (map-side combined), then one
+    |group-vocab|-row reduction — the corpus is scanned once and
+    never re-shuffled. Exact BIGINT counts; ratios floor6. Returns
+    ``(group, n_tokens, n_types, n_hapax, ttr, hapax_share)``."""
+    per = (_spread(df)
+           .where(F.col(group_col).isNotNull())
+           .select(F.col(group_col).alias("g"),
+                   F.explode(tokens(text_col)).alias("term"))
+           .groupBy("g", "term")
+           .agg(F.count("*").cast("bigint").alias("c")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (per.groupBy(F.col("g").alias(group_col))
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count("*").cast("bigint").alias("n_types"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_hapax"))
+            .select(group_col, "n_tokens", "n_types", "n_hapax",
+                    fl6(F.col("n_types").cast("double")
+                        / F.col("n_tokens").cast("double")).alias("ttr"),
+                    fl6(F.col("n_hapax").cast("double")
+                        / F.col("n_types").cast("double"))
+                    .alias("hapax_share"))
+            .orderBy(group_col))

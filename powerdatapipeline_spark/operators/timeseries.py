@@ -2239,3 +2239,53 @@ def session_entry_exit(df: DataFrame, ts_col: str = "ts",
                  fl6(F.sum("n_events").cast("double")
                      / F.count("*")).alias("avg_events"))
             .orderBy("entry_type", "exit_type"))
+
+
+def burstiness_report(df: DataFrame, ts_col: str = "ts",
+                      key_col: str = "user_id",
+                      type_col: str = "event_type",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Inter-arrival burstiness per event type — Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over per-entity gaps (B→−1 periodic, 0 Poisson,
+    →+1 bursty): the arrival-process characterization behind retry
+    storms, meter re-send clumps and campaign-driven traffic — q120's
+    gap REPORT says how big the holes are, this says what process
+    makes them.
+
+    Parity/scale: gaps come from one (entity, type)-keyed lead window
+    (deterministic (ts, tiebreak) order), 6-rounded and lifted to
+    exact INTEGER MICROSECONDS; Σm and Σm² fold as DECIMAL(38,0) —
+    exact integer arithmetic end-to-end (the levene_bf/anova recipe),
+    with μ/σ/CV/B derived in double once at the end, floor6. Returns
+    ``(type, n_gaps, mean_gap_s, cv, burstiness)``."""
+    e = F.col(ts_col).cast("double")
+    w = (Window.partitionBy(key_col, type_col)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc()))
+    g6 = F.round(F.lead(e).over(w) - e, 6)
+    m = F.floor(g6 * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(key_col).isNotNull()
+                     & F.col(type_col).isNotNull())
+            .select(F.col(type_col).alias("g"), m.alias("m"))
+            .where(F.col("m").isNotNull()))
+    md = F.col("m").cast("decimal(19,0)")
+    agg = (base.groupBy("g")
+           .agg(F.count("*").cast("bigint").alias("n_gaps"),
+                F.sum(md).cast("decimal(38,0)").alias("s"),
+                F.sum((md * md).cast("decimal(38,0)"))
+                .cast("decimal(38,0)").alias("ss")))
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s").cast("double") / nd / F.lit(1e6)
+    var = (F.col("ss").cast("double") / nd
+           - (F.col("s").cast("double") / nd)
+           * (F.col("s").cast("double") / nd)) / F.lit(1e12)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (agg.select(
+        F.col("g").alias(type_col), "n_gaps",
+        fl6(mu).alias("mean_gap_s"),
+        F.when(mu > 0, fl6(sd / mu)).alias("cv"),
+        F.when(sd + mu > 0, fl6((sd - mu) / (sd + mu)))
+        .alias("burstiness"))
+        .orderBy(type_col))

@@ -9749,6 +9749,111 @@ def q234_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col_a", "col_b")
 
 
+@register("q235_hits_authorities", """
+WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS v
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+a1 AS (SELECT v, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY 1),
+h1 AS (SELECT u, CAST(sum(a) AS BIGINT) AS h
+       FROM e JOIN a1 USING (v) GROUP BY 1),
+a2 AS (SELECT v, CAST(sum(h) AS BIGINT) AS a
+       FROM e JOIN h1 USING (u) GROUP BY 1),
+mx AS (SELECT max(a) AS mx FROM a2)
+SELECT v AS node, a AS authority_int,
+       floor(CAST(a AS DOUBLE) / CAST(mx AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS authority
+FROM a2, mx ORDER BY authority_int DESC, node LIMIT 20
+""", priority=PRI_TAIL)
+def q235_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities over the customer→part order graph
+    (operators/graph.hits_scores) — Kleinberg's mutual-reinforcement
+    ranking beside PageRank (q135): two EXACT-INTEGER alternations
+    (h₀=1 makes every intermediate a BIGINT edge sum, so the oracle
+    unrolls as plain SQL joins), max-normalization ONCE at the end —
+    per-round float normalization is where HITS loses cross-engine
+    reproducibility. Two keyed shuffles per alternation. Round-10c
+    born: PRI_TAIL until the round-11 rotation."""
+    e = (_t(spark, sf_dir, "orders")
+         .join(_t(spark, sf_dir, "lineitem"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .select(F.col("o_custkey").alias("src"),
+                 F.col("l_partkey").alias("dst")))
+    return gr.hits_scores(e, rounds=2, top_k=20)
+
+
+@register("q236_vocab_richness", r"""
+WITH toks AS (
+  SELECT source AS g,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[ \t\n\r\f\x0B]+'), x -> x <> '')) AS term
+  FROM documents WHERE source IS NOT NULL),
+per AS (SELECT g, term, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2)
+SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       floor(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+       floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS hapax_share
+FROM per GROUP BY 1 ORDER BY source
+""", priority=PRI_TAIL)
+def q236_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax share per document source
+    (operators/text.vocab_richness) — the lexical-diversity screen
+    beside Heaps (q165) and fertility (q198): one (source, term)
+    count aggregate, one |vocab|-row reduction, exact BIGINT counts.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
+    return tx.vocab_richness(_t(spark, sf_dir, "documents"))
+
+
+@register("q237_burstiness", """
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(floor(round(lead(epoch(ts)) OVER
+                (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) - epoch(ts), 6)
+                * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IS NOT NULL),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(CAST(m AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+         CAST(sum(CAST(CAST(m AS DECIMAL(19,0)) * CAST(m AS DECIMAL(19,0))
+                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+  FROM base WHERE m IS NOT NULL GROUP BY 1),
+d AS (
+  SELECT g, n_gaps,
+         CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6 AS mu,
+         sqrt(greatest(
+           (CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / 1e12,
+           0.0)) AS sd
+  FROM agg)
+SELECT g AS event_type, n_gaps,
+       floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+       CASE WHEN mu > 0 THEN
+         floor(sd / mu * 1000000.0 + 0.5) / 1000000.0 END AS cv,
+       CASE WHEN sd + mu > 0 THEN
+         floor((sd - mu) / (sd + mu) * 1000000.0 + 0.5) / 1000000.0
+       END AS burstiness
+FROM d ORDER BY event_type
+""", priority=PRI_TAIL)
+def q237_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of per-user inter-arrival gaps per
+    event type (operators/timeseries.burstiness_report) — B =
+    (σ−μ)/(σ+μ): periodic → −1, Poisson → 0, bursty → +1; the
+    arrival-process characterization behind q120's gap report. Gaps
+    lift to exact integer microseconds; Σm and Σm² fold as
+    DECIMAL(38,0) (the levene/anova exact-integer recipe); one
+    (user, type)-keyed lead window. Round-10c born: PRI_TAIL until
+    the round-11 rotation."""
+    return ts.burstiness_report(load_events(spark, sf_dir))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -9759,8 +9864,8 @@ def q234_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 44 round-10-born queries
-# q191-q234 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# CORRECTNESS_r10 lands green): promote the 47 round-10-born queries
+# q191-q237 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
 # cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
 # Hellinger/TV, tokenizer fertility, streaming KS drift,
 # Brown-Forsythe, quantile normalize, sequence trigrams, association
@@ -9773,11 +9878,11 @@ def q234_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last-touch attribution, reconciliation audit, time-to-convert,
 # cohort LTV, duplicate transactions, ABC classification, fan-out
 # audit, token coverage, embedding centroid shift, streaming PSI,
-# periodogram, session entry/exit, load correlation) — to PRI_HEAD;
-# 44 > SNAPSHOT_CAP-6, so promote the first 44 by number and leave
-# the remainder for round 12, demoting the same count of the
-# freshly-recorded round-10 head (q105-q112 retained pool first,
-# then the oldest of q125/q150+). All are oracle-paired,
+# periodogram, session entry/exit, load correlation, HITS, vocab
+# richness, burstiness) — to PRI_HEAD; 47 fits under the 50-cap with
+# 3 retained freshly-recorded entries, demoting the same count of
+# the round-10 head (q105-q112 retained pool first, then the oldest
+# of q125/q150+). All are oracle-paired,
 # strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
 # at sf0.1 in the committed PARITY sweep — the driver record is the

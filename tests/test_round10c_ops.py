@@ -729,3 +729,50 @@ class TestLoadCorrelationPivot:
                .collect()}
         assert out[("x", "y")] == pytest.approx(1.0, abs=1e-6)
         assert out[("x", "z")] == pytest.approx(-1.0, abs=1e-6)
+
+
+class TestHitsScores:
+    def test_hand_two_rounds_exact(self, spark):
+        from powerdatapipeline_spark.operators import graph as gr
+        edges = spark.createDataFrame(
+            [Row(src="u1", dst="p1"), Row(src="u1", dst="p2"),
+             Row(src="u2", dst="p1"), Row(src="u2", dst="p1")])  # dup
+        out = gr.hits_scores(edges, rounds=2).collect()
+        # a1: p1=2, p2=1; h1: u1=3, u2=2; a2: p1=5, p2=3
+        assert [(r["node"], r["authority_int"]) for r in out] \
+            == [("p1", 5), ("p2", 3)]
+        assert out[0]["authority"] == 1.0
+        assert out[1]["authority"] == pytest.approx(0.6, abs=1e-6)
+
+
+class TestVocabRichness:
+    def test_hand_ttr_hapax(self, spark):
+        from powerdatapipeline_spark.operators import text as tx
+        df = spark.createDataFrame(
+            [Row(text="a a b", source="A"), Row(text="c", source="B")])
+        out = {r["source"]: r for r in tx.vocab_richness(df).collect()}
+        a = out["A"]
+        assert (a["n_tokens"], a["n_types"], a["n_hapax"]) == (3, 2, 1)
+        assert a["ttr"] == pytest.approx(2 / 3, abs=1e-6)
+        assert a["hapax_share"] == pytest.approx(0.5, abs=1e-6)
+        b = out["B"]
+        assert (b["n_tokens"], b["n_types"], b["ttr"]) == (1, 1, 1.0)
+
+
+class TestBurstiness:
+    def test_periodic_and_bursty(self, spark):
+        rows = [(1, 0.0, "X", 1), (1, 10.0, "X", 2), (1, 20.0, "X", 3),
+                (2, 0.0, "Y", 4), (2, 0.0, "Y", 5), (2, 30.0, "Y", 6)]
+        df = spark.createDataFrame(
+            [Row(user_id=u, ts=t, event_type=et, event_id=e)
+             for u, t, et, e in rows])
+        out = {r["event_type"]: r for r in
+               ts.burstiness_report(df).collect()}
+        # X: gaps [10,10] -> sigma 0 -> B = -1 (periodic)
+        assert out["X"]["n_gaps"] == 2
+        assert out["X"]["mean_gap_s"] == 10.0
+        assert out["X"]["cv"] == pytest.approx(0.0, abs=1e-6)
+        assert out["X"]["burstiness"] == pytest.approx(-1.0, abs=1e-6)
+        # Y: gaps [0,30] -> mu = sigma = 15 -> B = 0, cv = 1
+        assert out["Y"]["cv"] == pytest.approx(1.0, abs=1e-6)
+        assert out["Y"]["burstiness"] == pytest.approx(0.0, abs=1e-6)

@@ -189,6 +189,9 @@ SCALAR_BROADCAST_INTENDED = {
     # round 10c: q232's demeaning constant is the 1-row floor6-mean
     # frame broadcast onto the scan before the per-period explode
     "q232_periodogram",
+    # round 10c: q235's max-authority normalizer is a 1-row broadcast
+    # onto the |parts| authority frame after the exact-integer rounds
+    "q235_hits_authorities",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
