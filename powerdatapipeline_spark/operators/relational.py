@@ -1338,3 +1338,24 @@ def fanout_audit(parent: DataFrame, child: DataFrame,
                     F.col("q_50").cast("bigint").alias("p50_fanout"),
                     F.col("q_95").cast("bigint").alias("p95_fanout"),
                     "max_fanout", "mean_fanout"))
+
+
+def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D Pareto frontier (skyline), minimizing both dimensions: the
+    non-dominated (x, y) points — no other point at-most-equal on both
+    dims and strictly better on one — with the row count each point
+    carries. The scan reduces to the DISTINCT (x, y) dictionary first
+    (exact duplicates never dominate each other), then ONE running-min
+    window over that bounded frame: the classic sort-scan skyline,
+    never a pairwise domination join. Returns ``(x, y, n_rows)``
+    ordered by (x, y)."""
+    d = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .groupBy(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+         .agg(F.count("*").cast("bigint").alias("n_rows")))
+    w = (Window.orderBy(F.asc("x"), F.asc("y"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (d.withColumn("__pm", F.min("y").over(w))
+            .where(F.col("__pm").isNull() | (F.col("__pm") > F.col("y")))
+            .select(F.col("x").alias(x_col), F.col("y").alias(y_col),
+                    "n_rows")
+            .orderBy(x_col, y_col))

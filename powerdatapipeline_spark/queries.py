@@ -9854,6 +9854,120 @@ def q237_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.burstiness_report(load_events(spark, sf_dir))
 
 
+#: q239's time-travel point: 2024-01-15T00:00:00Z, the fixture window's
+#: midpoint (events span 2024-01-01 .. 2024-01-30)
+_ASOF_T = 1705276800.0
+
+
+@register("q238_incremental_agg", """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total,
+       floor(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""", priority=PRI_TAIL)
+def q238_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance made explicit — the batch
+    "late partition arrives" story: the BASE window (ts < the fixture
+    midpoint) folds to per-type partials (decimal sum + count), the
+    DELTA window folds separately, and the published aggregate is the
+    MERGE of the two partial frames — never a recompute over base ∪
+    delta. The oracle computes the full aggregate directly, so a hash
+    match PROVES merge ≡ recompute (the mergeable-sufficient-statistic
+    discipline the streaming twins q190/q199/q213/q231 rely on,
+    demonstrated for batch delta loads). At 100 TB the base partials
+    are a tiny materialized frame and only the delta scans."""
+    ev = (load_events(spark, sf_dir)
+          .where(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull() & F.col("ts").isNotNull()))
+    e = F.col("ts").cast("double")
+
+    def partial(side):
+        return (side.groupBy("event_type")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum(F.col("value").cast("decimal(38,10)"))
+                     .alias("s")))
+
+    base = partial(ev.where(e < F.lit(_ASOF_T)))
+    delta = partial(ev.where(e >= F.lit(_ASOF_T)))
+    merged = (base.unionByName(delta)
+              .groupBy("event_type")
+              .agg(F.sum("n").cast("bigint").alias("n"),
+                   F.sum("s").alias("s")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (merged.select("event_type", "n",
+                          F.col("s").cast("double").alias("total"),
+                          fl6(F.col("s").cast("double")
+                              / F.col("n").cast("double")).alias("mean"))
+            .orderBy("event_type"))
+
+
+@register("q240_pareto_frontier", """
+WITH d AS (SELECT CAST(p_retailprice AS DOUBLE) AS price,
+                  CAST(p_size AS BIGINT) AS sz,
+                  CAST(count(*) AS BIGINT) AS n_parts
+           FROM part
+           WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+           GROUP BY 1, 2),
+w AS (SELECT price, sz, n_parts,
+             min(sz) OVER (ORDER BY price, sz
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_min
+      FROM d)
+SELECT price, sz AS p_size, n_parts
+FROM w WHERE prev_min IS NULL OR prev_min > sz
+ORDER BY price, p_size
+""", priority=PRI_TAIL)
+def q240_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline) of parts minimizing (price, size)
+    — the non-dominated set (no other part is at-most-equal on BOTH
+    dims and strictly better on one), the multi-objective shortlist
+    primitive. The scan reduces to the DISTINCT (price, size)
+    dictionary first (exact duplicates never dominate each other, so
+    the frontier is decided on points, with part counts carried), then
+    ONE running-min window over that bounded frame — the classic
+    sort-scan skyline, never pairwise domination joins. Round-10c
+    born: PRI_TAIL until the round-11 rotation."""
+    prepared = (_t(spark, sf_dir, "part")
+                .select(F.col("p_retailprice").cast("double")
+                        .alias("price"),
+                        F.col("p_size").cast("bigint").alias("p_size")))
+    return (rel.pareto_frontier_2d(prepared, "price", "p_size")
+            .withColumnRenamed("n_rows", "n_parts"))
+
+
+def _q239_oracle() -> str:
+    """DuckDB twin of q239: q129's SCD2 oracle wrapped in the as-of
+    filter — one source of truth for the version-history SQL."""
+    return (f"SELECT user_id, bal, valid_from FROM ({REGISTRY['q129_scd2_merge'][1]}) scd "
+            f"WHERE valid_from <= {_ASOF_T} "
+            f"AND (valid_to IS NULL OR valid_to > {_ASOF_T}) "
+            f"ORDER BY user_id")
+
+
+@register("q239_scd2_asof_read", _q239_oracle(), priority=PRI_TAIL)
+def q239_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read of the SCD2 dimension
+    (q129's scd2_merge output filtered to the version valid AT
+    2024-01-15T00:00Z) — the query side of the dimension story: pick
+    each key's single version with ``valid_from <= T < valid_to``
+    (open rows count). A partition-pruned range predicate at scale
+    (valid_from/valid_to are the natural sort keys of a versioned
+    dimension); exactly one row per key by the SCD2 invariant q129
+    hash-verifies. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    dim = q129_scd2_merge(spark, sf_dir)
+    return (dim.where((F.col("valid_from") <= F.lit(_ASOF_T))
+                      & (F.col("valid_to").isNull()
+                         | (F.col("valid_to") > F.lit(_ASOF_T))))
+            .select("user_id", "bal", "valid_from")
+            .orderBy("user_id"))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -9864,8 +9978,8 @@ def q237_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 47 round-10-born queries
-# q191-q237 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# CORRECTNESS_r10 lands green): promote the 50 round-10-born queries
+# q191-q240 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
 # cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
 # Hellinger/TV, tokenizer fertility, streaming KS drift,
 # Brown-Forsythe, quantile normalize, sequence trigrams, association
@@ -9879,10 +9993,10 @@ def q237_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort LTV, duplicate transactions, ABC classification, fan-out
 # audit, token coverage, embedding centroid shift, streaming PSI,
 # periodogram, session entry/exit, load correlation, HITS, vocab
-# richness, burstiness) — to PRI_HEAD; 47 fits under the 50-cap with
-# 3 retained freshly-recorded entries, demoting the same count of
-# the round-10 head (q105-q112 retained pool first, then the oldest
-# of q125/q150+). All are oracle-paired,
+# richness, burstiness, incremental-agg merge, SCD2 as-of read,
+# Pareto frontier) — to PRI_HEAD; exactly 50, filling the whole
+# recorded window, demoting the entire freshly-recorded round-10
+# head. All are oracle-paired,
 # strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
 # at sf0.1 in the committed PARITY sweep — the driver record is the

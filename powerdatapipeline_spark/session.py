@@ -54,6 +54,15 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(_SCALE_DEFAULTS)
+    if master and master.startswith("local"):
+        # local mode: the 1g driver default is the WHOLE JVM (driver +
+        # all executor threads + every broadcast). A 228-query parity
+        # sweep in one session hit "not enough memory to build and
+        # broadcast" at that ceiling (round 10c, q135). On a real
+        # cluster driver memory comes from spark-submit and this branch
+        # never fires.
+        conf.setdefault("spark.driver.memory",
+                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     if shuffle_partitions is None:
         # local mode: match core count; cluster mode: leave to AQE + conf.
         cpus = os.environ.get("SPARK_GRAFT_CPUS")

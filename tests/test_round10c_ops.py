@@ -776,3 +776,55 @@ class TestBurstiness:
         # Y: gaps [0,30] -> mu = sigma = 15 -> B = 0, cv = 1
         assert out["Y"]["cv"] == pytest.approx(1.0, abs=1e-6)
         assert out["Y"]["burstiness"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestParetoFrontier:
+    def test_hand_skyline(self, spark):
+        pts = [(1.0, 5), (1.0, 5), (2.0, 3), (2.0, 7), (3.0, 3),
+               (3.0, 1)]
+        df = spark.createDataFrame([Row(x=x, y=y) for x, y in pts])
+        out = rel.pareto_frontier_2d(df, "x", "y").collect()
+        # (2,7) dominated by (2,3); (3,3) dominated by (2,3)
+        assert [(r["x"], r["y"], r["n_rows"]) for r in out] \
+            == [(1.0, 5, 2), (2.0, 3, 1), (3.0, 1, 1)]
+
+    def test_duplicates_do_not_dominate_each_other(self, spark):
+        df = spark.createDataFrame([Row(x=1.0, y=1), Row(x=1.0, y=1)])
+        out = rel.pareto_frontier_2d(df, "x", "y").collect()
+        assert len(out) == 1 and out[0]["n_rows"] == 2
+
+
+class TestIncrementalAggMerge:
+    def test_merge_equals_recompute(self, spark):
+        from powerdatapipeline_spark.queries import (
+            load_events, q238_incremental_agg)
+        sf = "/root/testdata/sf0.001"
+        got = q238_incremental_agg(spark, sf).collect()
+        ev = load_events(spark, sf).where(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+            & F.col("ts").isNotNull())
+        direct = (ev.groupBy("event_type")
+                  .agg(F.count("*").cast("bigint").alias("n"),
+                       F.sum(F.col("value").cast("decimal(38,10)"))
+                       .alias("s"))
+                  .orderBy("event_type").collect())
+        assert [(r["event_type"], r["n"]) for r in got] \
+            == [(r["event_type"], r["n"]) for r in direct]
+        for g, d in zip(got, direct):
+            assert g["total"] == pytest.approx(float(d["s"]), abs=1e-6)
+
+
+class TestScd2AsofRead:
+    def test_one_version_per_key_within_range(self, spark):
+        from powerdatapipeline_spark.queries import (
+            _ASOF_T, q129_scd2_merge, q239_scd2_asof_read)
+        sf = "/root/testdata/sf0.001"
+        got = q239_scd2_asof_read(spark, sf).collect()
+        keys = [r["user_id"] for r in got]
+        assert len(keys) == len(set(keys))
+        dim = {(r["user_id"], r["valid_from"]): r
+               for r in q129_scd2_merge(spark, sf).collect()}
+        for r in got:
+            v = dim[(r["user_id"], r["valid_from"])]
+            assert v["valid_from"] <= _ASOF_T
+            assert v["valid_to"] is None or v["valid_to"] > _ASOF_T
