@@ -1359,3 +1359,61 @@ def pareto_frontier_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             .select(F.col("x").alias(x_col), F.col("y").alias(y_col),
                     "n_rows")
             .orderBy(x_col, y_col))
+
+
+def copurchase_hitrate(baskets: DataFrame, basket_col: str,
+                       item_col: str, time_col: str,
+                       split_epoch: float) -> DataFrame:
+    """Co-occurrence recommender + held-out hit-rate — the end-to-end
+    eval loop q203's association miner feeds: train top-1 "bought
+    together" partners on the pre-``split_epoch`` baskets, then score
+    on the post-split baskets (a hit = the recommended partner really
+    is in the same held-out basket). The temporal split is the honest
+    protocol — random splits leak co-purchases across train/test.
+
+    Scale shape: the pair stage is q203's basket-keyed self-equi-join
+    (Σ_b C(k_b,2), basket-bounded); the rec table is one
+    WindowGroupLimit top-1 per item; scoring is two hash joins on
+    (item) and (basket, item) — no per-user loops. All counts exact
+    BIGINT; hit_rate floor6. Returns ONE row ``(n_train_baskets,
+    n_test_items, n_scored, n_hits, hit_rate)``."""
+    e = F.col(time_col).cast("double")
+    base = (baskets.where(F.col(basket_col).isNotNull()
+                          & F.col(item_col).isNotNull()
+                          & F.col(time_col).isNotNull())
+            .select(F.col(basket_col).alias("b"),
+                    F.col(item_col).alias("i"), e.alias("t")))
+    train = base.where(F.col("t") < split_epoch).select("b", "i").distinct()
+    test = base.where(F.col("t") >= split_epoch).select("b", "i").distinct()
+    a = train.select("b", F.col("i").alias("x"))
+    c = train.select(F.col("b").alias("b2"), F.col("i").alias("y"))
+    pairs = (a.join(c, (F.col("b") == F.col("b2"))
+                    & (F.col("x") != F.col("y")))
+             .groupBy("x", "y")
+             .agg(F.count("*").cast("bigint").alias("cnt")))
+    w = Window.partitionBy("x").orderBy(F.desc("cnt"), F.asc("y"))
+    rec = (pairs.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") == 1)
+           .select(F.col("x").alias("i"), F.col("y").alias("rec")))
+    hits_side = (test.select(F.col("b").alias("b3"),
+                             F.col("i").alias("rec2"))
+                 .withColumn("__hit", F.lit(1)))
+    scored = (test.join(rec, "i", "left")
+              .join(hits_side, (F.col("b") == F.col("b3"))
+                    & (F.col("rec") == F.col("rec2")), "left"))
+    fl6 = lambda c_: (F.floor(c_ * F.lit(1_000_000.0) + F.lit(0.5))
+                      .cast("double") / F.lit(1_000_000.0))
+    ntr = train.agg(F.count_distinct(F.col("b")).cast("bigint")
+                    .alias("n_train_baskets"))
+    out = scored.agg(
+        F.count("*").cast("bigint").alias("n_test_items"),
+        F.sum(F.when(F.col("rec").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_scored"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
+        .alias("n_hits"))
+    return (out.crossJoin(F.broadcast(ntr)).select(
+        "n_train_baskets", "n_test_items", "n_scored", "n_hits",
+        F.when(F.col("n_scored") > 0,
+               fl6(F.col("n_hits").cast("double")
+                   / F.col("n_scored").cast("double")))
+        .alias("hit_rate")))

@@ -2289,3 +2289,87 @@ def burstiness_report(df: DataFrame, ts_col: str = "ts",
         F.when(sd + mu > 0, fl6((sd - mu) / (sd + mu)))
         .alias("burstiness"))
         .orderBy(type_col))
+
+
+def changepoint_two_level(df: DataFrame, ts_col: str = "ts",
+                          value_col: str = "value",
+                          bucket_seconds: int = 86400) -> DataFrame:
+    """Two-level binary segmentation — the hierarchical extension of
+    :func:`changepoint_binary_seg`: after the best global split, the
+    best WITHIN-SEGMENT split anywhere (left or right of the first cut,
+    whichever reduces more variance) yields the three-segment partition
+    — the standard greedy multi-change-point recursion, unrolled two
+    levels so the whole thing stays one declarative plan (no driver
+    loop, oracle-replayable).
+
+    Same parity discipline as q209: the corpus collapses to the
+    |buckets| frame, prefix sums are exact DECIMAL window cumsums, both
+    argmaxes compare bit-identical doubles with bucket tiebreaks.
+    Returns ONE row ``(n_buckets, split1_bucket, split2_bucket, gain1,
+    gain2, mean_seg1, mean_seg2, mean_seg3)`` (empty when fewer than 3
+    buckets exist)."""
+    daily = (df.where(F.col(ts_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+             .select(F.floor(F.col(ts_col).cast("double")
+                             / F.lit(float(bucket_seconds)))
+                     .cast("bigint").alias("b"),
+                     F.col(value_col).cast("double").alias("v"))
+             .groupBy("b")
+             .agg(F.sum(F.col("v").cast("decimal(38,10)")).alias("ld")))
+    tot = daily.agg(F.sum("ld").alias("s"),
+                    F.count("*").cast("bigint").alias("n"))
+    w = (Window.orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (daily.withColumn("cum", F.sum("ld").over(w))
+              .withColumn("k", F.row_number().over(Window.orderBy("b"))
+                          .cast("bigint"))
+              .crossJoin(F.broadcast(tot)))
+    cd = lambda c: F.col(c).cast("double")
+    g1 = (cd("cum") * cd("cum") / cd("k")
+          + (F.col("s") - F.col("cum")).cast("double")
+          * (F.col("s") - F.col("cum")).cast("double")
+          / (cd("n") - cd("k"))
+          - cd("s") * cd("s") / cd("n"))
+    s1 = (staged.where((F.col("k") < F.col("n")) & (F.col("n") >= 3))
+          .select(F.col("b").alias("b1"), F.col("k").alias("k1"),
+                  F.col("cum").alias("cum1"), g1.alias("g1"))
+          .orderBy(F.desc("g1"), F.asc("b1")).limit(1))
+    cand = (staged.crossJoin(F.broadcast(s1))
+            .where((F.col("k") != F.col("k1")) & (F.col("k") < F.col("n"))))
+    left = (cd("cum") * cd("cum") / cd("k")
+            + (F.col("cum1") - F.col("cum")).cast("double")
+            * (F.col("cum1") - F.col("cum")).cast("double")
+            / (cd("k1") - cd("k"))
+            - cd("cum1") * cd("cum1") / cd("k1"))
+    rc = (F.col("cum") - F.col("cum1")).cast("double")
+    rs = (F.col("s") - F.col("cum1")).cast("double")
+    right = (rc * rc / (cd("k") - cd("k1"))
+             + (F.col("s") - F.col("cum")).cast("double")
+             * (F.col("s") - F.col("cum")).cast("double")
+             / (cd("n") - cd("k"))
+             - rs * rs / (cd("n") - cd("k1")))
+    g2 = F.when(F.col("k") < F.col("k1"), left).otherwise(right)
+    s2 = (cand.select("b1", "k1", "cum1", "g1",
+                      F.col("b").alias("b2"), F.col("k").alias("k2"),
+                      F.col("cum").alias("cum2"), g2.alias("g2"))
+          .orderBy(F.desc("g2"), F.asc("b2")).limit(1))
+    lo_first = F.col("k1") < F.col("k2")
+    klo = F.when(lo_first, F.col("k1")).otherwise(F.col("k2"))
+    khi = F.when(lo_first, F.col("k2")).otherwise(F.col("k1"))
+    cumlo = F.when(lo_first, F.col("cum1")).otherwise(F.col("cum2"))
+    cumhi = F.when(lo_first, F.col("cum2")).otherwise(F.col("cum1"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (s2.crossJoin(F.broadcast(tot))
+            .select(F.col("n").alias("n_buckets"),
+                    F.col("b1").alias("split1_bucket"),
+                    F.col("b2").alias("split2_bucket"),
+                    fl6(F.col("g1")).alias("gain1"),
+                    fl6(F.col("g2")).alias("gain2"),
+                    fl6(cumlo.cast("double") / klo.cast("double"))
+                    .alias("mean_seg1"),
+                    fl6((cumhi - cumlo).cast("double")
+                        / (khi - klo).cast("double")).alias("mean_seg2"),
+                    fl6((F.col("s") - cumhi).cast("double")
+                        / (F.col("n") - khi).cast("double"))
+                    .alias("mean_seg3")))

@@ -9968,6 +9968,129 @@ def q239_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+@register("q241_changepoint_two_level", """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS b,
+         SUM(CAST(value AS DECIMAL(38,10))) AS ld
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1),
+tot AS (SELECT sum(ld) AS s, CAST(count(*) AS BIGINT) AS n FROM daily),
+staged AS (
+  SELECT b,
+         sum(ld) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum,
+         CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS k
+  FROM daily),
+s1 AS (
+  SELECT b AS b1, k AS k1, cum AS cum1,
+         CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE) / CAST(k AS DOUBLE)
+         + CAST(s - cum AS DOUBLE) * CAST(s - cum AS DOUBLE)
+           / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           AS g1
+  FROM staged, tot WHERE k < n AND n >= 3
+  ORDER BY g1 DESC, b LIMIT 1),
+s2 AS (
+  SELECT b1, k1, cum1, g1, b AS b2, k AS k2, cum AS cum2,
+         CASE WHEN k < k1 THEN
+           CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE) / CAST(k AS DOUBLE)
+           + CAST(cum1 - cum AS DOUBLE) * CAST(cum1 - cum AS DOUBLE)
+             / (CAST(k1 AS DOUBLE) - CAST(k AS DOUBLE))
+           - CAST(cum1 AS DOUBLE) * CAST(cum1 AS DOUBLE)
+             / CAST(k1 AS DOUBLE)
+         ELSE
+           CAST(cum - cum1 AS DOUBLE) * CAST(cum - cum1 AS DOUBLE)
+             / (CAST(k AS DOUBLE) - CAST(k1 AS DOUBLE))
+           + CAST(s - cum AS DOUBLE) * CAST(s - cum AS DOUBLE)
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+           - CAST(s - cum1 AS DOUBLE) * CAST(s - cum1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) - CAST(k1 AS DOUBLE))
+         END AS g2
+  FROM staged, s1, tot WHERE k <> k1 AND k < n
+  ORDER BY g2 DESC, b LIMIT 1)
+SELECT n AS n_buckets, b1 AS split1_bucket, b2 AS split2_bucket,
+  floor(g1 * 1000000.0 + 0.5) / 1000000.0 AS gain1,
+  floor(g2 * 1000000.0 + 0.5) / 1000000.0 AS gain2,
+  floor(CAST(CASE WHEN k1 < k2 THEN cum1 ELSE cum2 END AS DOUBLE)
+        / CAST(least(k1, k2) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+    AS mean_seg1,
+  floor(CAST((CASE WHEN k1 < k2 THEN cum2 ELSE cum1 END)
+             - (CASE WHEN k1 < k2 THEN cum1 ELSE cum2 END) AS DOUBLE)
+        / CAST(greatest(k1, k2) - least(k1, k2) AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_seg2,
+  floor(CAST(s - (CASE WHEN k1 < k2 THEN cum2 ELSE cum1 END) AS DOUBLE)
+        / CAST(n - greatest(k1, k2) AS DOUBLE) * 1000000.0 + 0.5)
+        / 1000000.0 AS mean_seg3
+FROM s2, tot
+""", priority=PRI_TAIL)
+def q241_changepoint_two_level(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Two-level (three-segment) binary segmentation of the daily load
+    series (operators/timeseries.changepoint_two_level) — the greedy
+    multi-change-point recursion unrolled into one declarative plan:
+    global best split, then the best within-segment split on either
+    side. Exact decimal cumsums make both argmaxes bit-identical
+    across engines. Round-10c born: PRI_TAIL until the round-11
+    rotation."""
+    return ts.changepoint_two_level(load_events(spark, sf_dir))
+
+
+@register("q242_copurchase_hitrate", """
+WITH base AS (
+  SELECT o_orderkey AS b, l_partkey AS i, epoch(o_orderdate) AS t
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    AND o_orderdate IS NOT NULL),
+train AS (SELECT DISTINCT b, i FROM base WHERE t < 915148800.0),
+test AS (SELECT DISTINCT b, i FROM base WHERE t >= 915148800.0),
+pairs AS (
+  SELECT a.i AS x, c.i AS y, CAST(count(*) AS BIGINT) AS cnt
+  FROM train a JOIN train c ON a.b = c.b AND a.i <> c.i
+  GROUP BY 1, 2),
+rec AS (
+  SELECT x AS i, y AS rec FROM (
+    SELECT x, y, row_number() OVER (PARTITION BY x
+                                    ORDER BY cnt DESC, y) AS rn
+    FROM pairs) WHERE rn = 1),
+scored AS (
+  SELECT test.b, test.i, rec.rec,
+         CASE WHEN h.rec2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM test LEFT JOIN rec USING (i)
+  LEFT JOIN (SELECT b AS b3, i AS rec2 FROM test) h
+    ON h.b3 = test.b AND h.rec2 = rec.rec),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test_items,
+         CAST(sum(CASE WHEN rec IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_scored,
+         CAST(sum(hit) AS BIGINT) AS n_hits
+  FROM scored),
+ntr AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_train_baskets
+        FROM train)
+SELECT n_train_baskets, n_test_items, n_scored, n_hits,
+       CASE WHEN n_scored > 0 THEN
+         floor(CAST(n_hits AS DOUBLE) / CAST(n_scored AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 END AS hit_rate
+FROM agg, ntr
+""", priority=PRI_TAIL)
+def q242_copurchase_hitrate(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Co-purchase recommender with held-out hit-rate
+    (operators/relational.copurchase_hitrate) — q203's association
+    machinery closed into an eval loop: top-1 "bought together"
+    partners trained on pre-1999 orders, scored on post-1999 baskets
+    (temporal split — random splits leak co-purchases). Basket-bounded
+    pair join, WindowGroupLimit top-1, two hash joins to score.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
+    base = (_t(spark, sf_dir, "orders")
+            .join(_t(spark, sf_dir, "lineitem"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_orderkey").alias("basket"),
+                    F.col("l_partkey").alias("item"),
+                    F.col("o_orderdate").cast("timestamp").alias("ts")))
+    return rel.copurchase_hitrate(base, "basket", "item", "ts",
+                                  split_epoch=915148800.0)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -9978,8 +10101,8 @@ def q239_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # needed only for NEW entries.
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote the 50 round-10-born queries
-# q191-q240 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# CORRECTNESS_r10 lands green): promote round-10-born queries
+# q191-q242 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
 # cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
 # Hellinger/TV, tokenizer fertility, streaming KS drift,
 # Brown-Forsythe, quantile normalize, sequence trigrams, association
@@ -9994,9 +10117,11 @@ def q239_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # audit, token coverage, embedding centroid shift, streaming PSI,
 # periodogram, session entry/exit, load correlation, HITS, vocab
 # richness, burstiness, incremental-agg merge, SCD2 as-of read,
-# Pareto frontier) — to PRI_HEAD; exactly 50, filling the whole
-# recorded window, demoting the entire freshly-recorded round-10
-# head. All are oracle-paired,
+# Pareto frontier, two-level changepoint, co-purchase hit-rate) — to
+# PRI_HEAD. The pool is 52 (> the 50-entry window): promote q191-q240
+# and leave q241/q242 for the round-12 head alongside any round-11
+# newcomers, demoting the entire freshly-recorded round-10 head.
+# All are oracle-paired,
 # strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
 # at sf0.1 in the committed PARITY sweep — the driver record is the

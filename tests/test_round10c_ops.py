@@ -828,3 +828,58 @@ class TestScd2AsofRead:
             v = dim[(r["user_id"], r["valid_from"])]
             assert v["valid_from"] <= _ASOF_T
             assert v["valid_to"] is None or v["valid_to"] > _ASOF_T
+
+
+class TestChangepointTwoLevel:
+    def test_hand_three_segments(self, spark):
+        # levels 1,1,5,5,9,9: best global split at day 3 (1,1,5,5 | 9,9
+        # or 1,1 | 5,5,9,9 — symmetric gains, earliest bucket wins),
+        # second split separates the remaining two levels
+        df = spark.createDataFrame(
+            [Row(ts=float(d) * 86400.0, value=v)
+             for d, v in [(0, 1.0), (1, 1.0), (2, 5.0), (3, 5.0),
+                          (4, 9.0), (5, 9.0)]])
+        out = ts.changepoint_two_level(df).collect()[0]
+        assert out["n_buckets"] == 6
+        assert {out["split1_bucket"], out["split2_bucket"]} == {1, 3}
+        assert out["mean_seg1"] == pytest.approx(1.0, abs=1e-6)
+        assert out["mean_seg2"] == pytest.approx(5.0, abs=1e-6)
+        assert out["mean_seg3"] == pytest.approx(9.0, abs=1e-6)
+
+    def test_too_short_series_empty(self, spark):
+        df = spark.createDataFrame(
+            [Row(ts=0.0, value=1.0), Row(ts=86400.0, value=9.0)])
+        assert ts.changepoint_two_level(df).collect() == []
+
+
+class TestCopurchaseHitrate:
+    def test_hand_hit_and_miss(self, spark):
+        rows = [
+            # train (t < 100): baskets {1: p1,p2}, {2: p1,p2}, {3: p1,p3}
+            (1, "p1", 0.0), (1, "p2", 0.0),
+            (2, "p1", 0.0), (2, "p2", 0.0),
+            (3, "p1", 0.0), (3, "p3", 0.0),
+            # test (t >= 100): basket 10 has p1+p2 (hit for p1->p2 and
+            # p2->p1), basket 11 has p1 alone (miss), basket 12 has p9
+            # (no rec trained)
+            (10, "p1", 100.0), (10, "p2", 100.0),
+            (11, "p1", 100.0), (12, "p9", 100.0),
+        ]
+        df = spark.createDataFrame(
+            [Row(basket=b, item=i, ts=t) for b, i, t in rows])
+        out = rel.copurchase_hitrate(df, "basket", "item", "ts",
+                                     split_epoch=100.0).collect()[0]
+        # recs: p1 -> p2 (2 co-baskets beats p3's 1), p2 -> p1, p3 -> p1
+        assert out["n_train_baskets"] == 3
+        assert out["n_test_items"] == 4
+        assert out["n_scored"] == 3       # p9 has no trained rec
+        assert out["n_hits"] == 2         # both items of basket 10
+        assert out["hit_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+    def test_no_test_rows(self, spark):
+        df = spark.createDataFrame(
+            [Row(basket=1, item="a", ts=0.0),
+             Row(basket=1, item="b", ts=0.0)])
+        out = rel.copurchase_hitrate(df, "basket", "item", "ts",
+                                     split_epoch=100.0).collect()[0]
+        assert out["n_test_items"] == 0 and out["hit_rate"] is None

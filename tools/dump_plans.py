@@ -192,6 +192,14 @@ SCALAR_BROADCAST_INTENDED = {
     # round 10c: q235's max-authority normalizer is a 1-row broadcast
     # onto the |parts| authority frame after the exact-integer rounds
     "q235_hits_authorities",
+    # round 10c: q241's split-1 winner row and (s, n) totals broadcast
+    # onto the |days| frame for the second-level scan; q242's 1-row
+    # train-basket count joins the 1-row score aggregate (1x1)
+    "q241_changepoint_two_level", "q242_copurchase_hitrate",
+    # round 10c: q238's midpoint partial frames combine via a plain
+    # union, but the two 1-row published aggregates can surface as
+    # scalar broadcasts under AQE — annotate defensively
+    "q238_incremental_agg", "q239_scd2_asof_read",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
