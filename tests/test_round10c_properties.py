@@ -200,3 +200,88 @@ def test_grid_nearest_matches_bruteforce_within_ring(spark, seed,
         else:
             d6, sid = min(cand)
             assert got[pid] == (sid, d6) or abs(got[pid][1] - d6) < 1e-5
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n_edges=st.integers(1, 25))
+def test_hits_matches_bruteforce_two_rounds(spark, seed, n_edges):
+    rng = random.Random(seed)
+    edges = {(f"u{rng.randint(0, 5)}", f"p{rng.randint(0, 5)}")
+             for _ in range(n_edges)}
+    from powerdatapipeline_spark.operators import graph as gr
+    df = spark.createDataFrame(
+        [Row(src=u, dst=v) for u, v in edges])
+    got = {r["node"]: r["authority_int"]
+           for r in gr.hits_scores(df, rounds=2, top_k=1000).collect()}
+    a1 = {}
+    for u, v in edges:
+        a1[v] = a1.get(v, 0) + 1
+    h1 = {}
+    for u, v in edges:
+        h1[u] = h1.get(u, 0) + a1[v]
+    a2 = {}
+    for u, v in edges:
+        a2[v] = a2.get(v, 0) + h1[u]
+    assert got == a2
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n=st.integers(3, 25))
+def test_burstiness_matches_bruteforce(spark, seed, n):
+    rng = random.Random(seed)
+    times = sorted(round(rng.uniform(0, 1000), 3) for _ in range(n))
+    rows = [Row(user_id=1, ts=t, event_type="X", event_id=i)
+            for i, t in enumerate(times)]
+    got = tso.burstiness_report(
+        spark.createDataFrame(rows)).collect()[0]
+    gaps = [round(b - a, 6) for a, b in zip(times, times[1:])]
+    mu = sum(gaps) / len(gaps)
+    var = sum(g * g for g in gaps) / len(gaps) - mu * mu
+    sd = math.sqrt(max(var, 0.0))
+    assert got["n_gaps"] == len(gaps)
+    assert abs(got["mean_gap_s"] - mu) < 1e-5
+    if mu > 0:
+        assert abs(got["cv"] - sd / mu) < 1e-4
+    if sd + mu > 0:
+        assert abs(got["burstiness"] - (sd - mu) / (sd + mu)) < 1e-4
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 20))
+def test_token_coverage_matches_bruteforce(spark, seed, n):
+    rng = random.Random(seed)
+    words = ["a", "b", "c", "d", "e"]
+    docs = [" ".join(rng.choice(words)
+                     for _ in range(rng.randint(1, 6)))
+            for _ in range(n)]
+    from powerdatapipeline_spark.operators import text as tx
+    df = spark.createDataFrame([Row(text=d) for d in docs])
+    got = {r["k"]: (r["n_terms"], r["covered_tokens"])
+           for r in tx.token_coverage_curve(df).collect()}
+    counts = {}
+    for d in docs:
+        for w in d.split():
+            counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in (1, 2, 5, 10, 20):
+        top = ranked[:k]
+        assert got[k] == (len(top), sum(c for _, c in top))
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 30))
+def test_abc_classes_partition_and_order(spark, seed, n):
+    rng = random.Random(seed)
+    rows = [(i, round(rng.uniform(1, 100), 2)) for i in range(n)]
+    df = spark.createDataFrame([Row(k=k, amt=a) for k, a in rows])
+    out = rel.abc_classification(df, "k", "amt").collect()
+    # classes partition all entities; shares sum to ~1; A-head shares
+    # are cumulative-ordered
+    assert sum(r["n_entities"] for r in out) == len({k for k, _ in rows})
+    assert abs(sum(r["revenue_share"] for r in out) - 1.0) < 1e-4
+    got = {r["abc_class"]: r for r in out}
+    if "A" in got and "C" in got:
+        # every A revenue-per-entity >= every C revenue-per-entity
+        a_min = got["A"]["revenue"] / got["A"]["n_entities"]
+        c_max = got["C"]["revenue"] / got["C"]["n_entities"]
+        assert a_min >= c_max - 1e-6
