@@ -10091,6 +10091,117 @@ def q242_copurchase_hitrate(spark: SparkSession, sf_dir: str
                                   split_epoch=915148800.0)
 
 
+@register("q243_weekly_profile", """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) % 7 AS dow,
+         CAST(floor(epoch(ts) / 3600.0) AS BIGINT) % 24 AS hod,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+SELECT dow, hod, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS total,
+       floor(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+FROM base GROUP BY 1, 2 ORDER BY 1, 2
+""", priority=PRI_TAIL)
+def q243_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """168-slot weekly load-profile heatmap (day-of-epoch-week ×
+    hour-of-day mean/total event value) — the weekly seasonal surface
+    between q96's daily mean profile and q204's hour-of-day quantile
+    bands: the standard load-shape input for weekly-cycle forecasting
+    (q218's lag choice) and anomaly baselines. One map-side-combined
+    aggregate to a fixed 168-row frame; exact decimal sums, floor6
+    mean. Round-10c born: PRI_TAIL until the round-11 rotation."""
+    ev = load_events(spark, sf_dir)
+    e = F.col("ts").cast("double")
+    base = (ev.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+            .select((F.floor(e / F.lit(86400.0)).cast("bigint") % 7)
+                    .alias("dow"),
+                    (F.floor(e / F.lit(3600.0)).cast("bigint") % 24)
+                    .alias("hod"),
+                    F.col("value").cast("double").alias("v")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    return (base.groupBy("dow", "hod")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum(F.col("v").cast("decimal(38,10)")).alias("__s"))
+            .select("dow", "hod", "n",
+                    F.col("__s").cast("double").alias("total"),
+                    fl6(F.col("__s").cast("double")
+                        / F.col("n").cast("double")).alias("mean_value"))
+            .orderBy("dow", "hod"))
+
+
+@register("q244_session_associations", """
+WITH e AS (SELECT user_id AS k, epoch(ts) AS t, event_id AS tb,
+                  event_type AS et
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND event_type IS NOT NULL),
+lg AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY k ORDER BY t, tb)
+                           IS NULL
+                        OR t - lag(t) OVER (PARTITION BY k
+                                            ORDER BY t, tb) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+       FROM e),
+s AS (SELECT *, sum(is_new) OVER (PARTITION BY k ORDER BY t, tb
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+      FROM lg),
+li AS (SELECT DISTINCT k * 100000 + sid AS b, et AS i FROM s),
+n_orders AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS N FROM li),
+item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM li a JOIN li c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT ia AS item_a, ib AS item_b, n_pairs,
+       na.n_i AS n_a, nb.n_i AS n_b,
+  floor(CAST(n_pairs AS DOUBLE) / CAST(N AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS support,
+  floor(CAST(n_pairs AS DOUBLE) / CAST(na.n_i AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS conf_a_to_b,
+  floor(CAST(n_pairs AS DOUBLE) / CAST(nb.n_i AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS conf_b_to_a,
+  floor(CAST(N AS DOUBLE) * CAST(n_pairs AS DOUBLE)
+        / (CAST(na.n_i AS DOUBLE) * CAST(nb.n_i AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM pairs
+JOIN item_n na ON na.i = pairs.ia
+JOIN item_n nb ON nb.i = pairs.ib
+CROSS JOIN n_orders
+ORDER BY lift DESC, item_a, item_b
+LIMIT 25
+""", priority=PRI_TAIL)
+def q244_session_associations(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Event-type association rules within SESSIONS
+    (operators/relational.association_rules over q39-style session
+    baskets) — the market-basket miner q203 runs on orders, re-aimed
+    at behavior: which event types co-occur in the same 30-minute
+    session beyond what their marginals predict? Session ids from one
+    user-keyed window (deterministic (ts, event_id) order), basket
+    key = user·10⁵ + session (collision-free: sessions per user ≪
+    10⁵, guarded upstream by the corpus span), then the identical
+    a-priori pair pipeline. Round-10c born: PRI_TAIL until the
+    round-11 rotation."""
+    e = F.col("ts").cast("double")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    prev = F.lag(e).over(w)
+    is_new = (prev.isNull() | ((e - prev) > 1800.0)).cast("bigint")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled = (load_events(spark, sf_dir)
+               .where(F.col("ts").isNotNull()
+                      & F.col("user_id").isNotNull()
+                      & F.col("event_type").isNotNull())
+               .withColumn("__sid", F.sum(is_new).over(wsum))
+               .select((F.col("user_id") * 100000 + F.col("__sid"))
+                       .alias("basket"),
+                       F.col("event_type").alias("item")))
+    return rel.association_rules(labeled, "basket", "item",
+                                 min_pair_count=2, top_k=25)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -10102,7 +10213,7 @@ def q242_copurchase_hitrate(spark: SparkSession, sf_dir: str
 #
 # ROUND-11 ROTATION PLAN (stage at the start of round 11, after
 # CORRECTNESS_r10 lands green): promote round-10-born queries
-# q191-q242 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
+# q191-q244 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
 # cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
 # Hellinger/TV, tokenizer fertility, streaming KS drift,
 # Brown-Forsythe, quantile normalize, sequence trigrams, association
@@ -10117,11 +10228,11 @@ def q242_copurchase_hitrate(spark: SparkSession, sf_dir: str
 # audit, token coverage, embedding centroid shift, streaming PSI,
 # periodogram, session entry/exit, load correlation, HITS, vocab
 # richness, burstiness, incremental-agg merge, SCD2 as-of read,
-# Pareto frontier, two-level changepoint, co-purchase hit-rate) — to
-# PRI_HEAD. The pool is 52 (> the 50-entry window): promote q191-q240
-# and leave q241/q242 for the round-12 head alongside any round-11
-# newcomers, demoting the entire freshly-recorded round-10 head.
-# All are oracle-paired,
+# Pareto frontier, two-level changepoint, co-purchase hit-rate,
+# weekly profile, session associations) — to PRI_HEAD. The pool is 54
+# (> the 50-entry window): promote q191-q240 and leave q241-q244 for
+# the round-12 head alongside any round-11 newcomers, demoting the
+# entire freshly-recorded round-10 head. All are oracle-paired,
 # strict-compared at
 # sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
 # at sf0.1 in the committed PARITY sweep — the driver record is the

@@ -200,6 +200,9 @@ SCALAR_BROADCAST_INTENDED = {
     # union, but the two 1-row published aggregates can surface as
     # scalar broadcasts under AQE — annotate defensively
     "q238_incremental_agg", "q239_scd2_asof_read",
+    # round 10c: q244 inherits q203's 1-row basket-count broadcast
+    # (association_rules `n_orders`)
+    "q244_session_associations",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
