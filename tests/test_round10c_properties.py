@@ -285,3 +285,112 @@ def test_abc_classes_partition_and_order(spark, seed, n):
         a_min = got["A"]["revenue"] / got["A"]["n_entities"]
         c_max = got["C"]["revenue"] / got["C"]["n_entities"]
         assert a_min >= c_max - 1e-6
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n=st.integers(2, 25))
+def test_state_durations_matches_bruteforce(spark, seed, n):
+    rng = random.Random(seed)
+    rows = [(rng.randint(1, 3), round(rng.uniform(0, 100), 3),
+             rng.choice(["A", "B"]), i) for i, _ in enumerate(range(n))]
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=t, event_type=s, event_id=e)
+         for u, t, s, e in rows])
+    got = {r["state"]: (r["n_intervals"], r["total_seconds"])
+           for r in tso.state_durations(df).collect()}
+    want = {}
+    users = {}
+    for u, t, s, e in rows:
+        users.setdefault(u, []).append((t, e, s))
+    for u, evs in users.items():
+        evs.sort()
+        for (t, e, s), (t2, e2, s2) in zip(evs, evs[1:]):
+            d = round(t2 - t, 6)
+            k, tot = want.get(s, (0, 0.0))
+            want[s] = (k + 1, tot + d)
+    assert set(got) == set(want)
+    for s, (k, tot) in want.items():
+        assert got[s][0] == k
+        assert abs(got[s][1] - tot) < 1e-5
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 30))
+def test_lorenz_deciles_matches_bruteforce(spark, seed, n):
+    rng = random.Random(seed)
+    rows = [(i, round(rng.uniform(0.5, 50), 2)) for i in range(n)]
+    df = spark.createDataFrame([Row(e=e, amt=a) for e, a in rows])
+    got = {r["decile"]: (r["cum_entities"], r["cum_share"])
+           for r in sto.lorenz_deciles(df, "e", "amt").collect()}
+    spends = sorted(round(a, 6) for _, a in rows)
+    tot = sum(spends)
+    for d in range(1, 11):
+        pos = math.floor((d * n + 9) / 10)
+        # first distinct value whose cumcount >= pos: cumulative stats
+        # include ALL entities at that value
+        cume, cums = 0, 0.0
+        from itertools import groupby
+        for v, grp in groupby(spends):
+            k = len(list(grp))
+            cume += k
+            cums += v * k
+            if cume >= pos:
+                break
+        assert got[d][0] == cume
+        assert abs(got[d][1] - cums / tot) < 1e-5
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 30),
+       lag=st.sampled_from([2, 3]))
+def test_forecast_backtest_matches_bruteforce(spark, seed, n, lag):
+    rng = random.Random(seed)
+    buckets = sorted(rng.sample(range(0, 12), min(n, 12)))
+    loads = {b: round(rng.uniform(1, 50), 3) for b in buckets}
+    df = spark.createDataFrame(
+        [Row(event_type="a", ts=b * 3600.0 + 1.0, value=v)
+         for b, v in loads.items()])
+    got = tso.forecast_backtest_naive(df, lag_buckets=lag).collect()
+    pairs = [(loads[b], loads[b - lag]) for b in loads if b - lag in loads]
+    if not pairs:
+        assert got == []
+        return
+    r = got[0]
+    errs = [y - yh for y, yh in pairs]
+    assert r["n_scored"] == len(pairs)
+    assert abs(r["mae"] - sum(abs(e) for e in errs) / len(errs)) < 1e-5
+    assert abs(r["bias"] - sum(errs) / len(errs)) < 1e-5
+    rmse = math.sqrt(sum(e * e for e in errs) / len(errs))
+    assert abs(r["rmse"] - rmse) < 1e-5
+
+
+@SLOW
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 40))
+def test_load_coincidence_matches_bruteforce(spark, seed, n):
+    rng = random.Random(seed)
+    rows = [(rng.choice(["a", "b"]), float(rng.randint(0, 3)) * 3600.0
+             + rng.uniform(0, 3599), round(rng.uniform(1, 10), 3))
+            for _ in range(n)]
+    df = spark.createDataFrame(
+        [Row(event_type=g, ts=t, value=v) for g, t, v in rows])
+    got = {r["event_type"]: r for r in
+           tso.load_coincidence(df).collect()}
+    hourly = {}
+    for g, t, v in rows:
+        b = math.floor(t / 3600.0)
+        hourly[(g, b)] = hourly.get((g, b), 0.0) + v
+    groups = {g for g, _, _ in rows}
+    sys_hour = {}
+    for (g, b), ld in hourly.items():
+        sys_hour[b] = sys_hour.get(b, 0.0) + ld
+    sum_peaks = sum(max(ld for (g2, b), ld in hourly.items()
+                        if g2 == g) for g in groups)
+    sys_peak = max(sys_hour.values())
+    for g in groups:
+        loads = {b: ld for (g2, b), ld in hourly.items() if g2 == g}
+        peak = max(loads.values())
+        assert abs(got[g]["peak_load"] - peak) < 1e-6
+        lf = (sum(loads.values()) / len(loads)) / peak
+        assert abs(got[g]["load_factor"] - lf) < 1e-5
+        assert abs(got[g]["coincidence_factor"]
+                   - sys_peak / sum_peaks) < 1e-5
