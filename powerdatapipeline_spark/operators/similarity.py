@@ -971,8 +971,7 @@ def ranking_metrics(ranked: DataFrame, rel_col: str,
 
 
 def centroid_shift_report(df: DataFrame, vec_col: str = "embedding",
-                          label_col: str = "label",
-                          id_col: str = "vec_id") -> DataFrame:
+                          label_col: str = "label") -> DataFrame:
     """Per-label embedding centroid shift vs the corpus centroid — the
     embedding-space drift/imbalance screen (which class sits far from
     the population center?): L2 distance between each label's mean

@@ -936,7 +936,9 @@ def effective_sample_size(df: DataFrame, weight_col,
     return (base.where(F.col("__w") > 0)
             .groupBy(*[F.col(k) for k in keys])
             .agg(F.count("*").cast("bigint").alias("n"),
-                 F.sum(F.col("__w").cast("decimal(18,6)")).cast("double")
+                 # (28,6) summand → sum accumulates at the (38,6) cap
+                 # instead of (28,6)'s 1e22 weight-mass ceiling
+                 F.sum(F.col("__w").cast("decimal(28,6)")).cast("double")
                  .alias("sum_w"),
                  F.sum((F.col("__w") * F.col("__w"))
                        .cast("decimal(28,12)")).cast("double")
@@ -1261,8 +1263,11 @@ def spearman_corr(df: DataFrame, x_col, y_col) -> DataFrame:
     rx, ry = F.col("r2__x"), F.col("r2__y")
     agg = j.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(dec(rx)).cast("decimal(38,0)").alias("sx"),
-        F.sum(dec(ry)).cast("decimal(38,0)").alias("sy"),
+        # rank sums ≈ N² — widen before the sum so the accumulator is
+        # (38,0), not (29,0) (VERDICT r10 #4 audit); product sums
+        # already widen to the 38 cap at the multiply
+        F.sum(dec(rx).cast("decimal(38,0)")).alias("sx"),
+        F.sum(dec(ry).cast("decimal(38,0)")).alias("sy"),
         F.sum((dec(rx) * dec(ry)).cast("decimal(38,0)"))
         .cast("decimal(38,0)").alias("sxy"),
         F.sum((dec(rx) * dec(rx)).cast("decimal(38,0)"))
@@ -1316,10 +1321,16 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str,
 
     def agg_side(s):
         c = F.col("__g") == s
-        zero = F.lit(0).cast("decimal(19,0)")
+        # widen BEFORE the sum: Spark accumulates sum(decimal(p,0)) at
+        # decimal(p+10,0), so summing the (19,0) micro values directly
+        # overflows at ~1e29 total mass — same latent class as the
+        # bigint checksum folds (VERDICT r10 #4). Product sums (μ²)
+        # already hit the 38 cap at the multiply and are safe.
+        zero = F.lit(0).cast("decimal(38,0)")
         return [F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
                 .alias(f"n_{s}"),
-                F.sum(F.when(c, F.col("__md")).otherwise(zero))
+                F.sum(F.when(c, F.col("__md").cast("decimal(38,0)"))
+                      .otherwise(zero))
                 .cast("decimal(38,0)").alias(f"s_{s}"),
                 F.sum(F.when(c, F.col("__md") * F.col("__md"))
                       .otherwise(zero * zero)).cast("decimal(38,0)")
@@ -1521,7 +1532,10 @@ def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             .withColumn("__md", F.col("__m").cast("decimal(19,0)")))
     per = base.groupBy("__g").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("__md").cast("decimal(38,0)").alias("s"),
+        # widen BEFORE the sum: sum(decimal(19,0)) accumulates at
+        # (29,0) and overflows at ~1e29 micro-mass; μ² already widens
+        # to the 38 cap at the multiply (VERDICT r10 #4 audit)
+        F.sum(F.col("__md").cast("decimal(38,0)")).alias("s"),
         F.sum(F.col("__md") * F.col("__md")).cast("decimal(38,0)")
         .alias("ss"))
     # names must differ from "n"/"s" by more than case: Spark resolves

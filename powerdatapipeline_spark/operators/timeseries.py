@@ -1574,8 +1574,10 @@ def cross_correlation(df: DataFrame, ts_col: str, type_col: str,
     dec = lambda c: F.col(c).cast("decimal(19,0)")
     per = probes.groupBy("lag").agg(
         F.count("*").cast("bigint").alias("m"),
-        F.sum(dec("xa")).cast("decimal(38,0)").alias("sx"),
-        F.sum(dec("xb")).cast("decimal(38,0)").alias("sy"),
+        # widen before the sum: sum(decimal(19,0)) accumulates at
+        # (29,0) — overflow at ~1e29 micro-mass (VERDICT r10 #4 audit)
+        F.sum(dec("xa").cast("decimal(38,0)")).alias("sx"),
+        F.sum(dec("xb").cast("decimal(38,0)")).alias("sy"),
         F.sum((dec("xa") * dec("xb")).cast("decimal(38,0)"))
         .cast("decimal(38,0)").alias("sxy"),
         F.sum((dec("xa") * dec("xa")).cast("decimal(38,0)"))
@@ -2271,7 +2273,8 @@ def burstiness_report(df: DataFrame, ts_col: str = "ts",
     md = F.col("m").cast("decimal(19,0)")
     agg = (base.groupBy("g")
            .agg(F.count("*").cast("bigint").alias("n_gaps"),
-                F.sum(md).cast("decimal(38,0)").alias("s"),
+                # widen before the sum — (29,0) accumulator otherwise
+                F.sum(md.cast("decimal(38,0)")).alias("s"),
                 F.sum((md * md).cast("decimal(38,0)"))
                 .cast("decimal(38,0)").alias("ss")))
     nd = F.col("n_gaps").cast("double")

@@ -4960,7 +4960,8 @@ p AS (SELECT shard_id, n_chars, ck,
                                      ORDER BY u, doc_id) AS BIGINT) AS pos
       FROM a)
 SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(pos * ck) AS BIGINT) AS order_checksum,
+       CAST(sum(pos * ck) % 9223372036854775808 AS BIGINT)
+         AS order_checksum,
        CAST(sum(n_chars) AS BIGINT) AS total_size
 FROM p GROUP BY shard_id
 """, priority=PRI_TAIL)
@@ -4973,7 +4974,8 @@ def q138_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     product). shard = md5-bucket(doc_id), intra-shard order = md5
     uniform — both pure key functions, so epoch order is reproducible
     across runs/engines/cluster sizes. The manifest's ORDER-SENSITIVE
-    checksum (Σ pos·keyhash, exact BIGINT) makes the green hash prove
+    checksum (Σ pos·keyhash mod 2⁶³, decimal accumulator) makes the
+    green hash prove
     sequence equality, not mere membership; one hash-partition shuffle,
     per-shard executor sorts, 32-row output."""
     return rel.shard_manifest(_t(spark, sf_dir, "documents"), "doc_id",
@@ -9330,7 +9332,7 @@ lg AS (SELECT k, v, t,
 SELECT k AS user_id, v AS amount, tp AS t_first, t AS t_second,
        round(t - tp, 6) AS gap_seconds
 FROM lg WHERE tp IS NOT NULL AND t - tp <= 3600
-ORDER BY gap_seconds, user_id, t_first LIMIT 25
+ORDER BY gap_seconds, user_id, t_first, amount LIMIT 25
 """, priority=PRI_TAIL)
 def q226_duplicate_transactions(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:

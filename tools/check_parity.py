@@ -5,11 +5,20 @@ names, and order-insensitive values (exact string equality after canonical
 formatting — stricter than any plausible driver hash, so passing here should
 pass there).
 
-Usage: python tools/check_parity.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--json OUT.json] [--ansi] [sf_dir] [query ...]
 
 ``--json`` persists the per-query verdicts (pass/fail + row counts +
 wall seconds) so a full-sweep claim (e.g. COVERAGE.md's sf0.1 72/72) is an
 auditable in-repo artifact, not prose (VERDICT r6 #7).
+
+``--ansi`` runs the Spark side with ``spark.sql.ansi.enabled=true`` —
+the DRIVER's session is vanilla Spark 4 (ANSI on by default) while the
+engine's ``get_spark`` pins ANSI off, so without this flag every local
+gate is more permissive than the driver. An ANSI-on sweep catches the
+overflow/strict-cast class (VERDICT r10 #1-#3: a sum(xxhash64) BIGINT
+overflow passed all ANSI-off gates and failed the driver run). Run once
+per round: ``python tools/check_parity.py --ansi --json
+PARITY_ansi_sf0.001_rN.json``.
 """
 
 from __future__ import annotations
@@ -55,10 +64,18 @@ def main():
             sys.exit(2)
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    ansi = "--ansi" in argv
+    if ansi:
+        argv.remove("--ansi")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
     results: dict[str, dict] = {}
-    spark = get_spark("parity-check")
+    extra = {"spark.sql.ansi.enabled": "true"} if ansi else None
+    spark = get_spark("parity-check", extra_conf=extra)
+    if ansi:
+        got = spark.conf.get("spark.sql.ansi.enabled")
+        assert got == "true", f"ANSI flag did not take: {got}"
+        print("(ANSI mode ON — matching the driver's vanilla session)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -123,7 +140,7 @@ def main():
     if json_out:
         import json
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": sf_dir,
+            json.dump({"sf_dir": sf_dir, "ansi": ansi,
                        "summary": {"pass": n_pass, "fail": n_fail,
                                    "rows_only": n_rows_only},
                        "queries": results}, f, indent=2)
