@@ -3589,7 +3589,7 @@ SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
              (acc, x) -> acc + x) / length(d.text), 6)
        ELSE 0.0 END AS char_entropy
 FROM documents d LEFT JOIN pl USING (doc_id)
-""")
+""", priority=PRI_TAIL)
 def q105_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy
     (operators/text.char_entropy) — the gibberish/mojibake/base64-blob
@@ -3630,7 +3630,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY pmi DESC, ngram ASC) AS INT)
            AS rank
   FROM s) WHERE rank <= 20
-""")
+""", priority=PRI_TAIL)
 def q106_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by pointwise mutual information
     (operators/text.pmi_bigrams): ``ln p(ab) − ln p(a) − ln p(b)`` over
@@ -3670,7 +3670,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
-@register("q107_ewma", _ewma_oracle())
+@register("q107_ewma", _ewma_oracle(), priority=PRI_TAIL)
 def q107_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per user series
     (operators/timeseries.ewma_fir) — telemetry smoothing in its
@@ -3691,7 +3691,7 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50_exact,
        TRUE AS within_contract
 FROM events GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q108_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile with an explicit accuracy contract (the q48
     HLL pattern applied to quantile sketches): the scale path for
@@ -3748,7 +3748,7 @@ SELECT CAST(step AS INT) AS step, event_type,
                        / lag(n_users) OVER (ORDER BY step) END, 6)
          AS conversion
 FROM c
-""")
+""", priority=PRI_TAIL)
 def q109_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase
     (operators/timeseries.event_funnel): per step, the users who
@@ -3775,7 +3775,7 @@ b0 AS (SELECT cohort, n_active AS base FROM c WHERE week_offset = 0)
 SELECT c.cohort, c.week_offset, c.n_active,
        round(CAST(c.n_active AS DOUBLE) / b0.base, 6) AS retention
 FROM c JOIN b0 USING (cohort)
-""")
+""", priority=PRI_TAIL)
 def q110_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix
     (operators/timeseries.retention_cohorts): users cohorted by the
@@ -3822,7 +3822,7 @@ SELECT n,
                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
              END, 6) AS r
 FROM m
-""")
+""", priority=PRI_TAIL)
 def q111_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus frequency spectrum
     (operators/text.zipf_fit): OLS of ln(count) on ln(rank) over the
@@ -3861,7 +3861,7 @@ SELECT l.event_id, l.user_id,
                    / (epoch(ta) - epoch(tb))
        END, 6) AS interp_value
 FROM l LEFT JOIN bb USING (event_id) LEFT JOIN aa USING (event_id)
-""")
+""", priority=PRI_TAIL)
 def q112_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-at-event interpolation join
     (operators/timeseries.interpolation_join): each click event samples
@@ -5518,7 +5518,7 @@ SELECT * FROM (
          CAST(row_number() OVER (ORDER BY pair_count DESC, left_piece,
                                  right_piece) AS BIGINT) AS merge_rank
   FROM c) WHERE merge_rank <= 20
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q150_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-candidate statistics (operators/text.
     bpe_merge_candidates; Sennrich et al. 2016) — the distributed half
@@ -5568,7 +5568,7 @@ SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
        coalesce(agg.n_kept, 0) AS n_lines_kept,
        t.n_lines - coalesce(agg.n_kept, 0) AS n_lines_removed
 FROM tot t LEFT JOIN agg USING (doc_id)
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q151_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal (operators/text.
     remove_boilerplate_lines; the CCNet/jusText template-chrome rule) —
@@ -5654,7 +5654,7 @@ SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
        / (sqrt(CAST(n AS DOUBLE) * CAST(p22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
           * sqrt(CAST(n AS DOUBLE) * CAST(p33 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))), 6)
   END AS corr, n AS n_rows FROM m
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q152_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over the lineitem numerics
     (operators/stats.correlation_matrix) — the feature-redundancy
@@ -5709,7 +5709,7 @@ pt AS (SELECT round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
        FROM events WHERE value IS NOT NULL)
 SELECT point_mean, n_rows, boot_lo, boot_hi, boot_se, n_replicas
 FROM pt CROSS JOIN summary
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q153_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean in ONE pass
     (operators/stats.poisson_bootstrap_ci; Chamandy et al. 2012) —
@@ -5748,7 +5748,7 @@ SELECT * FROM (
          round((2.0 * s_ic) / (k_keys * tot)
                - CAST(k_keys + 1 AS DOUBLE) / k_keys, 6) AS gini
   FROM r2) WHERE skew_rank <= 10
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q154_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew report (operators/relational.skew_report) — the
     planning tool behind the salted-join decision (q82) and AQE's skew
@@ -5798,7 +5798,7 @@ SELECT doc_a, doc_b,
             AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q155_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (operators/multimodal.image_ahash
     + ahash_neardup_pairs) — the IMAGE-side member of the near-dup
@@ -5853,7 +5853,7 @@ SELECT * FROM (
          round(1.0 - CAST(n_distinct_chunks AS DOUBLE) / n_chunks_total,
                6) AS dup_share
   FROM counts CROSS JOIN tot) WHERE dup_rank <= 10
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q156_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking + corpus chunk-dedup report (operators/
     text.cdc_chunk_rows/cdc_dedup_report; the Rabin/LBFS rule) — the
@@ -5929,7 +5929,7 @@ def materialize_binary_fixture(spark: SparkSession, sf_dir: str,
 @register("q125_binary_ingest",
           f"""WITH sel AS (SELECT doc_id, text FROM documents
   WHERE text IS NOT NULL ORDER BY doc_id LIMIT {_BINFIX_N})
-""" + _multimodal_oracle("sel"), priority=PRI_HEAD)
+""" + _multimodal_oracle("sel"), priority=PRI_TAIL)
 def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-FILE multimodal ingestion end to end (VERDICT r7 missing
     #1): a directory of real on-disk payload files is scanned with the
@@ -6008,7 +6008,7 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        round(CAST(-sum(CAST(tf * lnp AS DECIMAL(28,12))) AS DOUBLE)
              / sum(tf), 6) AS avg_neg_logprob
 FROM lp GROUP BY doc_id
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q157_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM cross-entropy per document
     (operators/text.bigram_logprob) — the next rung of the CCNet-style
@@ -6037,7 +6037,7 @@ SELECT wday AS window_end_day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
        CAST(count(*) AS BIGINT) AS n_id_buckets
 FROM win GROUP BY 1
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q158_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users per day
     (operators/timeseries.rolling_distinct) — the "7-day active users"
@@ -6074,7 +6074,7 @@ SELECT l.event_id, l.user_id, l.ets,
             WHEN p.fwd = 1 THEN 'forward' END AS near_direction,
        p.gap AS near_gap_s
 FROM l LEFT JOIN pick p ON p.event_id = l.event_id AND p.rn = 1
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q159_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of join with tolerance
     (operators/timeseries.asof_join_nearest — pandas
@@ -6107,7 +6107,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        min(user_id) AS min_user_id, max(user_id) AS max_user_id,
        min(value) + 0.0 AS min_value, max(value) + 0.0 AS max_value
 FROM events
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q160_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only dataset profile (sources/readers.scan_stats):
     COUNT(*) + id/value MIN/MAX answered from parquet FOOTER statistics
@@ -6137,7 +6137,7 @@ SELECT doc_id, frame_idx,
             AS BIGINT) AS frame_len,
        md5(substr(t, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
 FROM idx
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q161_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing, oracle-paired
     (operators/multimodal.frame_sample — the north star names
@@ -6169,7 +6169,7 @@ WITH s AS (SELECT source, doc_id, n_chars,
             AS BIGINT) + 1) / 1152921504606846976.0 ASC, doc_id ASC) AS rn
   FROM documents)
 SELECT source, doc_id, n_chars FROM s WHERE rn <= 5
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q162_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform k-per-group sample
     (operators/relational.group_reservoir_sample) — "5 eval examples
@@ -6215,7 +6215,7 @@ SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE)
                          / (n_a + n_b - n_inter), 6) AS jaccard
 FROM inter
 WHERE round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) >= 0.5
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q163_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filter similarity join (operators/dedup.
     prefix_filter_jaccard_pairs — AllPairs/PPJoin, Bayardo et al.
@@ -6270,7 +6270,7 @@ SELECT ga AS set_a, gb AS set_b, n_merged,
        round(eu, 6) AS est_union, round(jac, 6) AS jaccard_est,
        round(jac * eu, 6) AS est_intersection
 FROM raw
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q164_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k set-overlap estimates between per-event-type user
     sets (operators/stats.kmv_sketch + kmv_set_compare — Bar-Yossef et
@@ -6322,7 +6322,7 @@ SELECT n AS n_points, total_tokens, total_vocab,
                     / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
              / CAST(n AS DOUBLE), 6) AS log_k
 FROM agg
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q165_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit (operators/text.heaps_law_fit)
     — V(N) ≈ k·N^β beside the Zipf rank-frequency fit (q111): β far
@@ -6344,7 +6344,7 @@ cand AS (SELECT a.k AS key_a, b.k AS key_b, a.s AS sort_a, b.s AS sort_b,
 SELECT key_a, key_b, sort_a, sort_b, rank_gap,
        CAST(levenshtein(sort_a, sort_b) AS BIGINT) AS lev
 FROM cand WHERE levenshtein(sort_a, sort_b) <= 4
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q166_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood entity-resolution blocking
     (operators/dedup.sorted_neighborhood_pairs — Hernández & Stolfo
@@ -6393,7 +6393,7 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
                   THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
          AS global_clustering
 FROM tri, st, ne
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count + global clustering coefficient over the
     part co-purchase graph (operators/graph.triangle_count — the
@@ -6444,7 +6444,7 @@ SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
                           *(sx/CAST(n AS DOUBLE))), 6) END AS acf
 FROM pl CROSS JOIN g
 ORDER BY lag
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q168_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function at lags 1-12h over the hourly-bucketed
     event-value series (operators/timeseries.acf) — the seasonality/
@@ -6513,7 +6513,7 @@ SELECT CASE WHEN score >= 2.0 THEN 'match'
        CAST(sum(CASE WHEN agree_digit THEN 1 ELSE 0 END) AS BIGINT)
          AS n_agree_digit
 FROM sc GROUP BY 1
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q169_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage over (nation,
     segment)-blocked customer pairs (operators/dedup.fs_linkage) — the
@@ -6579,7 +6579,7 @@ SELECT src, dst, n_src, n_inter,
        round(CAST(n_inter AS DOUBLE) / n_src, 6) AS containment
 FROM both_dirs
 WHERE round(CAST(n_inter AS DOUBLE) / n_src, 6) >= 0.7
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q170_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional word-3-gram containment pairs C(A->B) = |A inter B|
     / |A| (operators/dedup.containment_pairs — Broder 1997's asymmetric
@@ -6637,7 +6637,7 @@ def _trunc_recall_oracle(dims=(8, 16, 32), full=64, k=10, nq=5) -> str:
 
 
 @register("q171_truncation_recall", _trunc_recall_oracle(),
-          priority=PRI_HEAD)
+          priority=PRI_TAIL)
 def q171_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension-truncation recall curve
     (operators/similarity.truncation_recall): search with only the
@@ -6702,7 +6702,7 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
              / count(*), 6) AS accuracy,
        CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
 FROM b GROUP BY 1
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q172_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the nearest-centroid embedding
     classifier (operators/similarity.centroid_calibration, Guo et al.
@@ -6763,7 +6763,7 @@ SELECT n, n00, n01, n10, n11,
                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
                        6) END AS kappa
 FROM c
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q173_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two heuristic keep/drop labelers on the
     document corpus (operators/stats.cohen_kappa): labeler A = length
@@ -6802,7 +6802,7 @@ SELECT CAST(b % 24 AS BIGINT) AS phase, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        CAST(sum(CAST(det AS DECIMAL(18,6))) AS DOUBLE) AS sum_detrended
 FROM det GROUP BY 1
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q174_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the hourly event
     series (operators/timeseries.seasonal_decompose_profile) — the
@@ -6861,7 +6861,7 @@ LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 """
 
 
-@register("q175_js_divergence", _jsd_oracle(), priority=PRI_HEAD)
+@register("q175_js_divergence", _jsd_oracle(), priority=PRI_TAIL)
 def q175_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence (bits) between per-source
     unigram distributions (operators/text.js_divergence_matrix) — the
@@ -6906,7 +6906,7 @@ SELECT cls, n_true, n_pred, tp,
        CASE WHEN pr + rc > 0
             THEN round(2 * pr * rc / (pr + rc), 6) END AS f1
 FROM m
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q176_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class precision/recall/F1 for the nearest-centroid
     embedding classifier (operators/stats.classification_report over
@@ -6938,7 +6938,7 @@ SELECT digit, n, total,
              / (total * round(log10(1.0 + 1.0 / digit), 6)), 6)
          AS chi2_term
 FROM counts CROSS JOIN tot ORDER BY digit
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q177_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit audit of lineitem prices
     (operators/stats.benford_audit) — the data-forensics screen for
@@ -6972,7 +6972,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
        CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
        sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) = 0 AS l_diverse
 FROM g
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q178_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct l-diversity audit (operators/stats.l_diversity_audit,
     l=3 on quasi-identifiers (source, lang) with the document-length
@@ -7018,7 +7018,7 @@ SELECT n_pos, n_neg, n_scores,
        2.0 * (floor(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg)
                     * 1000000.0 + 0.5) / 1000000.0) - 1.0 AS gini
 FROM agg WHERE n_pos > 0 AND n_neg > 0
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q179_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC AUC of a scalar embedding score against a binary label
     (operators/stats.binary_auc — exact Mann-Whitney U in BIGINT over
@@ -7074,7 +7074,7 @@ SELECT n, (SELECT CAST(count(*) AS BIGINT) FROM mx) AS x_levels,
                        * 1000000.0 + 0.5) / 1000000.0
             END AS nmi
 FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q180_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between document language and source
     (operators/stats.mutual_information) — the metadata-redundancy
@@ -7128,7 +7128,7 @@ SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
             ELSE floor(exp(ls) * 1000000.0 + 0.5) / 1000000.0
             END AS survival
 FROM cum WHERE n_events > 0 ORDER BY t
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q181_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier user-retention curve over event-stream lifetimes
     (operators/stats.km_survival): lifetime = last minus first event
@@ -7195,7 +7195,7 @@ SELECT n_a, n_b,
                             + (vb / n_b) * (vb / n_b) / (n_b - 1))
              * 1000000.0 + 0.5) / 1000000.0 AS df
 FROM y
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q182_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between returned ('A') and
     refused ('R') lineitem prices (operators/stats.welch_ttest) — the
@@ -7242,7 +7242,7 @@ SELECT n_a, n_b, n_values,
              * 1000000.0 + 0.5) / 1000000.0 AS d,
        d_at
 FROM hit CROSS JOIN nv WHERE n_a > 0 AND n_b > 0
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q183_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov D between returned and refused
     lineitem price distributions (operators/stats.ks_test) — the
@@ -7266,7 +7266,7 @@ SELECT n.o_orderkey AS node,
 FROM nodes n JOIN (SELECT o_custkey, min(o_orderkey) AS lbl
                    FROM nodes GROUP BY 1) m
      ON m.o_custkey = n.o_custkey
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q184_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over per-customer order chains
     (operators/graph.connected_components — alternating
@@ -7350,7 +7350,7 @@ FROM p0 LEFT JOIN p{n_merges} ON p{n_merges}.doc = p0.doc"""
     return "WITH " + ",\n".join(blocks) + "\n" + final
 
 
-@register("q185_bpe_train", _bpe_train_oracle(3), priority=PRI_HEAD)
+@register("q185_bpe_train", _bpe_train_oracle(3), priority=PRI_TAIL)
 def q185_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING, outer loop included (operators/text.
     bpe_train; Sennrich et al. 2016) — q150's merge-candidate
@@ -7366,7 +7366,7 @@ def q185_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q186_bpe_encode", _bpe_train_oracle(3, emit="corpus"),
-          priority=PRI_HEAD)
+          priority=PRI_TAIL)
 def q186_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer train-then-ENCODE round trip (operators/text.
     bpe_encode) — the inference half q185's trainer feeds: the learned
@@ -7426,7 +7426,7 @@ SELECT n, x_levels, y_levels,
                             * (least(x_levels, y_levels) - 1)))
                * 1000000.0 + 0.5) / 1000000.0 END AS cramers_v
 FROM fin
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q187_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test of document language vs
     source (operators/stats.chisq_independence) — the significance
@@ -7480,7 +7480,7 @@ SELECT n, x_distinct, y_distinct,
                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
           * 1000000.0 + 0.5) / 1000000.0 END AS rho
 FROM agg
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q188_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of event value vs event time
     (operators/stats.spearman_corr) — the monotone drift/trend screen
@@ -7526,7 +7526,7 @@ SELECT source, n, CAST(total AS BIGINT) AS total,
                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
                * 1000000.0 + 0.5) / 1000000.0 END AS gini
 FROM agg
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q189_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gini coefficient of document character mass
     (operators/stats.gini_concentration) — the corpus-concentration
@@ -7566,7 +7566,7 @@ SELECT n_pos, n_neg, n_scores,
        2.0 * (floor(CAST(num AS DOUBLE) / (2.0 * n_pos * n_neg)
                     * 1000000.0 + 0.5) / 1000000.0) - 1.0 AS gini
 FROM agg WHERE n_pos > 0 AND n_neg > 0
-""", priority=PRI_HEAD)
+""", priority=PRI_TAIL)
 def q190_streaming_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING ROC AUC under driver verification (streaming/stateful.
     streaming_binary_auc + finalize_binary_auc) — q179's exact
@@ -7654,7 +7654,7 @@ SELECT k, n, ssb, ssw,
   CASE WHEN ssb + ssw > 0 THEN
     floor(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0 END AS eta_sq
 FROM agg
-""", priority=PRI_TAIL)
+""")
 def q191_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F across the 20 document sources
     (operators/stats.anova_f) — the k-sample omnibus mean screen the
@@ -7714,7 +7714,7 @@ SELECT k, n, n_values,
                  - CAST(n AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
   END AS h_adj
 FROM agg CROSS JOIN ties
-""", priority=PRI_TAIL)
+""")
 def q192_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H across the 5 event types
     (operators/stats.kruskal_wallis) — the rank-based omnibus location
@@ -7767,7 +7767,7 @@ SELECT CAST(lag AS BIGINT) AS lag, m AS n_pairs,
                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
           * 1000000.0 + 0.5) / 1000000.0 END AS r
 FROM per ORDER BY lag
-""", priority=PRI_TAIL)
+""")
 def q193_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly click->purchase cross-correlation at lags 0..6
     (operators/timeseries.cross_correlation) — the lead/lag companion
@@ -7821,7 +7821,7 @@ SELECT n_buckets, n_pairs, s,
                 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 END AS z,
   floor(sen_raw * 1000000.0 + 0.5) / 1000000.0 AS sen_slope
 FROM agg CROSS JOIN med CROSS JOIN vr
-""", priority=PRI_TAIL)
+""")
 def q194_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test with Sen's slope on the daily-mean event
     value series (operators/timeseries.mann_kendall) — the
@@ -7889,7 +7889,7 @@ SELECT CAST(10 AS BIGINT) AS k, n_ranked, dcg, idcg,
   floor(CAST(hits AS DOUBLE) / 10.0 * 1000000.0 + 0.5) / 1000000.0
     AS precision_at_k
 FROM agg
-""", priority=PRI_TAIL)
+""")
 def q195_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 / MRR / precision@10 for the q83 BM25 ranking
     (operators/similarity.ranking_metrics) — the retrieval-EVAL half
@@ -7932,7 +7932,7 @@ SELECT top.term, CAST(top.c AS BIGINT) AS exact_count,
        CAST(est.est AS BIGINT) AS cms_estimate,
        est.est >= top.c AS no_underestimate
 FROM top JOIN est USING (term)
-""", priority=PRI_TAIL)
+""")
 def q196_streaming_heavy_hitters(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """STREAMING heavy hitters under driver verification
@@ -8010,7 +8010,7 @@ LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 """
 
 
-@register("q197_hellinger_tv", _hellinger_oracle(), priority=PRI_TAIL)
+@register("q197_hellinger_tv", _hellinger_oracle())
 def q197_hellinger_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Hellinger + total-variation distance between per-source
     unigram distributions (operators/text.hellinger_tv_matrix) — the
@@ -8044,7 +8044,7 @@ SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents
 WHERE text IS NOT NULL AND source IS NOT NULL
 GROUP BY 1
-""", priority=PRI_TAIL)
+""")
 def q198_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility: BPE-ish pieces per whitespace
     word (operators/text.tokenizer_fertility) — the token-budget cost
@@ -8089,7 +8089,7 @@ SELECT n_a, n_b, n_values,
              * 1000000.0 + 0.5) / 1000000.0 AS d,
        d_at
 FROM hit CROSS JOIN nv WHERE n_a > 0 AND n_b > 0
-""", priority=PRI_TAIL)
+""")
 def q199_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING KS drift monitor under driver verification
     (streaming/stateful.streaming_ks_drift + finalize_ks_drift) — the
@@ -8181,7 +8181,7 @@ SELECT k, n, ssb, ssw,
   CASE WHEN ssb + ssw > 0 THEN
     floor(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0 END AS eta_sq
 FROM agg
-""", priority=PRI_TAIL)
+""")
 def q200_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe spread-homogeneity test across the 5 event types
     (operators/stats.levene_bf) — do event VALUES differ in dispersion,
@@ -8237,7 +8237,7 @@ SELECT tgt.id, tgt.grp, tgt.value,
        floor(tgt.q * 1000000.0 + 0.5) / 1000000.0 AS quantile,
        dict.norm_value
 FROM tgt JOIN dict USING (pos)
-""", priority=PRI_TAIL)
+""")
 def q201_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-normalize document sizes across the 20 sources
     (operators/stats.quantile_normalize) — the batch-effect remover
@@ -8267,7 +8267,7 @@ FROM seq WHERE s3 IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY n_occurrences DESC, s1, s2, s3
 LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q202_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 per-user event-type TRIGRAMS
     (operators/timeseries.sequence_ngrams) — higher-order sequential
@@ -8308,7 +8308,7 @@ JOIN item_n nb ON nb.i = pairs.ib
 CROSS JOIN n_orders
 ORDER BY lift DESC, item_a, item_b
 LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q203_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 part-pair association rules by lift over order baskets
     (operators/relational.association_rules) — the market-basket
@@ -8346,7 +8346,7 @@ SELECT slot, CAST(max(n) AS BIGINT) AS n,
   min(CASE WHEN cum >= floor(0.9 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
            THEN v END) AS q_90
 FROM staged GROUP BY 1 ORDER BY 1
-""", priority=PRI_TAIL)
+""")
 def q204_seasonal_quantile_bands(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """Hour-of-day p10/p50/p90 bands of event value
@@ -8386,7 +8386,7 @@ FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
 GROUP BY 1 HAVING count(*) >= {k}""")
 
 
-@register("q205_k_core", _kcore_oracle(), priority=PRI_TAIL)
+@register("q205_k_core", _kcore_oracle())
 def q205_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the part co-occurrence graph (operators/graph.k_core)
     — density-based cohesion completing the graph family (pagerank
@@ -8426,7 +8426,7 @@ SELECT value_a, value_b, dist, n_a, n_b
 FROM p WHERE dist <= 5
 ORDER BY dist, value_a, value_b
 LIMIT 50
-""", priority=PRI_TAIL)
+""")
 def q206_fuzzy_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy label reconciliation over the part-name dictionary
     (operators/dedup.fuzzy_dict_pairs) — blocked Levenshtein entity
@@ -8474,7 +8474,7 @@ r AS (SELECT c_custkey, s_suppkey, dist_km,
                                 ORDER BY dist_km, s_suppkey) AS rn
       FROM cand)
 SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1
-""", priority=PRI_TAIL)
+""")
 def q207_grid_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-supplier assignment per customer on a 10-degree lon/lat
     grid (operators/relational.grid_nearest_join) — the radius-bounded
@@ -8530,7 +8530,7 @@ SELECT per.g AS event_type, n_buckets,
              * 1000000.0 + 0.5) / 1000000.0 AS coincidence_factor
 FROM per JOIN pkb USING (g) LEFT JOIN at_sys USING (g), sysr
 ORDER BY event_type
-""", priority=PRI_TAIL)
+""")
 def q208_load_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type load factor + system coincidence factor over hourly
     event load (operators/timeseries.load_coincidence) — the demand
@@ -8573,7 +8573,7 @@ SELECT b AS split_bucket, n AS n_buckets,
        floor(g * 1000000.0 + 0.5) / 1000000.0 AS gain,
        mean_left, mean_right
 FROM scored ORDER BY g DESC, b LIMIT 1
-""", priority=PRI_TAIL)
+""")
 def q209_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline change-point detection on the daily load series
     (operators/timeseries.changepoint_binary_seg) — the two-segment
@@ -8633,8 +8633,7 @@ def _dq_oracle(table: str, spec: dict) -> str:
             + "\nUNION ALL ".join(sels) + "\nORDER BY col_name, metric")
 
 
-@register("q210_dq_expectations", _dq_oracle("orders", _DQ_SPEC),
-          priority=PRI_TAIL)
+@register("q210_dq_expectations", _dq_oracle("orders", _DQ_SPEC))
 def q210_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality expectation suite over orders
     (operators/stats.dq_expectations) — the measured ingest gate the
@@ -8682,7 +8681,7 @@ SELECT thr.g AS event_type, n, thr AS threshold,
        max_value
 FROM thr LEFT JOIN exceed USING (g) JOIN mx USING (g)
 ORDER BY event_type
-""", priority=PRI_TAIL)
+""")
 def q211_exceedance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peaks-over-threshold tail report per event type
     (operators/stats.exceedance_report) — exact per-group p99
@@ -8734,7 +8733,7 @@ SELECT g AS o_orderpriority, n,
              * (CAST(n AS DOUBLE) * syy - sy * sy))
           * 1000000.0 + 0.5) / 1000000.0 END AS r2
 FROM m ORDER BY o_orderpriority
-""", priority=PRI_TAIL)
+""")
 def q212_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority OLS trend of daily order revenue
     (operators/stats.ols_trend) — slope/intercept/R² from one grouped
@@ -8781,7 +8780,7 @@ SELECT CAST(max(n) AS BIGINT) AS n,
   min(CASE WHEN cum >= floor(0.99 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
            THEN v END) AS q_99
 FROM cum
-""", priority=PRI_TAIL)
+""")
 def q213_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact-quantile monitor under driver verification
     (streaming/stateful.streaming_quantile_monitor +
@@ -8855,7 +8854,7 @@ FROM dots JOIN norms na ON na.doc_id = id_a
           JOIN norms nb ON nb.doc_id = id_b
 WHERE na.nrm > 0 AND nb.nrm > 0
 ORDER BY cosine DESC, id_a, id_b LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q214_ngram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 document pairs by exact TF-IDF cosine over word TRIGRAM
     vectors (operators/text.ngram_cosine_pairs) — the count-weighted
@@ -8918,7 +8917,7 @@ FROM scored ORDER BY o_custkey
 """
 
 
-@register("q215_rfm_scores", _rfm_oracle(), priority=PRI_TAIL)
+@register("q215_rfm_scores", _rfm_oracle())
 def q215_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over orders
     (operators/relational.rfm_scores) — recency/frequency/monetary per
@@ -8950,7 +8949,7 @@ ranked AS (
 SELECT vec_id, label, draw_rank
 FROM ranked, m WHERE draw_rank <= m
 ORDER BY label, vec_id
-""", priority=PRI_TAIL)
+""")
 def q216_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced downsample of the embedding set
     (operators/relational.class_balance) — every label equalized to
@@ -9008,7 +9007,7 @@ FROM member JOIN canon USING (label) JOIN sz USING (label)
 ORDER BY canonical, value""")
 
 
-@register("q217_canonicalize_labels", _canon_oracle(), priority=PRI_TAIL)
+@register("q217_canonicalize_labels", _canon_oracle())
 def q217_canonicalize_labels(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
     """End-to-end label canonicalization over part names
@@ -9055,7 +9054,7 @@ SELECT g AS event_type, n_scored,
     floor(CAST(sape AS DOUBLE) / CAST(n_nz AS DOUBLE)
           * 1000000.0 + 0.5) / 1000000.0 END AS mape
 FROM agg ORDER BY event_type
-""", priority=PRI_TAIL)
+""")
 def q218_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly seasonal-naive forecast backtest per event type
     (operators/timeseries.forecast_backtest_naive) — MAE/RMSE/bias/
@@ -9086,7 +9085,7 @@ SELECT state, n_intervals, CAST(tot AS DOUBLE) AS total_seconds,
              * 1000000.0 + 0.5) / 1000000.0 AS mean_seconds,
        max_seconds
 FROM agg ORDER BY state
-""", priority=PRI_TAIL)
+""")
 def q219_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-in-state dwell report per event type
     (operators/timeseries.state_durations) — the duration-weighted
@@ -9125,7 +9124,7 @@ SELECT CAST(d AS INT) AS decile,
 FROM staged, tot, dd
 WHERE cumc >= floor(CAST(d * n + 9 AS DOUBLE) / 10.0)
 GROUP BY d ORDER BY decile
-""", priority=PRI_TAIL)
+""")
 def q220_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve of customer spend concentration
     (operators/stats.lorenz_deciles) — the ten cumulative-share points
@@ -9147,7 +9146,7 @@ SELECT CAST(CAST(('0x' || substr(md5('kfold' || CAST(vec_id AS VARCHAR)),
 FROM embeddings
 WHERE vec_id IS NOT NULL AND label IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q221_kfold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-fold assignment + class-balance report over the
     embedding set (operators/relational.kfold_report) — reproducible
@@ -9189,7 +9188,7 @@ SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
        round(CAST(sum(CAST(round(v, 6) AS DECIMAL(38,10))) AS DOUBLE), 6)
          AS total_value
 FROM conv GROUP BY 1 ORDER BY 1
-""", priority=PRI_TAIL)
+""")
 def q222_last_touch_attribution(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:
     """Last-touch conversion attribution over the event stream
@@ -9222,7 +9221,7 @@ SELECT o_orderkey,
          AS diff
 FROM joined
 ORDER BY abs(declared - recomputed) DESC, o_orderkey LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q223_reconciliation_audit(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """Order-vs-lineitem financial reconciliation
@@ -9277,7 +9276,7 @@ m AS (SELECT floor(CAST(sum(CAST(dur AS DECIMAL(38,10))) AS DOUBLE)
         AS mean_seconds
       FROM durs)
 SELECT n_converted, q_50, q_90, mean_seconds FROM qq, m
-""", priority=PRI_TAIL)
+""")
 def q224_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert latency distribution
     (operators/timeseries.time_to_convert) — seconds from each user's
@@ -9308,7 +9307,7 @@ SELECT cohort_week, w - cohort_week AS age_weeks,
          AS revenue
 FROM buys JOIN t0 USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q225_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort LTV triangle (operators/timeseries.cohort_ltv) —
     purchase revenue by (first-seen cohort week × age in weeks), the
@@ -9333,7 +9332,7 @@ SELECT k AS user_id, v AS amount, tp AS t_first, t AS t_second,
        round(t - tp, 6) AS gap_seconds
 FROM lg WHERE tp IS NOT NULL AND t - tp <= 3600
 ORDER BY gap_seconds, user_id, t_first, amount LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q226_duplicate_transactions(spark: SparkSession, sf_dir: str
                                 ) -> DataFrame:
     """Duplicate-transaction screen over the event stream
@@ -9382,7 +9381,7 @@ SELECT abc_class, CAST(sum(c) AS BIGINT) AS n_entities,
        floor(CAST(sum(s) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
 FROM cls GROUP BY 1 ORDER BY 1
-""", priority=PRI_TAIL)
+""")
 def q227_abc_classification(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """ABC (Pareto 80/15/5) part classification by discounted revenue
@@ -9435,7 +9434,7 @@ s AS (SELECT CAST(count(*) AS BIGINT) AS n_parents,
 SELECT n_parents, n_children, parents_no_children, min_fanout,
        p50_fanout, p95_fanout, max_fanout, mean_fanout
 FROM s, qq
-""", priority=PRI_TAIL)
+""")
 def q228_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order→lineitem fan-out audit (operators/relational.fanout_audit)
     — the join-shape companion to q144's orphan audit and q154's skew
@@ -9471,7 +9470,7 @@ SELECT k, CAST(max(rk) AS BIGINT) AS n_terms,
              * 1000000.0 + 0.5) / 1000000.0 AS coverage
 FROM staged, tot, ks WHERE rk <= k
 GROUP BY k ORDER BY k
-""", priority=PRI_TAIL)
+""")
 def q229_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-mass coverage curve at k = 1/2/5/10/20
     (operators/text.token_coverage_curve) — the vocab-sizing
@@ -9502,7 +9501,7 @@ SELECT lbl AS label, CAST(max(n) AS BIGINT) AS n_vectors,
          AS l2_shift
 FROM lm JOIN gm USING (dim)
 GROUP BY lbl ORDER BY label
-""", priority=PRI_TAIL)
+""")
 def q230_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid shift vs the corpus centroid
     (operators/similarity.centroid_shift_report) — the embedding-space
@@ -9549,7 +9548,7 @@ terms AS (SELECT nr, nc,
 SELECT CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
        round(CAST(sum(term) AS DOUBLE), 6) AS psi
 FROM terms
-""", priority=PRI_TAIL)
+""")
 def q231_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING PSI drift monitor under driver verification
     (streaming/stateful.streaming_psi_drift + finalize_psi_drift) —
@@ -9617,7 +9616,7 @@ SELECT period_seconds, n,
              / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
          AS amplitude
 FROM agg ORDER BY period_seconds
-""", priority=PRI_TAIL)
+""")
 def q232_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-period Fourier power scan over event load
     (operators/timeseries.periodogram) — which cycle (6 h / 12 h /
@@ -9658,7 +9657,7 @@ SELECT f['et'] AS entry_type, l['et'] AS exit_type,
        floor(CAST(sum(n_events) AS DOUBLE) / count(*)
              * 1000000.0 + 0.5) / 1000000.0 AS avg_events
 FROM per GROUP BY 1, 2 ORDER BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q233_session_entry_exit(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """Session entry/exit/bounce report
@@ -9720,7 +9719,7 @@ m AS (SELECT {", ".join(aggs)} FROM piv)
 ORDER BY col_a, col_b"""
 
 
-@register("q234_load_correlation", _loadcorr_oracle(), priority=PRI_TAIL)
+@register("q234_load_correlation", _loadcorr_oracle())
 def q234_load_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-type hourly load correlation matrix
     (operators/stats.correlation_matrix over the pivoted hourly-load
@@ -9765,7 +9764,7 @@ SELECT v AS node, a AS authority_int,
        floor(CAST(a AS DOUBLE) / CAST(mx AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS authority
 FROM a2, mx ORDER BY authority_int DESC, node LIMIT 20
-""", priority=PRI_TAIL)
+""")
 def q235_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS authorities over the customer→part order graph
     (operators/graph.hits_scores) — Kleinberg's mutual-reinforcement
@@ -9800,7 +9799,7 @@ SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_tokens,
              / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
          AS hapax_share
 FROM per GROUP BY 1 ORDER BY source
-""", priority=PRI_TAIL)
+""")
 def q236_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-token ratio + hapax share per document source
     (operators/text.vocab_richness) — the lexical-diversity screen
@@ -9843,7 +9842,7 @@ SELECT g AS event_type, n_gaps,
          floor((sd - mu) / (sd + mu) * 1000000.0 + 0.5) / 1000000.0
        END AS burstiness
 FROM d ORDER BY event_type
-""", priority=PRI_TAIL)
+""")
 def q237_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goh-Barabási burstiness of per-user inter-arrival gaps per
     event type (operators/timeseries.burstiness_report) — B =
@@ -9870,7 +9869,7 @@ SELECT event_type,
 FROM events
 WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
 GROUP BY 1 ORDER BY 1
-""", priority=PRI_TAIL)
+""")
 def q238_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance made explicit — the batch
     "late partition arrives" story: the BASE window (ts < the fixture
@@ -9923,7 +9922,7 @@ w AS (SELECT price, sz, n_parts,
 SELECT price, sz AS p_size, n_parts
 FROM w WHERE prev_min IS NULL OR prev_min > sz
 ORDER BY price, p_size
-""", priority=PRI_TAIL)
+""")
 def q240_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier (2-D skyline) of parts minimizing (price, size)
     — the non-dominated set (no other part is at-most-equal on BOTH
@@ -9951,7 +9950,7 @@ def _q239_oracle() -> str:
             f"ORDER BY user_id")
 
 
-@register("q239_scd2_asof_read", _q239_oracle(), priority=PRI_TAIL)
+@register("q239_scd2_asof_read", _q239_oracle())
 def q239_scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel read of the SCD2 dimension
     (q129's scd2_merge output filtered to the version valid AT
