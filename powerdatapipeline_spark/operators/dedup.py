@@ -990,3 +990,38 @@ def canonicalize_labels(df: DataFrame, value_col: str,
             .select(F.col("node").alias("value"), "n", "canonical",
                     "cluster_size")
             .orderBy("canonical", "value"))
+
+
+def canonical_representatives(labels: DataFrame, scored: DataFrame,
+                              id_col: str = "doc_id",
+                              score_col: str = "quality_score"
+                              ) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster — the
+    keep-WHICH-copy decision after :func:`dedup_clusters`' keep-one: the
+    min-id rule (q63) is deterministic but quality-blind; a curation
+    pipeline keeps the BEST copy (highest quality score, e.g.
+    text.quality_score's C4/Gopher composite) and drops the rest.
+
+    ``labels`` is dedup_clusters' ``(node, label)`` output; ``scored``
+    carries ``(id_col, score_col)``. One equi-join on the id + one
+    ranking window per cluster ordered by (score desc, id asc) — the id
+    tiebreak makes the pick a total order, so two engines/runs keep the
+    SAME copy (reproducible corpus, the shard_manifest property). Output
+    is one row per multi-document cluster — cluster frames, never the
+    corpus: ``(cluster_id, n_docs, rep_id, rep_score)``, with
+    ``n_docs - 1`` per row the dedup savings. Singletons never enter
+    ``labels`` (dedup_clusters' contract) and need no decision."""
+    j = (labels.join(scored.select(F.col(id_col).alias("node"),
+                                   F.col(score_col).alias("__s")),
+                     "node")
+         .select(F.col("label").alias("cluster_id"),
+                 F.col("node"), F.col("__s")))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("__s").desc(),
+                                                 F.col("node").asc())
+    return (j.withColumn("__r", F.row_number().over(w))
+            .groupBy("cluster_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.max(F.when(F.col("__r") == 1, F.col("node")))
+                 .alias("rep_id"),
+                 F.round(F.max(F.when(F.col("__r") == 1, F.col("__s")))
+                         .cast("double"), 6).alias("rep_score")))

@@ -2014,3 +2014,85 @@ def lorenz_deciles(df: DataFrame, entity_col: str,
             .select(F.col("d").cast("int").alias("decile"),
                     "cum_entities", "cum_share")
             .orderBy("decile"))
+
+
+def neyman_allocation(df: DataFrame, value_col: str, stratum_col: str,
+                      n_total: int) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: split a total sample
+    budget ``n_total`` across strata proportional to ``N_h·σ_h`` (stratum
+    size × population std) — the variance-minimizing design for estimating
+    the population mean from a stratified sample (Neyman 1934). The
+    training-data-curation use: size per-domain eval/validation samples so
+    high-variance domains get proportionally more audit budget, instead of
+    flat or size-proportional splits (cf. the mixture plan q86, which
+    targets a TOKEN mix; this targets estimator variance).
+
+    Exactness/parity shape: per-stratum (n, Σμ, Σμ²) in integer micro-units
+    with decimal(38,0) accumulators (the welch_ttest contract), σ_h from
+    the exact sums in fixed double arithmetic; weights ``w_h = N_h·σ_h``
+    floor6-rounded into DECIMAL(38,6) so the grand total folds exactly
+    (order-free — the abc_classification discipline). Fractional quotas
+    are settled by LARGEST-REMAINDER rounding (floor every quota, then
+    hand the leftover seats to the largest fractional parts, stratum name
+    as total-order tiebreak), so the allocations are integers that sum to
+    EXACTLY ``n_total`` — deterministically, in any engine. Zero-variance
+    strata get weight 0 (already exactly measured by 1 row — Neyman's
+    optimum assigns them nothing; callers wanting a floor add it after).
+    All-zero total weight → every allocation 0 (degenerate budget, loud in
+    the output rather than a raise: the report IS the diagnostic).
+
+    One groupBy on the stratum key (map-side combined) + windows over the
+    k-strata frame — the corpus never sorts. Returns one row per stratum:
+    ``(stratum, n_rows, stddev, weight, quota, n_alloc)`` ordered by
+    stratum."""
+    if n_total < 0:
+        raise ValueError(f"n_total must be >= 0, got {n_total}")
+    v = F.round(F.col(value_col).cast("double"), 6)
+    mu = F.floor(v * F.lit(1_000_000.0) + F.lit(0.5))
+    base = (df.select(F.col(stratum_col).alias("stratum"), mu.alias("__m"))
+            .where(F.col("stratum").isNotNull() & F.col("__m").isNotNull())
+            .withColumn("__md", F.col("__m").cast("decimal(38,0)")))
+    per = base.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("__md").alias("s"),
+        F.sum(F.col("__md") * F.col("__md")).cast("decimal(38,0)")
+        .alias("ss"))
+    nd = F.col("n_rows").cast("double")
+    var = (F.col("ss").cast("double") / nd
+           - (F.col("s").cast("double") / nd)
+           * (F.col("s").cast("double") / nd)) / F.lit(1e12)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    w_all = Window.partitionBy(F.lit(1))
+    staged = (per
+              .withColumn("__sd", sd)
+              .withColumn("__w", fl6(nd * sd).cast("decimal(38,6)"))
+              .withColumn("__tot", F.sum("__w").over(w_all)))
+    quota = F.when(
+        F.col("__tot") > 0,
+        F.lit(float(n_total)) * F.col("__w").cast("double")
+        / F.col("__tot").cast("double")).otherwise(F.lit(0.0))
+    staged = (staged.withColumn("__q", quota)
+              .withColumn("__base",
+                          F.floor(F.col("__q")).cast("bigint"))
+              .withColumn("__frac", F.col("__q") - F.floor(F.col("__q"))))
+    w_rk = Window.orderBy(F.col("__frac").desc(), F.col("stratum").asc())
+    staged = (staged
+              # no leftover seats when the total weight is 0 — every
+              # quota is 0 and the remainder top-up must stay unfired
+              .withColumn("__left",
+                          F.when(F.col("__tot") > 0,
+                                 F.lit(n_total)
+                                 - F.sum("__base").over(w_all))
+                          .otherwise(F.lit(0)))
+              .withColumn("__rk", F.row_number().over(w_rk)))
+    return (staged.select(
+        "stratum", "n_rows",
+        fl6(F.col("__sd")).alias("stddev"),
+        F.col("__w").cast("double").alias("weight"),
+        fl6(F.col("__q")).alias("quota"),
+        (F.col("__base")
+         + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0))
+        .cast("bigint").alias("n_alloc"))
+        .orderBy("stratum"))

@@ -2376,3 +2376,50 @@ def changepoint_two_level(df: DataFrame, ts_col: str = "ts",
                     fl6((F.col("s") - cumhi).cast("double")
                         / (F.col("n") - khi).cast("double"))
                     .alias("mean_seg3")))
+
+
+def markov_entropy_rate(df: DataFrame, ts_col: str, state_col: str,
+                        partition_by: Sequence[str],
+                        tiebreak: str | None = None) -> DataFrame:
+    """Entropy rate of the first-order Markov chain behind
+    :func:`transition_matrix`: H = −Σ_ij (n_ij/N)·ln(n_ij/n_i) nats per
+    step, using the empirical from-state distribution as the weighting
+    (π_i = n_i/N). The one-number sequel to the transition matrix —
+    how PREDICTABLE is the next event given the current one? 0 = fully
+    deterministic flows (every state has one successor), ln(k) =
+    uniform chaos over k states; ``normalized_entropy`` = H/ln(k)
+    rescales to [0,1] for cross-corpus comparison.
+
+    Parity/scale shape: transition counts are exact BIGINTs from one
+    lag window (series-keyed shuffle) + one map-side-combined groupBy
+    on the tiny state×state key space; each term folds as
+    ``n_ij · round6(ln(n_ij/n_i))`` cast DECIMAL(28,12) (the q87
+    integer-times-rounded-log discipline — deterministic in any
+    engine), summed order-free, one double division by N at the end.
+    Returns ONE row: ``(n_states, n_transitions, entropy_rate,
+    normalized_entropy)`` with normalized NULL when k < 2."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    pairs = (df.where(F.col(state_col).isNotNull())
+             .withColumn("__prev", F.lag(F.col(state_col)).over(w))
+             .where(F.col("__prev").isNotNull()))
+    counts = (pairs.groupBy(F.col("__prev").alias("__f"),
+                            F.col(state_col).alias("__t"))
+              .agg(F.count("*").cast("bigint").alias("__n")))
+    w_from = Window.partitionBy("__f")
+    ni = F.sum("__n").over(w_from)
+    lnp = F.round(F.log(F.col("__n").cast("double") / ni), 6)
+    term = (F.col("__n").cast("double") * lnp).cast("decimal(28,12)")
+    agg = (counts.withColumn("__term", term)
+           .agg(F.count_distinct("__f").cast("bigint").alias("n_states"),
+                F.sum("__n").cast("bigint").alias("n_transitions"),
+                F.sum("__term").alias("__tsum")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    h = -F.col("__tsum").cast("double") / F.col("n_transitions").cast("double")
+    return agg.select(
+        "n_states", "n_transitions",
+        fl6(h).alias("entropy_rate"),
+        F.when(F.col("n_states") > 1,
+               fl6(h / F.log(F.col("n_states").cast("double"))))
+        .alias("normalized_entropy"))

@@ -10203,6 +10203,216 @@ def q244_session_associations(spark: SparkSession, sf_dir: str
                                  min_pair_count=2, top_k=25)
 
 
+@register("q245_neyman_allocation", """
+WITH m AS (
+  SELECT event_type AS stratum,
+         CAST(floor(round(CAST(value AS DOUBLE), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS mu
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+p AS (
+  SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+         sum(CAST(mu AS DECIMAL(38,0))) AS s,
+         sum(CAST(mu AS DECIMAL(38,0)) * CAST(mu AS DECIMAL(38,0))) AS ss
+  FROM m GROUP BY 1),
+d AS (
+  SELECT stratum, n_rows,
+         sqrt(greatest((CAST(ss AS DOUBLE) / n_rows
+                        - (CAST(s AS DOUBLE) / n_rows)
+                          * (CAST(s AS DOUBLE) / n_rows)) / 1e12,
+                       0.0)) AS sd
+  FROM p),
+w AS (
+  SELECT *, CAST(floor(n_rows * sd * 1000000.0 + 0.5) / 1000000.0
+                 AS DECIMAL(38,6)) AS wgt
+  FROM d),
+t AS (SELECT *, sum(wgt) OVER () AS tot FROM w),
+q AS (
+  SELECT *, CASE WHEN tot > 0
+                 THEN 1000.0 * CAST(wgt AS DOUBLE) / CAST(tot AS DOUBLE)
+                 ELSE 0.0 END AS quota
+  FROM t),
+b AS (
+  SELECT *, CAST(floor(quota) AS BIGINT) AS base,
+         quota - floor(quota) AS frac
+  FROM q),
+r AS (
+  SELECT *, CASE WHEN tot > 0 THEN 1000 - sum(base) OVER ()
+                 ELSE 0 END AS leftover,
+         row_number() OVER (ORDER BY frac DESC, stratum ASC) AS rk
+  FROM b)
+SELECT stratum, n_rows,
+       floor(sd * 1000000.0 + 0.5) / 1000000.0 AS stddev,
+       CAST(wgt AS DOUBLE) AS weight,
+       floor(quota * 1000000.0 + 0.5) / 1000000.0 AS quota,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS n_alloc
+FROM r ORDER BY stratum
+""", priority=PRI_TAIL)
+def q245_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation
+    (operators/stats.neyman_allocation) — split a 1000-row audit budget
+    across event types proportional to N_h·σ_h with largest-remainder
+    rounding, so allocations are integers summing to EXACTLY the budget
+    in any engine. The variance-minimizing eval-sample designer beside
+    the token-mixture plan (q86) and per-group reservoir (q162); exact
+    integer-micro moments (welch contract), decimal weight fold,
+    windows only over the k-strata frame."""
+    from powerdatapipeline_spark.operators import stats as st
+    return st.neyman_allocation(load_events(spark, sf_dir), "value",
+                                "event_type", n_total=1000)
+
+
+@register("q246_mutual_knn", f"""
+WITH sample AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND vec_id % 4 = 0),
+scored AS (
+  SELECT b.vec_id AS qid, a.vec_id AS nid,
+         round({_SQL_DOT} / ({_SQL_NORM.format(t='a')}
+                             * {_SQL_NORM.format(t='b')}), 6) AS c
+  FROM sample a, sample b
+  WHERE a.vec_id <> b.vec_id),
+e AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC)
+             AS r
+    FROM scored) WHERE r <= 5),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_mutual
+  FROM e e1 JOIN e e2 ON e1.qid = e2.nid AND e1.nid = e2.qid),
+c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM sample),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT CAST(5 AS INT) AS k, n_vectors, n_edges, n_mutual,
+       CASE WHEN n_edges > 0
+            THEN floor(CAST(n_mutual AS DOUBLE) / n_edges
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS mutual_rate
+FROM c1, c2, m
+""", priority=PRI_TAIL)
+def q246_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN reciprocity of the embedding set
+    (operators/similarity.mutual_knn_rate) — the hubness/degradation
+    diagnostic for the ANN ladder (q31/q34/q35): fraction of directed
+    cosine top-5 edges that are reciprocated. Exact all-pairs within a
+    broadcastable set (at 100 TB: per IVF cell or hash-sample — the
+    verify-within-bucket contract — here the deterministic hash-sample
+    ``vec_id % 4 = 0``, which keeps the all-pairs pass O((n/4)²) at any
+    sf); ranking on the 6-rounded cosine with id tiebreak, the q31
+    construction."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    return sim.mutual_knn_rate(emb, k=5)
+
+
+@register("q247_canonical_selection", f"""{_DEDUP_CLUSTER_CTES},
+qual AS (
+  SELECT doc_id,
+         round(CASE WHEN len(list_filter({_SQL_TOKENS}, x -> x <> ''))
+                         BETWEEN 5 AND 100000
+                    THEN 0.4 ELSE 0.0 END
+             + CASE WHEN len(list_filter({_SQL_TOKENS}, x -> x <> '')) > 0
+                     AND CAST(length(text) AS DOUBLE)
+                         / len(list_filter({_SQL_TOKENS}, x -> x <> ''))
+                         >= 2
+                     AND CAST(length(text) AS DOUBLE)
+                         / len(list_filter({_SQL_TOKENS}, x -> x <> ''))
+                         <= 12
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN len(list_filter({_SQL_TOKENS}, x -> x <> '')) > 0
+                     AND CAST(len(list_filter({_SQL_TOKENS},
+                                  x -> x IN {_SQL_STOP})) AS DOUBLE)
+                         / len(list_filter({_SQL_TOKENS}, x -> x <> ''))
+                         >= 0.05
+                    THEN 0.2 ELSE 0.0 END
+             + CASE WHEN (CASE WHEN length(text) > 0
+                               THEN CAST(length(regexp_replace(text,
+                                         '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                                    / length(text)
+                               ELSE 0.0 END) <= 0.2
+                    THEN 0.1 ELSE 0.0 END, 6) AS qscore
+  FROM documents),
+j AS (
+  SELECT lab.label AS cluster_id, lab.node AS doc_id, qual.qscore
+  FROM lab JOIN qual ON qual.doc_id = lab.node),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY qscore DESC, doc_id ASC) AS r,
+         count(*) OVER (PARTITION BY cluster_id) AS n_docs
+  FROM j)
+SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+       doc_id AS rep_id, round(qscore, 6) AS rep_score
+FROM rk WHERE r = 1
+""", priority=PRI_TAIL)
+def q247_canonical_selection(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Quality-aware canonical pick per duplicate cluster
+    (operators/dedup.canonical_representatives over blocked_pairs +
+    dedup_clusters + text.quality_score) — the keep-WHICH-copy sequel
+    to q63's min-id rule: each blocking-key cluster keeps its highest
+    C4/Gopher-composite document (score desc, id asc — a total order,
+    so two runs keep the SAME copy). The oracle replays the component
+    labels via the shared recursive-reachability CTE and the composite
+    score in closed-form SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                   tx.WS_CLASS + "+", " "))
+    k1 = F.md5(F.substring(norm, 1, 40))
+    k2 = F.md5(F.substring(F.reverse(norm), 1, 40))
+    pairs = dd.blocked_pairs(docs, [k1, k2], id_col="doc_id")
+    labels = dd.dedup_clusters(pairs)
+    scored = tx.quality_score(docs).select("doc_id", "quality_score")
+    return dd.canonical_representatives(labels, scored, "doc_id",
+                                        "quality_score")
+
+
+@register("q248_markov_entropy", """
+WITH p AS (
+  SELECT event_type AS s,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL),
+c AS (
+  SELECT prev AS f, s AS t, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+c2 AS (
+  SELECT *, sum(n) OVER (PARTITION BY f) AS ni FROM c),
+terms AS (
+  SELECT f, CAST(CAST(n AS DOUBLE)
+                 * round(ln(CAST(n AS DOUBLE) / ni), 6)
+                 AS DECIMAL(28,12)) AS term, n
+  FROM c2),
+agg AS (
+  SELECT CAST(count(DISTINCT f) AS BIGINT) AS n_states,
+         CAST(sum(n) AS BIGINT) AS n_transitions,
+         sum(term) AS tsum
+  FROM terms)
+SELECT n_states, n_transitions,
+       floor(-CAST(tsum AS DOUBLE) / n_transitions * 1000000.0 + 0.5)
+         / 1000000.0 AS entropy_rate,
+       CASE WHEN n_states > 1
+            THEN floor(-CAST(tsum AS DOUBLE) / n_transitions
+                       / ln(CAST(n_states AS DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0
+            END AS normalized_entropy
+FROM agg
+""", priority=PRI_TAIL)
+def q248_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain
+    (operators/timeseries.markov_entropy_rate) — the one-number
+    predictability sequel to the transition matrix: H = −Σ (n_ij/N)
+    ln(n_ij/n_i) nats/step, 0 = deterministic flows, ln(k) = uniform.
+    Exact transition counts, q87's integer-times-rounded-log decimal
+    fold, one lag window keyed by user + one groupBy on the tiny
+    state×state space."""
+    ev = load_events(spark, sf_dir)
+    return ts.markov_entropy_rate(ev, "ts", "event_type", ["user_id"],
+                                  tiebreak="event_id")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
