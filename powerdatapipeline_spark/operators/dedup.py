@@ -1025,3 +1025,43 @@ def canonical_representatives(labels: DataFrame, scored: DataFrame,
                  .alias("rep_id"),
                  F.round(F.max(F.when(F.col("__r") == 1, F.col("__s")))
                          .cast("double"), 6).alias("rep_score")))
+
+
+def sketch_calibration(pairs: DataFrame, est_col: str = "est_jaccard",
+                       exact_col: str = "jaccard") -> DataFrame:
+    """Calibration report for a similarity sketch: group candidate
+    pairs by their SKETCH estimate (MinHash signature agreement takes
+    only ``num_perm + 1`` distinct values, so the estimate IS the
+    bucket) and compare against the exact similarity computed at verify
+    time — per estimate level: pair count, mean exact similarity, mean
+    absolute error, bias. The q172-style calibration discipline applied
+    to the dedup sketch itself: a well-behaved 16-perm MinHash should
+    be unbiased with |err| ≈ 0.12/√16 per level; drift here means the
+    shingle universe or permutation family is off BEFORE it silently
+    costs recall at the LSH threshold.
+
+    Input is any pair frame carrying (estimate, exact) — e.g.
+    :func:`minhash_lsh_pairs` output. One map-side-combined groupBy on
+    the ≤ num_perm+1 distinct estimate values; exact values fold as
+    DECIMAL(18,6) (they are 6-rounded upstream). Returns
+    ``(est, n_pairs, mean_exact, mean_abs_err, bias)`` ordered by est."""
+    base = (pairs.select(F.col(est_col).alias("__e"),
+                         F.col(exact_col).alias("__x"))
+            .where(F.col("__e").isNotNull() & F.col("__x").isNotNull()))
+    dec = lambda c: c.cast("decimal(18,6)")
+    agg = base.groupBy("__e").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(dec(F.col("__x"))).cast("decimal(38,6)").alias("__sx"),
+        F.sum(dec(F.abs(F.col("__x") - F.col("__e"))))
+        .cast("decimal(38,6)").alias("__sae"),
+        F.sum(dec(F.col("__x") - F.col("__e"))).cast("decimal(38,6)")
+        .alias("__sb"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    nd = F.col("n_pairs").cast("double")
+    return (agg.select(
+        F.col("__e").alias("est"), "n_pairs",
+        fl6(F.col("__sx").cast("double") / nd).alias("mean_exact"),
+        fl6(F.col("__sae").cast("double") / nd).alias("mean_abs_err"),
+        fl6(F.col("__sb").cast("double") / nd).alias("bias"))
+        .orderBy("est"))

@@ -19,7 +19,7 @@ static unroll the right call versus a driver-side convergence loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -408,4 +408,48 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
                     fl6(F.col("a").cast("double")
                         / F.col("mx").cast("double")).alias("authority"))
             .orderBy(F.desc("authority_int"), F.asc("node"))
+            .limit(top_k))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2,
+                      src: str = "src", dst: str = "dst",
+                      top_k: int = 25) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) with a DETERMINISTIC update — the density-community
+    complement to connected_components (pure reachability) and k_core
+    (density threshold): every node starts labeled with itself; each
+    round it adopts the most frequent label among its neighbors, ties
+    broken by the SMALLEST label (the classic async-random LPA is
+    nondeterministic; the min-tiebreak synchronous variant is
+    reproducible in any engine, which is what an oracle-paired pipeline
+    needs). ``rounds`` is small and fixed: labels move one hop per
+    round and the oracle unrolls the same rounds as SQL joins.
+
+    Each round = one hash equi-join of the (symmetrized, deduped) edge
+    list against the label frame + one (node, label) groupBy + one
+    per-node argmax window — three node-keyed shuffles, lineage cut per
+    round with an eager localCheckpoint. Returns the ``top_k``
+    communities ``(label, n_nodes)`` by (size desc, label asc)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b"))))
+    sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct().localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        nbr = (sym.join(labels.withColumnRenamed("node", "b"), "b")
+               .groupBy(F.col("a").alias("node"), "label")
+               .agg(F.count("*").cast("bigint").alias("__c")))
+        w = Window.partitionBy("node").orderBy(F.col("__c").desc(),
+                                               F.col("label").asc())
+        labels = (nbr.withColumn("__r", F.row_number().over(w))
+                  .where(F.col("__r") == 1)
+                  .select("node", "label")
+                  .localCheckpoint(eager=True))
+    return (labels.groupBy("label")
+            .agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .orderBy(F.desc("n_nodes"), F.asc("label"))
             .limit(top_k))

@@ -1074,3 +1074,54 @@ def mutual_knn_rate(embeddings: DataFrame, k: int = 5,
                            fl6(F.col("n_mutual").cast("double")
                                / F.col("n_edges").cast("double")))
                     .otherwise(F.lit(0.0)).alias("mutual_rate")))
+
+
+def embedding_anisotropy(embeddings: DataFrame, vec_col: str = "embedding",
+                         dim: int = 64) -> DataFrame:
+    """Anisotropy of an embedding set: ‖μ‖² / E‖x‖² — the expected
+    cosine between two random vectors is ≈ this ratio (Ethayarajh 2019
+    lineage: contextual embedding spaces collapse toward a dominant
+    mean direction), so values near 0 mean an isotropic, retrieval-
+    friendly space and values near 1 mean cosine scores are dominated
+    by the common component (recenter before ANN — the IVF/PQ ladder
+    degrades quietly otherwise). The one-pass corpus-level twin of the
+    per-label centroid_shift_report.
+
+    Exactness/scale: per-dimension Σx_i folds as DECIMAL(38,10) via one
+    posexplode + groupBy over the dim-row frame; Σ‖x‖² folds the
+    6-rounded per-row norm-squares as DECIMAL(28,6) in the same pass
+    shape (one scan, map-side combined; nothing corpus-wide sorts).
+    Returns ONE row: ``(n_vectors, dim, mu_norm_sq, mean_norm_sq,
+    anisotropy)``."""
+    base = (embeddings.where(F.col(vec_col).isNotNull()
+                             & (F.size(F.col(vec_col)) == dim))
+            .select(F.col(vec_col).alias("__v")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    ex = base.select(F.posexplode("__v").alias("__d", "__x"))
+    per_dim = (ex.groupBy("__d")
+               .agg(F.sum(F.col("__x").cast("double")
+                          .cast("decimal(38,10)")).alias("s"),
+                    F.count("*").cast("bigint").alias("n")))
+    mu2 = (per_dim
+           .select(((F.col("s").cast("double") / F.col("n").cast("double"))
+                    * (F.col("s").cast("double") / F.col("n").cast("double")))
+                   .alias("m2"), "n")
+           .agg(F.sum(F.col("m2").cast("decimal(28,12)"))
+                .cast("double").alias("mu_norm_sq"),
+                F.max("n").cast("bigint").alias("n_vectors")))
+    nrm2 = base.select(
+        fl6(F.aggregate(F.col("__v"), F.lit(0.0),
+                        lambda a, x: a + x.cast("double")
+                        * x.cast("double"))).cast("decimal(28,6)")
+        .alias("__n2"))
+    m = nrm2.agg((F.sum("__n2").cast("double")
+                  / F.count("*").cast("double")).alias("mean_norm_sq"))
+    return (mu2.crossJoin(F.broadcast(m))
+            .select("n_vectors", F.lit(dim).cast("int").alias("dim"),
+                    fl6(F.col("mu_norm_sq")).alias("mu_norm_sq"),
+                    fl6(F.col("mean_norm_sq")).alias("mean_norm_sq"),
+                    F.when(F.col("mean_norm_sq") > 0,
+                           fl6(F.col("mu_norm_sq")
+                               / F.col("mean_norm_sq")))
+                    .alias("anisotropy")))

@@ -2096,3 +2096,112 @@ def neyman_allocation(df: DataFrame, value_col: str, stratum_col: str,
          + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0))
         .cast("bigint").alias("n_alloc"))
         .orderBy("stratum"))
+
+
+def krippendorff_alpha(ratings: DataFrame, unit_col: str, label_col: str
+                       ) -> DataFrame:
+    """Krippendorff's alpha (nominal) over long-format ratings
+    ``(unit, label)`` — one row per (unit, rater) assignment, rater
+    identity not needed for the nominal statistic. The
+    inter-annotator-agreement generalization of Cohen's kappa (q173):
+    any number of raters, missing ratings tolerated (units with a
+    single rating drop out of the observed term, standard
+    Krippendorff), chance-corrected via the pooled label marginals.
+    The labeling-pipeline QA gate: below ~0.67 the rater pool (or the
+    teacher ensemble being distilled) is not measuring one construct.
+
+    D_o = (1/n)·Σ_u Σ_c n_uc(m_u−n_uc)/(m_u−1),
+    D_e = Σ_c n_c(n−n_c)/(n(n−1)), alpha = 1 − D_o/D_e.
+
+    Exactness: every count is BIGINT; the per-(unit,label) observed
+    term rounds its one rational quotient to 6 decimals and folds as
+    DECIMAL(18,6) (order-free — the q87 discipline); the expected term
+    is pure integer arithmetic in decimal until one double division.
+    Two map-side-combined groupBys (unit×label, then label) — no sorts,
+    no corpus-wide windows. Returns ONE row: ``(n_units, n_ratings,
+    n_labels, d_o, d_e, alpha)``; alpha NULL when D_e = 0 (one label
+    total — agreement is vacuous)."""
+    base = (ratings.select(F.col(unit_col).alias("__u"),
+                           F.col(label_col).alias("__c"))
+            .where(F.col("__u").isNotNull() & F.col("__c").isNotNull()))
+    uc = base.groupBy("__u", "__c").agg(
+        F.count("*").cast("bigint").alias("nuc"))
+    w_u = Window.partitionBy("__u")
+    uc = uc.withColumn("mu", F.sum("nuc").over(w_u))
+    # units with a single rating carry no pairable information
+    pairable = uc.where(F.col("mu") >= 2)
+    term = F.round(
+        (F.col("nuc") * (F.col("mu") - F.col("nuc"))).cast("double")
+        / (F.col("mu") - 1).cast("double"), 6).cast("decimal(18,6)")
+    obs = pairable.agg(
+        F.count_distinct("__u").cast("bigint").alias("n_units"),
+        F.sum("nuc").cast("bigint").alias("n_ratings"),
+        F.sum(term).cast("decimal(38,6)").alias("__dsum"))
+    nc = (pairable.groupBy("__c")
+          .agg(F.sum("nuc").cast("bigint").alias("nc")))
+    w_all = Window.partitionBy(F.lit(1))
+    exp = (nc.withColumn("__n", F.sum("nc").over(w_all))
+           .agg(F.count("*").cast("bigint").alias("n_labels"),
+                F.sum(F.col("nc").cast("decimal(19,0)")
+                      * (F.col("__n") - F.col("nc"))
+                      .cast("decimal(19,0)"))
+                .cast("decimal(38,0)").alias("__esum")))
+    out = obs.crossJoin(F.broadcast(exp))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    nd = F.col("n_ratings").cast("double")
+    d_o = F.col("__dsum").cast("double") / nd
+    d_e = F.col("__esum").cast("double") / (nd * (nd - 1))
+    return out.select(
+        "n_units", "n_ratings", "n_labels",
+        fl6(d_o).alias("d_o"), fl6(d_e).alias("d_e"),
+        F.when(F.col("__esum") > 0,
+               fl6(F.lit(1.0) - d_o / d_e)).alias("alpha"))
+
+
+def woe_iv(df: DataFrame, bucket: Column, label: Column) -> DataFrame:
+    """Weight-of-evidence / information-value report — the classic
+    scorecard diagnostic for how well a BUCKETED feature separates a
+    binary outcome: WOE_i = ln((g_i/G)/(b_i/B)) per bucket, IV = Σ
+    (g_i/G − b_i/B)·WOE_i (rule of thumb: <0.02 useless, >0.3 strong).
+    The feature-selection twin of mutual information (q180) with an
+    interpretable per-bucket direction sign.
+
+    ``bucket`` is any engine-portable bucketing expression (fixed-width
+    floor, not ntile — a global ntile would sort the corpus);
+    ``label`` a boolean column. Exact BIGINT counts, one
+    map-side-combined groupBy + windows over the k-bucket frame; WOE
+    rounds its log to 6 (q87 discipline) and the IV terms fold as
+    DECIMAL(28,12). Degenerate buckets (no positives or no negatives)
+    report WOE/IV NULL and are excluded from ``iv_total`` — standard
+    practice made loud rather than smoothed. Returns one row per
+    bucket: ``(bucket, n_pos, n_neg, woe, iv, iv_total)`` ordered by
+    bucket."""
+    base = (df.select(bucket.alias("__b"), label.alias("__y"))
+            .where(F.col("__b").isNotNull() & F.col("__y").isNotNull()))
+    per = base.groupBy("__b").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint")
+        .alias("n_neg"))
+    w_all = Window.partitionBy(F.lit(1))
+    # "__totg"/"__totb", never "__G"/"__B": Spark resolves column names
+    # case-insensitively, so withColumn("__B", ...) would silently
+    # REPLACE the "__b" bucket column (the anova_f "N"-vs-"n" lesson)
+    per = (per.withColumn("__totg", F.sum("n_pos").over(w_all))
+           .withColumn("__totb", F.sum("n_neg").over(w_all)))
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0) \
+        & (F.col("__totg") > 0) & (F.col("__totb") > 0)
+    gr = F.col("n_pos").cast("double") / F.col("__totg").cast("double")
+    br = F.col("n_neg").cast("double") / F.col("__totb").cast("double")
+    woe = F.round(F.log(gr / br), 6)
+    iv_term = F.when(ok, ((gr - br) * woe).cast("decimal(28,12)"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    per = per.withColumn("__iv", iv_term)
+    return (per.select(
+        F.col("__b").alias("bucket"), "n_pos", "n_neg",
+        F.when(ok, woe).alias("woe"),
+        F.when(ok, fl6(F.col("__iv").cast("double"))).alias("iv"),
+        fl6(F.sum("__iv").over(w_all).cast("double")).alias("iv_total"))
+        .orderBy("bucket"))

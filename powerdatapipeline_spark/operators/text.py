@@ -2516,3 +2516,53 @@ def vocab_richness(df: DataFrame, text_col: str = "text",
                         / F.col("n_types").cast("double"))
                     .alias("hapax_share"))
             .orderBy(group_col))
+
+
+def script_audit(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source") -> DataFrame:
+    """Per-group character-class composition — the cheap multilingual
+    curation screen before a real language-ID model: what fraction of
+    each source's bytes are ASCII letters / digits / whitespace /
+    punctuation-and-other? Sudden shifts in the "other" mass catch
+    encoding breaks, markup floods, and non-Latin script drift that
+    token-level quality rules (q28) are blind to.
+
+    Pure length arithmetic — every class count is
+    ``length(text) − length(regexp_replace(text, class, ''))``, an
+    exact BIGINT in any engine; one map-side-combined groupBy on the
+    group key; ratios are single double divisions, floor6. Returns one
+    row per group: ``(group, n_docs, n_chars, letter_ratio,
+    digit_ratio, space_ratio, other_ratio)`` ordered by group."""
+    t = _c(text_col)
+    n_chars = F.length(t).cast("bigint")
+
+    def cls(pattern: str) -> Column:
+        return (F.length(t)
+                - F.length(F.regexp_replace(t, pattern, ""))).cast("bigint")
+
+    letters = cls("[A-Za-z]")
+    digits = cls("[0-9]")
+    spaces = cls(WS_CLASS)
+    base = (df.where(_c(group_col).isNotNull() & t.isNotNull())
+            .select(_c(group_col).alias("__g"),
+                    n_chars.alias("__n"), letters.alias("__l"),
+                    digits.alias("__d"), spaces.alias("__s")))
+    agg = base.groupBy("__g").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("n_chars"),
+        F.sum("__l").cast("bigint").alias("__lt"),
+        F.sum("__d").cast("bigint").alias("__dt"),
+        F.sum("__s").cast("bigint").alias("__st"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    nd = F.col("n_chars").cast("double")
+    r = lambda c: F.when(F.col("n_chars") > 0, fl6(c.cast("double") / nd)) \
+        .otherwise(F.lit(0.0))
+    return (agg.select(
+        F.col("__g").alias("group"), "n_docs", "n_chars",
+        r(F.col("__lt")).alias("letter_ratio"),
+        r(F.col("__dt")).alias("digit_ratio"),
+        r(F.col("__st")).alias("space_ratio"),
+        r(F.col("n_chars") - F.col("__lt") - F.col("__dt")
+          - F.col("__st")).alias("other_ratio"))
+        .orderBy("group"))

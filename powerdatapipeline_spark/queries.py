@@ -10413,6 +10413,287 @@ def q248_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   tiebreak="event_id")
 
 
+@register("q249_krippendorff_alpha", f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS lt,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         len(list_filter({_SQL_TOKENS}, x -> x <> '')) AS n_tok,
+         len(list_filter({_SQL_TOKENS}, x -> x IN {_SQL_STOP})) AS n_stop,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) AS n_alpha
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+r AS (
+  SELECT doc_id AS u,
+         CASE WHEN n_chars >= 200 AND n_alpha / n_chars >= 0.55
+              THEN 'keep' ELSE 'drop' END AS c
+  FROM t
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN n_tok >= 40 AND lt LIKE '% the %'
+              THEN 'keep' ELSE 'drop' END
+  FROM t
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN n_tok > 0
+               AND CAST(n_stop AS DOUBLE) / n_tok >= 0.08
+              THEN 'keep' ELSE 'drop' END
+  FROM t),
+uc AS (SELECT u, c, CAST(count(*) AS BIGINT) AS nuc FROM r GROUP BY 1, 2),
+uc2 AS (SELECT *, sum(nuc) OVER (PARTITION BY u) AS mu FROM uc),
+p AS (SELECT * FROM uc2 WHERE mu >= 2),
+obs AS (
+  SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+         CAST(sum(nuc) AS BIGINT) AS n_ratings,
+         sum(CAST(round(CAST(nuc * (mu - nuc) AS DOUBLE) / (mu - 1), 6)
+                  AS DECIMAL(18,6))) AS dsum
+  FROM p),
+nc AS (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc FROM p GROUP BY 1),
+nc2 AS (SELECT *, sum(nc) OVER () AS n FROM nc),
+exp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+         sum(CAST(nc AS DECIMAL(19,0)) * CAST(n - nc AS DECIMAL(19,0)))
+           AS esum
+  FROM nc2)
+SELECT n_units, n_ratings, n_labels,
+       floor(CAST(dsum AS DOUBLE) / n_ratings * 1000000.0 + 0.5)
+         / 1000000.0 AS d_o,
+       floor(CAST(esum AS DOUBLE) / (CAST(n_ratings AS DOUBLE)
+                                     * (n_ratings - 1))
+             * 1000000.0 + 0.5) / 1000000.0 AS d_e,
+       CASE WHEN esum > 0 THEN
+         floor((1.0 - (CAST(dsum AS DOUBLE) / n_ratings)
+                      / (CAST(esum AS DOUBLE)
+                         / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1))))
+               * 1000000.0 + 0.5) / 1000000.0 END AS alpha
+FROM obs, exp
+""", priority=PRI_TAIL)
+def q249_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha across THREE heuristic keep/drop labelers
+    (operators/stats.krippendorff_alpha) — the multi-rater sequel to
+    q173's two-rater Cohen kappa, over the same labeler family: A =
+    length+alpha-ratio gate, B = token-count+' the ' gate, C = the
+    langid stopword gate. Long-format (unit, label) ratings, exact
+    BIGINT coincidence counts, one rounded rational per (unit, label)
+    folded as DECIMAL(18,6)."""
+    from powerdatapipeline_spark.operators import stats as st
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull()))
+    alpha = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+             .cast("double") / F.length("text"))
+    lab = lambda cond: F.when(cond, F.lit("keep")).otherwise(F.lit("drop"))
+    a = (F.length("text") >= 200) & (alpha >= 0.55)
+    b = ((F.size(tx.tokens("text")) >= 40)
+         & F.lower(F.col("text")).contains(" the "))
+    c = tx.stopword_ratio("text") >= 0.08
+    ratings = (docs.select(F.col("doc_id").alias("u"), lab(a).alias("c"))
+               .unionAll(docs.select(F.col("doc_id"), lab(b)))
+               .unionAll(docs.select(F.col("doc_id"), lab(c))))
+    return st.krippendorff_alpha(ratings, "u", "c")
+
+
+@register("q250_woe_iv", """
+WITH b AS (
+  SELECT least(CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT), 9)
+           AS bucket,
+         event_type = 'purchase' AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM b GROUP BY 1),
+t AS (SELECT *, sum(n_pos) OVER () AS g, sum(n_neg) OVER () AS bb
+      FROM per),
+w AS (
+  SELECT *,
+         n_pos > 0 AND n_neg > 0 AND g > 0 AND bb > 0 AS ok,
+         CAST(n_pos AS DOUBLE) / g AS gr,
+         CAST(n_neg AS DOUBLE) / bb AS br
+  FROM t),
+w2 AS (
+  SELECT *, CASE WHEN ok THEN round(ln(gr / br), 6) END AS woe,
+         CASE WHEN ok THEN CAST((gr - br) * round(ln(gr / br), 6)
+                                AS DECIMAL(28,12)) END AS ivt
+  FROM w)
+SELECT bucket, n_pos, n_neg, woe,
+       CASE WHEN ok THEN floor(CAST(ivt AS DOUBLE) * 1000000.0 + 0.5)
+                         / 1000000.0 END AS iv,
+       floor(CAST(sum(ivt) OVER () AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS iv_total
+FROM w2 ORDER BY bucket
+""", priority=PRI_TAIL)
+def q250_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information value of the fixed-width value
+    bucket against the purchase outcome (operators/stats.woe_iv) — the
+    interpretable feature-vs-binary-outcome screen beside mutual
+    information (q180): per-bucket WOE sign shows direction, IV total
+    ranks the feature. Fixed-width floor buckets (never a global
+    ntile), exact counts, q87's rounded-log decimal fold."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = load_events(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value").cast("double") / 50.0)
+                     .cast("bigint"), F.lit(9).cast("bigint"))
+    return st.woe_iv(ev, bucket, F.col("event_type") == "purchase")
+
+
+@register("q251_script_mix", """
+SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       floor(CAST(sum(length(text)
+                      - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                  AS DOUBLE) / sum(length(text)) * 1000000.0 + 0.5)
+         / 1000000.0 AS letter_ratio,
+       floor(CAST(sum(length(text)
+                      - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  AS DOUBLE) / sum(length(text)) * 1000000.0 + 0.5)
+         / 1000000.0 AS digit_ratio,
+       floor(CAST(sum(length(text)
+                      - length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]',
+                                              '', 'g')))
+                  AS DOUBLE) / sum(length(text)) * 1000000.0 + 0.5)
+         / 1000000.0 AS space_ratio,
+       floor(CAST(sum(length(regexp_replace(regexp_replace(
+                        regexp_replace(text, '[A-Za-z]', '', 'g'),
+                        '[0-9]', '', 'g'), '[ \\t\\n\\r\\f\\x0B]', '', 'g')))
+                  AS DOUBLE) / sum(length(text)) * 1000000.0 + 0.5)
+         / 1000000.0 AS other_ratio
+FROM documents
+WHERE source IS NOT NULL AND text IS NOT NULL
+GROUP BY source ORDER BY source
+""", priority=PRI_TAIL)
+def q251_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class composition (operators/text.
+    script_audit) — the cheap multilingual/encoding-drift screen:
+    ASCII-letter / digit / whitespace / other mass per source from
+    exact length-difference counts; a jump in ``other_ratio`` catches
+    encoding breaks and markup floods the token-level rules miss."""
+    return tx.script_audit(_t(spark, sf_dir, "documents"))
+
+
+@register("q252_lsh_calibration", f"""
+WITH mh AS ({_SQL_MINHASH}),
+banded AS ({_SQL_BANDED}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+p AS (
+  SELECT round(CAST(len(list_filter(list_zip(ma.sig, mb.sig),
+                                    z -> z[1] = z[2])) AS DOUBLE) / 16, 6)
+           AS est,
+         round(CAST(len(list_intersect(ma.g, mb.g)) AS DOUBLE)
+               / (len(ma.g) + len(mb.g) - len(list_intersect(ma.g, mb.g))),
+               6) AS x
+  FROM cand JOIN mh ma ON ma.doc_id = id_a
+            JOIN mh mb ON mb.doc_id = id_b)
+SELECT est, CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_exact,
+       floor(CAST(sum(CAST(abs(x - est) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_err,
+       floor(CAST(sum(CAST(x - est AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS bias
+FROM p GROUP BY est ORDER BY est
+""", priority=PRI_TAIL)
+def q252_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch calibration (operators/dedup.sketch_calibration
+    over minhash_lsh_pairs at threshold 0): per estimate level — the
+    16-perm signature admits only 17 — the exact-Jaccard mean, MAE and
+    bias of every LSH candidate pair. The sketch-quality audit for the
+    near-dup family (q29): drift here costs recall at the 0.5 gate
+    before anything downstream notices."""
+    pairs = dd.neardup_report(_t(spark, sf_dir, "documents"),
+                              num_perm=16, bands=4, est_threshold=0.0,
+                              shingle_unit="word")
+    return dd.sketch_calibration(pairs)
+
+
+@register("q253_label_propagation", """
+WITH raw AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+sym AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+n1 AS (SELECT s.a AS node, l0.label, count(*) AS c
+       FROM sym s JOIN l0 ON l0.node = s.b GROUP BY 1, 2),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label ASC) AS r
+         FROM n1) WHERE r = 1),
+n2 AS (SELECT s.a AS node, l1.label, count(*) AS c
+       FROM sym s JOIN l1 ON l1.node = s.b GROUP BY 1, 2),
+l2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label ASC) AS r
+         FROM n2) WHERE r = 1)
+SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l2 GROUP BY label
+ORDER BY n_nodes DESC, label ASC LIMIT 25
+""", priority=PRI_TAIL)
+def q253_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation, 2 rounds
+    (operators/graph.label_propagation) over the customer↔supplier
+    interaction graph (q135's bipartite BIGINT encoding) — community
+    detection beside reachability (q184) and density (q205): most
+    frequent neighbor label, smallest-label tiebreak, so the classic
+    LPA becomes engine-reproducible and the oracle unrolls the same
+    two rounds as SQL joins. Top-25 communities by size."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    raw = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .select((F.col("o_custkey") * 2).alias("src"),
+                   (F.col("l_suppkey") * 2 + 1).alias("dst"))
+           .distinct())
+    return gr.label_propagation(raw, rounds=2)
+
+
+@register("q254_anisotropy", """
+WITH b AS (
+  SELECT embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+ex AS (
+  SELECT i.i AS d, CAST(embedding[i.i] AS DOUBLE) AS x
+  FROM b, generate_series(1, 64) AS i(i)),
+pd AS (
+  SELECT d, sum(CAST(x AS DECIMAL(38,10))) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ex GROUP BY d),
+m2 AS (
+  SELECT sum(CAST((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                  AS DECIMAL(28,12))) AS mu2,
+         CAST(max(n) AS BIGINT) AS n_vectors
+  FROM pd),
+n2 AS (
+  SELECT floor(CAST(list_sum(list_transform(embedding,
+                 v -> CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                           AS DECIMAL(28,12)))) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS nn
+  FROM b),
+mn AS (
+  SELECT CAST(sum(CAST(nn AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+           AS mean_norm_sq
+  FROM n2)
+SELECT n_vectors, CAST(64 AS INT) AS dim,
+       floor(CAST(mu2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS mu_norm_sq,
+       floor(mean_norm_sq * 1000000.0 + 0.5) / 1000000.0 AS mean_norm_sq,
+       CASE WHEN mean_norm_sq > 0
+            THEN floor(CAST(mu2 AS DOUBLE) / mean_norm_sq
+                       * 1000000.0 + 0.5) / 1000000.0 END AS anisotropy
+FROM m2, mn
+""", priority=PRI_TAIL)
+def q254_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy ‖μ‖²/E‖x‖² (operators/similarity.
+    embedding_anisotropy) — the expected random-pair cosine: near 0 =
+    isotropic retrieval-friendly space, near 1 = a dominant mean
+    direction is inflating every cosine (recenter before the ANN
+    ladder). One scan: per-dim decimal sums + 6-rounded per-row
+    norm-squares, nothing corpus-wide sorts."""
+    return sim.embedding_anisotropy(_t(spark, sf_dir, "embeddings"))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
