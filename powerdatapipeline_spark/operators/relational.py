@@ -1447,3 +1447,56 @@ def copurchase_hitrate(baskets: DataFrame, basket_col: str,
                fl6(F.col("n_hits").cast("double")
                    / F.col("n_scored").cast("double")))
         .alias("hit_rate")))
+
+
+def shuffle_runs_audit(df: DataFrame, key_col: str, class_col: str,
+                       n_shards: int, salt: str = "") -> DataFrame:
+    """Shuffle-quality audit for :func:`shard_assign`: within each
+    shard's epoch order, count RUNS of the same class (source/domain/
+    lang) and compare against the expected adjacent-equal count under a
+    uniformly random arrangement — the "is my training shuffle actually
+    shuffling" check. A data loader that feeds long same-domain runs
+    trains on locally-correlated batches no matter how good the corpus
+    mixture is; this catches key functions that accidentally correlate
+    with the class (e.g. ids assigned per crawl batch).
+
+    Under a random permutation of a shard with n rows and class counts
+    n_c, E[#adjacent-equal] = Σ n_c(n_c−1)/n, so expected runs =
+    n − that. Exact arithmetic: the observed run count is an integer
+    (lag over the shard order — the one window, already the
+    shard_assign partitioning); the expected term folds Σ n_c(n_c−1)
+    as DECIMAL(38,0) over the per-(shard, class) count frame and takes
+    ONE double division. Returns one row per shard: ``(shard_id,
+    n_rows, n_classes, n_runs, expected_runs, runs_ratio)`` — ratio
+    ≈ 1 means healthy shuffle, << 1 means clumping."""
+    assigned = shard_assign(df, key_col, n_shards, salt)
+    w = Window.partitionBy("shard_id").orderBy("shard_pos")
+    runs = (assigned
+            .withColumn("__prev", F.lag(F.col(class_col)).over(w))
+            .withColumn("__new",
+                        F.when(F.col("__prev").isNull()
+                               | (F.col("__prev") != F.col(class_col)),
+                               1).otherwise(0)))
+    per_shard = runs.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("__new").cast("bigint").alias("n_runs"))
+    per_class = (assigned.groupBy("shard_id", class_col)
+                 .agg(F.count("*").cast("bigint").alias("nc")))
+    exp = per_class.groupBy("shard_id").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum(F.col("nc").cast("decimal(19,0)")
+              * (F.col("nc") - 1).cast("decimal(19,0)"))
+        .cast("decimal(38,0)").alias("__ee"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    j = per_shard.join(exp, "shard_id")
+    expected = (F.col("n_rows").cast("double")
+                - F.col("__ee").cast("double")
+                / F.col("n_rows").cast("double"))
+    return (j.select(
+        "shard_id", "n_rows", "n_classes", "n_runs",
+        fl6(expected).alias("expected_runs"),
+        F.when(expected > 0,
+               fl6(F.col("n_runs").cast("double") / expected))
+        .alias("runs_ratio"))
+        .orderBy("shard_id"))

@@ -2423,3 +2423,75 @@ def markov_entropy_rate(df: DataFrame, ts_col: str, state_col: str,
         F.when(F.col("n_states") > 1,
                fl6(h / F.log(F.col("n_states").cast("double"))))
         .alias("normalized_entropy"))
+
+
+def sax_words(df: DataFrame, ts_col: str, type_col: str,
+              bucket_seconds: float = 3600.0, word_len: int = 3,
+              top_k: int = 20) -> DataFrame:
+    """SAX-style symbolic motif mining over per-type bucketed COUNT
+    series (Lin et al. 2003 lineage): each series' hourly counts are
+    z-normalized against ITS OWN exact moments, quantized to 4 symbols
+    at the standard Gaussian quartile breakpoints (±0.6745, 0), and
+    every ``word_len``-gram of consecutive symbols becomes a word —
+    the top-k words across series are the corpus' recurring local
+    shapes ('ddd' = sustained lull, 'aad' = spike-then-drop). The
+    symbolic complement to the numeric motif tools (acf q168,
+    periodogram q232, changepoints q241).
+
+    Exactness/scale: bucket counts are exact BIGINTs on a calendar
+    grid; per-series μ/σ come from decimal(38,0) count moments (one
+    tiny per-type frame); z-scores and breakpoint compares are fixed
+    double arithmetic identical in any engine (boundpoint TIES are
+    measure-zero: counts are integers, μ/σ irrational in practice).
+    Gaps in the calendar grid break words (missing buckets are not
+    zero-filled — a silent zero-fill would fabricate lulls); the
+    ``word_len``-gram window slides within each series only. One
+    series-keyed window + one map-side-combined word count. Returns
+    ``(word, n_series, n_occurrences)`` top-k by (count desc, word)."""
+    if word_len < 2:
+        raise ValueError(f"word_len must be >= 2, got {word_len}")
+    e = F.col(ts_col).cast("double")
+    b = F.floor(e / F.lit(float(bucket_seconds))).cast("bigint")
+    cnt = (df.where(F.col(type_col).isNotNull() & F.col(ts_col).isNotNull())
+           .groupBy(F.col(type_col).alias("g"), b.alias("b"))
+           .agg(F.count("*").cast("bigint").alias("c")))
+    per_g = cnt.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("c").cast("decimal(19,0)")
+              * F.col("c").cast("decimal(19,0)")).cast("decimal(38,0)")
+        .alias("ss"))
+    md = F.col("m").cast("double")
+    mu = F.col("s").cast("double") / md
+    var = F.greatest(F.col("ss").cast("double") / md - mu * mu,
+                     F.lit(0.0))
+    stats = per_g.select("g", mu.alias("__mu"),
+                         F.sqrt(var).alias("__sd"))
+    z = F.when(F.col("__sd") > 0,
+               (F.col("c").cast("double") - F.col("__mu"))
+               / F.col("__sd")).otherwise(F.lit(0.0))
+    sym = (F.when(z < -0.6745, F.lit("a"))
+           .when(z < 0.0, F.lit("b"))
+           .when(z < 0.6745, F.lit("c"))
+           .otherwise(F.lit("d")))
+    w = Window.partitionBy("g").orderBy("b")
+    lagged = (cnt.join(F.broadcast(stats), "g")
+              .select("g", "b", sym.alias("__s")))
+    for i in range(1, word_len):
+        lagged = (lagged
+                  .withColumn(f"__s{i}", F.lead("__s", i).over(w))
+                  .withColumn(f"__b{i}", F.lead("b", i).over(w)))
+    # words only over CONSECUTIVE buckets — a calendar gap ends the word
+    contiguous = None
+    for i in range(1, word_len):
+        cond = F.col(f"__b{i}") == F.col("b") + i
+        contiguous = cond if contiguous is None else (contiguous & cond)
+    word = F.concat(F.col("__s"),
+                    *[F.col(f"__s{i}") for i in range(1, word_len)])
+    words = (lagged.where(contiguous)
+             .select("g", word.alias("word")))
+    return (words.groupBy("word")
+            .agg(F.count_distinct("g").cast("bigint").alias("n_series"),
+                 F.count("*").cast("bigint").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("word"))
+            .limit(top_k))

@@ -10694,6 +10694,104 @@ def q254_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_anisotropy(_t(spark, sf_dir, "embeddings"))
 
 
+@register("q255_shuffle_runs", """
+WITH a AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS INT) AS shard_id,
+         CAST(CAST(('0x' || substr(md5('|order' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1 AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM documents),
+p AS (SELECT shard_id, source,
+             row_number() OVER (PARTITION BY shard_id
+                                ORDER BY u, doc_id) AS pos
+      FROM a),
+r AS (SELECT shard_id, source,
+             lag(source) OVER (PARTITION BY shard_id ORDER BY pos) AS prev
+      FROM p),
+rs AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN prev IS NULL OR prev <> source
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+       FROM r GROUP BY 1),
+pc AS (SELECT shard_id, source, CAST(count(*) AS BIGINT) AS nc
+       FROM a GROUP BY 1, 2),
+ee AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_classes,
+              sum(CAST(nc AS DECIMAL(19,0))
+                  * CAST(nc - 1 AS DECIMAL(19,0))) AS e
+       FROM pc GROUP BY 1)
+SELECT rs.shard_id, n_rows, n_classes, n_runs,
+       floor((n_rows - CAST(e AS DOUBLE) / n_rows) * 1000000.0 + 0.5)
+         / 1000000.0 AS expected_runs,
+       CASE WHEN n_rows - CAST(e AS DOUBLE) / n_rows > 0
+            THEN floor(n_runs / (n_rows - CAST(e AS DOUBLE) / n_rows)
+                       * 1000000.0 + 0.5) / 1000000.0 END AS runs_ratio
+FROM rs JOIN ee USING (shard_id) ORDER BY shard_id
+""", priority=PRI_TAIL)
+def q255_shuffle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality runs test per training shard
+    (operators/relational.shuffle_runs_audit over shard_assign): within
+    each shard's deterministic epoch order, observed same-SOURCE runs vs
+    the expected count under a random arrangement — the "is the data
+    loader actually shuffled" audit that catches key functions
+    correlated with the class. runs_ratio ≈ 1 = healthy; << 1 =
+    clumped same-domain batches. Exact run counts, decimal Σn_c(n_c−1)
+    fold, one window on the existing shard partitioning."""
+    return rel.shuffle_runs_audit(_t(spark, sf_dir, "documents"),
+                                  "doc_id", "source", n_shards=16)
+
+
+@register("q256_sax_words", """
+WITH cnt AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+st AS (SELECT g, count(*) AS m,
+              sum(CAST(c AS DECIMAL(38,0))) AS s,
+              sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                AS ss
+       FROM cnt GROUP BY 1),
+mz AS (SELECT g, CAST(s AS DOUBLE) / m AS mu,
+              sqrt(greatest(CAST(ss AS DOUBLE) / m
+                            - (CAST(s AS DOUBLE) / m)
+                              * (CAST(s AS DOUBLE) / m), 0.0)) AS sd
+       FROM st),
+sy AS (SELECT cnt.g, b,
+              CASE WHEN sd > 0 THEN (CAST(c AS DOUBLE) - mu) / sd
+                   ELSE 0.0 END AS z
+       FROM cnt JOIN mz USING (g)),
+sym AS (SELECT g, b,
+               CASE WHEN z < -0.6745 THEN 'a'
+                    WHEN z < 0.0 THEN 'b'
+                    WHEN z < 0.6745 THEN 'c'
+                    ELSE 'd' END AS s1
+        FROM sy),
+lag3 AS (SELECT g, b, s1,
+                lead(s1, 1) OVER w AS s2, lead(b, 1) OVER w AS b2,
+                lead(s1, 2) OVER w AS s3, lead(b, 2) OVER w AS b3
+         FROM sym WINDOW w AS (PARTITION BY g ORDER BY b)),
+wd AS (SELECT g, s1 || s2 || s3 AS word
+       FROM lag3 WHERE b2 = b + 1 AND b3 = b + 2)
+SELECT word, CAST(count(DISTINCT g) AS BIGINT) AS n_series,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM wd GROUP BY word
+ORDER BY n_occurrences DESC, word LIMIT 20
+""", priority=PRI_TAIL)
+def q256_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic motifs over per-type hourly count series
+    (operators/timeseries.sax_words): z-normalize each series against
+    its own exact moments, quantize to 4 Gaussian-quartile symbols,
+    count 3-symbol words over CONSECUTIVE buckets (calendar gaps break
+    words, never silently zero-filled). The symbolic shape-mining
+    complement to acf (q168) / periodogram (q232) / changepoints
+    (q241); top-20 recurring local shapes."""
+    ev = load_events(spark, sf_dir)
+    return ts.sax_words(ev, "ts", "event_type", bucket_seconds=3600.0,
+                        word_len=3, top_k=20)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

@@ -1,0 +1,79 @@
+"""Value pins for the round-11c operators: shuffle runs audit, SAX words."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from powerdatapipeline_spark.operators import relational as rel
+from powerdatapipeline_spark.operators import timeseries as ts
+
+fl6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_shuffle_runs_audit_expected_term(spark):
+    # one shard (n_shards=1) so the order is the full md5-uniform
+    # permutation; verify the EXPECTED term against the closed form
+    rows = [(f"k{i:03d}", "odd" if i % 2 else "even") for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, cls string")
+    got = rel.shuffle_runs_audit(df, "k", "cls", n_shards=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_rows == 40 and r.n_classes == 2
+    # n_c = 20/20 -> E[adjacent-equal] = 2*20*19/40 = 19 -> E[runs] = 21
+    assert r.expected_runs == 21.0
+    assert 1 <= r.n_runs <= 40
+    assert r.runs_ratio == fl6(r.n_runs / 21.0)
+
+
+def test_shuffle_runs_audit_single_class_ratio_null(spark):
+    df = spark.createDataFrame([(f"k{i}", "only") for i in range(10)],
+                               "k string, cls string")
+    r = rel.shuffle_runs_audit(df, "k", "cls", n_shards=1).collect()[0]
+    # all one class: observed runs = 1, expected = n - n(n-1)/n = 1
+    assert r.n_runs == 1
+    assert r.expected_runs == 1.0
+    assert r.runs_ratio == 1.0
+
+
+def test_sax_words_hand_series(spark):
+    # one series, hourly buckets 0..7 with counts 1,1,1,1,9,9,9,9:
+    # mu = 5, sd = 4 -> z = -1 ('a') x4 then +1 ('d') x4
+    # 3-words: aaa, aad, add, ddd -> each once
+    rows = []
+    eid = 0
+    for b, c in enumerate([1, 1, 1, 1, 9, 9, 9, 9]):
+        for _ in range(c):
+            rows.append((float(b * 3600 + 5), "t1", eid))
+            eid += 1
+    df = (spark.createDataFrame(rows, "e double, ty string, id bigint")
+          .select(F.col("e").cast("timestamp").alias("ts"),
+                  F.col("ty").alias("event_type"), "id"))
+    got = {r.word: (r.n_series, r.n_occurrences)
+           for r in ts.sax_words(df, "ts", "event_type").collect()}
+    assert got == {"aaa": (1, 2), "aad": (1, 1), "add": (1, 1),
+                   "ddd": (1, 2)}
+
+
+def test_sax_words_gap_breaks_words(spark):
+    # buckets 0,1,2 then a gap then 10,11,12 -> words only within
+    # each contiguous block (2 blocks x 1 word of length 3 each... the
+    # blocks are 3 long so 1 word each)
+    rows = []
+    eid = 0
+    for b in [0, 1, 2, 10, 11, 12]:
+        for _ in range(1 + (b % 3)):
+            rows.append((float(b * 3600 + 1), "t", eid))
+            eid += 1
+    df = (spark.createDataFrame(rows, "e double, ty string, id bigint")
+          .select(F.col("e").cast("timestamp").alias("ts"),
+                  F.col("ty").alias("event_type"), "id"))
+    out = ts.sax_words(df, "ts", "event_type").collect()
+    assert sum(r.n_occurrences for r in out) == 2  # no cross-gap words
+
+
+def test_sax_words_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0, "t")], "ts double, event_type string")
+    with pytest.raises(ValueError, match="word_len"):
+        ts.sax_words(df, "ts", "event_type", word_len=1)
