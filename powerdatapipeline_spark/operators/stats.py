@@ -2205,3 +2205,80 @@ def woe_iv(df: DataFrame, bucket: Column, label: Column) -> DataFrame:
         F.when(ok, fl6(F.col("__iv").cast("double"))).alias("iv"),
         fl6(F.sum("__iv").over(w_all).cast("double")).alias("iv_total"))
         .orderBy("bucket"))
+
+
+def diff_in_diff(df: DataFrame, value_col: str, group: Column,
+                 post: Column) -> DataFrame:
+    """2×2 difference-in-differences estimator: DiD = (ȳ_treat,post −
+    ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre), with a pooled standard
+    error from the four cell variances (the Welch-style plug-in, no
+    equal-variance assumption). The quasi-experimental effect readout
+    for a cutover/launch where randomization wasn't available —
+    complements the designed-experiment tests (welch q182, ANOVA q191)
+    with the observational shape analysts actually face.
+
+    ``group`` must be a boolean column (TRUE = treated) and ``post`` a
+    boolean column (TRUE = after the intervention); rows with NULL in
+    either are excluded. All four cells' (n, Σμ, Σμ²) accumulate in ONE
+    map-side-combined conditional aggregation in exact integer
+    micro-units with decimal(38,0) accumulators (the welch_ttest
+    contract); means/variances/DiD/SE combine the exact sums in fixed
+    double arithmetic, floor6 at the end. Raises at evaluation when any
+    cell has < 2 rows (its variance — and the SE — is undefined).
+    Returns ONE row: ``(n_tp, n_tr, n_cp, n_cr, mean_treat_post,
+    mean_treat_pre, mean_ctrl_post, mean_ctrl_pre, did, se, z)``."""
+    v = F.round(F.col(value_col).cast("double"), 6)
+    mu = F.floor(v * F.lit(1_000_000.0) + F.lit(0.5))
+    cell = (F.when(group & post, "tp").when(group & ~post, "tr")
+            .when(~group & post, "cp").when(~group & ~post, "cr"))
+    base = (df.select(cell.alias("__cell"), mu.alias("__m"))
+            .where(F.col("__cell").isNotNull() & F.col("__m").isNotNull())
+            .withColumn("__md", F.col("__m").cast("decimal(38,0)")))
+
+    def agg_cell(c):
+        hit = F.col("__cell") == c
+        zero = F.lit(0).cast("decimal(38,0)")
+        return [F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+                .alias(f"n_{c}"),
+                F.sum(F.when(hit, F.col("__md")).otherwise(zero))
+                .alias(f"s_{c}"),
+                F.sum(F.when(hit, F.col("__md") * F.col("__md"))
+                      .otherwise(zero)).cast("decimal(38,0)")
+                .alias(f"ss_{c}")]
+
+    cells = ["tp", "tr", "cp", "cr"]
+    out = base.agg(*[a for c in cells for a in agg_cell(c)])
+    guard = F.when(
+        (F.col("n_tp") < 2) | (F.col("n_tr") < 2)
+        | (F.col("n_cp") < 2) | (F.col("n_cr") < 2),
+        F.raise_error(F.lit(
+            "diff_in_diff: a cell has < 2 rows — variance undefined")))
+
+    def g(expr, typ="double"):
+        return F.coalesce(guard.cast(typ), expr)
+
+    def mean(c):
+        return (F.col(f"s_{c}").cast("double")
+                / F.col(f"n_{c}").cast("double") / F.lit(1e6))
+
+    def var(c):
+        # sample variance (ss − s²/n)/(n−1) — the welch_ttest form
+        nd = F.col(f"n_{c}").cast("double")
+        s = F.col(f"s_{c}").cast("double")
+        ss = F.col(f"ss_{c}").cast("double")
+        return (ss - s * s / nd) / (nd - 1) / F.lit(1e12)
+
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    did = (mean("tp") - mean("tr")) - (mean("cp") - mean("cr"))
+    se2 = sum(var(c) / F.col(f"n_{c}").cast("double") for c in cells)
+    se = F.sqrt(se2)
+    return out.select(
+        *[g(F.col(f"n_{c}"), "bigint").alias(f"n_{c}") for c in cells],
+        g(fl6(mean("tp"))).alias("mean_treat_post"),
+        g(fl6(mean("tr"))).alias("mean_treat_pre"),
+        g(fl6(mean("cp"))).alias("mean_ctrl_post"),
+        g(fl6(mean("cr"))).alias("mean_ctrl_pre"),
+        g(fl6(did)).alias("did"),
+        g(fl6(se)).alias("se"),
+        g(F.when(se > 0, fl6(did / se))).alias("z"))

@@ -10792,6 +10792,71 @@ def q256_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                         word_len=3, top_k=20)
 
 
+@register("q257_diff_in_diff", """
+WITH b AS (
+  SELECT CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 'tp'
+              WHEN event_type = 'purchase' THEN 'tr'
+              WHEN event_type = 'view' AND ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 'cp'
+              WHEN event_type = 'view' THEN 'cr' END AS cell,
+         CAST(floor(round(CAST(value AS DOUBLE), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS mu
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND ts IS NOT NULL AND value IS NOT NULL),
+a AS (
+  SELECT
+    CAST(sum(CASE WHEN cell='tp' THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+    sum(CASE WHEN cell='tp' THEN CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS s_tp,
+    sum(CASE WHEN cell='tp' THEN CAST(mu AS DECIMAL(38,0))*CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS ss_tp,
+    CAST(sum(CASE WHEN cell='tr' THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+    sum(CASE WHEN cell='tr' THEN CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS s_tr,
+    sum(CASE WHEN cell='tr' THEN CAST(mu AS DECIMAL(38,0))*CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS ss_tr,
+    CAST(sum(CASE WHEN cell='cp' THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+    sum(CASE WHEN cell='cp' THEN CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS s_cp,
+    sum(CASE WHEN cell='cp' THEN CAST(mu AS DECIMAL(38,0))*CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS ss_cp,
+    CAST(sum(CASE WHEN cell='cr' THEN 1 ELSE 0 END) AS BIGINT) AS n_cr,
+    sum(CASE WHEN cell='cr' THEN CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS s_cr,
+    sum(CASE WHEN cell='cr' THEN CAST(mu AS DECIMAL(38,0))*CAST(mu AS DECIMAL(38,0)) ELSE 0 END) AS ss_cr
+  FROM b),
+m AS (
+  SELECT *,
+    CAST(s_tp AS DOUBLE)/n_tp/1e6 AS m_tp, CAST(s_tr AS DOUBLE)/n_tr/1e6 AS m_tr,
+    CAST(s_cp AS DOUBLE)/n_cp/1e6 AS m_cp, CAST(s_cr AS DOUBLE)/n_cr/1e6 AS m_cr,
+    (CAST(ss_tp AS DOUBLE) - CAST(s_tp AS DOUBLE)*CAST(s_tp AS DOUBLE)/n_tp)/(n_tp-1)/1e12 AS v_tp,
+    (CAST(ss_tr AS DOUBLE) - CAST(s_tr AS DOUBLE)*CAST(s_tr AS DOUBLE)/n_tr)/(n_tr-1)/1e12 AS v_tr,
+    (CAST(ss_cp AS DOUBLE) - CAST(s_cp AS DOUBLE)*CAST(s_cp AS DOUBLE)/n_cp)/(n_cp-1)/1e12 AS v_cp,
+    (CAST(ss_cr AS DOUBLE) - CAST(s_cr AS DOUBLE)*CAST(s_cr AS DOUBLE)/n_cr)/(n_cr-1)/1e12 AS v_cr
+  FROM a),
+f AS (
+  SELECT *, (m_tp - m_tr) - (m_cp - m_cr) AS did,
+         sqrt(v_tp/n_tp + v_tr/n_tr + v_cp/n_cp + v_cr/n_cr) AS se
+  FROM m)
+SELECT n_tp, n_tr, n_cp, n_cr,
+       floor(m_tp*1000000.0+0.5)/1000000.0 AS mean_treat_post,
+       floor(m_tr*1000000.0+0.5)/1000000.0 AS mean_treat_pre,
+       floor(m_cp*1000000.0+0.5)/1000000.0 AS mean_ctrl_post,
+       floor(m_cr*1000000.0+0.5)/1000000.0 AS mean_ctrl_pre,
+       floor(did*1000000.0+0.5)/1000000.0 AS did,
+       floor(se*1000000.0+0.5)/1000000.0 AS se,
+       CASE WHEN se > 0 THEN floor(did/se*1000000.0+0.5)/1000000.0 END AS z
+FROM f
+""", priority=PRI_TAIL)
+def q257_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences (operators/stats.diff_in_diff):
+    purchase (treated) vs view (control) mean value, pre vs post the
+    Jan-16 cutover — the observational effect estimator beside the
+    designed-experiment tests (q182/q191), with a Welch-style pooled
+    SE from the four cells' exact integer-micro moments in ONE
+    conditional aggregation pass."""
+    from powerdatapipeline_spark.operators import stats as st
+    ev = load_events(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("ts").isNotNull() & F.col("value").isNotNull())
+    return st.diff_in_diff(
+        ev, "value", F.col("event_type") == "purchase",
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

@@ -77,3 +77,32 @@ def test_sax_words_validation(spark):
     df = spark.createDataFrame([(1.0, "t")], "ts double, event_type string")
     with pytest.raises(ValueError, match="word_len"):
         ts.sax_words(df, "ts", "event_type", word_len=1)
+
+
+def test_diff_in_diff_hand_case(spark):
+    from powerdatapipeline_spark.operators import stats as st
+    # treated: pre mean 10, post mean 15 (+5); control: pre 20, post 21
+    # (+1) -> DiD = 4
+    rows = ([(True, False, v) for v in (9.0, 10.0, 11.0)]
+            + [(True, True, v) for v in (14.0, 15.0, 16.0)]
+            + [(False, False, v) for v in (19.0, 20.0, 21.0)]
+            + [(False, True, v) for v in (20.0, 21.0, 22.0)])
+    df = spark.createDataFrame(rows, "g boolean, p boolean, v double")
+    got = st.diff_in_diff(df, "v", F.col("g"), F.col("p")).collect()[0]
+    assert (got.n_tp, got.n_tr, got.n_cp, got.n_cr) == (3, 3, 3, 3)
+    assert got.did == 4.0
+    # each cell var = 1, se = sqrt(4/3)
+    assert got.se == fl6(math.sqrt(4 / 3))
+    assert got.z == fl6(4.0 / math.sqrt(4 / 3))
+
+
+def test_diff_in_diff_small_cell_raises(spark):
+    import pytest
+    from powerdatapipeline_spark.operators import stats as st
+
+    rows = [(True, True, 1.0), (True, False, 1.0), (True, False, 2.0),
+            (False, True, 1.0), (False, True, 2.0),
+            (False, False, 1.0), (False, False, 2.0)]
+    df = spark.createDataFrame(rows, "g boolean, p boolean, v double")
+    with pytest.raises(Exception, match="diff_in_diff"):
+        st.diff_in_diff(df, "v", F.col("g"), F.col("p")).collect()

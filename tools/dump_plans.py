@@ -45,9 +45,17 @@ BRUTE_FORCE_INTENDED = {
     # rankings (full-dim ground truth + three truncations) over the
     # bounded 5-query probe set; production search stays LSH/IVF
     "q171_truncation_recall",
+    # round 11: q246 is all-pairs ON PURPOSE within the deterministic
+    # vec_id%4 hash-sample (mutual-kNN reciprocity is defined over the
+    # sample's own neighbor graph); at scale it runs per IVF cell
+    "q246_mutual_knn",
 }
 
 SCALAR_BROADCAST_INTENDED = {
+    # round 11: q249 joins the 1-row observed-disagreement frame with
+    # the 1-row expected frame; q254 joins the 1-row mu-norm frame with
+    # the 1-row mean-norm frame — 1x1 broadcast joins, constant cost
+    "q249_krippendorff_alpha", "q254_anisotropy",
     # two single-row aggregates combined for the sample-size contract —
     # a 1×1 broadcast join, constant cost at any SF
     "q46_sample",
