@@ -2183,11 +2183,21 @@ def woe_iv(df: DataFrame, bucket: Column, label: Column) -> DataFrame:
         F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint")
         .alias("n_pos"),
         F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint")
-        .alias("n_neg"))
+        .alias("n_neg")).withColumnRenamed("__b", "bucket")
+    return woe_from_bucket_counts(per)
+
+
+def woe_from_bucket_counts(per: DataFrame) -> DataFrame:
+    """Finalize a WOE/IV report from per-bucket ``(bucket, n_pos,
+    n_neg)`` counts — the shared tail of :func:`woe_iv` and the
+    STREAMING WOE monitor (streaming/stateful.finalize_woe_monitor):
+    counts merge by addition, so a stream's accumulated partials
+    finalize bit-identically to the batch operator over the union of
+    all batches. Windows only over the k-bucket frame."""
     w_all = Window.partitionBy(F.lit(1))
     # "__totg"/"__totb", never "__G"/"__B": Spark resolves column names
     # case-insensitively, so withColumn("__B", ...) would silently
-    # REPLACE the "__b" bucket column (the anova_f "N"-vs-"n" lesson)
+    # REPLACE a "__b" bucket column (the anova_f "N"-vs-"n" lesson)
     per = (per.withColumn("__totg", F.sum("n_pos").over(w_all))
            .withColumn("__totb", F.sum("n_neg").over(w_all)))
     ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0) \
@@ -2200,7 +2210,7 @@ def woe_iv(df: DataFrame, bucket: Column, label: Column) -> DataFrame:
                      .cast("double") / F.lit(1_000_000.0))
     per = per.withColumn("__iv", iv_term)
     return (per.select(
-        F.col("__b").alias("bucket"), "n_pos", "n_neg",
+        "bucket", "n_pos", "n_neg",
         F.when(ok, woe).alias("woe"),
         F.when(ok, fl6(F.col("__iv").cast("double"))).alias("iv"),
         fl6(F.sum("__iv").over(w_all).cast("double")).alias("iv_total"))

@@ -10857,6 +10857,65 @@ def q257_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
 
 
+@register("q258_streaming_woe", """
+WITH b AS (
+  SELECT least(CAST(floor(CAST(value AS DOUBLE) / 50.0) AS BIGINT), 9)
+           AS bucket,
+         event_type = 'purchase' AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+per AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM b GROUP BY 1),
+t AS (SELECT *, sum(n_pos) OVER () AS g, sum(n_neg) OVER () AS bb
+      FROM per),
+w AS (
+  SELECT *,
+         n_pos > 0 AND n_neg > 0 AND g > 0 AND bb > 0 AS ok,
+         CAST(n_pos AS DOUBLE) / g AS gr,
+         CAST(n_neg AS DOUBLE) / bb AS br
+  FROM t),
+w2 AS (
+  SELECT *, CASE WHEN ok THEN round(ln(gr / br), 6) END AS woe,
+         CASE WHEN ok THEN CAST((gr - br) * round(ln(gr / br), 6)
+                                AS DECIMAL(28,12)) END AS ivt
+  FROM w)
+SELECT bucket, n_pos, n_neg, woe,
+       CASE WHEN ok THEN floor(CAST(ivt AS DOUBLE) * 1000000.0 + 0.5)
+                         / 1000000.0 END AS iv,
+       floor(CAST(sum(ivt) OVER () AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS iv_total
+FROM w2 ORDER BY bucket
+""", priority=PRI_TAIL)
+def q258_streaming_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WOE/IV monitor under driver verification
+    (streaming/stateful.streaming_woe_monitor + finalize_woe_monitor)
+    — q250's scorecard machinery fed incrementally: each micro-batch
+    appends per-bucket (n_pos, n_neg) count partials (k rows, never
+    the stream), the finalizer merges by addition through the SAME
+    woe_from_bucket_counts the batch operator uses, so stream ≡ batch
+    bit-identically and q250's DuckDB oracle verifies the streaming
+    run."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_woe_monitor, streaming_woe_monitor)
+
+    stream = events_stream_source(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value").cast("double") / 50.0)
+                     .cast("bigint"), F.lit(9).cast("bigint"))
+    tmp = tempfile.mkdtemp(prefix="q258_streaming_woe_")
+    q = streaming_woe_monitor(stream, bucket,
+                              F.col("event_type") == "purchase",
+                              f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q258 streaming job did not finish within 300 s")
+    return finalize_woe_monitor(spark, f"{tmp}/partials")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

@@ -482,3 +482,49 @@ def finalize_psi_drift(spark, reference: DataFrame, ref_value_col: str,
                     F.coalesce(F.col("__c_r"), F.lit(0)).alias("cr"),
                     F.coalesce(F.col("__c_c"), F.lit(0)).alias("cc")))
     return psi_from_bin_counts(both, (), eps=eps)
+
+
+def streaming_woe_monitor(stream: DataFrame, bucket, label,
+                          partials_path: str, checkpoint: str):
+    """Streaming WOE/IV monitor — the round-11 streaming twin of the
+    scorecard report (q250), same mergeable-sufficient-statistic
+    discipline as :func:`streaming_binary_auc`: each micro-batch
+    reduces to per-bucket ``(n_pos, n_neg)`` count partials (k rows per
+    batch, never the event stream) appended blind to a parquet
+    accumulator; counts merge by addition, so the finalizer republishes
+    the EXACT batch WOE/IV at any checkpoint — the live "is this
+    feature's separation drifting" gauge for an online scorecard.
+
+    ``bucket``/``label`` are the same engine-portable Column
+    expressions :func:`operators.stats.woe_iv` takes. Returns the
+    started StreamingQuery (availableNow trigger; caller awaits, then
+    calls :func:`finalize_woe_monitor`)."""
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.select(bucket.alias("bucket"), label.alias("__y"))
+         .where(F.col("bucket").isNotNull() & F.col("__y").isNotNull())
+         .groupBy("bucket")
+         .agg(F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint")
+              .alias("n_pos"),
+              F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint")
+              .alias("n_neg"))
+         .write.mode("append").parquet(partials_path))
+
+    return (stream.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update").trigger(availableNow=True).start())
+
+
+def finalize_woe_monitor(spark, partials_path: str) -> DataFrame:
+    """Merge the accumulated per-bucket count partials by addition and
+    publish the WOE/IV report through the SAME
+    ``woe_from_bucket_counts`` finalizer the batch operator uses —
+    stream ≡ batch bit-identically, so the batch DuckDB oracle
+    verifies the streaming run."""
+    from powerdatapipeline_spark.operators.stats import \
+        woe_from_bucket_counts
+
+    per = (spark.read.parquet(partials_path)
+           .groupBy("bucket")
+           .agg(F.sum("n_pos").cast("bigint").alias("n_pos"),
+                F.sum("n_neg").cast("bigint").alias("n_neg")))
+    return woe_from_bucket_counts(per)

@@ -106,3 +106,26 @@ def test_diff_in_diff_small_cell_raises(spark):
     df = spark.createDataFrame(rows, "g boolean, p boolean, v double")
     with pytest.raises(Exception, match="diff_in_diff"):
         st.diff_in_diff(df, "v", F.col("g"), F.col("p")).collect()
+
+
+def test_streaming_woe_partials_merge_equals_batch(spark, tmp_path):
+    # appended per-batch (bucket, n_pos, n_neg) partials finalize
+    # bit-identically to the batch operator over the union
+    from powerdatapipeline_spark.operators import stats as st
+    from powerdatapipeline_spark.streaming.stateful import \
+        finalize_woe_monitor
+
+    def per(rows):
+        return spark.createDataFrame(
+            rows, "bucket bigint, n_pos bigint, n_neg bigint")
+
+    p = str(tmp_path / "partials")
+    per([(0, 2, 5), (1, 4, 1)]).write.mode("append").parquet(p)
+    per([(0, 1, 3), (2, 0, 2)]).write.mode("append").parquet(p)
+    got = finalize_woe_monitor(spark, p).collect()
+    rows = ([(0, True)] * 3 + [(0, False)] * 8
+            + [(1, True)] * 4 + [(1, False)] * 1
+            + [(2, False)] * 2)
+    df = spark.createDataFrame(rows, "b bigint, y boolean")
+    want = st.woe_iv(df, F.col("b"), F.col("y")).collect()
+    assert got == want
