@@ -10485,9 +10485,12 @@ def q249_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ((F.size(tx.tokens("text")) >= 40)
          & F.lower(F.col("text")).contains(" the "))
     c = tx.stopword_ratio("text") >= 0.08
-    ratings = (docs.select(F.col("doc_id").alias("u"), lab(a).alias("c"))
-               .unionAll(docs.select(F.col("doc_id"), lab(b)))
-               .unionAll(docs.select(F.col("doc_id"), lab(c))))
+    # one corpus scan, not three: the union form re-tokenizes the text
+    # per labeler; packing the three verdicts into an array and
+    # exploding keeps a single pass (tokens() evaluated once per doc)
+    ratings = (docs.select(F.col("doc_id").alias("u"),
+                           F.explode(F.array(lab(a), lab(b), lab(c)))
+                           .alias("c")))
     return st.krippendorff_alpha(ratings, "u", "c")
 
 
