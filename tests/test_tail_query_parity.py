@@ -86,22 +86,17 @@ def test_head_is_exactly_the_top_50_by_priority():
     assert PRI_HEAD > PRI_TAIL
 
 
-def test_round10_rotation_head_completes_driver_coverage():
-    """Round-10 rotation: after CORRECTNESS_r09 recorded the q99-q149
-    window green, the head is the last 36 never-driver-recorded queries
-    (q125, q150-q184) plus 14 retained freshly-recorded entries
-    (q99-q112). With this head recorded, EVERY registry query has at
-    least one driver record; rotation is thereafter needed only when new
-    queries register."""
+def test_round11_rotation_head_is_q191_to_q240():
+    """Round-11 rotation (EXECUTED — COVERAGE.md ledger): with
+    CORRECTNESS_r10 recording the r10 head green (q184's overflow fixed
+    and re-verified by the ANSI sweep), the head is exactly the
+    round-10-born q191-q240 window; q241-q244 and the round-11-born
+    q245+ stay PRI_TAIL, staged for the r12 head."""
     head = set(list(REGISTRY)[:SNAPSHOT_CAP])
-    # q125 + q150-q184 (never recorded) + the round-10-born q185-q190
-    never_recorded = {n for n in REGISTRY
-                      if n.split("_")[0] in (
-                          {"q125"} | {f"q{i}" for i in range(150, 191)})}
-    retained = {n for n in REGISTRY
-                if n.split("_")[0] in {f"q{i}" for i in range(105, 113)}}
-    assert len(never_recorded) == 42 and len(retained) == 8
-    assert head == never_recorded | retained
+    want = {n for n in REGISTRY
+            if n.split("_")[0] in {f"q{i}" for i in range(191, 241)}}
+    assert len(want) == 50
+    assert head == want
 
 
 def test_latest_sf01_parity_artifact_covers_full_registry():
