@@ -2495,3 +2495,83 @@ def sax_words(df: DataFrame, ts_col: str, type_col: str,
                  F.count("*").cast("bigint").alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("word"))
             .limit(top_k))
+
+
+def ramp_rates(df: DataFrame, ts_col: str, value_col: str,
+               type_col: str, partition_by: Sequence[str],
+               tiebreak: str | None = None) -> DataFrame:
+    """Ramp-rate report per signal type — the power-domain volatility
+    primitive beside the trapezoidal integral (q116) and daily peaks
+    (q117): for each series, the absolute slope |Δv|/Δt (per HOUR)
+    between consecutive readings, summarized per type as count, mean,
+    exact nearest-rank p50/p90, and max. Grid operators size reserves
+    off the ramp distribution's tail, not its mean — the p90 column is
+    the number that matters.
+
+    Scale/parity shape: one lag window per series (series-keyed
+    shuffle, total-ordered by ts + tiebreak), ramps 6-rounded; the
+    per-type summary reduces to the per-DISTINCT-ramp count frame
+    (map-side combined), quantiles come from a cumulative window over
+    THAT frame (never a corpus sort), and the mean folds the 6-rounded
+    ramps as DECIMAL(18,6). Zero-Δt pairs (duplicate timestamps within
+    a series) are excluded — a 0-second ramp is a data artifact, not
+    infinite volatility. Returns one row per type: ``(type, n_ramps,
+    mean_ramp, p50_ramp, p90_ramp, max_ramp)`` ordered by type."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    e = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(F.col(type_col).isNotNull()
+                     & F.col(ts_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+            .select(F.col(type_col).alias("__g"), *partition_by,
+                    e.alias("__t"), v.alias("__v"), *order[1:]))
+    lagged = (base
+              .withColumn("__tp", F.lag("__t").over(
+                  Window.partitionBy(*partition_by).orderBy(
+                      F.col("__t"),
+                      *( [F.col(tiebreak)] if tiebreak else []))))
+              .withColumn("__vp", F.lag("__v").over(
+                  Window.partitionBy(*partition_by).orderBy(
+                      F.col("__t"),
+                      *( [F.col(tiebreak)] if tiebreak else [])))))
+    ramp = F.round(F.abs(F.col("__v") - F.col("__vp"))
+                   / ((F.col("__t") - F.col("__tp")) / F.lit(3600.0)), 6)
+    ramps = (lagged.where(F.col("__tp").isNotNull()
+                          & (F.col("__t") > F.col("__tp")))
+             .select("__g", ramp.alias("__r")))
+    per = ramps.groupBy("__g", "__r").agg(
+        F.count("*").cast("bigint").alias("c"))
+    w_g = Window.partitionBy("__g")
+    w_cum = (Window.partitionBy("__g").orderBy("__r")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    staged = (per.withColumn("__n", F.sum("c").over(w_g))
+              .withColumn("__cum", F.sum("c").over(w_cum)))
+
+    def rank_for(q):
+        # nearest-rank on the count frame: first value whose cumulative
+        # count reaches floor(q·(n−1)+0.5)+1 (the repo's exact-quantile
+        # convention, quantiles_from_value_counts)
+        pos = F.floor(F.lit(q) * (F.col("__n") - 1).cast("double")
+                      + F.lit(0.5)).cast("bigint") + 1
+        return F.min(F.when(F.col("__cum") >= pos, F.col("__r"))).over(w_g)
+
+    out = (staged
+           .withColumn("__p50", rank_for(0.5))
+           .withColumn("__p90", rank_for(0.9))
+           .groupBy("__g")
+           .agg(F.max("__n").cast("bigint").alias("n_ramps"),
+                (F.sum(F.col("__r").cast("decimal(18,6)")
+                       * F.col("c").cast("decimal(19,0)"))
+                 .cast("double")).alias("__sum"),
+                F.max("__p50").alias("p50_ramp"),
+                F.max("__p90").alias("p90_ramp"),
+                F.max("__r").alias("max_ramp")))
+    return (out.select(
+        F.col("__g").alias("type"), "n_ramps",
+        fl6(F.col("__sum") / F.col("n_ramps").cast("double"))
+        .alias("mean_ramp"),
+        "p50_ramp", "p90_ramp", "max_ramp")
+        .orderBy("type"))

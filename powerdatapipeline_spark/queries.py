@@ -10919,6 +10919,110 @@ def q258_streaming_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_woe_monitor(spark, f"{tmp}/partials")
 
 
+@register("q259_join_size_estimate", """
+WITH lc AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_left
+            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+rc AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n_right
+       FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+j AS (SELECT key, n_left, n_right,
+             CAST(n_left AS DECIMAL(19,0)) * CAST(n_right AS DECIMAL(19,0))
+               AS c
+      FROM lc JOIN rc USING (key)),
+t AS (SELECT *, sum(c) OVER () AS tot FROM j)
+SELECT key, n_left, n_right, CAST(c AS BIGINT) AS contrib,
+       floor(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS share,
+       CAST(tot AS BIGINT) AS est_total_rows
+FROM t ORDER BY contrib DESC, key ASC LIMIT 10
+""", priority=PRI_TAIL)
+def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join output-size pre-flight (operators/relational.
+    join_size_estimate): exact Σ|L_k|·|R_k| for the lineitem×lineitem
+    self-join on l_partkey — the candidate-pair-explosion cost model
+    the near-dup blockers document, promoted to a first-class audit.
+    Two per-key count frames, one count-frame join, decimal products
+    (per-key contributions pass 1e18 exactly where this check
+    matters); top-10 skew contributors + the total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return rel.join_size_estimate(li, li, "l_partkey", "l_partkey")
+
+
+@register("q260_ramp_rates", """
+WITH s AS (
+  SELECT event_type AS g, user_id,
+         epoch(ts) AS t, CAST(value AS DOUBLE) AS v,
+         lag(epoch(ts)) OVER w AS tp,
+         lag(CAST(value AS DOUBLE)) OVER w AS vp
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)),
+r AS (SELECT g, round(abs(v - vp) / ((t - tp) / 3600.0), 6) AS rr
+      FROM s WHERE tp IS NOT NULL AND t > tp),
+per AS (SELECT g, rr, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+st AS (SELECT *, sum(c) OVER (PARTITION BY g) AS n,
+              sum(c) OVER (PARTITION BY g ORDER BY rr
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM per),
+q AS (SELECT *,
+             min(CASE WHEN cum >= CAST(floor(0.5 * (n - 1) + 0.5)
+                                       AS BIGINT) + 1
+                      THEN rr END) OVER (PARTITION BY g) AS p50,
+             min(CASE WHEN cum >= CAST(floor(0.9 * (n - 1) + 0.5)
+                                       AS BIGINT) + 1
+                      THEN rr END) OVER (PARTITION BY g) AS p90
+      FROM st)
+SELECT g AS type, CAST(max(n) AS BIGINT) AS n_ramps,
+       floor(CAST(sum(CAST(rr AS DECIMAL(18,6)) * CAST(c AS DECIMAL(19,0)))
+                  AS DOUBLE) / max(n) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_ramp,
+       max(p50) AS p50_ramp, max(p90) AS p90_ramp, max(rr) AS max_ramp
+FROM q GROUP BY g ORDER BY g
+""", priority=PRI_TAIL)
+def q260_ramp_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ramp-rate report per event type (operators/timeseries.
+    ramp_rates) — the power-domain volatility tail beside the
+    trapezoidal integral (q116) and daily peaks (q117): |Δv|/Δt per
+    hour between consecutive readings of each user series, summarized
+    as count/mean/exact p50/p90/max per type. Quantiles come from the
+    per-distinct-ramp count frame (nearest-rank, the
+    quantiles_from_value_counts convention), never a corpus sort."""
+    ev = load_events(spark, sf_dir)
+    return ts.ramp_rates(ev, "ts", "value", "event_type", ["user_id"],
+                         tiebreak="event_id")
+
+
+@register("q261_negative_sampling", """
+WITH pos AS (
+  SELECT DISTINCT l_orderkey AS "user", l_partkey AS pos_item
+  FROM lineitem
+  WHERE l_orderkey % 50 = 0
+    AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+cand AS (
+  SELECT "user", pos_item, CAST(j.j AS INT) AS slot,
+         1 + CAST(CAST(('0x' || substr(md5('|neg' || CAST("user" AS VARCHAR)
+                                       || '|' || CAST(j.j AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 9999 AS BIGINT) AS d
+  FROM pos, generate_series(0, 1) AS j(j))
+SELECT "user", pos_item,
+       CASE WHEN d >= pos_item THEN d + 1 ELSE d END AS neg_item,
+       slot
+FROM cand
+""", priority=PRI_TAIL)
+def q261_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based negative sampling
+    (operators/relational.negative_sampling): k=2 reproducible negative
+    items per (order, part) positive over a hash-sample of lineitem —
+    the contrastive/recommender training-pair generator where
+    RNG-based sampling can't be oracle-verified or resumed.
+    Own-positive collisions are excluded by construction (draw from
+    n_items−1, shift past the positive) so every pair gets exactly k
+    negatives; one narrow explode, zero shuffles."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") % 50 == 0))
+    return rel.negative_sampling(li, "l_orderkey", "l_partkey",
+                                 n_items=10_000, k=2)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was

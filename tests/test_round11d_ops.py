@@ -1,0 +1,88 @@
+"""Value pins for the round-11d operators: join-size pre-flight,
+ramp-rate report, deterministic negative sampling."""
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+
+from powerdatapipeline_spark.operators import relational as rel
+from powerdatapipeline_spark.operators import timeseries as ts
+
+fl6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_join_size_estimate_hand_case(spark):
+    left = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 2 + [(3,)] * 1 + [(9,)], "k bigint")
+    right = spark.createDataFrame(
+        [(1,)] * 4 + [(2,)] * 1 + [(8,)], "k bigint")
+    got = {r.key: r for r in
+           rel.join_size_estimate(left, right, "k", "k").collect()}
+    # common keys: 1 -> 3*4 = 12, 2 -> 2*1 = 2; total 14
+    assert set(got) == {1, 2}
+    assert got[1].contrib == 12 and got[2].contrib == 2
+    assert got[1].est_total_rows == 14
+    assert got[1].share == fl6(12 / 14)
+    assert got[1].n_left == 3 and got[1].n_right == 4
+
+
+def test_ramp_rates_hand_case(spark):
+    # one series: values 0, 10 (1h later), 10 (1h), 40 (2h) ->
+    # ramps 10, 0, 15 per hour
+    rows = [(1, 0.0, 0.0), (1, 3600.0, 10.0), (1, 7200.0, 10.0),
+            (1, 14400.0, 40.0)]
+    df = (spark.createDataFrame(rows, "u bigint, e double, v double")
+          .select("u", F.col("e").cast("timestamp").alias("ts"), "v",
+                  F.lit("t1").alias("g")))
+    got = ts.ramp_rates(df, "ts", "v", "g", ["u"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_ramps == 3
+    assert r.mean_ramp == fl6((10 + 0 + 15) / 3)
+    assert r.p50_ramp == 10.0  # sorted ramps [0, 10, 15], pos floor(.5*2+.5)+1=2
+    assert r.p90_ramp == 15.0
+    assert r.max_ramp == 15.0
+
+
+def test_ramp_rates_zero_dt_excluded(spark):
+    rows = [(1, 0.0, 0.0), (1, 0.0, 99.0), (1, 3600.0, 10.0)]
+    df = (spark.createDataFrame(rows, "u bigint, e double, v double")
+          .select("u", F.col("e").cast("timestamp").alias("ts"), "v",
+                  F.lit("t").alias("g")))
+    r = ts.ramp_rates(df, "ts", "v", "g", ["u"]).collect()[0]
+    assert r.n_ramps == 1  # the duplicate-timestamp pair is dropped
+
+
+def test_negative_sampling_deterministic_and_k(spark):
+    df = spark.createDataFrame(
+        [(7, 3), (7, 3), (8, 1)], "u bigint, i bigint")  # dup positive
+    out = rel.negative_sampling(df, "u", "i", n_items=5, k=2).collect()
+    # exactly k rows per DISTINCT positive
+    by_pair = {}
+    for r in out:
+        by_pair.setdefault((r.user, r.pos_item), []).append(r)
+    assert set(by_pair) == {(7, 3), (8, 1)}
+    assert all(len(v) == 2 for v in by_pair.values())
+    # reproducible: md5-derived shift trick, never the own positive
+    for r in out:
+        d = int(hashlib.md5(
+            f"|neg{r.user}|{r.slot}".encode()).hexdigest()[:15],
+            16) % 4 + 1
+        want = d + 1 if d >= r.pos_item else d
+        assert r.neg_item == want
+        assert r.neg_item != r.pos_item
+        assert 1 <= r.neg_item <= 5
+    # second run identical (pure hash, no RNG)
+    again = rel.negative_sampling(df, "u", "i", n_items=5, k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_sampling_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1)], "u bigint, i bigint")
+    with pytest.raises(ValueError, match="k"):
+        rel.negative_sampling(df, "u", "i", n_items=5, k=0)
+    with pytest.raises(ValueError, match="n_items"):
+        rel.negative_sampling(df, "u", "i", n_items=1)
