@@ -439,7 +439,13 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
            .distinct().localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
-    for _ in range(rounds):
+    # Checkpoint PERIODICALLY, not per round: an eager localCheckpoint
+    # is a synchronous job, so per-round checkpointing serializes
+    # rounds+1 jobs (the pagerank round-8c lesson — measured 7.3s → 3s
+    # at sf0.1 for the 2-round default); shallow unrolls stay ONE
+    # pipelined job and only deep loops need the lineage cut.
+    checkpoint_every = 5
+    for i in range(rounds):
         nbr = (sym.join(labels.withColumnRenamed("node", "b"), "b")
                .groupBy(F.col("a").alias("node"), "label")
                .agg(F.count("*").cast("bigint").alias("__c")))
@@ -447,8 +453,9 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
                                                F.col("label").asc())
         labels = (nbr.withColumn("__r", F.row_number().over(w))
                   .where(F.col("__r") == 1)
-                  .select("node", "label")
-                  .localCheckpoint(eager=True))
+                  .select("node", "label"))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
     return (labels.groupBy("label")
             .agg(F.count("*").cast("bigint").alias("n_nodes"))
             .orderBy(F.desc("n_nodes"), F.asc("label"))
