@@ -69,3 +69,25 @@ def test_wedge_count_exact_integer_and_wide(spark):
                      * F.lit(d - 1).cast("bigint"), 1)
         .alias("w")).collect()[0]["w"]
     assert got == d * (d - 1) // 2
+
+
+def test_round11_new_operators_accumulate_wide(spark):
+    from powerdatapipeline_spark.operators import relational as rel
+
+    left = spark.createDataFrame([(1,), (1,), (2,)], "k bigint")
+    assert narrow_sums(rel.join_size_estimate(left, left, "k", "k")) == []
+
+    docs = spark.createDataFrame([(f"d{i}", "odd" if i % 2 else "even")
+                                  for i in range(8)],
+                                 "doc_id string, source string")
+    assert narrow_sums(rel.shuffle_runs_audit(
+        docs, "doc_id", "source", n_shards=2)) == []
+
+    ev = spark.createDataFrame(
+        [("a", 1.0, 0.0, 1), ("a", 2.0, 3600.0, 2),
+         ("b", 5.0, 0.0, 3), ("b", 9.0, 3600.0, 4)],
+        "g string, v double, e double, id bigint").select(
+        "g", "v", F.col("e").cast("timestamp").alias("ts"), "id")
+    from powerdatapipeline_spark.operators import timeseries as ts2
+    assert narrow_sums(ts2.ramp_rates(
+        ev, "ts", "v", "g", ["g"], tiebreak="id")) == []
