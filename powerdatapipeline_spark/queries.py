@@ -11032,31 +11032,26 @@ def q261_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # >=1 driver record (full ledger: COVERAGE.md); rotation is thereafter
 # needed only for NEW entries.
 #
-# ROUND-11 ROTATION PLAN (stage at the start of round 11, after
-# CORRECTNESS_r10 lands green): promote round-10-born queries
-# q191-q244 — the 10b cohort q191-q205 (ANOVA, Kruskal-Wallis,
-# cross-correlation, Mann-Kendall, NDCG, streaming heavy hitters,
-# Hellinger/TV, tokenizer fertility, streaming KS drift,
-# Brown-Forsythe, quantile normalize, sequence trigrams, association
-# rules, seasonal quantile bands, k-core) plus the 10c cohort
-# q206-q225 (fuzzy dictionary match, grid nearest join,
-# load/coincidence factors, change-point, DQ expectations, exceedance
-# report, OLS trend, streaming quantile monitor, n-gram cosine pairs,
-# RFM scores, class balance, label canonicalization, forecast
-# backtest, state durations, Lorenz deciles, k-fold report,
-# last-touch attribution, reconciliation audit, time-to-convert,
-# cohort LTV, duplicate transactions, ABC classification, fan-out
-# audit, token coverage, embedding centroid shift, streaming PSI,
-# periodogram, session entry/exit, load correlation, HITS, vocab
-# richness, burstiness, incremental-agg merge, SCD2 as-of read,
-# Pareto frontier, two-level changepoint, co-purchase hit-rate,
-# weekly profile, session associations) — to PRI_HEAD. The pool is 54
-# (> the 50-entry window): promote q191-q240 and leave q241-q244 for
-# the round-12 head alongside any round-11 newcomers, demoting the
-# entire freshly-recorded round-10 head. All are oracle-paired,
-# strict-compared at
-# sf0.001+sf0.01 by tests/test_tail_query_parity.py, and hash-exact
-# at sf0.1 in the committed PARITY sweep — the driver record is the
+# ROUND-11 ROTATION (EXECUTED this round — COVERAGE.md ledger,
+# pytest-pinned by test_round11_rotation_head_is_q191_to_q240): the
+# round-10-born q191-q240 hold the 50-entry head so CORRECTNESS_r11
+# gives them driver records; the freshly-recorded r10 head demoted to
+# PRI_TAIL (q184's overflow fixed first — graph.py checksum — so its
+# re-record lands green).
+#
+# ROUND-12 ROTATION PLAN (stage at the start of round 12, after
+# CORRECTNESS_r11 lands green): promote q241-q244 (two-level
+# changepoint, co-purchase hit-rate, weekly profile, session
+# associations) plus the round-11-born cohort q245-q261 (Neyman
+# allocation, mutual-kNN reciprocity, canonical cluster selection,
+# Markov entropy rate, Krippendorff alpha, WOE/IV, script mix, LSH
+# sketch calibration, label propagation, embedding anisotropy,
+# shuffle-runs audit, SAX words, diff-in-diff, streaming WOE, join-size
+# pre-flight, ramp rates, negative sampling) — 21 queries — into the
+# head, demoting the 21 oldest r11-head entries (q191 onward). All are
+# oracle-paired from birth, strict-compared at sf0.001+sf0.01 by
+# tests/test_tail_query_parity.py, hash-exact at sf0.1 AND ANSI-on at
+# sf0.001 in the committed PARITY sweeps — the driver record is the
 # only missing evidence tier.
 # ===========================================================================
 
