@@ -2292,3 +2292,58 @@ def diff_in_diff(df: DataFrame, value_col: str, group: Column,
         g(fl6(did)).alias("did"),
         g(fl6(se)).alias("se"),
         g(F.when(se > 0, fl6(did / se))).alias("z"))
+
+
+def policy_replay_eval(df: DataFrame, arm_col: str, reward: Column,
+                       target_arm: Column) -> DataFrame:
+    """Off-policy evaluation by REPLAY (Li et al. 2011): estimate what
+    a TARGET decision policy would earn from logs collected under a
+    different (logging) policy, using only the rounds where the target
+    happens to agree with the logged action — unbiased when the
+    logging policy randomized uniformly over arms, and the standard
+    first-cut evaluator before an online A/B. The decision-policy
+    sibling of the prediction evaluators (AUC q179, calibration q172,
+    NDCG q195): those score a MODEL's scores, this scores a POLICY's
+    choices from logged feedback.
+
+    ``target_arm`` is any engine-portable deterministic policy
+    expression (e.g. a hash-of-context rule); ``reward`` a 0/1 or
+    bounded numeric column. One conditional aggregation pass: per arm,
+    logged rounds / matched rounds / matched reward mass (rewards
+    6-rounded, DECIMAL(18,6) fold), plus an overall row (arm NULL) with
+    the replay estimate and match rate. Match rate far from 1/|arms|
+    flags a non-uniform logger (the estimate is then biased — loud in
+    the report). Returns ``(arm, n_logged, n_matched, reward_rate,
+    match_rate)`` ordered with the overall row last (arm NULL)."""
+    base = (df.select(F.col(arm_col).alias("__a"),
+                      F.round(reward.cast("double"), 6).alias("__r"),
+                      target_arm.alias("__t"))
+            .where(F.col("__a").isNotNull() & F.col("__r").isNotNull()
+                   & F.col("__t").isNotNull()))
+    hit = F.col("__a") == F.col("__t")
+    per = base.groupBy("__a").agg(
+        F.count("*").cast("bigint").alias("n_logged"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(hit, F.col("__r").cast("decimal(18,6)"))
+              .otherwise(F.lit(0).cast("decimal(18,6)")))
+        .cast("decimal(38,6)").alias("__rm"))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    row = lambda: [
+        F.when(F.col("n_matched") > 0,
+               fl6(F.col("__rm").cast("double")
+                   / F.col("n_matched").cast("double")))
+        .alias("reward_rate"),
+        F.when(F.col("n_logged") > 0,
+               fl6(F.col("n_matched").cast("double")
+                   / F.col("n_logged").cast("double")))
+        .alias("match_rate")]
+    per_arm = per.select(F.col("__a").alias("arm"), "n_logged",
+                         "n_matched", *row())
+    total = (per.agg(F.sum("n_logged").cast("bigint").alias("n_logged"),
+                     F.sum("n_matched").cast("bigint").alias("n_matched"),
+                     F.sum("__rm").cast("decimal(38,6)").alias("__rm"))
+             .select(F.lit(None).cast(per_arm.schema["arm"].dataType)
+                     .alias("arm"), "n_logged", "n_matched", *row()))
+    return per_arm.unionByName(total).orderBy(F.col("arm").asc_nulls_last())

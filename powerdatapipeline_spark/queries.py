@@ -11023,6 +11023,104 @@ def q261_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_items=10_000, k=2)
 
 
+@register("q262_policy_replay", """
+WITH b AS (
+  SELECT event_type AS a,
+         round(CASE WHEN CAST(value AS DOUBLE) >= 50.0
+                    THEN 1.0 ELSE 0.0 END, 6) AS r,
+         CASE CAST(CAST(('0x' || substr(md5('|arm'
+                        || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 5 AS INT)
+           WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+           WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+           ELSE 'view' END AS t
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND user_id IS NOT NULL),
+per AS (
+  SELECT a AS arm, CAST(count(*) AS BIGINT) AS n_logged,
+         CAST(sum(CASE WHEN a = t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched,
+         sum(CASE WHEN a = t THEN CAST(r AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS rm
+  FROM b GROUP BY 1),
+allrows AS (
+  SELECT arm, n_logged, n_matched, rm FROM per
+  UNION ALL
+  SELECT NULL, CAST(sum(n_logged) AS BIGINT),
+         CAST(sum(n_matched) AS BIGINT), sum(rm)
+  FROM per)
+SELECT arm, n_logged, n_matched,
+       CASE WHEN n_matched > 0
+            THEN floor(CAST(rm AS DOUBLE) / n_matched * 1000000.0 + 0.5)
+                 / 1000000.0 END AS reward_rate,
+       CASE WHEN n_logged > 0
+            THEN floor(CAST(n_matched AS DOUBLE) / n_logged
+                       * 1000000.0 + 0.5) / 1000000.0 END AS match_rate
+FROM allrows ORDER BY arm NULLS LAST
+""", priority=PRI_TAIL)
+def q262_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy REPLAY evaluation (operators/stats.policy_replay_eval
+    — Li et al. 2011): what would the deterministic hash-of-user target
+    policy earn, estimated from logged rounds where it agrees with the
+    logged arm? The decision-policy evaluator beside the prediction
+    evaluators (AUC q179, calibration q172, NDCG q195); reward =
+    value ≥ 50, arms = the five event types, target = md5(user) mod 5.
+    One conditional aggregation pass; per-arm rows + the overall
+    estimate (arm NULL), match_rate ≈ 1/5 confirming the uniform-logger
+    assumption."""
+    from powerdatapipeline_spark.operators import stats as st
+    from powerdatapipeline_spark.operators.relational import \
+        _md5_prefix_bigint
+    ev = load_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    arms = ["click", "error", "purchase", "signup", "view"]
+    h = F.pmod(_md5_prefix_bigint(F.col("user_id"), "|arm", 8),
+               F.lit(5).cast("bigint")).cast("int")
+    target = F.element_at(F.array(*[F.lit(a) for a in arms]), h + 1)
+    reward = F.when(F.col("value").cast("double") >= 50.0,
+                    F.lit(1.0)).otherwise(F.lit(0.0))
+    return st.policy_replay_eval(ev, "event_type", reward, target)
+
+
+@register("q263_schema_contract", """
+WITH actual AS (
+  SELECT column_name AS "column",
+         CASE column_type WHEN 'BIGINT' THEN 'bigint'
+                          WHEN 'VARCHAR' THEN 'string'
+                          WHEN 'INTEGER' THEN 'int'
+                          WHEN 'DOUBLE' THEN 'double'
+                          WHEN 'FLOAT[]' THEN 'array<float>'
+                          ELSE lower(column_type) END AS actual_type
+  FROM (DESCRIBE documents)),
+expected AS (
+  SELECT * FROM (VALUES ('doc_id', 'bigint'), ('text', 'string'),
+                        ('lang', 'string'), ('n_chars', 'int'),
+                        ('license', 'string'))
+    AS t("column", expected_type))
+SELECT COALESCE(e."column", a."column") AS "column",
+       e.expected_type, a.actual_type,
+       CASE WHEN e.expected_type IS NULL THEN 'unexpected'
+            WHEN a.actual_type IS NULL THEN 'missing'
+            WHEN e.expected_type = a.actual_type THEN 'ok'
+            ELSE 'type_mismatch' END AS status
+FROM expected e FULL OUTER JOIN actual a USING ("column")
+ORDER BY "column"
+""", priority=PRI_TAIL)
+def q263_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed schema-contract check (sources/readers.schema_contract) —
+    the ingest gate extending check_columns (presence, the reference's
+    check_csv_file twin) to TYPES, against a deliberately-drifted
+    contract so every status fires: n_chars expected int (actual
+    bigint → type_mismatch), license expected but absent (missing),
+    source present but uncontracted (unexpected), the rest ok. Pure
+    parquet-footer metadata — zero data pages read."""
+    from powerdatapipeline_spark.sources import readers as rd
+    docs = _t(spark, sf_dir, "documents")
+    return rd.schema_contract(docs, {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "n_chars": "int", "license": "string"})
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -11042,13 +11140,14 @@ def q261_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROUND-12 ROTATION PLAN (stage at the start of round 12, after
 # CORRECTNESS_r11 lands green): promote q241-q244 (two-level
 # changepoint, co-purchase hit-rate, weekly profile, session
-# associations) plus the round-11-born cohort q245-q261 (Neyman
+# associations) plus the round-11-born cohort q245-q263 (Neyman
 # allocation, mutual-kNN reciprocity, canonical cluster selection,
 # Markov entropy rate, Krippendorff alpha, WOE/IV, script mix, LSH
 # sketch calibration, label propagation, embedding anisotropy,
 # shuffle-runs audit, SAX words, diff-in-diff, streaming WOE, join-size
-# pre-flight, ramp rates, negative sampling) — 21 queries — into the
-# head, demoting the 21 oldest r11-head entries (q191 onward). All are
+# pre-flight, ramp rates, negative sampling, policy replay, schema
+# contract) — 23 queries — into the head, demoting the 23 oldest
+# r11-head entries (q191 onward). All are
 # oracle-paired from birth, strict-compared at sf0.001+sf0.01 by
 # tests/test_tail_query_parity.py, hash-exact at sf0.1 AND ANSI-on at
 # sf0.001 in the committed PARITY sweeps — the driver record is the

@@ -555,3 +555,37 @@ def scan_stats(spark: SparkSession, path: str,
              else F.col(f"{m}_{c}")
              for c in (min_max_cols or []) for m in ("min", "max")]
     return out.select("n_rows", *fixes)
+
+
+def schema_contract(df: DataFrame, expected: "dict[str, str]") -> DataFrame:
+    """Typed schema-contract check — the ingest gate that extends
+    :func:`check_columns` (presence only, the reference's
+    check_csv_file twin, reference datapipeline/
+    datapipeline_utilities.py:47-75) to TYPES: diff the DataFrame's
+    actual schema against an expected ``{column: simpleString}``
+    contract and report per column ``ok`` / ``type_mismatch`` /
+    ``missing`` (expected, absent) / ``unexpected`` (present, not in
+    the contract). A pipeline upgrade that silently widens int→bigint
+    or re-orders a parquet write shows up here before any downstream
+    cast does something engine-dependent.
+
+    Pure metadata — the comparison frame is |columns| rows built from
+    the schema (parquet footers), zero data pages read; assembled as a
+    DataFrame (not a driver-side dict) so contract results compose
+    with the rest of the relational audit family. Types compare on
+    Spark ``simpleString`` names (``bigint``, ``string``,
+    ``array<float>``). Returns ``(column, expected_type, actual_type,
+    status)`` ordered by column."""
+    spark = df.sparkSession
+    actual = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    a = spark.createDataFrame(actual, "column string, actual_type string")
+    e = spark.createDataFrame(list(expected.items()),
+                              "column string, expected_type string")
+    j = e.join(a, "column", "full_outer")
+    status = (F.when(F.col("expected_type").isNull(), "unexpected")
+              .when(F.col("actual_type").isNull(), "missing")
+              .when(F.col("expected_type") == F.col("actual_type"), "ok")
+              .otherwise("type_mismatch"))
+    return (j.select("column", "expected_type", "actual_type",
+                     status.alias("status"))
+            .orderBy("column"))

@@ -86,3 +86,31 @@ def test_negative_sampling_validation(spark):
         rel.negative_sampling(df, "u", "i", n_items=5, k=0)
     with pytest.raises(ValueError, match="n_items"):
         rel.negative_sampling(df, "u", "i", n_items=1)
+
+
+def test_policy_replay_hand_case(spark):
+    from powerdatapipeline_spark.operators import stats as st
+    # logged arms a/b; target policy always picks 'a'
+    rows = [("a", 1.0), ("a", 0.0), ("a", 1.0), ("b", 1.0), ("b", 0.0)]
+    df = spark.createDataFrame(rows, "arm string, r double")
+    out = st.policy_replay_eval(df, "arm", F.col("r"),
+                                F.lit("a")).collect()
+    per = {r.arm: r for r in out}
+    assert per["a"].n_matched == 3 and per["a"].reward_rate == fl6(2 / 3)
+    assert per["b"].n_matched == 0 and per["b"].reward_rate is None
+    overall = per[None]
+    assert overall.n_logged == 5 and overall.n_matched == 3
+    assert overall.reward_rate == fl6(2 / 3)
+    assert overall.match_rate == fl6(3 / 5)
+    assert out[-1].arm is None  # overall row last
+
+
+def test_schema_contract_all_statuses(spark):
+    from powerdatapipeline_spark.sources import readers as rd
+    df = spark.createDataFrame([(1, "x", 2.0)],
+                               "id bigint, name string, score double")
+    got = {r.column: r.status for r in rd.schema_contract(
+        df, {"id": "bigint", "name": "int", "missing_col": "string"}
+    ).collect()}
+    assert got == {"id": "ok", "name": "type_mismatch",
+                   "missing_col": "missing", "score": "unexpected"}
