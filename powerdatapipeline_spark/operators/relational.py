@@ -1591,3 +1591,65 @@ def negative_sampling(positives: DataFrame, user_col: str, item_col: str,
     neg = F.when(draw >= F.col("pos_item"), draw + 1).otherwise(draw)
     return (cand.withColumn("neg_item", neg)
             .select("user", "pos_item", "neg_item", "slot"))
+
+
+def stratified_exact_split(df: DataFrame, key_col: str, stratum_col: str,
+                           fractions: "Sequence[float]" = (0.8, 0.1, 0.1),
+                           names: "Sequence[str]" = ("train", "val",
+                                                     "test"),
+                           salt: str = "") -> DataFrame:
+    """EXACT-proportion stratified train/val/test assignment: within
+    each stratum, rows rank by the md5-uniform of their key and the
+    split boundaries fall at ``floor(cum_fraction · n_h)`` — so every
+    stratum lands the requested proportions exactly (±1 row), unlike
+    :func:`stratified_hash_sample`'s per-row Bernoulli, whose split
+    sizes are binomial (a 1k-row stratum at 10% val misses by ±9 rows
+    — material when the stratum IS the eval set). Assignment is a pure
+    function of (key, salt): reproducible across runs/engines/cluster
+    sizes, same contract as shard_assign.
+
+    One rank window per stratum (stratum-keyed shuffle — the only
+    shuffle; no global sort) + a fixed boundary expression. Returns the
+    summary frame ``(stratum, split, n_rows, key_checksum)`` ordered by
+    (stratum, split) — the checksum (sum of key-hashes mod 2⁶³, decimal
+    fold) proves two engines assigned the SAME keys to each split, not
+    just equal counts. Callers wanting the assignment itself use the
+    same rank/boundary expressions via ``with_split=True`` semantics:
+    here the audit frame IS the contract."""
+    fr = [float(x) for x in fractions]
+    if len(fr) != len(names) or len(fr) < 2:
+        raise ValueError("fractions and names must align, length >= 2")
+    if abs(sum(fr) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fr)}")
+    base = (df.select(F.col(stratum_col).alias("stratum"),
+                      F.col(key_col).alias("__k"))
+            .where(F.col("stratum").isNotNull()
+                   & F.col("__k").isNotNull()))
+    w = Window.partitionBy("stratum").orderBy(
+        uniform_from_key(F.col("__k"), salt + "|split"), F.col("__k"))
+    w_n = Window.partitionBy("stratum")
+    ranked = (base.withColumn("__r", F.row_number().over(w)
+                              .cast("bigint"))
+              .withColumn("__n", F.count("*").over(w_n)))
+    # boundary b_i = floor(cumfrac_i * n): split j gets ranks
+    # (b_{j-1}, b_j]; the last boundary is exactly n
+    cums = []
+    acc = 0.0
+    for x in fr[:-1]:
+        acc += x
+        cums.append(acc)
+    bounds = [F.floor(F.lit(c) * F.col("__n").cast("double"))
+              .cast("bigint") for c in cums] + [F.col("__n")]
+    split = None
+    for i, nm in enumerate(names):
+        cond = F.col("__r") <= bounds[i]
+        split = (F.when(cond, F.lit(nm)) if split is None
+                 else split.when(cond, F.lit(nm)))
+    assigned = ranked.withColumn("split", split)
+    ck = _md5_prefix_bigint(F.col("__k"), salt + "|ck", 15)
+    m63 = F.lit(str(2 ** 63)).cast("decimal(38,0)")
+    return (assigned.groupBy("stratum", "split")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.pmod(F.sum(ck.cast("decimal(38,0)")), m63)
+                 .cast("bigint").alias("key_checksum"))
+            .orderBy("stratum", "split"))

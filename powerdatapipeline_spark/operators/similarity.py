@@ -1125,3 +1125,58 @@ def embedding_anisotropy(embeddings: DataFrame, vec_col: str = "embedding",
                            fl6(F.col("mu_norm_sq")
                                / F.col("mean_norm_sq")))
                     .alias("anisotropy")))
+
+
+def cosine_threshold_curve(embeddings: DataFrame,
+                           thresholds=(0.5, 0.7, 0.8, 0.9, 0.95),
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Semantic-dup threshold calibration curve: for each candidate
+    cosine threshold, how many pairs of the (sampled) embedding set
+    would be declared near-duplicates, and what fraction of all pairs
+    is that? THE tuning input for SemDeDup (q127) and the embedding
+    near-dup banding (q60): a threshold that captures 30% of random
+    pairs is deleting topics, not duplicates; the curve makes the knee
+    visible before a dedup run commits to it.
+
+    Same exact-within-broadcastable-sample contract as
+    :func:`mutual_knn_rate` (all-pairs ON PURPOSE over the caller's
+    hash-sample; per IVF cell at 100 TB): unordered pairs i < j scored
+    once, 6-rounded cosines, one aggregation over the |thresholds|-row
+    literal frame — counts are exact BIGINTs. Returns
+    ``(threshold, n_pairs_ge, n_pairs_total, share)`` ordered by
+    threshold."""
+    base = (embeddings
+            .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"))
+            .repartition(F.col("__id"))
+            .withColumn("__n", l2_norm("__v")))
+    q = F.broadcast(base.select(F.col("__id").alias("__qid"),
+                                F.col("__v").alias("__qv"),
+                                F.col("__n").alias("__qn")))
+    cos = F.when((F.col("__n") > 0) & (F.col("__qn") > 0),
+                 dot("__v", "__qv") / (F.col("__n") * F.col("__qn")))
+    scored = (base.crossJoin(q)
+              .where(F.col("__id") < F.col("__qid"))
+              .select(F.round(cos, 6).alias("__c")))
+    fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
+                     .cast("double") / F.lit(1_000_000.0))
+    agg = scored.agg(
+        F.count("*").cast("bigint").alias("n_pairs_total"),
+        *[F.sum(F.when(F.col("__c") >= F.lit(float(t)), 1).otherwise(0))
+          .cast("bigint").alias(f"__ge_{i}")
+          for i, t in enumerate(thresholds)])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(float(t)).alias("threshold"),
+                 F.col(f"__ge_{i}").alias("n_pairs_ge"))
+        for i, t in enumerate(thresholds)]))
+    return (agg.select(rows.alias("r"), "n_pairs_total")
+            .select(F.col("r.threshold").alias("threshold"),
+                    F.col("r.n_pairs_ge").alias("n_pairs_ge"),
+                    "n_pairs_total",
+                    F.when(F.col("n_pairs_total") > 0,
+                           fl6(F.col("r.n_pairs_ge").cast("double")
+                               / F.col("n_pairs_total").cast("double")))
+                    .otherwise(F.lit(0.0)).alias("share"))
+            .orderBy("threshold"))

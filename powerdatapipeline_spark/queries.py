@@ -11121,6 +11121,87 @@ def q263_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars": "int", "license": "string"})
 
 
+@register("q264_stratified_split", """
+WITH a AS (
+  SELECT source AS stratum, doc_id,
+         CAST(CAST(('0x' || substr(md5('|split' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1 AS DOUBLE)
+           / 1152921504606846976.0 AS u,
+         CAST(('0x' || substr(md5('|ck' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS ck
+  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL),
+r AS (
+  SELECT stratum, ck,
+         CAST(row_number() OVER (PARTITION BY stratum
+                                 ORDER BY u, doc_id) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY stratum) AS BIGINT) AS n
+  FROM a),
+s AS (
+  SELECT stratum, ck,
+         CASE WHEN rk <= CAST(floor(0.8 * n) AS BIGINT) THEN 'train'
+              WHEN rk <= CAST(floor(0.9 * n) AS BIGINT) THEN 'val'
+              ELSE 'test' END AS split
+  FROM r)
+SELECT stratum, split, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(ck AS DECIMAL(38,0))) % 9223372036854775808
+            AS BIGINT) AS key_checksum
+FROM s GROUP BY 1, 2 ORDER BY stratum, split
+""", priority=PRI_TAIL)
+def q264_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion stratified train/val/test split
+    (operators/relational.stratified_exact_split): within each source,
+    rows rank by a pure md5-uniform of doc_id and the 80/10/10
+    boundaries fall at floor(cum·n) — exact proportions per stratum
+    (±1 row), where the Bernoulli hash sample (q69) is binomial. The
+    per-(stratum, split) key checksum (decimal fold, mod 2⁶³) proves
+    two engines assigned the SAME documents, not just equal counts."""
+    return rel.stratified_exact_split(_t(spark, sf_dir, "documents"),
+                                      "doc_id", "source")
+
+
+@register("q265_cosine_thresholds", f"""
+WITH sample AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND vec_id % 4 = 0),
+scored AS (
+  SELECT round({_SQL_DOT} / ({_SQL_NORM.format(t='a')}
+                             * {_SQL_NORM.format(t='b')}), 6) AS c
+  FROM sample a, sample b WHERE a.vec_id < b.vec_id),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs_total,
+         CAST(sum(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+         CAST(sum(CASE WHEN c >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+         CAST(sum(CASE WHEN c >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+         CAST(sum(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+         CAST(sum(CASE WHEN c >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS g4
+  FROM scored),
+t AS (SELECT * FROM (VALUES (0.5, 0), (0.7, 1), (0.8, 2), (0.9, 3),
+                            (0.95, 4)) v(threshold, i))
+SELECT threshold,
+       CASE i WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2
+              WHEN 3 THEN g3 ELSE g4 END AS n_pairs_ge,
+       n_pairs_total,
+       CASE WHEN n_pairs_total > 0
+            THEN floor(CAST(CASE i WHEN 0 THEN g0 WHEN 1 THEN g1
+                                   WHEN 2 THEN g2 WHEN 3 THEN g3
+                                   ELSE g4 END AS DOUBLE)
+                       / n_pairs_total * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS share
+FROM t, agg ORDER BY threshold
+""", priority=PRI_TAIL)
+def q265_cosine_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dup threshold calibration curve
+    (operators/similarity.cosine_threshold_curve): share of sampled
+    embedding pairs at or above each candidate cosine threshold — the
+    tuning input for SemDeDup (q127) and embedding near-dup banding
+    (q60): a threshold capturing a large share of RANDOM pairs deletes
+    topics, not duplicates. Exact all-pairs over the q246 hash-sample
+    (``vec_id % 4``), unordered pairs scored once."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    return sim.cosine_threshold_curve(emb)
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -11140,14 +11221,15 @@ def q263_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROUND-12 ROTATION PLAN (stage at the start of round 12, after
 # CORRECTNESS_r11 lands green): promote q241-q244 (two-level
 # changepoint, co-purchase hit-rate, weekly profile, session
-# associations) plus the round-11-born cohort q245-q263 (Neyman
+# associations) plus the round-11-born cohort q245-q265 (Neyman
 # allocation, mutual-kNN reciprocity, canonical cluster selection,
 # Markov entropy rate, Krippendorff alpha, WOE/IV, script mix, LSH
 # sketch calibration, label propagation, embedding anisotropy,
 # shuffle-runs audit, SAX words, diff-in-diff, streaming WOE, join-size
 # pre-flight, ramp rates, negative sampling, policy replay, schema
-# contract) — 23 queries — into the head, demoting the 23 oldest
-# r11-head entries (q191 onward). All are
+# contract, exact stratified split, cosine threshold curve) — 25
+# queries — into the head, demoting the 25 oldest r11-head entries
+# (q191 onward). All are
 # oracle-paired from birth, strict-compared at sf0.001+sf0.01 by
 # tests/test_tail_query_parity.py, hash-exact at sf0.1 AND ANSI-on at
 # sf0.001 in the committed PARITY sweeps — the driver record is the

@@ -114,3 +114,53 @@ def test_schema_contract_all_statuses(spark):
     ).collect()}
     assert got == {"id": "ok", "name": "type_mismatch",
                    "missing_col": "missing", "score": "unexpected"}
+
+
+def test_stratified_exact_split_proportions_and_partition(spark):
+    rows = [(f"k{i:03d}", f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, g string")
+    out = rel.stratified_exact_split(df, "k", "g").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.stratum, {})[r.split] = r.n_rows
+    for g, d in per.items():
+        assert sum(d.values()) == 100
+        assert d["train"] == 80 and d["val"] == 10 and d["test"] == 10
+    # reproducible checksums
+    again = rel.stratified_exact_split(df, "k", "g").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different salt -> different assignment (checksums move)
+    other = rel.stratified_exact_split(df, "k", "g", salt="v2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_stratified_exact_split_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "g")], "k string, g string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        rel.stratified_exact_split(df, "k", "g", fractions=(0.5, 0.4),
+                                   names=("a", "b"))
+    with pytest.raises(ValueError, match="align"):
+        rel.stratified_exact_split(df, "k", "g", fractions=(0.5, 0.5),
+                                   names=("a", "b", "c"))
+
+
+def test_cosine_threshold_curve_twin(spark):
+    import numpy as np
+    from powerdatapipeline_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((10, 6)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(10)],
+        "vec_id bigint, embedding array<float>")
+    got = {r.threshold: r for r in
+           sim.cosine_threshold_curve(df, thresholds=(0.0, 0.5)).collect()}
+    v = vecs.astype("float64")
+    n = np.linalg.norm(v, axis=1)
+    cos = [round((v[i] @ v[j]) / (n[i] * n[j]), 6)
+           for i in range(10) for j in range(i + 1, 10)]
+    assert got[0.0].n_pairs_total == 45
+    assert got[0.0].n_pairs_ge == sum(1 for c in cos if c >= 0.0)
+    assert got[0.5].n_pairs_ge == sum(1 for c in cos if c >= 0.5)
