@@ -45,10 +45,11 @@ BRUTE_FORCE_INTENDED = {
     # rankings (full-dim ground truth + three truncations) over the
     # bounded 5-query probe set; production search stays LSH/IVF
     "q171_truncation_recall",
-    # round 11: q246 is all-pairs ON PURPOSE within the deterministic
-    # vec_id%4 hash-sample (mutual-kNN reciprocity is defined over the
-    # sample's own neighbor graph); at scale it runs per IVF cell
-    "q246_mutual_knn",
+    # round 11: q246/q265 are all-pairs ON PURPOSE within the
+    # deterministic vec_id%4 hash-sample (mutual-kNN reciprocity and the
+    # threshold calibration curve are defined over the sample's own pair
+    # set); at scale they run per IVF cell
+    "q246_mutual_knn", "q265_cosine_thresholds",
 }
 
 SCALAR_BROADCAST_INTENDED = {
