@@ -164,3 +164,49 @@ def test_cosine_threshold_curve_twin(spark):
     assert got[0.0].n_pairs_total == 45
     assert got[0.0].n_pairs_ge == sum(1 for c in cos if c >= 0.0)
     assert got[0.5].n_pairs_ge == sum(1 for c in cos if c >= 0.5)
+
+
+def test_join_size_estimate_no_common_keys_empty(spark):
+    l = spark.createDataFrame([(1,), (2,)], "k bigint")
+    r = spark.createDataFrame([(3,), (4,)], "k bigint")
+    assert rel.join_size_estimate(l, r, "k", "k").count() == 0
+
+
+def test_policy_replay_no_matches_overall_null_rate(spark):
+    from powerdatapipeline_spark.operators import stats as st
+    df = spark.createDataFrame([("a", 1.0), ("b", 0.0)],
+                               "arm string, r double")
+    out = {r.arm: r for r in st.policy_replay_eval(
+        df, "arm", F.col("r"), F.lit("zzz")).collect()}
+    assert out[None].n_matched == 0
+    assert out[None].reward_rate is None
+    assert out[None].match_rate == 0.0
+
+
+def test_schema_contract_array_and_exact_match(spark):
+    from powerdatapipeline_spark.sources import readers as rd
+    df = spark.createDataFrame([(1, [1.0])],
+                               "vec_id bigint, embedding array<float>")
+    got = {r.column: (r.status, r.actual_type) for r in rd.schema_contract(
+        df, {"vec_id": "bigint", "embedding": "array<float>"}).collect()}
+    assert got == {"vec_id": ("ok", "bigint"),
+                   "embedding": ("ok", "array<float>")}
+
+
+def test_mutual_knn_two_vectors_fully_mutual(spark):
+    from powerdatapipeline_spark.operators import similarity as sim
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id bigint, embedding array<float>")
+    r = sim.mutual_knn_rate(df, k=1).collect()[0]
+    assert (r.n_vectors, r.n_edges, r.n_mutual, r.mutual_rate) \
+        == (2, 2, 2, 1.0)
+
+
+def test_cosine_threshold_curve_single_vector_no_pairs(spark):
+    from powerdatapipeline_spark.operators import similarity as sim
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "vec_id bigint, embedding array<float>")
+    out = sim.cosine_threshold_curve(df, thresholds=(0.5,)).collect()
+    assert len(out) == 1
+    assert out[0].n_pairs_total == 0 and out[0].share == 0.0
