@@ -7654,7 +7654,7 @@ SELECT k, n, ssb, ssw,
   CASE WHEN ssb + ssw > 0 THEN
     floor(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0 END AS eta_sq
 FROM agg
-""")
+""", priority=PRI_TAIL)
 def q191_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F across the 20 document sources
     (operators/stats.anova_f) — the k-sample omnibus mean screen the
@@ -7714,7 +7714,7 @@ SELECT k, n, n_values,
                  - CAST(n AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0
   END AS h_adj
 FROM agg CROSS JOIN ties
-""")
+""", priority=PRI_TAIL)
 def q192_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H across the 5 event types
     (operators/stats.kruskal_wallis) — the rank-based omnibus location
@@ -7767,7 +7767,7 @@ SELECT CAST(lag AS BIGINT) AS lag, m AS n_pairs,
                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
           * 1000000.0 + 0.5) / 1000000.0 END AS r
 FROM per ORDER BY lag
-""")
+""", priority=PRI_TAIL)
 def q193_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly click->purchase cross-correlation at lags 0..6
     (operators/timeseries.cross_correlation) — the lead/lag companion
@@ -7821,7 +7821,7 @@ SELECT n_buckets, n_pairs, s,
                 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 END AS z,
   floor(sen_raw * 1000000.0 + 0.5) / 1000000.0 AS sen_slope
 FROM agg CROSS JOIN med CROSS JOIN vr
-""")
+""", priority=PRI_TAIL)
 def q194_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test with Sen's slope on the daily-mean event
     value series (operators/timeseries.mann_kendall) — the
@@ -7889,7 +7889,7 @@ SELECT CAST(10 AS BIGINT) AS k, n_ranked, dcg, idcg,
   floor(CAST(hits AS DOUBLE) / 10.0 * 1000000.0 + 0.5) / 1000000.0
     AS precision_at_k
 FROM agg
-""")
+""", priority=PRI_TAIL)
 def q195_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 / MRR / precision@10 for the q83 BM25 ranking
     (operators/similarity.ranking_metrics) — the retrieval-EVAL half
@@ -7932,7 +7932,7 @@ SELECT top.term, CAST(top.c AS BIGINT) AS exact_count,
        CAST(est.est AS BIGINT) AS cms_estimate,
        est.est >= top.c AS no_underestimate
 FROM top JOIN est USING (term)
-""")
+""", priority=PRI_TAIL)
 def q196_streaming_heavy_hitters(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """STREAMING heavy hitters under driver verification
@@ -8010,7 +8010,7 @@ LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 """
 
 
-@register("q197_hellinger_tv", _hellinger_oracle())
+@register("q197_hellinger_tv", _hellinger_oracle(), priority=PRI_TAIL)
 def q197_hellinger_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Hellinger + total-variation distance between per-source
     unigram distributions (operators/text.hellinger_tv_matrix) — the
@@ -8044,7 +8044,7 @@ SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents
 WHERE text IS NOT NULL AND source IS NOT NULL
 GROUP BY 1
-""")
+""", priority=PRI_TAIL)
 def q198_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility: BPE-ish pieces per whitespace
     word (operators/text.tokenizer_fertility) — the token-budget cost
@@ -8089,7 +8089,7 @@ SELECT n_a, n_b, n_values,
              * 1000000.0 + 0.5) / 1000000.0 AS d,
        d_at
 FROM hit CROSS JOIN nv WHERE n_a > 0 AND n_b > 0
-""")
+""", priority=PRI_TAIL)
 def q199_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING KS drift monitor under driver verification
     (streaming/stateful.streaming_ks_drift + finalize_ks_drift) — the
@@ -8181,7 +8181,7 @@ SELECT k, n, ssb, ssw,
   CASE WHEN ssb + ssw > 0 THEN
     floor(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0 END AS eta_sq
 FROM agg
-""")
+""", priority=PRI_TAIL)
 def q200_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe spread-homogeneity test across the 5 event types
     (operators/stats.levene_bf) — do event VALUES differ in dispersion,
@@ -8237,7 +8237,7 @@ SELECT tgt.id, tgt.grp, tgt.value,
        floor(tgt.q * 1000000.0 + 0.5) / 1000000.0 AS quantile,
        dict.norm_value
 FROM tgt JOIN dict USING (pos)
-""")
+""", priority=PRI_TAIL)
 def q201_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-normalize document sizes across the 20 sources
     (operators/stats.quantile_normalize) — the batch-effect remover
@@ -8267,7 +8267,7 @@ FROM seq WHERE s3 IS NOT NULL
 GROUP BY 1, 2, 3
 ORDER BY n_occurrences DESC, s1, s2, s3
 LIMIT 25
-""")
+""", priority=PRI_TAIL)
 def q202_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 per-user event-type TRIGRAMS
     (operators/timeseries.sequence_ngrams) — higher-order sequential
@@ -8308,7 +8308,7 @@ JOIN item_n nb ON nb.i = pairs.ib
 CROSS JOIN n_orders
 ORDER BY lift DESC, item_a, item_b
 LIMIT 25
-""")
+""", priority=PRI_TAIL)
 def q203_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 part-pair association rules by lift over order baskets
     (operators/relational.association_rules) — the market-basket
@@ -8346,7 +8346,7 @@ SELECT slot, CAST(max(n) AS BIGINT) AS n,
   min(CASE WHEN cum >= floor(0.9 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
            THEN v END) AS q_90
 FROM staged GROUP BY 1 ORDER BY 1
-""")
+""", priority=PRI_TAIL)
 def q204_seasonal_quantile_bands(spark: SparkSession, sf_dir: str
                                  ) -> DataFrame:
     """Hour-of-day p10/p50/p90 bands of event value
@@ -8386,7 +8386,7 @@ FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
 GROUP BY 1 HAVING count(*) >= {k}""")
 
 
-@register("q205_k_core", _kcore_oracle())
+@register("q205_k_core", _kcore_oracle(), priority=PRI_TAIL)
 def q205_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the part co-occurrence graph (operators/graph.k_core)
     — density-based cohesion completing the graph family (pagerank
@@ -8426,7 +8426,7 @@ SELECT value_a, value_b, dist, n_a, n_b
 FROM p WHERE dist <= 5
 ORDER BY dist, value_a, value_b
 LIMIT 50
-""")
+""", priority=PRI_TAIL)
 def q206_fuzzy_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy label reconciliation over the part-name dictionary
     (operators/dedup.fuzzy_dict_pairs) — blocked Levenshtein entity
@@ -8474,7 +8474,7 @@ r AS (SELECT c_custkey, s_suppkey, dist_km,
                                 ORDER BY dist_km, s_suppkey) AS rn
       FROM cand)
 SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1
-""")
+""", priority=PRI_TAIL)
 def q207_grid_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-supplier assignment per customer on a 10-degree lon/lat
     grid (operators/relational.grid_nearest_join) — the radius-bounded
@@ -8530,7 +8530,7 @@ SELECT per.g AS event_type, n_buckets,
              * 1000000.0 + 0.5) / 1000000.0 AS coincidence_factor
 FROM per JOIN pkb USING (g) LEFT JOIN at_sys USING (g), sysr
 ORDER BY event_type
-""")
+""", priority=PRI_TAIL)
 def q208_load_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type load factor + system coincidence factor over hourly
     event load (operators/timeseries.load_coincidence) — the demand
@@ -8573,7 +8573,7 @@ SELECT b AS split_bucket, n AS n_buckets,
        floor(g * 1000000.0 + 0.5) / 1000000.0 AS gain,
        mean_left, mean_right
 FROM scored ORDER BY g DESC, b LIMIT 1
-""")
+""", priority=PRI_TAIL)
 def q209_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline change-point detection on the daily load series
     (operators/timeseries.changepoint_binary_seg) — the two-segment
@@ -8633,7 +8633,7 @@ def _dq_oracle(table: str, spec: dict) -> str:
             + "\nUNION ALL ".join(sels) + "\nORDER BY col_name, metric")
 
 
-@register("q210_dq_expectations", _dq_oracle("orders", _DQ_SPEC))
+@register("q210_dq_expectations", _dq_oracle("orders", _DQ_SPEC), priority=PRI_TAIL)
 def q210_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality expectation suite over orders
     (operators/stats.dq_expectations) — the measured ingest gate the
@@ -8681,7 +8681,7 @@ SELECT thr.g AS event_type, n, thr AS threshold,
        max_value
 FROM thr LEFT JOIN exceed USING (g) JOIN mx USING (g)
 ORDER BY event_type
-""")
+""", priority=PRI_TAIL)
 def q211_exceedance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peaks-over-threshold tail report per event type
     (operators/stats.exceedance_report) — exact per-group p99
@@ -8733,7 +8733,7 @@ SELECT g AS o_orderpriority, n,
              * (CAST(n AS DOUBLE) * syy - sy * sy))
           * 1000000.0 + 0.5) / 1000000.0 END AS r2
 FROM m ORDER BY o_orderpriority
-""")
+""", priority=PRI_TAIL)
 def q212_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority OLS trend of daily order revenue
     (operators/stats.ols_trend) — slope/intercept/R² from one grouped
@@ -8780,7 +8780,7 @@ SELECT CAST(max(n) AS BIGINT) AS n,
   min(CASE WHEN cum >= floor(0.99 * CAST(n - 1 AS DOUBLE) + 0.5) + 1
            THEN v END) AS q_99
 FROM cum
-""")
+""", priority=PRI_TAIL)
 def q213_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact-quantile monitor under driver verification
     (streaming/stateful.streaming_quantile_monitor +
@@ -8854,7 +8854,7 @@ FROM dots JOIN norms na ON na.doc_id = id_a
           JOIN norms nb ON nb.doc_id = id_b
 WHERE na.nrm > 0 AND nb.nrm > 0
 ORDER BY cosine DESC, id_a, id_b LIMIT 25
-""")
+""", priority=PRI_TAIL)
 def q214_ngram_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 document pairs by exact TF-IDF cosine over word TRIGRAM
     vectors (operators/text.ngram_cosine_pairs) — the count-weighted
@@ -8917,7 +8917,7 @@ FROM scored ORDER BY o_custkey
 """
 
 
-@register("q215_rfm_scores", _rfm_oracle())
+@register("q215_rfm_scores", _rfm_oracle(), priority=PRI_TAIL)
 def q215_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over orders
     (operators/relational.rfm_scores) — recency/frequency/monetary per
@@ -10023,7 +10023,7 @@ SELECT n AS n_buckets, b1 AS split1_bucket, b2 AS split2_bucket,
         / CAST(n - greatest(k1, k2) AS DOUBLE) * 1000000.0 + 0.5)
         / 1000000.0 AS mean_seg3
 FROM s2, tot
-""", priority=PRI_TAIL)
+""")
 def q241_changepoint_two_level(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """Two-level (three-segment) binary segmentation of the daily load
@@ -10072,7 +10072,7 @@ SELECT n_train_baskets, n_test_items, n_scored, n_hits,
          floor(CAST(n_hits AS DOUBLE) / CAST(n_scored AS DOUBLE)
                * 1000000.0 + 0.5) / 1000000.0 END AS hit_rate
 FROM agg, ntr
-""", priority=PRI_TAIL)
+""")
 def q242_copurchase_hitrate(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """Co-purchase recommender with held-out hit-rate
@@ -10103,7 +10103,7 @@ SELECT dow, hod, CAST(count(*) AS BIGINT) AS n,
        floor(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*)
              * 1000000.0 + 0.5) / 1000000.0 AS mean_value
 FROM base GROUP BY 1, 2 ORDER BY 1, 2
-""", priority=PRI_TAIL)
+""")
 def q243_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """168-slot weekly load-profile heatmap (day-of-epoch-week ×
     hour-of-day mean/total event value) — the weekly seasonal surface
@@ -10172,7 +10172,7 @@ JOIN item_n nb ON nb.i = pairs.ib
 CROSS JOIN n_orders
 ORDER BY lift DESC, item_a, item_b
 LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q244_session_associations(spark: SparkSession, sf_dir: str
                               ) -> DataFrame:
     """Event-type association rules within SESSIONS
@@ -10248,7 +10248,7 @@ SELECT stratum, n_rows,
        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
          AS n_alloc
 FROM r ORDER BY stratum
-""", priority=PRI_TAIL)
+""")
 def q245_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-optimal stratified-sample allocation
     (operators/stats.neyman_allocation) — split a 1000-row audit budget
@@ -10291,7 +10291,7 @@ SELECT CAST(5 AS INT) AS k, n_vectors, n_edges, n_mutual,
                        * 1000000.0 + 0.5) / 1000000.0
             ELSE 0.0 END AS mutual_rate
 FROM c1, c2, m
-""", priority=PRI_TAIL)
+""")
 def q246_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-kNN reciprocity of the embedding set
     (operators/similarity.mutual_knn_rate) — the hubness/degradation
@@ -10344,7 +10344,7 @@ rk AS (
 SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
        doc_id AS rep_id, round(qscore, 6) AS rep_score
 FROM rk WHERE r = 1
-""", priority=PRI_TAIL)
+""")
 def q247_canonical_selection(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
     """Quality-aware canonical pick per duplicate cluster
@@ -10399,7 +10399,7 @@ SELECT n_states, n_transitions,
                        * 1000000.0 + 0.5) / 1000000.0
             END AS normalized_entropy
 FROM agg
-""", priority=PRI_TAIL)
+""")
 def q248_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy rate of the per-user event-type Markov chain
     (operators/timeseries.markov_entropy_rate) — the one-number
@@ -10466,7 +10466,7 @@ SELECT n_units, n_ratings, n_labels,
                          / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1))))
                * 1000000.0 + 0.5) / 1000000.0 END AS alpha
 FROM obs, exp
-""", priority=PRI_TAIL)
+""")
 def q249_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Krippendorff's alpha across THREE heuristic keep/drop labelers
     (operators/stats.krippendorff_alpha) — the multi-rater sequel to
@@ -10524,7 +10524,7 @@ SELECT bucket, n_pos, n_neg, woe,
        floor(CAST(sum(ivt) OVER () AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS iv_total
 FROM w2 ORDER BY bucket
-""", priority=PRI_TAIL)
+""")
 def q250_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence / information value of the fixed-width value
     bucket against the purchase outcome (operators/stats.woe_iv) — the
@@ -10563,7 +10563,7 @@ SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents
 WHERE source IS NOT NULL AND text IS NOT NULL
 GROUP BY source ORDER BY source
-""", priority=PRI_TAIL)
+""")
 def q251_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source character-class composition (operators/text.
     script_audit) — the cheap multilingual/encoding-drift screen:
@@ -10597,7 +10597,7 @@ SELECT est, CAST(count(*) AS BIGINT) AS n_pairs,
        floor(CAST(sum(CAST(x - est AS DECIMAL(18,6))) AS DOUBLE)
              / count(*) * 1000000.0 + 0.5) / 1000000.0 AS bias
 FROM p GROUP BY est ORDER BY est
-""", priority=PRI_TAIL)
+""")
 def q252_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash sketch calibration (operators/dedup.sketch_calibration
     over minhash_lsh_pairs at threshold 0): per estimate level — the
@@ -10634,7 +10634,7 @@ l2 AS (SELECT node, label FROM (
 SELECT label, CAST(count(*) AS BIGINT) AS n_nodes
 FROM l2 GROUP BY label
 ORDER BY n_nodes DESC, label ASC LIMIT 25
-""", priority=PRI_TAIL)
+""")
 def q253_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation, 2 rounds
     (operators/graph.label_propagation) over the customer↔supplier
@@ -10686,7 +10686,7 @@ SELECT n_vectors, CAST(64 AS INT) AS dim,
             THEN floor(CAST(mu2 AS DOUBLE) / mean_norm_sq
                        * 1000000.0 + 0.5) / 1000000.0 END AS anisotropy
 FROM m2, mn
-""", priority=PRI_TAIL)
+""")
 def q254_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space anisotropy ‖μ‖²/E‖x‖² (operators/similarity.
     embedding_anisotropy) — the expected random-pair cosine: near 0 =
@@ -10730,7 +10730,7 @@ SELECT rs.shard_id, n_rows, n_classes, n_runs,
             THEN floor(n_runs / (n_rows - CAST(e AS DOUBLE) / n_rows)
                        * 1000000.0 + 0.5) / 1000000.0 END AS runs_ratio
 FROM rs JOIN ee USING (shard_id) ORDER BY shard_id
-""", priority=PRI_TAIL)
+""")
 def q255_shuffle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-quality runs test per training shard
     (operators/relational.shuffle_runs_audit over shard_assign): within
@@ -10781,7 +10781,7 @@ SELECT word, CAST(count(DISTINCT g) AS BIGINT) AS n_series,
        CAST(count(*) AS BIGINT) AS n_occurrences
 FROM wd GROUP BY word
 ORDER BY n_occurrences DESC, word LIMIT 20
-""", priority=PRI_TAIL)
+""")
 def q256_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolic motifs over per-type hourly count series
     (operators/timeseries.sax_words): z-normalize each series against
@@ -10843,7 +10843,7 @@ SELECT n_tp, n_tr, n_cp, n_cr,
        floor(se*1000000.0+0.5)/1000000.0 AS se,
        CASE WHEN se > 0 THEN floor(did/se*1000000.0+0.5)/1000000.0 END AS z
 FROM f
-""", priority=PRI_TAIL)
+""")
 def q257_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2×2 difference-in-differences (operators/stats.diff_in_diff):
     purchase (treated) vs view (control) mean value, pre vs post the
@@ -10890,7 +10890,7 @@ SELECT bucket, n_pos, n_neg, woe,
        floor(CAST(sum(ivt) OVER () AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS iv_total
 FROM w2 ORDER BY bucket
-""", priority=PRI_TAIL)
+""")
 def q258_streaming_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING WOE/IV monitor under driver verification
     (streaming/stateful.streaming_woe_monitor + finalize_woe_monitor)
@@ -10934,7 +10934,7 @@ SELECT key, n_left, n_right, CAST(c AS BIGINT) AS contrib,
          / 1000000.0 AS share,
        CAST(tot AS BIGINT) AS est_total_rows
 FROM t ORDER BY contrib DESC, key ASC LIMIT 10
-""", priority=PRI_TAIL)
+""")
 def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-join output-size pre-flight (operators/relational.
     join_size_estimate): exact Σ|L_k|·|R_k| for the lineitem×lineitem
@@ -10977,7 +10977,7 @@ SELECT g AS type, CAST(max(n) AS BIGINT) AS n_ramps,
          AS mean_ramp,
        max(p50) AS p50_ramp, max(p90) AS p90_ramp, max(rr) AS max_ramp
 FROM q GROUP BY g ORDER BY g
-""", priority=PRI_TAIL)
+""")
 def q260_ramp_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ramp-rate report per event type (operators/timeseries.
     ramp_rates) — the power-domain volatility tail beside the
@@ -11007,7 +11007,7 @@ SELECT "user", pos_item,
        CASE WHEN d >= pos_item THEN d + 1 ELSE d END AS neg_item,
        slot
 FROM cand
-""", priority=PRI_TAIL)
+""")
 def q261_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based negative sampling
     (operators/relational.negative_sampling): k=2 reproducible negative
@@ -11058,7 +11058,7 @@ SELECT arm, n_logged, n_matched,
             THEN floor(CAST(n_matched AS DOUBLE) / n_logged
                        * 1000000.0 + 0.5) / 1000000.0 END AS match_rate
 FROM allrows ORDER BY arm NULLS LAST
-""", priority=PRI_TAIL)
+""")
 def q262_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Off-policy REPLAY evaluation (operators/stats.policy_replay_eval
     — Li et al. 2011): what would the deterministic hash-of-user target
@@ -11105,7 +11105,7 @@ SELECT COALESCE(e."column", a."column") AS "column",
             ELSE 'type_mismatch' END AS status
 FROM expected e FULL OUTER JOIN actual a USING ("column")
 ORDER BY "column"
-""", priority=PRI_TAIL)
+""")
 def q263_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed schema-contract check (sources/readers.schema_contract) —
     the ingest gate extending check_columns (presence, the reference's
@@ -11146,7 +11146,7 @@ SELECT stratum, split, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(ck AS DECIMAL(38,0))) % 9223372036854775808
             AS BIGINT) AS key_checksum
 FROM s GROUP BY 1, 2 ORDER BY stratum, split
-""", priority=PRI_TAIL)
+""")
 def q264_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-proportion stratified train/val/test split
     (operators/relational.stratified_exact_split): within each source,
@@ -11189,7 +11189,7 @@ SELECT threshold,
                        / n_pairs_total * 1000000.0 + 0.5) / 1000000.0
             ELSE 0.0 END AS share
 FROM t, agg ORDER BY threshold
-""", priority=PRI_TAIL)
+""")
 def q265_cosine_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dup threshold calibration curve
     (operators/similarity.cosine_threshold_curve): share of sampled
@@ -11218,8 +11218,9 @@ def q265_cosine_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PRI_TAIL (q184's overflow fixed first — graph.py checksum — so its
 # re-record lands green).
 #
-# ROUND-12 ROTATION PLAN (stage at the start of round 12, after
-# CORRECTNESS_r11 lands green): promote q241-q244 (two-level
+# ROUND-12 ROTATION (EXECUTED this round — COVERAGE.md ledger,
+# pytest-pinned by test_round12_rotation_head_is_q216_to_q265):
+# with CORRECTNESS_r11 green (50/50), promote q241-q244 (two-level
 # changepoint, co-purchase hit-rate, weekly profile, session
 # associations) plus the round-11-born cohort q245-q265 (Neyman
 # allocation, mutual-kNN reciprocity, canonical cluster selection,

@@ -86,15 +86,17 @@ def test_head_is_exactly_the_top_50_by_priority():
     assert PRI_HEAD > PRI_TAIL
 
 
-def test_round11_rotation_head_is_q191_to_q240():
-    """Round-11 rotation (EXECUTED — COVERAGE.md ledger): with
-    CORRECTNESS_r10 recording the r10 head green (q184's overflow fixed
-    and re-verified by the ANSI sweep), the head is exactly the
-    round-10-born q191-q240 window; q241-q244 and the round-11-born
-    q245+ stay PRI_TAIL, staged for the r12 head."""
+def test_round12_rotation_head_is_q216_to_q265():
+    """Round-12 rotation (EXECUTED — COVERAGE.md ledger): with
+    CORRECTNESS_r11 recording the r11 head green (50/50), the last
+    never-driver-recorded pool — q241-q244 plus the round-11-born
+    q245-q265 — is promoted into the head alongside the retained
+    freshly-recorded q216-q240; q191-q215 demoted to PRI_TAIL. After
+    CORRECTNESS_r12 lands green, every registry query has >=1 driver
+    record again."""
     head = set(list(REGISTRY)[:SNAPSHOT_CAP])
     want = {n for n in REGISTRY
-            if n.split("_")[0] in {f"q{i}" for i in range(191, 241)}}
+            if n.split("_")[0] in {f"q{i}" for i in range(216, 266)}}
     assert len(want) == 50
     assert head == want
 
