@@ -112,6 +112,19 @@ def build_payloads(timings: dict[str, float],
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # --repeat N / $SPARK_GRAFT_BENCH_REPEAT: best-of-N mode (VERDICT r11
+    # #3 — the noise-control protocol). The registry loop runs N times in
+    # the same session and each query records its MINIMUM, which strips
+    # the single-session growth noise (JIT/codegen/GC pressure that
+    # accumulates as hundreds of plans compile in one JVM) that a single
+    # pass folds into whichever query runs late. The driver calls bench.py
+    # with no args, so its recorded headline stays the comparable
+    # single-pass number; repeat mode is the triage instrument.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    if repeat < 1:
+        raise SystemExit(f"--repeat must be >= 1, got {repeat}")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -147,20 +160,27 @@ def main() -> None:
     # stale up-front warm vs ~5-6 s warm-adjacent).
     warm_first = {"q152_correlation_matrix", "q153_bootstrap_ci"}
 
-    timings: dict[str, float] = {}
-    for name, (fn, _oracle) in REGISTRY.items():
-        if name in warm_first:
-            fn(spark, "/root/testdata/sf0.001").count()
+    samples: dict[str, list[float]] = {}
+    for rep in range(repeat):
+        for name, (fn, _oracle) in REGISTRY.items():
+            if name in warm_first and rep == 0:
+                fn(spark, "/root/testdata/sf0.001").count()
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.setdefault(name, []).append(
+                round(time.time() - t0, 3))
         t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        flagship(spark, sf_dir).count()
+        samples.setdefault("flagship", []).append(
+            round(time.time() - t0, 3))
 
-    t0 = time.time()
-    flagship(spark, sf_dir).count()
-    timings["flagship"] = round(time.time() - t0, 3)
+    timings = {n: min(ts) for n, ts in samples.items()}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail, line = build_payloads(timings, sf_val)
+    if repeat > 1:
+        detail["repeat"] = repeat
+        detail["samples"] = samples
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)
         f.write("\n")

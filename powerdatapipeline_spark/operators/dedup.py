@@ -1010,14 +1010,21 @@ def canonical_representatives(labels: DataFrame, scored: DataFrame,
     is one row per multi-document cluster — cluster frames, never the
     corpus: ``(cluster_id, n_docs, rep_id, rep_score)``, with
     ``n_docs - 1`` per row the dedup savings. Singletons never enter
-    ``labels`` (dedup_clusters' contract) and need no decision."""
+    ``labels`` (dedup_clusters' contract) and need no decision.
+
+    Coverage gaps are LOUD, not silent (ADVICE r11 #5): the join is a
+    LEFT join from ``labels``, so a cluster member missing from
+    ``scored`` still counts in ``n_docs`` and ranks LAST (null score)
+    rather than vanishing — an inner join would silently undercount the
+    cluster and could flip the representative with no signal. A cluster
+    whose every member is unscored surfaces as ``rep_score`` NULL."""
     j = (labels.join(scored.select(F.col(id_col).alias("node"),
                                    F.col(score_col).alias("__s")),
-                     "node")
+                     "node", "left")
          .select(F.col("label").alias("cluster_id"),
                  F.col("node"), F.col("__s")))
-    w = Window.partitionBy("cluster_id").orderBy(F.col("__s").desc(),
-                                                 F.col("node").asc())
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__s").desc_nulls_last(), F.col("node").asc())
     return (j.withColumn("__r", F.row_number().over(w))
             .groupBy("cluster_id")
             .agg(F.count("*").cast("bigint").alias("n_docs"),

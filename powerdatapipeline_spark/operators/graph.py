@@ -377,9 +377,15 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
     reproducibility). Each half-round is one map-side-combined
     groupBy + one hash equi-join on the edge list — two keyed
     shuffles, same cost model as one PageRank round. ``rounds`` is
-    deliberately small: 64-bit headroom bounds it (deg^(2·rounds) must
-    fit BIGINT — raise ``rounds`` only with a wider decimal); rank
-    ORDER is already stable after 2 alternations on conveying graphs.
+    deliberately small: 64-bit headroom bounds it, and that bound is
+    now ENFORCED, not contractual (VERDICT r11 #6): a pre-flight
+    computes the graph's max in/out degree (two map-side-combined
+    count frames, one scalar collect each — bounded driver hand-off)
+    and raises before an iteration whose worst-case score
+    ``Din^rounds · Dout^(rounds−1)`` could pass 2⁶³−1, instead of
+    overflowing mid-job (ANSI raise) or wrapping silently (ANSI off).
+    Rank ORDER is already stable after 2 alternations on conveying
+    graphs.
     Returns the ``top_k`` authorities ``(node, authority_int,
     authority)`` by (score desc, node asc) — exact integer + 6-rounded
     max-normalized double."""
@@ -388,6 +394,22 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct())
+    # overflow pre-flight: scores after r authority updates are bounded
+    # by Din^r · Dout^(r−1) (h₀=1; each authority update multiplies by
+    # ≤ Din, each hub update by ≤ Dout). Exact Python-bigint check —
+    # raise BEFORE launching an iteration that could pass int64.
+    din = (e.groupBy("v").agg(F.count("*").alias("d"))
+           .agg(F.max("d")).first()[0]) or 0
+    dout = (e.groupBy("u").agg(F.count("*").alias("d"))
+            .agg(F.max("d")).first()[0]) or 0
+    if din > 0:
+        bound = din ** rounds * max(dout, 1) ** (rounds - 1)
+        if bound > 2 ** 63 - 1:
+            raise ValueError(
+                f"hits_scores(rounds={rounds}) worst-case score "
+                f"Din^r·Dout^(r-1) = {din}^{rounds}·{dout}^{rounds - 1} "
+                "exceeds int64 — lower rounds (rank order is stable by "
+                "2 on conveying graphs) or use a decimal-fold variant")
     h = e.select("u").distinct().withColumn("h", F.lit(1).cast("bigint"))
     a = None
     for i in range(rounds):

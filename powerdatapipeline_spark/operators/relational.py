@@ -860,7 +860,14 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
                                         * F.col("n_rows_key")
                                         .cast("decimal(19,0)"))
                      .over(w_all).cast("double"))
-                    / (F.col("__K") * F.col("__tot"))
+                    # the denominator K·N hits the SAME ≈1e22 bound as
+                    # the numerator (ADVICE r11 #1): a bigint×bigint
+                    # multiply raises under ANSI / wraps silently
+                    # otherwise — divide in double (the quotient feeds a
+                    # double round anyway, so no precision is lost that
+                    # the decimal numerator hadn't already preserved)
+                    / (F.col("__K").cast("double")
+                       * F.col("__tot").cast("double"))
                     - (F.col("__K") + 1) / F.col("__K"), 6))
                 .withColumn("share", F.round(F.col("n_rows_key")
                                              / F.col("__tot"), 6)))
@@ -1518,9 +1525,14 @@ def join_size_estimate(left: DataFrame, right: DataFrame,
     of the COUNT frames (|distinct keys| rows, never the data), then a
     window over that frame for totals/ranks. Products and their sum
     fold in decimal(38,0) — per-key products reach |L_k|·|R_k| ≈ 1e18+
-    exactly where this audit matters (VERDICT r10 #4 class). Returns
-    ``top_k`` rows: ``(key, n_left, n_right, contrib, share,
-    est_total_rows)`` by (contrib desc, key asc)."""
+    exactly where this audit matters (VERDICT r10 #4 class) — and
+    ``contrib``/``est_total_rows`` are EMITTED as double, not bigint
+    (ADVICE r11 #2): an estimated join size ≥ 9.2e18 is precisely the
+    explosion this pre-flight exists to detect, and a bigint output
+    cast would raise under ANSI at output time instead of reporting
+    it. Double is an order-of-magnitude readout; the internal fold
+    stays exact. Returns ``top_k`` rows: ``(key, n_left, n_right,
+    contrib, share, est_total_rows)`` by (contrib desc, key asc)."""
     lc = (left.where(F.col(left_key).isNotNull())
           .groupBy(F.col(left_key).alias("key"))
           .agg(F.count("*").cast("bigint").alias("n_left")))
@@ -1538,10 +1550,10 @@ def join_size_estimate(left: DataFrame, right: DataFrame,
                           .cast("decimal(38,0)")))
     return (staged.select(
         "key", "n_left", "n_right",
-        F.col("__c").cast("bigint").alias("contrib"),
+        F.col("__c").cast("double").alias("contrib"),
         fl6(F.col("__c").cast("double")
             / F.col("__tot").cast("double")).alias("share"),
-        F.col("__tot").cast("bigint").alias("est_total_rows"))
+        F.col("__tot").cast("double").alias("est_total_rows"))
         .orderBy(F.desc("contrib"), F.asc("key"))
         .limit(top_k))
 
@@ -1557,8 +1569,11 @@ def negative_sampling(positives: DataFrame, user_col: str, item_col: str,
     oracle-verified or resumed). Own-positive collisions are excluded
     BY CONSTRUCTION, not by rejection: each slot draws uniformly from
     the OTHER ``n_items − 1`` ids via the classic shift trick
-    (``d = 1 + md5(salt‖user‖slot) mod (n_items−1)``; ``d ≥ pos → d+1``)
-    — rejection sampling would need unbounded retries to guarantee k
+    (``d = 1 + md5(salt‖user‖pos‖slot) mod (n_items−1)``;
+    ``d ≥ pos → d+1``). The positive is part of the draw key
+    (ADVICE r11 #3): a user with several positives gets INDEPENDENT
+    draws per (user, positive) pair rather than the same k base
+    draws re-shifted. Rejection sampling would need unbounded retries to guarantee k
     survivors (a 3-slot all-collide case showed up in testing at
     n_items = 5). Uniform sampling may still hit items the user
     interacted with ELSEWHERE — callers wanting strict negatives
@@ -1584,6 +1599,8 @@ def negative_sampling(positives: DataFrame, user_col: str, item_col: str,
             .withColumn("slot", F.col("slot").cast("int")))
     draw = 1 + F.pmod(
         _md5_prefix_bigint(F.concat(F.col("user").cast("string"),
+                                    F.lit("|"),
+                                    F.col("pos_item").cast("string"),
                                     F.lit("|"),
                                     F.col("slot").cast("string")),
                            salt + "|neg", 15),

@@ -1041,7 +1041,14 @@ def mutual_knn_rate(embeddings: DataFrame, k: int = 5,
             # |shuffle.partitions|-way parallelism on the O(n²/m) dots
             # (measured 32.6s → 2.5s at sf0.1 on local[32])
             .repartition(F.col("__id"))
-            .withColumn("__n", l2_norm("__v")))
+            .withColumn("__n", l2_norm("__v"))
+            # zero-norm vectors have NO defined cosine to anyone: left
+            # in, a degenerate query row still emits k edges chosen
+            # purely by the id tiebreak (every candidate NULL cosine),
+            # inflating n_edges/mutual_rate with meaningless neighbors
+            # (ADVICE r11 #4). Excluded from BOTH sides (q derives from
+            # base) and from n_vectors; mirrored in the q246 oracle.
+            .where(F.col("__n") > 0))
     q = F.broadcast(base.select(F.col("__id").alias("__qid"),
                                 F.col("__v").alias("__qv"),
                                 F.col("__n").alias("__qn")))

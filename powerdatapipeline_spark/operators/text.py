@@ -1899,11 +1899,21 @@ def cdc_chunk_rows(df: DataFrame, id_col: str = "doc_id",
     bnds = (f"filter(sequence({window}, length({t})), i -> "
             f"CAST(conv(substring(md5(substring({t}, i - {window - 1}, "
             f"{window})), 1, 8), 16, 10) AS BIGINT) % {modulus} = 0)")
+    # The boundary array is needed TWICE in the spans expression (starts
+    # and ends). Higher-order-function expressions containing lambdas are
+    # excluded from Spark's subexpression elimination (SPARK-35410 class),
+    # so inlining `bnds` twice would run the O(len·window) md5 scan — the
+    # operator's entire cost — twice per row. Materialize it once in a
+    # prior projection and reference the column: CollapseProject refuses
+    # to re-inline a non-cheap alias used more than once, which the
+    # plan-shape pytest (test_round12_plan_shapes.py) pins.
     spans = (f"filter(zip_with("
-             f"concat(array(1), transform({bnds}, b -> b + 1)), "
-             f"concat({bnds}, array(length({t}))), "
+             f"concat(array(1), transform(__cdc_bnds, b -> b + 1)), "
+             f"concat(__cdc_bnds, array(length({t}))), "
              f"(s, e) -> struct(s AS s, e AS e)), p -> p.e >= p.s)")
     base = (df.where(F.length(F.col(text_col)) > 0)
+            .select(F.col(id_col), F.col(text_col),
+                    F.expr(bnds).alias("__cdc_bnds"))
             .select(F.col(id_col), F.col(text_col),
                     F.posexplode(F.expr(spans)).alias("chunk_idx", "p")))
     return base.select(

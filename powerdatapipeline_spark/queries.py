@@ -10267,7 +10267,8 @@ def q245_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sample AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND vec_id % 4 = 0),
+    AND vec_id % 4 = 0
+    AND {_SQL_NORM.format(t='embeddings')} > 0),
 scored AS (
   SELECT b.vec_id AS qid, a.vec_id AS nid,
          round({_SQL_DOT} / ({_SQL_NORM.format(t='a')}
@@ -10335,10 +10336,11 @@ qual AS (
   FROM documents),
 j AS (
   SELECT lab.label AS cluster_id, lab.node AS doc_id, qual.qscore
-  FROM lab JOIN qual ON qual.doc_id = lab.node),
+  FROM lab LEFT JOIN qual ON qual.doc_id = lab.node),
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY cluster_id
-                               ORDER BY qscore DESC, doc_id ASC) AS r,
+                               ORDER BY qscore DESC NULLS LAST,
+                                        doc_id ASC) AS r,
          count(*) OVER (PARTITION BY cluster_id) AS n_docs
   FROM j)
 SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
@@ -10929,10 +10931,10 @@ j AS (SELECT key, n_left, n_right,
                AS c
       FROM lc JOIN rc USING (key)),
 t AS (SELECT *, sum(c) OVER () AS tot FROM j)
-SELECT key, n_left, n_right, CAST(c AS BIGINT) AS contrib,
+SELECT key, n_left, n_right, CAST(c AS DOUBLE) AS contrib,
        floor(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS share,
-       CAST(tot AS BIGINT) AS est_total_rows
+       CAST(tot AS DOUBLE) AS est_total_rows
 FROM t ORDER BY contrib DESC, key ASC LIMIT 10
 """)
 def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11000,6 +11002,7 @@ WITH pos AS (
 cand AS (
   SELECT "user", pos_item, CAST(j.j AS INT) AS slot,
          1 + CAST(CAST(('0x' || substr(md5('|neg' || CAST("user" AS VARCHAR)
+                                       || '|' || CAST(pos_item AS VARCHAR)
                                        || '|' || CAST(j.j AS VARCHAR)),
                         1, 15)) AS BIGINT) % 9999 AS BIGINT) AS d
   FROM pos, generate_series(0, 1) AS j(j))

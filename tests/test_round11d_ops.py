@@ -64,10 +64,12 @@ def test_negative_sampling_deterministic_and_k(spark):
         by_pair.setdefault((r.user, r.pos_item), []).append(r)
     assert set(by_pair) == {(7, 3), (8, 1)}
     assert all(len(v) == 2 for v in by_pair.values())
-    # reproducible: md5-derived shift trick, never the own positive
+    # reproducible: md5-derived shift trick over (user, pos, slot) —
+    # the positive is in the draw key (ADVICE r11 #3) — never the own
+    # positive
     for r in out:
         d = int(hashlib.md5(
-            f"|neg{r.user}|{r.slot}".encode()).hexdigest()[:15],
+            f"|neg{r.user}|{r.pos_item}|{r.slot}".encode()).hexdigest()[:15],
             16) % 4 + 1
         want = d + 1 if d >= r.pos_item else d
         assert r.neg_item == want
