@@ -2126,6 +2126,18 @@ def krippendorff_alpha(ratings: DataFrame, unit_col: str, label_col: str
             .where(F.col("__u").isNotNull() & F.col("__c").isNotNull()))
     uc = base.groupBy("__u", "__c").agg(
         F.count("*").cast("bigint").alias("nuc"))
+    return krippendorff_from_unit_label_counts(uc)
+
+
+def krippendorff_from_unit_label_counts(uc: DataFrame) -> DataFrame:
+    """Finalize Krippendorff's alpha from a ``(__u, __c, nuc)``
+    (unit, label) → count frame — the shared scorer behind batch
+    :func:`krippendorff_alpha` AND the streaming monitor
+    (streaming/stateful.finalize_krippendorff_monitor): the count
+    matrix is the statistic's exact mergeable sufficient statistic
+    (counts add across micro-batches), so stream ≡ batch
+    bit-identically through this one code path (the
+    woe_from_bucket_counts / ks_from_value_counts discipline)."""
     w_u = Window.partitionBy("__u")
     uc = uc.withColumn("mu", F.sum("nuc").over(w_u))
     # units with a single rating carry no pairable information
@@ -2237,6 +2249,18 @@ def diff_in_diff(df: DataFrame, value_col: str, group: Column,
     cell has < 2 rows (its variance — and the SE — is undefined).
     Returns ONE row: ``(n_tp, n_tr, n_cp, n_cr, mean_treat_post,
     mean_treat_pre, mean_ctrl_post, mean_ctrl_pre, did, se, z)``."""
+    return did_from_cell_moments(did_cell_moments(df, value_col,
+                                                  group, post))
+
+
+def did_cell_moments(df: DataFrame, value_col: str, group: Column,
+                     post: Column) -> DataFrame:
+    """The 2×2 DiD's exact mergeable sufficient statistic: per cell
+    (tp/tr/cp/cr), ``(n, Σμ, Σμ²)`` in integer micro-units with
+    decimal(38,0) accumulators — ≤ 4 rows whatever the input size, and
+    moments ADD across micro-batches, so the streaming monitor appends
+    these per batch and finalizes through the same
+    :func:`did_from_cell_moments` as the batch operator."""
     v = F.round(F.col(value_col).cast("double"), 6)
     mu = F.floor(v * F.lit(1_000_000.0) + F.lit(0.5))
     cell = (F.when(group & post, "tp").when(group & ~post, "tr")
@@ -2244,20 +2268,33 @@ def diff_in_diff(df: DataFrame, value_col: str, group: Column,
     base = (df.select(cell.alias("__cell"), mu.alias("__m"))
             .where(F.col("__cell").isNotNull() & F.col("__m").isNotNull())
             .withColumn("__md", F.col("__m").cast("decimal(38,0)")))
+    return (base.groupBy("__cell")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("__md").cast("decimal(38,0)").alias("s"),
+                 F.sum(F.col("__md") * F.col("__md"))
+                 .cast("decimal(38,0)").alias("ss")))
 
+
+def did_from_cell_moments(per: DataFrame) -> DataFrame:
+    """Finalize the 2×2 DiD report from a ``(__cell, n, s, ss)`` moment
+    frame (≤ 4 rows; cells may repeat — they merge by addition, which
+    is what makes the streaming twin exact). Shared by batch
+    :func:`diff_in_diff` and streaming
+    finalize_did_monitor — stream ≡ batch bit-identically."""
     def agg_cell(c):
         hit = F.col("__cell") == c
         zero = F.lit(0).cast("decimal(38,0)")
-        return [F.sum(F.when(hit, 1).otherwise(0)).cast("bigint")
-                .alias(f"n_{c}"),
-                F.sum(F.when(hit, F.col("__md")).otherwise(zero))
-                .alias(f"s_{c}"),
-                F.sum(F.when(hit, F.col("__md") * F.col("__md"))
-                      .otherwise(zero)).cast("decimal(38,0)")
-                .alias(f"ss_{c}")]
+        return [F.coalesce(F.sum(F.when(hit, F.col("n"))), F.lit(0))
+                .cast("bigint").alias(f"n_{c}"),
+                F.coalesce(F.sum(F.when(hit, F.col("s"))
+                                 .otherwise(zero)), zero)
+                .cast("decimal(38,0)").alias(f"s_{c}"),
+                F.coalesce(F.sum(F.when(hit, F.col("ss"))
+                                 .otherwise(zero)), zero)
+                .cast("decimal(38,0)").alias(f"ss_{c}")]
 
     cells = ["tp", "tr", "cp", "cr"]
-    out = base.agg(*[a for c in cells for a in agg_cell(c)])
+    out = per.agg(*[a for c in cells for a in agg_cell(c)])
     guard = F.when(
         (F.col("n_tp") < 2) | (F.col("n_tr") < 2)
         | (F.col("n_cp") < 2) | (F.col("n_cr") < 2),

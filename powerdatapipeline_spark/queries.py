@@ -11205,6 +11205,81 @@ def q265_cosine_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_threshold_curve(emb)
 
 
+@register("q266_streaming_krippendorff",
+          REGISTRY["q249_krippendorff_alpha"][1], priority=PRI_TAIL)
+def q266_streaming_krippendorff(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """STREAMING Krippendorff alpha under driver verification
+    (streaming/stateful.streaming_krippendorff_monitor +
+    finalize_krippendorff_monitor) — q249's three-labeler agreement
+    gauge fed incrementally (VERDICT r11 #8): each micro-batch appends
+    its (unit, label) count partial — the statistic's exact mergeable
+    sufficient statistic — and the finalizer merges by addition
+    through the SAME krippendorff_from_unit_label_counts the batch
+    operator uses, so stream ≡ batch bit-identically and q249's
+    DuckDB oracle (reused verbatim above) verifies the streaming
+    run."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_krippendorff_monitor, streaming_krippendorff_monitor)
+
+    docs = (docs_stream_source(spark, sf_dir)
+            .where(F.col("doc_id").isNotNull()
+                   & F.col("text").isNotNull()))
+    alpha = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+             .cast("double") / F.length("text"))
+    lab = lambda cond: F.when(cond, F.lit("keep")).otherwise(F.lit("drop"))
+    a = (F.length("text") >= 200) & (alpha >= 0.55)
+    b = ((F.size(tx.tokens("text")) >= 40)
+         & F.lower(F.col("text")).contains(" the "))
+    c = tx.stopword_ratio("text") >= 0.08
+    ratings = (docs.select(F.col("doc_id").alias("u"),
+                           F.explode(F.array(lab(a), lab(b), lab(c)))
+                           .alias("c")))
+    tmp = tempfile.mkdtemp(prefix="q266_streaming_krippendorff_")
+    q = streaming_krippendorff_monitor(ratings, F.col("u"), F.col("c"),
+                                       f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q266 streaming job did not finish within 300 s")
+    return finalize_krippendorff_monitor(spark, f"{tmp}/partials")
+
+
+@register("q267_streaming_did",
+          REGISTRY["q257_diff_in_diff"][1], priority=PRI_TAIL)
+def q267_streaming_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING 2×2 difference-in-differences under driver
+    verification (streaming/stateful.streaming_did_monitor +
+    finalize_did_monitor) — q257's cutover effect estimator fed
+    incrementally (VERDICT r11 #8), the live DiD/SE/z readout while
+    the post-period stream is still arriving: each micro-batch appends
+    its ≤ 4-row per-cell exact integer-micro moment partial
+    (stats.did_cell_moments); moments merge by addition through the
+    SAME did_from_cell_moments the batch operator uses, so stream ≡
+    batch bit-identically and q257's DuckDB oracle (reused verbatim
+    above) verifies the streaming run."""
+    import tempfile
+
+    from powerdatapipeline_spark.streaming.stateful import (
+        finalize_did_monitor, streaming_did_monitor)
+
+    ev = events_stream_source(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("ts").isNotNull() & F.col("value").isNotNull())
+    tmp = tempfile.mkdtemp(prefix="q267_streaming_did_")
+    q = streaming_did_monitor(
+        ev, "value", F.col("event_type") == "purchase",
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        f"{tmp}/partials", f"{tmp}/ckpt")
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError("q267 streaming job did not finish within 300 s")
+    return finalize_did_monitor(spark, f"{tmp}/partials")
+
+
 # Round-10 rotation (EXECUTED): CORRECTNESS_r09 recorded the q99-q149
 # head green (50/50), so the last never-driver-recorded pool — q125,
 # q150-q184 (36 queries) plus the round-10-born q185-q190 — was
@@ -11238,6 +11313,12 @@ def q265_cosine_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_tail_query_parity.py, hash-exact at sf0.1 AND ANSI-on at
 # sf0.001 in the committed PARITY sweeps — the driver record is the
 # only missing evidence tier.
+#
+# ROUND-13 ROTATION PLAN: the round-12-born streaming twins q266
+# (Krippendorff) and q267 (diff-in-diff) are PRI_TAIL, oracle-paired
+# from birth (they REUSE q249's/q257's oracles verbatim — stream ≡
+# batch through shared finalizers); promote them into the head next
+# round, demoting the 2 oldest r12-head entries (q216, q217).
 # ===========================================================================
 
 #: driver correctness-snapshot size (CORRECTNESS_r{3..6}.json: exactly 50)
