@@ -38,7 +38,13 @@ from powerdatapipeline_spark.queries import REGISTRY  # noqa: E402
 from powerdatapipeline_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCRATCH = os.path.join(REPO, ".scratch", "sf1")
+#: both scales are REBUILT through the same writer (1 MB row groups,
+#: single file per table) so input-split geometry is identical and the
+#: exponent measures the PLAN's scaling, not file-layout luck — the
+#: sf0.1 source file is one big row group that can never split, which
+#: would pin the small run to 1 task and fake a sub-linear exponent.
+X1 = os.path.join(REPO, ".scratch", "x1")
+SCRATCH = os.path.join(REPO, ".scratch", "x10")
 
 #: per-table key columns to shift per replica (disjoint key universes).
 #: Non-key attributes (ts, text, embedding, value) stay identical — the
@@ -61,20 +67,34 @@ DEFAULT_QUERIES = ["q156", "q153", "q184", "q135", "q253",
                    "q163", "q152", "q214", "q172", "q205"]
 
 
-def build(spark, factor: int) -> None:
-    os.makedirs(SCRATCH, exist_ok=True)
+def build_at(spark, factor: int, dest: str) -> None:
+    """Write each scaled table as a SINGLE parquet FILE named
+    ``{table}.parquet`` — the exact testdata layout — because
+    ``queries.load_events`` sniffs the parquet footer of that path
+    (a directory would break it), and because layout parity keeps the
+    two probe runs comparable. Files stay row-group-splittable; the
+    probe session lowers ``spark.sql.files.maxPartitionBytes`` so BOTH
+    scales parallelize (at the default 128 MB the whole 17 MB sf0.1
+    table is one input split and the comparison measures parallelism,
+    not scaling)."""
+    import glob
+    import shutil
+
+    os.makedirs(dest, exist_ok=True)
     for table, keys in SHIFT_COLS.items():
-        out = os.path.join(SCRATCH, f"{table}.parquet")
+        out = os.path.join(dest, f"{table}.parquet")
         if os.path.exists(out):
             print(f"# {table}: exists, skipping", flush=True)
             continue
-        df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        src_path = os.path.join(SRC, f"{table}.parquet")
         if not keys:
-            df.write.mode("overwrite").parquet(out)
+            shutil.copyfile(src_path, out)
             print(f"# {table}: copied (dim)", flush=True)
             continue
+        df = spark.read.parquet(src_path)
         # stride = next power of 10 above the max key, so shifted ids
-        # stay readable and collision-free
+        # stay readable and collision-free (factor 1: stride still
+        # applied to replica 0 only — a no-op shift, identical rows)
         maxes = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
         stride = 10 ** len(str(max(int(maxes[k] or 0) for k in keys)))
         rep = df.withColumn(
@@ -83,10 +103,28 @@ def build(spark, factor: int) -> None:
             rep = rep.withColumn(
                 k, (F.col(k) + F.col("__rep").cast("bigint")
                     * F.lit(stride)).cast(dict(df.dtypes)[k]))
-        (rep.drop("__rep")
-         .repartition(max(32, factor * 4))
-         .write.mode("overwrite").parquet(out))
-        print(f"# {table}: x{factor} (stride {stride})", flush=True)
+        if table == "documents":
+            # key-shifting alone leaves `factor` EXACT COPIES of every
+            # text — content-collision-driven operators (PPJoin prefix
+            # blocks, n-gram postings) then face a quadratically larger
+            # TRUE pair space (measured: q163 t×62 at factor 10), which
+            # probes the all-duplicates pathology, not plan scaling.
+            # Tag each replica's text so duplicate DENSITY stays
+            # constant while volume scales (applied at factor 1 too, so
+            # both scales see the same transform).
+            rep = rep.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" r"),
+                                 F.col("__rep").cast("string")))
+        tmp_dir = out + ".tmpdir"
+        (rep.drop("__rep").coalesce(1)
+         .write.mode("overwrite")
+         .option("parquet.block.size", 1024 * 1024)
+         .parquet(tmp_dir))
+        part = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))[0]
+        shutil.move(part, out)
+        shutil.rmtree(tmp_dir)
+        print(f"# {table}: x{factor} -> {dest} (stride {stride})",
+              flush=True)
 
 
 def probe(spark, stems: list[str], factor: int) -> list[dict]:
@@ -99,13 +137,13 @@ def probe(spark, stems: list[str], factor: int) -> list[dict]:
         fn, _ = REGISTRY[name]
         fn(spark, "/root/testdata/sf0.001").count()  # JIT warm
         t0 = time.time()
-        fn(spark, SRC).count()
+        fn(spark, X1).count()
         t_small = time.time() - t0
         t0 = time.time()
         fn(spark, SCRATCH).count()
         t_big = time.time() - t0
         exp = math.log(t_big / t_small) / math.log(factor)
-        row = {"query": name, "t_sf0.1_s": round(t_small, 2),
+        row = {"query": name, "t_x1_s": round(t_small, 2),
                f"t_x{factor}_s": round(t_big, 2),
                "exponent": round(exp, 3)}
         rows.append(row)
@@ -120,9 +158,13 @@ def main() -> None:
     stems = DEFAULT_QUERIES
     if "--queries" in sys.argv:
         stems = sys.argv[sys.argv.index("--queries") + 1].split(",")
-    spark = get_spark("scale-probe")
+    spark = get_spark("scale-probe", extra_conf={
+        # split the single-file tables finely so BOTH scales use the
+        # full local core count — mirrors the many-splits 100 TB regime
+        "spark.sql.files.maxPartitionBytes": str(1024 * 1024)})
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, factor)
+    build_at(spark, 1, X1)
+    build_at(spark, factor, SCRATCH)
     if "--build-only" in sys.argv:
         return
     rows = probe(spark, stems, factor)
