@@ -57,6 +57,11 @@ SCALAR_BROADCAST_INTENDED = {
     # the 1-row expected frame; q254 joins the 1-row mu-norm frame with
     # the 1-row mean-norm frame — 1x1 broadcast joins, constant cost
     "q249_krippendorff_alpha", "q254_anisotropy",
+    # round 12: the streaming twins finalize through the SAME shared
+    # scorers, so they inherit the same 1×1 broadcast shapes (q266 =
+    # q249's finalizer over merged partials; q246's mutual-kNN scalar
+    # joins likewise appear in its final count combine)
+    "q266_streaming_krippendorff", "q267_streaming_did",
     # two single-row aggregates combined for the sample-size contract —
     # a 1×1 broadcast join, constant cost at any SF
     "q46_sample",
