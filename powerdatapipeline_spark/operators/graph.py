@@ -393,15 +393,29 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-         .distinct())
+         .distinct()
+         # materialize the deduped edge list ONCE: the overflow
+         # pre-flight below and the iteration both consume it — without
+         # the cut, the distinct re-executes per action (measured:
+         # q235 2s → 5s when the pre-flight first landed with two
+         # uncheckpointed degree jobs)
+         .localCheckpoint(eager=True))
     # overflow pre-flight: scores after r authority updates are bounded
     # by Din^r · Dout^(r−1) (h₀=1; each authority update multiplies by
-    # ≤ Din, each hub update by ≤ Dout). Exact Python-bigint check —
-    # raise BEFORE launching an iteration that could pass int64.
-    din = (e.groupBy("v").agg(F.count("*").alias("d"))
-           .agg(F.max("d")).first()[0]) or 0
-    dout = (e.groupBy("u").agg(F.count("*").alias("d"))
-            .agg(F.max("d")).first()[0]) or 0
+    # ≤ Din, each hub update by ≤ Dout). Both degree maxima in ONE
+    # map-side-combined job over the checkpointed edges; exact
+    # Python-bigint check — raise BEFORE launching an iteration that
+    # could pass int64.
+    sides = e.select(F.col("v").alias("node"), F.lit("i").alias("s")) \
+        .unionByName(e.select(F.col("u").alias("node"),
+                              F.lit("o").alias("s")))
+    row = (sides.groupBy("s", "node").agg(F.count("*").alias("d"))
+           .agg(F.max(F.when(F.col("s") == "i", F.col("d")))
+                .alias("din"),
+                F.max(F.when(F.col("s") == "o", F.col("d")))
+                .alias("dout"))
+           .first())
+    din, dout = row["din"] or 0, row["dout"] or 0
     if din > 0:
         bound = din ** rounds * max(dout, 1) ** (rounds - 1)
         if bound > 2 ** 63 - 1:
