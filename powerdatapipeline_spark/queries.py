@@ -10944,7 +10944,9 @@ def q259_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the near-dup blockers document, promoted to a first-class audit.
     Two per-key count frames, one count-frame join, decimal products
     (per-key contributions pass 1e18 exactly where this check
-    matters); top-10 skew contributors + the total."""
+    matters), EMITTED as double so an estimate past int64 reports
+    instead of raising (ADVICE r11 #2); top-10 skew contributors +
+    the total."""
     li = _t(spark, sf_dir, "lineitem")
     return rel.join_size_estimate(li, li, "l_partkey", "l_partkey")
 
