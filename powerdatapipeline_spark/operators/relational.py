@@ -208,6 +208,41 @@ def offset_limit(df: DataFrame, order: Sequence[Column], offset: int,
 _U_DENOM = float(1 << 60)
 
 
+def widen_narrow_scan(df: DataFrame,
+                      by: str | Column | None = None) -> DataFrame:
+    """Local-geometry guard for compute-heavy NARROW pipelines (per-row
+    md5 scoring, HOF text scans, B-way explodes): if the upstream scan
+    planned FEWER partitions than the session's default parallelism,
+    insert one small repartition so the O(n·work) column pipeline
+    downstream uses every core. Single-file single-row-group tables —
+    the sf0.1 fixtures are exactly this (1 row group each, verified) —
+    otherwise pin the ENTIRE downstream compute to one task however
+    many cores the session has (measured: q153's 4M-draw bootstrap 9s
+    single-task → ~1s widened on local[32]; same lesson as
+    mutual_knn_rate's documented 32.6s → 2.5s).
+
+    At real scale the input arrives as many splits and this is a
+    NO-OP — no shuffle is inserted — which is what makes it safe to
+    use inside operators: the conditional is the point. Prefer a
+    ``by`` key (hash partitioning, no sort); keyless round-robin
+    repartition adds a local sort for determinism.
+
+    The partition COUNT is explicit on purpose: a keyed/keyless
+    repartition without a number is ``REPARTITION_BY_COL``, which AQE's
+    partition coalescing is free to collapse right back to one
+    partition when the shuffle is small in BYTES (a 2 MB events
+    shuffle is, while the O(n·B) compute behind it is not — AQE sizes
+    by bytes, not downstream work). An explicit count is
+    ``REPARTITION_BY_NUM``, which AQE must respect."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    key = F.col(by) if isinstance(by, str) else by
+    if key is not None:
+        return df.repartition(sc.defaultParallelism, key)
+    return df.repartition(sc.defaultParallelism)
+
+
 def uniform_from_key(key_col: str | Column, salt: str = "") -> Column:
     """Deterministic engine-portable uniform draw in ``(0, 1]`` from a
     key: ``(int(md5(salt ‖ key)[:15], 16) + 1) / 2^60``. The md5 prefix

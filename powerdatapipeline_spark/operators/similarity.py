@@ -861,7 +861,15 @@ def centroid_predict(embeddings: DataFrame, id_col: str = "vec_id",
     one row per input vector: ``(id_col, label_col, g, cos)`` with
     ``g`` the predicted label and ``cos`` its 6-rounded centroid
     cosine (-1.0 for degenerate zero norms)."""
-    e = (embeddings
+    from powerdatapipeline_spark.operators.relational import \
+        widen_narrow_scan
+
+    # widen before the dim-explode: a narrow scan pins the 64× row
+    # fan-out and every downstream long-form moment to one task (no-op
+    # when the input arrives as >= parallelism splits)
+    e = (widen_narrow_scan(
+            embeddings.select(F.col(id_col), F.col(label_col),
+                              F.col(vec_col)), by=id_col)
          .select(F.col(id_col), F.col(label_col),
                  F.posexplode(vec_col).alias("dim", "v"))
          .withColumn("v", F.round(F.col("v").cast("double"), 6)))

@@ -506,9 +506,16 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("correlation_matrix needs at least 2 columns")
+    from powerdatapipeline_spark.operators.relational import \
+        widen_narrow_scan
+
     base = df
     for c in cols:
         base = base.where(F.col(c).isNotNull())
+    # widen before the O(k²)-sum partial aggregation: a narrow scan
+    # otherwise computes every decimal moment on one task (no-op when
+    # the input arrives as >= parallelism splits)
+    base = widen_narrow_scan(base.select(*cols), by=cols[0])
     aggs = [F.count("*").cast("bigint").alias("__n")]
     for i, ci in enumerate(cols):
         x = F.col(ci).cast("double")
@@ -572,10 +579,19 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
     from powerdatapipeline_spark.operators.relational import \
         uniform_from_key
 
+    from powerdatapipeline_spark.operators.relational import \
+        widen_narrow_scan
+
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
-    rows = df.where(F.col(value_col).isNotNull()) \
-             .select(F.col(key_col).alias("__k"),
-                     F.col(value_col).cast("double").alias("__v"), b)
+    # widen BEFORE the B-way explode: a narrow (single-row-group) scan
+    # otherwise pins the whole O(n·B) md5 draw pipeline to one task
+    # (measured 9s → ~1s at sf0.1 on local[32]); no-op when the input
+    # already arrives as >= parallelism splits
+    rows = widen_narrow_scan(
+        df.where(F.col(value_col).isNotNull())
+          .select(F.col(key_col).alias("__k"),
+                  F.col(value_col).cast("double").alias("__v")),
+        by="__k").select("__k", "__v", b)
     u = uniform_from_key(
         F.concat(F.col("__k").cast("string"), F.lit("|"),
                  F.col("b").cast("string")), salt + "|boot")

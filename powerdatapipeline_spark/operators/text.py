@@ -385,11 +385,13 @@ def _spread(df: DataFrame) -> DataFrame:
     single-split corpus otherwise runs the whole expression pipeline in
     ONE task (measured 3.5 s → 0.9 s for contamination at sf0.1; the
     dedup/similarity operators import this same helper). No-op when the
-    input is already wide, as a 100 TB scan is."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    input is already wide, as a 100 TB scan is. Delegates to
+    ``relational.widen_narrow_scan`` (round 12), the shared keyed
+    generalization — one implementation, one set of AQE caveats."""
+    from powerdatapipeline_spark.operators.relational import \
+        widen_narrow_scan
+
+    return widen_narrow_scan(df)
 
 
 def _term_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -1911,7 +1913,16 @@ def cdc_chunk_rows(df: DataFrame, id_col: str = "doc_id",
              f"concat(array(1), transform(__cdc_bnds, b -> b + 1)), "
              f"concat(__cdc_bnds, array(length({t}))), "
              f"(s, e) -> struct(s AS s, e AS e)), p -> p.e >= p.s)")
-    base = (df.where(F.length(F.col(text_col)) > 0)
+    from powerdatapipeline_spark.operators.relational import \
+        widen_narrow_scan
+
+    # widen BEFORE the per-character md5 scan: a narrow scan pins the
+    # O(len·window) hashing — this operator's entire cost — to one task
+    # (no-op when the input already arrives as >= parallelism splits)
+    base = (widen_narrow_scan(
+                df.where(F.length(F.col(text_col)) > 0)
+                  .select(F.col(id_col), F.col(text_col)),
+                by=id_col)
             .select(F.col(id_col), F.col(text_col),
                     F.expr(bnds).alias("__cdc_bnds"))
             .select(F.col(id_col), F.col(text_col),
