@@ -279,6 +279,10 @@ def connected_components(edges: DataFrame, src: str = "src",
     cur = e
     sig = checksum(cur)
     converged = cur.isEmpty()
+    # per-round cost at small SF is stage-LAUNCH latency (4 shuffles/
+    # round × ~6 rounds), not task counts: a row-count-gated coalesce
+    # of the round frames was measured a no-op (round 12), so rounds
+    # are left at their natural shuffle width
     for _ in range(max_iter):
         if converged:
             break
