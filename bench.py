@@ -120,9 +120,16 @@ def main() -> None:
     # pass folds into whichever query runs late. The driver calls bench.py
     # with no args, so its recorded headline stays the comparable
     # single-pass number; repeat mode is the triage instrument.
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1"))
+    raw = os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")
     if "--repeat" in sys.argv:
-        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        i = sys.argv.index("--repeat")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--repeat needs a value, e.g. --repeat 2")
+        raw = sys.argv[i + 1]
+    try:
+        repeat = int(raw)
+    except ValueError:
+        raise SystemExit(f"--repeat must be an integer >= 1, got {raw!r}")
     if repeat < 1:
         raise SystemExit(f"--repeat must be >= 1, got {repeat}")
     spark = get_spark("bench")

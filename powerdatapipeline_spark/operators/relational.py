@@ -233,7 +233,16 @@ def widen_narrow_scan(df: DataFrame,
     partition when the shuffle is small in BYTES (a 2 MB events
     shuffle is, while the O(n·B) compute behind it is not — AQE sizes
     by bytes, not downstream work). An explicit count is
-    ``REPARTITION_BY_NUM``, which AQE must respect."""
+    ``REPARTITION_BY_NUM``, which AQE must respect.
+
+    Caveat: the probe is ``df.rdd.getNumPartitions()``, which finalizes
+    the plan — free on a scan-rooted frame (no job runs), but on a
+    frame with UPSTREAM SHUFFLES it executes those stages and the work
+    is not reused by the real action. Call it where the engine does:
+    directly above a scan/filter/project, never above a join or
+    aggregation. Keys: pass ``by`` only when it is high-cardinality
+    (an id); hashing by a low-cardinality value column caps the widen
+    at its distinct count — go keyless for global aggregations."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df

@@ -514,8 +514,11 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         base = base.where(F.col(c).isNotNull())
     # widen before the O(k²)-sum partial aggregation: a narrow scan
     # otherwise computes every decimal moment on one task (no-op when
-    # the input arrives as >= parallelism splits)
-    base = widen_narrow_scan(base.select(*cols), by=cols[0])
+    # the input arrives as >= parallelism splits). KEYLESS on purpose:
+    # the aggregation is global (one output row), and hashing by a
+    # caller-chosen VALUE column would cap parallelism at that column's
+    # distinct count (l_tax has 9 values — 23 of 32 partitions empty)
+    base = widen_narrow_scan(base.select(*cols))
     aggs = [F.count("*").cast("bigint").alias("__n")]
     for i, ci in enumerate(cols):
         x = F.col(ci).cast("double")

@@ -10480,6 +10480,20 @@ def q249_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powerdatapipeline_spark.operators import stats as st
     docs = (_t(spark, sf_dir, "documents")
             .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull()))
+    return st.krippendorff_alpha(_q249_ratings(docs), "u", "c")
+
+
+def _q249_ratings(docs: DataFrame) -> DataFrame:
+    """The three heuristic keep/drop labelers as a long-format
+    ``(u, c)`` ratings frame — ONE definition shared by batch q249 and
+    streaming q266 (the twins reuse the same DuckDB oracle verbatim, so
+    a copy-pasted labeler that drifted would be a guaranteed parity
+    failure; round-12 self-review). Works on batch and streaming
+    DataFrames alike (pure column expressions).
+
+    One corpus scan, not three: the union form re-tokenizes the text
+    per labeler; packing the three verdicts into an array and exploding
+    keeps a single pass (tokens() evaluated once per doc)."""
     alpha = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
              .cast("double") / F.length("text"))
     lab = lambda cond: F.when(cond, F.lit("keep")).otherwise(F.lit("drop"))
@@ -10487,13 +10501,9 @@ def q249_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ((F.size(tx.tokens("text")) >= 40)
          & F.lower(F.col("text")).contains(" the "))
     c = tx.stopword_ratio("text") >= 0.08
-    # one corpus scan, not three: the union form re-tokenizes the text
-    # per labeler; packing the three verdicts into an array and
-    # exploding keeps a single pass (tokens() evaluated once per doc)
-    ratings = (docs.select(F.col("doc_id").alias("u"),
-                           F.explode(F.array(lab(a), lab(b), lab(c)))
-                           .alias("c")))
-    return st.krippendorff_alpha(ratings, "u", "c")
+    return docs.select(F.col("doc_id").alias("u"),
+                       F.explode(F.array(lab(a), lab(b), lab(c)))
+                       .alias("c"))
 
 
 @register("q250_woe_iv", """
@@ -10854,12 +10864,22 @@ def q257_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SE from the four cells' exact integer-micro moments in ONE
     conditional aggregation pass."""
     from powerdatapipeline_spark.operators import stats as st
-    ev = load_events(spark, sf_dir).where(
+    ev, group, post = _q257_design(load_events(spark, sf_dir))
+    return st.diff_in_diff(ev, "value", group, post)
+
+
+def _q257_design(ev: DataFrame):
+    """The 2×2 DiD design — filter + (group, post) expressions — ONE
+    definition shared by batch q257 and streaming q267 (the twins reuse
+    the same DuckDB oracle verbatim, so a copy-pasted cutover literal
+    that drifted would be a guaranteed parity failure; round-12
+    self-review). Works on batch and streaming frames alike."""
+    filtered = ev.where(
         F.col("event_type").isin("purchase", "view")
         & F.col("ts").isNotNull() & F.col("value").isNotNull())
-    return st.diff_in_diff(
-        ev, "value", F.col("event_type") == "purchase",
-        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    group = F.col("event_type") == "purchase"
+    post = F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return filtered, group, post
 
 
 @register("q258_streaming_woe", """
@@ -11229,16 +11249,7 @@ def q266_streaming_krippendorff(spark: SparkSession,
     docs = (docs_stream_source(spark, sf_dir)
             .where(F.col("doc_id").isNotNull()
                    & F.col("text").isNotNull()))
-    alpha = (F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-             .cast("double") / F.length("text"))
-    lab = lambda cond: F.when(cond, F.lit("keep")).otherwise(F.lit("drop"))
-    a = (F.length("text") >= 200) & (alpha >= 0.55)
-    b = ((F.size(tx.tokens("text")) >= 40)
-         & F.lower(F.col("text")).contains(" the "))
-    c = tx.stopword_ratio("text") >= 0.08
-    ratings = (docs.select(F.col("doc_id").alias("u"),
-                           F.explode(F.array(lab(a), lab(b), lab(c)))
-                           .alias("c")))
+    ratings = _q249_ratings(docs)
     tmp = tempfile.mkdtemp(prefix="q266_streaming_krippendorff_")
     q = streaming_krippendorff_monitor(ratings, F.col("u"), F.col("c"),
                                        f"{tmp}/partials", f"{tmp}/ckpt")
@@ -11267,14 +11278,10 @@ def q267_streaming_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_did_monitor, streaming_did_monitor)
 
-    ev = events_stream_source(spark, sf_dir).where(
-        F.col("event_type").isin("purchase", "view")
-        & F.col("ts").isNotNull() & F.col("value").isNotNull())
+    ev, group, post = _q257_design(events_stream_source(spark, sf_dir))
     tmp = tempfile.mkdtemp(prefix="q267_streaming_did_")
-    q = streaming_did_monitor(
-        ev, "value", F.col("event_type") == "purchase",
-        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
-        f"{tmp}/partials", f"{tmp}/ckpt")
+    q = streaming_did_monitor(ev, "value", group, post,
+                              f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
     if not finished:
         q.stop()

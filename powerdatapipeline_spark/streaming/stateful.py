@@ -271,7 +271,18 @@ def streaming_binary_auc(stream: DataFrame, score_col: str,
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         (auc_per_score_counts(batch_df, score_col, label_col, keys)
-         .write.mode("append").parquet(partials_path))
+         # foreachBatch is AT-LEAST-ONCE: a retried micro-batch re-runs
+         # this sink, and a blind top-level append would stack the
+         # batch's counts twice (silently wrong accumulated statistic
+         # after one executor loss). Standard exactly-once recipe:
+         # overwrite the batch's OWN batch=<id> subdirectory — replays
+         # reuse the SAME batch_id, so the retry REPLACES the first
+         # attempt. Finalizers read the parent path; partition
+         # discovery surfaces `batch` as a column the groupBy/agg
+         # finalizers never reference. (Round-12 self-review; applies
+         # to all eight monitors in this module.)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)
@@ -312,7 +323,11 @@ def streaming_ks_drift(stream: DataFrame, value_col: str,
          .where(F.col("__v").isNotNull())
          .groupBy("__v")
          .agg(F.count("*").cast("bigint").alias("cb"))
-         .write.mode("append").parquet(partials_path))
+         # idempotent per-batch write — see streaming_binary_auc's
+         # _append for the at-least-once rationale (shared by all
+         # eight monitors in this module)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)
@@ -362,7 +377,11 @@ def streaming_heavy_hitters(term_stream: DataFrame, term_col: str,
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.groupBy(F.col(term_col).alias("term"))
          .agg(F.count("*").cast("bigint").alias("c"))
-         .write.mode("append").parquet(partials_path))
+         # idempotent per-batch write — see streaming_binary_auc's
+         # _append for the at-least-once rationale (shared by all
+         # eight monitors in this module)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (term_stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)
@@ -415,7 +434,11 @@ def streaming_quantile_monitor(stream: DataFrame, value_col: str,
          .where(F.col("__v").isNotNull())
          .groupBy("__v")
          .agg(F.count("*").cast("bigint").alias("c"))
-         .write.mode("append").parquet(partials_path))
+         # idempotent per-batch write — see streaming_binary_auc's
+         # _append for the at-least-once rationale (shared by all
+         # eight monitors in this module)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)
@@ -455,7 +478,11 @@ def streaming_psi_drift(stream: DataFrame, value_col: str,
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         (histogram(batch_df, value_col, lo, hi, nbins)
          .select("bin", F.col("n").cast("bigint").alias("n"))
-         .write.mode("append").parquet(partials_path))
+         # idempotent per-batch write — see streaming_binary_auc's
+         # _append for the at-least-once rationale (shared by all
+         # eight monitors in this module)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)
@@ -507,7 +534,11 @@ def streaming_woe_monitor(stream: DataFrame, bucket, label,
               .alias("n_pos"),
               F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint")
               .alias("n_neg"))
-         .write.mode("append").parquet(partials_path))
+         # idempotent per-batch write — see streaming_binary_auc's
+         # _append for the at-least-once rationale (shared by all
+         # eight monitors in this module)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)
@@ -553,7 +584,11 @@ def streaming_krippendorff_monitor(stream: DataFrame, unit, label,
          .where(F.col("__u").isNotNull() & F.col("__c").isNotNull())
          .groupBy("__u", "__c")
          .agg(F.count("*").cast("bigint").alias("nuc"))
-         .write.mode("append").parquet(partials_path))
+         # idempotent per-batch write — see streaming_binary_auc's
+         # _append for the at-least-once rationale (shared by all
+         # eight monitors in this module)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)
@@ -592,7 +627,11 @@ def streaming_did_monitor(stream: DataFrame, value_col: str, group, post,
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         (did_cell_moments(batch_df, value_col, group, post)
-         .write.mode("append").parquet(partials_path))
+         # idempotent per-batch write — see streaming_binary_auc's
+         # _append for the at-least-once rationale (shared by all
+         # eight monitors in this module)
+         .write.mode("overwrite")
+         .parquet(f"{partials_path}/batch={batch_id}"))
 
     return (stream.writeStream.foreachBatch(_append)
             .option("checkpointLocation", checkpoint)

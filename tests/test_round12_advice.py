@@ -28,13 +28,23 @@ fl6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
 # ---------------------------------------------------- #1 skew_report gini
 def test_skew_report_gini_denominator_is_double(spark):
     """The optimized plan must not contain a bigint×bigint K·N multiply:
-    both window counts are cast to double before the division."""
+    both window counts are cast to double before the division. The plan
+    renders attributes WITH exprIds (``__K#8L``), so the assertions
+    match that form — the original substring check without exprIds was
+    vacuous (could never fail; round-12 self-review)."""
+    import re
+
     df = spark.createDataFrame([(1,), (1,), (2,)], "k bigint")
     out = rel.skew_report(df, "k")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # the gini division sits on a double×double product — no raw
-    # (__K * __tot) bigint multiply survives to the plan
-    assert "(__K * __tot)" not in plan.replace("#", " #").replace("L", "")
+    # regressed form: a raw bigint multiply `(__K#NL * __tot#NL)`
+    assert not re.search(r"\(__K#\d+L?\s*\*\s*__tot#\d+L?\)", plan), (
+        "bigint K*N multiply in the gini denominator — overflows at "
+        "~1e22 under ANSI (ADVICE r11 #1)")
+    # fixed form: both operands individually cast to double
+    assert re.search(
+        r"cast\(__K#\d+L? as double\)\s*\*\s*cast\(__tot#\d+L? as double\)",
+        plan), "expected double*double gini denominator not found"
     rows = {r.key_value: r for r in out.collect()}
     # hand gini for counts [1, 2]: G = 2*(1*1+2*2)/(2*3) - 3/2 = 1/6
     assert rows[1].gini == pytest.approx(round(2 * 5 / 6 - 1.5, 6))

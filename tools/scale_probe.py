@@ -81,6 +81,22 @@ def build_at(spark, factor: int, dest: str) -> None:
     import shutil
 
     os.makedirs(dest, exist_ok=True)
+    # ONE GLOBAL stride for every table: per-table strides broke the
+    # FK-lockstep invariant (o_custkey shifted by orders' stride while
+    # c_custkey shifted by customer's smaller one — replicas >= 1 had
+    # dangling FKs, faking sub-linear exponents for any fact⋈dim
+    # query; found in round-12 self-review). The committed SCALE.md
+    # DEFAULT_QUERIES only join lineitem⋈orders, whose strides
+    # coincided, so the recorded numbers stand.
+    global_max = 0
+    for table, keys in SHIFT_COLS.items():
+        if not keys:
+            continue
+        df = spark.read.parquet(os.path.join(SRC, f"{table}.parquet"))
+        maxes = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
+        global_max = max(global_max,
+                         max(int(maxes[k] or 0) for k in keys))
+    stride = 10 ** len(str(global_max))
     for table, keys in SHIFT_COLS.items():
         out = os.path.join(dest, f"{table}.parquet")
         if os.path.exists(out):
@@ -92,11 +108,6 @@ def build_at(spark, factor: int, dest: str) -> None:
             print(f"# {table}: copied (dim)", flush=True)
             continue
         df = spark.read.parquet(src_path)
-        # stride = next power of 10 above the max key, so shifted ids
-        # stay readable and collision-free (factor 1: stride still
-        # applied to replica 0 only — a no-op shift, identical rows)
-        maxes = df.agg(*[F.max(k).alias(k) for k in keys]).collect()[0]
-        stride = 10 ** len(str(max(int(maxes[k] or 0) for k in keys)))
         rep = df.withColumn(
             "__rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
         for k in keys:
