@@ -134,3 +134,38 @@ def test_diff_in_diff_small_cell_still_raises(spark):
         "g boolean, p boolean, v double")
     with pytest.raises(Exception, match="diff_in_diff"):
         st.diff_in_diff(df, "v", F.col("g"), F.col("p")).collect()
+
+
+# ------------------------------- at-least-once / restart idempotence
+def test_did_monitor_restart_does_not_duplicate_partials(spark, tmp_path):
+    """Re-running the monitor with the SAME checkpoint must not change
+    the finalized result: committed offsets mean the restart processes
+    nothing new, and a retried/replayed batch overwrites its own
+    batch=<id> subdirectory instead of appending a second copy (the
+    at-least-once fix, round-12 self-review)."""
+    src = tmp_path / "src2"
+    src.mkdir()
+    df = spark.createDataFrame(DID_ROWS, "g boolean, p boolean, v double")
+    df.coalesce(1).write.parquet(str(src / "f0"))
+    p, c = str(tmp_path / "partials2"), str(tmp_path / "ckpt2")
+    want = st.diff_in_diff(df, "v", F.col("g"), F.col("p")).collect()
+    for _ in range(2):  # second run = restart with committed offsets
+        stream = (spark.readStream.schema(df.schema)
+                  .parquet(str(src) + "/*"))
+        q = streaming_did_monitor(stream, "v", F.col("g"), F.col("p"),
+                                  p, c)
+        assert q.awaitTermination(120)
+        assert finalize_did_monitor(spark, p).collect() == want
+
+
+def test_partial_write_batch_retry_is_idempotent(spark, tmp_path):
+    """The per-batch overwrite discipline itself: writing a batch's
+    partial twice under the same batch_id (a foreachBatch retry) leaves
+    exactly one copy."""
+    p = str(tmp_path / "retry_partials")
+    partial = spark.createDataFrame([("u1", "keep", 2)],
+                                    "__u string, __c string, nuc bigint")
+    for _ in range(2):
+        partial.write.mode("overwrite").parquet(f"{p}/batch=7")
+    got = finalize_krippendorff_monitor(spark, p).collect()[0]
+    assert got.n_ratings == 2  # not 4: the retry replaced, not stacked
