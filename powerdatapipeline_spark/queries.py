@@ -8949,7 +8949,8 @@ ranked AS (
 SELECT vec_id, label, draw_rank
 FROM ranked, m WHERE draw_rank <= m
 ORDER BY label, vec_id
-""")
+""", priority=PRI_TAIL)  # driver-green r11 + r12 → demoted for the r13
+#                          head so q266 gets its first driver record
 def q216_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced downsample of the embedding set
     (operators/relational.class_balance) — every label equalized to
@@ -9054,7 +9055,8 @@ SELECT g AS event_type, n_scored,
     floor(CAST(sape AS DOUBLE) / CAST(n_nz AS DOUBLE)
           * 1000000.0 + 0.5) / 1000000.0 END AS mape
 FROM agg ORDER BY event_type
-""")
+""", priority=PRI_TAIL)  # driver-green r11 + r12 → demoted for the r13
+#                          head so q267 gets its first driver record
 def q218_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly seasonal-naive forecast backtest per event type
     (operators/timeseries.forecast_backtest_naive) — MAE/RMSE/bias/
@@ -11228,7 +11230,9 @@ def q265_cosine_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q266_streaming_krippendorff",
-          REGISTRY["q249_krippendorff_alpha"][1], priority=PRI_TAIL)
+          # promoted into the r13 head (VERDICT r12 #1): born after the
+          # r12 snapshot froze, needs its first driver record
+          REGISTRY["q249_krippendorff_alpha"][1])
 def q266_streaming_krippendorff(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """STREAMING Krippendorff alpha under driver verification
@@ -11261,7 +11265,9 @@ def q266_streaming_krippendorff(spark: SparkSession,
 
 
 @register("q267_streaming_did",
-          REGISTRY["q257_diff_in_diff"][1], priority=PRI_TAIL)
+          # promoted into the r13 head (VERDICT r12 #1): born after the
+          # r12 snapshot froze, needs its first driver record
+          REGISTRY["q257_diff_in_diff"][1])
 def q267_streaming_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING 2×2 difference-in-differences under driver
     verification (streaming/stateful.streaming_did_monitor +

@@ -71,20 +71,26 @@ def test_join_size_estimate_emits_double(spark):
 
 def test_join_size_estimate_survives_past_int64(spark):
     """Counts of 4e9 rows per side → contrib 1.6e19 > int64 max: the
-    audit must REPORT the explosion, not raise. Counts are synthesized
-    (not materialized rows) by aggregating pre-counted frames through
-    the same decimal fold the real operator uses — here we pin the
-    output path: a decimal(38,0) total well past 9.2e18 casts to double
-    without raising under either ANSI mode."""
-    # two keys, each 3_030_000_000-ish rows per side would be unbuildable
-    # as real rows; instead verify the output cast directly on the
-    # operator's own frame by feeding counts through a unioned key column
-    # (16 rows → contrib 64·1e36 impossible to build). So: pin the cast
-    # SEMANTICS — decimal(38,0) → double — with a literal frame.
-    df = spark.range(1).selectExpr(
-        "CAST(CAST(16000000000000000000 AS DECIMAL(38,0)) AS DOUBLE) AS v")
-    v = df.collect()[0].v
-    assert v == 1.6e19  # exact in double; no ANSI raise
+    audit must REPORT the explosion, not raise. Counts that large are
+    unbuildable as real rows, so this drives the OPERATOR'S OWN
+    scoring expressions (_join_size_from_counts — the exact frame
+    join_size_estimate hands its per-key counts to, ADVICE r12)
+    through pre-counted (key, n) frames: a regression reintroducing a
+    bigint cast anywhere on the >int64 path fails here, under both
+    ANSI modes (raise) and off (silent wrap to a wrong value)."""
+    lc = spark.createDataFrame(
+        [(1, 4_000_000_000), (2, 3)], "key bigint, n_left bigint")
+    rc = spark.createDataFrame(
+        [(1, 4_000_000_000), (2, 5)], "key bigint, n_right bigint")
+    out = {r.key: r for r in
+           rel._join_size_from_counts(lc, rc, top_k=10).collect()}
+    assert out[1].contrib == 1.6e19          # > 2^63-1, reported not raised
+    assert out[1].n_left == 4_000_000_000    # exact inputs preserved
+    assert out[2].contrib == 15.0
+    # total = 1.6e19 + 15 — exact in the decimal fold, double readout
+    assert out[1].est_total_rows == pytest.approx(1.6e19, rel=1e-12)
+    # share of the hot key ≈ 1.0 — the explosion is visible
+    assert out[1].share == 1.0
 
 
 # ----------------------------------------------- #3 negative_sampling

@@ -221,6 +221,20 @@ SCALAR_BROADCAST_INTENDED = {
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
 
+#: Queries whose unpartitioned ordered Window is INTENDED because its
+#: input is metadata-sized by construction — a count/bucket/summary
+#: frame whose row count is bounded by a contract constant (k, #groups,
+#: #buckets, #dims, |dictionary|), never by corpus rows. The documented
+#: lone-exchange pattern (SCALE.md): one tiny exchange of an
+#: already-aggregated frame, constant cost at any SF. Everything else
+#: that plans an unpartitioned ordered Window is a RED FLAG (VERDICT
+#: r12 #4): a global sort serializes through one task at scale.
+#: Populated per query with the frame the window runs over.
+GLOBAL_WINDOW_INTENDED: dict[str, str] = {}
+
+#: real DataFrame methods stashed by _disable_persist before patching
+_REAL: dict = {}
+
 
 def _disable_persist() -> None:
     """Audit-only: make DataFrame.persist/cache/unpersist no-ops so the
@@ -241,6 +255,12 @@ def _disable_persist() -> None:
         classes.append(ClassicDF)
     except ImportError:  # pre-4.x layout: pyspark.sql.DataFrame is concrete
         pass
+    # keep ONE real handle around for audit builders that must
+    # reproduce an operator's executed checkpoint boundary (q217 cuts
+    # at the |V|-bounded candidate pairs — see _iterative_variants).
+    # Stash from the CONCRETE class (classes[-1] = ClassicDF on 4.x):
+    # the abstract base's method is a stub that returns None.
+    _REAL.setdefault("localCheckpoint", classes[-1].localCheckpoint)
     for cls in classes:
         cls.persist = lambda self, *a, **k: self
         cls.cache = lambda self, *a, **k: self
@@ -368,7 +388,15 @@ def _iterative_variants(spark, sf):
         _fuzzy_dict_candidates
 
     part = _t(spark, sf, "part")
-    fcand = _fuzzy_dict_candidates(part, "p_name", 2, 200_000)
+    # the REAL operator cuts here too (canonicalize_labels eagerly
+    # localCheckpoints the |V|-bounded candidate pairs before the CC
+    # loop, VERDICT r12 #3) — reproduce the executed boundary with the
+    # pre-patch method so the audited round plan matches what runs,
+    # instead of unrolling the blocked-Levenshtein sub-tree per edge
+    # reference (the old Scan×219 entry). The candidate-generation plan
+    # itself stays fully audited under q206_fuzzy_dict_match.
+    fcand = _REAL["localCheckpoint"](
+        _fuzzy_dict_candidates(part, "p_name", 2, 200_000), eager=True)
     fedges = fcand.select(F.col("value_a").alias("src"),
                           F.col("value_b").alias("dst"))
     fone = _cc_small_star(_cc_large_star(_cc_canonical(fedges)))
@@ -398,7 +426,51 @@ def _iterative_variants(spark, sf):
             "q217_canonicalize_labels": canon_frame}
 
 
-def plan_summary(df) -> tuple[list[str], list[str], list[str]]:
+def _top_level_brackets(s: str) -> list[str]:
+    """Split a formatted-plan Arguments payload into its top-level
+    ``[...]`` groups (bracket-depth tracking — windowspecdefinition
+    bodies may nest brackets inside array casts/lambdas)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start + 1:i])
+                start = -1
+    return groups
+
+
+def unpartitioned_windows(txt: str) -> int:
+    """Count Window operators whose partition spec is EMPTY — the
+    single-task global-sort shape that serializes a data-sized input
+    through one partition at scale (VERDICT r12 #4). In formatted
+    explain a Window node's Arguments line carries [funcs], [partition
+    keys], [order keys]; an unpartitioned ordered window shows only
+    TWO top-level groups with ASC/DESC sort directions in the last
+    (a partition-only running agg also shows two, but its last group
+    has no sort direction — not flagged, it still parallelizes)."""
+    n = 0
+    lines = txt.splitlines()
+    for i, l in enumerate(lines):
+        if not re.match(r"^\s*\(\d+\)\s+Window(Exec)?\s*$", l):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            arg = lines[j].strip()
+            if not arg.startswith("Arguments:"):
+                continue
+            groups = _top_level_brackets(arg[len("Arguments:"):])
+            if (len(groups) == 2
+                    and re.search(r"\b(ASC|DESC) NULLS", groups[-1])):
+                n += 1
+            break
+    return n
+
+
+def plan_summary(df) -> tuple[list[str], list[str], list[str], int]:
     txt = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     ops = [re.sub(r"^\s*\(\d+\)\s*", "", l).strip()
@@ -406,7 +478,7 @@ def plan_summary(df) -> tuple[list[str], list[str], list[str]]:
     pushed = [l.strip() for l in txt.splitlines()
               if "PushedFilters" in l and ": []" not in l]
     flags = [f for f in RED_FLAGS if f in txt]
-    return ops, pushed, flags
+    return ops, pushed, flags, unpartitioned_windows(txt)
 
 
 def main() -> None:
@@ -434,7 +506,7 @@ def main() -> None:
             fn = lambda s, d, _df=streaming_lazy[name]: _df  # noqa: E731
         try:
             df = fn(spark, SF)
-            ops, pushed, flags = plan_summary(df)
+            ops, pushed, flags, n_gwin = plan_summary(df)
         except Exception as e:  # pragma: no cover
             out += [f"## {name}", "", f"ERROR: {e}", ""]
             continue
@@ -458,6 +530,15 @@ def main() -> None:
         elif flags:
             n_flags += 1
             out.append(f"- **RED FLAG: {flags}**")
+        if n_gwin and name in GLOBAL_WINDOW_INTENDED:
+            out.append(f"- global window INTENDED ({n_gwin}×, "
+                       "metadata-sized input: "
+                       f"{GLOBAL_WINDOW_INTENDED[name]})")
+        elif n_gwin:
+            n_flags += 1
+            out.append(f"- **RED FLAG: unpartitioned Window×{n_gwin} "
+                       "on a non-whitelisted input (single-task global "
+                       "sort at scale)**")
         out.append("")
     out.append(f"Red-flag queries: {n_flags}")
     with open("PLANS.md", "w") as f:

@@ -81,6 +81,29 @@ def build_at(spark, factor: int, dest: str) -> None:
     import shutil
 
     os.makedirs(dest, exist_ok=True)
+    # Factor/stride manifest (ADVICE r12): per-table existence checks
+    # used to skip rebuilding without verifying WHAT factor the file
+    # was built at — rerunning with a different --factor (or resuming
+    # an interrupted build) silently probed stale data and reported
+    # wrong exponents. The manifest pins (factor, src); a mismatch
+    # wipes the build dir and starts clean. It is written AFTER the
+    # last table lands, so an interrupted build (no manifest) also
+    # rebuilds from scratch.
+    manifest_path = os.path.join(dest, "MANIFEST.json")
+    want = {"factor": factor, "src": SRC}
+    have = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            have = json.load(f)
+    if have != want:
+        stale = [p for p in os.listdir(dest) if p != "MANIFEST.json"]
+        if stale:
+            print(f"# manifest mismatch (have {have}, want {want}) — "
+                  f"rebuilding {len(stale)} stale tables", flush=True)
+        for p in os.listdir(dest):
+            full = os.path.join(dest, p)
+            (shutil.rmtree if os.path.isdir(full)
+             else os.remove)(full)
     # ONE GLOBAL stride for every table: per-table strides broke the
     # FK-lockstep invariant (o_custkey shifted by orders' stride while
     # c_custkey shifted by customer's smaller one — replicas >= 1 had
@@ -136,6 +159,9 @@ def build_at(spark, factor: int, dest: str) -> None:
         shutil.rmtree(tmp_dir)
         print(f"# {table}: x{factor} -> {dest} (stride {stride})",
               flush=True)
+    with open(manifest_path, "w") as f:
+        json.dump(want, f)
+        f.write("\n")
 
 
 def probe(spark, stems: list[str], factor: int) -> list[dict]:
