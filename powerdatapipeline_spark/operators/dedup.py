@@ -709,22 +709,25 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str, sort_col: str,
     row replicates to the ``window−1`` ranks behind it (narrow
     ``explode(sequence)``) and equi-joins on rank: candidate pairs
     WITHOUT an inequality join. The global sort is inherent to the
-    method (it's what "neighborhood" means); at 100 TB use
-    repartitionByRange(sort_col) + per-partition ranks with a
-    ``window``-row overlap replicated across partition boundaries —
-    same output, no single-task sort (the q104 distributed-prefix-sum
-    pattern).
+    method (it's what "neighborhood" means), but the RANK is not a
+    single-task ``Window.orderBy``: it is the distributed two-pass
+    prefix (relational.global_prefix — range shuffle + per-partition
+    ranks + P-row offset broadcast), so the corpus never serializes
+    through one task (round 13; the docstring used to defer this to
+    "at 100 TB use..." — now it IS the implementation).
 
     Returns ``(key_a, key_b, sort_a, sort_b, rank_gap)`` candidate
     pairs ordered key_a < key_b by RANK (a before b in sort order);
     the caller applies the expensive verifier (edit distance, field
     compare) to candidates only."""
+    from powerdatapipeline_spark.operators.relational import \
+        global_prefix
+
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    w = Window.orderBy(F.col("s").asc(), F.col("k").asc())
-    ranked = (df.select(F.col(key_col).alias("k"),
-                        F.col(sort_col).alias("s"))
-              .withColumn("rn", F.row_number().over(w)))
+    ranked = global_prefix(
+        df.select(F.col(key_col).alias("k"), F.col(sort_col).alias("s")),
+        ["s", "k"], rn_col="rn")
     right = ranked.select(F.col("k").alias("key_b"),
                           F.col("s").alias("sort_b"),
                           F.col("rn").alias("rn_b"))
@@ -988,13 +991,21 @@ def canonicalize_labels(df: DataFrame, value_col: str,
               .where(F.col("node").isNotNull())
               .groupBy("node").agg(F.count("*").cast("bigint").alias("n")))
     member = labels.join(counts, "node")
-    w = Window.partitionBy("label").orderBy(F.desc("n"), F.asc("node"))
-    canon = (member.withColumn("__rn", F.row_number().over(w))
-             .where(F.col("__rn") == 1)
-             .select(F.col("label"), F.col("node").alias("canonical")))
-    size = member.groupBy("label").agg(
-        F.count("*").cast("bigint").alias("cluster_size"))
-    return (member.join(canon, "label").join(size, "label")
+    # canonical pick + cluster size in ONE label-keyed window pass
+    # (round 13): the former member⋈canon⋈size triple-join referenced
+    # `member` three times, re-deriving the labels⋈counts sub-plan —
+    # the rank, the unbounded count, and the rank-1 value all share a
+    # single partitionBy(label) shuffle
+    w_ord = Window.partitionBy("label").orderBy(F.desc("n"),
+                                                F.asc("node"))
+    w_all = Window.partitionBy("label")
+    return (member
+            .withColumn("__rn", F.row_number().over(w_ord))
+            .withColumn("cluster_size",
+                        F.count("*").over(w_all).cast("bigint"))
+            .withColumn("canonical",
+                        F.max(F.when(F.col("__rn") == 1,
+                                     F.col("node"))).over(w_all))
             .select(F.col("node").alias("value"), "n", "canonical",
                     "cluster_size")
             .orderBy("canonical", "value"))

@@ -699,6 +699,137 @@ def shard_manifest(df: DataFrame, key_col: str, n_shards: int,
     return assigned.groupBy("shard_id").agg(*agg)
 
 
+def _monotone_double(dt: str, name: str) -> Column:
+    """A DOUBLE expression over column ``name`` (of typeName ``dt``)
+    that is monotone non-decreasing in the column's sort order — the
+    bucketing projection :func:`global_prefix` slices the key space
+    with. Numerics/timestamps cast directly; strings map their first
+    7 bytes big-endian (zero-RIGHT-padded, so a strict prefix stays
+    <= its extensions exactly like UTF8 binary collation; 56 bits is
+    double-exact). Ties under the projection only merge buckets —
+    never reorder — so correctness needs monotonicity alone."""
+    if dt in ("long", "integer", "short", "byte", "double", "float") \
+            or dt.startswith("decimal"):
+        return F.col(name).cast("double")
+    if dt in ("timestamp", "timestamp_ntz"):
+        return F.col(name).cast("double")
+    if dt == "date":
+        return F.col(name).cast("timestamp").cast("double")
+    if dt == "string":
+        return F.expr(
+            f"CAST(conv(hex(rpad(CAST({name} AS BINARY), 7, X'00')), "
+            "16, 10) AS DOUBLE)")
+    raise ValueError(
+        f"global_prefix: unsupported first order-key type {dt} — "
+        "numeric, string, timestamp, or date required")
+
+
+def global_prefix(df: DataFrame, order: Sequence[str | Column],
+                  sums: dict[str, Column] | None = None,
+                  rn_col: str | None = None,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Distributed EXACT global order statistics — running sums and/or
+    a 1-based global row number over a total order — WITHOUT the
+    single-task global window (`Window.orderBy(...)` with no
+    partitionBy moves every row through one task; fine for summary
+    frames, catastrophic for corpus rows — the round-13 plan-audit
+    red-flag class this helper exists to retire).
+
+    The two-pass prefix-sum decomposition over DETERMINISTIC
+    equal-width value buckets of the first order key:
+
+    1. bucket = ``floor((key − min) / width)`` from a 1-row min/max
+       broadcast — a pure column expression, monotone in the key, so
+       buckets are ORDER-CONTIGUOUS and every tie shares a bucket.
+       Deterministic ON PURPOSE: ``repartitionByRange`` picks its
+       boundaries from a SAMPLE job, and the offsets branch and data
+       branch below would each execute their own copy of that
+       exchange — under AQE the copies can land different boundaries
+       and the broadcast offsets then disagree with the rows' actual
+       partitions (observed: duplicate row numbers in q79's two-sided
+       zip). A value-derived bucket makes re-execution safe, keeping
+       the whole helper LAZY (no checkpoint job);
+    2. per-bucket running sums / row numbers via a bucket-partitioned
+       window — one hash shuffle, fully parallel;
+    3. per-bucket TOTALS (a ≤B-row aggregate) turned into exclusive
+       prefix offsets by a global window over that ≤B-row frame (the
+       documented metadata-sized lone exchange), broadcast-joined
+       back and added.
+
+    Per-bucket partials + offsets are exact for any associative sum
+    (ints, decimals). The first order key must be NUMERIC (ids,
+    epochs, codes — every engine use) and ascending; equal-width
+    buckets inherit the key distribution, so a pathologically
+    clustered key degrades toward fewer active buckets (document the
+    skew, or pre-map the key) — never toward wrong answers. Returns
+    ``df`` with the requested columns appended; ``sums`` maps
+    new-column name → source expression (its RUNNING global sum up to
+    and including the row); ``rn_col`` names the 1-based global row
+    number."""
+    sums = sums or {}
+    if not sums and rn_col is None:
+        raise ValueError("global_prefix: nothing requested — pass sums "
+                         "and/or rn_col")
+    sc = df.sparkSession.sparkContext
+    b = int(num_partitions or 2 * sc.defaultParallelism)
+    okeys = [F.col(c) if isinstance(c, str) else c for c in order]
+    base = df.withColumn("__gp_k0", okeys[0])
+    dt = base.schema["__gp_k0"].dataType.typeName()
+    key = _monotone_double(dt, "__gp_k0")
+    stats = base.agg(F.min(key).alias("__gp_lo"),
+                     F.max(key).alias("__gp_hi"))
+    # IEEE division is monotone in the numerator for positive width,
+    # so floor((key−lo)/w) is non-decreasing in key even under double
+    # rounding — contiguity needs monotonicity, not exactness
+    width = ((F.col("__gp_hi") - F.col("__gp_lo") + F.lit(1.0))
+             / F.lit(float(b)))
+    bucket = F.least(
+        F.lit(b - 1),
+        F.floor((key - F.col("__gp_lo")) / width)).cast("int")
+    d = (base.crossJoin(F.broadcast(stats))
+         .withColumn("__gp_b", F.coalesce(bucket, F.lit(0)))
+         .drop("__gp_lo", "__gp_hi", "__gp_k0"))
+    wloc = (Window.partitionBy("__gp_b").orderBy(*okeys)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wrow = Window.partitionBy("__gp_b").orderBy(*okeys)
+    for name, src in sums.items():
+        d = d.withColumn(name, F.sum(src).over(wloc))
+    if rn_col is not None:
+        d = d.withColumn(rn_col,
+                         F.row_number().over(wrow).cast("bigint"))
+    tot_aggs = [F.sum(src).alias(f"__gp_t_{name}")
+                for name, src in sums.items()]
+    if rn_col is not None:
+        tot_aggs.append(F.count("*").cast("bigint")
+                        .alias("__gp_t_rowcount"))
+    ptot = d.groupBy("__gp_b").agg(*tot_aggs)
+    # exclusive prefix over the ≤B-row totals frame: the one intended
+    # unpartitioned window — bounded by the bucket count, not data
+    wpre = (Window.orderBy("__gp_b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    off_cols = [F.col("__gp_b")]
+    for name in sums:
+        off_cols.append(F.coalesce(F.sum(f"__gp_t_{name}").over(wpre),
+                                   F.lit(0)).alias(f"__gp_o_{name}"))
+    if rn_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__gp_t_rowcount").over(wpre),
+                       F.lit(0)).cast("bigint").alias("__gp_o_rowcount"))
+    offsets = ptot.select(*off_cols)
+    d = d.join(F.broadcast(offsets), "__gp_b")
+    for name in sums:
+        d = d.withColumn(
+            name, (F.col(name) + F.col(f"__gp_o_{name}"))
+            .cast(dict(d.dtypes)[name]))
+    if rn_col is not None:
+        d = d.withColumn(rn_col, (F.col(rn_col)
+                                  + F.col("__gp_o_rowcount"))
+                         .cast("bigint"))
+    drop = (["__gp_b"] + [f"__gp_o_{n}" for n in sums]
+            + (["__gp_o_rowcount"] if rn_col is not None else []))
+    return d.drop(*drop)
+
+
 def zorder_code(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton / Z-order interleave of two non-negative integer bucket
     ids (``bits`` bits each) into one BIGINT sort key: bit ``i`` of
@@ -739,24 +870,43 @@ def zorder_layout_audit(df: DataFrame, x_col: Column, y_col: Column,
     single-column sort would show wide envelopes on the other column.
 
     Output: one row per file (fixed-size): ``file_id``, ``n_rows``,
-    ``x_min/x_max/y_min/y_max``. File assignment is ntile over the code
-    (count-balanced, deterministic with the (code, x, y) tie-break).
+    ``x_min/x_max/y_min/y_max``. File assignment is ntile-over-the-code
+    SEMANTICS (count-balanced, bigger files first, deterministic with
+    the (code, x, y) tie-break) computed WITHOUT the single-task global
+    window (round 13): the global rank comes from the distributed
+    two-pass prefix (:func:`global_prefix`) and ``ntile(k)`` is its
+    closed form ``floor((rn−1)·k / n) + 1`` — exactly SQL ntile's
+    bucket boundaries (sizes differ by ≤ 1, larger buckets first), so
+    oracle parity is bit-identical while the assignment scales.
 
-    Scale shape: the audit's global ntile is the verification harness;
-    the PRODUCTION write is ``repartitionByRange(n_files, code)`` +
-    sortWithinPartitions — a range shuffle on sampled bounds, no global
-    window — and the engine then gets these min/max stats for free from
-    the parquet footers. The audit states the target layout exactly and
-    is itself a one-shuffle, one-row-per-file reduction."""
+    Scale shape: a sampled range shuffle + parallel per-partition
+    ranks + a 1-row count broadcast, then the one-row-per-file
+    reduction — the same plan the PRODUCTION write uses
+    (``repartitionByRange(n_files, code)`` + sortWithinPartitions,
+    whose min/max stats then come free from parquet footers)."""
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
     coded = df.select(x_col.cast("bigint").alias("__x"),
                       y_col.cast("bigint").alias("__y"))
     coded = coded.withColumn(
         "__z", zorder_code(F.col("__x"), F.col("__y"), bits))
-    w = Window.orderBy("__z", "__x", "__y")
-    filed = coded.withColumn("file_id",
-                             F.ntile(n_files).over(w).cast("int"))
+    ranked = global_prefix(coded, ["__z", "__x", "__y"],
+                           rn_col="__rn")
+    n_tot = coded.agg(F.count("*").cast("bigint").alias("__n"))
+    # exact SQL-ntile closed form in BIGINT floor-division (DIV), not
+    # a double divide (ranks past 2^53 would round the boundary): with
+    # q = n DIV k and r = n % k, the first r buckets hold q+1 rows
+    # (bigger buckets FIRST — the ntile contract both engines share)
+    k = int(n_files)
+    filed = (ranked.crossJoin(F.broadcast(n_tot))
+             .withColumn(
+                 "file_id",
+                 F.expr(
+                     f"CAST(CASE WHEN __rn <= ((__n DIV {k}) + 1) * "
+                     f"(__n % {k}) THEN (__rn - 1) DIV ((__n DIV {k}) "
+                     f"+ 1) + 1 ELSE (__n % {k}) + (__rn - ((__n DIV "
+                     f"{k}) + 1) * (__n % {k}) - 1) DIV (__n DIV {k}) "
+                     "+ 1 END AS INT)")))
     return (filed.groupBy("file_id")
             .agg(F.count("*").cast("bigint").alias("n_rows"),
                  F.min("__x").alias("x_min"), F.max("__x").alias("x_max"),

@@ -2049,11 +2049,18 @@ def heaps_law_fit(df: DataFrame, text_col: str = "text",
     per-doc token counts; running sums over the doc spine turn those
     into (ln N_d, ln V_d) points — the streaming-order trick that makes
     cumulative-distinct cheap: V_d = Σ_{d'≤d} #{terms first seen at d'},
-    so no per-prefix distinct scans. OLS in closed form over
-    decimal-folded sums (the q68 discipline). At 100 TB sample the doc
-    spine at log-spaced checkpoints instead of every doc; the running
-    sums are otherwise identical. Returns one row:
+    so no per-prefix distinct scans. The running sums are the
+    distributed two-pass prefix (relational.global_prefix: range
+    shuffle + per-partition cumsums + P-row offset broadcast), not a
+    single-task global window — the doc spine is corpus-sized (round
+    13). OLS in closed form over decimal-folded sums (the q68
+    discipline). At 100 TB sample the doc spine at log-spaced
+    checkpoints instead of every doc; the running sums are otherwise
+    identical. Returns one row:
     ``(n_points, total_tokens, total_vocab, beta, log_k)``."""
+    from powerdatapipeline_spark.operators.relational import \
+        global_prefix
+
     base = _spread(df).select(F.col(id_col).alias("d"),
                               tokens(text_col).alias("t"))
     ntok = base.select("d", F.size("t").alias("nt"))
@@ -2062,10 +2069,12 @@ def heaps_law_fit(df: DataFrame, text_col: str = "text",
     newv = fo.groupBy("fd").agg(F.count("*").alias("nv"))
     spine = (ntok.join(newv, ntok["d"] == newv["fd"], "left")
              .select("d", "nt", F.coalesce("nv", F.lit(0)).alias("nv")))
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    pts = (spine
-           .withColumn("ct", F.sum("nt").over(w).cast("bigint"))
-           .withColumn("cv", F.sum("nv").over(w).cast("bigint"))
+    pts = (global_prefix(
+               spine, ["d"],
+               sums={"ct": F.col("nt").cast("bigint"),
+                     "cv": F.col("nv").cast("bigint")})
+           .withColumn("ct", F.col("ct").cast("bigint"))
+           .withColumn("cv", F.col("cv").cast("bigint"))
            .where((F.col("ct") > 0) & (F.col("cv") > 0))
            .select(F.round(F.log(F.col("ct").cast("double")), 6).alias("x"),
                    F.round(F.log(F.col("cv").cast("double")), 6).alias("y"),

@@ -620,13 +620,17 @@ def zip_by_position(left: DataFrame, right: DataFrame, order_left: str,
     """Positional zip of two plans (reference ``zip_datasets``,
     tfdataset.py:177-183). Positional alignment is an anti-pattern in Spark
     (SURVEY.md §2.3) — derive both column-sets from ONE plan when possible;
-    this fallback aligns by ``row_number`` over an explicit ordering key of
-    each side and inner-joins on it. ``monotonically_increasing_id`` alone is
-    NOT stable and is deliberately not used."""
-    wl = Window.orderBy(order_left)
-    wr = Window.orderBy(order_right)
-    lt = left.withColumn("__rn", F.row_number().over(wl))
-    rt = right.withColumn("__rn", F.row_number().over(wr))
+    this fallback aligns by a GLOBAL row number over an explicit ordering
+    key of each side and inner-joins on it. ``monotonically_increasing_id``
+    alone is NOT stable and is deliberately not used. The row number is
+    the distributed two-pass prefix (relational.global_prefix: range
+    shuffle + per-partition ranks + P-row offset broadcast), NOT a
+    single-task ``Window.orderBy`` — positional semantics stay exact
+    while both sides enumerate in parallel (round 13)."""
+    from powerdatapipeline_spark.operators.relational import global_prefix
+
+    lt = global_prefix(left, [order_left], rn_col="__rn")
+    rt = global_prefix(right, [order_right], rn_col="__rn")
     return lt.join(rt, "__rn", "inner").drop("__rn")
 
 

@@ -217,19 +217,26 @@ SCALAR_BROADCAST_INTENDED = {
     # round 10c: q244 inherits q203's 1-row basket-count broadcast
     # (association_rules `n_orders`)
     "q244_session_associations",
+    # round 13: relational.global_prefix broadcasts its 1-row
+    # min/max key-stats frame onto the stream to derive the
+    # deterministic bucket id (and q139 additionally its 1-row total
+    # count for the ntile closed form) — constant cost at any SF; the
+    # helper exists precisely to REMOVE the single-task global sort
+    "q79_positional_zip", "q139_zorder_layout", "q165_heaps_law",
+    "q166_sorted_neighborhood",
 }
 
 CROSS_JOIN_INTENDED = BRUTE_FORCE_INTENDED | SCALAR_BROADCAST_INTENDED
 
-#: Queries whose unpartitioned ordered Window is INTENDED because its
-#: input is metadata-sized by construction — a count/bucket/summary
-#: frame whose row count is bounded by a contract constant (k, #groups,
-#: #buckets, #dims, |dictionary|), never by corpus rows. The documented
-#: lone-exchange pattern (SCALE.md): one tiny exchange of an
-#: already-aggregated frame, constant cost at any SF. Everything else
-#: that plans an unpartitioned ordered Window is a RED FLAG (VERDICT
-#: r12 #4): a global sort serializes through one task at scale.
-#: Populated per query with the frame the window runs over.
+#: Queries whose unpartitioned ordered Window over CORPUS-REACHABLE
+#: rows is nonetheless intended (VERDICT r12 #4 escape hatch). The
+#: detector already exempts windows over aggregate-bounded summary
+#: frames automatically (the documented lone-exchange pattern); this
+#: list is only for raw-row global sorts with a named justification.
+#: Round 13 retired every former member by rewriting the operators on
+#: relational.global_prefix (q79 zip, q139 z-order ntile, q165 Heaps
+#: running sums, q166 sorted-neighborhood rank) — keep it EMPTY unless
+#: a new operator genuinely cannot avoid a raw global sort.
 GLOBAL_WINDOW_INTENDED: dict[str, str] = {}
 
 #: real DataFrame methods stashed by _disable_persist before patching
@@ -410,13 +417,17 @@ def _iterative_variants(spark, sf):
                .groupBy("node")
                .agg(F.count("*").cast("bigint").alias("n")))
     fmember = flabels.join(fcounts, "node")
+    # single label-keyed window pass, mirroring the round-13 operator
+    # (rank + unbounded count + rank-1 pick share one shuffle)
     wq = W.partitionBy("label").orderBy(F.desc("n"), F.asc("node"))
-    fcanon = (fmember.withColumn("__rn", F.row_number().over(wq))
-              .where(F.col("__rn") == 1)
-              .select("label", F.col("node").alias("canonical")))
-    fsize = fmember.groupBy("label").agg(
-        F.count("*").cast("bigint").alias("cluster_size"))
-    canon_frame = (fmember.join(fcanon, "label").join(fsize, "label")
+    wl = W.partitionBy("label")
+    canon_frame = (fmember
+                   .withColumn("__rn", F.row_number().over(wq))
+                   .withColumn("cluster_size",
+                               F.count("*").over(wl).cast("bigint"))
+                   .withColumn("canonical",
+                               F.max(F.when(F.col("__rn") == 1,
+                                            F.col("node"))).over(wl))
                    .select(F.col("node").alias("value"), "n",
                            "canonical", "cluster_size"))
 
@@ -444,19 +455,19 @@ def _top_level_brackets(s: str) -> list[str]:
     return groups
 
 
-def unpartitioned_windows(txt: str) -> int:
-    """Count Window operators whose partition spec is EMPTY — the
-    single-task global-sort shape that serializes a data-sized input
-    through one partition at scale (VERDICT r12 #4). In formatted
-    explain a Window node's Arguments line carries [funcs], [partition
-    keys], [order keys]; an unpartitioned ordered window shows only
-    TWO top-level groups with ASC/DESC sort directions in the last
-    (a partition-only running agg also shows two, but its last group
-    has no sort direction — not flagged, it still parallelizes)."""
-    n = 0
+def _unpartitioned_window_ids(txt: str) -> list[int]:
+    """Node ids of Window operators whose partition spec is EMPTY. In
+    formatted explain a Window node's Arguments line carries [funcs],
+    [partition keys], [order keys]; an unpartitioned ordered window
+    shows only TWO top-level groups with ASC/DESC sort directions in
+    the last (a partition-only running agg also shows two, but its
+    last group has no sort direction — not flagged, it still
+    parallelizes)."""
+    ids = []
     lines = txt.splitlines()
     for i, l in enumerate(lines):
-        if not re.match(r"^\s*\(\d+\)\s+Window(Exec)?\s*$", l):
+        m = re.match(r"^\s*\((\d+)\)\s+Window(Exec)?\s*$", l)
+        if not m:
             continue
         for j in range(i + 1, min(i + 6, len(lines))):
             arg = lines[j].strip()
@@ -465,12 +476,95 @@ def unpartitioned_windows(txt: str) -> int:
             groups = _top_level_brackets(arg[len("Arguments:"):])
             if (len(groups) == 2
                     and re.search(r"\b(ASC|DESC) NULLS", groups[-1])):
-                n += 1
+                ids.append(int(m.group(1)))
             break
-    return n
+    return ids
 
 
-def plan_summary(df) -> tuple[list[str], list[str], list[str], int]:
+def _plan_tree(txt: str) -> tuple[dict[int, str], dict[int, list[int]]]:
+    """Parse every plan-tree section of a formatted explain into
+    (id -> operator name, id -> child ids). Indentation encodes the
+    tree; a depth reset starts a new section (main plan, subqueries)."""
+    nodes: list[tuple[int, str, int, int]] = []
+    tree_idx = 0
+    prev = None
+    for line in txt.splitlines():
+        m = re.match(r"^([\s:+*!-]*?)([A-Za-z][A-Za-z0-9 ._$\[\]]*?)"
+                     r" \((\d+)\)\s*$", line)
+        if not m:
+            continue
+        depth = len(m.group(1))
+        if prev is not None and depth == 0:
+            tree_idx += 1
+        nodes.append((int(m.group(3)), m.group(2).strip(), depth,
+                      tree_idx))
+        prev = depth
+    names = {nid: nm for nid, nm, _, _ in nodes}
+    children: dict[int, list[int]] = {nid: [] for nid in names}
+    by_tree: dict[int, list] = {}
+    for n in nodes:
+        by_tree.setdefault(n[3], []).append(n)
+    for tree in by_tree.values():
+        stack: list[tuple[int, int]] = []
+        for nid, _nm, depth, _t in tree:
+            while stack and stack[-1][0] >= depth:
+                stack.pop()
+            if stack:
+                children[stack[-1][1]].append(nid)
+            stack.append((depth, nid))
+    return names, children
+
+
+#: logical row-count bounders: below any of these, the frame is a
+#: summary (per-key counts, moments, top-k) — the documented
+#: lone-exchange pattern a global window may legitimately sort
+_BOUNDING_RE = re.compile(r"Aggregate|TakeOrderedAndProject|"
+                          r"CollectLimit|GlobalLimit")
+#: leaves that are bounded by construction (driver-built rows, scalar
+#: subqueries) or alias an already-audited subtree
+_BOUNDED_LEAF_RE = re.compile(r"LocalTableScan|ReusedExchange|"
+                              r"Subquery|ReusedSubquery|Range")
+
+
+def _raw_reachable(nid: int, children: dict[int, list[int]],
+                   names: dict[int, str]) -> bool:
+    """True when a raw data leaf (parquet/RDD scan) is reachable from
+    node ``nid`` without passing an aggregation/limit — i.e. the node
+    consumes CORPUS-sized rows, not a summary frame."""
+    for c in children.get(nid, []):
+        nm = names[c]
+        if _BOUNDING_RE.search(nm):
+            continue
+        if not children.get(c):
+            if _BOUNDED_LEAF_RE.search(nm):
+                continue
+            return True
+        if _raw_reachable(c, children, names):
+            return True
+    return False
+
+
+def unpartitioned_windows(txt: str) -> tuple[int, int]:
+    """(raw, bounded) counts of unpartitioned ordered Window operators
+    (VERDICT r12 #4). ``raw`` windows sort corpus-reachable rows
+    through ONE task — a scale defect unless explicitly whitelisted;
+    ``bounded`` windows sort an aggregate-bounded summary frame — the
+    documented lone-exchange pattern (SCALE.md), reported but not
+    flagged."""
+    names, children = _plan_tree(txt)
+    raw = bounded = 0
+    for wid in _unpartitioned_window_ids(txt):
+        if wid not in names:
+            continue
+        if _raw_reachable(wid, children, names):
+            raw += 1
+        else:
+            bounded += 1
+    return raw, bounded
+
+
+def plan_summary(df) -> tuple[list[str], list[str], list[str],
+                              tuple[int, int]]:
     txt = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     ops = [re.sub(r"^\s*\(\d+\)\s*", "", l).strip()
@@ -530,15 +624,21 @@ def main() -> None:
         elif flags:
             n_flags += 1
             out.append(f"- **RED FLAG: {flags}**")
-        if n_gwin and name in GLOBAL_WINDOW_INTENDED:
-            out.append(f"- global window INTENDED ({n_gwin}×, "
-                       "metadata-sized input: "
-                       f"{GLOBAL_WINDOW_INTENDED[name]})")
-        elif n_gwin:
+        raw_w, bounded_w = n_gwin
+        if raw_w and name in GLOBAL_WINDOW_INTENDED:
+            out.append(f"- global window on raw rows INTENDED ({raw_w}×:"
+                       f" {GLOBAL_WINDOW_INTENDED[name]})")
+        elif raw_w:
             n_flags += 1
-            out.append(f"- **RED FLAG: unpartitioned Window×{n_gwin} "
-                       "on a non-whitelisted input (single-task global "
-                       "sort at scale)**")
+            out.append(f"- **RED FLAG: unpartitioned Window×{raw_w} "
+                       "over corpus-reachable rows (single-task global "
+                       "sort at scale) — fix with relational."
+                       "global_prefix or whitelist with a named "
+                       "justification**")
+        if bounded_w:
+            out.append(f"- global window over aggregate-bounded summary"
+                       f" frame ×{bounded_w} (documented lone-exchange "
+                       "pattern, constant-ish rows at any SF)")
         out.append("")
     out.append(f"Red-flag queries: {n_flags}")
     with open("PLANS.md", "w") as f:
