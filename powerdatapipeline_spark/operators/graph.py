@@ -416,9 +416,13 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
            .unionByName(e.select(F.col("u").alias("node"),
                                  F.lit("o").alias("s")))
            .groupBy("s", "node")
-           .agg(F.count("*").cast("bigint").alias("d"))
-           # node-sized, read twice (guard maxima + a₁) — cheap cut
-           .localCheckpoint(eager=True))
+           .agg(F.count("*").cast("bigint").alias("d")))
+    # deg is read twice (guard maxima now, a₁ in the final job) but NOT
+    # checkpointed: it re-derives from the checkpointed edge list with
+    # one map-side-combined pass — at sf0.1 the recompute and the extra
+    # materialization job time within noise of each other (best-of-5
+    # 1.9s either way), so the variant with one fewer job and no
+    # executor-storage footprint wins
     row = (deg.agg(F.max(F.when(F.col("s") == "i", F.col("d")))
                    .alias("din"),
                    F.max(F.when(F.col("s") == "o", F.col("d")))
