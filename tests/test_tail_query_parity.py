@@ -86,17 +86,18 @@ def test_head_is_exactly_the_top_50_by_priority():
     assert PRI_HEAD > PRI_TAIL
 
 
-def test_round12_rotation_head_is_q216_to_q265():
-    """Round-12 rotation (EXECUTED — COVERAGE.md ledger): with
-    CORRECTNESS_r11 recording the r11 head green (50/50), the last
-    never-driver-recorded pool — q241-q244 plus the round-11-born
-    q245-q265 — is promoted into the head alongside the retained
-    freshly-recorded q216-q240; q191-q215 demoted to PRI_TAIL. After
-    CORRECTNESS_r12 lands green, every registry query has >=1 driver
-    record again."""
+def test_round13_rotation_head():
+    """Round-13 rotation (staged — COVERAGE.md ledger): the round-12-
+    born q266/q267 (the only never-driver-recorded entries) are
+    promoted into the head; q216/q218 — driver-green in BOTH r11 and
+    r12, the two multi-round-greenest retainees — are demoted to
+    PRI_TAIL to make room. Head = q217 + q219-q240 retained + q241-
+    q265 + q266/q267. After CORRECTNESS_r13 lands green, every
+    registry query has >=1 driver record."""
     head = set(list(REGISTRY)[:SNAPSHOT_CAP])
     want = {n for n in REGISTRY
-            if n.split("_")[0] in {f"q{i}" for i in range(216, 266)}}
+            if n.split("_")[0] in
+            ({f"q{i}" for i in range(216, 268)} - {"q216", "q218"})}
     assert len(want) == 50
     assert head == want
 

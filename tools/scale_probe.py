@@ -46,6 +46,14 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 X1 = os.path.join(REPO, ".scratch", "x1")
 SCRATCH = os.path.join(REPO, ".scratch", "x10")
 
+
+def dir_for(factor: int) -> str:
+    """Per-factor build dir: .scratch/x{factor}. Keeps the historical
+    x1/x10 paths for the single-factor mode and lets ``--factors
+    1,10,100`` hold all scales on disk at once (the manifest guards
+    each dir independently)."""
+    return os.path.join(REPO, ".scratch", f"x{factor}")
+
 #: per-table key columns to shift per replica (disjoint key universes).
 #: Non-key attributes (ts, text, embedding, value) stay identical — the
 #: probe measures plan scaling, not data novelty. Foreign keys shift in
@@ -188,10 +196,46 @@ def probe(spark, stems: list[str], factor: int) -> list[dict]:
     return rows
 
 
+def probe_multi(spark, stems: list[str],
+                factors: list[int]) -> list[dict]:
+    """Three-point (or N-point) probe: time each query at every factor
+    in one session and report the exponent PER CONSECUTIVE DECADE —
+    log(t_b/t_a)/log(b/a) — so a fixed-overhead-dominated first decade
+    (sub-linear) can't mask a super-linear second decade. The x1 run
+    still warms JIT per query before any timed pass."""
+    import math
+
+    by_stem = {n.split("_")[0]: n for n in REGISTRY}
+    rows = []
+    for stem in stems:
+        name = by_stem[stem]
+        fn, _ = REGISTRY[name]
+        fn(spark, "/root/testdata/sf0.001").count()  # JIT warm
+        times = {}
+        for f_ in factors:
+            t0 = time.time()
+            fn(spark, dir_for(f_)).count()
+            times[f_] = time.time() - t0
+        row = {"query": name}
+        for f_ in factors:
+            row[f"t_x{f_}_s"] = round(times[f_], 2)
+        for a, b in zip(factors, factors[1:]):
+            row[f"exp_x{a}_x{b}"] = round(
+                math.log(times[b] / times[a]) / math.log(b / a), 3)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 def main() -> None:
     factor = 10
     if "--factor" in sys.argv:
         factor = int(sys.argv[sys.argv.index("--factor") + 1])
+    factors = None
+    if "--factors" in sys.argv:
+        factors = sorted(int(x) for x in
+                         sys.argv[sys.argv.index("--factors") + 1]
+                         .split(","))
     stems = DEFAULT_QUERIES
     if "--queries" in sys.argv:
         stems = sys.argv[sys.argv.index("--queries") + 1].split(",")
@@ -200,6 +244,14 @@ def main() -> None:
         # full local core count — mirrors the many-splits 100 TB regime
         "spark.sql.files.maxPartitionBytes": str(1024 * 1024)})
     spark.sparkContext.setLogLevel("ERROR")
+    if factors:
+        for f_ in factors:
+            build_at(spark, f_, dir_for(f_))
+        if "--build-only" in sys.argv:
+            return
+        rows = probe_multi(spark, stems, factors)
+        print(json.dumps({"factors": factors, "results": rows}))
+        return
     build_at(spark, 1, X1)
     build_at(spark, factor, SCRATCH)
     if "--build-only" in sys.argv:
