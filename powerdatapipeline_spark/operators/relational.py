@@ -757,11 +757,15 @@ def global_prefix(df: DataFrame, order: Sequence[str | Column],
        back and added.
 
     Per-bucket partials + offsets are exact for any associative sum
-    (ints, decimals). The first order key must be NUMERIC (ids,
-    epochs, codes — every engine use) and ascending; equal-width
-    buckets inherit the key distribution, so a pathologically
-    clustered key degrades toward fewer active buckets (document the
-    skew, or pre-map the key) — never toward wrong answers. Returns
+    (ints, decimals). The first order key must be numeric / string /
+    timestamp / date (ids, epochs, codes — every engine use) and
+    ascending; NULL keys bucket to 0, matching Spark's NULLS-FIRST
+    ascending default. Bucketing uses the first order key that
+    actually DECIDES the order — a constant (or all-NULL) leading key
+    falls through to the next one — and equal-width buckets inherit
+    that key's distribution, so a pathologically clustered key
+    degrades toward fewer active buckets (document the skew, or
+    pre-map the key) — never toward wrong answers. Returns
     ``df`` with the requested columns appended; ``sums`` maps
     new-column name → source expression (its RUNNING global sum up to
     and including the row); ``rn_col`` names the 1-based global row
@@ -773,22 +777,68 @@ def global_prefix(df: DataFrame, order: Sequence[str | Column],
     sc = df.sparkSession.sparkContext
     b = int(num_partitions or 2 * sc.defaultParallelism)
     okeys = [F.col(c) if isinstance(c, str) else c for c in order]
-    base = df.withColumn("__gp_k0", okeys[0])
-    dt = base.schema["__gp_k0"].dataType.typeName()
-    key = _monotone_double(dt, "__gp_k0")
-    stats = base.agg(F.min(key).alias("__gp_lo"),
-                     F.max(key).alias("__gp_hi"))
-    # IEEE division is monotone in the numerator for positive width,
-    # so floor((key−lo)/w) is non-decreasing in key even under double
-    # rounding — contiguity needs monotonicity, not exactness
-    width = ((F.col("__gp_hi") - F.col("__gp_lo") + F.lit(1.0))
-             / F.lit(float(b)))
-    bucket = F.least(
-        F.lit(b - 1),
-        F.floor((key - F.col("__gp_lo")) / width)).cast("int")
+    # Project a monotone-double view of every LEADING order key with a
+    # supported type (stop quietly at the first unsupported one; the
+    # FIRST key must be supported, same contract as before). Keys past
+    # the first exist for the constant-leading-key fallback below: if
+    # k0 is constant (single distinct value), the order is decided by
+    # k1 onward, and bucketing by k1 is still order-contiguous —
+    # without the fallback a constant k0 collapsed every row into one
+    # bucket, silently reproducing the single-task shape this helper
+    # exists to avoid.
+    base = df
+    keyexprs = []
+    for i, k in enumerate(okeys):
+        name = f"__gp_k{i}"
+        base = base.withColumn(name, k)
+        dt = base.schema[name].dataType.typeName()
+        try:
+            keyexprs.append(_monotone_double(dt, name))
+        except ValueError:
+            if i == 0:
+                raise
+            base = base.drop(name)
+            break
+    nk = len(keyexprs)
+    stats = base.agg(*[a for i, e in enumerate(keyexprs)
+                       for a in (F.min(e).alias(f"__gp_lo{i}"),
+                                 F.max(e).alias(f"__gp_hi{i}"),
+                                 F.sum(e.isNull().cast("long"))
+                                 .alias(f"__gp_nn{i}"))])
+    # Bucket by the first key that DECIDES the order: more than one
+    # distinct non-null value (lo < hi), OR a mix of NULLs and
+    # non-nulls (lo not null AND nulls present — min/max skip NULLs,
+    # so lo == hi alone cannot distinguish "constant" from "one value
+    # plus NULLs", and NULLs sort FIRST under Spark's ascending
+    # default). A pure-constant or all-NULL key ties every row and
+    # falls through to the next key; all examined keys tied → bucket 0
+    # for every row, the honest single-bucket degenerate (as is the
+    # mixed NULL+single-value case: NULLs and the value both land in
+    # bucket 0, correct but unsplit — later keys cannot split it
+    # without breaking NULLS-FIRST contiguity). NULL keys go to
+    # bucket 0 EXPLICITLY: the naive least(b-1, floor(NULL/w)) SKIPS
+    # the NULL argument and lands NULL-key rows in the LAST bucket —
+    # ranked after every non-null bucket, a wrong answer, not a slow
+    # one (round-13 self-review; pinned by test_null_keys_rank_first).
+    bucket = F.lit(0)
+    for i in reversed(range(nk)):
+        lo, hi = F.col(f"__gp_lo{i}"), F.col(f"__gp_hi{i}")
+        nn = F.col(f"__gp_nn{i}")
+        # IEEE division is monotone in the numerator for positive
+        # width, so floor((key−lo)/w) is non-decreasing in key even
+        # under double rounding — contiguity needs monotonicity, not
+        # exactness
+        width = (hi - lo + F.lit(1.0)) / F.lit(float(b))
+        bi = F.when(keyexprs[i].isNull(), F.lit(0)).otherwise(
+            F.least(F.lit(b - 1),
+                    F.floor((keyexprs[i] - lo) / width))).cast("int")
+        decides = (lo < hi) | (lo.isNotNull() & (nn > 0))
+        bucket = F.when(decides, bi).otherwise(bucket)
     d = (base.crossJoin(F.broadcast(stats))
          .withColumn("__gp_b", F.coalesce(bucket, F.lit(0)))
-         .drop("__gp_lo", "__gp_hi", "__gp_k0"))
+         .drop(*[c for i in range(nk)
+                 for c in (f"__gp_lo{i}", f"__gp_hi{i}", f"__gp_nn{i}",
+                           f"__gp_k{i}")]))
     wloc = (Window.partitionBy("__gp_b").orderBy(*okeys)
             .rowsBetween(Window.unboundedPreceding, 0))
     wrow = Window.partitionBy("__gp_b").orderBy(*okeys)
