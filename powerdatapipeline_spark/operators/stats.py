@@ -2166,7 +2166,13 @@ def krippendorff_from_unit_label_counts(uc: DataFrame) -> DataFrame:
         / (F.col("mu") - 1).cast("double"), 6).cast("decimal(18,6)")
     obs = pairable.agg(
         F.count_distinct("__u").cast("bigint").alias("n_units"),
-        F.sum("nuc").cast("bigint").alias("n_ratings"),
+        # coalesce: SUM over an EMPTY pairable set (every unit a
+        # singleton) is NULL, but n_ratings is a COUNT — 0 is the
+        # honest value, matching the counts beside it (hypothesis
+        # found the edge in round 13: seed 404, all units rated once).
+        # d_o/d_e/alpha stay NULL on that edge — undefined, not zero.
+        F.coalesce(F.sum("nuc").cast("bigint"),
+                   F.lit(0).cast("bigint")).alias("n_ratings"),
         F.sum(term).cast("decimal(38,6)").alias("__dsum"))
     nc = (pairable.groupBy("__c")
           .agg(F.sum("nuc").cast("bigint").alias("nc")))

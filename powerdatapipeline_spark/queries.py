@@ -10447,7 +10447,7 @@ uc2 AS (SELECT *, sum(nuc) OVER (PARTITION BY u) AS mu FROM uc),
 p AS (SELECT * FROM uc2 WHERE mu >= 2),
 obs AS (
   SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_units,
-         CAST(sum(nuc) AS BIGINT) AS n_ratings,
+         COALESCE(CAST(sum(nuc) AS BIGINT), 0) AS n_ratings,
          sum(CAST(round(CAST(nuc * (mu - nuc) AS DOUBLE) / (mu - 1), 6)
                   AS DECIMAL(18,6))) AS dsum
   FROM p),
