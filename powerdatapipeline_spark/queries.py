@@ -4814,17 +4814,17 @@ def q134_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("q135_pagerank", r"""
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-e AS (SELECT src, dst FROM raw
+e AS MATERIALIZED (SELECT src, dst FROM raw
       UNION ALL SELECT dst AS src, src AS dst FROM raw),
-deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
 nodes AS (SELECT DISTINCT src AS node FROM e),
-n AS (SELECT count(*) AS nn FROM nodes),
-r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / n.nn, 6) AS rank
+n AS MATERIALIZED (SELECT count(*) AS nn FROM nodes),
+r0 AS MATERIALIZED (SELECT node, round(CAST(1 AS DOUBLE) / n.nn, 6) AS rank
        FROM nodes CROSS JOIN n),
-r1 AS (SELECT e.dst AS node,
+r1 AS MATERIALIZED (SELECT e.dst AS node,
               round(round(CAST(0.15 AS DOUBLE) / n.nn, 12)
                     + CAST(0.85 AS DOUBLE)
                       * CAST(sum(CAST(r0.rank / deg.outdeg
@@ -4832,7 +4832,7 @@ r1 AS (SELECT e.dst AS node,
                 AS rank
        FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
        CROSS JOIN n GROUP BY e.dst, n.nn),
-r2 AS (SELECT e.dst AS node,
+r2 AS MATERIALIZED (SELECT e.dst AS node,
               round(round(CAST(0.15 AS DOUBLE) / n.nn, 12)
                     + CAST(0.85 AS DOUBLE)
                       * CAST(sum(CAST(r1.rank / deg.outdeg
@@ -4861,8 +4861,12 @@ def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint. Parity holds per ITERATION (6-rounded vectors,
     decimal-folded contributions), so the whole trajectory is
     bit-identical to the DuckDB unroll; the oracle replays the same
-    three rounds as chained CTEs. The reference has no graph surface —
-    this extends the dedup-cluster/graph family (q63)."""
+    three rounds as chained CTEs, each round MATERIALIZED — DuckDB
+    inlines plain CTEs per reference, so the un-annotated unroll
+    re-executed the lineitem⋈orders edge build once per downstream
+    mention (sf0.1: 1517s → 35s for the parity pair; same trick the
+    q205/q217 unrolls already used). The reference has no graph
+    surface — this extends the dedup-cluster/graph family (q63)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     # BIGINT node ids (even = customer, odd = supplier), not string
@@ -9644,15 +9648,17 @@ lg AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY k ORDER BY t, tb)
        FROM e),
 s AS (SELECT *, sum(is_new) OVER (PARTITION BY k ORDER BY t, tb
                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                  AND CURRENT ROW) AS sid
+                                  AND CURRENT ROW) AS sid,
+             coalesce(lead(is_new) OVER (PARTITION BY k ORDER BY t, tb),
+                      1) AS next_new
       FROM lg),
 per AS (
   SELECT k, sid,
-         min({'t': t, 'tb': tb, 'et': et}) AS f,
-         max({'t': t, 'tb': tb, 'et': et}) AS l,
+         max(CASE WHEN is_new = 1 THEN et END) AS entry_et,
+         max(CASE WHEN next_new = 1 THEN et END) AS exit_et,
          CAST(count(*) AS BIGINT) AS n_events
   FROM s GROUP BY 1, 2)
-SELECT f['et'] AS entry_type, l['et'] AS exit_type,
+SELECT entry_et AS entry_type, exit_et AS exit_type,
        CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_bounces,
@@ -9667,8 +9673,14 @@ def q233_session_entry_exit(spark: SparkSession, sf_dir: str
     layer on q39's sessionizer: per (entry, exit) event-type pair,
     session count, bounce count (single-event sessions) and mean
     session length. Entry/exit from ONE per-session min/max struct
-    aggregate — no second window, no join-back. Round-10c born:
-    PRI_TAIL until the round-11 rotation."""
+    aggregate — no second window, no join-back. The ORACLE instead
+    marks entry (is_new = 1) and exit (lead(is_new) is 1-or-absent)
+    rows inside the session window it already sorts: DuckDB 1.0's
+    min/max over STRUCT is pathologically slow (measured 200s for
+    10k rows / 9.5k groups vs 0.1s for the mark-based twin; sf0.1
+    parity pair 275s → 30s). Equivalent because (t, tiebreak) is
+    unique inside a partition, so first/last row ≡ struct min/max.
+    Round-10c born: PRI_TAIL until the round-11 rotation."""
     return ts.session_entry_exit(load_events(spark, sf_dir))
 
 
