@@ -1638,7 +1638,7 @@ def _emb_lsh_oracle(n_tables: int = 4, n_planes: int = 8, dim: int = 64,
         f"SELECT vec_id, {t} AS t, ({bucket(t)}) AS bk FROM embeddings"
         for t in range(n_tables))
     return f"""
-WITH h AS ({hashed}),
+WITH h AS MATERIALIZED ({hashed}),
 cand AS (
   SELECT DISTINCT ha.vec_id AS id_a, hb.vec_id AS id_b
   FROM h ha JOIN h hb ON ha.t = hb.t AND ha.bk = hb.bk AND ha.vec_id < hb.vec_id)
@@ -7305,30 +7305,30 @@ def _bpe_train_oracle(n_merges: int, emit: str = "merges") -> str:
     when left == right). ``emit='merges'`` outputs the k-row learned
     merge table (q185); ``emit='corpus'`` pushes the k-th apply through
     as well and outputs per-document encode stats (q186)."""
-    blocks = ["""p0 AS (
+    blocks = ["""p0 AS MATERIALIZED (
   SELECT doc_id AS doc, regexp_extract_all(lower(text),
          '{re}') AS ps
   FROM documents)""".format(re=tx.BPE_PIECE_RE)]
     for k in range(1, n_merges + 1):
-        blocks.append(f"""c{k} AS (
+        blocks.append(f"""c{k} AS MATERIALIZED (
   SELECT ps[u.i] AS l, ps[u.i + 1] AS r2, CAST(count(*) AS BIGINT) AS c
   FROM p{k - 1}, unnest(generate_series(1, len(ps) - 1)) AS u(i)
   GROUP BY 1, 2),
-w{k} AS (SELECT l, r2, c FROM c{k} ORDER BY c DESC, l, r2 LIMIT 1)""")
+w{k} AS MATERIALIZED (SELECT l, r2, c FROM c{k} ORDER BY c DESC, l, r2 LIMIT 1)""")
         if k < n_merges or emit == "corpus":
-            blocks.append(f"""pos{k} AS (
+            blocks.append(f"""pos{k} AS MATERIALIZED (
   SELECT doc, u.i AS i, ps[u.i] AS tok, ps[u.i + 1] AS nxt
   FROM p{k - 1}, unnest(generate_series(1, len(ps))) AS u(i)),
-m{k} AS (
+m{k} AS MATERIALIZED (
   SELECT p.doc, p.i,
          row_number() OVER (PARTITION BY p.doc ORDER BY p.i) AS rn
   FROM pos{k} p, w{k} w WHERE p.tok = w.l AND p.nxt = w.r2),
-sel{k} AS (
+sel{k} AS MATERIALIZED (
   SELECT doc, i FROM (
     SELECT doc, i,
            row_number() OVER (PARTITION BY doc, i - rn ORDER BY i) AS o
     FROM m{k}) WHERE o % 2 = 1),
-p{k} AS (
+p{k} AS MATERIALIZED (
   SELECT p.doc,
          list(CASE WHEN s.i IS NOT NULL THEN w.l || ' ' || w.r2
               ELSE p.tok END ORDER BY p.i) AS ps
