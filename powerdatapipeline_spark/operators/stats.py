@@ -971,8 +971,11 @@ def _floor6(x) -> "F.Column":
     """Engine-stable 6-decimal rounding: ``floor(x*1e6 + 0.5)/1e6``.
 
     ``round(x, 6)`` is NOT cross-engine-stable on quotients: Spark
-    rounds the binary double's exact decimal expansion (BigDecimal
-    HALF_UP) while DuckDB rounds the scaled double ``x*1e6`` — a
+    rounds the double's SHORTEST round-trip decimal repr (it goes
+    through ``BigDecimal.valueOf`` = ``Double.toString``, then
+    HALF_UP — hypothesis pinned the repr-vs-exact-expansion
+    distinction on 0.25·ln(4), test_dependence_properties.py) while
+    DuckDB rounds the scaled double ``x*1e6`` — a
     quotient like ``0.616992/192 = 0.0032135`` (an EXACT half-tie,
     found at sf0.1 in the r9 centroid parity sweep) lands on opposite
     sides. floor/multiply/add are identical IEEE-754 ops everywhere,

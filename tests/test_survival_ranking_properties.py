@@ -46,9 +46,12 @@ def fl6(x):
 
 
 def round6(x):
-    """Spark's round(double, 6): HALF_UP on the double's exact decimal
-    expansion (BigDecimal semantics) — NOT Python's banker's round."""
-    return Decimal(x).quantize(SIX, rounding=ROUND_HALF_UP)
+    """Spark's round(double, 6): the double goes through
+    BigDecimal.valueOf — Double.toString's SHORTEST round-trip decimal
+    (Python's repr), NOT the exact binary expansion, NOT Python's
+    banker's round — then HALF_UP (see test_dependence_properties.py
+    for the hypothesis-found 0.25·ln(4) example that distinguishes)."""
+    return Decimal(repr(x)).quantize(SIX, rounding=ROUND_HALF_UP)
 
 
 def close6(got, want):
