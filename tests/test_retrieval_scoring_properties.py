@@ -1,0 +1,173 @@
+"""Property-based brute-force checks for the retrieval-scoring family —
+unigram_logprob, tfidf_top_terms, bm25_topk. Seventeenth
+independent-replay suite (rationale in test_rank_stats_properties.py).
+Pinned semantics:
+
+- unigram_logprob: cross-entropy from corpus term counts with the
+  rounded-ln-times-integer decimal fold.
+- tfidf_top_terms: N counts ALL documents (zero-token ones included),
+  per-doc (score desc, term asc) rank cut at k.
+- bm25: the Robertson idf with +0.5 smoothing, the k1/b length
+  normalization against avgdl, per-term rounding before the decimal
+  fold, (score desc, id) top-k.
+
+Counts/ranks compare exactly; ln-derived scores carry the
+one-6th-decimal libm allowance (per-term, so sums get a small multiple).
+"""
+
+import math
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from powerdatapipeline_spark.operators import text as tx
+
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+SIX = Decimal("0.000001")
+TWELVE = Decimal("0.000000000001")
+
+
+def rq(x, q=SIX):
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def close6(g, w, tol=2.000001e-6):
+    if g is None or w is None:
+        return g is None and w is None
+    return g == w or abs(g - w) <= tol
+
+
+VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+
+def _docs(rng, n):
+    return [(i, " ".join(rng.choice(VOCAB)
+                         for _ in range(rng.randrange(0, 8))))
+            for i in range(n)]
+
+
+def _index(rows):
+    idx = {}
+    for i, t in rows:
+        ws = Counter(w for w in t.lower().split() if w)
+        if ws:
+            idx[i] = ws
+    return idx
+
+
+# ------------------------------------------------------------ unigram_logprob
+
+def _ulp_model(rows):
+    idx = _index(rows)
+    ct = Counter()
+    for ws in idx.values():
+        ct.update(ws)
+    total = sum(ct.values())
+    out = {}
+    for i, ws in idx.items():
+        s = sum((Decimal(repr(tf * rq(math.log(ct[w] / total))))
+                 .quantize(TWELVE, rounding=ROUND_HALF_UP)
+                 for w, tf in ws.items()), Decimal(0))
+        n = sum(ws.values())
+        out[i] = (n, rq(-float(s) / n))
+    return out
+
+
+@SLOW
+@given(seed=st.integers(0, 10 ** 6), n=st.integers(1, 20))
+def test_unigram_logprob_matches_bruteforce(spark, seed, n):
+    import random
+    rng = random.Random(seed)
+    rows = _docs(rng, n)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+           for r in tx.unigram_logprob(df).collect()}
+    want = _ulp_model(rows)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        assert close6(got[i][1], want[i][1]), (i, got[i], want[i])
+
+
+# ------------------------------------------------------------ tfidf_top_terms
+
+def _tfidf_model(rows, k=3):
+    idx = _index(rows)
+    n_docs = len({i for i, _ in rows})          # zero-token docs count
+    dfreq = Counter()
+    for ws in idx.values():
+        dfreq.update(ws.keys())
+    out = []
+    for i, ws in idx.items():
+        scored = sorted(
+            ((w, tf, dfreq[w],
+              rq(tf * rq(math.log(float(n_docs) / dfreq[w]))))
+             for w, tf in ws.items()),
+            key=lambda r: (-r[3], r[0]))
+        for rank, (w, tf, dfq, s) in enumerate(scored[:k], 1):
+            out.append((i, w, tf, dfq, s, rank))
+    return sorted(out)
+
+
+@SLOW
+@given(seed=st.integers(0, 10 ** 6), n=st.integers(1, 20))
+def test_tfidf_top_terms_matches_bruteforce(spark, seed, n):
+    import random
+    rng = random.Random(seed)
+    rows = _docs(rng, n)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["doc_id"], r["term"], r["tf"], r["doc_freq"],
+                  r["score"], r["rank"])
+                 for r in tx.tfidf_top_terms(df).collect())
+    want = _tfidf_model(rows)
+    assert [(g[0], g[1], g[2], g[3], g[5]) for g in got] \
+        == [(w[0], w[1], w[2], w[3], w[5]) for w in want]
+    for g, w in zip(got, want):
+        assert close6(g[4], w[4]), (g, w)
+
+
+# ----------------------------------------------------------------- bm25_topk
+
+def _bm25_model(rows, terms, k=10, k1=1.2, b=0.75):
+    idx = _index(rows)
+    dl = {i: sum(ws.values()) for i, ws in idx.items()}
+    n = len(dl)
+    avgdl = float(sum(dl.values())) / n
+    dfreq = {t: sum(1 for ws in idx.values() if t in ws) for t in terms}
+    out = []
+    for i, ws in idx.items():
+        s, hits = Decimal(0), 0
+        for t in terms:
+            if t not in ws:
+                continue
+            hits += 1
+            idf = rq(math.log(1.0 + (float(n) - dfreq[t] + 0.5)
+                              / (dfreq[t] + 0.5)))
+            tfv = ws[t]
+            part = (tfv * (k1 + 1.0)
+                    / (tfv + k1 * ((1.0 - b) + b * dl[i] / avgdl)))
+            s += Decimal(repr(rq(idf * part))).quantize(
+                TWELVE, rounding=ROUND_HALF_UP)
+        if hits:
+            out.append((i, hits, rq(float(s))))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+@SLOW
+@given(seed=st.integers(0, 10 ** 6), n=st.integers(1, 20))
+def test_bm25_matches_bruteforce(spark, seed, n):
+    import random
+    rng = random.Random(seed)
+    rows = _docs(rng, n)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["n_query_terms_hit"], r["score"])
+           for r in tx.bm25_topk(df, ["aa", "bb"]).collect()]
+    want = _bm25_model(rows, ["aa", "bb"])
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert close6(g[2], w[2], 3.000001e-6), (g, w)
