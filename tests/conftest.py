@@ -2,6 +2,10 @@ import tempfile
 
 import pytest
 
+import _hyp  # noqa: F401  — registers + loads the hypothesis "gate" profile
+             # (derandomize=True) before any test module is imported, so the
+             # replay suites draw the same examples every run (deterministic
+             # gate; set HYPOTHESIS_PROFILE=fuzz to explore fresh draws)
 from powerdatapipeline_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -21,15 +21,15 @@ import math
 from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 
 from powerdatapipeline_spark.operators import relational as rel
 from powerdatapipeline_spark.operators import stats as sx
 from powerdatapipeline_spark.operators import text as tx
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(8)
 
 SIX = Decimal("0.000001")
 

@@ -17,13 +17,13 @@ equality.
 import math
 from collections import Counter, defaultdict
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 
 from powerdatapipeline_spark.operators import stats as sx
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(8)
 
 
 def fl6(x):

@@ -11,15 +11,15 @@ caveat is about performance, never values); examples stay small
 because each one is a Spark job.
 """
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.operators.relational import global_prefix
 
-SLOW = settings(max_examples=10, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(10)
 
 #: key pools that stress the equal-width bucketing: clustered (one hot
 #: value), bimodal (two far-apart clusters → most buckets empty),

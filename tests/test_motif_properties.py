@@ -24,13 +24,13 @@ import math
 from collections import Counter, defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 
 from powerdatapipeline_spark.operators import timeseries as ts
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(8)
 
 SIX = Decimal("0.000001")
 TEN = Decimal("0.0000000001")

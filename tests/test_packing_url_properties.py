@@ -25,13 +25,13 @@ import math
 import re
 from collections import Counter, defaultdict
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 
 from powerdatapipeline_spark.operators import text as tx
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(8)
 
 WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 

@@ -25,13 +25,13 @@ import math
 from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 
 from powerdatapipeline_spark.operators import timeseries as ts
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(8)
 
 SIX = Decimal("0.000001")
 ONE = Decimal("1")
@@ -91,7 +91,7 @@ def _peak_model(rows, bucket=86_400):
     out = {}
     for (k, b), evs in per.items():
         peak = max(v for _, v in evs)
-        mean = float(sum(int(v) for _, v in evs)) / len(evs)
+        mean = math.fsum(v for _, v in evs) / len(evs)
         peak_ts = min(t for t, v in evs if v == peak)
         out[(k, b)] = (len(evs), rq(peak), rq(mean),
                        rq(peak / mean) if mean != 0 else None, peak_ts)

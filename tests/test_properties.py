@@ -7,15 +7,15 @@ drives the SHAPE diversity (cadences, sizes, gaps), not bulk volume.
 """
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from powerdatapipeline_spark.operators import timeseries as ts
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(8)
 
 
 def _series(spark, n, step, start=0):

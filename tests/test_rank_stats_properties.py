@@ -20,14 +20,14 @@ values identical, flat series, var_s = 0).
 import math
 from collections import Counter, defaultdict
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 
 from powerdatapipeline_spark.operators import stats as sx
 from powerdatapipeline_spark.operators import timeseries as ts
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(8)
 
 
 def fl6(x):

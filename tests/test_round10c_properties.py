@@ -7,7 +7,8 @@ import hashlib
 import math
 import random
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 
@@ -16,8 +17,7 @@ from powerdatapipeline_spark.operators import relational as rel
 from powerdatapipeline_spark.operators import stats as sto
 from powerdatapipeline_spark.operators import timeseries as tso
 
-SLOW = settings(max_examples=6, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(6)
 
 
 @SLOW

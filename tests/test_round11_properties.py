@@ -6,7 +6,8 @@ import math
 import random
 from collections import Counter, defaultdict
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -15,8 +16,7 @@ from powerdatapipeline_spark.operators import graph as gr
 from powerdatapipeline_spark.operators import stats as sto
 from powerdatapipeline_spark.operators import timeseries as tso
 
-SLOW = settings(max_examples=6, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SLOW = replay_settings(6)
 
 fl6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
 

@@ -29,7 +29,8 @@ from collections import defaultdict
 
 import duckdb
 import pandas as pd
-from hypothesis import HealthCheck, given, settings
+from hypothesis import given
+from _hyp import replay_settings
 from hypothesis import strategies as st
 
 from powerdatapipeline_spark.operators import timeseries as ts
@@ -93,9 +94,8 @@ def _events(draw):
     return rows
 
 
-SLOW = settings(max_examples=8, deadline=None,
-                suppress_health_check=[HealthCheck.function_scoped_fixture])
-FAST = settings(max_examples=60, deadline=None)
+SLOW = replay_settings(8)
+FAST = replay_settings(60)
 
 
 @SLOW
