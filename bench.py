@@ -43,6 +43,37 @@ from powerdatapipeline_spark.session import get_spark  # noqa: E402
 #: hit 125 entries (the envelope guard pytest tripped, as designed).
 MAX_LINE = 1800
 
+#: Host-health canary (VERDICT r13 #2): round 13's driver bench recorded
+#: 2293 s vs 287 s in r12, and adjudicating "code regression vs degraded
+#: VM" cost the judge two full bench runs — the inflation turned out to
+#: be uniform 4x host steal. The canary makes that distinction machine-
+#: readable INSIDE the artifact: a fixed, pure-CPU, Spark-independent
+#: calibration task (sha256 over 512 MiB of zeros, min of 3 trials) is
+#: timed at bench start and end and stamped into both payloads. A run
+#: whose canary deviates >CANARY_TOL x from CANARY_REF_S self-identifies
+#: as contaminated (``canary_degraded: true``); reference value measured
+#: idle-host in round 14 (protocol in SCALE.md).
+CANARY_REF_S = 0.50
+CANARY_TOL = 1.5
+
+
+def run_canary(trials: int = 3) -> float:
+    """Seconds for the fixed calibration task: best (min) of ``trials``
+    single-threaded sha256 passes over 512 MiB. Pure CPU, zero I/O, no
+    Spark — its runtime moves only when the HOST degrades (VM steal,
+    thermal throttling, noisy neighbours), never when engine code does."""
+    import hashlib
+    best = float("inf")
+    block = bytes(1 << 20)
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(512):
+            h.update(block)
+        h.hexdigest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
 
 def short_name(name: str) -> str:
     """``q29_lsh_neardup`` -> ``q29``; non-qNN names pass through."""
@@ -51,7 +82,9 @@ def short_name(name: str) -> str:
 
 
 def build_payloads(timings: dict[str, float],
-                   sf_val, repeat: int = 1) -> tuple[dict, str]:
+                   sf_val, repeat: int = 1,
+                   canary: tuple[float, float] | None = None
+                   ) -> tuple[dict, str]:
     """(full detail payload, compact stdout line) for a finished run.
     The compact line is guaranteed ≤ MAX_LINE chars: the short-key
     per-query map is dropped (headline kept) if it would overflow.
@@ -80,6 +113,17 @@ def build_payloads(timings: dict[str, float],
     if repeat > 1:
         detail["repeat"] = repeat
         compact["repeat"] = repeat
+    if canary is not None:
+        start_s, end_s = canary
+        degraded = max(start_s, end_s) > CANARY_REF_S * CANARY_TOL
+        detail["canary"] = {"start_s": start_s, "end_s": end_s,
+                            "ref_s": CANARY_REF_S, "tol": CANARY_TOL,
+                            "degraded": degraded}
+        # compact: always the pair (so the driver artifact carries it);
+        # the boolean only when tripped, to spare line budget
+        compact["canary_s"] = [start_s, end_s]
+        if degraded:
+            compact["canary_degraded"] = True
     # The compact map is a triage signal (BENCH_DETAIL.json keeps 3
     # decimals). Degrade gracefully as the registry grows: 1-decimal map
     # -> integer-second map -> SLOWEST-FIRST truncated integer map with
@@ -140,6 +184,7 @@ def main() -> None:
         raise SystemExit(f"--repeat must be an integer >= 1, got {raw!r}")
     if repeat < 1:
         raise SystemExit(f"--repeat must be >= 1, got {repeat}")
+    canary_start = run_canary()  # BEFORE the JVM spins up (pure host read)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -190,9 +235,11 @@ def main() -> None:
             round(time.time() - t0, 3))
 
     timings = {n: min(ts) for n, ts in samples.items()}
+    canary_end = run_canary()  # AFTER the timed loop (catch mid-run decay)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    detail, line = build_payloads(timings, sf_val, repeat=repeat)
+    detail, line = build_payloads(timings, sf_val, repeat=repeat,
+                                  canary=(canary_start, canary_end))
     if repeat > 1:
         detail["samples"] = samples
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

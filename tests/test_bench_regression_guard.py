@@ -176,6 +176,45 @@ def test_bench_compact_line_always_fits_driver_capture():
     assert kept_min >= int(round(boundary))
 
 
+def test_canary_stamped_into_both_payloads():
+    """Host-health canary (VERDICT r13 #2): start/end calibration timings
+    land in BENCH_DETAIL and the compact stdout line, and a run whose
+    canary exceeds ref*tol self-identifies as degraded — so a repeat of
+    the r13 contaminated-artifact episode is machine-readable."""
+    import bench
+    from powerdatapipeline_spark.queries import REGISTRY
+
+    timings = {n: 1.0 for n in REGISTRY}
+    timings["flagship"] = 1.0
+
+    # healthy host: pair present, degraded flag absent from the line
+    ok = round(bench.CANARY_REF_S * 1.1, 3)
+    detail, line = bench.build_payloads(timings, 0.1, canary=(ok, ok))
+    assert len(line) <= bench.MAX_LINE
+    parsed = json.loads(line)
+    assert parsed["canary_s"] == [ok, ok]
+    assert "canary_degraded" not in parsed
+    assert detail["canary"] == {"start_s": ok, "end_s": ok,
+                                "ref_s": bench.CANARY_REF_S,
+                                "tol": bench.CANARY_TOL, "degraded": False}
+
+    # degraded host (either endpoint past tolerance trips it)
+    bad = round(bench.CANARY_REF_S * bench.CANARY_TOL * 2, 3)
+    detail2, line2 = bench.build_payloads(timings, 0.1, canary=(ok, bad))
+    parsed2 = json.loads(line2)
+    assert parsed2["canary_degraded"] is True
+    assert detail2["canary"]["degraded"] is True
+
+    # no canary passed (unit-test callers): payloads unchanged
+    detail3, line3 = bench.build_payloads(timings, 0.1)
+    assert "canary" not in detail3 and "canary_s" not in json.loads(line3)
+
+    # the calibration task itself is sane: positive, fraction-of-a-second
+    # scale on any plausible host (pure CPU, no I/O)
+    c = bench.run_canary(trials=1)
+    assert 0.01 < c < 30.0
+
+
 def test_repeat_takes_per_query_minimums(monkeypatch, tmp_path):
     """--run --repeat N compares per-query MINIMUMS across runs, so a
     noisy-machine spike in one run can't flag a false regression."""

@@ -47,9 +47,14 @@ def _expected(rows, with_sum):
 
 @SLOW
 @given(pool=st.sampled_from(KEY_POOLS), seed=st.integers(0, 10**6),
-       n=st.integers(1, 60), buckets=st.sampled_from([1, 2, 7, 64]))
+       n=st.integers(1, 60), buckets=st.sampled_from([1, 2, 7, 64]),
+       threshold=st.sampled_from([0, 5, 10**9]))
 def test_rn_and_sums_match_python_ground_truth(spark, pool, seed, n,
-                                               buckets):
+                                               buckets, threshold):
+    # threshold fuzzes the round-14 small-input fast path: 0 forces the
+    # distributed two-pass, 10**9 forces the single-task fallback, 5
+    # exercises the boundary both ways depending on n — all three must
+    # match the same ground truth bit-for-bit
     import random
 
     rnd = random.Random(seed)
@@ -60,7 +65,8 @@ def test_rn_and_sums_match_python_ground_truth(spark, pool, seed, n,
     df = spark.createDataFrame(rows, "k long, tie long, v long")
     out = global_prefix(df, ["k", "tie"],
                         sums={"rsum": F.col("v")}, rn_col="rn",
-                        num_partitions=buckets)
+                        num_partitions=buckets,
+                        small_input_threshold=threshold)
     got = {(r.k, r.tie): (r.rn, r.rsum) for r in out.collect()}
     assert got == _expected(rows, with_sum=True)
 
@@ -78,7 +84,8 @@ def test_matches_single_task_window_on_random_doubles(spark, seed, n):
     df = spark.createDataFrame(rows, "k double, tie long")
     got = {(r.k, r.tie): r.rn
            for r in global_prefix(df, ["k", "tie"], rn_col="rn",
-                                  num_partitions=7).collect()}
+                                  num_partitions=7,
+                                  small_input_threshold=0).collect()}
     w = Window.orderBy("k", "tie")
     want = {(r.k, r.tie): r.rn
             for r in df.withColumn(
@@ -96,7 +103,7 @@ def test_null_keys_rank_first(spark):
     df = spark.createDataFrame(rows, "k int, tie long")
     got = {(r.k, r.tie): r.rn for r in
            global_prefix(df, ["k", "tie"], rn_col="rn",
-                         num_partitions=4).collect()}
+                         num_partitions=4, small_input_threshold=0).collect()}
     w = Window.orderBy("k", "tie")
     want = {(r.k, r.tie): r.rn for r in
             df.withColumn("rn",
@@ -111,7 +118,8 @@ def test_constant_leading_key_falls_through(spark):
     df = spark.createDataFrame([(7, i, i % 5) for i in range(40)],
                                "k0 int, k1 long, v long")
     out = global_prefix(df, ["k0", "k1"], sums={"rsum": F.col("v")},
-                        rn_col="rn", num_partitions=8)
+                        rn_col="rn", num_partitions=8,
+                        small_input_threshold=0)
     rows = sorted(out.collect(), key=lambda r: r.rn)
     acc = 0
     for i, r in enumerate(rows, start=1):
@@ -127,7 +135,8 @@ def test_constant_key_fallback_uses_multiple_buckets(spark):
         _monotone_double  # noqa: F401  (import proximity)
     df = spark.createDataFrame([(7, i) for i in range(64)],
                                "k0 int, k1 long")
-    out = global_prefix(df, ["k0", "k1"], rn_col="rn", num_partitions=8)
+    out = global_prefix(df, ["k0", "k1"], rn_col="rn", num_partitions=8,
+                        small_input_threshold=0)
     # rn correct is already pinned above; here check bucket spread via
     # the physical distribution: count distinct k1 ranges per partition
     # is overkill — instead recompute the bucket expression shape by
@@ -148,7 +157,7 @@ def test_mixed_null_and_constant_key(spark):
     df = spark.createDataFrame(rows, "k int, tie long")
     got = {(r.k, r.tie): r.rn for r in
            global_prefix(df, ["k", "tie"], rn_col="rn",
-                         num_partitions=4).collect()}
+                         num_partitions=4, small_input_threshold=0).collect()}
     assert got == {(None, 3): 1, (None, 7): 2, (5, 0): 3, (5, 1): 4}
 
 
@@ -159,5 +168,49 @@ def test_all_null_key_falls_through_to_second(spark):
                                "k int, tie long")
     got = {r.tie: r.rn for r in
            global_prefix(df, ["k", "tie"], rn_col="rn",
-                         num_partitions=4).collect()}
+                         num_partitions=4, small_input_threshold=0).collect()}
     assert got == {i: i + 1 for i in range(20)}
+
+
+# ---------------- round-14: small-input fast path (VERDICT r13 #3)
+def _plan(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+
+
+def test_default_threshold_small_input_takes_single_task_plan(spark):
+    """Below the (default 256k) threshold the helper must return the
+    plain global window — no bucket column, no offsets join — because
+    at that size one sort task beats the two-pass's extra stages."""
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    out = global_prefix(df, ["k"], rn_col="rn")
+    assert "__gp_b" not in _plan(out)
+    assert [r.rn for r in out.orderBy("k").collect()] \
+        == list(range(1, 101))
+
+
+def test_probe_inlines_stats_as_literals_above_threshold(spark):
+    """Above the threshold the probe's collected stats row must be
+    inlined as literals: the plan keeps the bucketed two-pass (bucket
+    column present) but drops the broadcast-stats crossJoin the lazy
+    form would re-execute (no nested-loop join of a 1-row stats frame)."""
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    out = global_prefix(df, ["k"], rn_col="rn", small_input_threshold=10)
+    plan = _plan(out)
+    assert "__gp_b" in plan                       # distributed form
+    assert "BroadcastNestedLoopJoin" not in plan  # stats are literals
+    assert [r.rn for r in out.orderBy("k").collect()] \
+        == list(range(1, 51))
+
+
+def test_threshold_zero_keeps_helper_lazy(spark):
+    """small_input_threshold=0 must not run ANY job at build time (the
+    streaming-safe / plan-only contract): building on a frame whose
+    evaluation raises only fails at action time."""
+    df = (spark.createDataFrame([(1,)], "k long")
+          .withColumn("boom", F.assert_true(F.col("k") > 99)))
+    out = global_prefix(df, ["k"], rn_col="rn", small_input_threshold=0)
+    import pytest as _pt
+    with _pt.raises(Exception):
+        out.collect()

@@ -6,6 +6,7 @@ no accidental nested-loop joins or global sorts)."""
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -576,6 +577,11 @@ def plan_summary(df) -> tuple[list[str], list[str], list[str],
 
 
 def main() -> None:
+    # Audit the AT-SCALE plan shape: global_prefix's round-14 small-input
+    # fast path would otherwise collapse every adopter to the single-task
+    # window at sf0.001 (the probe sees a tiny frame) and the audit would
+    # stop policing the distributed two-pass it exists to verify.
+    os.environ["SPARK_GRAFT_GP_SMALL_MAX"] = "0"
     spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
