@@ -191,7 +191,17 @@ def test_char_entropy_matches_python_reference(spark, s):
     counter-based entropy (same 6-rounded ln terms, same ordered fold)."""
     import math
     from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
     from powerdatapipeline_spark.operators import text as tx
+
+    # Spark's round(double, 6) quantizes the SHORTEST-REPR decimal
+    # HALF_UP; python's round() rounds the exact binary value HALF_EVEN
+    # — they disagree when the shortest repr lands exactly on a 7th-
+    # decimal 5 (round-14 fuzz catch: s='aaaaa....   \t\tbbcd' gave
+    # -ssum/n = x.xxxxxx5 → engine 1.798106, old model 1.798105)
+    def rq6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
 
     out = tx.char_entropy(spark.createDataFrame(
         [Row(doc_id=1, text=s)])).collect()[0]
@@ -203,8 +213,8 @@ def test_char_entropy_matches_python_reference(spark, s):
         acc = 0.0
         for ch in sorted(cnt):
             c = cnt[ch]
-            acc += c * round(math.log(c / n), 6)
-        want = round(-acc / n, 6)
+            acc += c * rq6(math.log(c / n))
+        want = rq6(-acc / n)
     assert out["n_chars"] == n
     assert out["n_distinct_chars"] == len(cnt)
     assert out["char_entropy"] == pytest.approx(want, abs=1e-9)
