@@ -98,7 +98,10 @@ def build_at(spark, factor: int, dest: str) -> None:
     # last table lands, so an interrupted build (no manifest) also
     # rebuilds from scratch.
     manifest_path = os.path.join(dest, "MANIFEST.json")
-    want = {"factor": factor, "src": SRC}
+    # rev bumps when the builder's TRANSFORM changes (round 14: the
+    # embeddings per-replica isometry) — same factor/src but different
+    # content must rebuild, not silently reuse
+    want = {"factor": factor, "src": SRC, "rev": 2}
     have = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -145,6 +148,30 @@ def build_at(spark, factor: int, dest: str) -> None:
             rep = rep.withColumn(
                 k, (F.col(k) + F.col("__rep").cast("bigint")
                     * F.lit(stride)).cast(dict(df.dtypes)[k]))
+        if table == "embeddings":
+            # Verbatim vector replication is degenerate for EVERY
+            # similarity/ANN operator, for timing exactly as SCALE.md
+            # documents for recall: each replica is its query's true
+            # top-1 and collides in every LSH table / IVF cell, so
+            # pair emission probes the all-duplicates pathology, not
+            # plan scaling (the q163 lesson). Perturb each replica
+            # with a norm- and distribution-preserving transform:
+            # circular shift by (rep mod dim) positions, sign-flipped
+            # every dim-th replica — 2·dim (=128) distinct isometries,
+            # enough for factor 100 without aliasing; shifted copies
+            # of a random-ish vector are near-orthogonal, so replica
+            # cross-collisions stay at background density. rep 0 is
+            # the identity (x1 data = source data, same as the
+            # documents tag convention).
+            sh = ("concat(slice(embedding, "
+                  "CAST(pmod(__rep, size(embedding)) AS INT) + 1, "
+                  "size(embedding) - CAST(pmod(__rep, size(embedding)) AS INT)), "
+                  "slice(embedding, 1, "
+                  "CAST(pmod(__rep, size(embedding)) AS INT)))")
+            rep = rep.withColumn(
+                "embedding",
+                F.expr(f"IF(pmod(CAST(__rep / size(embedding) AS INT), 2) = 1, "
+                       f"transform({sh}, x -> CAST(-x AS FLOAT)), {sh})"))
         if table == "documents":
             # key-shifting alone leaves `factor` EXACT COPIES of every
             # text — content-collision-driven operators (PPJoin prefix
