@@ -48,12 +48,12 @@ def _expected(rows, with_sum):
 @SLOW
 @given(pool=st.sampled_from(KEY_POOLS), seed=st.integers(0, 10**6),
        n=st.integers(1, 60), buckets=st.sampled_from([1, 2, 7, 64]),
-       threshold=st.sampled_from([0, 5, 10**9]))
+       threshold=st.sampled_from([0, 1, 10**12]))
 def test_rn_and_sums_match_python_ground_truth(spark, pool, seed, n,
                                                buckets, threshold):
-    # threshold fuzzes the round-14 small-input fast path: 0 forces the
-    # distributed two-pass, 10**9 forces the single-task fallback, 5
-    # exercises the boundary both ways depending on n — all three must
+    # threshold fuzzes the round-14 small-input fast path (a Catalyst
+    # sizeInBytes-estimate line): 0 and 1 byte force the distributed
+    # two-pass, 10**12 forces the single-task fallback — all paths must
     # match the same ground truth bit-for-bit
     import random
 
@@ -66,7 +66,7 @@ def test_rn_and_sums_match_python_ground_truth(spark, pool, seed, n,
     out = global_prefix(df, ["k", "tie"],
                         sums={"rsum": F.col("v")}, rn_col="rn",
                         num_partitions=buckets,
-                        small_input_threshold=threshold)
+                        small_input_bytes=threshold)
     got = {(r.k, r.tie): (r.rn, r.rsum) for r in out.collect()}
     assert got == _expected(rows, with_sum=True)
 
@@ -85,7 +85,7 @@ def test_matches_single_task_window_on_random_doubles(spark, seed, n):
     got = {(r.k, r.tie): r.rn
            for r in global_prefix(df, ["k", "tie"], rn_col="rn",
                                   num_partitions=7,
-                                  small_input_threshold=0).collect()}
+                                  small_input_bytes=0).collect()}
     w = Window.orderBy("k", "tie")
     want = {(r.k, r.tie): r.rn
             for r in df.withColumn(
@@ -103,7 +103,7 @@ def test_null_keys_rank_first(spark):
     df = spark.createDataFrame(rows, "k int, tie long")
     got = {(r.k, r.tie): r.rn for r in
            global_prefix(df, ["k", "tie"], rn_col="rn",
-                         num_partitions=4, small_input_threshold=0).collect()}
+                         num_partitions=4, small_input_bytes=0).collect()}
     w = Window.orderBy("k", "tie")
     want = {(r.k, r.tie): r.rn for r in
             df.withColumn("rn",
@@ -119,7 +119,7 @@ def test_constant_leading_key_falls_through(spark):
                                "k0 int, k1 long, v long")
     out = global_prefix(df, ["k0", "k1"], sums={"rsum": F.col("v")},
                         rn_col="rn", num_partitions=8,
-                        small_input_threshold=0)
+                        small_input_bytes=0)
     rows = sorted(out.collect(), key=lambda r: r.rn)
     acc = 0
     for i, r in enumerate(rows, start=1):
@@ -136,7 +136,7 @@ def test_constant_key_fallback_uses_multiple_buckets(spark):
     df = spark.createDataFrame([(7, i) for i in range(64)],
                                "k0 int, k1 long")
     out = global_prefix(df, ["k0", "k1"], rn_col="rn", num_partitions=8,
-                        small_input_threshold=0)
+                        small_input_bytes=0)
     # rn correct is already pinned above; here check bucket spread via
     # the physical distribution: count distinct k1 ranges per partition
     # is overkill — instead recompute the bucket expression shape by
@@ -157,7 +157,7 @@ def test_mixed_null_and_constant_key(spark):
     df = spark.createDataFrame(rows, "k int, tie long")
     got = {(r.k, r.tie): r.rn for r in
            global_prefix(df, ["k", "tie"], rn_col="rn",
-                         num_partitions=4, small_input_threshold=0).collect()}
+                         num_partitions=4, small_input_bytes=0).collect()}
     assert got == {(None, 3): 1, (None, 7): 2, (5, 0): 3, (5, 1): 4}
 
 
@@ -168,7 +168,7 @@ def test_all_null_key_falls_through_to_second(spark):
                                "k int, tie long")
     got = {r.tie: r.rn for r in
            global_prefix(df, ["k", "tie"], rn_col="rn",
-                         num_partitions=4, small_input_threshold=0).collect()}
+                         num_partitions=4, small_input_bytes=0).collect()}
     assert got == {i: i + 1 for i in range(20)}
 
 
@@ -179,38 +179,54 @@ def _plan(df):
         .ExplainMode.fromString("formatted"))
 
 
-def test_default_threshold_small_input_takes_single_task_plan(spark):
-    """Below the (default 256k) threshold the helper must return the
-    plain global window — no bucket column, no offsets join — because
-    at that size one sort task beats the two-pass's extra stages."""
-    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+def test_default_small_input_takes_single_task_plan(spark):
+    """A frame whose Catalyst size estimate sits under the (default
+    64 MB) line must plan as the plain global window — no bucket
+    column, no offsets join — because at that size one sort task beats
+    the two-pass's extra stages. Uses spark.range: python
+    createDataFrame frames are RDD-backed with UNKNOWN (Long.MaxValue)
+    stats and deliberately take the distributed path — unknown errs
+    big, the safe direction (pinned below)."""
+    df = spark.range(100).withColumnRenamed("id", "k")
     out = global_prefix(df, ["k"], rn_col="rn")
     assert "__gp_b" not in _plan(out)
     assert [r.rn for r in out.orderBy("k").collect()] \
         == list(range(1, 101))
 
 
-def test_probe_inlines_stats_as_literals_above_threshold(spark):
-    """Above the threshold the probe's collected stats row must be
-    inlined as literals: the plan keeps the bucketed two-pass (bucket
-    column present) but drops the broadcast-stats crossJoin the lazy
-    form would re-execute (no nested-loop join of a 1-row stats frame)."""
+def test_unknown_stats_err_toward_distributed(spark):
+    """RDD-backed frames (python createDataFrame) carry no size
+    estimate — the helper must treat unknown as BIG and keep the
+    distributed form; a fast-path surprise on an actually-huge frame
+    would be a scale defect, the reverse only costs latency."""
+    df = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    out = global_prefix(df, ["k"], rn_col="rn")
+    assert "__gp_b" in _plan(out)
+    assert [r.rn for r in out.orderBy("k").collect()] \
+        == list(range(1, 21))
+
+
+def test_tiny_byte_line_forces_distributed_form(spark):
+    """small_input_bytes=1: any real frame estimates above one byte, so
+    the bucketed two-pass must plan (bucket column present) and still
+    produce exact global row numbers."""
     df = spark.createDataFrame([(i,) for i in range(50)], "k long")
-    out = global_prefix(df, ["k"], rn_col="rn", small_input_threshold=10)
-    plan = _plan(out)
-    assert "__gp_b" in plan                       # distributed form
-    assert "BroadcastNestedLoopJoin" not in plan  # stats are literals
+    out = global_prefix(df, ["k"], rn_col="rn", small_input_bytes=1)
+    assert "__gp_b" in _plan(out)
     assert [r.rn for r in out.orderBy("k").collect()] \
         == list(range(1, 51))
 
 
-def test_threshold_zero_keeps_helper_lazy(spark):
-    """small_input_threshold=0 must not run ANY job at build time (the
-    streaming-safe / plan-only contract): building on a frame whose
-    evaluation raises only fails at action time."""
+def test_helper_is_lazy_on_both_sides_of_the_line(spark):
+    """NO job may run at plan-build time on either path (the
+    streaming-safe / plan-only contract — the size decision reads
+    Catalyst plan statistics, never an eager count): building on a
+    frame whose evaluation raises only fails at action time."""
+    import pytest as _pt
     df = (spark.createDataFrame([(1,)], "k long")
           .withColumn("boom", F.assert_true(F.col("k") > 99)))
-    out = global_prefix(df, ["k"], rn_col="rn", small_input_threshold=0)
-    import pytest as _pt
-    with _pt.raises(Exception):
-        out.collect()
+    for line in (0, None):  # distributed form; default (fast path here)
+        out = global_prefix(df, ["k"], rn_col="rn",
+                            small_input_bytes=line)
+        with _pt.raises(Exception):
+            out.collect()

@@ -115,7 +115,7 @@ def test_no_unpartitioned_window_in_plan(spark):
 
     df = spark.range(0, 1000).withColumn("s", F.col("id") % 97)
     out = global_prefix(df, ["s", "id"], rn_col="rn",
-                    small_input_threshold=0)
+                    small_input_bytes=0)
     txt = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))

@@ -581,7 +581,7 @@ def main() -> None:
     # fast path would otherwise collapse every adopter to the single-task
     # window at sf0.001 (the probe sees a tiny frame) and the audit would
     # stop policing the distributed two-pass it exists to verify.
-    os.environ["SPARK_GRAFT_GP_SMALL_MAX"] = "0"
+    os.environ["SPARK_GRAFT_GP_SMALL_MAX_BYTES"] = "0"
     spark = get_spark("plan-dump", master="local[4]", shuffle_partitions=4,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
