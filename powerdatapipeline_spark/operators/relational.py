@@ -1014,8 +1014,14 @@ def zorder_layout_audit(df: DataFrame, x_col: Column, y_col: Column,
                       y_col.cast("bigint").alias("__y"))
     coded = coded.withColumn(
         "__z", zorder_code(F.col("__x"), F.col("__y"), bits))
+    # small_input_bytes=0: this audit IS the verification shape for the
+    # bucketed two-pass (its docstring's own framing) — pinning the
+    # distributed form here keeps global_prefix's scale path under
+    # DuckDB-oracle verification at EVERY test SF (after the round-14
+    # fast path, every other adopter input estimates under the 64 MB
+    # line at sf<=0.1 and would exercise only the single-task window)
     ranked = global_prefix(coded, ["__z", "__x", "__y"],
-                           rn_col="__rn")
+                           rn_col="__rn", small_input_bytes=0)
     n_tot = coded.agg(F.count("*").cast("bigint").alias("__n"))
     # exact SQL-ntile closed form in BIGINT floor-division (DIV), not
     # a double divide (ranks past 2^53 would round the boundary): with
