@@ -260,7 +260,11 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     makes recall tunable (1−(1−p^k)^L), exactly minhash_lsh_pairs' shape
     with hyperplanes instead of permutations. Verification: decimal-exact
     cosine (functions/vector.ddot) only on candidates. Never all pairs:
-    cost scales with collision density, not n².
+    cost scales with collision density, not n² — but collision density
+    itself scales n²/2^n_planes at FIXED bits, so size
+    ``n_planes ∝ log2(n)`` for constant expected bucket occupancy (the
+    round-14 ×100 probe measured exponent 1.42 at fixed 8 bits vs 0.43
+    occupancy-constant; SCALE.md "ANN-family ×100 probe").
 
     Engine-portable: the plane constants embed as literals in both
     engines, bucket signs come from plain double dots (sign mismatch would
