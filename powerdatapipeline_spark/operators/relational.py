@@ -754,6 +754,23 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
             return None
 
 
+def _plan_has_expansion(df: DataFrame) -> bool:
+    """True when the frame's OPTIMIZED logical plan contains a
+    row-multiplying node (``Generate`` — explode/posexplode/inline/
+    json_tuple/stack all plan as Generate) — the lineage class where
+    non-CBO ``sizeInBytes`` errs DOWNWARD, not upward: a unary node's
+    default estimate inherits its child's size, so a 1-row frame
+    exploding to millions still estimates tiny (ADVICE r14). Callers
+    use this to veto size-estimate-based fast paths. Driver-side plan
+    introspection only, NO job; unavailable introspection returns True
+    (conservative: treat as expanding)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return re.search(r"(?m)^[\s:+-]*Generate\b", plan) is not None
+
+
 def global_prefix(df: DataFrame, order: Sequence[str | Column],
                   sums: dict[str, Column] | None = None,
                   rn_col: str | None = None,
@@ -819,14 +836,40 @@ def global_prefix(df: DataFrame, order: Sequence[str | Column],
     bit-identical for row numbers and integer/decimal running sums
     (associative regrouping; pinned by
     tests/test_global_prefix_properties.py, which fuzzes the threshold
-    itself) — a wrong estimate can only cost speed, never change a
-    result; and non-CBO estimates err UPWARD (filters/aggregates
-    inherit child sizes), which errs toward the distributed form.
-    Pass ``small_input_bytes=0`` to force the distributed form."""
+    itself — and ENFORCED: a float/double ``sums`` expression raises,
+    because for non-associative IEEE addition the two forms regroup
+    differently and the result would depend on a Catalyst size
+    estimate, ADVICE r14) — a wrong estimate can only cost speed,
+    never change a result. Estimate direction is MIXED, not uniformly
+    upward (ADVICE r14): filters/aggregates inherit child sizes (err
+    UP, toward the distributed form — safe), but ``Generate``/explode
+    lineages ALSO inherit the pre-explosion child size (err DOWN — a
+    tiny-estimating frame that explodes to GBs would silently take the
+    single-task sort), so the fast path is VETOED whenever the
+    optimized plan contains a Generate node
+    (:func:`_plan_has_expansion`). Residual known under-estimate:
+    columnar scan estimates are on-disk (compressed/encoded) bytes, so
+    a frame near the threshold may be a few × larger in memory — at
+    the 64 MB default that bounds the miscost to one few-hundred-MB
+    sort task, a slowdown not a failure; size ``small_input_bytes``
+    with that factor in mind. Pass ``small_input_bytes=0`` to force
+    the distributed form."""
     sums = sums or {}
     if not sums and rn_col is None:
         raise ValueError("global_prefix: nothing requested — pass sums "
                          "and/or rn_col")
+    # ints/decimals only (ADVICE r14): IEEE float addition is not
+    # associative, so the fast path's single fold and the two-pass's
+    # per-bucket-partials-plus-offset regrouping could differ in the
+    # last ulps — making the RESULT depend on a Catalyst size estimate.
+    # Driver-side schema resolution, no job.
+    for name, src in sums.items():
+        tn = df.select(src.alias("__gp_t")).schema[0].dataType.typeName()
+        if tn not in ("byte", "short", "integer", "long", "decimal"):
+            raise ValueError(
+                f"global_prefix: sums[{name!r}] resolves to {tn}; only "
+                "integral/decimal types sum associatively across the "
+                "two-pass regrouping — cast to bigint/decimal first")
     sc = df.sparkSession.sparkContext
     b = int(num_partitions or 2 * sc.defaultParallelism)
     okeys = [F.col(c) if isinstance(c, str) else c for c in order]
@@ -863,7 +906,8 @@ def global_prefix(df: DataFrame, order: Sequence[str | Column],
             "SPARK_GRAFT_GP_SMALL_MAX_BYTES", GP_SMALL_INPUT_BYTES))
     if small_input_bytes and small_input_bytes > 0:
         est = _plan_size_bytes(df)
-        if est is not None and est <= small_input_bytes:
+        if (est is not None and est <= small_input_bytes
+                and not _plan_has_expansion(df)):
             # single-task exact form: one sort task beats the bucketed
             # two-pass's ~0.5-1 s of pure stage overhead at this size
             # (the key-type validation above still applies — the

