@@ -47,19 +47,49 @@ MAX_LINE = 1800
 #: 2293 s vs 287 s in r12, and adjudicating "code regression vs degraded
 #: VM" cost the judge two full bench runs — the inflation turned out to
 #: be uniform 4x host steal. The canary makes that distinction machine-
-#: readable INSIDE the artifact: a fixed, pure-CPU, Spark-independent
-#: calibration task (sha256 over 512 MiB of zeros, min of 3 trials) is
-#: timed at bench start and end and stamped into both payloads. A run
-#: whose canary deviates >CANARY_TOL x from CANARY_REF_S self-identifies
-#: as contaminated (``canary_degraded: true``); reference value measured
-#: idle-host in round 14 (protocol in SCALE.md).
-CANARY_REF_S = 0.50
+#: readable INSIDE the artifact: fixed, Spark-independent calibration
+#: tasks are timed at bench start and end and stamped into both
+#: payloads. A run whose canary deviates >CANARY_TOL x from its ref
+#: self-identifies as contaminated (``canary_degraded: true``).
+#:
+#: TWO components since round 15 (VERDICT r14 #2 — the single-threaded
+#: sha256 canary had a measured blind spot: two canary-clean runs of
+#: IDENTICAL code differed x1.148 median-per-query, because one core's
+#: integer throughput was healthy while whatever throttles 32-way
+#: Spark stages was not): ``cpu`` = single-threaded sha256 over 512
+#: MiB; ``membw`` = 32-thread summation over a 1 GiB array (min of 3
+#: each) — multi-core AND memory-bandwidth-bound, the resource class
+#: real stage execution shares.
+#:
+#: The reference constants are HOST-SPECIFIC calibration values
+#: (measured idle on the round-14/15 builder machine; protocol in
+#: SCALE.md) — on any other hardware class override them via
+#: $SPARK_GRAFT_CANARY_REF_S / $SPARK_GRAFT_CANARY_MEMBW_REF_S
+#: (ADVICE r14), or read ``canary_degraded`` as advisory-only.
+CANARY_REF_S = float(os.environ.get("SPARK_GRAFT_CANARY_REF_S", 0.50))
+CANARY_MEMBW_REF_S = float(
+    os.environ.get("SPARK_GRAFT_CANARY_MEMBW_REF_S", 0.31))
 CANARY_TOL = 1.5
+
+#: Pinned Spark micro-set (VERDICT r14 #2, second prong): three cheap,
+#: plan-stable registry queries timed at sf0.001 (min of 3, AFTER the
+#: JIT warm-up) whose committed reference timings normalize CROSS-ROUND
+#: totals — the ambient-host-band problem the canary cannot see
+#: retroactively. ``micro_r`` (median measured/ref ratio) stamps every
+#: artifact: two runs with micro_r 1.0 and 1.15 differ by host band,
+#: not code, even when both canaries read clean. Refs are calibration
+#: values from the round-15 builder host, same caveat as above.
+MICROSET_REF_S = {
+    "q01_pricing_summary": 0.24,
+    "q03_part_type_revenue": 0.32,
+    "q06_topk_orders": 0.28,
+}
+MICROSET_SF_DIR = "/root/testdata/sf0.001"
 
 
 def run_canary(trials: int = 3) -> float:
-    """Seconds for the fixed calibration task: best (min) of ``trials``
-    single-threaded sha256 passes over 512 MiB. Pure CPU, zero I/O, no
+    """Seconds for the single-threaded CPU calibration task: best (min)
+    of ``trials`` sha256 passes over 512 MiB. Pure CPU, zero I/O, no
     Spark — its runtime moves only when the HOST degrades (VM steal,
     thermal throttling, noisy neighbours), never when engine code does."""
     import hashlib
@@ -75,6 +105,64 @@ def run_canary(trials: int = 3) -> float:
     return round(best, 3)
 
 
+def run_canary_membw(trials: int = 3, threads: int = 32,
+                     passes: int = 48) -> float:
+    """Seconds for the multi-core memory-bandwidth calibration task:
+    ``threads`` Python threads each summing their slice of a shared
+    1 GiB float64 array ``passes`` times (numpy releases the GIL inside
+    ``np.sum``, so the threads genuinely run in parallel), best of
+    ``trials``. The working set (1 GiB) dwarfs any L3, so the task is
+    DRAM-bandwidth-bound across all cores — the blind spot the sha256
+    canary missed (VERDICT r14 #2: steal/throttle regimes that tax
+    32-way streaming workloads but leave one core's integer ALU
+    throughput intact). ~150 GB/s effective on the calibration host →
+    ~0.31 s; min-of-trials also absorbs the first pass's page faults."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+    n = 1 << 27  # 128 Mi float64 = 1 GiB shared, >> L3
+    arr = np.ones(n)
+    chunk = n // threads
+
+    def worker(i: int) -> float:
+        s = 0.0
+        for _ in range(passes):
+            s += float(np.sum(arr[i * chunk:(i + 1) * chunk]))
+        return s
+
+    best = float("inf")
+    with ThreadPoolExecutor(threads) as ex:
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            sum(ex.map(worker, range(threads)))
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def run_microset(spark, repeats: int = 3) -> dict[str, float]:
+    """Per-query min-of-``repeats`` wall seconds for the pinned
+    micro-set at sf0.001. Call AFTER the warm-up block (the refs are
+    warm-path numbers; a cold JIT would read as host degradation); the
+    first repeat pays these three plans' own compile and the min
+    discards it (measured: rep1 ~0.1 s above the rep2/3 floor)."""
+    samples: dict[str, list[float]] = {}
+    for _ in range(repeats):
+        for name in MICROSET_REF_S:
+            fn, _oracle = REGISTRY[name]
+            t0 = time.perf_counter()
+            fn(spark, MICROSET_SF_DIR).count()
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+    return {n: round(min(ts), 3) for n, ts in samples.items()}
+
+
+def micro_ratio(micro_s: dict[str, float]) -> float:
+    """Median measured/ref ratio over the micro-set — the cross-round
+    normalizer (1.0 = calibration-host speed; 1.3 = the host band r13/
+    r14 sat in). Median of three, so one outlier query can't skew it."""
+    ratios = sorted(micro_s[n] / MICROSET_REF_S[n]
+                    for n in MICROSET_REF_S if n in micro_s)
+    return round(ratios[len(ratios) // 2], 3) if ratios else float("nan")
+
+
 def short_name(name: str) -> str:
     """``q29_lsh_neardup`` -> ``q29``; non-qNN names pass through."""
     m = re.match(r"(q\d+)_", name)
@@ -83,7 +171,9 @@ def short_name(name: str) -> str:
 
 def build_payloads(timings: dict[str, float],
                    sf_val, repeat: int = 1,
-                   canary: tuple[float, float] | None = None
+                   canary: tuple[float, float] | None = None,
+                   membw: tuple[float, float] | None = None,
+                   micro_s: dict[str, float] | None = None
                    ) -> tuple[dict, str]:
     """(full detail payload, compact stdout line) for a finished run.
     The compact line is guaranteed ≤ MAX_LINE chars: the short-key
@@ -119,11 +209,24 @@ def build_payloads(timings: dict[str, float],
         detail["canary"] = {"start_s": start_s, "end_s": end_s,
                             "ref_s": CANARY_REF_S, "tol": CANARY_TOL,
                             "degraded": degraded}
-        # compact: always the pair (so the driver artifact carries it);
-        # the boolean only when tripped, to spare line budget
+        if membw is not None:
+            mb_start, mb_end = membw
+            mb_bad = max(mb_start, mb_end) > CANARY_MEMBW_REF_S * CANARY_TOL
+            degraded = degraded or mb_bad
+            detail["canary"].update({
+                "membw_start_s": mb_start, "membw_end_s": mb_end,
+                "membw_ref_s": CANARY_MEMBW_REF_S, "degraded": degraded})
+            compact["canary_mb_s"] = [mb_start, mb_end]
+        # compact: always the pairs (so the driver artifact carries
+        # them); the boolean only when tripped, to spare line budget
         compact["canary_s"] = [start_s, end_s]
         if degraded:
             compact["canary_degraded"] = True
+    if micro_s:
+        r = micro_ratio(micro_s)
+        detail["micro"] = {"queries_s": micro_s,
+                           "ref_s": MICROSET_REF_S, "ratio": r}
+        compact["micro_r"] = r
     # The compact map is a triage signal (BENCH_DETAIL.json keeps 3
     # decimals). Degrade gracefully as the registry grows: 1-decimal map
     # -> integer-second map -> SLOWEST-FIRST truncated integer map with
@@ -185,6 +288,7 @@ def main() -> None:
     if repeat < 1:
         raise SystemExit(f"--repeat must be >= 1, got {repeat}")
     canary_start = run_canary()  # BEFORE the JVM spins up (pure host read)
+    membw_start = run_canary_membw()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -220,6 +324,11 @@ def main() -> None:
     # stale up-front warm vs ~5-6 s warm-adjacent).
     warm_first = {"q152_correlation_matrix", "q153_bootstrap_ci"}
 
+    # pinned micro-set AFTER warm-up, BEFORE the timed loop: warm-path
+    # Spark-stack read whose ratio-to-committed-refs normalizes this
+    # run's totals against other rounds (VERDICT r14 #2)
+    micro_s = run_microset(spark)
+
     samples: dict[str, list[float]] = {}
     for rep in range(repeat):
         for name, (fn, _oracle) in REGISTRY.items():
@@ -236,10 +345,13 @@ def main() -> None:
 
     timings = {n: min(ts) for n, ts in samples.items()}
     canary_end = run_canary()  # AFTER the timed loop (catch mid-run decay)
+    membw_end = run_canary_membw()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail, line = build_payloads(timings, sf_val, repeat=repeat,
-                                  canary=(canary_start, canary_end))
+                                  canary=(canary_start, canary_end),
+                                  membw=(membw_start, membw_end),
+                                  micro_s=micro_s)
     if repeat > 1:
         detail["samples"] = samples
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

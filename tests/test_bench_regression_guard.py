@@ -240,3 +240,56 @@ def test_repeat_takes_per_query_minimums(monkeypatch, tmp_path):
                          "--baseline", str(tmp_path / "BENCH_r01.json")])
     # q1 min = 1.0 (not the 2.9 spike) -> no regression vs 1.1 baseline
     assert guard.main() == 0
+
+
+def test_membw_canary_and_microset_stamped(monkeypatch):
+    """Round-15 canary upgrade (VERDICT r14 #2): the memory-bandwidth
+    component and the pinned micro-set land in both payloads; EITHER
+    canary component past tol*ref flips the one degraded flag; micro_r
+    is the median measured/ref ratio."""
+    import bench
+    from powerdatapipeline_spark.queries import REGISTRY
+
+    timings = {n: 1.0 for n in REGISTRY}
+    timings["flagship"] = 1.0
+    ok = round(bench.CANARY_REF_S * 1.1, 3)
+    mb_ok = round(bench.CANARY_MEMBW_REF_S * 1.1, 3)
+    micro = {n: round(r * 1.2, 3) for n, r in bench.MICROSET_REF_S.items()}
+
+    detail, line = bench.build_payloads(timings, 0.1, canary=(ok, ok),
+                                        membw=(mb_ok, mb_ok),
+                                        micro_s=micro)
+    parsed = json.loads(line)
+    assert parsed["canary_s"] == [ok, ok]
+    assert parsed["canary_mb_s"] == [mb_ok, mb_ok]
+    assert "canary_degraded" not in parsed
+    assert detail["canary"]["membw_ref_s"] == bench.CANARY_MEMBW_REF_S
+    assert detail["canary"]["degraded"] is False
+    # micro_r: every component at 1.2x ref -> median 1.2
+    assert abs(parsed["micro_r"] - 1.2) < 0.02
+    assert detail["micro"]["queries_s"] == micro
+    assert detail["micro"]["ref_s"] == bench.MICROSET_REF_S
+
+    # membw degradation alone trips the shared flag (the r14 blind
+    # spot: cpu canary clean, multi-core bandwidth degraded)
+    mb_bad = round(bench.CANARY_MEMBW_REF_S * bench.CANARY_TOL * 2, 3)
+    detail2, line2 = bench.build_payloads(timings, 0.1, canary=(ok, ok),
+                                          membw=(mb_ok, mb_bad))
+    assert json.loads(line2)["canary_degraded"] is True
+    assert detail2["canary"]["degraded"] is True
+
+    # the refs are env-overridable (ADVICE r14: host-specific constants)
+    import importlib
+    monkeypatch.setenv("SPARK_GRAFT_CANARY_REF_S", "9.9")
+    monkeypatch.setenv("SPARK_GRAFT_CANARY_MEMBW_REF_S", "8.8")
+    bench2 = importlib.reload(bench)
+    assert bench2.CANARY_REF_S == 9.9
+    assert bench2.CANARY_MEMBW_REF_S == 8.8
+    monkeypatch.delenv("SPARK_GRAFT_CANARY_REF_S")
+    monkeypatch.delenv("SPARK_GRAFT_CANARY_MEMBW_REF_S")
+    importlib.reload(bench)
+
+    # the bandwidth task itself is sane and genuinely multi-threaded
+    # scale (sub-second on any healthy host at min-of-1)
+    c = bench.run_canary_membw(trials=1)
+    assert 0.005 < c < 60.0

@@ -163,6 +163,22 @@ def build_at(spark, factor: int, dest: str) -> None:
             # cross-collisions stay at background density. rep 0 is
             # the identity (x1 data = source data, same as the
             # documents tag convention).
+            dim = int(df.selectExpr("size(embedding) AS d")
+                      .first()["d"])
+            if factor > 2 * dim:
+                # ADVICE r14: the family has exactly 2*dim members, so
+                # a bigger factor would alias replicas back to EXACT
+                # duplicates — silently reintroducing the pathology
+                # this transform exists to avoid, and the manifest rev
+                # would not change, so stale-data reuse wouldn't catch
+                # it either. Fail loudly; extending the family (e.g.
+                # per-replica deterministic permutations) is the fix.
+                raise SystemExit(
+                    f"embeddings replica-isometry family has only "
+                    f"2*dim = {2 * dim} distinct members; factor "
+                    f"{factor} would alias replicas into exact "
+                    f"duplicates — extend the family before probing "
+                    f"past x{2 * dim}")
             sh = ("concat(slice(embedding, "
                   "CAST(pmod(__rep, size(embedding)) AS INT) + 1, "
                   "size(embedding) - CAST(pmod(__rep, size(embedding)) AS INT)), "
@@ -224,12 +240,18 @@ def probe(spark, stems: list[str], factor: int) -> list[dict]:
 
 
 def probe_multi(spark, stems: list[str],
-                factors: list[int]) -> list[dict]:
+                factors: list[int], best_of: int = 1) -> list[dict]:
     """Three-point (or N-point) probe: time each query at every factor
     in one session and report the exponent PER CONSECUTIVE DECADE —
     log(t_b/t_a)/log(b/a) — so a fixed-overhead-dominated first decade
     (sub-linear) can't mask a super-linear second decade. The x1 run
-    still warms JIT per query before any timed pass."""
+    still warms JIT per query before any timed pass.
+
+    ``best_of`` (VERDICT r14 #7): single-run cells carry ±0.1 exponent
+    of session noise on top of the ambient host band; min-of-N per cell
+    (N timed executions back-to-back, same session) strips the
+    one-sided noise the same way bench.py --repeat does, making a
+    probe-vs-probe regression call cheap instead of an adjudication."""
     import math
 
     by_stem = {n.split("_")[0]: n for n in REGISTRY}
@@ -240,10 +262,15 @@ def probe_multi(spark, stems: list[str],
         fn(spark, "/root/testdata/sf0.001").count()  # JIT warm
         times = {}
         for f_ in factors:
-            t0 = time.time()
-            fn(spark, dir_for(f_)).count()
-            times[f_] = time.time() - t0
+            trials = []
+            for _ in range(max(1, best_of)):
+                t0 = time.time()
+                fn(spark, dir_for(f_)).count()
+                trials.append(time.time() - t0)
+            times[f_] = min(trials)
         row = {"query": name}
+        if best_of > 1:
+            row["best_of"] = best_of
         for f_ in factors:
             row[f"t_x{f_}_s"] = round(times[f_], 2)
         for a, b in zip(factors, factors[1:]):
@@ -266,6 +293,9 @@ def main() -> None:
     stems = DEFAULT_QUERIES
     if "--queries" in sys.argv:
         stems = sys.argv[sys.argv.index("--queries") + 1].split(",")
+    best_of = 1
+    if "--best-of" in sys.argv:
+        best_of = int(sys.argv[sys.argv.index("--best-of") + 1])
     spark = get_spark("scale-probe", extra_conf={
         # split the single-file tables finely so BOTH scales use the
         # full local core count — mirrors the many-splits 100 TB regime
@@ -276,7 +306,7 @@ def main() -> None:
             build_at(spark, f_, dir_for(f_))
         if "--build-only" in sys.argv:
             return
-        rows = probe_multi(spark, stems, factors)
+        rows = probe_multi(spark, stems, factors, best_of=best_of)
         print(json.dumps({"factors": factors, "results": rows}))
         return
     build_at(spark, 1, X1)
