@@ -755,20 +755,39 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 
 
 def _plan_has_expansion(df: DataFrame) -> bool:
-    """True when the frame's OPTIMIZED logical plan contains a
-    row-multiplying node (``Generate`` — explode/posexplode/inline/
-    json_tuple/stack all plan as Generate) — the lineage class where
-    non-CBO ``sizeInBytes`` errs DOWNWARD, not upward: a unary node's
-    default estimate inherits its child's size, so a 1-row frame
-    exploding to millions still estimates tiny (ADVICE r14). Callers
-    use this to veto size-estimate-based fast paths. Driver-side plan
-    introspection only, NO job; unavailable introspection returns True
-    (conservative: treat as expanding)."""
+    """True when the frame's OPTIMIZED logical plan contains an
+    UNBOUNDED row-multiplying node: a ``Generate`` (explode/posexplode/
+    inline/json_tuple/stack all plan as Generate) with no Aggregate /
+    GlobalLimit / Deduplicate between it and the root. That is the
+    lineage class where non-CBO ``sizeInBytes`` errs DOWNWARD, not
+    upward: a unary node's default estimate inherits its child's size,
+    so a 1-row frame exploding to millions still estimates tiny
+    (ADVICE r14) — and the explosion reaches the caller's row count
+    un-dampened. A Generate BELOW an aggregation is deliberately NOT a
+    veto: the aggregate's output is its group count, so the explosion
+    never multiplies the frame the caller sorts (q165's heaps-law
+    spine — explode→groupBy→groupBy→join — keeps its measured fast
+    path; the residual case of a groupBy keyed near-uniquely on
+    exploded output is accepted and documented in global_prefix's
+    docstring). Callers use this to veto size-estimate-based fast
+    paths. Driver-side plan-tree walk only, NO job; unavailable
+    introspection returns True (conservative: treat as expanding)."""
+    def walk(node, bounded: bool) -> bool:
+        name = node.getClass().getSimpleName()
+        if name == "Generate" and not bounded:
+            return True
+        bounded = bounded or name in ("Aggregate", "GlobalLimit",
+                                      "Deduplicate")
+        it = node.children().iterator()
+        while it.hasNext():
+            if walk(it.next(), bounded):
+                return True
+        return False
+
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return walk(df._jdf.queryExecution().optimizedPlan(), False)
     except Exception:
         return True
-    return re.search(r"(?m)^[\s:+-]*Generate\b", plan) is not None
 
 
 def global_prefix(df: DataFrame, order: Sequence[str | Column],
@@ -846,8 +865,12 @@ def global_prefix(df: DataFrame, order: Sequence[str | Column],
     lineages ALSO inherit the pre-explosion child size (err DOWN — a
     tiny-estimating frame that explodes to GBs would silently take the
     single-task sort), so the fast path is VETOED whenever the
-    optimized plan contains a Generate node
-    (:func:`_plan_has_expansion`). Residual known under-estimate:
+    optimized plan contains a Generate with no row-bounding
+    (Aggregate/limit) ancestor (:func:`_plan_has_expansion`; an
+    aggregation above the explode caps what reaches this sort at its
+    group count — the one accepted residual is a groupBy keyed
+    near-uniquely on exploded output, which re-inherits the explosion
+    and still under-estimates). Residual known under-estimate:
     columnar scan estimates are on-disk (compressed/encoded) bytes, so
     a frame near the threshold may be a few × larger in memory — at
     the 64 MB default that bounds the miscost to one few-hundred-MB

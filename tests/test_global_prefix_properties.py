@@ -250,6 +250,16 @@ def test_generate_lineage_vetoes_fast_path(spark):
     # a Generate-free sibling of the same size keeps the fast path
     plain = spark.range(1000).withColumnRenamed("id", "k")
     assert "__gp_b" not in _plan(global_prefix(plain, ["k"], rn_col="rn"))
+    # a Generate BELOW an aggregation is row-bounded (output = group
+    # count, the q165 heaps-law shape) — fast path stays available
+    agged = (spark.range(20).withColumnRenamed("id", "g")
+             .withColumn("x", F.explode(F.sequence(F.lit(0), F.lit(49))))
+             .groupBy("g").agg(F.count("*").alias("k"))
+             .select((F.col("g") * 100 + F.col("k")).alias("k")))
+    out2 = global_prefix(agged, ["k"], rn_col="rn")
+    assert "__gp_b" not in _plan(out2)
+    assert [r.rn for r in out2.orderBy("k").collect()] \
+        == list(range(1, 21))
 
 
 def test_float_sums_rejected(spark):

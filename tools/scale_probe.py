@@ -99,9 +99,10 @@ def build_at(spark, factor: int, dest: str) -> None:
     # rebuilds from scratch.
     manifest_path = os.path.join(dest, "MANIFEST.json")
     # rev bumps when the builder's TRANSFORM changes (round 14: the
-    # embeddings per-replica isometry) — same factor/src but different
-    # content must rebuild, not silently reuse
-    want = {"factor": factor, "src": SRC, "rev": 2}
+    # embeddings per-replica isometry; round 15: the documents
+    # per-replica cipher) — same factor/src but different content must
+    # rebuild, not silently reuse
+    want = {"factor": factor, "src": SRC, "rev": 4}
     have = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -194,9 +195,49 @@ def build_at(spark, factor: int, dest: str) -> None:
             # blocks, n-gram postings) then face a quadratically larger
             # TRUE pair space (measured: q163 t×62 at factor 10), which
             # probes the all-duplicates pathology, not plan scaling.
-            # Tag each replica's text so duplicate DENSITY stays
-            # constant while volume scales (applied at factor 1 too, so
-            # both scales see the same transform).
+            # Round 14 tagged each replica (" rN" suffix), which fixes
+            # EXACT-dup density — but a tag leaves replicas ~0.99-
+            # Jaccard NEAR-dups of each other, so near-dup operators
+            # still faced a quadratic true-pair space (measured in
+            # round 15: q29 emitted 255 / 249k / 27.1M pairs at
+            # x1/x10/x100 — C(replicas,2) per source doc, exactly the
+            # all-duplicates pathology). The text analog of the
+            # embeddings isometry (round 14): a per-replica
+            # POLYALPHABETIC cipher (period-2 Vigenère) — letters at
+            # even string positions rotate by (rep mod 26), at odd
+            # positions by (rep//26 mod 26), digits by (rep//26 mod
+            # 10) — 26·26 = 676 distinct letter transforms,
+            # deterministic, length/word-boundary/shingle-SHAPE-
+            # preserving (the ciphered vocabulary is isomorphic, so df
+            # distributions and per-doc statistics are unchanged), and
+            # ciphered replicas share only letterless shingles
+            # (background density). Two alphabets ON PURPOSE: a single
+            # Caesar shift has only 26 members, and at factor 100 the
+            # digit-free texts of reps {r, r+26, ...} aliased back to
+            # near-dups (measured: q29 emitted 815k pairs at x100 vs
+            # the ~26k linear expectation); with period 2 every letter
+            # trigram spans both alphabets, no reliance on digits.
+            # rep 0 is the identity; the rN tag stays so exact dedup
+            # can never alias even past the family size.
+            if factor > 676:
+                raise SystemExit(
+                    "documents cipher family has only 26*26 = 676 "
+                    f"distinct members; factor {factor} would alias "
+                    "replica texts back into near-duplicates — extend "
+                    "the family before probing past x676")
+            shl = "pmod(__rep, 26)"
+            sh2 = "pmod(CAST(__rep / 26 AS INT), 26)"
+            shd = "pmod(CAST(__rep / 26 AS INT), 10)"
+            sh = f"IF(pmod(i, 2) = 0, {shl}, {sh2})"
+            cipher = f"""concat_ws('', transform(split(text, ''), (c, i) ->
+              CASE WHEN c >= 'a' AND c <= 'z'
+                     THEN char(97 + pmod(ascii(c) - 97 + {sh}, 26))
+                   WHEN c >= 'A' AND c <= 'Z'
+                     THEN char(65 + pmod(ascii(c) - 65 + {sh}, 26))
+                   WHEN c >= '0' AND c <= '9'
+                     THEN char(48 + pmod(ascii(c) - 48 + {shd}, 10))
+                   ELSE c END))"""
+            rep = rep.withColumn("text", F.expr(cipher))
             rep = rep.withColumn(
                 "text", F.concat(F.col("text"), F.lit(" r"),
                                  F.col("__rep").cast("string")))
