@@ -312,6 +312,24 @@ def main() -> None:
     _mm.extract_image_features(
         _warm_docs.limit(8).selectExpr("doc_id", "CAST(text AS BINARY) AS blob"),
         fake=True).count()
+    # Warm the WHOLE Python-worker pool, not just 1-2 workers (round 15
+    # measurement-bug fix, documented in OPTIMIZATION_r15.md): the 8-row
+    # frame above spawns only as many workers as it has partitions, so
+    # the first WIDE Python stage in the timed loop was paying ~29 cold
+    # worker spawns under full session load — measured 13-31 s landing
+    # on q125 (1.6 s with a warm pool; reproduced and bisected via a
+    # 45-query registry replay). One trivial 32-partition mapInPandas
+    # over spark.range (no bench data, nothing cached) brings the
+    # reusable pool to one worker per core and pays the heavyweight
+    # imports (numpy) once per worker, exactly like the JIT/codegen
+    # warm-ups above pay one-time JVM costs.
+    def _warm_pool(batches):
+        import numpy  # noqa: F401 — heavyweight import paid per worker
+        import pandas as _pd
+        for _ in batches:
+            pass
+        yield _pd.DataFrame({"x": [1]})
+    spark.range(0, 32, 1, 32).mapInPandas(_warm_pool, "x bigint").count()
     # giant single-aggregate expressions (15+ decimal sums in one agg)
     # pay ~10 s of one-time codegen/JIT on their first run — measured
     # live on q152 (17.9 s cold vs 5.0 s 4-rep minimum) and q153; warm

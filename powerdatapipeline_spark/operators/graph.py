@@ -15,12 +15,90 @@ A persisted/checkpointed rank vector bounds lineage growth; iteration
 counts here are small fixed constants (ranking quality plateaus in a few
 rounds on bounded-diameter interaction graphs), which is what makes the
 static unroll the right call versus a driver-side convergence loop.
+
+Small-graph fast paths (round 15): every iterative operator here pays a
+measured ~1.2-1.7 s of FIXED cost per distributed round at small scale
+(AQE stage-job submissions, per-round plan analysis, checkpoint
+barriers — q184: ~0.15 s of task time inside a 1.6 s round), so when
+the materialized edge list is at/below :data:`GRAPH_SMALL_MAX_ROWS`
+rows the operator runs its exact single-task twin instead (union-find /
+in-memory peeling / integer iteration via one ``mapInPandas`` task —
+the global_prefix small-input precedent, decided on the EXACT row count
+the operator already computes rather than a Catalyst estimate, which
+errs 5-6 orders of magnitude high through join lineages). Results are
+bit-identical (integer/decimal-exact arithmetic; shortest-repr HALF_UP
+rounding twins); the distributed forms remain the scale path and stay
+oracle-verified via the env-pinned parity artifact
+($SPARK_GRAFT_GRAPH_SMALL_MAX_ROWS=0 sweep) plus the fast ≡ distributed
+property pins in tests/test_graph_small_path.py.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Default edge-count line at/below which the iterative operators run
+#: their SINGLE-TASK exact form instead of the unrolled distributed
+#: rounds (round 15, the global_prefix small-input precedent). The
+#: decision reads the EXACT materialized row count every operator in
+#: this module already computes (its edge frame is eagerly
+#: localCheckpointed and counted for convergence/guard purposes), not a
+#: Catalyst estimate — join/window-built edge lineages estimate 5-6
+#: orders of magnitude high (measured: q135's edge frame estimates
+#: 1.1 TB against a true 587k rows), so the global_prefix sizeInBytes
+#: branch can never fire here. A ≤2M-row edge list is a few tens of MB
+#: of narrow pairs — data one ordinary task already handles — while the
+#: distributed rounds pay ~1.2-1.7 s of PURE per-round fixed cost
+#: (AQE stage-job submissions + per-round plan analysis; measured on
+#: q184: 6 rounds × 1.6 s wall against ~0.15 s of actual task time per
+#: round). Override with $SPARK_GRAFT_GRAPH_SMALL_MAX_ROWS (0 disables
+#: every fast path) or per call via ``small_max_rows``; the distributed
+#: forms stay oracle-verified by the env-pinned parity sweep artifact
+#: (PARITY_graphdist_* — see OPTIMIZATION_r15.md) and the fast ≡
+#: distributed property pins in tests/test_graph_small_path.py.
+GRAPH_SMALL_MAX_ROWS = 2_000_000
+
+#: int64 headroom guard for the fast paths' scaled-integer decimal
+#: accumulation (pagerank: contributions are exact 1e-12-scaled ints;
+#: a sum over E edges must stay under 2^63): edge counts past this are
+#: refused the fast path regardless of the configured threshold.
+_FAST_PATH_HARD_MAX_ROWS = 8_000_000
+
+
+def _small_max_rows(override: int | None) -> int:
+    """Resolve the fast-path edge-count line: explicit argument wins
+    (0 = force distributed, the test pin), else the env override, else
+    the module default — mirroring global_prefix's small_input_bytes
+    contract."""
+    if override is not None:
+        return min(int(override), _FAST_PATH_HARD_MAX_ROWS)
+    return min(int(os.environ.get("SPARK_GRAFT_GRAPH_SMALL_MAX_ROWS",
+                                  GRAPH_SMALL_MAX_ROWS)),
+               _FAST_PATH_HARD_MAX_ROWS)
+
+
+def _single_task(df: DataFrame, fn, schema: str) -> DataFrame:
+    """Run ``fn`` (a mapInPandas iterator function) over ALL of ``df``
+    in one task. ``df`` is a small materialized (localCheckpointed)
+    frame, so ``coalesce(1)`` is a narrow read of its cached blocks —
+    no shuffle, one Arrow hand-off, one job."""
+    return df.coalesce(1).mapInPandas(fn, schema)
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Python twin of Spark's ``round(double, d)`` / double→decimal
+    cast semantics: shortest-repr decimalization (JVM
+    ``BigDecimal.valueOf`` = ``Double.toString``; Python ``repr`` is
+    the same shortest round-trip digits) then HALF_UP at ``digits`` —
+    the identity the replay-model suites already pin (tests/_hyp
+    fuzz round 14: shortest-repr HALF_UP, not banker's rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x)))
+                 .quantize(Decimal(1).scaleb(-digits), ROUND_HALF_UP))
 
 
 def symmetrize(edges: DataFrame, src: str = "src",
@@ -35,9 +113,78 @@ def symmetrize(edges: DataFrame, src: str = "src",
             .distinct())
 
 
+def _pagerank_single_task(e: DataFrame, iterations: int,
+                          damping: float) -> DataFrame:
+    """Single-task exact PageRank twin of the distributed unroll: the
+    SAME arithmetic, step for step — 6-rounded r₀, per-node double
+    division by out-degree, HALF_UP quantization to 12 decimals
+    (Spark's double→decimal(28,12) cast), EXACT scaled-integer
+    accumulation (the decimal fold, as int64 multiples of 1e-12 —
+    guarded against int64 overflow by :data:`_FAST_PATH_HARD_MAX_ROWS`),
+    correctly-rounded back to double, damped, re-rounded to 6. Every
+    intermediate matches the distributed vector bit for bit, so the
+    whole trajectory does (pinned by tests/test_graph_small_path.py).
+    Like the distributed form, only nodes receiving an in-contribution
+    in the final round appear in the output."""
+    typ = e.schema["src"].dataType.simpleString()
+    base_lit = round(1.0 - damping, 6)
+
+    def fn(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        q6 = Decimal("1E-6")
+        q12 = Decimal("1E-12")
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+        src = np.concatenate(srcs) if srcs else np.array([])
+        dst = np.concatenate(dsts) if dsts else np.array([])
+        nodes, inv = np.unique(np.concatenate([src, dst]),
+                               return_inverse=True)
+        src_i, dst_i = inv[:len(src)], inv[len(src):]
+        n = len(nodes)
+        outdeg = np.bincount(src_i, minlength=n)
+        if (outdeg == 0).any():
+            raise ValueError(
+                "graph has nodes without out-edges; symmetrize() the "
+                "edge list or drop dangling nodes before pagerank()")
+        r0 = float(Decimal(repr(1.0 / n)).quantize(q6, ROUND_HALF_UP))
+        base = float(Decimal(repr(base_lit / n))
+                     .quantize(q12, ROUND_HALF_UP))
+        rank = np.full(n, r0)
+        has = np.ones(n, bool)
+        for _ in range(iterations):
+            ratio = rank / outdeg
+            c_int = np.zeros(n, np.int64)
+            for i in np.flatnonzero(has):
+                c_int[i] = int(Decimal(repr(ratio[i]))
+                               .quantize(q12, ROUND_HALF_UP).scaleb(12))
+            emask = has[src_i]
+            acc = np.zeros(n, np.int64)
+            np.add.at(acc, dst_i[emask], c_int[src_i[emask]])
+            received = np.zeros(n, bool)
+            received[dst_i[emask]] = True
+            new_rank = np.zeros(n)
+            for i in np.flatnonzero(received):
+                in_f = float(Decimal(int(acc[i])).scaleb(-12))
+                new_rank[i] = float(
+                    Decimal(repr(base + damping * in_f))
+                    .quantize(q6, ROUND_HALF_UP))
+            rank, has = new_rank, received
+        keep = np.flatnonzero(has)
+        yield pd.DataFrame({"node": nodes[keep], "rank": rank[keep]})
+
+    return _single_task(e, fn, f"node {typ}, rank double")
+
+
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping: float = 0.85, src: str = "src",
-             dst: str = "dst") -> DataFrame:
+             dst: str = "dst",
+             small_max_rows: int | None = None) -> DataFrame:
     """PageRank with a FIXED iteration count, statically unrolled:
     ``r₀(v) = 1/N``; ``r_{k+1}(v) = (1−d)/N + d·Σ_{u→v} r_k(u)/outdeg(u)``.
 
@@ -54,11 +201,23 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     independent), damped, and re-rounded to 6 — every iteration's vector
     is bit-identical across engines, so the fixpoint trajectory is too.
     The rank vector localCheckpoints every few rounds (deep loops
-    only) to bound lineage; shallow unrolls run as one pipelined job."""
+    only) to bound lineage; shallow unrolls run as one pipelined job.
+
+    Small-graph fast path (round 15): the edge list is materialized
+    once (an eager localCheckpoint — the dangling-node guard forced a
+    materialization before this round too, as the first action over the
+    persisted frame) and its exact row count picks the form: at/below
+    ``small_max_rows`` (default :data:`GRAPH_SMALL_MAX_ROWS`) the whole
+    trajectory runs as ONE single-task job
+    (:func:`_pagerank_single_task`, bit-identical per iteration — the
+    parity design above is exactly what makes a cross-engine twin
+    possible); above it, the distributed unroll below. Pass
+    ``small_max_rows=0`` to pin the distributed form."""
     if iterations < 1:
         raise ValueError("pagerank needs at least 1 iteration")
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .persist())
+         .localCheckpoint(eager=True))
+    n_edges = e.count()
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
@@ -69,6 +228,11 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         raise ValueError(
             "graph has nodes without out-edges; symmetrize() the edge "
             "list or drop dangling nodes before pagerank()")
+    # fast-path branch AFTER the dangling guard so the loud plan-build
+    # raise contract is identical on both paths (the guard job reads
+    # the checkpointed e, so it is node-sized work either way)
+    if 0 < n_edges <= _small_max_rows(small_max_rows):
+        return _pagerank_single_task(e, iterations, damping)
     n_nodes = nodes.select(F.count("*").alias("__n"))
     # 1−d as the 6-rounded literal, NOT the raw float subtraction:
     # Python's 1.0−0.85 and a SQL engine's CAST(0.15 AS DOUBLE) are
@@ -98,10 +262,9 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                          .alias("rank")))
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    # NOTE: e stays persisted until the caller's action consumes the
-    # returned plan; unpersisting here would evict the cache before the
-    # (now lazy) iterations ever run. Spark drops it with the session,
-    # and repeated fits re-persist their own edge frames.
+    # NOTE: e is localCheckpointed (round 15 — it doubles as the
+    # fast-path row-count read), so the (lazy) iterations re-read its
+    # materialized partitions; Spark drops them with the session.
     return ranks
 
 
@@ -232,9 +395,54 @@ def _cc_small_star(d: DataFrame) -> DataFrame:
             .where(F.col("u") != F.col("v")).distinct())
 
 
+def _cc_union_find(e: DataFrame) -> DataFrame:
+    """Single-task exact connected components over a small materialized
+    canonical edge frame: path-compressed union-find, label = component
+    minimum — the same labeling the star-contraction fixpoint provably
+    produces, in one O(E·α(E)) pass instead of ~log(n) distributed
+    rounds of ~1.5 s fixed cost each. Self-loop rows register their
+    node as a singleton, matching ``_cc_canonical``'s contract."""
+    typ = e.schema["u"].dataType.simpleString()
+
+    def fn(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+        best: dict = {}
+        for x in parent:
+            r = find(x)
+            m = best.get(r)
+            if m is None or x < m:
+                best[r] = x
+        nodes = sorted(parent)
+        yield pd.DataFrame({"node": nodes,
+                            "label": [best[find(x)] for x in nodes]})
+
+    return _single_task(e, fn, f"node {typ}, label {typ}")
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         small_max_rows: int | None = None) -> DataFrame:
     """Connected components by alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — the O(log n)-round labeling that completes the graph
@@ -259,7 +467,18 @@ def connected_components(edges: DataFrame, src: str = "src",
     every node incident to an edge, labeled by its component's minimum
     id (self-loops contribute their node; fully isolated nodes never
     appear in ``edges`` and are the caller's singletons, same contract
-    as dedup_clusters)."""
+    as dedup_clusters).
+
+    Small-graph fast path (round 15): when the materialized canonical
+    edge count — already computed here for the convergence checksum —
+    is at/below ``small_max_rows`` (default
+    :data:`GRAPH_SMALL_MAX_ROWS`, env-overridable), the labeling runs
+    as ONE single-task union-find (:func:`_cc_union_find`) instead of
+    ~log(n) checkpointed rounds; identical labels (component minimum),
+    pinned by tests/test_graph_small_path.py. ``max_iter`` applies to
+    the distributed rounds only — the fast path always converges
+    exactly (union-find has no round budget to exhaust); pass
+    ``small_max_rows=0`` to pin the distributed form."""
     e = _cc_canonical(edges, src, dst).localCheckpoint(eager=True)
 
     def checksum(d: DataFrame):
@@ -272,13 +491,16 @@ def connected_components(edges: DataFrame, src: str = "src",
                   .alias("h")).collect()[0]
         return (r["n"], r["h"])
 
+    sig = checksum(e)
+    if 0 < sig[0] <= _small_max_rows(small_max_rows):
+        return _cc_union_find(e)
+
     large_star, small_star = _cc_large_star, _cc_small_star
     nodes = (e.select(F.col("u").alias("node"))
              .union(e.select(F.col("v").alias("node")))
              .distinct().localCheckpoint(eager=True))
     cur = e
-    sig = checksum(cur)
-    converged = cur.isEmpty()
+    converged = sig[0] == 0
     # per-round cost at small SF is stage-LAUNCH latency (4 shuffles/
     # round × ~6 rounds), not task counts: a row-count-gated coalesce
     # of the round frames was measured a no-op (round 12), so rounds
@@ -309,8 +531,76 @@ def connected_components(edges: DataFrame, src: str = "src",
                     .alias("label")))
 
 
+def _kcore_single_task(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
+    """Single-task exact twin of the distributed k-core peel: the SAME
+    synchronous rounds (all sub-k nodes removed together per round),
+    the SAME convergence rule (edge-count fixpoint) and the SAME
+    ``max_rounds`` exhaustion raise — integer-only work, so the twin is
+    trivially bit-identical (pinned by tests/test_graph_small_path.py,
+    including the round-budget raise)."""
+    typ = e.schema["u"].dataType.simpleString()
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy())
+            vs.append(pdf["v"].to_numpy())
+        u = np.concatenate(us) if us else np.array([])
+        v = np.concatenate(vs) if vs else np.array([])
+        nodes, inv = np.unique(np.concatenate([u, v]),
+                               return_inverse=True)
+        u_i, v_i = inv[:len(u)], inv[len(u):]
+        n = len(nodes)
+        alive = np.ones(len(u_i), bool)
+        prev = len(u_i)
+        converged = prev == 0
+        for _ in range(max_rounds):
+            if converged:
+                break
+            deg = (np.bincount(u_i[alive], minlength=n)
+                   + np.bincount(v_i[alive], minlength=n))
+            keep = deg >= k
+            alive = alive & keep[u_i] & keep[v_i]
+            cur = int(alive.sum())
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+        if not converged:
+            raise RuntimeError(
+                f"k_core(k={k}) did not converge within max_rounds="
+                f"{max_rounds} peel rounds; raise max_rounds — returning an "
+                "un-peeled supergraph would report non-core nodes as core")
+        deg = (np.bincount(u_i[alive], minlength=n)
+               + np.bincount(v_i[alive], minlength=n))
+        keep = np.flatnonzero(deg >= k)
+        yield pd.DataFrame({"node": nodes[keep],
+                            "core_degree": deg[keep].astype(np.int64)})
+
+    out = _single_task(e, fn, f"node {typ}, core_degree bigint")
+    # EAGER, so the round-budget exhaustion surfaces at CALL time as
+    # the contract RuntimeError (the distributed loop raises at plan
+    # build; a task-side raise would reach the caller as a wrapped
+    # PythonException at action time) — the k-core result is node-
+    # bounded, so the cut is cheap
+    try:
+        return out.localCheckpoint(eager=True)
+    except Exception as ex:
+        if "did not converge within max_rounds" in str(ex):
+            raise RuntimeError(
+                f"k_core(k={k}) did not converge within max_rounds="
+                f"{max_rounds} peel rounds; raise max_rounds — returning "
+                "an un-peeled supergraph would report non-core nodes as "
+                "core") from None
+        raise
+
+
 def k_core(edges: DataFrame, k: int = 2, src: str = "src",
-           dst: str = "dst", max_rounds: int = 12) -> DataFrame:
+           dst: str = "dst", max_rounds: int = 12,
+           small_max_rows: int | None = None) -> DataFrame:
     """k-core decomposition by iterative peeling — the density-based
     subgraph extractor that completes the graph family (pagerank =
     importance, components = reachability, triangles = local
@@ -334,6 +624,9 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = _cc_canonical(edges, src, dst).localCheckpoint(eager=True)
+    prev0 = e.count()
+    if 0 < prev0 <= _small_max_rows(small_max_rows):
+        return _kcore_single_task(e, k, max_rounds)
 
     def degrees(d: DataFrame) -> DataFrame:
         return (d.select(F.col("u").alias("node"))
@@ -341,7 +634,7 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
                 .groupBy("node")
                 .agg(F.count("*").cast("bigint").alias("deg")))
 
-    prev = e.count()
+    prev = prev0
     converged = prev == 0
     for _ in range(max_rounds):
         if converged:
@@ -364,8 +657,74 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
             .select("node", F.col("deg").alias("core_degree")))
 
 
+def _hits_single_task(e: DataFrame, rounds: int, top_k: int) -> DataFrame:
+    """Single-task exact twin of the distributed HITS iteration: pure
+    BIGINT sums (h₀=1 → a₁ = in-degree, alternations are integer edge
+    sums), the SAME conservative int64 overflow guard with the SAME
+    raise, max-normalization once at the end with the identical
+    floor6 double arithmetic. int64 accumulation is safe exactly
+    where the distributed form is — that is what the guard bounds."""
+    typ = e.schema["v"].dataType.simpleString()
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy())
+            vs.append(pdf["v"].to_numpy())
+        u = np.concatenate(us) if us else np.array([])
+        v = np.concatenate(vs) if vs else np.array([])
+        nodes, inv = np.unique(np.concatenate([u, v]),
+                               return_inverse=True)
+        u_i, v_i = inv[:len(u)], inv[len(u):]
+        n = len(nodes)
+        a = np.bincount(v_i, minlength=n).astype(np.int64)  # a₁ = in-deg
+        outdeg = np.bincount(u_i, minlength=n)
+        din = int(a.max()) if len(a) else 0
+        dout = int(outdeg.max()) if len(outdeg) else 0
+        if din > 0:
+            bound = din ** rounds * max(dout, 1) ** (rounds - 1)
+            if bound > 2 ** 63 - 1:
+                raise ValueError(
+                    f"hits_scores(rounds={rounds}) worst-case score "
+                    f"Din^r·Dout^(r-1) = {din}^{rounds}·{dout}^{rounds - 1} "
+                    "exceeds int64 — note this bound is CONSERVATIVE: it "
+                    "pairs the global max in-degree and max out-degree even "
+                    "when they belong to unconnected nodes, so the true max "
+                    "score may be far smaller (ADVICE r12). Lower rounds "
+                    "(rank order is stable by 2 on conveying graphs) or use "
+                    "a decimal-fold variant if the graph's actual structure "
+                    "keeps scores in range")
+        for _ in range(rounds - 1):
+            h = np.zeros(n, np.int64)
+            np.add.at(h, u_i, a[v_i])
+            a = np.zeros(n, np.int64)
+            np.add.at(a, v_i, h[u_i])
+        # nodes with an authority row = targets of ≥1 edge
+        has = np.zeros(n, bool)
+        has[v_i] = True
+        idx = np.flatnonzero(has)
+        mx = float(a[idx].max()) if len(idx) else 0.0
+        import math
+
+        rows = sorted(((int(a[i]), nodes[i]) for i in idx),
+                      key=lambda t: (-t[0], t[1]))[:top_k]
+        yield pd.DataFrame({
+            "node": [nd for _, nd in rows],
+            "authority_int": np.array([ai for ai, _ in rows],
+                                      dtype=np.int64),
+            "authority": [math.floor(float(ai) / mx * 1_000_000.0 + 0.5)
+                          / 1_000_000.0 for ai, _ in rows]})
+
+    return _single_task(
+        e, fn, f"node {typ}, authority_int bigint, authority double")
+
+
 def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
-                rounds: int = 2, top_k: int = 20) -> DataFrame:
+                rounds: int = 2, top_k: int = 20,
+                small_max_rows: int | None = None) -> DataFrame:
     """HITS hubs & authorities on a bipartite graph (Kleinberg 1999) —
     the mutual-reinforcement ranking PageRank can't express: a part is
     authoritative when ordered by strong hub customers, a customer is
@@ -406,6 +765,7 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
          # when the guard first landed with two uncheckpointed degree
          # jobs)
          .localCheckpoint(eager=True))
+    n_edges = e.count()
     # Degree frame = overflow guard input AND iteration 1 (VERDICT r12
     # #2): with h₀ = 1 the first authority update is exactly the
     # in-degree, so ONE bidirectional map-side-combined count job
@@ -446,6 +806,12 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
                 "(rank order is stable by 2 on conveying graphs) or use "
                 "a decimal-fold variant if the graph's actual structure "
                 "keeps scores in range")
+    # fast-path branch AFTER the guard so the loud plan-build raise
+    # contract is identical on both paths (the guard's deg read is the
+    # eager job either way; the single task recomputes degrees in-task
+    # for pennies)
+    if 0 < n_edges <= _small_max_rows(small_max_rows):
+        return _hits_single_task(e, rounds, top_k)
     # iteration 1 for free: a₁ = in-degree (h₀ = 1)
     a = (deg.where(F.col("s") == "i")
          .select(F.col("node").alias("v"), F.col("d").alias("a")))
@@ -470,9 +836,58 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
             .limit(top_k))
 
 
+def _lpa_single_task(sym: DataFrame, rounds: int, top_k: int) -> DataFrame:
+    """Single-task exact twin of the distributed synchronous LPA: the
+    SAME deterministic update (most frequent neighbor label, ties to
+    the SMALLEST label) over the same symmetrized deduped edge list —
+    pure integer counting plus value ordering, so the twin is
+    bit-identical. Label order exploits that ``np.unique`` returns
+    SORTED nodes: comparing node indices ≡ comparing node values
+    (numeric order for numerics; code-point order for strings, which
+    equals Spark's UTF8 binary order on valid UTF-8)."""
+    typ = sym.schema["a"].dataType.simpleString()
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        avs, bvs = [], []
+        for pdf in batches:
+            avs.append(pdf["a"].to_numpy())
+            bvs.append(pdf["b"].to_numpy())
+        av = np.concatenate(avs) if avs else np.array([])
+        bv = np.concatenate(bvs) if bvs else np.array([])
+        nodes, inv = np.unique(np.concatenate([av, bv]),
+                               return_inverse=True)
+        a_i, b_i = inv[:len(av)].astype(np.int64), inv[len(av):]
+        n = len(nodes)
+        lab = np.arange(n, dtype=np.int64)
+        for _ in range(rounds):
+            key = a_i * n + lab[b_i]
+            uniq, cnt = np.unique(key, return_counts=True)
+            ua, ul = uniq // n, uniq % n
+            order = np.lexsort((ul, -cnt, ua))
+            ua_s, ul_s = ua[order], ul[order]
+            first = np.ones(len(ua_s), bool)
+            first[1:] = ua_s[1:] != ua_s[:-1]
+            # every node appears in `a` (sym carries both directions),
+            # so the whole vector is reassigned each round — exactly
+            # the distributed groupBy+argmax window
+            new_lab = lab.copy()
+            new_lab[ua_s[first]] = ul_s[first]
+            lab = new_lab
+        lv, lc = np.unique(lab, return_counts=True)
+        order = np.lexsort((lv, -lc))[:top_k]
+        yield pd.DataFrame({"label": nodes[lv[order]],
+                            "n_nodes": lc[order].astype(np.int64)})
+
+    return _single_task(sym, fn, f"label {typ}, n_nodes bigint")
+
+
 def label_propagation(edges: DataFrame, rounds: int = 2,
                       src: str = "src", dst: str = "dst",
-                      top_k: int = 25) -> DataFrame:
+                      top_k: int = 25,
+                      small_max_rows: int | None = None) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) with a DETERMINISTIC update — the density-community
     complement to connected_components (pure reachability) and k_core
@@ -496,6 +911,8 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
                 & (F.col("a") != F.col("b"))))
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct().localCheckpoint(eager=True))
+    if 0 < sym.count() <= _small_max_rows(small_max_rows):
+        return _lpa_single_task(sym, rounds, top_k)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     # Checkpoint PERIODICALLY, not per round: an eager localCheckpoint

@@ -2203,32 +2203,70 @@ def good_turing_mass(df: DataFrame, text_col: str = "text",
                     .alias("missing_mass")))
 
 
-def _bpe_apply_merge(ps: Column, left: str, right: str) -> Column:
-    """Greedy left-to-right application of ONE learned BPE merge to a
-    piece array: every non-overlapping adjacent ``(left, right)``
-    occurrence collapses into the space-joined token ``left + ' ' +
-    right`` (original pieces never contain spaces — BPE_PIECE_RE
-    excludes them — so merged tokens are collision-free by
-    construction and later rounds can merge merged tokens further).
+def _regex_quote(s: str) -> str:
+    """Java-regex literal quoting via \\Q...\\E (handles embedded \\E)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
 
-    A single ``F.aggregate`` fold per document (narrow, zero-shuffle):
-    the accumulator array grows piece by piece, and when its last
-    element is ``left`` and the incoming piece is ``right`` the pair
-    collapses. Greedy non-overlap falls out for free — a just-merged
-    token is the space-joined string, never equal to ``left`` (which
-    would need ``left == left+' '+right``), so ``[x, x, x]`` with the
-    merge ``(x, x)`` yields ``['x x', x]``, the Sennrich convention."""
-    merged = f"{left} {right}"
-    return F.aggregate(
-        ps,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                     F.array(F.lit(merged)))
-        ).otherwise(F.concat(acc, F.array(x))))
+
+def _regex_repl_quote(s: str) -> str:
+    """Escape regexp_replace replacement metacharacters ($ and \\)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _bpe_pack(ps: Column) -> Column:
+    """Piece array → one separator-framed string: each piece
+    %-escaped ('%'→'%A', so the 2-char separator '%B' can never occur
+    inside a piece), joined AND bracketed by '%B'. The packed form is
+    what makes a merge application LINEAR (one regexp scan) instead of
+    the O(pieces²) array-accumulator fold it replaced (round 15): the
+    fold copied the whole accumulator array per element, which made
+    bpe_encode's k chained merges quadratic in document length."""
+    return F.concat(F.lit("%B"),
+                    F.array_join(F.transform(
+                        ps, lambda p: F.replace(p, F.lit("%"),
+                                                F.lit("%A"))), "%B"),
+                    F.lit("%B"))
+
+
+def _bpe_unpack(s: Column) -> Column:
+    """Inverse of :func:`_bpe_pack`: split on '%B', drop the empty
+    boundary cells, un-escape '%A'→'%'. Pieces are never empty
+    (BPE_PIECE_RE has no empty match), so every empty cell is a frame
+    boundary."""
+    return F.transform(
+        F.filter(F.split(s, "%B"), lambda x: x != F.lit("")),
+        lambda p: F.replace(p, F.lit("%A"), F.lit("%")))
+
+
+def _bpe_apply_merge_packed(s: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of ONE learned BPE merge to a
+    PACKED piece string (:func:`_bpe_pack`): every non-overlapping
+    adjacent ``(left, right)`` occurrence collapses into the
+    space-joined token ``left + ' ' + right``. One linear
+    ``regexp_replace`` scan: the pattern anchors both ends on the
+    piece separator with LOOKAROUND (``(?<=%B) … (?=%B)``), so the
+    trailing separator is not consumed and abutting occurrences
+    ``l,r,l,r`` both merge, while an odd run ``x,x,x`` under the merge
+    ``(x,x)`` yields ``['x x', x]`` — the Sennrich convention, and
+    exactly the semantics of the accumulator fold this replaced
+    (within one application a merged token can never re-match: the
+    match region is consumed and the replacement contains no
+    separator). Merged tokens are collision-free because original
+    pieces never contain spaces (BPE_PIECE_RE excludes them), so
+    later rounds can merge merged tokens further — ``left``/``right``
+    with spaces escape-then-quote to exactly the packed bytes earlier
+    rounds produced."""
+    el = left.replace("%", "%A")
+    er = right.replace("%", "%A")
+    pat = f"(?<=%B){_regex_quote(el)}%B{_regex_quote(er)}(?=%B)"
+    return F.regexp_replace(s, pat, _regex_repl_quote(f"{el} {er}"))
+
+
+def _bpe_apply_merge(ps: Column, left: str, right: str) -> Column:
+    """Array-in/array-out wrapper over the packed linear merge — the
+    shape bpe_train's per-round re-checkpoint consumes; bpe_encode
+    packs ONCE and chains k packed merges instead."""
+    return _bpe_unpack(_bpe_apply_merge_packed(_bpe_pack(ps), left, right))
 
 
 def bpe_train(df: DataFrame, text_col: str = "text",
@@ -2306,10 +2344,13 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text") -> DataFrame:
     """
     pairs = [(str(l), str(r)) for l, r in merges]
     out = df.withColumn("pieces", bpe_pieces(_c(text_col)))
-    toks = F.col("pieces")
+    # pack ONCE, chain the k linear regexp merges, unpack ONCE (round
+    # 15): the per-merge array fold this replaced was O(pieces²) per
+    # document PER MERGE (whole-accumulator copy per element)
+    toks = _bpe_pack(F.col("pieces"))
     for l, r in pairs:
-        toks = _bpe_apply_merge(toks, l, r)
-    return out.withColumn("tokens", toks)
+        toks = _bpe_apply_merge_packed(toks, l, r)
+    return out.withColumn("tokens", _bpe_unpack(toks))
 
 
 def hellinger_tv_matrix(df: DataFrame, text_col: str = "text",

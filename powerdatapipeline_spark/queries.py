@@ -5982,7 +5982,16 @@ def q125_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powerdatapipeline_spark.sources import readers as rd
 
     fix_dir = materialize_binary_fixture(spark, sf_dir)
-    bf = rd.read_binary_files(spark, fix_dir, glob="*.txt")
+    # coalesce(1): the fixture is BOUNDED at _BINFIX_N tiny files (a
+    # roundtrip-exactness check, not a throughput path), yet the scan's
+    # openCostInBytes accounting split 200 files across
+    # defaultParallelism tasks — 29 single-worker Python tasks for
+    # ~100 KB of payload, each paying task + Arrow + (cold) worker
+    # setup (measured 13-31 s when the worker pool was cold under full
+    # session load, guide §6 small-files). One task fits the data by
+    # orders of magnitude; real unbounded binaryFile corpora use
+    # read_binary_files directly and keep their wide scans.
+    bf = rd.read_binary_files(spark, fix_dir, glob="*.txt").coalesce(1)
     docs = bf.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
         .cast("long").alias("doc_id"),

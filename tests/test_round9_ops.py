@@ -214,6 +214,10 @@ def test_cc_large_ids(spark):
 
 
 def test_cc_budget_exhaustion_raises(spark):
+    # small_max_rows=0 pins the DISTRIBUTED star contraction: the
+    # round budget is a property of the iterative path (the round-15
+    # single-task union-find converges exactly and has no budget)
     with pytest.raises(RuntimeError, match="did not converge"):
         gr.connected_components(
-            _edges(spark, [(i, i + 1) for i in range(300)]), max_iter=2)
+            _edges(spark, [(i, i + 1) for i in range(300)]), max_iter=2,
+            small_max_rows=0)
