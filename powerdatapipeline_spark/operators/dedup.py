@@ -343,7 +343,8 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     """
     import numpy as np
 
-    from powerdatapipeline_spark.functions.vector import ddot, dot, sign_bucket
+    from powerdatapipeline_spark.functions.vector import (array_lit, ddot,
+                                                          dot, sign_bucket)
 
     if n_planes is None:
         n_planes = derive_n_planes(df.count())
@@ -356,9 +357,11 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.9,
     # ONE nested literal + one transform for all n_tables×n_planes margins,
     # materialized into __sc before the bit tests — per-plane F.lit nodes and
     # per-bit dot() trees made driver-side plan construction (~2.7 s) cost
-    # more than the query itself (the similarity.py scores() lesson)
-    all_planes = F.lit([[float(x) for x in planes[t][i]]
-                        for t in range(n_tables) for i in range(n_planes)])
+    # more than the query itself (the similarity.py scores() lesson). Built
+    # via array_lit (round 15): F.lit on a nested list still recursed into
+    # one Py4J call per element; the SQL-literal form is a single call
+    all_planes = array_lit([[float(x) for x in planes[t][i]]
+                            for t in range(n_tables) for i in range(n_planes)])
     margins = F.transform(all_planes, lambda p: dot(F.col(vec_col), p))
 
     tables = F.array(*[F.struct(
@@ -736,9 +739,14 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # prefix length |S| - ceil(τ|S|) + 1 under the (df, digest) order
     ranked = (ex.join(dfreq, "g")
               .withColumn("__r", F.row_number().over(w)))
+    # persist the prefix postings (round 15): BOTH sides of the
+    # candidate self-join consume them, and without the cache each
+    # side re-runs the df join + per-document rank window from the
+    # cached index (small but consistent win at sf0.1; at scale it
+    # halves the two heaviest pre-join passes)
     prefix = ranked.where(
         F.col("__r") <= F.col("sh_n")
-        - F.ceil(F.lit(threshold) * F.col("sh_n")) + 1)
+        - F.ceil(F.lit(threshold) * F.col("sh_n")) + 1).persist()
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -766,6 +774,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
            .where(F.col("jaccard") >= threshold)
            .localCheckpoint(eager=True))
     ex.unpersist()
+    prefix.unpersist()
     return out
 
 

@@ -268,8 +268,87 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return ranks
 
 
+def _triangle_single_task(e: DataFrame) -> DataFrame:
+    """Single-task exact twin of the distributed triangle count over a
+    small materialized canonical edge frame: same (deg, id) orientation
+    (so the enumeration stays O(E^1.5) bounded), wedge→edge membership
+    via sorted int64 keys, all-integer counts, and the identical
+    round-6 clustering arithmetic. Wedge enumeration flushes in chunks
+    so memory stays bounded even on adversarially dense inputs."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy())
+            vs.append(pdf["v"].to_numpy())
+        u = np.concatenate(us) if us else np.array([])
+        v = np.concatenate(vs) if vs else np.array([])
+        nodes, inv = np.unique(np.concatenate([u, v]),
+                               return_inverse=True)
+        u_i, v_i = inv[:len(u)], inv[len(u):]
+        n = len(nodes)
+        m = len(u_i)
+        deg = np.bincount(u_i, minlength=n) + np.bincount(v_i, minlength=n)
+        n_wedges = int(sum(int(d) * (int(d) - 1) // 2 for d in deg))
+        # orient each edge from its (deg, id)-smaller endpoint; with
+        # factorized ids, index order ≡ id order, so the struct key
+        # (deg, id) maps to the int64 composite deg*n + idx exactly
+        ok = deg.astype(np.int64) * n + np.arange(n, dtype=np.int64)
+        swap = ok[u_i] > ok[v_i]
+        a = np.where(swap, v_i, u_i).astype(np.int64)
+        b = np.where(swap, u_i, v_i).astype(np.int64)
+        edge_keys = np.sort(a * n + b)
+        order = np.lexsort((ok[b], a))
+        a_s, b_s = a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        ends = np.r_[starts[1:], m]
+        tri = 0
+        chunk: list = []
+        chunk_rows = 0
+
+        def flush(chunk, tri):
+            if not chunk:
+                return tri
+            w = np.concatenate(chunk)
+            # membership of each wedge key in the sorted oriented edge
+            # keys: insertion point + exact-match check
+            idx = np.searchsorted(edge_keys, w)
+            valid = idx < len(edge_keys)
+            return tri + int((edge_keys[idx[valid]] == w[valid]).sum())
+
+        for s, t in zip(starts, ends):
+            nb = b_s[s:t]
+            d = len(nb)
+            if d < 2:
+                continue
+            ix, iy = np.triu_indices(d, 1)
+            chunk.append(nb[ix] * n + nb[iy])
+            chunk_rows += len(ix)
+            if chunk_rows >= 4_000_000:
+                tri = flush(chunk, tri)
+                chunk, chunk_rows = [], 0
+        tri = flush(chunk, tri)
+        if n_wedges > 0:
+            gc = _round_half_up(3.0 * tri / n_wedges, 6)
+        else:
+            gc = 0.0
+        yield pd.DataFrame({"n_nodes": np.array([n], np.int64),
+                            "n_edges": np.array([m], np.int64),
+                            "n_wedges": np.array([n_wedges], np.int64),
+                            "n_triangles": np.array([tri], np.int64),
+                            "global_clustering": [gc]})
+
+    return _single_task(
+        e, fn, "n_nodes bigint, n_edges bigint, n_wedges bigint, "
+               "n_triangles bigint, global_clustering double")
+
+
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst",
+                   small_max_rows: int | None = None) -> DataFrame:
     """Exact triangle count + global clustering coefficient — the
     second classic distributed-graph workload beside :func:`pagerank`,
     and the canonical example of a join whose COST is controlled by an
@@ -297,6 +376,10 @@ def triangle_count(edges: DataFrame, src: str = "src",
     v = F.greatest(F.col(src), F.col(dst)).alias("v")
     e = (edges.select(u, v)
          .where(F.col("u") != F.col("v")).distinct().persist())
+    if 0 < e.count() <= _small_max_rows(small_max_rows):
+        out = _triangle_single_task(e).localCheckpoint(eager=True)
+        e.unpersist()
+        return out
     deg = (e.select(F.col("u").alias("n"))
            .unionAll(e.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count("*").alias("deg")))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from powerdatapipeline_spark.functions.vector import (
+    array_lit,
     ddot,
     dot,
     l2_norm,
@@ -57,7 +58,7 @@ def _with_cell(df: DataFrame, cents, vec_col: str,
     dot-product transform twice per row. Shared by the k-means E-step, the
     IVF index writer, and the in-memory IVF search so the assign-to-cell
     expression has exactly one definition."""
-    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    cent_arr = array_lit([[float(x) for x in c] for c in cents])
     sc = F.transform(cent_arr, lambda c: dot(F.col(vec_col), c))
     return (df.withColumn("__sc", sc)
               .withColumn(cell_name,
@@ -120,7 +121,7 @@ def hyperplane_lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         # literal (not dim F.lit nodes) — with hundreds of scalar literals
         # the Python expression-tree build and Catalyst analysis dominate
         # the query on small inputs
-        return F.array(*[dot(col, F.lit([float(x) for x in planes[i]]))
+        return F.array(*[dot(col, array_lit([float(x) for x in planes[i]]))
                          for i in range(n_planes)])
 
     emb_b = (embeddings
@@ -256,7 +257,7 @@ def _probe_frame(queries: DataFrame, cents, n_probe: int,
     qs = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     # argsort the cell scores expression-side: pair (−score, cell), sort,
     # take the n_probe best cell ids
-    cent_arr = F.lit([[float(x) for x in c] for c in cents])
+    cent_arr = array_lit([[float(x) for x in c] for c in cents])
     sc = F.transform(cent_arr, lambda c: dot(F.col("__qvec"), c))
     ranked_cells = F.slice(
         F.transform(F.array_sort(F.zip_with(sc,
@@ -436,7 +437,7 @@ def random_projection(embeddings: DataFrame, out_dim: int = 16,
 
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
-    r_lit = F.lit([[float(x) for x in row] for row in R])
+    r_lit = array_lit([[float(x) for x in row] for row in R])
     proj = F.transform(r_lit, lambda row: F.round(dot(vec_col, row), 6))
     return embeddings.withColumn(out_col, proj)
 
@@ -1046,9 +1047,16 @@ def mutual_knn_rate(embeddings: DataFrame, k: int = 5,
             # small enough to broadcast typically arrives as ONE input
             # split, and the broadcast cross join inherits the left
             # side's parallelism — one tiny 2-column shuffle here buys
-            # |shuffle.partitions|-way parallelism on the O(n²/m) dots
-            # (measured 32.6s → 2.5s at sf0.1 on local[32])
-            .repartition(F.col("__id"))
+            # |defaultParallelism|-way parallelism on the O(n²/m) dots
+            # (measured 32.6s → 2.5s at sf0.1 on local[32]). The
+            # partition COUNT must be explicit (round 15): a by-column
+            # repartition is AQE-coalescable, and a few-MB embedding
+            # sample coalesces straight back to ONE partition — the
+            # single-task scoring this shuffle exists to prevent
+            # (measured: the n² stage re-serialized to one 2.7 s task)
+            .repartition(
+                embeddings.sparkSession.sparkContext.defaultParallelism,
+                F.col("__id"))
             .withColumn("__n", l2_norm("__v"))
             # zero-norm vectors have NO defined cosine to anyone: left
             # in, a degenerate query row still emits k edges chosen

@@ -2484,9 +2484,14 @@ def ngram_cosine_pairs(df: DataFrame, text_col: str = "text",
     nd = df.agg(F.count_distinct(F.col(id_col)).cast("bigint").alias("N"))
     idf6 = F.round(F.log(F.col("N").cast("double")
                          / F.col("df").cast("double")), 6)
+    # persist the weight frame too (round 15): w feeds THREE branches
+    # (norms + both sides of the postings self-join) and without the
+    # cache each branch re-runs the ti⋈dfreq join and the idf rounding
+    # from the cached index — measured 4.7 → 3.9 s at sf0.1
     w = (ti.join(dfreq, "gh").crossJoin(F.broadcast(nd))
          .select(id_col, "gh",
-                 F.round(F.col("tf").cast("double") * idf6, 6).alias("w")))
+                 F.round(F.col("tf").cast("double") * idf6, 6).alias("w"))
+         .persist())
     norms = (w.groupBy(id_col)
              .agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
                                .cast("decimal(38,10)")).cast("double"))
@@ -2513,6 +2518,7 @@ def ngram_cosine_pairs(df: DataFrame, text_col: str = "text",
            .limit(top_k))
     res = out.localCheckpoint(eager=True)
     ti.unpersist()
+    w.unpersist()
     return res
 
 

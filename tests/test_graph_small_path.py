@@ -130,6 +130,22 @@ def test_lpa_fast_string_nodes(spark):
     assert _rows(fast) == _rows(dist)
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangle_fast_equals_distributed(spark, seed):
+    e = _edges(spark, _random_graph(seed, n_nodes=25, n_edges=70))
+    fast = gr.triangle_count(e)
+    dist = gr.triangle_count(e, small_max_rows=0)
+    assert _rows(fast) == _rows(dist)
+
+
+def test_triangle_fast_hub_and_strings(spark):
+    pairs = ([("h", f"n{i}") for i in range(30)]
+             + [(f"n{i}", f"n{i + 1}") for i in range(29)])
+    e = _edges(spark, pairs, typ="string")
+    assert _rows(gr.triangle_count(e)) == _rows(
+        gr.triangle_count(e, small_max_rows=0))
+
+
 def test_env_zero_disables_fast_paths(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_GRAPH_SMALL_MAX_ROWS", "0")
     assert gr._small_max_rows(None) == 0
