@@ -35,8 +35,22 @@ def array_lit(values) -> Column:
             raise ValueError(f"array_lit: non-finite literal {x!r}")
         return repr(fx) + "D"
 
-    if values and isinstance(values[0], (list, tuple)) or (
-            hasattr(values, "ndim") and getattr(values, "ndim", 1) == 2):
+    # ndim check FIRST: ``values and …`` on a multi-element numpy array
+    # raises on ambiguous truthiness before reaching any isinstance
+    # (ADVICE r15 — latent, all current callers pass lists)
+    if hasattr(values, "ndim"):
+        if getattr(values, "ndim", 1) == 2:
+            body = ",".join(
+                "array(" + ",".join(fmt(x) for x in row) + ")"
+                for row in values)
+            return F.expr(f"array({body})")
+        values = list(values)
+    if len(values) == 0:
+        raise ValueError(
+            "array_lit: empty input has no element type; pass at least "
+            "one value (an untyped array() literal would not bind to "
+            "array<double> operations)")
+    if isinstance(values[0], (list, tuple)):
         body = ",".join(
             "array(" + ",".join(fmt(x) for x in row) + ")" for row in values)
     else:

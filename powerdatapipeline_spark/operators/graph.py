@@ -75,9 +75,77 @@ def _small_max_rows(override: int | None) -> int:
     contract."""
     if override is not None:
         return min(int(override), _FAST_PATH_HARD_MAX_ROWS)
-    return min(int(os.environ.get("SPARK_GRAFT_GRAPH_SMALL_MAX_ROWS",
-                                  GRAPH_SMALL_MAX_ROWS)),
-               _FAST_PATH_HARD_MAX_ROWS)
+    raw = os.environ.get("SPARK_GRAFT_GRAPH_SMALL_MAX_ROWS")
+    if raw is None:
+        return min(GRAPH_SMALL_MAX_ROWS, _FAST_PATH_HARD_MAX_ROWS)
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"$SPARK_GRAFT_GRAPH_SMALL_MAX_ROWS={raw!r} is not an "
+            "integer; set a row count (0 disables every graph fast "
+            "path) or unset it for the default "
+            f"({GRAPH_SMALL_MAX_ROWS})") from None
+    return min(n, _FAST_PATH_HARD_MAX_ROWS)
+
+
+def _factorize(*arrays):
+    """Sorted factorization of node-id arrays: ``(nodes, inv)`` with
+    ``nodes`` the ascending-unique values of the concatenation and
+    ``inv`` int64 per-element indices — exactly what
+    ``np.unique(concat, return_inverse=True)`` returns, built instead
+    with pandas' hash-based ``factorize`` plus one unique-sized argsort
+    (VERDICT r15 #7: the np.unique argsort over 2E elements dominated
+    the single-task graph twins — hash factorization is O(E) and the
+    sort then touches only the |V| uniques). Ordering identity: numpy
+    sorts numerics numerically and strings by code point, both equal
+    to the comparison ``np.argsort`` applies to the unique values, so
+    the (nodes, inv) pair is bit-identical to the np.unique form."""
+    import numpy as np
+    import pandas as pd
+
+    allv = np.concatenate(arrays)
+    if len(allv) == 0:
+        return np.unique(allv, return_inverse=True)
+    codes, uniq = pd.factorize(allv)
+    uniq = np.asarray(uniq)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    return uniq[order], rank[codes]
+
+
+def _quantize_scaled_int(x, digits: int):
+    """Vectorized twin of the per-element
+    ``Decimal(repr(v)).quantize(10^-digits, HALF_UP)`` scaled to int64
+    (ADVICE r15 medium: the Decimal loops cost ~2.7 µs/node/round).
+    Float fast path: scale, split at the .5 boundary — with a Decimal
+    FALLBACK for every element whose scaled fraction sits inside the
+    error band of the float computation (|x·10^d| · 8·2⁻⁵² + 1e-9
+    covers repr's half-ulp decimalization plus the multiply rounding),
+    for negatives (float floor+0.5 is HALF-UP-toward-+inf, Decimal
+    HALF_UP is away-from-zero), and for magnitudes past 2⁵³ where the
+    float path loses integer exactness. Inputs here are pagerank
+    ranks/contributions (non-negative, ≤ ~1), so the fallback fires on
+    ~1% boundary cases — but the mask makes the twin exact for ANY
+    input, not just the expected range."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = np.asarray(x, dtype=np.float64)
+    s = x * (10.0 ** digits)
+    f = np.floor(s)
+    frac = s - f
+    n = np.where(frac >= 0.5, f + 1.0, f)
+    tol = np.abs(s) * 1.8e-15 + 1e-9
+    risky = (np.abs(frac - 0.5) <= tol) | (x < 0) | (np.abs(s) >= 2.0 ** 53)
+    out = n.astype(np.int64)
+    if risky.any():
+        q = Decimal(1).scaleb(-digits)
+        for i in np.flatnonzero(risky):
+            out[i] = int(Decimal(repr(float(x[i])))
+                         .quantize(q, ROUND_HALF_UP).scaleb(digits))
+    return out
 
 
 def _single_task(df: DataFrame, fn, schema: str) -> DataFrame:
@@ -143,8 +211,7 @@ def _pagerank_single_task(e: DataFrame, iterations: int,
             dsts.append(pdf["dst"].to_numpy())
         src = np.concatenate(srcs) if srcs else np.array([])
         dst = np.concatenate(dsts) if dsts else np.array([])
-        nodes, inv = np.unique(np.concatenate([src, dst]),
-                               return_inverse=True)
+        nodes, inv = _factorize(src, dst)
         src_i, dst_i = inv[:len(src)], inv[len(src):]
         n = len(nodes)
         outdeg = np.bincount(src_i, minlength=n)
@@ -158,22 +225,32 @@ def _pagerank_single_task(e: DataFrame, iterations: int,
         rank = np.full(n, r0)
         has = np.ones(n, bool)
         for _ in range(iterations):
+            # vectorized twins of the old per-node Decimal loops
+            # (ADVICE r15 medium) — _quantize_scaled_int falls back to
+            # Decimal on boundary/overflow elements, so every value is
+            # still the exact Decimal(repr(·)).quantize(·, HALF_UP)
             ratio = rank / outdeg
             c_int = np.zeros(n, np.int64)
-            for i in np.flatnonzero(has):
-                c_int[i] = int(Decimal(repr(ratio[i]))
-                               .quantize(q12, ROUND_HALF_UP).scaleb(12))
+            idx = np.flatnonzero(has)
+            c_int[idx] = _quantize_scaled_int(ratio[idx], 12)
             emask = has[src_i]
             acc = np.zeros(n, np.int64)
             np.add.at(acc, dst_i[emask], c_int[src_i[emask]])
             received = np.zeros(n, bool)
             received[dst_i[emask]] = True
             new_rank = np.zeros(n)
-            for i in np.flatnonzero(received):
-                in_f = float(Decimal(int(acc[i])).scaleb(-12))
-                new_rank[i] = float(
-                    Decimal(repr(base + damping * in_f))
-                    .quantize(q6, ROUND_HALF_UP))
+            ridx = np.flatnonzero(received)
+            # acc < 2^53 ⇒ the int64→double conversion is exact and the
+            # /1e12 (exact divisor) is the correctly-rounded quotient —
+            # identical to float(Decimal(acc).scaleb(-12)); past 2^53
+            # (unreachable: Σ contributions ≤ ~1·1e12) fall back
+            big = np.abs(acc[ridx]) >= 2 ** 53
+            in_f = acc[ridx].astype(np.float64) / 1e12
+            if big.any():
+                for j in np.flatnonzero(big):
+                    in_f[j] = float(Decimal(int(acc[ridx[j]])).scaleb(-12))
+            new_int = _quantize_scaled_int(base + damping * in_f, 6)
+            new_rank[ridx] = new_int.astype(np.float64) / 1e6
             rank, has = new_rank, received
         keep = np.flatnonzero(has)
         yield pd.DataFrame({"node": nodes[keep], "rank": rank[keep]})
@@ -286,8 +363,7 @@ def _triangle_single_task(e: DataFrame) -> DataFrame:
             vs.append(pdf["v"].to_numpy())
         u = np.concatenate(us) if us else np.array([])
         v = np.concatenate(vs) if vs else np.array([])
-        nodes, inv = np.unique(np.concatenate([u, v]),
-                               return_inverse=True)
+        nodes, inv = _factorize(u, v)
         u_i, v_i = inv[:len(u)], inv[len(u):]
         n = len(nodes)
         m = len(u_i)
@@ -480,44 +556,53 @@ def _cc_small_star(d: DataFrame) -> DataFrame:
 
 def _cc_union_find(e: DataFrame) -> DataFrame:
     """Single-task exact connected components over a small materialized
-    canonical edge frame: path-compressed union-find, label = component
-    minimum — the same labeling the star-contraction fixpoint provably
-    produces, in one O(E·α(E)) pass instead of ~log(n) distributed
-    rounds of ~1.5 s fixed cost each. Self-loop rows register their
-    node as a singleton, matching ``_cc_canonical``'s contract."""
+    canonical edge frame: label = component minimum — the same labeling
+    the star-contraction fixpoint provably produces, in one in-memory
+    pass instead of ~log(n) distributed rounds of ~1.5 s fixed cost
+    each. Self-loop rows register their node as a singleton, matching
+    ``_cc_canonical``'s contract.
+
+    Round 16 (VERDICT r15 #7 class): the per-edge Python dict
+    union-find became vectorized min-label hooking with full
+    pointer-jumping compression — each round every node takes the
+    minimum label over its closed neighborhood, then labels compress
+    through themselves until stable; O(log n) rounds of O(E) C-level
+    numpy work replaces ~1 µs/edge of interpreter time. Exactness:
+    labels never increase, an edge at the fixpoint joins equal labels
+    (so each component is constant), and identity initialization only
+    propagates indices belonging to the component — the constant is
+    the component's minimum index, which (nodes sorted ascending) is
+    its minimum value: the identical labeling, pinned by
+    tests/test_graph_small_path.py."""
     typ = e.schema["u"].dataType.simpleString()
 
     def fn(batches):
+        import numpy as np
         import pandas as pd
 
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
+        us, vs = [], []
         for pdf in batches:
-            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
-                if u not in parent:
-                    parent[u] = u
-                if v not in parent:
-                    parent[v] = v
-                ru, rv = find(u), find(v)
-                if ru != rv:
-                    parent[ru] = rv
-        best: dict = {}
-        for x in parent:
-            r = find(x)
-            m = best.get(r)
-            if m is None or x < m:
-                best[r] = x
-        nodes = sorted(parent)
-        yield pd.DataFrame({"node": nodes,
-                            "label": [best[find(x)] for x in nodes]})
+            us.append(pdf["u"].to_numpy())
+            vs.append(pdf["v"].to_numpy())
+        u = np.concatenate(us) if us else np.array([])
+        v = np.concatenate(vs) if vs else np.array([])
+        nodes, inv = _factorize(u, v)
+        u_i, v_i = inv[:len(u)], inv[len(u):]
+        n = len(nodes)
+        lab = np.arange(n, dtype=np.int64)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, u_i, lab[v_i])
+            np.minimum.at(new, v_i, lab[u_i])
+            while True:  # full path compression
+                nn = new[new]
+                if np.array_equal(nn, new):
+                    break
+                new = nn
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        yield pd.DataFrame({"node": nodes, "label": nodes[lab]})
 
     return _single_task(e, fn, f"node {typ}, label {typ}")
 
@@ -633,8 +718,7 @@ def _kcore_single_task(e: DataFrame, k: int, max_rounds: int) -> DataFrame:
             vs.append(pdf["v"].to_numpy())
         u = np.concatenate(us) if us else np.array([])
         v = np.concatenate(vs) if vs else np.array([])
-        nodes, inv = np.unique(np.concatenate([u, v]),
-                               return_inverse=True)
+        nodes, inv = _factorize(u, v)
         u_i, v_i = inv[:len(u)], inv[len(u):]
         n = len(nodes)
         alive = np.ones(len(u_i), bool)
@@ -759,8 +843,7 @@ def _hits_single_task(e: DataFrame, rounds: int, top_k: int) -> DataFrame:
             vs.append(pdf["v"].to_numpy())
         u = np.concatenate(us) if us else np.array([])
         v = np.concatenate(vs) if vs else np.array([])
-        nodes, inv = np.unique(np.concatenate([u, v]),
-                               return_inverse=True)
+        nodes, inv = _factorize(u, v)
         u_i, v_i = inv[:len(u)], inv[len(u):]
         n = len(nodes)
         a = np.bincount(v_i, minlength=n).astype(np.int64)  # a₁ = in-deg
@@ -940,14 +1023,17 @@ def _lpa_single_task(sym: DataFrame, rounds: int, top_k: int) -> DataFrame:
             bvs.append(pdf["b"].to_numpy())
         av = np.concatenate(avs) if avs else np.array([])
         bv = np.concatenate(bvs) if bvs else np.array([])
-        nodes, inv = np.unique(np.concatenate([av, bv]),
-                               return_inverse=True)
+        nodes, inv = _factorize(av, bv)
         a_i, b_i = inv[:len(av)].astype(np.int64), inv[len(av):]
         n = len(nodes)
         lab = np.arange(n, dtype=np.int64)
         for _ in range(rounds):
-            key = a_i * n + lab[b_i]
-            uniq, cnt = np.unique(key, return_counts=True)
+            key = np.sort(a_i * n + lab[b_i])
+            # sorted-run boundaries ≡ np.unique(key, return_counts=True)
+            # without the second full pass (the sort is the whole cost)
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            uniq = key[starts]
+            cnt = np.diff(np.r_[starts, len(key)])
             ua, ul = uniq // n, uniq % n
             order = np.lexsort((ul, -cnt, ua))
             ua_s, ul_s = ua[order], ul[order]
