@@ -1208,7 +1208,8 @@ def q45_streaming_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     durable sink — complete mode re-emits all state every trigger and
     cannot stream to parquet; see streaming/pipeline.write_stream_parquet."""
     return _run_stream_to_memory(spark, q45_stream_frame(spark, sf_dir),
-                                 "q45", "complete")
+                                 "q45", "complete",
+                                 source_paths=(f"{sf_dir}/events.parquet",))
 
 
 def q45_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,24 +1227,77 @@ def q45_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "avg_value", "n")
 
 
+def _stream_scratch(prefix: str) -> str:
+    """Scratch base for the foreachBatch monitor queries' partial
+    frames + checkpoints — tmpfs-preferring (round 16: ~0.4-0.7 s of
+    small-file ext4 I/O per monitor run measured on q231). The partials
+    are read LAZILY by the finalize frame each query returns, so these
+    dirs are not removed at query end (same lifetime as the previous
+    /tmp mkdtemp, a few KB per run)."""
+    from powerdatapipeline_spark.streaming.pipeline import scratch_dir
+
+    return scratch_dir(prefix)
+
+
 def _run_stream_to_memory(spark: SparkSession, frame: DataFrame,
-                          tag: str, mode: str) -> DataFrame:
+                          tag: str, mode: str,
+                          source_paths: tuple[str, ...] = (),
+                          final_watermark_batch: bool = False) -> DataFrame:
     """Shared verification harness for the streaming registry queries:
     availableNow trigger into a memory sink under a state-sized shuffle
     conf, loud timeout (a silent one would hand a partially-filled sink
-    to the oracle compare)."""
+    to the oracle compare).
+
+    Round 16 (VERDICT r15 #3 — the state-store/checkpoint overhead):
+
+    * state partitions derive from SOURCE bytes
+      (pipeline.stream_state_partitions) instead of a pinned 8 — each
+      state store pays a fixed per-batch commit, so the count must
+      track stream volume (2 here, the session ceiling at firehose
+      scale); partition count never changes aggregation/join results.
+    * the checkpoint is an explicit tmpfs scratch dir, removed after
+      the run (the memory sink holds the rows; these one-shot
+      checkpoints are never resumed — write_stream_parquet keeps the
+      durable-checkpoint production contract).
+    * ``noDataMicroBatches`` is disabled unless
+      ``final_watermark_batch=True``: the extra empty batch exists to
+      advance the watermark and flush/evict state, which changes NO
+      output row for the shapes registered here — complete-mode aggs
+      (q45/q95) re-emit their ENTIRE state every trigger, so the final
+      re-emit is byte-identical; append-mode INNER stream-stream joins
+      (q65) emit matches in the batch both rows arrive (only state
+      EVICTION is watermark-gated, measured 2→1 batches, identical 46
+      rows); stateless append (q124) has nothing to finalize. A future
+      APPEND-MODE WINDOWED AGG would emit nothing without the final
+      watermark batch — it must pass ``final_watermark_batch=True``.
+      Every registered shape stays oracle-verified either way
+      (PARITY sweeps run against this harness)."""
+    import shutil
     import uuid
 
-    from powerdatapipeline_spark.streaming.pipeline import state_sized
+    from powerdatapipeline_spark.streaming.pipeline import (
+        scratch_dir, state_sized, stream_state_partitions)
 
     name = f"{tag}_sink_{uuid.uuid4().hex[:8]}"
-    with state_sized(spark, 8):
-        q = (frame.writeStream.format("memory").queryName(name)
-             .outputMode(mode).trigger(availableNow=True).start())
-        finished = q.awaitTermination(300)
+    nparts = (stream_state_partitions(spark, *source_paths)
+              if source_paths else 8)
+    ckpt = scratch_dir(f"{tag}_ckpt_")
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_ndb = spark.conf.get(ndb_key, "true")
+    if not final_watermark_batch:
+        spark.conf.set(ndb_key, "false")
+    try:
+        with state_sized(spark, nparts):
+            q = (frame.writeStream.format("memory").queryName(name)
+                 .outputMode(mode).trigger(availableNow=True)
+                 .option("checkpointLocation", ckpt).start())
+            finished = q.awaitTermination(300)
+    finally:
+        spark.conf.set(ndb_key, old_ndb)
     if not finished:
         q.stop()
         raise TimeoutError(f"{tag} streaming job did not finish within 300 s")
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -1904,7 +1958,8 @@ def q65_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent BATCH join as the DuckDB oracle (same rows, same lag
     values), proving batch/stream parity like q45."""
     return _run_stream_to_memory(spark, q65_stream_frame(spark, sf_dir),
-                                 "q65", "append")
+                                 "q65", "append",
+                                 source_paths=(f"{sf_dir}/events.parquet",))
 
 
 def q65_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3271,7 +3326,8 @@ def q95_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode + memory sink is the verification harness (q45's
     NOTE); production writes append past the watermark."""
     return _run_stream_to_memory(spark, q95_stream_frame(spark, sf_dir),
-                                 "q95", "complete")
+                                 "q95", "complete",
+                                 source_paths=(f"{sf_dir}/events.parquet",))
 
 
 def q95_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4497,7 +4553,8 @@ def q124_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verifies. append mode: enrichment is stateless, rows emit as
     they arrive."""
     return _run_stream_to_memory(spark, q124_stream_frame(spark, sf_dir),
-                                 "q124", "append")
+                                 "q124", "append",
+                                 source_paths=(f"{sf_dir}/events.parquet",))
 
 
 def q124_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7621,7 +7678,6 @@ def q190_streaming_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch bit-identically and the batch DuckDB oracle verifies the
     streaming run. Score = event value; label = even-user cohort (the
     A/B ranking-separation audit)."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_binary_auc, streaming_binary_auc)
@@ -7630,7 +7686,7 @@ def q190_streaming_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = stream.select(
         F.round(F.col("value").cast("double"), 6).alias("score"),
         (F.col("user_id") % 2 == 0).alias("label"))
-    tmp = tempfile.mkdtemp(prefix="q190_streaming_auc_")
+    tmp = _stream_scratch("q190_streaming_auc_")
     q = streaming_binary_auc(scored, "score", "label",
                              f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
@@ -7988,14 +8044,13 @@ def q196_streaming_heavy_hitters(spark: SparkSession, sf_dir: str
     stream ≡ batch bit-identically and q113's batch DuckDB oracle
     verifies the streaming run. Round-10b born: PRI_TAIL until the
     round-11 rotation."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_heavy_hitters, streaming_heavy_hitters)
 
     stream = docs_stream_source(spark, sf_dir)
     terms = stream.select(F.explode(tx.tokens("text")).alias("term"))
-    tmp = tempfile.mkdtemp(prefix="q196_streaming_hh_")
+    tmp = _stream_scratch("q196_streaming_hh_")
     q = streaming_heavy_hitters(terms, "term",
                                 f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
@@ -8142,14 +8197,13 @@ def q199_streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks_from_value_counts as batch q183, so stream ≡ batch
     bit-identically and the batch DuckDB oracle verifies the streaming
     run. Round-10b born: PRI_TAIL until the round-11 rotation."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_ks_drift, streaming_ks_drift)
 
     stream = (events_stream_source(spark, sf_dir)
               .where(F.col("event_type") == "click"))
-    tmp = tempfile.mkdtemp(prefix="q199_streaming_ks_")
+    tmp = _stream_scratch("q199_streaming_ks_")
     q = streaming_ks_drift(stream, "value",
                            f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
@@ -8834,14 +8888,13 @@ def q213_streaming_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint, state bounded by |distinct values| not rows). The
     batch DuckDB oracle verifies the streaming run bit-for-bit.
     Round-10c born: PRI_TAIL until the round-11 rotation."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_quantile_monitor, streaming_quantile_monitor)
 
     stream = (events_stream_source(spark, sf_dir)
               .where(F.col("event_type") == "purchase"))
-    tmp = tempfile.mkdtemp(prefix="q213_streaming_quantile_")
+    tmp = _stream_scratch("q213_streaming_quantile_")
     q = streaming_quantile_monitor(stream, "value",
                                    f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
@@ -9603,14 +9656,13 @@ def q231_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats.psi_from_bin_counts scorer as batch q121, so the batch
     DuckDB oracle verifies the streaming run bit-for-bit. Round-10c
     born: PRI_TAIL until the round-11 rotation."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_psi_drift, streaming_psi_drift)
 
     stream = (events_stream_source(spark, sf_dir)
               .where(F.col("event_type") == "click"))
-    tmp = tempfile.mkdtemp(prefix="q231_streaming_psi_")
+    tmp = _stream_scratch("q231_streaming_psi_")
     q = streaming_psi_drift(stream, "value",
                             f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
@@ -10974,7 +11026,6 @@ def q258_streaming_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     woe_from_bucket_counts the batch operator uses, so stream ≡ batch
     bit-identically and q250's DuckDB oracle verifies the streaming
     run."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_woe_monitor, streaming_woe_monitor)
@@ -10982,7 +11033,7 @@ def q258_streaming_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream_source(spark, sf_dir)
     bucket = F.least(F.floor(F.col("value").cast("double") / 50.0)
                      .cast("bigint"), F.lit(9).cast("bigint"))
-    tmp = tempfile.mkdtemp(prefix="q258_streaming_woe_")
+    tmp = _stream_scratch("q258_streaming_woe_")
     q = streaming_woe_monitor(stream, bucket,
                               F.col("event_type") == "purchase",
                               f"{tmp}/partials", f"{tmp}/ckpt")
@@ -11295,7 +11346,6 @@ def q266_streaming_krippendorff(spark: SparkSession,
     operator uses, so stream ≡ batch bit-identically and q249's
     DuckDB oracle (reused verbatim above) verifies the streaming
     run."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_krippendorff_monitor, streaming_krippendorff_monitor)
@@ -11304,7 +11354,7 @@ def q266_streaming_krippendorff(spark: SparkSession,
             .where(F.col("doc_id").isNotNull()
                    & F.col("text").isNotNull()))
     ratings = _q249_ratings(docs)
-    tmp = tempfile.mkdtemp(prefix="q266_streaming_krippendorff_")
+    tmp = _stream_scratch("q266_streaming_krippendorff_")
     q = streaming_krippendorff_monitor(ratings, F.col("u"), F.col("c"),
                                        f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
@@ -11329,13 +11379,12 @@ def q267_streaming_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME did_from_cell_moments the batch operator uses, so stream ≡
     batch bit-identically and q257's DuckDB oracle (reused verbatim
     above) verifies the streaming run."""
-    import tempfile
 
     from powerdatapipeline_spark.streaming.stateful import (
         finalize_did_monitor, streaming_did_monitor)
 
     ev, group, post = _q257_design(events_stream_source(spark, sf_dir))
-    tmp = tempfile.mkdtemp(prefix="q267_streaming_did_")
+    tmp = _stream_scratch("q267_streaming_did_")
     q = streaming_did_monitor(ev, "value", group, post,
                               f"{tmp}/partials", f"{tmp}/ckpt")
     finished = q.awaitTermination(300)
