@@ -295,6 +295,26 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .localCheckpoint(eager=True))
     n_edges = e.count()
+    # Fast path BEFORE the dangling guard (round 16): the single task
+    # runs the identical outdeg==0 check in-kernel, and the eager
+    # localCheckpoint below surfaces it AT CALL TIME as the same
+    # contract ValueError — so the two driver-side guard jobs (nodes
+    # distinct + anti-join, ~0.6 s at sf0.1) are pure duplication on
+    # this path. The distributed branch keeps the plan-build guard
+    # (its unrolled joins cannot check in-flight). The result cut is
+    # node-sized, so the materialization is the one task job the
+    # caller's first action would have paid anyway.
+    if 0 < n_edges <= _small_max_rows(small_max_rows):
+        out = _pagerank_single_task(e, iterations, damping)
+        try:
+            return out.localCheckpoint(eager=True)
+        except Exception as ex:
+            if "nodes without out-edges" in str(ex):
+                raise ValueError(
+                    "graph has nodes without out-edges; symmetrize() "
+                    "the edge list or drop dangling nodes before "
+                    "pagerank()") from None
+            raise
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
@@ -305,11 +325,6 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         raise ValueError(
             "graph has nodes without out-edges; symmetrize() the edge "
             "list or drop dangling nodes before pagerank()")
-    # fast-path branch AFTER the dangling guard so the loud plan-build
-    # raise contract is identical on both paths (the guard job reads
-    # the checkpointed e, so it is node-sized work either way)
-    if 0 < n_edges <= _small_max_rows(small_max_rows):
-        return _pagerank_single_task(e, iterations, damping)
     n_nodes = nodes.select(F.count("*").alias("__n"))
     # 1−d as the 6-rounded literal, NOT the raw float subtraction:
     # Python's 1.0−0.85 and a SQL engine's CAST(0.15 AS DOUBLE) are
@@ -932,6 +947,30 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
          # jobs)
          .localCheckpoint(eager=True))
     n_edges = e.count()
+    # Fast path BEFORE the degree/guard jobs (round 16): the single
+    # task computes the degree maxima and runs the IDENTICAL
+    # conservative bound check in-kernel, and the eager localCheckpoint
+    # surfaces it at call time as the same contract ValueError — so the
+    # driver-side degree aggregation job is pure duplication here. The
+    # distributed branch keeps the pre-flight (its BIGINT folds cannot
+    # check mid-job). The result is top_k rows, so the cut is free.
+    if 0 < n_edges <= _small_max_rows(small_max_rows):
+        out = _hits_single_task(e, rounds, top_k)
+        try:
+            return out.localCheckpoint(eager=True)
+        except Exception as ex:
+            text = str(ex)
+            if "exceeds int64" in text:
+                import re as _re
+                m = _re.search(
+                    r"hits_scores\(rounds=\d+\).*?keeps scores in range",
+                    text, _re.DOTALL)
+                raise ValueError(
+                    m.group(0) if m else
+                    f"hits_scores(rounds={rounds}) worst-case score "
+                    "exceeds int64 — lower rounds or use a decimal-fold "
+                    "variant") from None
+            raise
     # Degree frame = overflow guard input AND iteration 1 (VERDICT r12
     # #2): with h₀ = 1 the first authority update is exactly the
     # in-degree, so ONE bidirectional map-side-combined count job
@@ -972,12 +1011,6 @@ def hits_scores(edges: DataFrame, src: str = "src", dst: str = "dst",
                 "(rank order is stable by 2 on conveying graphs) or use "
                 "a decimal-fold variant if the graph's actual structure "
                 "keeps scores in range")
-    # fast-path branch AFTER the guard so the loud plan-build raise
-    # contract is identical on both paths (the guard's deg read is the
-    # eager job either way; the single task recomputes degrees in-task
-    # for pennies)
-    if 0 < n_edges <= _small_max_rows(small_max_rows):
-        return _hits_single_task(e, rounds, top_k)
     # iteration 1 for free: a₁ = in-degree (h₀ = 1)
     a = (deg.where(F.col("s") == "i")
          .select(F.col("node").alias("v"), F.col("d").alias("a")))
