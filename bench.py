@@ -15,8 +15,25 @@ full per-query map with long names outgrew that window at 73 queries
     compact line past 1,600 chars, the per-query map is dropped from the
     line (never the headline), so the driver's tail capture ALWAYS parses.
 
+Round 16 (VERDICT r15 #1 — the compact map's slowest-first truncation
+omitted 78/256 queries, manufacturing phantom "dropped"/"new" queries in
+the round-over-round PERF diff): the line now ALSO carries ``t``, a
+fixed-width packed string with EVERY timed query's wall seconds —
+2 base36 digits of DECISECONDS per query (clamped at 129.5 s; the full
+3-decimal map in BENCH_DETAIL.json is never clamped), in ascending
+lexicographic order of the short names (``flagship`` plus the ``qNN``
+stems — the order is reproducible from the registry alone). Decode:
+``int(t[2*i:2*i+2], 36) / 10`` for the i-th sorted short name. ``tch``
+stamps the first 6 md5 hex chars of the comma-joined sorted short-name
+list so a reader can verify it reconstructed the same name order.
+``q_omitted`` now counts queries absent from the LINE entirely (in
+neither ``queries`` nor ``t``) — 0 by construction, the contract
+invariant. The slowest-first integer map stays for human triage and
+driver compatibility; its own truncation no longer loses information.
+
 ``tools/check_bench_regression.py`` normalizes both long and short names
-to the ``qNN`` stem, so old driver baselines stay comparable.
+to the ``qNN`` stem and re-expands ``t``, so old driver baselines stay
+comparable.
 
 Each query is forced with a count() (full execution, no driver collect of
 result payloads) after a warm-up pass of the session.
@@ -138,12 +155,17 @@ def run_canary_membw(trials: int = 3, threads: int = 32,
     return round(best, 3)
 
 
-def run_microset(spark, repeats: int = 3) -> dict[str, float]:
+def run_microset(spark, repeats: int = 5) -> dict[str, float]:
     """Per-query min-of-``repeats`` wall seconds for the pinned
     micro-set at sf0.001. Call AFTER the warm-up block (the refs are
     warm-path numbers; a cold JIT would read as host degradation); the
     first repeat pays these three plans' own compile and the min
-    discards it (measured: rep1 ~0.1 s above the rep2/3 floor)."""
+    discards it (measured: rep1 ~0.1 s above the rep2/3 floor).
+    Repeats are INTERLEAVED (each pass runs all three queries) and
+    widened 3 -> 5 in round 16 (VERDICT r15 #8: micro_r swung 1.32 →
+    3.06 between two same-code runs 20 minutes apart — a transient
+    stall inside one 3-rep window poisons the min; five interleaved
+    passes give each query five independent chances to dodge it)."""
     samples: dict[str, list[float]] = {}
     for _ in range(repeats):
         for name in MICROSET_REF_S:
@@ -167,6 +189,29 @@ def short_name(name: str) -> str:
     """``q29_lsh_neardup`` -> ``q29``; non-qNN names pass through."""
     m = re.match(r"(q\d+)_", name)
     return m.group(1) if m else name
+
+
+_B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def packed_timings(timings: dict[str, float]) -> tuple[str, str]:
+    """(packed ``t`` string, ``tch`` checksum) carrying EVERY query's
+    timing on the compact line (round 16, VERDICT r15 #1): 2 base36
+    digits of deciseconds per query — 512 chars for a 256-query
+    registry, vs ~2,400 for the JSON map — in ascending lexicographic
+    short-name order. Deciseconds are triage precision; the exact map
+    lives in BENCH_DETAIL.json. Values clamp at 36²−1 ds (129.5 s —
+    far past any healthy query here; a clamped entry still appears in
+    the slowest-first map as integer seconds)."""
+    by_short = {short_name(n): s for n, s in timings.items()}
+    shorts = sorted(by_short)
+    out = []
+    for s in shorts:
+        ds = max(0, min(int(round(by_short[s] * 10)), 36 * 36 - 1))
+        out.append(_B36[ds // 36] + _B36[ds % 36])
+    import hashlib
+    tch = hashlib.md5(",".join(shorts).encode()).hexdigest()[:6]
+    return "".join(out), tch
 
 
 def build_payloads(timings: dict[str, float],
@@ -227,15 +272,23 @@ def build_payloads(timings: dict[str, float],
         detail["micro"] = {"queries_s": micro_s,
                            "ref_s": MICROSET_REF_S, "ratio": r}
         compact["micro_r"] = r
+    # EVERY query's timing rides the line as the fixed-width packed
+    # string (round 16, VERDICT r15 #1) — ~2 chars/query, so the
+    # 256-query registry fits with ~1,200 chars to spare for the map.
+    if len({short_name(n) for n in timings}) != len(timings):
+        raise RuntimeError("duplicate short query names — the packed "
+                           "timing string would be ambiguous")
+    compact["t"], compact["tch"] = packed_timings(timings)
+    # ``q_omitted`` = queries missing from the LINE entirely: zero by
+    # construction now that ``t`` carries all of them — kept as the
+    # explicit contract invariant the driver/judge can assert on.
+    compact["q_omitted"] = 0
     # The compact map is a triage signal (BENCH_DETAIL.json keeps 3
     # decimals). Degrade gracefully as the registry grows: 1-decimal map
-    # -> integer-second map -> SLOWEST-FIRST truncated integer map with
-    # an explicit q_omitted count -> headline only. Typical real runs
-    # (most queries < 5 s) keep the 1-decimal map well past 150 entries;
-    # the truncation rung (new in round 9 when the registry hit 172 and
-    # the envelope guard tripped, as designed) keeps the queries that
-    # MATTER for triage — the slow ones — visible at any future size,
-    # instead of shipping a map-less headline.
+    # -> integer-second map -> SLOWEST-FIRST truncated integer map
+    # -> headline+packed only. The truncation no longer loses
+    # information (the packed string carries every query at decisecond
+    # precision); the map keeps the slow tail human-readable.
     for ndigits in (1, 0):
         compact["queries"] = {
             short_name(n): (round(t, 1) if ndigits else int(round(t)))
@@ -248,7 +301,6 @@ def build_payloads(timings: dict[str, float],
     while keep > 0:
         compact["queries"] = {short_name(n): int(round(t))
                               for n, t in items[:keep]}
-        compact["q_omitted"] = len(items) - keep
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= MAX_LINE:
             return detail, line
@@ -259,7 +311,6 @@ def build_payloads(timings: dict[str, float],
         # map may still fit where the full map did not
         keep = max(1, keep - max(1, (len(line) - MAX_LINE) // 12))
     compact.pop("queries", None)
-    compact.pop("q_omitted", None)
     line = json.dumps(compact, separators=(",", ":"))
     return detail, line
 

@@ -496,9 +496,15 @@ def fuzzy_blocked_match(df: DataFrame, name_col: str, keys: list,
     cand = blocked_pairs(df, keys, id_col=id_col, max_block=max_block)
     na = df.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"))
     nb = df.select(F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b"))
+    # 3-arg banded levenshtein (round 16, VERDICT r15 #6): with a
+    # threshold the DP runs a 2k+1-wide band and returns -1 past it —
+    # `dist != -1` ≡ `levenshtein(a,b) <= k`, and kept rows carry the
+    # exact distance, so the output is result-identical at a fraction
+    # of the per-pair cost (O(len·k) vs O(len²)).
     return (cand.join(na, "id_a").join(nb, "id_b")
-            .withColumn("dist", F.levenshtein("name_a", "name_b"))
-            .where(F.col("dist") <= max_dist)
+            .withColumn("dist",
+                        F.levenshtein("name_a", "name_b", max_dist))
+            .where(F.col("dist") >= 0)
             .select("id_a", "id_b", "name_a", "name_b", "dist"))
 
 
@@ -1025,10 +1031,13 @@ def _fuzzy_dict_candidates(df: DataFrame, value_col: str, max_dist: int,
                     & (F.col("value_a") < F.col("value_b"))
                     & (F.abs(F.col("len_a") - F.col("len_b"))
                        <= max_dist))
+             # banded 3-arg levenshtein: dist >= 0 ≡ dist <= max_dist,
+             # exact distances on kept rows (see fuzzy_blocked_match)
              .select("value_a", "value_b",
-                     F.levenshtein("value_a", "value_b").alias("dist"),
+                     F.levenshtein("value_a", "value_b",
+                                   max_dist).alias("dist"),
                      "n_a", "n_b")
-             .where(F.col("dist") <= max_dist))
+             .where(F.col("dist") >= 0))
     out = (pairs.crossJoin(F.broadcast(n_dict))
            .select(*[F.coalesce(guard.cast(t), F.col(c)).alias(c)
                      for c, t in [("value_a", "string"),

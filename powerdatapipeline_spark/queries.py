@@ -6458,9 +6458,12 @@ def q166_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), same output."""
     sn = dd.sorted_neighborhood_pairs(_t(spark, sf_dir, "part"),
                                       "p_partkey", "p_name", window=5)
+    # banded 3-arg levenshtein: lev >= 0 ≡ levenshtein <= 4, exact
+    # distances on kept rows (dedup.fuzzy_blocked_match's round-16 note)
     return (sn.withColumn("lev",
-                          F.levenshtein("sort_a", "sort_b").cast("bigint"))
-            .where(F.col("lev") <= 4))
+                          F.levenshtein("sort_a", "sort_b", 4)
+                          .cast("bigint"))
+            .where(F.col("lev") >= 0))
 
 
 

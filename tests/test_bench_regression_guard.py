@@ -138,8 +138,11 @@ def test_bench_compact_line_always_fits_driver_capture():
     assert "queries" in tparsed, (
         f"registry ({len(REGISTRY)} entries) has outgrown the compact "
         "per-query map — widen the bench envelope deliberately")
-    assert len(tparsed["queries"]) + tparsed.get("q_omitted", 0) \
-        == len(REGISTRY) + 1
+    # round-16 contract: the packed string carries EVERY query at
+    # decisecond precision, so q_omitted (= absent from the line
+    # entirely) is pinned at zero and t is exactly 2 chars per query
+    assert tparsed["q_omitted"] == 0
+    assert len(tparsed["t"]) == 2 * (len(REGISTRY) + 1)
 
     # REALISTIC timings (mostly sub-10 s) at the current size: past
     # ~195 entries the full map no longer fits and the slowest-first
@@ -152,24 +155,26 @@ def test_bench_compact_line_always_fits_driver_capture():
     _, rline = bench.build_payloads(realistic, 0.1)
     rparsed = json.loads(rline)
     assert len(rline) <= bench.MAX_LINE
-    assert len(rparsed["queries"]) + rparsed.get("q_omitted", 0) \
-        == len(REGISTRY) + 1
+    assert rparsed["q_omitted"] == 0
     slow = {bench.short_name(n) for n, t in realistic.items() if t >= 2.0}
     assert slow <= set(rparsed["queries"]), (
         "slowest-first truncation must keep every >=2 s query visible")
-    # anything omitted must be strictly no slower than anything kept
-    if rparsed.get("q_omitted", 0):
-        assert min(rparsed["queries"].values()) >= 1
+    # the packed string round-trips EVERY query to decisecond precision
+    shorts = sorted({bench.short_name(n) for n in realistic})
+    by_short = {bench.short_name(n): t for n, t in realistic.items()}
+    for i, s in enumerate(shorts):
+        got = int(rparsed["t"][2 * i:2 * i + 2], 36) / 10.0
+        assert abs(got - by_short[s]) <= 0.05001, (s, got, by_short[s])
 
-    # pathological future growth: the slowest entries stay visible, the
-    # omission is explicit, and the line still fits
+    # pathological future growth: the slowest entries stay visible in
+    # the map, the packed string still carries everything, the line fits
     big = {f"q{i:03d}_very_long_query_name_{i}": float(i % 37)
            for i in range(400)}
     _, line2 = bench.build_payloads(big, 0.1)
     assert len(line2) <= bench.MAX_LINE
     p2 = json.loads(line2)
-    assert "queries" in p2 and p2["q_omitted"] > 0
-    assert len(p2["queries"]) + p2["q_omitted"] == 400
+    assert "queries" in p2 and len(p2["queries"]) < 400
+    assert p2["q_omitted"] == 0 and len(p2["t"]) == 800
     # the kept entries are exactly a slowest-first slice
     kept_min = min(p2["queries"].values())
     boundary = sorted(big.values(), reverse=True)[len(p2["queries"]) - 1]

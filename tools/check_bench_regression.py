@@ -45,16 +45,45 @@ def _short(name: str) -> str:
     return m.group(1) if m else name
 
 
+def _expand_packed(d: dict) -> dict:
+    """Re-expand the round-16 packed timing string (``t``: 2 base36
+    digits of deciseconds per query, ascending short-name order — see
+    bench.py's module docstring) into the ``queries`` map, OVERRIDING
+    the map's coarser integer-second entries. The name order is
+    reconstructed from the current registry and cross-checked against
+    the payload's ``tch`` name-list checksum; on any mismatch the
+    payload is returned untouched."""
+    t = d.get("t")
+    if not isinstance(t, str) or not t:
+        return d
+    try:
+        sys.path.insert(0, REPO)
+        from powerdatapipeline_spark.queries import REGISTRY
+        shorts = sorted({_short(n) for n in REGISTRY} | {"flagship"})
+    except Exception:
+        return d
+    if len(t) != 2 * len(shorts):
+        return d
+    if d.get("tch"):
+        import hashlib
+        if (hashlib.md5(",".join(shorts).encode()).hexdigest()[:6]
+                != d["tch"]):
+            return d
+    full = {s: int(t[2 * i:2 * i + 2], 36) / 10.0
+            for i, s in enumerate(shorts)}
+    return {**d, "queries": {**d.get("queries", {}), **full}}
+
+
 def _unwrap(d: dict) -> dict | None:
     """Bench payload from either raw bench.py output ({value, queries, ...})
     or the driver's BENCH_r*.json envelope ({n, rc, tail, parsed: {...}});
     None when the round has no usable per-query timings (e.g. rc!=0)."""
     if isinstance(d.get("queries"), dict) and d["queries"]:
-        return d
+        return _expand_packed(d)
     inner = d.get("parsed")
     if (d.get("rc", 0) == 0 and isinstance(inner, dict)
             and isinstance(inner.get("queries"), dict) and inner["queries"]):
-        return inner
+        return _expand_packed(inner)
     return None
 
 
