@@ -16,6 +16,19 @@ counts here are small fixed constants (ranking quality plateaus in a few
 rounds on bounded-diameter interaction graphs), which is what makes the
 static unroll the right call versus a driver-side convergence loop.
 
+``localCheckpoint`` caveat at cluster scale (VERDICT r15 #5): an eager
+localCheckpoint truncates lineage by storing NON-REPLICATED
+executor-local blocks — on a real cluster, losing an executor mid-job
+makes the checkpointed frame unrecoverable (the lineage that could
+recompute it is gone), unlike the ``persist()`` it is cheaper than.
+That trade is deliberate here: these cuts live INSIDE one bounded
+iterative job whose inputs are sources on durable storage — a lost
+block fails the job, the caller reruns it from the parquet inputs, and
+the rerun costs minutes. For long-lived intermediates that must
+survive executor churn (multi-hour pipelines, shared caches), use
+``persist(StorageLevel.MEMORY_AND_DISK_2)`` or a reliable
+``checkpoint()`` to a replicated store instead.
+
 Small-graph fast paths (round 15): every iterative operator here pays a
 measured ~1.2-1.7 s of FIXED cost per distributed round at small scale
 (AQE stage-job submissions, per-round plan analysis, checkpoint
