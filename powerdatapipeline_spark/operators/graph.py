@@ -1123,9 +1123,16 @@ def label_propagation(edges: DataFrame, rounds: int = 2,
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
-                & (F.col("a") != F.col("b"))))
+                & (F.col("a") != F.col("b")))
+         # persist across the self-union's two branches (round 16): a
+         # union does NOT share its subtree, so without the cache the
+         # caller's whole edge lineage (q253: lineitem⋈orders +
+         # distinct) executes TWICE inside the sym materialization.
+         # Released right after the eager checkpoint — within-query.
+         .persist())
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct().localCheckpoint(eager=True))
+    e.unpersist()
     if 0 < sym.count() <= _small_max_rows(small_max_rows):
         return _lpa_single_task(sym, rounds, top_k)
     labels = (sym.select(F.col("a").alias("node")).distinct()

@@ -4963,10 +4963,20 @@ def q135_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
            .select((F.col("o_custkey") * 2).alias("src"),
                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
-           .distinct())
+           .distinct()
+           # persist across the union's two branches (round 16): a
+           # self-union does NOT share its subtree — without the cache
+           # the lineitem⋈orders join + distinct execute TWICE inside
+           # pagerank's edge materialization (verified in the physical
+           # plan: two BroadcastHashJoin subtrees under Union). Released
+           # below once pagerank's eager edge checkpoint has run —
+           # within-query, never crosses a bench rep.
+           .persist())
     sym = raw.unionByName(raw.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
-    return gr.pagerank(sym, iterations=3, damping=0.85)
+    out = gr.pagerank(sym, iterations=3, damping=0.85)
+    raw.unpersist()
+    return out
 
 
 @register("q136_source_overlap", r"""
